@@ -1,13 +1,41 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every declared operator (SURVEY §2) surfaces here as a named query;
+  * entries with an ANSI-SQL-expressible oracle also appear in
+  * `oracleSql` for the driver's DuckDB differential check (the
+  * Spark-era analogue of the reference's USE_PIM=0-vs-1 differential
+  * method, `orc-parser/Makefile:16`).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+
+  /** All declared engine operations, each module owning its entries. */
+  def allEntries: Seq[QueryEntry] =
+    operators.Relational.entries
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * The 3-way broadcast-join revenue rollup (Q6) — the widest slice of
+    * the engine in one plan: scan, broadcast join, partial/final agg,
+    * ordered output.
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    EngineSession.tune(spark)
+    allEntries.find(_.name == "q06_join_revenue_by_nation").get
+      .run(spark, "/root/testdata/sf0.001")
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    allEntries.map(e => e.name -> { (s: SparkSession, dir: String) =>
+      EngineSession.tune(s)
+      e.run(s, dir)
+    }).toMap
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] =
+    allEntries.flatMap(e => e.oracle.map(e.name -> _)).toMap
 }

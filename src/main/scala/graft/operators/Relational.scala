@@ -1,0 +1,221 @@
+package graft.operators
+
+import graft.{QueryEntry, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+
+/** Tier A/B relational surface (SURVEY §2.1–§2.3, §2.5 Q1–Q10).
+  *
+  * The reference's entire dataflow is scan → project col 0 → null-skip →
+  * partial SUM → final merge (`orc-parser/reader.cc:49-63,156-161`);
+  * Q1/Q2 replay it verbatim, Q3–Q10 generalize the same partial/final
+  * aggregation pipeline across Catalyst's full expression surface.
+  *
+  * Determinism discipline for the DuckDB differential oracle: money
+  * aggregates are summed in DECIMAL(18,2) (exact, order-independent)
+  * and only then cast to DOUBLE, so Spark's partial/final merge order
+  * (`reader.cc:156-160`'s analogue) can never flip a low bit.
+  */
+object Relational {
+
+  /** Exact money sum: decimal-accumulate, surface as double. */
+  private def moneySum(c: Column): Column =
+    sum(c.cast(DecimalType(18, 2))).cast(DoubleType)
+
+  val entries: Seq[QueryEntry] = Seq(
+    // Q1 — the reference query verbatim: SUM of the first column
+    // (`reader.cc:60-63,156-161`), nulls skipped per SQL semantics
+    // (`reader.cc:61`).
+    QueryEntry.sql(
+      "q01_sum_first_col",
+      "SELECT CAST(SUM(l_orderkey) AS BIGINT) AS sum_orderkey FROM lineitem",
+    ) { (s, dir) =>
+      Tables(s, dir).lineitem.agg(sum("l_orderkey").as("sum_orderkey"))
+    },
+
+    // Q2 — null-aware COUNT/SUM (A6). Fixtures carry no nulls, so nulls
+    // are injected deterministically with NULLIF to actually exercise
+    // the `notNull[]` path (`reader.cc:61`) in both engines.
+    QueryEntry.sql(
+      "q02_count_sum_nulls",
+      """SELECT COUNT(*) AS cnt_all,
+        |       COUNT(NULLIF(l_quantity, 23.0)) AS cnt_qty,
+        |       SUM(NULLIF(l_quantity, 23.0)) AS sum_qty
+        |FROM lineitem""".stripMargin,
+    ) { (s, dir) =>
+      val qty = nullif(col("l_quantity"), lit(23.0))
+      Tables(s, dir).lineitem.agg(
+        count(lit(1)).as("cnt_all"),
+        count(qty).as("cnt_qty"),
+        sum(qty).as("sum_qty"),
+      )
+    },
+
+    // Q3 — filtered revenue; the filter reaches the scan as a pushed
+    // predicate (Tier B sargs surface, `Makefile:37`).
+    QueryEntry.sql(
+      "q03_filter_revenue",
+      """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |               * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+        |         AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate < TIMESTAMP '1998-01-01 00:00:00'""".stripMargin,
+    ) { (s, dir) =>
+      Tables(s, dir).lineitem
+        .filter(col("l_shipdate") < lit("1998-01-01 00:00:00").cast(TimestampType))
+        .agg(
+          sum(
+            col("l_extendedprice").cast(DecimalType(18, 2)) *
+              (lit(1) - col("l_discount").cast(DecimalType(18, 2)))
+          ).cast(DoubleType).as("revenue")
+        )
+    },
+
+    // Q4 — TPC-H Q1 shape: grouped partial/final aggregation
+    // (generalizes `reader.cc:60-63,156-160`).
+    QueryEntry.sql(
+      "q04_groupby_pricing",
+      """SELECT l_returnflag, l_linestatus,
+        |       SUM(l_quantity) AS sum_qty,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |         AS sum_price,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |         / COUNT(*) AS avg_price,
+        |       COUNT(*) AS cnt
+        |FROM lineitem
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    ) { (s, dir) =>
+      Tables(s, dir).lineitem
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum("l_quantity").as("sum_qty"),
+          moneySum(col("l_extendedprice")).as("sum_price"),
+          (moneySum(col("l_extendedprice")) / count(lit(1))).as("avg_price"),
+          count(lit(1)).as("cnt"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+
+    // Q5 — MIN/MAX/COUNT, answerable from footer statistics when the
+    // source is ORC (Tier B, `reader.cc:3` Statistics.hh surface;
+    // spark.sql.orc.aggregatePushdown).
+    QueryEntry.sql(
+      "q05_minmax_count",
+      """SELECT MIN(l_orderkey) AS min_ok, MAX(l_orderkey) AS max_ok,
+        |       COUNT(*) AS cnt
+        |FROM lineitem""".stripMargin,
+    ) { (s, dir) =>
+      Tables(s, dir).lineitem.agg(
+        min("l_orderkey").as("min_ok"),
+        max("l_orderkey").as("max_ok"),
+        count(lit(1)).as("cnt"),
+      )
+    },
+
+    // Q6 — 3-way join + group (declared extension; the reference has no
+    // joins, SURVEY §2.3). nation (25 rows) and customer (150k at sf1)
+    // are broadcast: no shuffle of the fact table at 100 TB.
+    QueryEntry.sql(
+      "q06_join_revenue_by_nation",
+      """SELECT n_name,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |         AS total_price,
+        |       COUNT(*) AS n_orders
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name
+        |ORDER BY total_price DESC, n_name""".stripMargin,
+    ) { (s, dir) =>
+      val t = Tables(s, dir)
+      t.orders
+        .join(broadcast(t.customer), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+          moneySum(col("o_totalprice")).as("total_price"),
+          count(lit(1)).as("n_orders"),
+        )
+        .orderBy(col("total_price").desc, col("n_name"))
+    },
+
+    // Q7 — windowed top-k per group (declared extension).
+    QueryEntry.sql(
+      "q07_window_topk",
+      """SELECT o_orderstatus, o_orderkey, o_totalprice, r
+        |FROM (SELECT o_orderstatus, o_orderkey, o_totalprice,
+        |             RANK() OVER (PARTITION BY o_orderstatus
+        |                          ORDER BY o_totalprice DESC) AS r
+        |      FROM orders) ranked
+        |WHERE r <= 3
+        |ORDER BY o_orderstatus, r, o_orderkey""".stripMargin,
+    ) { (s, dir) =>
+      val w = Window.partitionBy("o_orderstatus").orderBy(col("o_totalprice").desc)
+      Tables(s, dir).orders
+        .select(col("o_orderstatus"), col("o_orderkey"), col("o_totalprice"),
+          rank().over(w).as("r"))
+        .filter(col("r") <= 3)
+        .orderBy("o_orderstatus", "r", "o_orderkey")
+    },
+
+    // Q8 — DISTINCT.
+    QueryEntry.sql(
+      "q08_distinct_segments",
+      "SELECT DISTINCT c_mktsegment FROM customer ORDER BY c_mktsegment",
+    ) { (s, dir) =>
+      Tables(s, dir).customer.select("c_mktsegment").distinct()
+        .orderBy("c_mktsegment")
+    },
+
+    // Q9 — date scalar functions over grouped counts.
+    QueryEntry.sql(
+      "q09_orders_by_date",
+      """SELECT strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS d,
+        |       COUNT(*) AS cnt
+        |FROM orders GROUP BY 1 ORDER BY d""".stripMargin,
+    ) { (s, dir) =>
+      Tables(s, dir).orders
+        .groupBy(date_format(col("o_orderdate"), "yyyy-MM-dd").as("d"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy("d")
+    },
+
+    // Q10 — distinct aggregate.
+    QueryEntry.sql(
+      "q10_distinct_types_per_brand",
+      """SELECT p_brand, COUNT(DISTINCT p_type) AS n_types
+        |FROM part GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    ) { (s, dir) =>
+      Tables(s, dir).part
+        .groupBy("p_brand")
+        .agg(countDistinct(col("p_type")).as("n_types"))
+        .orderBy("p_brand")
+    },
+
+    // Set operations (SURVEY §2.3 checklist: absent in reference,
+    // declared here): customers-with-orders ∩/∖ via semi/anti join.
+    QueryEntry.sql(
+      "q10b_set_ops",
+      """SELECT 'with_orders' AS tag, COUNT(*) AS cnt
+        |FROM (SELECT c_custkey FROM customer
+        |      INTERSECT SELECT o_custkey FROM orders) a
+        |UNION ALL
+        |SELECT 'without_orders' AS tag, COUNT(*) AS cnt
+        |FROM (SELECT c_custkey FROM customer
+        |      EXCEPT SELECT o_custkey FROM orders) b
+        |ORDER BY tag""".stripMargin,
+    ) { (s, dir) =>
+      val t = Tables(s, dir)
+      val cust = t.customer.select(col("c_custkey"))
+      val ord = t.orders.select(col("o_custkey").as("c_custkey"))
+      val withO = cust.intersect(ord).agg(count(lit(1)).as("cnt"))
+        .select(lit("with_orders").as("tag"), col("cnt"))
+      val withoutO = cust.except(ord).agg(count(lit(1)).as("cnt"))
+        .select(lit("without_orders").as("tag"), col("cnt"))
+      withO.unionAll(withoutO).orderBy("tag")
+    },
+  )
+}
