@@ -36,6 +36,9 @@ object EngineSession {
     // "morsel" granularity the reference derives from stripes
     // (`reader.cc:104-144`); local tests just see fewer, larger splits.
     "spark.sql.files.maxPartitionBytes" -> "134217728",
+    // The events fixture carries parquet TIMESTAMP(NANOS) which Spark's
+    // reader rejects; read as raw nanos and convert in Tables.events.
+    "spark.sql.legacy.parquet.nanosAsLong" -> "true",
   )
 
   /** Build a tuned local session. `cpus` drives both parallelism and the

@@ -14,7 +14,13 @@ object SparkEntry {
 
   /** All declared engine operations, each module owning its entries. */
   def allEntries: Seq[QueryEntry] =
-    operators.Relational.entries
+    operators.Relational.entries ++
+      operators.TextAnalysis.entries ++
+      operators.Dedup.entries ++
+      operators.Similarity.entries ++
+      operators.EventsOps.entries ++
+      operators.Multimodal.entries ++
+      sources.OrcRoundTrip.entries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The 3-way broadcast-join revenue rollup (Q6) — the widest slice of

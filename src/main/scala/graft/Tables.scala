@@ -20,7 +20,16 @@ final case class Tables(spark: SparkSession, dir: String) {
   def part: DataFrame = t("part")
   def orders: DataFrame = t("orders")
   def lineitem: DataFrame = t("lineitem")
-  def events: DataFrame = t("events")
+  /** `ts` is parquet TIMESTAMP(NANOS) — unreadable natively; with
+    * `spark.sql.legacy.parquet.nanosAsLong` it arrives as a raw long.
+    * Integer `div` (not `/`) — nanosecond epochs exceed 2^53, double
+    * division would corrupt them. Truncation to micros matches DuckDB's
+    * TIMESTAMP_NS → TIMESTAMP cast, keeping oracle parity.
+    */
+  def events: DataFrame =
+    t("events").withColumn(
+      "ts",
+      org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
   def documents: DataFrame = t("documents")
   def embeddings: DataFrame = t("embeddings")
 }

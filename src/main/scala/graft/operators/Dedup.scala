@@ -1,0 +1,181 @@
+package graft.operators
+
+import graft.functions.GraftFunctions
+import graft.{QueryEntry, Tables}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+
+/** Tier C deduplication (SURVEY §2.4): exact, MinHash-LSH near-dup,
+  * and SimHash signatures over the `documents` fixture.
+  *
+  * Scale design (the 100 TB rule, SURVEY §7.4): every path is a
+  * shuffle-partitioned dataflow — exact dedup groups by the dedup key
+  * (hash-partitioned), MinHash candidates come from a band-bucket
+  * self-join (shuffle on band signature, never an all-pairs product),
+  * and survivors use MIN(doc_id) as the deterministic tiebreak, the
+  * distributed analogue of `row_number() = 1`.
+  */
+object Dedup {
+
+  // ---- shingling ---------------------------------------------------------
+
+  /** Word 3-gram shingles (distinct), 1-based window starts so the
+    * DuckDB oracle can mirror it with `range`/list slicing exactly:
+    * n_windows = max(1, n_tokens - 2); window i = tokens[i, i+2].
+    */
+  def shingles(text: Column): Column = {
+    val toks = TextAnalysis.tokens(text)
+    array_distinct(
+      transform(
+        sequence(lit(1), greatest(lit(1), size(toks) - 2)),
+        i => concat_ws(" ", slice(toks, i, lit(3))),
+      )
+    )
+  }
+
+  /** DuckDB mirror of [[shingles]]. */
+  val shinglesSql: String =
+    """list_distinct(list_transform(
+      |    range(1, greatest(2, len(toks) - 1)),
+      |    i -> array_to_string(toks[i:i+2], ' ')))""".stripMargin
+
+  // ---- MinHash -----------------------------------------------------------
+
+  /** 32 permutations → 16 bands × 2 rows. At the planted-duplicate
+    * similarity (Jaccard ≥ 0.8 declared, ≥ 0.97 in data) miss
+    * probability is (1 - 0.8²)^16 ≈ 1e-7, so the LSH candidate set is
+    * exhaustive w.r.t. the threshold and the exact-verify step makes
+    * the output equal to the all-pairs oracle.
+    */
+  private val NumPerms = 32
+  private val BandRows = 2
+  private val NumBands = NumPerms / BandRows
+
+  /** doc_id, shingles, and the 32-wide MinHash signature. Each
+    * "permutation" is xxhash64 of the shingle hash under a distinct
+    * seed — no modular arithmetic, so ANSI overflow checking never
+    * trips, and min-stability is the same.
+    */
+  def minhashSignatures(docs: DataFrame): DataFrame = {
+    val sh = docs.select(col("doc_id"), shingles(col("text")).as("shingles"))
+    val hashes = transform(col("shingles"), s => xxhash64(s))
+    val sig = array(
+      (0 until NumPerms).map { i =>
+        array_min(transform(hashes, h => GraftFunctions.xxhash64Seeded(i, h)))
+      }: _*
+    )
+    sh.select(col("doc_id"), col("shingles"), sig.as("sig"))
+  }
+
+  /** Near-dup pairs at Jaccard ≥ `num/den` (integer threshold — the
+    * comparison `den*inter >= num*union` is exact in both engines):
+    * LSH band-bucket join for candidates, then exact shingle-set
+    * verification. Output: (doc_a, doc_b, inter, uni).
+    */
+  def nearDupPairs(docs: DataFrame, num: Int = 4, den: Int = 5): DataFrame = {
+    val sigs = minhashSignatures(docs)
+    val bands = sigs.select(
+      col("doc_id"),
+      explode(array((0 until NumBands).map { b =>
+        xxhash64(lit(b), element_at(col("sig"), b * BandRows + 1),
+          element_at(col("sig"), b * BandRows + 2)).as(s"b$b")
+      }: _*)).as("band_sig"),
+    )
+    val cand = bands.as("x")
+      .join(bands.as("y"), col("x.band_sig") === col("y.band_sig") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    val shA = sigs.select(col("doc_id").as("ida"), col("shingles").as("sa"))
+    val shB = sigs.select(col("doc_id").as("idb"), col("shingles").as("sb"))
+    val inter = size(array_intersect(col("sa"), col("sb")))
+    cand
+      .join(shA, col("doc_a") === col("ida"))
+      .join(shB, col("doc_b") === col("idb"))
+      .select(
+        col("doc_a"), col("doc_b"),
+        inter.cast(LongType).as("inter"),
+        (size(col("sa")) + size(col("sb")) - inter).cast(LongType).as("uni"),
+      )
+      .filter(col("inter") * den >= col("uni") * num)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  // ---- entries -----------------------------------------------------------
+
+  val entries: Seq[QueryEntry] = Seq(
+    // Q11 — exact dedup cardinality.
+    QueryEntry.sql(
+      "q11_dedup_exact_count",
+      "SELECT COUNT(*) AS n_unique FROM (SELECT DISTINCT text FROM documents) t",
+    ) { (s, dir) =>
+      Tables(s, dir).documents.select("text").distinct()
+        .agg(count(lit(1)).as("n_unique"))
+    },
+
+    // Exact dedup with deterministic survivor per text group —
+    // MIN(doc_id) is the shuffle-safe tiebreak (SURVEY §2.4 row 1).
+    QueryEntry.sql(
+      "q15_dedup_survivors",
+      """SELECT MIN(doc_id) AS keeper_id, COUNT(*) AS n_copies
+        |FROM documents GROUP BY text ORDER BY keeper_id""".stripMargin,
+    ) { (s, dir) =>
+      Tables(s, dir).documents
+        .groupBy("text")
+        .agg(min("doc_id").as("keeper_id"), count(lit(1)).as("n_copies"))
+        .select("keeper_id", "n_copies")
+        .orderBy("keeper_id")
+    },
+
+    // MinHash-LSH near-dup at Jaccard ≥ 4/5, exact-verified. The oracle
+    // is the brute-force all-pairs computation — feasible at t2 scale,
+    // while the engine path stays band-bucketed for 100 TB.
+    QueryEntry.sql(
+      "q20_minhash_neardup",
+      s"""WITH sh AS (
+         |  SELECT doc_id, $shinglesSql AS shingles
+         |  FROM (SELECT doc_id,
+         |               regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+         |        FROM documents) t
+         |), pairs AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |         CAST(len(list_intersect(a.shingles, b.shingles)) AS BIGINT) AS inter,
+         |         CAST(len(a.shingles) + len(b.shingles)
+         |              - len(list_intersect(a.shingles, b.shingles)) AS BIGINT) AS uni
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |)
+         |SELECT doc_a, doc_b, inter, uni FROM pairs
+         |WHERE inter * 5 >= uni * 4
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    ) { (s, dir) => nearDupPairs(Tables(s, dir).documents) },
+
+    // SimHash signatures from md5-derived 60-bit token hashes — the
+    // hash is rebuilt in pure integer SQL on the DuckDB side, so even
+    // this hash-based operator gets a value-exact oracle.
+    QueryEntry.sql(
+      "q21_simhash_signatures",
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS t
+        |  FROM documents
+        |), th AS (
+        |  SELECT doc_id, CAST('0x' || substr(md5(t), 1, 15) AS BIGINT) AS h FROM tok
+        |), bits AS (
+        |  SELECT doc_id, b.b AS b,
+        |         SUM(CASE WHEN ((h >> b.b) & 1) = 1 THEN 1 ELSE -1 END) AS cnt
+        |  FROM th, (SELECT unnest(range(0, 60)) AS b) b
+        |  GROUP BY doc_id, b.b
+        |)
+        |SELECT doc_id,
+        |       CAST(SUM(CASE WHEN cnt > 0 THEN CAST(1 AS BIGINT) << b ELSE 0 END) AS BIGINT) AS sh
+        |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    ) { (s, dir) =>
+      val toks = TextAnalysis.tokens(col("text"))
+      val hashes = transform(toks,
+        t => conv(substring(md5(t.cast(BinaryType)), 1, 15), 16, 10).cast(LongType))
+      Tables(s, dir).documents
+        .select(col("doc_id"), GraftFunctions.simhash64(hashes).as("sh"))
+        .orderBy("doc_id")
+    },
+  )
+}

@@ -1,0 +1,113 @@
+package graft.operators
+
+import graft.functions.GraftFunctions
+import graft.{QueryEntry, Tables}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Tier C similarity search over `embeddings` (SURVEY §2.4).
+  *
+  * The scoring hot path is the codegen `cosine_f32` expression
+  * (SURVEY §4.3 item 1); the HOF `aggregate(zip_with(...))` form is the
+  * semantic oracle in the test suite. Top-k is ORDER BY + LIMIT, which
+  * Catalyst plans as `TakeOrderedAndProject` — per-partition heaps then
+  * a k-row merge on the driver, never a global sort (the 100 TB shape,
+  * SURVEY §7.4).
+  *
+  * Scores are ROUNDed to 6 decimals before ordering/filtering in BOTH
+  * engines so double-accumulation-order noise (~1e-15) can never flip
+  * an ordering or a threshold (FIXTURES.md float rule).
+  */
+object Similarity {
+
+  /** Brute-force top-k by cosine against one query vector — exact, one
+    * scan, no shuffle of the embedding table.
+    */
+  def topKCosine(emb: DataFrame, queryVecId: Long, k: Int): DataFrame = {
+    val q = emb.filter(col("vec_id") === queryVecId)
+      .select(col("embedding").as("qvec"))
+    emb.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= queryVecId)
+      .select(
+        col("vec_id"),
+        round(GraftFunctions.cosineF32(col("embedding"), col("qvec")), 6).as("score"),
+      )
+      .orderBy(col("score").desc, col("vec_id"))
+      .limit(k)
+  }
+
+  /** 16-bit random-hyperplane LSH bucket per vector. Hyperplane
+    * component (p, d) = xxhash64(p, d) scaled to [-1, 1] — fully
+    * deterministic, data-independent, needs no fitted model.
+    */
+  def lshBuckets(emb: DataFrame, planes: Int = 16, dim: Int = 64): DataFrame = {
+    def component(p: Int, d: Int): Double =
+      // xxhash64 of the two ints via a splitmix-style scramble, mapped
+      // into [-1, 1]; plain constants, stable across JVMs.
+      {
+        var z = p.toLong * 0x9e3779b97f4a7c15L + d.toLong * 0xc2b2ae3d27d4eb4fL
+        z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+        z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+        (z ^ (z >>> 31)).toDouble / Long.MaxValue.toDouble
+      }
+    val bucket = (0 until planes).map { p =>
+      val dot = (0 until dim).map { d =>
+        element_at(col("embedding"), d + 1).cast(DoubleType) * lit(component(p, d))
+      }.reduce(_ + _)
+      when(dot >= 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    emb.select(col("vec_id"), bucket.as("bucket"))
+  }
+
+  val entries: Seq[QueryEntry] = Seq(
+    // Q13 — top-20 by cosine against the seed-42 fixture vector
+    // (the embedding of vec_id 42; vectors are pre-unit-normalized).
+    QueryEntry.sql(
+      "q13_topk_cosine",
+      """WITH qv AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 42)
+        |SELECT vec_id,
+        |       ROUND(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+        |                                    CAST(qvec AS DOUBLE[])), 6) AS score
+        |FROM embeddings, qv
+        |WHERE vec_id <> 42
+        |ORDER BY score DESC, vec_id
+        |LIMIT 20""".stripMargin,
+    ) { (s, dir) => topKCosine(Tables(s, dir).embeddings, queryVecId = 42, k = 20) },
+
+    // Embedding-cosine near-dup: exact pairs at rounded cosine ≥ 0.45.
+    // Exactness is the declared semantics, so the engine path is the
+    // (upper-triangle) self-join too; the LSH bucketing below is the
+    // declared approximate path for scale.
+    QueryEntry.sql(
+      "q22_embed_neardup",
+      """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |       ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                                    CAST(b.embedding AS DOUBLE[])), 6) AS score
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                                   CAST(b.embedding AS DOUBLE[])), 6) >= 0.45
+        |ORDER BY vec_a, vec_b""".stripMargin,
+    ) { (s, dir) =>
+      val emb = Tables(s, dir).embeddings
+      val a = emb.select(col("vec_id").as("vec_a"), col("embedding").as("ea"))
+      val b = emb.select(col("vec_id").as("vec_b"), col("embedding").as("eb"))
+      a.join(b, col("vec_a") < col("vec_b"))
+        .select(
+          col("vec_a"), col("vec_b"),
+          round(GraftFunctions.cosineF32(col("ea"), col("eb")), 6).as("score"),
+        )
+        .filter(col("score") >= 0.45)
+        .orderBy("vec_a", "vec_b")
+    },
+
+    // ANN scale path: LSH bucket occupancy (rows-only; recall vs the
+    // brute-force baseline is asserted in the ScalaTest suite).
+    QueryEntry.rowsOnly("q23_ann_lsh_buckets") { (s, dir) =>
+      lshBuckets(Tables(s, dir).embeddings)
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_vecs"))
+        .orderBy("bucket")
+    },
+  )
+}

@@ -1,0 +1,70 @@
+package graft.sources
+
+import graft.{QueryEntry, Tables}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** The reference's actual I/O path: snappy-compressed ORC scan
+  * (`orc-parser/reader.cc:34-58`, `Makefile:19-28`). The engine writes
+  * each fixture to ORC(snappy) and reads it back through the native
+  * vectorized reader (batch size pinned to the reference's 10k-row
+  * stride by EngineSession), so the t1 round-trip invariant of
+  * SURVEY §2.5 is a first-class query: ORC-sourced answers must equal
+  * the Parquet-sourced oracle's.
+  */
+object OrcRoundTrip {
+
+  /** Write `name` to ORC(snappy) under the engine scratch dir (once per
+    * (sfDir, name) — subsequent calls reuse it) and return the ORC-backed
+    * frame.
+    */
+  def orcCopy(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val dest = s"${sys.props("java.io.tmpdir")}/graft_orc/$tag/$name"
+    if (!new java.io.File(dest, "_SUCCESS").exists()) {
+      spark.read.parquet(s"$dir/$name.parquet")
+        .write.mode("overwrite").option("compression", "snappy").orc(dest)
+    }
+    spark.read.orc(dest)
+  }
+
+  val entries: Seq[QueryEntry] = Seq(
+    // Parquet → ORC(snappy) → scan → grouped agg; oracle runs on the
+    // Parquet source, so a match proves the ORC write/read path is
+    // value-preserving (types, nulls, timestamps).
+    QueryEntry.sql(
+      "q27_orc_roundtrip",
+      """SELECT l_returnflag, l_linestatus,
+        |       SUM(l_quantity) AS sum_qty,
+        |       CAST(SUM(l_orderkey) AS BIGINT) AS sum_ok,
+        |       COUNT(*) AS cnt
+        |FROM lineitem
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    ) { (s, dir) =>
+      orcCopy(s, dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum("l_quantity").as("sum_qty"),
+          sum("l_orderkey").as("sum_ok"),
+          count(lit(1)).as("cnt"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+
+    // The reference program itself — SUM of the first column of an ORC
+    // table (`reader.cc:161`) — over the ORC copy: scan + partial/final
+    // sum entirely on the ORC path, including a pushed filter to prove
+    // sargs/row-group skipping survives the round trip.
+    QueryEntry.sql(
+      "q28_orc_sum_filtered",
+      """SELECT CAST(SUM(l_orderkey) AS BIGINT) AS sum_ok, COUNT(*) AS cnt
+        |FROM lineitem WHERE l_partkey % 10 = 3""".stripMargin,
+    ) { (s, dir) =>
+      orcCopy(s, dir, "lineitem")
+        .filter(col("l_partkey") % 10 === 3)
+        .agg(sum("l_orderkey").as("sum_ok"), count(lit(1)).as("cnt"))
+    },
+  )
+}
