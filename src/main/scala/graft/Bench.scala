@@ -1,24 +1,55 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main (BASELINE.md §2 protocol): every declared query on
+  * `SPARK_GRAFT_SF_DIR`, 1 warmup + 3 timed runs, median wall-clock,
+  * forced through the `noop` sink so the full plan materializes
+  * without sink I/O skewing the number (count() would let Catalyst
+  * prune the very projections being measured).
+  *
+  * Emits exactly one JSON line:
+  * {"metric":"total_median_sec","value":N,"unit":"sec","queries":{...},"sf":...}
+  */
 object Bench {
+
+  def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    s(s.size / 2)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark: SparkSession = EngineSession.local("graft-bench", cpus)
+
+    def time(fn: => Unit): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      fn
+      (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+
+    val results = SparkEntry.allEntries.map { e =>
+      def once(): Unit =
+        e.run(spark, sfDir).write.format("noop").mode("overwrite").save()
+      val t =
+        try {
+          once() // warmup: plans compile, files get footer-cached
+          median(Seq.fill(3)(time(once())))
+        } catch {
+          case ex: Throwable =>
+            System.err.println(s"[bench] ${e.name} failed: ${ex.getMessage}")
+            -1.0
+        }
+      e.name -> t
+    }
+
+    val qs = results
+      .map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    println(
+      s"""{"metric":"total_median_sec","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -74,7 +74,16 @@ object Dedup {
     * verification. Output: (doc_a, doc_b, inter, uni).
     */
   def nearDupPairs(docs: DataFrame, num: Int = 4, den: Int = 5): DataFrame = {
-    val sigs = minhashSignatures(docs)
+    // Spread shingling/minhashing across the cluster regardless of the
+    // source's split count (small fixture = 1 split = 1 core otherwise),
+    // and cache: the signature frame feeds both the band join and the
+    // exact-verify joins — without a cache the whole shingle+minhash
+    // pipeline runs twice. At 100 TB this frame is (doc_id, shingles,
+    // 32 longs) — far smaller than the corpus — and MEMORY_AND_DISK
+    // spills per-partition rather than failing.
+    val par = docs.sparkSession.sessionState.conf.numShufflePartitions
+    val sigs = minhashSignatures(docs.repartition(par, col("doc_id")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val bands = sigs.select(
       col("doc_id"),
       explode(array((0 until NumBands).map { b =>
@@ -90,7 +99,7 @@ object Dedup {
     val shA = sigs.select(col("doc_id").as("ida"), col("shingles").as("sa"))
     val shB = sigs.select(col("doc_id").as("idb"), col("shingles").as("sb"))
     val inter = size(array_intersect(col("sa"), col("sb")))
-    cand
+    val out = cand
       .join(shA, col("doc_a") === col("ida"))
       .join(shB, col("doc_b") === col("idb"))
       .select(
@@ -100,6 +109,11 @@ object Dedup {
       )
       .filter(col("inter") * den >= col("uni") * num)
       .orderBy("doc_a", "doc_b")
+      // Materialize (the verified pair set is tiny) so the cached
+      // signature frame can be released before returning.
+      .localCheckpoint(true)
+    sigs.unpersist()
+    out
   }
 
   // ---- entries -----------------------------------------------------------
@@ -149,6 +163,38 @@ object Dedup {
          |WHERE inter * 5 >= uni * 4
          |ORDER BY doc_a, doc_b""".stripMargin,
     ) { (s, dir) => nearDupPairs(Tables(s, dir).documents) },
+
+    // Standalone n-gram Jaccard similarity (the exact-verify primitive
+    // of q20 surfaced as its own operator): full similarity matrix over
+    // a fixed deterministic probe subset (doc_id < 20).
+    QueryEntry.sql(
+      "q29_ngram_jaccard_pairs",
+      s"""WITH sh AS (
+         |  SELECT doc_id, $shinglesSql AS shingles
+         |  FROM (SELECT doc_id,
+         |               regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+         |        FROM documents WHERE doc_id < 20) t
+         |)
+         |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |       CAST(len(list_intersect(a.shingles, b.shingles)) AS BIGINT) AS inter,
+         |       CAST(len(a.shingles) + len(b.shingles)
+         |            - len(list_intersect(a.shingles, b.shingles)) AS BIGINT) AS uni
+         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |ORDER BY doc_a, doc_b""".stripMargin,
+    ) { (s, dir) =>
+      val sh = Tables(s, dir).documents.filter(col("doc_id") < 20)
+        .select(col("doc_id"), shingles(col("text")).as("sh"))
+      val a = sh.select(col("doc_id").as("doc_a"), col("sh").as("sa"))
+      val b = sh.select(col("doc_id").as("doc_b"), col("sh").as("sb"))
+      val inter = size(array_intersect(col("sa"), col("sb")))
+      a.join(b, col("doc_a") < col("doc_b"))
+        .select(
+          col("doc_a"), col("doc_b"),
+          inter.cast(LongType).as("inter"),
+          (size(col("sa")) + size(col("sb")) - inter).cast(LongType).as("uni"),
+        )
+        .orderBy("doc_a", "doc_b")
+    },
 
     // SimHash signatures from md5-derived 60-bit token hashes — the
     // hash is rebuilt in pure integer SQL on the DuckDB side, so even

@@ -217,5 +217,33 @@ object Relational {
         .select(lit("without_orders").as("tag"), col("cnt"))
       withO.unionAll(withoutO).orderBy("tag")
     },
+
+    // Scalar-function breadth (string/math/conditional) — the surface
+    // the reference lacks entirely (SURVEY §2.3) and Catalyst provides;
+    // all functions chosen for identical semantics in DuckDB.
+    QueryEntry.sql(
+      "q30_scalar_breadth",
+      """SELECT p_partkey,
+        |       upper(substr(p_name, 1, 5)) AS name5,
+        |       length(p_name) AS name_len,
+        |       concat_ws('-', p_brand, p_type) AS brand_type,
+        |       ROUND(sqrt(p_retailprice), 4) AS sqrt_price,
+        |       abs(p_size - 25) AS size_dist,
+        |       CASE WHEN p_size % 2 = 0 THEN 'even' ELSE 'odd' END AS parity
+        |FROM part WHERE p_partkey % 7 = 0 ORDER BY p_partkey""".stripMargin,
+    ) { (s, dir) =>
+      Tables(s, dir).part
+        .filter(col("p_partkey") % 7 === 0)
+        .select(
+          col("p_partkey"),
+          upper(substring(col("p_name"), 1, 5)).as("name5"),
+          length(col("p_name")).as("name_len"),
+          concat_ws("-", col("p_brand"), col("p_type")).as("brand_type"),
+          round(sqrt(col("p_retailprice")), 4).as("sqrt_price"),
+          abs(col("p_size") - 25).as("size_dist"),
+          when(col("p_size") % 2 === 0, "even").otherwise("odd").as("parity"),
+        )
+        .orderBy("p_partkey")
+    },
   )
 }

@@ -42,20 +42,22 @@ object Similarity {
     * deterministic, data-independent, needs no fitted model.
     */
   def lshBuckets(emb: DataFrame, planes: Int = 16, dim: Int = 64): DataFrame = {
-    def component(p: Int, d: Int): Double =
-      // xxhash64 of the two ints via a splitmix-style scramble, mapped
-      // into [-1, 1]; plain constants, stable across JVMs.
+    def component(p: Int, d: Int): Float =
+      // splitmix-style scramble of (plane, dim), mapped into [-1, 1];
+      // plain constants, stable across JVMs.
       {
         var z = p.toLong * 0x9e3779b97f4a7c15L + d.toLong * 0xc2b2ae3d27d4eb4fL
         z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
         z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-        (z ^ (z >>> 31)).toDouble / Long.MaxValue.toDouble
+        ((z ^ (z >>> 31)).toDouble / Long.MaxValue.toDouble).toFloat
       }
     val bucket = (0 until planes).map { p =>
-      val dot = (0 until dim).map { d =>
-        element_at(col("embedding"), d + 1).cast(DoubleType) * lit(component(p, d))
-      }.reduce(_ + _)
-      when(dot >= 0, lit(1L << p)).otherwise(lit(0L))
+      // Each hyperplane is a literal float vector; the projection runs
+      // through the codegen dot_f32 loop instead of `dim` element_at
+      // calls per plane.
+      val plane = typedlit((0 until dim).map(d => component(p, d)).toArray)
+      when(GraftFunctions.dotF32(col("embedding"), plane) >= 0, lit(1L << p))
+        .otherwise(lit(0L))
     }.reduce(_ + _)
     emb.select(col("vec_id"), bucket.as("bucket"))
   }
@@ -89,10 +91,17 @@ object Similarity {
         |                                   CAST(b.embedding AS DOUBLE[])), 6) >= 0.45
         |ORDER BY vec_a, vec_b""".stripMargin,
     ) { (s, dir) =>
+      // Exact all-pairs: broadcast one side, repartition the streamed
+      // side so the quadratic work spreads over every core (the fixture
+      // is a single parquet split — without this the nested-loop join
+      // runs on one task). At 100 TB the declared approximate path
+      // (LSH buckets below) replaces the quadratic scan.
       val emb = Tables(s, dir).embeddings
-      val a = emb.select(col("vec_id").as("vec_a"), col("embedding").as("ea"))
+      val par = s.sessionState.conf.numShufflePartitions
+      val a = emb.repartition(par, col("vec_id"))
+        .select(col("vec_id").as("vec_a"), col("embedding").as("ea"))
       val b = emb.select(col("vec_id").as("vec_b"), col("embedding").as("eb"))
-      a.join(b, col("vec_a") < col("vec_b"))
+      a.join(broadcast(b), col("vec_a") < col("vec_b"))
         .select(
           col("vec_a"), col("vec_b"),
           round(GraftFunctions.cosineF32(col("ea"), col("eb")), 6).as("score"),

@@ -46,12 +46,17 @@ object TextAnalysis {
         .orderBy("lang")
     },
 
-    // Token counting (whitespace tokenizer) rolled up per language.
+    // Token counting rolled up per language: whitespace tokenizer plus
+    // a BPE-ish regex segmentation (letter runs / digit runs / single
+    // other-symbols — the pre-tokenization pattern BPE vocabularies
+    // are trained over).
     QueryEntry.sql(
       "q16_token_counts",
       """SELECT lang,
         |       CAST(SUM(len(regexp_split_to_array(trim(lower(text)), '\s+'))) AS BIGINT)
         |         AS sum_tokens,
+        |       CAST(SUM(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS BIGINT)
+        |         AS sum_subtokens,
         |       COUNT(*) AS cnt
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     ) { (s, dir) =>
@@ -59,6 +64,8 @@ object TextAnalysis {
       d.groupBy("lang")
         .agg(
           sum(size(tokens(col("text")))).as("sum_tokens"),
+          sum(size(regexp_extract_all(lower(col("text")),
+            lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)))).as("sum_subtokens"),
           count(lit(1)).as("cnt"),
         )
         .orderBy("lang")

@@ -20,10 +20,20 @@ object StreamingEvents {
     * watermark is applied.
     */
   def hourlyCounts(spark: SparkSession, dir: String): DataFrame = {
-    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    // The file streaming source requires a directory; the fixture is a
+    // single parquet file — stage a copy under scratch once.
+    val src = java.nio.file.Paths.get(s"$dir/events.parquet")
+    val streamDir = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), "graft_stream_src",
+      dir.replaceAll("[^A-Za-z0-9.]", "_"))
+    java.nio.file.Files.createDirectories(streamDir)
+    val dest = streamDir.resolve("events.parquet")
+    if (!java.nio.file.Files.exists(dest))
+      java.nio.file.Files.copy(src, dest)
+    val schema = spark.read.parquet(dest.toString).schema
     spark.readStream
       .schema(schema)
-      .parquet(s"$dir/events.parquet")
+      .parquet(streamDir.toString)
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour").as("win"), col("event_type"))

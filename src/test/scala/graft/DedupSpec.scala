@@ -1,0 +1,73 @@
+package graft
+
+import graft.operators.Dedup
+import org.apache.spark.sql.functions._
+
+/** Near-dup pipeline semantics: LSH candidates + exact verify must
+  * equal brute-force exact Jaccard (the oracle relationship the driver
+  * checks in SQL, asserted here engine-side on crafted data).
+  */
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("nearDupPairs finds planted near-duplicates and no false positives") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    val docs = Seq(
+      (0L, base),
+      (1L, base + " extra"),                       // near-dup of 0
+      (2L, base.replace("alpha", "ALPHA2")),       // near-dup of 0 (one-token diff)
+      (3L, "totally different words only here now man sun moon star"),
+      (4L, "totally different words only here now man sun moon star"), // exact dup of 3
+      (5L, (1 to 30).map(i => s"w$i").mkString(" ")),
+    ).toDF("doc_id", "text")
+
+    val got = Dedup.nearDupPairs(docs).select("doc_a", "doc_b")
+      .as[(Long, Long)].collect().toSet
+
+    // brute-force exact jaccard over word 3-gram shingles
+    def sh(t: String): Set[String] = {
+      val w = t.toLowerCase.trim.split("\\s+").toSeq
+      (1 to math.max(1, w.size - 2)).map(i => w.slice(i - 1, i + 2).mkString(" ")).toSet
+    }
+    val texts = docs.as[(Long, String)].collect()
+    val expect = (for {
+      (ia, ta) <- texts; (ib, tb) <- texts if ia < ib
+      i = sh(ta).intersect(sh(tb)).size
+      u = sh(ta).union(sh(tb)).size
+      if i * 5 >= u * 4
+    } yield (ia, ib)).toSet
+
+    assert(got == expect, s"got=$got expect=$expect")
+    assert(expect.contains((3L, 4L)), "exact dup must be caught")
+    assert(expect.exists { case (a, b) => a == 0L && (b == 1L || b == 2L) })
+  }
+
+  test("minhash LSH recall is exhaustive on the fixture near-dups (sf0.001)") {
+    // Engine output (LSH candidates → exact verify) vs full brute force
+    // on the real documents table: equality means 100% recall at the
+    // declared threshold.
+    val docs = Tables(spark, sf).documents
+    val lsh = Dedup.nearDupPairs(docs).select("doc_a", "doc_b")
+      .as[(Long, Long)].collect().toSet
+
+    val shDf = docs.select(col("doc_id"), Dedup.shingles(col("text")).as("sh"))
+    val a = shDf.select(col("doc_id").as("ia"), col("sh").as("sa"))
+    val b = shDf.select(col("doc_id").as("ib"), col("sh").as("sb"))
+    val brute = a.join(b, col("ia") < col("ib"))
+      .select(col("ia"), col("ib"),
+        size(array_intersect(col("sa"), col("sb"))).as("i"),
+        (size(col("sa")) + size(col("sb")) - size(array_intersect(col("sa"), col("sb")))).as("u"))
+      .filter(col("i") * 5 >= col("u") * 4)
+      .select("ia", "ib").as[(Long, Long)].collect().toSet
+
+    assert(lsh == brute)
+    assert(brute.nonEmpty, "fixture should contain planted near-dups")
+  }
+
+  test("exact dedup survivor is deterministic (min doc_id)") {
+    val df = run("q15_dedup_survivors")
+    val again = run("q15_dedup_survivors")
+    assert(df.collect().toSeq == again.collect().toSeq)
+  }
+}

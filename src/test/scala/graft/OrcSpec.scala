@@ -1,0 +1,55 @@
+package graft
+
+import graft.sources.OrcRoundTrip
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+/** The reference's I/O path: ORC + snappy.
+  *
+  * Includes the reference-fixture smoke from SURVEY §5.2: the engine
+  * must reproduce the reference program's exact output
+  * (`Sum first col:`, `reader.cc:161`) on the committed ORC file.
+  */
+class OrcSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("reference ORC fixture: SUM(ss_sold_date_sk) = 2451897 (reader.cc:161)") {
+    val df = spark.read.orc(
+      "/root/reference/testfiles/store_sales-scale0-parts1.snappy.orc")
+    val sumFirst = df.agg(sum(col(df.columns.head))).head.getLong(0)
+    assert(sumFirst == 2451897L) // pinned via pyarrow over the same file
+    assert(df.count() == 1L)
+  }
+
+  test("ORC round-trip is value-preserving incl. nulls and timestamps") {
+    val rows = Seq(
+      (1L, Some(3.14), Some("x"), Some(Timestamp.valueOf("2024-01-01 10:30:00"))),
+      (2L, None, None, None),
+      (3L, Some(-0.0), Some(""), Some(Timestamp.valueOf("1995-06-15 00:00:00"))),
+    ).toDF("k", "d", "s", "t")
+    val dest = s"${sys.props("java.io.tmpdir")}/graft_orc_spec"
+    rows.write.mode("overwrite").option("compression", "snappy").orc(dest)
+    val back = spark.read.orc(dest)
+    assert(back.collect().toSet == rows.collect().toSet)
+    // ORC reads every column nullable; names and types must round-trip.
+    assert(back.schema.map(f => (f.name, f.dataType)) ==
+      rows.schema.map(f => (f.name, f.dataType)))
+  }
+
+  test("ORC-sourced aggregates equal parquet-sourced (t1 invariant)") {
+    val orc = OrcRoundTrip.orcCopy(spark, sf, "lineitem")
+      .agg(sum("l_orderkey"), count(lit(1))).head
+    val pq = spark.read.parquet(s"$sf/lineitem.parquet")
+      .agg(sum("l_orderkey"), count(lit(1))).head
+    assert(orc == pq)
+  }
+
+  test("ORC scan prunes columns and pushes filters (Tier B sargs)") {
+    val df = OrcRoundTrip.orcCopy(spark, sf, "lineitem")
+      .filter(col("l_orderkey") > 1000)
+      .select("l_orderkey")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(l_orderkey), GreaterThan(l_orderkey,1000)]"), plan.take(1500))
+    assert(plan.contains("ReadSchema: struct<l_orderkey:bigint>"), plan.take(1500))
+  }
+}
