@@ -30,12 +30,15 @@ object Bench {
     }
 
     val results = SparkEntry.allEntries.map { e =>
-      def once(): Unit =
-        e.run(spark, sfDir).write.format("noop").mode("overwrite").save()
       val t =
         try {
-          once() // warmup: plans compile, files get footer-cached
-          median(Seq.fill(3)(time(once())))
+          // warmup doubles as the reference-style runtime-breakdown
+          // profile (parse_stackcollapse bins)
+          val warm = e.run(spark, sfDir)
+          System.err.println(
+            s"[bench] ${e.name} breakdown: ${metrics.RuntimeBreakdown.profile(warm).render}")
+          median(Seq.fill(3)(time(
+            e.run(spark, sfDir).write.format("noop").mode("overwrite").save())))
         } catch {
           case ex: Throwable =>
             System.err.println(s"[bench] ${e.name} failed: ${ex.getMessage}")

@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.expressions.{Expression, XxHash64}
-import org.apache.spark.sql.graft.{CosineSimF32, DotProductF32, Shims, SimHash64}
+import org.apache.spark.sql.graft.{CosineSimF32, DotProductF32, MinHashSignature, Shims, SimHash64}
 import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
 
 /** Column-level API + SQL registration for the graft expressions.
@@ -26,6 +26,12 @@ object GraftFunctions {
   /** simhash64(array<long>) → long over the low 60 bits. */
   def simhash64(a: Column): Column = col(SimHash64(expr(a)))
 
+  /** minhash_sig(array<string>) → array<long>: single-pass 32-wide
+    * MinHash signature (codegen).
+    */
+  def minhashSig(a: Column, numPerms: Int = 32): Column =
+    col(MinHashSignature(expr(a), numPerms))
+
   /** xxhash64 with an explicit seed (the built-in `xxhash64` function
     * pins seed=42; per-permutation MinHash needs distinct seeds).
     */
@@ -36,6 +42,7 @@ object GraftFunctions {
     "dot_f32" -> (es => DotProductF32(es(0), es(1))),
     "cosine_f32" -> (es => CosineSimF32(es(0), es(1))),
     "simhash64" -> (es => SimHash64(es(0))),
+    "minhash_sig" -> (es => MinHashSignature(es(0))),
   )
 
   def registerAll(spark: SparkSession): Unit =

@@ -52,14 +52,26 @@ object Dedup {
   private val BandRows = 2
   private val NumBands = NumPerms / BandRows
 
-  /** doc_id, shingles, and the 32-wide MinHash signature. Each
-    * "permutation" is xxhash64 of the shingle hash under a distinct
-    * seed — no modular arithmetic, so ANSI overflow checking never
-    * trips, and min-stability is the same.
+  /** doc_id, shingles, and the 32-wide MinHash signature, via the
+    * single-pass codegen `minhash_sig` expression (one traversal
+    * updates all 32 minima; the compositional
+    * `array_min(transform(...))` × 32 form it replaced is kept as the
+    * semantic oracle in DedupSpec).
     */
-  def minhashSignatures(docs: DataFrame): DataFrame = {
+  def minhashSignatures(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), shingles(col("text")).as("shingles"))
+      .select(col("doc_id"), col("shingles"),
+        GraftFunctions.minhashSig(col("shingles"), NumPerms).as("sig"))
+
+  /** The compositional form of the signature — same hash scheme
+    * (xxhash64 base then per-permutation seeded xxhash64), built only
+    * from `transform`/`array_min`; DedupSpec asserts equality with the
+    * codegen expression.
+    */
+  def minhashSignaturesCompositional(docs: DataFrame): DataFrame = {
     val sh = docs.select(col("doc_id"), shingles(col("text")).as("shingles"))
-    val hashes = transform(col("shingles"), s => xxhash64(s))
+    val hashes = transform(col("shingles"), s => GraftFunctions.xxhash64Seeded(42L, s))
     val sig = array(
       (0 until NumPerms).map { i =>
         array_min(transform(hashes, h => GraftFunctions.xxhash64Seeded(i, h)))

@@ -192,6 +192,83 @@ case class SimHash64(child: Expression, bits: Int = 60)
     copy(child = c)
 }
 
+/** Single-pass MinHash signature: one traversal of the shingle array
+  * updates all `numPerms` running minima — replacing the compositional
+  * `array_min(transform(...))` × 32 form, which re-walks the array per
+  * permutation with per-element lambda dispatch. Permutation p of a
+  * shingle is XXH64(XXH64(bytes, 42), seed = p), matching the seeded
+  * re-hash scheme (no modular arithmetic, so ANSI overflow checking
+  * can't trip — `reader.cc`-era wrap-around semantics are banned in
+  * Spark 4 ANSI mode).
+  *
+  * Output has no SQL oracle (hash-dependent); q20's verified pair set
+  * is the oracle-gated product, and the spec suite pins this expression
+  * against the compositional form.
+  */
+case class MinHashSignature(child: Expression, numPerms: Int = 32)
+    extends UnaryExpression
+    with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "minhash_sig"
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val mins = Array.fill(numPerms)(Long.MaxValue)
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val s = arr.getUTF8String(i)
+        val base = XXH64.hashUnsafeBytes(s.getBaseObject, s.getBaseOffset, s.numBytes, 42L)
+        var p = 0
+        while (p < numPerms) {
+          val h = XXH64.hashLong(base, p.toLong)
+          if (h < mins(p)) mins(p) = h
+          p += 1
+        }
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(mins)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val xxh = classOf[XXH64].getName
+      val utf8 = classOf[org.apache.spark.unsafe.types.UTF8String].getName
+      val gad = classOf[org.apache.spark.sql.catalyst.util.GenericArrayData].getName
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val p = ctx.freshName("p")
+      val s = ctx.freshName("s")
+      val base = ctx.freshName("base")
+      val h = ctx.freshName("h")
+      val mins = ctx.freshName("mins")
+      s"""
+         |int $n = $a.numElements();
+         |long[] $mins = new long[$numPerms];
+         |java.util.Arrays.fill($mins, Long.MAX_VALUE);
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (!$a.isNullAt($i)) {
+         |    $utf8 $s = $a.getUTF8String($i);
+         |    long $base = $xxh.hashUnsafeBytes($s.getBaseObject(), $s.getBaseOffset(), $s.numBytes(), 42L);
+         |    for (int $p = 0; $p < $numPerms; $p++) {
+         |      long $h = $xxh.hashLong($base, (long) $p);
+         |      if ($h < $mins[$p]) $mins[$p] = $h;
+         |    }
+         |  }
+         |}
+         |${ev.value} = new $gad($mins);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 /** Bridge into `private[sql]` surface for code living outside
   * `org.apache.spark.sql` (Column ↔ Expression, as in
   * `org.apache.spark.sql.classic.ExpressionUtils`).

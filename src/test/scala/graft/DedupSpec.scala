@@ -65,6 +65,16 @@ class DedupSpec extends SparkSpec {
     assert(brute.nonEmpty, "fixture should contain planted near-dups")
   }
 
+  test("codegen minhash_sig equals the compositional transform/array_min form") {
+    val docs = Tables(spark, sf).documents
+    val fast = Dedup.minhashSignatures(docs)
+      .select("doc_id", "sig").as[(Long, Seq[Long])].collect().toMap
+    val slow = Dedup.minhashSignaturesCompositional(docs)
+      .select("doc_id", "sig").as[(Long, Seq[Long])].collect().toMap
+    assert(fast == slow)
+    assert(fast.valuesIterator.next().size == 32)
+  }
+
   test("exact dedup survivor is deterministic (min doc_id)") {
     val df = run("q15_dedup_survivors")
     val again = run("q15_dedup_survivors")
