@@ -18,6 +18,7 @@ object SparkEntry {
       operators.TextAnalysis.entries ++
       operators.Dedup.entries ++
       operators.Similarity.entries ++
+      operators.Ivf.entries ++
       operators.EventsOps.entries ++
       operators.Multimodal.entries ++
       sources.OrcRoundTrip.entries

@@ -1,0 +1,126 @@
+package graft.operators
+
+import graft.functions.{CentroidAggregator, GraftFunctions}
+import graft.{QueryEntry, Tables}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** IVF-style ANN (SURVEY §2.4 "similarity search — IVF or LSH-bucketed
+  * variant as the scale path").
+  *
+  * Coarse quantizer = k-means-lite fitted deterministically (init =
+  * the first k vectors by vec_id, fixed Lloyd iterations, ties broken
+  * by cluster id). Search: rank centroids per query, probe the top
+  * `nprobe` inverted lists, exact-score only those lists, top-k per
+  * query.
+  *
+  * Scale shape: assignment and re-centering are DataFrame jobs
+  * (broadcast k literal centroids into a codegen argmax; centroid
+  * recompute is the two-phase UDAF) — only the k×dim model ever
+  * reaches the driver. Search touches ~nprobe/k of the corpus via a
+  * cluster-key join: the whole point of IVF at 100 TB.
+  */
+object Ivf {
+
+  /** Per-label centroid of the embedding vectors (uses the typed
+    * Aggregator UDAF → two-phase agg, no explode shuffle).
+    */
+  def centroids(emb: DataFrame): DataFrame =
+    emb.groupBy("label")
+      .agg(CentroidAggregator.centroid(col("embedding")).as("centroid"))
+
+  /** array<struct<s,c>> of (cosine to centroid i, i) — the shared
+    * scoring expression for assignment and probe ranking.
+    */
+  private def centScores(vec: Column, cents: IndexedSeq[Array[Float]]): Column =
+    array(cents.indices.map { i =>
+      struct(GraftFunctions.cosineF32(vec, typedlit(cents(i))).as("s"),
+        lit(i).as("c"))
+    }: _*)
+
+  /** Nearest-centroid assignment (struct array_max: score then cluster
+    * id — deterministic tie-break).
+    */
+  def withCluster(emb: DataFrame, cents: IndexedSeq[Array[Float]]): DataFrame =
+    emb.withColumn("cluster",
+      array_max(centScores(col("embedding"), cents)).getField("c"))
+
+  /** Deterministic Lloyd's: init = embeddings of the k smallest
+    * vec_ids; empty clusters keep their previous centroid. Only k×dim
+    * floats cross the driver boundary per iteration.
+    */
+  def fitCentroids(emb: DataFrame, k: Int = 16, iters: Int = 3): IndexedSeq[Array[Float]] = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    var cents: IndexedSeq[Array[Float]] = emb
+      .orderBy("vec_id").limit(k)
+      .select("embedding").as[Array[Float]].collect().toIndexedSeq
+    for (_ <- 1 to iters) {
+      val next = withCluster(emb, cents)
+        .groupBy("cluster")
+        .agg(CentroidAggregator.centroid(col("embedding")).as("c"))
+        .select(col("cluster"), col("c"))
+        .as[(Int, Array[Double])].collect().toMap
+      cents = cents.indices.map(i =>
+        next.get(i).map(_.map(_.toFloat)).getOrElse(cents(i)))
+    }
+    cents
+  }
+
+  /** Top-k neighbors for each probe query via nprobe-bounded IVF over
+    * the fitted quantizer.
+    */
+  def annSearch(emb: DataFrame, probes: DataFrame, nprobe: Int, k: Int,
+      nClusters: Int = 16, iters: Int = 3): DataFrame = {
+    val cents = fitCentroids(emb, nClusters, iters)
+    val corpus = withCluster(emb, cents)
+      .select(col("vec_id"), col("embedding"), col("cluster"))
+
+    // top-nprobe inverted lists per probe
+    val probeLists = probes
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      .withColumn("pc",
+        transform(
+          slice(sort_array(centScores(col("q_vec"), cents), asc = false), 1, nprobe),
+          x => x.getField("c")))
+
+    // exact-score only the probed lists
+    broadcast(probeLists)
+      .join(corpus, array_contains(col("pc"), col("cluster")))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        round(GraftFunctions.cosineF32(col("q_vec"), col("embedding")), 6).as("score"))
+      .withColumn("rank",
+        row_number().over(Window.partitionBy("q_id")
+          .orderBy(col("score").desc, col("vec_id"))))
+      .filter(col("rank") <= k)
+      .select("q_id", "vec_id", "rank", "score")
+      .orderBy("q_id", "rank")
+  }
+
+  val entries: Seq[QueryEntry] = Seq(
+    // Centroid computation itself is oracle-able: explode the UDAF's
+    // vector output to (label, d, v) and DuckDB recomputes per-dim
+    // means by list indexing.
+    QueryEntry.sql(
+      "q32_label_centroids",
+      """SELECT label, d, ROUND(SUM(CAST(embedding[d] AS DOUBLE)) / COUNT(*), 6) AS v
+        |FROM embeddings, (SELECT unnest(range(1, 65)) AS d) dims
+        |GROUP BY label, d ORDER BY label, d""".stripMargin,
+    ) { (s, dir) =>
+      centroids(Tables(s, dir).embeddings)
+        .select(col("label"), posexplode(col("centroid")).as(Seq("pos", "raw")))
+        .select(col("label"), (col("pos") + 1).as("d"), round(col("raw"), 6).as("v"))
+        .orderBy("label", "d")
+    },
+
+    // IVF search for the first 10 vec_ids as probes (rows-only: recall
+    // against brute force is pinned in IvfSpec).
+    QueryEntry.rowsOnly("q33_ann_ivf") { (s, dir) =>
+      val emb = Tables(s, dir).embeddings
+      annSearch(emb, emb.filter(col("vec_id") < 10), nprobe = 3, k = 5)
+    },
+  )
+}

@@ -245,5 +245,14 @@ object Relational {
         )
         .orderBy("p_partkey")
     },
+
+    // Row-to-text (Tier B: the reference links orc::ColumnPrinter,
+    // `reader.cc:2`): rows serialized as JSON. Rows-only — JSON
+    // whitespace/escaping conventions differ across engines.
+    QueryEntry.rowsOnly("q31_row_to_json") { (s, dir) =>
+      Tables(s, dir).nation
+        .select(col("n_nationkey"), to_json(struct(col("*"))).as("js"))
+        .orderBy("n_nationkey")
+    },
   )
 }

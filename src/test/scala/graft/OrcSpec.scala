@@ -44,6 +44,36 @@ class OrcSpec extends SparkSpec {
     assert(orc == pq)
   }
 
+  test("all ORC codecs round-trip (Tier B codec surface)") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet").limit(200)
+    val expected = li.agg(sum("l_orderkey"), count(lit(1))).head
+    for (codec <- Seq("snappy", "zstd", "zlib", "lz4", "none")) {
+      val dest = s"${sys.props("java.io.tmpdir")}/graft_orc_codec_$codec"
+      li.write.mode("overwrite").option("compression", codec).orc(dest)
+      assert(spark.read.orc(dest).agg(sum("l_orderkey"), count(lit(1))).head
+        == expected, s"codec $codec")
+    }
+  }
+
+  test("MIN/MAX/COUNT answered from ORC footer statistics (Tier B aggregate pushdown)") {
+    // Footer-stats aggregation (`spark.sql.orc.aggregatePushdown`) is a
+    // v2-datasource capability; the engine default stays on v1, so the
+    // v2 reader is scoped to this check.
+    val key = "spark.sql.sources.useV1SourceList"
+    val prev = spark.conf.get(key)
+    try {
+      spark.conf.set(key, prev.split(",").filterNot(_ == "orc").mkString(","))
+      val orcDf = OrcRoundTrip.orcCopy(spark, sf, "lineitem")
+        .agg(min("l_orderkey"), max("l_orderkey"), count(lit(1)))
+      val plan = orcDf.queryExecution.executedPlan.toString
+      assert(plan.contains("PushedAggregation: [MIN(l_orderkey), MAX(l_orderkey), COUNT(*)]"),
+        plan.take(1500))
+      val pq = spark.read.parquet(s"$sf/lineitem.parquet")
+        .agg(min("l_orderkey"), max("l_orderkey"), count(lit(1)))
+      assert(orcDf.head == pq.head)
+    } finally spark.conf.set(key, prev)
+  }
+
   test("ORC scan prunes columns and pushes filters (Tier B sargs)") {
     val df = OrcRoundTrip.orcCopy(spark, sf, "lineitem")
       .filter(col("l_orderkey") > 1000)
