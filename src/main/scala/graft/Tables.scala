@@ -31,5 +31,16 @@ final case class Tables(spark: SparkSession, dir: String) {
       "ts",
       org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
   def documents: DataFrame = t("documents")
+
+  /** documents rebalanced across the session's parallelism — the local
+    * fixture is one parquet split, which would serialize per-row-heavy
+    * expressions (regex tokenization, md5, shingling) onto one core. At
+    * 100 TB the source is naturally multi-split and this one linear
+    * shuffle is noise next to the per-row work it parallelizes.
+    */
+  def documentsRebalanced: DataFrame = {
+    val p = spark.sessionState.conf.numShufflePartitions
+    documents.repartition(p, org.apache.spark.sql.functions.col("doc_id"))
+  }
   def embeddings: DataFrame = t("embeddings")
 }

@@ -231,7 +231,7 @@ object Dedup {
       val toks = TextAnalysis.tokens(col("text"))
       val hashes = transform(toks,
         t => conv(substring(md5(t.cast(BinaryType)), 1, 15), 16, 10).cast(LongType))
-      Tables(s, dir).documents
+      Tables(s, dir).documentsRebalanced
         .select(col("doc_id"), GraftFunctions.simhash64(hashes).as("sh"))
         .orderBy("doc_id")
     },

