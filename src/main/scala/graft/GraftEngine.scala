@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** User-facing facade — the "switch from the reference" surface: a
+  * reference user's whole program is `read ORC → SUM(first column)`
+  * (`orc-parser/reader.cc`), which is [[sumFirstColumn]] here; every
+  * capability beyond that is a named method over DataFrames.
+  *
+  * All methods return lazy DataFrames — composition and optimization
+  * stay with Catalyst; nothing materializes until the caller acts.
+  */
+final class GraftEngine(val spark: SparkSession) {
+  EngineSession.tune(spark)
+
+  /** The reference program verbatim (`reader.cc:161`): scan an ORC
+    * file, sum its first column (nulls skipped).
+    */
+  def sumFirstColumn(orcPath: String): Long = {
+    import org.apache.spark.sql.functions.sum
+    val df = spark.read.orc(orcPath)
+    val r = df.agg(sum(org.apache.spark.sql.functions.col(df.columns.head))).head
+    if (r.isNullAt(0)) 0L else r.getLong(0)
+  }
+
+  def tables(dir: String): Tables = Tables(spark, dir)
+
+  /** Register every fixture table as a temp view so the full surface
+    * is reachable from `spark.sql(...)` (including the graft SQL
+    * functions dot_f32 / cosine_f32 / simhash64 / minhash_sig).
+    */
+  def registerViews(dir: String): Unit = {
+    val t = tables(dir)
+    Seq(
+      "region" -> t.region, "nation" -> t.nation, "customer" -> t.customer,
+      "supplier" -> t.supplier, "part" -> t.part, "orders" -> t.orders,
+      "lineitem" -> t.lineitem, "events" -> t.events,
+      "documents" -> t.documents, "embeddings" -> t.embeddings,
+    ).foreach { case (name, df) => df.createOrReplaceTempView(name) }
+  }
+
+  // ---- LLM-pipeline operators ----------------------------------------
+
+  /** Exact dedup: deterministic survivor (min id) per key group. */
+  def dedupExact(df: DataFrame, keyCols: Seq[String], idCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col(idCol))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** MinHash-LSH near-duplicate pairs, exact-verified at Jaccard ≥
+    * num/den. `df` needs (doc_id, text).
+    */
+  def nearDupPairs(df: DataFrame, num: Int = 4, den: Int = 5): DataFrame =
+    operators.Dedup.nearDupPairs(df, num, den)
+
+  /** Brute-force exact top-k by cosine against a stored vector. */
+  def topKCosine(emb: DataFrame, queryVecId: Long, k: Int): DataFrame =
+    operators.Similarity.topKCosine(emb, queryVecId, k)
+
+  /** IVF approximate top-k (k-means quantizer, nprobe lists). */
+  def annSearch(emb: DataFrame, probes: DataFrame, nprobe: Int = 3, k: Int = 10): DataFrame =
+    operators.Ivf.annSearch(emb, probes, nprobe, k)
+
+  /** Batched binary-payload feature extraction through a pluggable
+    * codec (stubbed decode; real plumbing).
+    */
+  def extractFeatures(dir: String,
+      codec: operators.Multimodal.MediaCodec = operators.Multimodal.StubCodec) =
+    operators.Multimodal.extractFeatures(spark, dir, codec)
+}

@@ -1,0 +1,129 @@
+package graft.operators
+
+import graft.{QueryEntry, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Analytic extensions beyond the reference surface (SURVEY §2.3 rows
+  * marked "none"): multi-level aggregation (ROLLUP), exact quantiles,
+  * sketch aggregates, and an event-time as-of join.
+  */
+object Analytic {
+
+  val entries: Seq[QueryEntry] = Seq(
+    // ROLLUP with grouping-set disambiguation. Subtotal rows surface
+    // NULL group keys — COALESCEd to a sentinel so ordering is
+    // null-free and engine-independent.
+    QueryEntry.sql(
+      "q34_rollup_pricing",
+      """SELECT COALESCE(l_returnflag, 'ALL') AS rf,
+        |       COALESCE(l_linestatus, 'ALL') AS ls,
+        |       GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS gid,
+        |       COUNT(*) AS cnt,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM lineitem
+        |GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY gid, rf, ls""".stripMargin,
+    ) { (s, dir) =>
+      Tables(s, dir).lineitem
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(
+          (grouping(col("l_returnflag")) * 2 + grouping(col("l_linestatus"))).as("gid"),
+          count(lit(1)).as("cnt"),
+          sum(col("l_extendedprice").cast(DecimalType(18, 2)))
+            .cast(DoubleType).as("sum_price"),
+        )
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+          col("gid"), col("cnt"), col("sum_price"),
+        )
+        .orderBy("gid", "rf", "ls")
+    },
+
+    // Exact interpolated quantiles (Spark `percentile` ≡ DuckDB
+    // `quantile_cont`) per return flag.
+    QueryEntry.sql(
+      "q36_percentiles",
+      """SELECT l_returnflag,
+        |       ROUND(quantile_cont(l_quantity, 0.25), 6) AS p25,
+        |       ROUND(quantile_cont(l_quantity, 0.5), 6) AS p50,
+        |       ROUND(quantile_cont(l_quantity, 0.75), 6) AS p75,
+        |       ROUND(quantile_cont(l_quantity, 0.99), 6) AS p99
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    ) { (s, dir) =>
+      val li = Tables(s, dir).lineitem
+      def p(q: Double, name: String) =
+        round(percentile(col("l_quantity"), lit(q)), 6).as(name)
+      li.groupBy("l_returnflag")
+        .agg(p(0.25, "p25"), p(0.5, "p50"), p(0.75, "p75"), p(0.99, "p99"))
+        .orderBy("l_returnflag")
+    },
+
+    // HLL sketch aggregate — the "novel sketch" class. Algorithms (and
+    // thus estimates) differ across engines, so rows-only here; the
+    // spec suite bounds relative error against the exact count.
+    QueryEntry.rowsOnly("q35_approx_distinct") { (s, dir) =>
+      Tables(s, dir).lineitem
+        .agg(
+          approx_count_distinct(col("l_orderkey"), rsd = 0.01).as("approx_orders"),
+          approx_count_distinct(col("l_partkey"), rsd = 0.01).as("approx_parts"),
+        )
+    },
+
+    // As-of join — an operator Spark lacks natively (guide's canonical
+    // custom-operator case), composed Spark-first: union the two
+    // keyed timelines, one pass of `last(_, ignoreNulls)` over a
+    // (key)-partitioned event-time window. Scales as a single shuffle
+    // on the join key + per-partition sort — the sort-merge shape —
+    // with no unpartitioned global window. Semantics: for each event,
+    // the latest order of the same key at-or-before the event's time;
+    // ties on time take the largest o_orderkey (encoded in the sort
+    // order). Key = user_id ≡ o_custkey % 100 (the fixtures share no
+    // natural key; the mapping is deterministic in both engines).
+    QueryEntry.sql(
+      "q37_asof_join",
+      """SELECT e.event_id,
+        |       (SELECT MAX(o.o_orderkey)
+        |        FROM orders o
+        |        WHERE o.o_custkey % 100 = e.user_id
+        |          AND o.o_orderdate <= e.ts
+        |          AND o.o_orderdate = (SELECT MAX(o2.o_orderdate)
+        |                               FROM orders o2
+        |                               WHERE o2.o_custkey % 100 = e.user_id
+        |                                 AND o2.o_orderdate <= e.ts)
+        |       ) AS asof_orderkey
+        |FROM events e
+        |ORDER BY e.event_id""".stripMargin,
+    ) { (s, dir) =>
+      val t = Tables(s, dir)
+      val orders = t.orders.select(
+        (col("o_custkey") % 100).as("k"),
+        // o_orderdate arrives as TIMESTAMP_NTZ; align with the events
+        // timeline's TIMESTAMP (UTC session ⇒ value-identical).
+        col("o_orderdate").cast(TimestampType).as("ts"),
+        lit(0).as("side"),
+        col("o_orderkey").as("ok"),
+        lit(null).cast(LongType).as("event_id"),
+      )
+      val events = t.events.select(
+        col("user_id").as("k"),
+        col("ts"),
+        lit(1).as("side"),
+        lit(null).cast(LongType).as("ok"),
+        col("event_id"),
+      )
+      // Orders sort before events at the same instant (side 0 < 1);
+      // same-date orders ascend by key so `last` carries the max key.
+      val w = Window.partitionBy("k")
+        .orderBy(col("ts"), col("side"), col("ok").asc_nulls_last)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      orders.unionAll(events)
+        .withColumn("asof_orderkey", last(col("ok"), ignoreNulls = true).over(w))
+        .filter(col("side") === 1)
+        .select(col("event_id"), col("asof_orderkey"))
+        .orderBy("event_id")
+    },
+  )
+}
