@@ -67,6 +67,10 @@ object EngineSession {
   def tune(spark: SparkSession): SparkSession = {
     runtimeConf.foreach { case (k, v) => spark.conf.set(k, v) }
     functions.GraftFunctions.registerAll(spark)
+    val rule = org.apache.spark.sql.graft.RewriteHofDotProduct
+    val em = spark.experimental
+    if (!em.extraOptimizations.contains(rule))
+      em.extraOptimizations = em.extraOptimizations :+ rule
     spark
   }
 }
