@@ -44,6 +44,23 @@ class OrcSpec extends SparkSpec {
     assert(orc == pq)
   }
 
+  test("every fixture table round-trips through ORC(snappy) (t1 invariant)") {
+    val names = Seq("region", "nation", "customer", "supplier", "part",
+      "orders", "lineitem", "events", "documents", "embeddings")
+    for (n <- names) {
+      val pq = spark.read.parquet(s"$sf/$n.parquet")
+      val orc = OrcRoundTrip.orcCopy(spark, sf, n)
+      assert(orc.count() == pq.count(), n)
+      // value-level checksum over a stable per-row hash of all columns
+      def checksum(df: org.apache.spark.sql.DataFrame) =
+        // XOR-fold: order-independent and overflow-free (ANSI mode
+        // rejects a long SUM of hashes)
+        df.select(xxhash64(to_json(struct(df.columns.map(col): _*))).as("h"))
+          .agg(expr("bit_xor(h)")).head.getLong(0)
+      assert(checksum(orc) == checksum(pq), s"$n checksum")
+    }
+  }
+
   test("all ORC codecs round-trip (Tier B codec surface)") {
     val li = spark.read.parquet(s"$sf/lineitem.parquet").limit(200)
     val expected = li.agg(sum("l_orderkey"), count(lit(1))).head
