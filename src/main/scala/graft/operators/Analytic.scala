@@ -67,8 +67,8 @@ object Analytic {
     QueryEntry.rowsOnly("q35_approx_distinct") { (s, dir) =>
       Tables(s, dir).lineitem
         .agg(
-          approx_count_distinct(col("l_orderkey"), rsd = 0.01).as("approx_orders"),
-          approx_count_distinct(col("l_partkey"), rsd = 0.01).as("approx_parts"),
+          approx_count_distinct(col("l_orderkey"), rsd = 0.02).as("approx_orders"),
+          approx_count_distinct(col("l_partkey"), rsd = 0.02).as("approx_parts"),
         )
     },
 
