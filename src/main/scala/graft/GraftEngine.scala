@@ -9,17 +9,25 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *
   * All methods return lazy DataFrames — composition and optimization
   * stay with Catalyst; nothing materializes until the caller acts.
+  *
+  * NOTE: construction tunes the passed session in place (UTC session
+  * timezone, ORC reader configs, graft functions, the HOF-dot-product
+  * rewrite) — the engine's documented session contract. Use a
+  * dedicated session if those session-wide settings are unwanted.
   */
 final class GraftEngine(val spark: SparkSession) {
   EngineSession.tune(spark)
 
   /** The reference program verbatim (`reader.cc:161`): scan an ORC
-    * file, sum its first column (nulls skipped).
+    * file, sum its first column (nulls skipped). Like the reference's
+    * `uint64_t` accumulator (`reader.cc:22`) the result is integral —
+    * non-integer first columns are cast to long per SQL semantics.
     */
   def sumFirstColumn(orcPath: String): Long = {
-    import org.apache.spark.sql.functions.sum
+    import org.apache.spark.sql.functions.{col, sum}
     val df = spark.read.orc(orcPath)
-    val r = df.agg(sum(org.apache.spark.sql.functions.col(df.columns.head))).head
+    val r = df.agg(
+      sum(col(df.columns.head)).cast(org.apache.spark.sql.types.LongType)).head
     if (r.isNullAt(0)) 0L else r.getLong(0)
   }
 

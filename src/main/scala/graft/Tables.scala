@@ -27,9 +27,7 @@ final case class Tables(spark: SparkSession, dir: String) {
     * TIMESTAMP_NS → TIMESTAMP cast, keeping oracle parity.
     */
   def events: DataFrame =
-    t("events").withColumn(
-      "ts",
-      org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    t("events").withColumn("ts", Tables.eventsTsFromNanos)
   def documents: DataFrame = t("documents")
 
   /** documents rebalanced across the session's parallelism — the local
@@ -43,4 +41,13 @@ final case class Tables(spark: SparkSession, dir: String) {
     documents.repartition(p, org.apache.spark.sql.functions.col("doc_id"))
   }
   def embeddings: DataFrame = t("embeddings")
+}
+
+object Tables {
+  /** The one shared nanos→micros conversion for the events timeline —
+    * batch (`Tables.events`) and streaming (`StreamingEvents`) must use
+    * the identical expression or their equivalence breaks.
+    */
+  def eventsTsFromNanos: org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)")
 }

@@ -20,8 +20,12 @@ object CentroidAggregator
 
   def reduce(b: (Array[Double], Long), v: Seq[Float]): (Array[Double], Long) = {
     val sums = if (b._1.isEmpty) new Array[Double](v.length) else b._1
+    // fail fast on ragged input — silent truncation would make the
+    // centroid depend on partition order
+    require(v.length == sums.length,
+      s"centroid over ragged vectors: ${v.length} vs ${sums.length}")
     var i = 0
-    while (i < v.length && i < sums.length) {
+    while (i < sums.length) {
       sums(i) += v(i).toDouble
       i += 1
     }
@@ -32,9 +36,11 @@ object CentroidAggregator
     if (a._1.isEmpty) b
     else if (b._1.isEmpty) a
     else {
+      require(a._1.length == b._1.length,
+        s"centroid over ragged vectors: ${a._1.length} vs ${b._1.length}")
       val out = a._1.clone()
       var i = 0
-      while (i < out.length && i < b._1.length) {
+      while (i < out.length) {
         out(i) += b._1(i)
         i += 1
       }

@@ -38,11 +38,22 @@ object GraftFunctions {
   def xxhash64Seeded(seed: Long, cols: Column*): Column =
     col(XxHash64(cols.map(expr), seed))
 
+  private def arity(name: String, n: Int)(es: Seq[Expression]): Unit =
+    require(es.length == n,
+      s"$name expects $n argument(s), got ${es.length}")
+
   private val sqlFunctions: Seq[(String, Seq[Expression] => Expression)] = Seq(
-    "dot_f32" -> (es => DotProductF32(es(0), es(1))),
-    "cosine_f32" -> (es => CosineSimF32(es(0), es(1))),
-    "simhash64" -> (es => SimHash64(es(0))),
-    "minhash_sig" -> (es => MinHashSignature(es(0))),
+    "dot_f32" -> (es => { arity("dot_f32", 2)(es); DotProductF32(es(0), es(1)) }),
+    "cosine_f32" -> (es => { arity("cosine_f32", 2)(es); CosineSimF32(es(0), es(1)) }),
+    "simhash64" -> (es => { arity("simhash64", 1)(es); SimHash64(es(0)) }),
+    // optional second arg: permutation count (foldable int literal)
+    "minhash_sig" -> (es => es match {
+      case Seq(e) => MinHashSignature(e)
+      case Seq(e, n) if n.foldable =>
+        MinHashSignature(e, n.eval().asInstanceOf[Number].intValue())
+      case _ => throw new IllegalArgumentException(
+        "minhash_sig expects (array<string>[, numPerms literal])")
+    }),
   )
 
   def registerAll(spark: SparkSession): Unit =
@@ -72,5 +83,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
           classOf[SimHash64].getName, "simhash64"),
         (es: Seq[Expression]) => SimHash64(es(0))))
+    e.injectFunction(
+      (org.apache.spark.sql.catalyst.FunctionIdentifier("minhash_sig"),
+        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+          classOf[MinHashSignature].getName, "minhash_sig"),
+        (es: Seq[Expression]) => MinHashSignature(es.head)))
   }
 }

@@ -71,15 +71,23 @@ object Ivf {
 
   /** Fitted-quantizer memo: an IVF index is built once and queried
     * many times; refitting per query would misrepresent the operator's
-    * cost. Keyed by the logical plan's semantic hash.
+    * cost. Keyed by the logical plan's semantic hash — NOTE this keys
+    * the *plan*, not the files: if data under the same path is
+    * rewritten in a long-lived session, call [[invalidateIndex]] (the
+    * same contract as Spark's own `REFRESH TABLE`). Bounded to 64
+    * fitted models.
     */
   private val centroidCache =
     scala.collection.concurrent.TrieMap.empty[(String, Int, Int), IndexedSeq[Array[Float]]]
 
-  def fittedCentroids(emb: DataFrame, k: Int, iters: Int): IndexedSeq[Array[Float]] =
+  def invalidateIndex(): Unit = centroidCache.clear()
+
+  def fittedCentroids(emb: DataFrame, k: Int, iters: Int): IndexedSeq[Array[Float]] = {
+    if (centroidCache.size > 64) centroidCache.clear()
     centroidCache.getOrElseUpdate(
       (emb.queryExecution.analyzed.semanticHash().toString, k, iters),
       fitCentroids(emb, k, iters))
+  }
 
   /** Top-k neighbors for each probe query via nprobe-bounded IVF over
     * the fitted quantizer.

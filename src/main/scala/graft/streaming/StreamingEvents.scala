@@ -34,7 +34,7 @@ object StreamingEvents {
     spark.readStream
       .schema(schema)
       .parquet(streamDir.toString)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .withColumn("ts", graft.Tables.eventsTsFromNanos)
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour").as("win"), col("event_type"))
       .agg(count(lit(1)).as("cnt"))

@@ -57,6 +57,22 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(df.select(GraftFunctions.cosineF32(col("a"), col("b"))).head.isNullAt(0))
   }
 
+  test("dot/cosine match HOF null semantics: length mismatch and null elements → null") {
+    // length mismatch (zip_with would null-pad → null-poisoned sum)
+    val uneven = Seq((Seq(1.0f, 2.0f, 3.0f), Seq(1.0f, 2.0f))).toDF("a", "b")
+    assert(uneven.select(GraftFunctions.dotF32(col("a"), col("b"))).head.isNullAt(0))
+    assert(uneven.select(GraftFunctions.cosineF32(col("a"), col("b"))).head.isNullAt(0))
+    // null element
+    val withNull = Seq((Seq(Some(1.0f), None), Seq(Some(1.0f), Some(2.0f))))
+      .toDF("a", "b")
+    val r = withNull.select(
+      GraftFunctions.dotF32(col("a"), col("b")),
+      GraftFunctions.cosineF32(col("a"), col("b")),
+      expr("aggregate(zip_with(a, b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0 AS DOUBLE), (acc, v) -> acc + v)"),
+    ).head
+    assert(r.isNullAt(0) && r.isNullAt(1) && r.isNullAt(2))
+  }
+
   test("simhash64 matches a scala reference implementation") {
     def reference(hashes: Seq[Long], bits: Int = 60): Long = {
       val counts = new Array[Int](bits)
