@@ -15,6 +15,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object StreamingEvents {
 
+  final case class UserAgg(user_id: Long, cnt: Long, sum_value: Double)
+
   /** The streaming form of q24_events_hourly. `ts` arrives as raw
     * nanosecond longs (see Tables.events) and is converted before the
     * watermark is applied.
@@ -22,18 +24,11 @@ object StreamingEvents {
   def hourlyCounts(spark: SparkSession, dir: String): DataFrame = {
     // The file streaming source requires a directory; the fixture is a
     // single parquet file — stage a copy under scratch once.
-    val src = java.nio.file.Paths.get(s"$dir/events.parquet")
-    val streamDir = java.nio.file.Paths.get(
-      sys.props("java.io.tmpdir"), "graft_stream_src",
-      dir.replaceAll("[^A-Za-z0-9.]", "_"))
-    java.nio.file.Files.createDirectories(streamDir)
-    val dest = streamDir.resolve("events.parquet")
-    if (!java.nio.file.Files.exists(dest))
-      java.nio.file.Files.copy(src, dest)
-    val schema = spark.read.parquet(dest.toString).schema
+    val src = stagedStreamSource(spark, dir)
+    val schema = spark.read.parquet(src).schema
     spark.readStream
       .schema(schema)
-      .parquet(streamDir.toString)
+      .parquet(src)
       .withColumn("ts", graft.Tables.eventsTsFromNanos)
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour").as("win"), col("event_type"))
@@ -42,6 +37,58 @@ object StreamingEvents {
         date_format(col("win.start"), "yyyy-MM-dd HH:mm").as("w"),
         col("event_type"), col("cnt"),
       )
+  }
+
+  /** Custom-state surface (`mapGroupsWithState`): per-user running
+    * aggregates maintained as explicit state. Over the bounded fixture
+    * with AvailableNow the final state per user must equal the batch
+    * groupBy — the deterministic equivalence StreamingSpec asserts.
+    * State is partitioned by user and bounded by the key domain;
+    * production use would add a timeout policy for key expiry.
+    */
+  def statefulUserCounts(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import spark.implicits._
+    val src = stagedStreamSource(spark, dir)
+    val schema = spark.read.parquet(src).schema
+    val events = spark.readStream.schema(schema).parquet(src)
+      .select(col("user_id"), col("value"))
+      .as[(Long, Double)]
+    val counts = events
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, Double)], state: GroupState[(Long, Double)]) =>
+          val (pc, ps) = state.getOption.getOrElse((0L, 0.0))
+          var c = pc
+          var s = ps
+          rows.foreach { r => c += 1; s += r._2 }
+          state.update((c, s))
+          UserAgg(user, c, s)
+      }
+    val name = s"graft_state_${System.identityHashCode(spark)}"
+    val q = counts.toDF().writeStream
+      .format("memory").queryName(name).outputMode(OutputMode.Update())
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    // Update-mode emits one row per key per batch; latest wins.
+    spark.table(name)
+      .groupBy("user_id")
+      .agg(org.apache.spark.sql.functions.max(struct(col("cnt"), col("sum_value"))).as("m"))
+      .select(col("user_id"), col("m.cnt").as("cnt"),
+        org.apache.spark.sql.functions.round(col("m.sum_value"), 6).as("sum_value"))
+      .orderBy("user_id")
+  }
+
+  private def stagedStreamSource(spark: SparkSession, dir: String): String = {
+    val src = java.nio.file.Paths.get(s"$dir/events.parquet")
+    val streamDir = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), "graft_stream_src",
+      dir.replaceAll("[^A-Za-z0-9.]", "_"))
+    java.nio.file.Files.createDirectories(streamDir)
+    val dest = streamDir.resolve("events.parquet")
+    if (!java.nio.file.Files.exists(dest))
+      java.nio.file.Files.copy(src, dest)
+    streamDir.toString
   }
 
   /** Run to completion over the (bounded) fixture with AvailableNow and

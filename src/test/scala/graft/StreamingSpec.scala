@@ -15,4 +15,16 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
     assert(batch.nonEmpty)
   }
+
+  test("mapGroupsWithState per-user aggregates ≡ batch groupBy") {
+    import org.apache.spark.sql.functions._
+    val stateful = StreamingEvents.statefulUserCounts(spark, sf)
+      .collect().map(_.toSeq).toSet
+    val batch = Tables(spark, sf).events
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("cnt"), round(sum("value"), 6).as("sum_value"))
+      .collect().map(_.toSeq).toSet
+    assert(stateful == batch)
+    assert(batch.nonEmpty)
+  }
 }
