@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Parameter sweep (BASELINE.md §2), mirroring the reference's
+  * NR_TASKLETS / rows-per-thread experiments
+  * (`scripts/readerThreads.bash:3-7`): the scan microbenchmark — Q1
+  * (SUM of first column) over snappy/zstd/none ORC lineitem — swept
+  * over the vectorized reader batch size {1024, 4096, 10000}; the
+  * reference's `-t` knob is the batch granularity, its codec is pinned
+  * snappy — here both vary.
+  *
+  * Prints one JSON line per (codec, batch) cell:
+  * {"sweep":"scan","codec":...,"batch":...,"sec":...,"mb":...,"rows":N}
+  */
+object Sweep {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = EngineSession.local("graft-sweep", cpus)
+
+    val src = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    val rows = src.count()
+
+    for (codec <- Seq("snappy", "zstd", "none")) {
+      val dest = s"${sys.props("java.io.tmpdir")}/graft_sweep/${codec}_lineitem"
+      if (!new java.io.File(dest, "_SUCCESS").exists())
+        src.write.mode("overwrite").option("compression", codec).orc(dest)
+      val bytes = new java.io.File(dest).listFiles()
+        .filter(_.getName.endsWith(".orc")).map(_.length()).sum
+      for (batch <- Seq(1024, 4096, 10000)) {
+        spark.conf.set("spark.sql.orc.columnarReaderBatchSize", batch.toString)
+        def once(): Unit =
+          spark.read.orc(dest).agg(sum("l_orderkey")).collect()
+        once() // warm
+        val times = Seq.fill(5) {
+          val t0 = System.nanoTime(); once(); (System.nanoTime() - t0) / 1e9
+        }
+        val med = times.sorted.apply(times.size / 2)
+        println(s"""{"sweep":"scan","codec":"$codec","batch":$batch,"sec":$med,"mb":${bytes / 1e6},"rows":$rows}""")
+      }
+    }
+    spark.stop()
+  }
+}
