@@ -128,6 +128,46 @@ object Dedup {
     out
   }
 
+  /** Connected components over the verified near-dup pairs: each
+    * involved doc labeled with the min doc_id of its component — the
+    * survivor-per-cluster step real corpus dedup needs beyond pairs.
+    *
+    * Distributed min-label propagation: labels live in a DataFrame,
+    * each round joins labels across edges and takes the min; the loop
+    * runs until a fixpoint (component count is stable), which takes
+    * O(component diameter) rounds — near-dup clusters are shallow, so
+    * a handful of shuffles on the (tiny, LSH-filtered) edge set.
+    */
+  def nearDupGroups(docs: DataFrame, num: Int = 4, den: Int = 5): DataFrame = {
+    val pairs = nearDupPairs(docs, num, den).select("doc_a", "doc_b")
+    val edges = pairs
+      .unionAll(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .toDF("src", "dst")
+      .localCheckpoint(true)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint(true)
+    var converged = false
+    var rounds = 0
+    while (!converged && rounds < 20) {
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("id", "dst2"), col("dst") === col("dst2"))
+        .groupBy(col("src").as("id"))
+        .agg(min("label").as("nl"))
+      val next = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
+        .localCheckpoint(true)
+      val changed = next.join(labels.withColumnRenamed("label", "old"), "id")
+        .filter(col("label") =!= col("old")).count()
+      labels = next
+      converged = changed == 0
+      rounds += 1
+    }
+    labels.select(col("id").as("doc_id"), col("label").as("group_id"))
+      .orderBy("doc_id")
+  }
+
   // ---- entries -----------------------------------------------------------
 
   val entries: Seq[QueryEntry] = Seq(
@@ -207,6 +247,33 @@ object Dedup {
         )
         .orderBy("doc_a", "doc_b")
     },
+
+    // Near-dup clusters: min-label components over the q20 pair set —
+    // oracle is a recursive CTE computing the same reachability.
+    QueryEntry.sql(
+      "q38_neardup_groups",
+      s"""WITH RECURSIVE sh AS (
+         |  SELECT doc_id, $shinglesSql AS shingles
+         |  FROM (SELECT doc_id,
+         |               regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+         |        FROM documents) t
+         |), pairs AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |  WHERE 5 * len(list_intersect(a.shingles, b.shingles))
+         |        >= 4 * (len(a.shingles) + len(b.shingles)
+         |                - len(list_intersect(a.shingles, b.shingles)))
+         |), edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  UNION ALL SELECT doc_b, doc_a FROM pairs
+         |), reach(id, l) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.src, r.l FROM edges e JOIN reach r ON e.dst = r.id
+         |)
+         |SELECT id AS doc_id, CAST(MIN(l) AS BIGINT) AS group_id
+         |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+    ) { (s, dir) => nearDupGroups(Tables(s, dir).documents) },
 
     // SimHash signatures from md5-derived 60-bit token hashes — the
     // hash is rebuilt in pure integer SQL on the DuckDB side, so even

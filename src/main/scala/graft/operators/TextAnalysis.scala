@@ -165,5 +165,51 @@ object TextAnalysis {
         )
         .orderBy("doc_id")
     },
+
+    // The operators composed as one pipeline — the actual shape of a
+    // training-data preparation job: exact-dedup survivors → quality
+    // gate → per-language token accounting. One declarative plan, so
+    // Catalyst fuses the stages (dedup's shuffle is the only exchange
+    // before the final rollup).
+    QueryEntry.sql(
+      "q39_training_pipeline",
+      s"""WITH survivors AS (
+         |  SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text
+         |), d AS (
+         |  SELECT doc.lang, doc.n_chars, doc.text
+         |  FROM documents doc JOIN survivors s ON doc.doc_id = s.doc_id
+         |), tok AS (
+         |  SELECT lang, n_chars,
+         |         regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+         |  FROM d
+         |), scored AS (
+         |  SELECT lang, len(toks) AS n_tok,
+         |         CAST(0.4 AS DOUBLE) * LEAST(len(toks), 100) / CAST(100.0 AS DOUBLE)
+         |         + CAST(0.4 AS DOUBLE) * ${sqlStopCount(stopEn)} / len(toks)
+         |         + CASE WHEN n_chars BETWEEN 100 AND 1000
+         |                THEN CAST(0.2 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END
+         |           AS score
+         |  FROM tok
+         |)
+         |SELECT lang, COUNT(*) AS cnt, CAST(SUM(n_tok) AS BIGINT) AS sum_tokens
+         |FROM scored WHERE score >= CAST(0.5 AS DOUBLE)
+         |GROUP BY lang ORDER BY lang""".stripMargin,
+    ) { (s, dir) =>
+      val docs = Tables(s, dir).documentsRebalanced
+      val survivors = docs.groupBy("text")
+        .agg(min("doc_id").as("sdoc_id"))
+        .select("sdoc_id")
+      val d = docs.join(survivors, col("doc_id") === col("sdoc_id"))
+      val toks = tokens(col("text"))
+      val score =
+        lit(0.4) * least(size(toks), lit(100)) / lit(100.0) +
+          lit(0.4) * stopCount(toks, stopEn) / size(toks) +
+          when(col("n_chars").between(100, 1000), lit(0.2)).otherwise(lit(0.0))
+      d.select(col("lang"), size(toks).as("n_tok"), score.as("score"))
+        .filter(col("score") >= lit(0.5))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("cnt"), sum("n_tok").cast("long").as("sum_tokens"))
+        .orderBy("lang")
+    },
   )
 }
