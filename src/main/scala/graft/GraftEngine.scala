@@ -31,6 +31,14 @@ final class GraftEngine(val spark: SparkSession) {
     if (r.isNullAt(0)) 0L else r.getLong(0)
   }
 
+  /** The hot-path variant: stripe-parallel native column-vector scan
+    * (see [[sources.FastOrcSum]]) — the reference's architecture on
+    * Spark's scheduler. Integer-family first columns only; wraps on
+    * overflow like the reference's `uint64_t` accumulator.
+    */
+  def sumFirstColumnFast(orcPath: String): Long =
+    sources.FastOrcSum.sumFirstLongColumn(spark, orcPath)
+
   def tables(dir: String): Tables = Tables(spark, dir)
 
   /** Register every fixture table as a temp view so the full surface

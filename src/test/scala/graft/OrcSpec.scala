@@ -91,6 +91,21 @@ class OrcSpec extends SparkSpec {
     } finally spark.conf.set(key, prev)
   }
 
+  test("FastOrcSum (stripe-parallel native path) equals the DataFrame path") {
+    import graft.sources.FastOrcSum
+    // reference fixture — the reference program's exact output
+    assert(FastOrcSum.sumFirstLongColumn(spark,
+      "/root/reference/testfiles/store_sales-scale0-parts1.snappy.orc") == 2451897L)
+    // fixture table — must equal spark.read.orc(...).agg(sum(first))
+    val dest = s"${sys.props("java.io.tmpdir")}/graft_orc/_root_testdata_sf0.001/lineitem"
+    OrcRoundTrip.orcCopy(spark, sf, "lineitem") // ensure written
+    val df = spark.read.orc(dest)
+    val expected = df.agg(sum(col(df.columns.head))).head.getLong(0)
+    assert(FastOrcSum.sumFirstLongColumn(spark, dest) == expected)
+    // stripe split planning covers every row exactly once
+    assert(FastOrcSum.stripeSplits(dest).nonEmpty)
+  }
+
   test("ORC scan prunes columns and pushes filters (Tier B sargs)") {
     val df = OrcRoundTrip.orcCopy(spark, sf, "lineitem")
       .filter(col("l_orderkey") > 1000)
