@@ -66,5 +66,19 @@ object OrcRoundTrip {
         .filter(col("l_partkey") % 10 === 3)
         .agg(sum("l_orderkey").as("sum_ok"), count(lit(1)).as("cnt"))
     },
+    // The reference program through the hot path: stripe-parallel
+    // native column-vector scan (FastOrcSum) over the ORC copy — the
+    // custom operator itself sits under the DuckDB gate (oracle runs
+    // the same sum on the parquet source).
+    QueryEntry.sql(
+      "q40_fast_orc_sum",
+      "SELECT CAST(SUM(l_orderkey) AS BIGINT) AS sum_ok FROM lineitem",
+    ) { (s, dir) =>
+      import s.implicits._
+      orcCopy(s, dir, "lineitem") // ensure the ORC copy exists
+      val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+      val dest = s"${sys.props("java.io.tmpdir")}/graft_orc/$tag/lineitem"
+      Seq(FastOrcSum.sumFirstLongColumn(s, dest)).toDF("sum_ok")
+    },
   )
 }
