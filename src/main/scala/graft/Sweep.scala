@@ -22,8 +22,9 @@ object Sweep {
     val src = spark.read.parquet(s"$sfDir/lineitem.parquet")
     val rows = src.count()
 
+    val tag = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
     for (codec <- Seq("snappy", "zstd", "none")) {
-      val dest = s"${sys.props("java.io.tmpdir")}/graft_sweep/${codec}_lineitem"
+      val dest = s"${sys.props("java.io.tmpdir")}/graft_sweep/$tag/${codec}_lineitem"
       if (!new java.io.File(dest, "_SUCCESS").exists())
         src.write.mode("overwrite").option("compression", codec).orc(dest)
       val bytes = new java.io.File(dest).listFiles()

@@ -42,15 +42,22 @@ object GraftFunctions {
     require(es.length == n,
       s"$name expects $n argument(s), got ${es.length}")
 
-  private val sqlFunctions: Seq[(String, Seq[Expression] => Expression)] = Seq(
+  /** One builder table shared by both registration paths (registerAll
+    * and GraftExtensions) so SQL behavior can't diverge between them.
+    */
+  val sqlFunctions: Seq[(String, Seq[Expression] => Expression)] = Seq(
     "dot_f32" -> (es => { arity("dot_f32", 2)(es); DotProductF32(es(0), es(1)) }),
     "cosine_f32" -> (es => { arity("cosine_f32", 2)(es); CosineSimF32(es(0), es(1)) }),
     "simhash64" -> (es => { arity("simhash64", 1)(es); SimHash64(es(0)) }),
-    // optional second arg: permutation count (foldable int literal)
+    // optional second arg: permutation count (non-null int literal)
     "minhash_sig" -> (es => es match {
       case Seq(e) => MinHashSignature(e)
       case Seq(e, n) if n.foldable =>
-        MinHashSignature(e, n.eval().asInstanceOf[Number].intValue())
+        n.eval() match {
+          case i: Number if i.intValue() > 0 => MinHashSignature(e, i.intValue())
+          case other => throw new IllegalArgumentException(
+            s"minhash_sig numPerms must be a positive integer literal, got $other")
+        }
       case _ => throw new IllegalArgumentException(
         "minhash_sig expects (array<string>[, numPerms literal])")
     }),
@@ -65,28 +72,16 @@ object GraftFunctions {
 
 /** `SparkSessionExtensions` hook: inject the graft functions at session
   * build time (usable via `spark.sql.extensions=graft.functions.GraftExtensions`).
+  * Shares `GraftFunctions.sqlFunctions` with registerAll — identical
+  * builders on both paths, including arity/argument validation.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  def apply(e: SparkSessionExtensions): Unit = {
-    e.injectFunction(
-      (org.apache.spark.sql.catalyst.FunctionIdentifier("dot_f32"),
-        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
-          classOf[DotProductF32].getName, "dot_f32"),
-        (es: Seq[Expression]) => DotProductF32(es(0), es(1))))
-    e.injectFunction(
-      (org.apache.spark.sql.catalyst.FunctionIdentifier("cosine_f32"),
-        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
-          classOf[CosineSimF32].getName, "cosine_f32"),
-        (es: Seq[Expression]) => CosineSimF32(es(0), es(1))))
-    e.injectFunction(
-      (org.apache.spark.sql.catalyst.FunctionIdentifier("simhash64"),
-        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
-          classOf[SimHash64].getName, "simhash64"),
-        (es: Seq[Expression]) => SimHash64(es(0))))
-    e.injectFunction(
-      (org.apache.spark.sql.catalyst.FunctionIdentifier("minhash_sig"),
-        new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
-          classOf[MinHashSignature].getName, "minhash_sig"),
-        (es: Seq[Expression]) => MinHashSignature(es.head)))
-  }
+  def apply(e: SparkSessionExtensions): Unit =
+    GraftFunctions.sqlFunctions.foreach { case (name, builder) =>
+      e.injectFunction(
+        (org.apache.spark.sql.catalyst.FunctionIdentifier(name),
+          new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+            classOf[GraftFunctions.type].getName, name),
+          builder))
+    }
 }

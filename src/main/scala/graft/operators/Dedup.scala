@@ -143,13 +143,15 @@ object Dedup {
     val edges = pairs
       .unionAll(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .toDF("src", "dst")
-      .localCheckpoint(true)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
-      .localCheckpoint(true)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    labels.count() // materialize so each round reads the cache, not lineage
     var converged = false
     var rounds = 0
-    while (!converged && rounds < 20) {
+    val maxRounds = 64 // one round per hop of component diameter; near-dup clusters are shallow
+    while (!converged && rounds < maxRounds) {
       val neighborMin = edges
         .join(labels.withColumnRenamed("id", "dst2"), col("dst") === col("dst2"))
         .groupBy(col("src").as("id"))
@@ -157,15 +159,24 @@ object Dedup {
       val next = labels.join(neighborMin, Seq("id"), "left")
         .select(col("id"),
           least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
-        .localCheckpoint(true)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val changed = next.join(labels.withColumnRenamed("label", "old"), "id")
-        .filter(col("label") =!= col("old")).count()
+        .filter(col("label") =!= col("old")).count() // also materializes next
+      labels.unpersist()
       labels = next
       converged = changed == 0
       rounds += 1
     }
-    labels.select(col("id").as("doc_id"), col("label").as("group_id"))
+    // a silently-unconverged result would split components — fail loud
+    if (!converged)
+      throw new IllegalStateException(
+        s"nearDupGroups did not converge in $maxRounds rounds")
+    val out = labels.select(col("id").as("doc_id"), col("label").as("group_id"))
       .orderBy("doc_id")
+      .localCheckpoint(true)
+    labels.unpersist()
+    edges.unpersist()
+    out
   }
 
   // ---- entries -----------------------------------------------------------

@@ -83,10 +83,11 @@ object Ivf {
   def invalidateIndex(): Unit = centroidCache.clear()
 
   def fittedCentroids(emb: DataFrame, k: Int, iters: Int): IndexedSeq[Array[Float]] = {
-    if (centroidCache.size > 64) centroidCache.clear()
-    centroidCache.getOrElseUpdate(
-      (emb.queryExecution.analyzed.semanticHash().toString, k, iters),
-      fitCentroids(emb, k, iters))
+    val key = (emb.queryExecution.analyzed.semanticHash().toString, k, iters)
+    // bound the memo by evicting strangers, never the key being served
+    if (centroidCache.size > 64)
+      centroidCache.keys.find(_ != key).foreach(centroidCache.remove)
+    centroidCache.getOrElseUpdate(key, fitCentroids(emb, k, iters))
   }
 
   /** Top-k neighbors for each probe query via nprobe-bounded IVF over

@@ -33,6 +33,22 @@ object TextAnalysis {
   private def sqlStopCount(words: Seq[String]): String =
     s"len(list_filter(toks, t -> t IN (${words.map(w => s"'$w'").mkString(", ")})))"
 
+  /** Quality score, defined ONCE for both engines (q18 and the q39
+    * pipeline reuse these; the Column and SQL forms must stay term-
+    * for-term identical for oracle parity).
+    */
+  def qualityScore(toks: Column, nChars: Column): Column =
+    lit(0.4) * least(size(toks), lit(100)) / lit(100.0) +
+      lit(0.4) * stopCount(toks, stopEn) / size(toks) +
+      when(nChars.between(100, 1000), lit(0.2)).otherwise(lit(0.0))
+
+  /** DuckDB mirror of [[qualityScore]] over columns `toks`, `n_chars`. */
+  val qualityScoreSql: String =
+    s"""CAST(0.4 AS DOUBLE) * LEAST(len(toks), 100) / CAST(100.0 AS DOUBLE)
+       |         + CAST(0.4 AS DOUBLE) * ${sqlStopCount(stopEn)} / len(toks)
+       |         + CASE WHEN n_chars BETWEEN 100 AND 1000
+       |                THEN CAST(0.2 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END""".stripMargin
+
   val entries: Seq[QueryEntry] = Seq(
     // Q12 — per-language stats straight off the labeled column.
     QueryEntry.sql(
@@ -128,10 +144,7 @@ object TextAnalysis {
          |  FROM documents
          |), scored AS (
          |  SELECT source,
-         |         CAST(0.4 AS DOUBLE) * LEAST(len(toks), 100) / CAST(100.0 AS DOUBLE)
-         |         + CAST(0.4 AS DOUBLE) * ${sqlStopCount(stopEn)} / len(toks)
-         |         + CASE WHEN n_chars BETWEEN 100 AND 1000
-         |                THEN CAST(0.2 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END
+         |         $qualityScoreSql
          |           AS score
          |  FROM tok
          |)
@@ -139,12 +152,8 @@ object TextAnalysis {
          |FROM scored GROUP BY source ORDER BY source""".stripMargin,
     ) { (s, dir) =>
       val toks = tokens(col("text"))
-      val score =
-        lit(0.4) * least(size(toks), lit(100)) / lit(100.0) +
-          lit(0.4) * stopCount(toks, stopEn) / size(toks) +
-          when(col("n_chars").between(100, 1000), lit(0.2)).otherwise(lit(0.0))
       Tables(s, dir).documentsRebalanced
-        .select(col("source"), score.as("score"))
+        .select(col("source"), qualityScore(toks, col("n_chars")).as("score"))
         .groupBy("source")
         .agg(round(avg("score"), 6).as("avg_quality"), count(lit(1)).as("cnt"))
         .orderBy("source")
@@ -184,10 +193,7 @@ object TextAnalysis {
          |  FROM d
          |), scored AS (
          |  SELECT lang, len(toks) AS n_tok,
-         |         CAST(0.4 AS DOUBLE) * LEAST(len(toks), 100) / CAST(100.0 AS DOUBLE)
-         |         + CAST(0.4 AS DOUBLE) * ${sqlStopCount(stopEn)} / len(toks)
-         |         + CASE WHEN n_chars BETWEEN 100 AND 1000
-         |                THEN CAST(0.2 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END
+         |         $qualityScoreSql
          |           AS score
          |  FROM tok
          |)
@@ -201,11 +207,8 @@ object TextAnalysis {
         .select("sdoc_id")
       val d = docs.join(survivors, col("doc_id") === col("sdoc_id"))
       val toks = tokens(col("text"))
-      val score =
-        lit(0.4) * least(size(toks), lit(100)) / lit(100.0) +
-          lit(0.4) * stopCount(toks, stopEn) / size(toks) +
-          when(col("n_chars").between(100, 1000), lit(0.2)).otherwise(lit(0.0))
-      d.select(col("lang"), size(toks).as("n_tok"), score.as("score"))
+      d.select(col("lang"), size(toks).as("n_tok"),
+          qualityScore(toks, col("n_chars")).as("score"))
         .filter(col("score") >= lit(0.5))
         .groupBy("lang")
         .agg(count(lit(1)).as("cnt"), sum("n_tok").cast("long").as("sum_tokens"))

@@ -34,20 +34,24 @@ object FastOrcSum {
 
   /** Enumerate stripe-aligned splits (footer-only reads, driver-side —
     * the same metadata pass as `reader.cc:99-112`'s planning step).
+    * Paths resolve through the session's Hadoop filesystem, so any
+    * supported scheme (file://, hdfs://, s3a://) works.
     */
-  def stripeSplits(path: String): Seq[StripeSplit] = {
-    val conf = new Configuration()
-    val dir = new java.io.File(path)
+  def stripeSplits(spark: SparkSession, path: String): Seq[StripeSplit] = {
+    val conf = spark.sessionState.newHadoopConf()
+    val root = new Path(path)
+    val fs = root.getFileSystem(conf)
     val files =
-      if (dir.isDirectory)
-        dir.listFiles().filter(_.getName.endsWith(".orc")).map(_.getPath).sorted
-      else Array(path)
-    files.toSeq.flatMap { f =>
-      val reader = OrcFile.createReader(new Path(f), OrcFile.readerOptions(conf))
+      if (fs.getFileStatus(root).isDirectory)
+        fs.listStatus(root).map(_.getPath)
+          .filter(_.getName.endsWith(".orc")).sortBy(_.toString).toSeq
+      else Seq(root)
+    files.flatMap { f =>
+      val reader = OrcFile.createReader(f, OrcFile.readerOptions(conf))
       try {
         import scala.jdk.CollectionConverters._
         reader.getStripes.asScala.map(s =>
-          StripeSplit(f, s.getOffset, s.getLength)).toSeq
+          StripeSplit(f.toString, s.getOffset, s.getLength)).toSeq
       } finally reader.close()
     }
   }
@@ -56,12 +60,13 @@ object FastOrcSum {
     * all stripes, one task per stripe.
     */
   def sumFirstLongColumn(spark: SparkSession, path: String): Long = {
-    val splits = stripeSplits(path)
+    val splits = stripeSplits(spark, path)
     if (splits.isEmpty) return 0L
+    val hconf = org.apache.spark.sql.graft.Shims.broadcastHadoopConf(spark)
     spark.sparkContext
       .parallelize(splits, splits.size)
       .map { s =>
-        val conf = new Configuration()
+        val conf: Configuration = hconf.conf
         val reader = OrcFile.createReader(new Path(s.file), OrcFile.readerOptions(conf))
         try {
           val schema = reader.getSchema

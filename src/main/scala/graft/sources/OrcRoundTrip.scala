@@ -15,13 +15,18 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object OrcRoundTrip {
 
+  /** Scratch location of the ORC copy for (fixture dir, table). */
+  def orcPath(dir: String, name: String): String = {
+    val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    s"${sys.props("java.io.tmpdir")}/graft_orc/$tag/$name"
+  }
+
   /** Write `name` to ORC(snappy) under the engine scratch dir (once per
     * (sfDir, name) — subsequent calls reuse it) and return the ORC-backed
     * frame.
     */
   def orcCopy(spark: SparkSession, dir: String, name: String): DataFrame = {
-    val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
-    val dest = s"${sys.props("java.io.tmpdir")}/graft_orc/$tag/$name"
+    val dest = orcPath(dir, name)
     if (!new java.io.File(dest, "_SUCCESS").exists()) {
       spark.read.parquet(s"$dir/$name.parquet")
         .write.mode("overwrite").option("compression", "snappy").orc(dest)
@@ -76,9 +81,8 @@ object OrcRoundTrip {
     ) { (s, dir) =>
       import s.implicits._
       orcCopy(s, dir, "lineitem") // ensure the ORC copy exists
-      val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
-      val dest = s"${sys.props("java.io.tmpdir")}/graft_orc/$tag/lineitem"
-      Seq(FastOrcSum.sumFirstLongColumn(s, dest)).toDF("sum_ok")
+      Seq(FastOrcSum.sumFirstLongColumn(s, orcPath(dir, "lineitem")))
+        .toDF("sum_ok")
     },
   )
 }

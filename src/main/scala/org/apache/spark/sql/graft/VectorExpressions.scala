@@ -298,4 +298,20 @@ object Shims {
     org.apache.spark.sql.classic.ExpressionUtils.column(e)
   def toExpression(c: Column): Expression =
     org.apache.spark.sql.classic.ExpressionUtils.expression(c)
+
+  /** Broadcast the session Hadoop conf for use inside tasks
+    * (`SerializableConfiguration` is `private[spark]`).
+    */
+  def broadcastHadoopConf(spark: org.apache.spark.sql.SparkSession): HadoopConfBroadcast =
+    new HadoopConfBroadcast(
+      org.apache.spark.util.SerializableConfiguration.broadcast(
+        spark.sparkContext, spark.sessionState.newHadoopConf()))
+}
+
+/** Serializable handle to a broadcast Hadoop configuration. */
+final class HadoopConfBroadcast(
+    private val bc: org.apache.spark.broadcast.Broadcast[
+      org.apache.spark.util.SerializableConfiguration])
+    extends Serializable {
+  def conf: org.apache.hadoop.conf.Configuration = bc.value.value
 }

@@ -97,13 +97,13 @@ class OrcSpec extends SparkSpec {
     assert(FastOrcSum.sumFirstLongColumn(spark,
       "/root/reference/testfiles/store_sales-scale0-parts1.snappy.orc") == 2451897L)
     // fixture table — must equal spark.read.orc(...).agg(sum(first))
-    val dest = s"${sys.props("java.io.tmpdir")}/graft_orc/_root_testdata_sf0.001/lineitem"
     OrcRoundTrip.orcCopy(spark, sf, "lineitem") // ensure written
+    val dest = OrcRoundTrip.orcPath(sf, "lineitem")
     val df = spark.read.orc(dest)
     val expected = df.agg(sum(col(df.columns.head))).head.getLong(0)
     assert(FastOrcSum.sumFirstLongColumn(spark, dest) == expected)
-    // stripe split planning covers every row exactly once
-    assert(FastOrcSum.stripeSplits(dest).nonEmpty)
+    // stripe split planning finds the stripes
+    assert(FastOrcSum.stripeSplits(spark, dest).nonEmpty)
   }
 
   test("ORC scan prunes columns and pushes filters (Tier B sargs)") {
