@@ -214,5 +214,37 @@ object TextAnalysis {
         .agg(count(lit(1)).as("cnt"), sum("n_tok").cast("long").as("sum_tokens"))
         .orderBy("lang")
     },
+
+    // Deterministic stratified sampling — the training-data staple that
+    // must be reproducible across reruns and engines: membership is a
+    // pure function of the row key (md5-derived 60-bit hash threshold),
+    // with per-language rates. No RNG state, no seed plumbing, exactly
+    // rerunnable at any scale — and therefore oracle-able.
+    QueryEntry.sql(
+      "q41_stratified_sample",
+      """WITH hashed AS (
+        |  SELECT lang, doc_id,
+        |         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+        |           % 100 AS bucket
+        |  FROM documents
+        |)
+        |SELECT lang, COUNT(*) AS n_sampled,
+        |       CAST(MIN(doc_id) AS BIGINT) AS min_id,
+        |       CAST(MAX(doc_id) AS BIGINT) AS max_id
+        |FROM hashed
+        |WHERE bucket < CASE lang WHEN 'en' THEN 50 ELSE 20 END
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+    ) { (s, dir) =>
+      val bucket =
+        conv(substring(md5(col("doc_id").cast(StringType).cast(BinaryType)), 1, 15), 16, 10)
+          .cast(LongType) % 100
+      Tables(s, dir).documentsRebalanced
+        .select(col("lang"), col("doc_id"), bucket.as("bucket"))
+        .filter(col("bucket") < when(col("lang") === "en", 50).otherwise(20))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_sampled"),
+          min("doc_id").as("min_id"), max("doc_id").as("max_id"))
+        .orderBy("lang")
+    },
   )
 }
