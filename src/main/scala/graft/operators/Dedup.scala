@@ -286,6 +286,56 @@ object Dedup {
          |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
     ) { (s, dir) => nearDupGroups(Tables(s, dir).documents) },
 
+    // Decontamination: drop training docs whose normalized-text
+    // fingerprint appears in the eval set (here: a deterministic
+    // doc_id-slice standing in for a benchmark) — the train/test
+    // overlap check every corpus pipeline runs. Anti-join on the
+    // fingerprint = shuffle on the hash key; eval sets are small so
+    // Catalyst broadcasts them.
+    QueryEntry.sql(
+      "q42_decontaminate",
+      """WITH fp AS (
+        |  SELECT doc_id, lang,
+        |         md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp
+        |  FROM documents
+        |), eval_set AS (
+        |  SELECT DISTINCT fp FROM fp WHERE doc_id % 97 = 0
+        |)
+        |SELECT lang, COUNT(*) AS n_clean
+        |FROM fp
+        |WHERE fp NOT IN (SELECT fp FROM eval_set)
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+    ) { (s, dir) =>
+      val fp = Tables(s, dir).documentsRebalanced.select(
+        col("doc_id"), col("lang"),
+        md5(regexp_replace(lower(col("text")), "\\s+", " ").cast(BinaryType)).as("fp"))
+      val evalSet = fp.filter(col("doc_id") % 97 === 0).select("fp").distinct()
+      fp.join(evalSet, Seq("fp"), "left_anti")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_clean"))
+        .orderBy("lang")
+    },
+
+    // Deterministic training-order shuffle: a reproducible global
+    // permutation via hash-ordering — what "shuffle the corpus" means
+    // when the run must be replayable. Total order, no RNG state; at
+    // scale this is a range-partitioned sort on the hash.
+    QueryEntry.sql(
+      "q43_deterministic_shuffle",
+      """SELECT doc_id,
+        |       md5('shuf' || CAST(doc_id AS VARCHAR)) AS shuffle_key
+        |FROM documents
+        |ORDER BY shuffle_key, doc_id
+        |LIMIT 100""".stripMargin,
+    ) { (s, dir) =>
+      Tables(s, dir).documents
+        .select(col("doc_id"),
+          md5(concat(lit("shuf"), col("doc_id").cast(StringType)).cast(BinaryType))
+            .as("shuffle_key"))
+        .orderBy("shuffle_key", "doc_id")
+        .limit(100)
+    },
+
     // SimHash signatures from md5-derived 60-bit token hashes — the
     // hash is rebuilt in pure integer SQL on the DuckDB side, so even
     // this hash-based operator gets a value-exact oracle.
