@@ -72,6 +72,35 @@ object Analytic {
         )
     },
 
+    // Window-function breadth: lag deltas and bounded-frame moving
+    // averages per user over event time (the session-analytics shape).
+    // Frames are fully ordered (ts is ns-unique per user) so float
+    // accumulation order is identical in both engines.
+    QueryEntry.sql(
+      "q44_window_breadth",
+      """SELECT user_id, event_id,
+        |       ROUND(value - LAG(value, 1, 0.0) OVER w, 6) AS delta,
+        |       ROUND(AVG(value) OVER (w ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 6)
+        |         AS mov_avg,
+        |       ROW_NUMBER() OVER w AS rn
+        |FROM events
+        |WHERE user_id < 5
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        |ORDER BY user_id, rn""".stripMargin,
+    ) { (s, dir) =>
+      val w = Window.partitionBy("user_id").orderBy("ts")
+      val wf = w.rowsBetween(-3, Window.currentRow)
+      Tables(s, dir).events
+        .filter(col("user_id") < 5)
+        .select(
+          col("user_id"), col("event_id"),
+          round(col("value") - lag(col("value"), 1, 0.0).over(w), 6).as("delta"),
+          round(avg(col("value")).over(wf), 6).as("mov_avg"),
+          row_number().over(w).as("rn"),
+        )
+        .orderBy("user_id", "rn")
+    },
+
     // As-of join — an operator Spark lacks natively (guide's canonical
     // custom-operator case), composed Spark-first: union the two
     // keyed timelines, one pass of `last(_, ignoreNulls)` over a
