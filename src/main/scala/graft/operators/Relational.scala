@@ -246,6 +246,34 @@ object Relational {
         .orderBy("p_partkey")
     },
 
+    // Outer-join breadth: FULL OUTER between the customer and orders
+    // key spaces, classified into matched / customer-only /
+    // orders-only — the remaining join family (inner, semi, anti,
+    // broadcast, as-of are covered elsewhere).
+    QueryEntry.sql(
+      "q45_outer_join",
+      """SELECT CASE WHEN c_custkey IS NULL THEN 'orders_only'
+        |            WHEN o_custkey IS NULL THEN 'customer_only'
+        |            ELSE 'matched' END AS side,
+        |       COUNT(*) AS cnt
+        |FROM (SELECT DISTINCT c_custkey FROM customer) c
+        |FULL OUTER JOIN (SELECT DISTINCT o_custkey FROM orders) o
+        |  ON c_custkey = o_custkey
+        |GROUP BY 1 ORDER BY side""".stripMargin,
+    ) { (s, dir) =>
+      val t = Tables(s, dir)
+      val c = t.customer.select(col("c_custkey")).distinct()
+      val o = t.orders.select(col("o_custkey")).distinct()
+      c.join(o, col("c_custkey") === col("o_custkey"), "full_outer")
+        .select(
+          when(col("c_custkey").isNull, "orders_only")
+            .when(col("o_custkey").isNull, "customer_only")
+            .otherwise("matched").as("side"))
+        .groupBy("side")
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy("side")
+    },
+
     // Row-to-text (Tier B: the reference links orc::ColumnPrinter,
     // `reader.cc:2`): rows serialized as JSON. Rows-only — JSON
     // whitespace/escaping conventions differ across engines.
