@@ -15,24 +15,34 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object OrcRoundTrip {
 
-  /** Scratch location of the ORC copy for (fixture dir, table). */
+  /** Scratch location of the ORC copy for (fixture dir, table). The
+    * path is keyed on the source file's (mtime, size) fingerprint so a
+    * regenerated fixture can never be shadowed by a stale staged copy.
+    */
   def orcPath(dir: String, name: String): String = {
     val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
-    s"${sys.props("java.io.tmpdir")}/graft_orc/$tag/$name"
+    val src = new java.io.File(s"$dir/$name.parquet")
+    val fp = s"${src.lastModified()}_${src.length()}"
+    s"${sys.props("java.io.tmpdir")}/graft_orc/$tag/${name}_$fp"
   }
 
   /** Write `name` to ORC(snappy) under the engine scratch dir (once per
-    * (sfDir, name) — subsequent calls reuse it) and return the ORC-backed
-    * frame.
+    * (sfDir, name, source fingerprint) — subsequent calls reuse it) and
+    * return the ORC-backed frame.
     */
   def orcCopy(spark: SparkSession, dir: String, name: String): DataFrame = {
     val dest = orcPath(dir, name)
-    if (!new java.io.File(dest, "_SUCCESS").exists()) {
+    if (stagedOk.add(dest) && !new java.io.File(dest, "_SUCCESS").exists()) {
       spark.read.parquet(s"$dir/$name.parquet")
         .write.mode("overwrite").option("compression", "snappy").orc(dest)
     }
     spark.read.orc(dest)
   }
+
+  /** Destinations already confirmed this JVM — skips the per-call
+    * filesystem existence probe on the bench's hot path.
+    */
+  private val stagedOk = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
   val entries: Seq[QueryEntry] = Seq(
     // Parquet → ORC(snappy) → scan → grouped agg; oracle runs on the
@@ -59,16 +69,20 @@ object OrcRoundTrip {
     },
 
     // The reference program itself — SUM of the first column of an ORC
-    // table (`reader.cc:161`) — over the ORC copy: scan + partial/final
-    // sum entirely on the ORC path, including a pushed filter to prove
-    // sargs/row-group skipping survives the round trip.
+    // table (`reader.cc:161`) — over the ORC copy, behind a sarg-able
+    // range predicate: `l_partkey BETWEEN` reaches the ORC reader as
+    // PushedFilters (unlike a modulo, which Spark evaluates post-scan),
+    // so row-group skipping genuinely participates in this query.
+    // OrcSpec asserts the pushdown plan string; the metrics-based
+    // skipping proof (output rows ≪ table rows on a multi-stripe sorted
+    // copy) lives in OrcSpec's stride-skip test.
     QueryEntry.sql(
       "q28_orc_sum_filtered",
       """SELECT CAST(SUM(l_orderkey) AS BIGINT) AS sum_ok, COUNT(*) AS cnt
-        |FROM lineitem WHERE l_partkey % 10 = 3""".stripMargin,
+        |FROM lineitem WHERE l_partkey BETWEEN 100 AND 400""".stripMargin,
     ) { (s, dir) =>
       orcCopy(s, dir, "lineitem")
-        .filter(col("l_partkey") % 10 === 3)
+        .filter(col("l_partkey").between(100, 400))
         .agg(sum("l_orderkey").as("sum_ok"), count(lit(1)).as("cnt"))
     },
     // The reference program through the hot path: stripe-parallel

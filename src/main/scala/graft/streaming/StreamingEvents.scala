@@ -79,11 +79,17 @@ object StreamingEvents {
       .orderBy("user_id")
   }
 
+  /** The file streaming source requires a directory; the fixture is a
+    * single parquet file — stage a copy under scratch. The staging dir
+    * is keyed on the source's (mtime, size) fingerprint so a
+    * regenerated fixture can never be shadowed by a stale staged copy.
+    */
   private def stagedStreamSource(spark: SparkSession, dir: String): String = {
     val src = java.nio.file.Paths.get(s"$dir/events.parquet")
+    val f = src.toFile
     val streamDir = java.nio.file.Paths.get(
       sys.props("java.io.tmpdir"), "graft_stream_src",
-      dir.replaceAll("[^A-Za-z0-9.]", "_"))
+      dir.replaceAll("[^A-Za-z0-9.]", "_") + s"_${f.lastModified()}_${f.length()}")
     java.nio.file.Files.createDirectories(streamDir)
     val dest = streamDir.resolve("events.parquet")
     if (!java.nio.file.Files.exists(dest))

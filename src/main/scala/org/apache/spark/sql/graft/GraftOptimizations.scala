@@ -7,14 +7,18 @@ import org.apache.spark.sql.types._
 
 /** Optimizer rewrite (SURVEY §4.3): the documented *semantic* form of
   * the float dot product —
-  * `aggregate(zip_with(a, b, (x,y) -> x*y), 0D, (acc,v) -> acc+v)` —
-  * is replaced by the codegen [[DotProductF32]] loop whenever both
-  * inputs are float arrays. Users (and the oracle suite) write the
-  * portable HOF; the optimizer supplies the fast path — the same
-  * contract Catalyst applies to its own rewrites.
+  * `aggregate(zip_with(a, b, (x,y) -> CAST(x AS DOUBLE) * CAST(y AS
+  * DOUBLE)), 0D, (acc,v) -> acc+v)` — is replaced by the codegen
+  * [[DotProductF32]] loop whenever both inputs are float arrays. Users
+  * (and the oracle suite) write the portable HOF; the optimizer
+  * supplies the fast path — the same contract Catalyst applies to its
+  * own rewrites.
   *
   * Matching is deliberately conservative: any deviation from the
-  * canonical shape keeps the original expression.
+  * canonical shape keeps the original expression. In particular the
+  * raw-float multiply `(x,y) -> x*y` is NOT rewritten — its products
+  * round to float precision, whereas DotProductF32 multiplies in
+  * double, so that rewrite would change results.
   */
 object RewriteHofDotProduct extends Rule[LogicalPlan] {
 
@@ -23,11 +27,16 @@ object RewriteHofDotProduct extends Rule[LogicalPlan] {
     case _ => false
   }
 
-  /** x*y (with arbitrary numeric casts) over exactly the two lambda args. */
+  /** x*y over exactly the two lambda args, allowing only the
+    * value-preserving float→double widening cast. Any other cast (e.g.
+    * a truncating CAST(x AS INT) re-widened to double) changes the
+    * product's value, so stripping it would make the rewrite unsound —
+    * those shapes keep the original expression.
+    */
   private def isPairwiseMultiply(f: Expression, x: NamedLambdaVariable,
       y: NamedLambdaVariable): Boolean = {
     def strip(e: Expression): Expression = e match {
-      case Cast(c, _, _, _) => strip(c)
+      case Cast(c, DoubleType, _, _) if c.dataType == FloatType => strip(c)
       case other => other
     }
     f match {
@@ -47,7 +56,17 @@ object RewriteHofDotProduct extends Rule[LogicalPlan] {
     case _ => false
   }
 
-  /** acc+v (any order, arbitrary casts) over the two merge args. */
+  /** acc+v (either order) over exactly the two bare merge args.
+    *
+    * Deliberately no cast-stripping here: the raw-float multiply form
+    * `(x,y) -> x*y` produces float-precision products (the analyzer
+    * then wraps the merge arg as Cast(v AS DOUBLE)), while
+    * DotProductF32 multiplies in double — different rounding, so that
+    * shape must NOT rewrite. The canonical rewritten form is the
+    * explicit double-cast multiply
+    * `(x,y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)`, whose merge args
+    * are already double and arrive bare.
+    */
   private def isSumMerge(f: Expression, acc: NamedLambdaVariable,
       v: NamedLambdaVariable): Boolean = f match {
     case Add(l, r, _) =>

@@ -8,9 +8,11 @@ import org.apache.spark.sql.types._
 
 /** Native codegen expressions for embedding vectors (SURVEY §4.3 item 1).
   *
-  * The semantics are identical to the higher-order-function form
-  * `aggregate(zip_with(a, b, (x,y) -> x*y), 0D, (acc,x) -> acc+x)` (which
-  * the test suite uses as the oracle); this form stays inside
+  * The semantics are identical to the double-cast higher-order-function
+  * form `aggregate(zip_with(a, b, (x,y) -> CAST(x AS DOUBLE) * CAST(y
+  * AS DOUBLE)), 0D, (acc,x) -> acc+x)` (which the test suite uses as
+  * the oracle — the raw-float `x*y` form rounds each product to float
+  * precision and is deliberately not equivalent); this form stays inside
   * whole-stage codegen with a primitive float loop — the "keep the hot
   * decode loop tight" lesson of the reference's windowed DPU writer
   * (`dpu_decompress.c:134-219`), applied to Spark's execution model.

@@ -25,6 +25,17 @@ class OptimizerRuleSpec extends SparkSpec {
     vals.foreach(v => assert(math.abs(v - 1.0) < 1e-3, v))
   }
 
+  test("value-changing casts in the multiply lambda are not rewritten") {
+    // CAST(x AS INT) truncates — rewriting to dot_f32 would silently
+    // drop the truncation; the rule must keep the original expression.
+    val df = Tables(spark, sf).embeddings
+      .select(col("embedding").as("a"), col("embedding").as("b"))
+    val q = df.selectExpr(
+      "aggregate(zip_with(a, b, (x, y) -> CAST(CAST(x AS INT) AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0 AS DOUBLE), (acc, v) -> acc + v) AS d")
+    assert(!q.queryExecution.optimizedPlan.toString.contains("dot_f32"),
+      q.queryExecution.optimizedPlan.toString)
+  }
+
   test("non-matching shapes are left alone") {
     val df = Seq((Seq(1.0f, 2.0f), Seq(3.0f, 4.0f))).toDF("a", "b")
     // subtraction merge — not a dot product
