@@ -27,19 +27,22 @@ object Multimodal {
     def decodeToFeatures(payload: Array[Byte]): Array[Float]
   }
 
-  /** Deterministic stand-in: byte histogram moments. Replace with a
-    * real decoder at the same seam.
+  /** Deterministic stand-in: per-bucket byte histogram, normalized to
+    * [0, n_bytes/255]. Accumulation is integer (exact, order-free) with
+    * a single float conversion at the end, so the feature values are
+    * bit-reproducible in any engine — which is what lets q26 carry a
+    * real DuckDB oracle. Replace with a real decoder at the same seam.
     */
   object StubCodec extends MediaCodec {
     val featureDim = 8
     def decodeToFeatures(payload: Array[Byte]): Array[Float] = {
-      val f = new Array[Float](featureDim)
+      val sums = new Array[Long](featureDim)
       var i = 0
       while (i < payload.length) {
-        f(i % featureDim) += (payload(i) & 0xff) / 255.0f
+        sums(i % featureDim) += (payload(i) & 0xff)
         i += 1
       }
-      f
+      sums.map(s => (s / 255.0).toFloat)
     }
   }
 
@@ -92,13 +95,34 @@ object Multimodal {
         .orderBy("doc_id")
     },
 
-    // Feature-extraction rollup through the batched decode seam
-    // (rows-only: the stub codec is engine-side; the spec suite pins
-    // its values).
-    QueryEntry.rowsOnly("q26_media_features") { (s, dir) =>
+    // Feature-extraction through the batched decode seam, under the
+    // full DuckDB differential gate: the oracle re-derives the stub
+    // codec's bucket-0 feature from raw UTF-8 bytes (hex-pair
+    // extraction), exact because accumulation is integer on both sides
+    // and the single float conversion is mirrored with CAST AS FLOAT.
+    QueryEntry.sql(
+      "q26_media_features",
+      """WITH raw AS (
+        |  SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+        |         hex(encode(text)) AS h
+        |  FROM documents
+        |), bytes AS (
+        |  SELECT doc_id, h, unnest(range(0, n_bytes)) AS i FROM raw
+        |), sums AS (
+        |  SELECT doc_id,
+        |         SUM(CASE WHEN i % 8 = 0
+        |                  THEN CAST('0x' || substr(h, CAST(2*i+1 AS BIGINT), 2) AS BIGINT)
+        |                  ELSE 0 END) AS s0
+        |  FROM bytes GROUP BY doc_id
+        |)
+        |SELECT r.doc_id, r.n_bytes,
+        |       ROUND(CAST(CAST(COALESCE(s.s0, 0) / 255.0 AS FLOAT) AS DOUBLE), 4) AS f0
+        |FROM raw r LEFT JOIN sums s ON r.doc_id = s.doc_id
+        |ORDER BY r.doc_id""".stripMargin,
+    ) { (s, dir) =>
       extractFeatures(s, dir).toDF()
         .select(col("doc_id"), col("n_bytes"),
-          round(element_at(col("features"), 1), 4).as("f0"))
+          round(element_at(col("features"), 1).cast(DoubleType), 4).as("f0"))
         .orderBy("doc_id")
     },
   )

@@ -275,11 +275,32 @@ object Relational {
     },
 
     // Row-to-text (Tier B: the reference links orc::ColumnPrinter,
-    // `reader.cc:2`): rows serialized as JSON. Rows-only — JSON
-    // whitespace/escaping conventions differ across engines.
-    QueryEntry.rowsOnly("q31_row_to_json") { (s, dir) =>
+    // `reader.cc:2`): rows serialized as JSON. The serialization is
+    // spelled out field-by-field (compact separators, JSON string
+    // escaping via the same replace chain) so both engines emit
+    // byte-identical text; RelationalSpec asserts this manual form
+    // equals Spark's own `to_json(struct(*))` on this table.
+    QueryEntry.sql(
+      "q31_row_to_json",
+      """SELECT n_nationkey,
+        |       '{"n_nationkey":' || CAST(n_nationkey AS VARCHAR)
+        |       || ',"n_name":"'
+        |       || replace(replace(n_name, '\', '\\'), '"', '\"')
+        |       || '","n_regionkey":' || CAST(n_regionkey AS VARCHAR) || '}' AS js
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
+    ) { (s, dir) =>
+      val esc = replace(replace(col("n_name"), lit("\\"), lit("\\\\")),
+        lit("\""), lit("\\\""))
       Tables(s, dir).nation
-        .select(col("n_nationkey"), to_json(struct(col("*"))).as("js"))
+        .select(
+          col("n_nationkey"),
+          concat(
+            lit("{\"n_nationkey\":"), col("n_nationkey").cast(StringType),
+            lit(",\"n_name\":\""), esc,
+            lit("\",\"n_regionkey\":"), col("n_regionkey").cast(StringType),
+            lit("}"),
+          ).as("js"),
+        )
         .orderBy("n_nationkey")
     },
   )

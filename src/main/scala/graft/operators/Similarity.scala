@@ -37,29 +37,54 @@ object Similarity {
       .limit(k)
   }
 
-  /** 16-bit random-hyperplane LSH bucket per vector. Hyperplane
-    * component (p, d) = xxhash64(p, d) scaled to [-1, 1] — fully
-    * deterministic, data-independent, needs no fitted model.
+  /** Hyperplane component (p, d): splitmix-style scramble of (plane,
+    * dim) mapped into [-1, 1] — fully deterministic, data-independent,
+    * plain constants stable across JVMs (and inlinable into the DuckDB
+    * oracle as exact double literals).
+    */
+  private[operators] def planeComponent(p: Int, d: Int): Float = {
+    var z = p.toLong * 0x9e3779b97f4a7c15L + d.toLong * 0xc2b2ae3d27d4eb4fL
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    ((z ^ (z >>> 31)).toDouble / Long.MaxValue.toDouble).toFloat
+  }
+
+  /** 16-bit random-hyperplane LSH bucket per vector, needs no fitted
+    * model.
     */
   def lshBuckets(emb: DataFrame, planes: Int = 16, dim: Int = 64): DataFrame = {
-    def component(p: Int, d: Int): Float =
-      // splitmix-style scramble of (plane, dim), mapped into [-1, 1];
-      // plain constants, stable across JVMs.
-      {
-        var z = p.toLong * 0x9e3779b97f4a7c15L + d.toLong * 0xc2b2ae3d27d4eb4fL
-        z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-        z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-        ((z ^ (z >>> 31)).toDouble / Long.MaxValue.toDouble).toFloat
-      }
     val bucket = (0 until planes).map { p =>
       // Each hyperplane is a literal float vector; the projection runs
       // through the codegen dot_f32 loop instead of `dim` element_at
       // calls per plane.
-      val plane = typedlit((0 until dim).map(d => component(p, d)).toArray)
+      val plane = typedlit((0 until dim).map(d => planeComponent(p, d)).toArray)
       when(GraftFunctions.dotF32(col("embedding"), plane) >= 0, lit(1L << p))
         .otherwise(lit(0L))
     }.reduce(_ + _)
     emb.select(col("vec_id"), bucket.as("bucket"))
+  }
+
+  /** DuckDB mirror of [[lshBuckets]] bucket occupancy: each plane's
+    * projection is spelled as the same left-associated chain of exact
+    * double products that `dot_f32` accumulates ((double)float *
+    * (double)float is exact — 48-bit significand — so both engines add
+    * the identical addend sequence and round identically; the sign
+    * test and bit-packing are then integer-exact). Plane components
+    * are inlined via Double.toString, whose shortest-round-trip
+    * decimal parses back to the exact same binary64 in DuckDB's
+    * string→DOUBLE cast.
+    */
+  def lshBucketsOracleSql(planes: Int = 16, dim: Int = 64): String = {
+    val bucketExpr = (0 until planes).map { p =>
+      val chain = (0 until dim).map { d =>
+        val c = planeComponent(p, d).toDouble
+        s"CAST(embedding[${d + 1}] AS DOUBLE) * CAST('${c.toString}' AS DOUBLE)"
+      }.mkString(" + ")
+      s"(CASE WHEN ($chain) >= 0 THEN ${1L << p} ELSE 0 END)"
+    }.mkString("\n     + ")
+    s"""SELECT bucket, COUNT(*) AS n_vecs
+       |FROM (SELECT CAST($bucketExpr AS BIGINT) AS bucket FROM embeddings) t
+       |GROUP BY bucket ORDER BY bucket""".stripMargin
   }
 
   val entries: Seq[QueryEntry] = Seq(
@@ -110,9 +135,12 @@ object Similarity {
         .orderBy("vec_a", "vec_b")
     },
 
-    // ANN scale path: LSH bucket occupancy (rows-only; recall vs the
-    // brute-force baseline is asserted in the ScalaTest suite).
-    QueryEntry.rowsOnly("q23_ann_lsh_buckets") { (s, dir) =>
+    // ANN scale path: LSH bucket occupancy, under the full DuckDB gate
+    // — the hyperplanes are pure-integer-math constants, so the oracle
+    // recomputes every projection, sign, and packed bucket id from the
+    // same literals (see lshBucketsOracleSql); recall vs the
+    // brute-force baseline is additionally asserted in the spec suite.
+    QueryEntry.sql("q23_ann_lsh_buckets", lshBucketsOracleSql()) { (s, dir) =>
       lshBuckets(Tables(s, dir).embeddings)
         .groupBy("bucket")
         .agg(count(lit(1)).as("n_vecs"))

@@ -30,6 +30,16 @@ class RelationalSpec extends SparkSpec {
     assert(cntQty < cntAll, "NULLIF must produce some nulls on fixture data")
   }
 
+  test("q31 manual JSON serialization equals Spark's to_json") {
+    // The oracled q31 spells the JSON out field-by-field; it must stay
+    // in lockstep with Spark's own row-to-text rendering of the table.
+    val manual = run("q31_row_to_json").select("js").collect().map(_.getString(0))
+    val builtin = Tables(spark, sf).nation
+      .select(col("n_nationkey"), to_json(struct(col("*"))).as("js"))
+      .orderBy("n_nationkey").select("js").collect().map(_.getString(0))
+    assert(manual.sameElements(builtin), s"${manual.head} vs ${builtin.head}")
+  }
+
   test("q07 emits at most rank 3 (plus ties) per status group") {
     val df = run("q07_window_topk")
     assert(df.filter(col("r") > 3).count() == 0)
