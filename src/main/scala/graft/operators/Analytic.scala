@@ -101,6 +101,48 @@ object Analytic {
         .orderBy("user_id", "rn")
     },
 
+    // Window-frame breadth beyond q44: NTILE quartiles, FIRST_VALUE,
+    // CUME_DIST, and a value-based RANGE frame (trailing 30 days of
+    // order value). The RANGE order key is an integer day offset so
+    // both engines frame on identical values; w1 is a total order
+    // (price desc, then unique key) so NTILE/CUME_DIST are
+    // deterministic; the frame sum accumulates in DECIMAL (exact,
+    // order-free).
+    QueryEntry.sql(
+      "q47_window_frames",
+      """SELECT o_orderkey,
+        |       NTILE(4) OVER w1 AS qtile,
+        |       FIRST_VALUE(o_orderkey) OVER w1 AS first_ok,
+        |       ROUND(CUME_DIST() OVER w1, 6) AS cd,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+        |              PARTITION BY o_orderstatus
+        |              ORDER BY date_diff('day', DATE '1990-01-01', CAST(o_orderdate AS DATE))
+        |              RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |         AS rolling_30d
+        |FROM orders WHERE o_custkey < 200
+        |WINDOW w1 AS (PARTITION BY o_orderstatus
+        |              ORDER BY o_totalprice DESC, o_orderkey)
+        |ORDER BY o_orderkey""".stripMargin,
+    ) { (s, dir) =>
+      val w1 = Window.partitionBy("o_orderstatus")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      val w2 = Window.partitionBy("o_orderstatus").orderBy(col("day_off"))
+        .rangeBetween(-30, Window.currentRow)
+      Tables(s, dir).orders
+        .filter(col("o_custkey") < 200)
+        .withColumn("day_off",
+          datediff(col("o_orderdate").cast(DateType), lit("1990-01-01").cast(DateType)))
+        .select(
+          col("o_orderkey"),
+          ntile(4).over(w1).as("qtile"),
+          first(col("o_orderkey")).over(w1).as("first_ok"),
+          round(cume_dist().over(w1), 6).as("cd"),
+          sum(col("o_totalprice").cast(DecimalType(18, 2))).over(w2)
+            .cast(DoubleType).as("rolling_30d"),
+        )
+        .orderBy("o_orderkey")
+    },
+
     // As-of join — an operator Spark lacks natively (guide's canonical
     // custom-operator case), composed Spark-first: union the two
     // keyed timelines, one pass of `last(_, ignoreNulls)` over a

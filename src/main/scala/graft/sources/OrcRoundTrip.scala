@@ -39,6 +39,41 @@ object OrcRoundTrip {
     spark.read.orc(dest)
   }
 
+  /** The full ORC type surface the reference links (`reader.cc:1`
+    * includes orc/OrcFile.hh — struct/list/map/decimal/date among the
+    * column kinds; SURVEY §1.3): lineitem re-shaped so one table
+    * carries STRUCT, ARRAY, MAP, DECIMAL(12,2)/(18,2) and DATE columns.
+    */
+  def nestedProjection(li: DataFrame): DataFrame =
+    li.select(
+      col("l_orderkey"),
+      struct(col("l_partkey").as("pk"), col("l_quantity").as("qty")).as("pq"),
+      array(
+        col("l_extendedprice").cast(DecimalType(18, 2)),
+        col("l_discount").cast(DecimalType(18, 2)),
+      ).as("prices"),
+      map(col("l_returnflag"), col("l_quantity")).as("flag_qty"),
+      col("l_extendedprice").cast(DecimalType(12, 2)).as("price_dec"),
+      col("l_shipdate").cast(DateType).as("ship_date"),
+    )
+
+  /** ORC(snappy) copy of the nested-typed lineitem projection — staged
+    * once per source fingerprint like [[orcCopy]].
+    */
+  def nestedOrcCopy(spark: SparkSession, dir: String): DataFrame = {
+    // fingerprint on the real source file (lineitem.parquet), not the
+    // synthetic table name
+    val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val src = new java.io.File(s"$dir/lineitem.parquet")
+    val dest = s"${sys.props("java.io.tmpdir")}/graft_orc/$tag/" +
+      s"lineitem_nested_${src.lastModified()}_${src.length()}"
+    if (stagedOk.add(dest) && !new java.io.File(dest, "_SUCCESS").exists()) {
+      nestedProjection(spark.read.parquet(s"$dir/lineitem.parquet"))
+        .write.mode("overwrite").option("compression", "snappy").orc(dest)
+    }
+    spark.read.orc(dest)
+  }
+
   /** Destinations already confirmed this JVM — skips the per-call
     * filesystem existence probe on the bench's hot path.
     */
@@ -85,6 +120,37 @@ object OrcRoundTrip {
         .filter(col("l_partkey").between(100, 400))
         .agg(sum("l_orderkey").as("sum_ok"), count(lit(1)).as("cnt"))
     },
+    // Nested / decimal / date ORC round-trip: parquet → nested-typed
+    // projection (struct/array/map/decimal/date) → ORC(snappy) → scan →
+    // aggregates over fields INSIDE the nested types. The oracle
+    // recomputes everything from the flat parquet source, so a match
+    // proves the ORC writer+reader preserve the full type surface.
+    QueryEntry.sql(
+      "q46_orc_nested_types",
+      """SELECT CAST(SUM(l_partkey) AS BIGINT) AS sum_pk,
+        |       SUM(l_quantity) AS sum_qty,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        |       CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sum_disc,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price12,
+        |       SUM(CASE WHEN l_returnflag = 'R' THEN l_quantity END) AS sum_qty_r,
+        |       strftime(MIN(CAST(l_shipdate AS DATE)), '%Y-%m-%d') AS min_ship,
+        |       strftime(MAX(CAST(l_shipdate AS DATE)), '%Y-%m-%d') AS max_ship,
+        |       COUNT(*) AS cnt
+        |FROM lineitem""".stripMargin,
+    ) { (s, dir) =>
+      nestedOrcCopy(s, dir).agg(
+        sum(col("pq.pk")).as("sum_pk"),
+        sum(col("pq.qty")).as("sum_qty"),
+        sum(element_at(col("prices"), 1)).cast(DoubleType).as("sum_price"),
+        sum(element_at(col("prices"), 2)).cast(DoubleType).as("sum_disc"),
+        sum(col("price_dec")).cast(DoubleType).as("sum_price12"),
+        sum(element_at(col("flag_qty"), lit("R"))).as("sum_qty_r"),
+        date_format(min(col("ship_date")), "yyyy-MM-dd").as("min_ship"),
+        date_format(max(col("ship_date")), "yyyy-MM-dd").as("max_ship"),
+        count(lit(1)).as("cnt"),
+      )
+    },
+
     // The reference program through the hot path: stripe-parallel
     // native column-vector scan (FastOrcSum) over the ORC copy — the
     // custom operator itself sits under the DuckDB gate (oracle runs
