@@ -64,6 +64,60 @@ object Similarity {
     emb.select(col("vec_id"), bucket.as("bucket"))
   }
 
+  /** Exact all-pairs cosine pairs at `threshold`, decomposed as a
+    * block-grid theta-join (the 1-bucket-theta shape): vectors hash
+    * into B blocks, the B(B+1)/2 block PAIRS become equi-join keys, and
+    * each block-pair task scores one (n/B)×(n/B) tile. Properties the
+    * 100 TB rule cares about:
+    *  - memory per task = two blocks, bounded by the choice of B — no
+    *    full-table broadcast (the only broadcast is the B(B+1)/2-row
+    *    block-pair table);
+    *  - parallelism = #block pairs ≥ the session's shuffle
+    *    parallelism (B = ⌈√(2·partitions)⌉);
+    *  - shuffle volume = n·(B+1)/2 rows (each row replicated once per
+    *    block pair it participates in).
+    * Quadratic COMPUTE is inherent to exactness over dense vectors —
+    * there is no lossless pruning — so a loud size gate stops
+    * accidental corpus-scale invocation; [[lshBuckets]] / `Ivf` are the
+    * declared approximate scale paths.
+    *
+    * Each unordered pair is produced exactly once: a cross-block pair
+    * (block i < block j) appears only in tile (i,j); a same-block pair
+    * appears twice in tile (i,i) and is halved by `va < vb`.
+    */
+  def exactCosinePairs(emb: DataFrame, threshold: Double,
+      maxRows: Long = 2000000L): DataFrame = {
+    val spark = emb.sparkSession
+    val n = emb.count()
+    require(n <= maxRows,
+      s"exactCosinePairs is exact and therefore O(n²) compute: n=$n exceeds " +
+        s"maxRows=$maxRows — use lshBuckets/Ivf.annSearch for corpus scale, " +
+        "or raise maxRows explicitly")
+    val par = spark.sessionState.conf.numShufflePartitions
+    val nBlocks = math.max(2, math.ceil(math.sqrt(2.0 * par)).toInt)
+    import spark.implicits._
+    val tiles = (for { i <- 0 until nBlocks; j <- i until nBlocks } yield (i, j))
+      .toDF("ba", "bb")
+    val a = emb.select(col("vec_id").as("va"), col("embedding").as("ea"),
+      pmod(col("vec_id"), lit(nBlocks)).cast(IntegerType).as("ba"))
+    val b = emb.select(col("vec_id").as("vb"), col("embedding").as("eb"),
+      pmod(col("vec_id"), lit(nBlocks)).cast(IntegerType).as("bb"))
+    val left = a.join(broadcast(tiles), Seq("ba"))
+      .select((col("ba") * nBlocks + col("bb")).as("pid"),
+        col("va"), col("ea"), col("ba"), col("bb"))
+    val right = b.join(broadcast(tiles), Seq("bb"))
+      .select((col("ba") * nBlocks + col("bb")).as("pid"), col("vb"), col("eb"))
+    left.join(right, Seq("pid"))
+      .filter(col("ba") < col("bb") || col("va") < col("vb"))
+      .select(
+        least(col("va"), col("vb")).as("vec_a"),
+        greatest(col("va"), col("vb")).as("vec_b"),
+        round(GraftFunctions.cosineF32(col("ea"), col("eb")), 6).as("score"),
+      )
+      .filter(col("score") >= threshold)
+      .orderBy("vec_a", "vec_b")
+  }
+
   /** DuckDB mirror of [[lshBuckets]] bucket occupancy: each plane's
     * projection is spelled as the same left-associated chain of exact
     * double products that `dot_f32` accumulates ((double)float *
@@ -102,10 +156,11 @@ object Similarity {
         |LIMIT 20""".stripMargin,
     ) { (s, dir) => topKCosine(Tables(s, dir).embeddings, queryVecId = 42, k = 20) },
 
-    // Embedding-cosine near-dup: exact pairs at rounded cosine ≥ 0.45.
-    // Exactness is the declared semantics, so the engine path is the
-    // (upper-triangle) self-join too; the LSH bucketing below is the
-    // declared approximate path for scale.
+    // Embedding-cosine near-dup: exact pairs at rounded cosine ≥ 0.45,
+    // via the block-grid decomposition below — quadratic COMPUTE is the
+    // operator's declared contract (exactness over dense vectors has no
+    // lossless pruning), but memory and parallelism are both bounded:
+    // no full-table broadcast anywhere in the plan (spec-asserted).
     QueryEntry.sql(
       "q22_embed_neardup",
       """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
@@ -115,25 +170,7 @@ object Similarity {
         |WHERE ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
         |                                   CAST(b.embedding AS DOUBLE[])), 6) >= 0.45
         |ORDER BY vec_a, vec_b""".stripMargin,
-    ) { (s, dir) =>
-      // Exact all-pairs: broadcast one side, repartition the streamed
-      // side so the quadratic work spreads over every core (the fixture
-      // is a single parquet split — without this the nested-loop join
-      // runs on one task). At 100 TB the declared approximate path
-      // (LSH buckets below) replaces the quadratic scan.
-      val emb = Tables(s, dir).embeddings
-      val par = s.sessionState.conf.numShufflePartitions
-      val a = emb.repartition(par, col("vec_id"))
-        .select(col("vec_id").as("vec_a"), col("embedding").as("ea"))
-      val b = emb.select(col("vec_id").as("vec_b"), col("embedding").as("eb"))
-      a.join(broadcast(b), col("vec_a") < col("vec_b"))
-        .select(
-          col("vec_a"), col("vec_b"),
-          round(GraftFunctions.cosineF32(col("ea"), col("eb")), 6).as("score"),
-        )
-        .filter(col("score") >= 0.45)
-        .orderBy("vec_a", "vec_b")
-    },
+    ) { (s, dir) => exactCosinePairs(Tables(s, dir).embeddings, threshold = 0.45) },
 
     // ANN scale path: LSH bucket occupancy, under the full DuckDB gate
     // — the hyperplanes are pure-integer-math constants, so the oracle

@@ -31,6 +31,33 @@ class SimilaritySpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), plan.take(1500))
   }
 
+  test("q22 block-grid exact pairs equal brute-force all-pairs, with no full-table broadcast") {
+    val emb = Tables(spark, sf).embeddings
+    val got = run("q22_embed_neardup")
+    // semantic oracle: the naive upper-triangle self-join
+    val a = emb.select(col("vec_id").as("vec_a"), col("embedding").as("ea"))
+    val b = emb.select(col("vec_id").as("vec_b"), col("embedding").as("eb"))
+    val brute = a.join(b, col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        round(graft.functions.GraftFunctions.cosineF32(col("ea"), col("eb")), 6).as("score"))
+      .filter(col("score") >= 0.45)
+      .orderBy("vec_a", "vec_b")
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(got.as[(Long, Long, Double)].collect().toSeq == brute)
+    // the 100 TB property: no broadcast nested-loop over the table —
+    // the only broadcast is the tiny block-pair tile relation
+    val plan = got.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+  }
+
+  test("exactCosinePairs size gate fails loudly beyond maxRows") {
+    val emb = Tables(spark, sf).embeddings
+    val e = intercept[IllegalArgumentException] {
+      Similarity.exactCosinePairs(emb, 0.45, maxRows = 10L)
+    }
+    assert(e.getMessage.contains("O(n²)"))
+  }
+
   test("lshBuckets is deterministic and bucket-compatible for identical vectors") {
     val emb = Tables(spark, sf).embeddings
     val b1 = Similarity.lshBuckets(emb).as[(Long, Long)].collect().toMap
