@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.expressions.{Expression, XxHash64}
-import org.apache.spark.sql.graft.{CosineSimF32, DotProductF32, MinHashSignature, Shims, SimHash64}
+import org.apache.spark.sql.graft.{CosineSimF32, DotProductF32, MinHashSignature, Shims, SimHash64, SplitMix64}
 import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
 
 /** Column-level API + SQL registration for the graft expressions.
@@ -32,6 +32,11 @@ object GraftFunctions {
   def minhashSig(a: Column, numPerms: Int = 32): Column =
     col(MinHashSignature(expr(a), numPerms))
 
+  /** splitmix64(long) → long: the pinned, engine-independent sketch
+    * hash (codegen).
+    */
+  def splitmix64(c: Column): Column = col(SplitMix64(expr(c)))
+
   /** xxhash64 with an explicit seed (the built-in `xxhash64` function
     * pins seed=42; per-permutation MinHash needs distinct seeds).
     */
@@ -49,6 +54,7 @@ object GraftFunctions {
     "dot_f32" -> (es => { arity("dot_f32", 2)(es); DotProductF32(es(0), es(1)) }),
     "cosine_f32" -> (es => { arity("cosine_f32", 2)(es); CosineSimF32(es(0), es(1)) }),
     "simhash64" -> (es => { arity("simhash64", 1)(es); SimHash64(es(0)) }),
+    "splitmix64" -> (es => { arity("splitmix64", 1)(es); SplitMix64(es(0)) }),
     // optional second arg: permutation count (non-null int literal)
     "minhash_sig" -> (es => es match {
       case Seq(e) => MinHashSignature(e)

@@ -61,15 +61,21 @@ object Analytic {
         .orderBy("l_returnflag")
     },
 
-    // HLL sketch aggregate — the "novel sketch" class. Algorithms (and
-    // thus estimates) differ across engines, so rows-only here; the
-    // spec suite bounds relative error against the exact count.
-    QueryEntry.rowsOnly("q35_approx_distinct") { (s, dir) =>
-      Tables(s, dir).lineitem
-        .agg(
-          approx_count_distinct(col("l_orderkey"), rsd = 0.02).as("approx_orders"),
-          approx_count_distinct(col("l_partkey"), rsd = 0.02).as("approx_parts"),
-        )
+    // HLL sketch — the "novel sketch" custom-operator class. Built on
+    // the pinned SplitMix64 hash so the ESTIMATE itself is
+    // engine-independent and sits under the full DuckDB differential
+    // gate (engine-private approx_count_distinct never could); the
+    // spec suite additionally bounds relative error vs the exact
+    // distinct counts. See graft.operators.Hll.
+    QueryEntry.sql(
+      "q35_approx_distinct",
+      s"""SELECT o.approx_orders, p.approx_parts
+         |FROM (${Hll.oracleSql("lineitem", "l_orderkey", "approx_orders")}) o
+         |CROSS JOIN (${Hll.oracleSql("lineitem", "l_partkey", "approx_parts")}) p""".stripMargin,
+    ) { (s, dir) =>
+      val li = Tables(s, dir).lineitem
+      Hll.estimate(li, "l_orderkey", "approx_orders")
+        .crossJoin(Hll.estimate(li, "l_partkey", "approx_parts"))
     },
 
     // Window-function breadth: lag deltas and bounded-frame moving

@@ -32,12 +32,26 @@ class EngineFacadeSpec extends SparkSpec {
     assert(out == Seq((1L, "a"), (3L, "b")))
   }
 
-  test("approx_count_distinct is within 5% of exact (q35 sketch bound)") {
+  test("HLL sketch estimates are within 5% of exact (q35 sketch bound)") {
     val r = run("q35_approx_distinct").head
     val li = spark.read.parquet(s"$sf/lineitem.parquet")
     val exactOrders = li.select(countDistinct("l_orderkey")).head.getLong(0)
-    val approx = r.getAs[Long]("approx_orders")
-    assert(math.abs(approx - exactOrders).toDouble / exactOrders < 0.05,
-      s"approx=$approx exact=$exactOrders")
+    val exactParts = li.select(countDistinct("l_partkey")).head.getLong(0)
+    val approxOrders = r.getAs[Double]("approx_orders")
+    val approxParts = r.getAs[Double]("approx_parts")
+    assert(math.abs(approxOrders - exactOrders) / exactOrders < 0.05,
+      s"approx=$approxOrders exact=$exactOrders")
+    assert(math.abs(approxParts - exactParts) / exactParts < 0.05,
+      s"approx=$approxParts exact=$exactParts")
+  }
+
+  test("splitmix64 SQL function matches the reference finalizer") {
+    // pinned vectors, independently computable from the published
+    // splitmix64 constants
+    val got = spark.sql(
+      "SELECT splitmix64(CAST(0 AS BIGINT)) a, splitmix64(CAST(12345 AS BIGINT)) b")
+      .head
+    assert(got.getLong(0) == java.lang.Long.parseUnsignedLong("16294208416658607535"))
+    assert(got.getLong(1) == java.lang.Long.parseUnsignedLong("2454886589211414944"))
   }
 }
