@@ -16,12 +16,23 @@ final case class QueryEntry(
     name: String,
     run: (SparkSession, String) => DataFrame,
     oracle: Option[String],
+    oracleGen: Option[(SparkSession, String) => String] = None,
 )
 
 object QueryEntry {
   def sql(name: String, oracleSql: String)(
       fn: (SparkSession, String) => DataFrame): QueryEntry =
     QueryEntry(name, fn, Some(oracleSql))
+
+  /** Oracle SQL generated at Verify time with the live session — for
+    * operators whose oracle embeds a deterministically-FITTED model
+    * (e.g. IVF centroids): the model parameters are inlined as exact
+    * literals, and DuckDB independently re-executes the whole *search*
+    * computation against them.
+    */
+  def dynamicSql(name: String)(gen: (SparkSession, String) => String)(
+      fn: (SparkSession, String) => DataFrame): QueryEntry =
+    QueryEntry(name, fn, None, Some(gen))
 
   /** Rows-only check: no SQL-expressible oracle (hash-function-dependent
     * output etc.); correctness covered by ScalaTest instead.

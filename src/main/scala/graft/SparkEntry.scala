@@ -46,4 +46,11 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     allEntries.flatMap(e => e.oracle.map(e.name -> _)).toMap
+
+  /** Oracles that must be generated with the live session (fitted-model
+    * parameters inlined as literals); merged with [[oracleSql]] by
+    * Verify when writing oracle_sql.json.
+    */
+  def dynamicOracleSql(spark: SparkSession, sfDir: String): Map[String, String] =
+    allEntries.flatMap(e => e.oracleGen.map(g => e.name -> g(spark, sfDir))).toMap
 }

@@ -121,6 +121,92 @@ object Ivf {
       .orderBy("q_id", "rank")
   }
 
+  // ---- DuckDB mirror of the IVF search -------------------------------------
+  //
+  // The fitted quantizer (deterministic: fixed init, fixed Lloyd
+  // iterations) is a model PARAMETER of the search operator; the oracle
+  // inlines its k×dim floats as exact double literals and DuckDB then
+  // independently re-executes the whole search — corpus assignment
+  // (argmax over per-centroid cosines), probe-side centroid ranking,
+  // candidate scoring, and top-k — so q33 sits under the full
+  // differential gate. Exactness rests on the same identity as q23:
+  // (double)float * (double)float is exact, and every accumulation is
+  // spelled as the same left-associated chain cosine_f32 executes, so
+  // both engines round identically at every step.
+
+  private def d2s(d: Double): String = s"CAST('${d.toString}' AS DOUBLE)"
+
+  /** Σ v[i]·c[i] as the left-associated chain of exact products. */
+  private def dotChain(vec: String, c: Array[Float]): String =
+    c.indices.map(i => s"CAST($vec[${i + 1}] AS DOUBLE) * ${d2s(c(i).toDouble)}")
+      .mkString(" + ")
+
+  /** Σ v[i]² as the left-associated chain. */
+  private def normChain(vec: String, dim: Int): String =
+    (0 until dim).map(i =>
+      s"CAST($vec[${i + 1}] AS DOUBLE) * CAST($vec[${i + 1}] AS DOUBLE)")
+      .mkString(" + ")
+
+  /** Σ a[i]·b[i] between two table vectors, left-associated. */
+  private def dotChain2(a: String, b: String, dim: Int): String =
+    (0 until dim).map(i =>
+      s"CAST($a[${i + 1}] AS DOUBLE) * CAST($b[${i + 1}] AS DOUBLE)")
+      .mkString(" + ")
+
+  /** The centroid's ‖c‖² accumulated exactly as cosine_f32 does. */
+  private def centNormSq(c: Array[Float]): Double = {
+    var nb = 0.0
+    var i = 0
+    while (i < c.length) { val y = c(i).toDouble; nb += y * y; i += 1 }
+    nb
+  }
+
+  /** Generated DuckDB SQL equivalent of the q33 IVF search. */
+  def annSearchOracleSql(spark: org.apache.spark.sql.SparkSession, dir: String,
+      nprobe: Int = 3, k: Int = 5, nClusters: Int = 16, iters: Int = 3): String = {
+    val cents = fittedCentroids(Tables(spark, dir).embeddings, nClusters, iters)
+    val dim = cents.head.length
+    val sCols = cents.indices.map { c =>
+      s"(${dotChain("embedding", cents(c))}) / sqrt(na * ${d2s(centNormSq(cents(c)))}) AS s$c"
+    }.mkString(",\n         ")
+    val unions = cents.indices.map { c =>
+      s"SELECT vec_id, embedding, na, $c AS c, s$c AS s FROM scores"
+    }.mkString("\n    UNION ALL ")
+    s"""WITH base AS (
+       |  SELECT vec_id, embedding, (${normChain("embedding", dim)}) AS na
+       |  FROM embeddings
+       |), scores AS (
+       |  SELECT vec_id, embedding, na,
+       |         $sCols
+       |  FROM base
+       |), unp AS (
+       |    $unions
+       |), ranked_c AS (
+       |  SELECT vec_id, embedding, na, c, s,
+       |         row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, c DESC) AS rn
+       |  FROM unp
+       |), corpus AS (
+       |  SELECT vec_id, embedding, na AS ne, c AS cluster FROM ranked_c WHERE rn = 1
+       |), probes AS (
+       |  SELECT vec_id AS q_id, embedding AS q_emb, na AS nq, c AS pcluster
+       |  FROM ranked_c WHERE rn <= $nprobe AND vec_id < 10
+       |), cand AS (
+       |  SELECT p.q_id, co.vec_id,
+       |         ROUND((${dotChain2("p.q_emb", "co.embedding", dim)})
+       |               / sqrt(p.nq * co.ne), 6) AS score
+       |  FROM probes p JOIN corpus co ON co.cluster = p.pcluster
+       |  WHERE co.vec_id <> p.q_id
+       |), topk AS (
+       |  SELECT q_id, vec_id,
+       |         CAST(row_number() OVER (PARTITION BY q_id
+       |                                 ORDER BY score DESC, vec_id) AS INTEGER) AS rank,
+       |         score
+       |  FROM cand
+       |)
+       |SELECT q_id, vec_id, rank, score FROM topk
+       |WHERE rank <= $k ORDER BY q_id, rank""".stripMargin
+  }
+
   val entries: Seq[QueryEntry] = Seq(
     // Centroid computation itself is oracle-able: explode the UDAF's
     // vector output to (label, d, v) and DuckDB recomputes per-dim
@@ -137,9 +223,15 @@ object Ivf {
         .orderBy("label", "d")
     },
 
-    // IVF search for the first 10 vec_ids as probes (rows-only: recall
-    // against brute force is pinned in IvfSpec).
-    QueryEntry.rowsOnly("q33_ann_ivf") { (s, dir) =>
+    // IVF search for the first 10 vec_ids as probes. The fit is
+    // deterministic, so the search is differential-tested end-to-end:
+    // the oracle (generated at Verify time) inlines the fitted
+    // centroids and DuckDB re-executes assignment, probe ranking,
+    // scoring and top-k independently. Recall against brute force is
+    // additionally pinned in IvfSpec.
+    QueryEntry.dynamicSql("q33_ann_ivf") { (s, dir) =>
+      annSearchOracleSql(s, dir, nprobe = 3, k = 5)
+    } { (s, dir) =>
       val emb = Tables(s, dir).embeddings
       annSearch(emb, emb.filter(col("vec_id") < 10), nprobe = 3, k = 5)
     },
