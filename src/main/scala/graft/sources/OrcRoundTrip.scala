@@ -74,6 +74,29 @@ object OrcRoundTrip {
     spark.read.orc(dest)
   }
 
+  /** Hive-partitioned, multi-part ORC(snappy) copy of lineitem —
+    * `l_returnflag=<v>/part-*.orc`, several part files per partition:
+    * the multi-part directory layout the reference's scripts consume
+    * (`scripts/readerThreads.bash:6`,
+    * `tpcds-data-orc32/store_sales/part-00000-...`). Partition values
+    * become directory keys, so an equality predicate prunes whole
+    * directories before any ORC footer is read (spec-asserted via
+    * PartitionFilters + the scan's file-count metric).
+    */
+  def partitionedOrcCopy(spark: SparkSession, dir: String): DataFrame = {
+    val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
+    val src = new java.io.File(s"$dir/lineitem.parquet")
+    val dest = s"${sys.props("java.io.tmpdir")}/graft_orc/$tag/" +
+      s"lineitem_byflag_${src.lastModified()}_${src.length()}"
+    if (stagedOk.add(dest) && !new java.io.File(dest, "_SUCCESS").exists()) {
+      spark.read.parquet(s"$dir/lineitem.parquet")
+        .repartition(4) // several part files per partition directory
+        .write.mode("overwrite").option("compression", "snappy")
+        .partitionBy("l_returnflag").orc(dest)
+    }
+    spark.read.orc(dest)
+  }
+
   /** Destinations already confirmed this JVM — skips the per-call
     * filesystem existence probe on the bench's hot path.
     */
@@ -149,6 +172,27 @@ object OrcRoundTrip {
         date_format(max(col("ship_date")), "yyyy-MM-dd").as("max_ship"),
         count(lit(1)).as("cnt"),
       )
+    },
+
+    // Partitioned multi-file ORC layout under the gate: the engine
+    // reads the Hive-partitioned copy with a partition-key predicate
+    // (pruned to one directory subtree before any footer I/O); the
+    // oracle computes the same rollup from the flat parquet source, so
+    // a match proves partitioned write+read is value-preserving —
+    // including the partition column's round-trip through directory
+    // keys.
+    QueryEntry.sql(
+      "q48_orc_partitioned",
+      """SELECT l_linestatus, CAST(SUM(l_orderkey) AS BIGINT) AS sum_ok,
+        |       COUNT(*) AS cnt
+        |FROM lineitem WHERE l_returnflag = 'R'
+        |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
+    ) { (s, dir) =>
+      partitionedOrcCopy(s, dir)
+        .filter(col("l_returnflag") === "R")
+        .groupBy("l_linestatus")
+        .agg(sum("l_orderkey").as("sum_ok"), count(lit(1)).as("cnt"))
+        .orderBy("l_linestatus")
     },
 
     // The reference program through the hot path: stripe-parallel

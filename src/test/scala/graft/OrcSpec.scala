@@ -103,6 +103,28 @@ class OrcSpec extends SparkSpec {
       s"scan=$scanRows matching=$matching total=$total")
   }
 
+  test("partitioned ORC layout: multi-part files, pruned scan (reference multi-part dirs)") {
+    val df = OrcRoundTrip.partitionedOrcCopy(spark, sf)
+    // multi-part layout: >1 data file under at least one partition dir
+    val q = df.filter(col("l_returnflag") === "R").select("l_orderkey", "l_returnflag")
+    val rows = q.collect().length
+    assert(rows > 0)
+    val scans = q.queryExecution.executedPlan.collectLeaves()
+      .collect { case s: org.apache.spark.sql.execution.FileSourceScanExec => s }
+    assert(scans.nonEmpty)
+    // partition pruning is in the plan, not a post-scan filter
+    val planStr = q.queryExecution.executedPlan.toString
+    assert(planStr.contains("PartitionFilters") && planStr.contains("l_returnflag"),
+      planStr.take(1500))
+    // and it actually pruned: files read < total files in the copy
+    val allFiles = scans.head.relation.location.inputFiles.length
+    val readFiles = scans.map(_.metrics("numFiles").value).sum
+    assert(readFiles < allFiles, s"read $readFiles of $allFiles files — nothing pruned")
+    // the partition column round-trips as a real column
+    assert(df.filter(col("l_returnflag").isNull).count() == 0)
+    assert(df.count() == spark.read.parquet(s"$sf/lineitem.parquet").count())
+  }
+
   test("all ORC codecs round-trip (Tier B codec surface)") {
     val li = spark.read.parquet(s"$sf/lineitem.parquet").limit(200)
     val expected = li.agg(sum("l_orderkey"), count(lit(1))).head
