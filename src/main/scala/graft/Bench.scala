@@ -32,6 +32,10 @@ object Bench {
     val results = SparkEntry.allEntries.map { e =>
       val t =
         try {
+          // attribute native-path scan time and eagerly-materialized
+          // sub-queries to the query about to run
+          metrics.NativeScanTime.drain()
+          metrics.RuntimeBreakdown.drainPending()
           // warmup doubles as the reference-style runtime-breakdown
           // profile (parse_stackcollapse bins)
           val warm = e.run(spark, sfDir)

@@ -48,13 +48,38 @@ object RuntimeBreakdown {
     of(df)
   }
 
+  /** QueryExecutions that ran eagerly INSIDE an operator (e.g. the
+    * pair-set materialized by `localCheckpoint(true)` in the dedup
+    * path) — their metrics would otherwise be invisible to the walk
+    * over the returned frame's plan, leaving those queries' breakdowns
+    * at 0%. Operators note them here; `of` folds them in; the bench
+    * loop drains between queries so time is attributed to the query
+    * that spent it.
+    */
+  private val pending =
+    new java.util.concurrent.ConcurrentLinkedQueue[org.apache.spark.sql.execution.QueryExecution]()
+
+  /** Record `df`'s QueryExecution for breakdown attribution; call just
+    * before an eager materialization of `df` and chain on the SAME
+    * DataFrame instance (the metrics live in its QueryExecution).
+    */
+  def noteExecuted(df: DataFrame): DataFrame = {
+    pending.add(df.queryExecution)
+    df
+  }
+
+  def drainPending(): Unit = pending.clear()
+
   /** Bin a completed query's time-valued metrics by operator family.
     * Call after the action has run (metrics accumulate during
     * execution).
     */
   def of(df: DataFrame): Bin = {
     var scan, shuffle, agg, sort, join, other = 0L
-    walk(df.queryExecution.executedPlan).foreach { node =>
+    // native-path (FastOrcSum) scan time is task-measured, not
+    // SQL-metric'd — fold it into the scan bin
+    scan += NativeScanTime.peekNanos / 1000000L
+    def binPlan(root: SparkPlan): Unit = walk(root).foreach { node =>
       val name = node.nodeName.toLowerCase
       // time-valued metrics are reported in ns ("time total") or ms
       val ms = node.metrics.collect {
@@ -68,6 +93,8 @@ object RuntimeBreakdown {
       else if (name.contains("join")) join += ms
       else other += ms
     }
+    binPlan(df.queryExecution.executedPlan)
+    pending.forEach(qe => binPlan(qe.executedPlan))
     Bin(scan, shuffle, agg, sort, join, other)
   }
 }

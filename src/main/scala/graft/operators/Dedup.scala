@@ -111,7 +111,7 @@ object Dedup {
     val shA = sigs.select(col("doc_id").as("ida"), col("shingles").as("sa"))
     val shB = sigs.select(col("doc_id").as("idb"), col("shingles").as("sb"))
     val inter = size(array_intersect(col("sa"), col("sb")))
-    val out = cand
+    val pre = cand
       .join(shA, col("doc_a") === col("ida"))
       .join(shB, col("doc_b") === col("idb"))
       .select(
@@ -121,9 +121,11 @@ object Dedup {
       )
       .filter(col("inter") * den >= col("uni") * num)
       .orderBy("doc_a", "doc_b")
-      // Materialize (the verified pair set is tiny) so the cached
-      // signature frame can be released before returning.
-      .localCheckpoint(true)
+    // Materialize (the verified pair set is tiny) so the cached
+    // signature frame can be released before returning; note the
+    // executed plan first so its metrics stay visible to the runtime
+    // breakdown (the checkpoint-backed frame has none).
+    val out = graft.metrics.RuntimeBreakdown.noteExecuted(pre).localCheckpoint(true)
     sigs.unpersist()
     out
   }
@@ -171,9 +173,9 @@ object Dedup {
     if (!converged)
       throw new IllegalStateException(
         s"nearDupGroups did not converge in $maxRounds rounds")
-    val out = labels.select(col("id").as("doc_id"), col("label").as("group_id"))
+    val pre = labels.select(col("id").as("doc_id"), col("label").as("group_id"))
       .orderBy("doc_id")
-      .localCheckpoint(true)
+    val out = graft.metrics.RuntimeBreakdown.noteExecuted(pre).localCheckpoint(true)
     labels.unpersist()
     edges.unpersist()
     out

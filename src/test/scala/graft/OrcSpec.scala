@@ -170,6 +170,43 @@ class OrcSpec extends SparkSpec {
     assert(FastOrcSum.stripeSplits(spark, dest).nonEmpty)
   }
 
+  test("FastOrcSum type dispatch: double first columns sum, mismatches fail loudly") {
+    import graft.sources.FastOrcSum
+    val longDest = OrcRoundTrip.orcPath(sf, "lineitem")
+    OrcRoundTrip.orcCopy(spark, sf, "lineitem") // ensure written
+    val dblDest = s"${sys.props("java.io.tmpdir")}/graft_orc_double_spec"
+    spark.read.parquet(s"$sf/lineitem.parquet").select("l_quantity", "l_orderkey")
+      .write.mode("overwrite").option("compression", "snappy").orc(dblDest)
+    val expected = spark.read.orc(dblDest).agg(sum("l_quantity")).head.getDouble(0)
+    val got = FastOrcSum.sumFirstDoubleColumn(spark, dblDest)
+    assert(math.abs(got - expected) / math.abs(expected) < 1e-9, s"$got vs $expected")
+    // wrong-family calls fail with a clear message, not a deep CCE
+    val e1 = intercept[IllegalArgumentException](FastOrcSum.sumFirstLongColumn(spark, dblDest))
+    assert(e1.getMessage.contains("DOUBLE"))
+    val e2 = intercept[IllegalArgumentException](FastOrcSum.sumFirstDoubleColumn(spark, longDest))
+    assert(e2.getMessage.contains("LONG"))
+  }
+
+  test("FastOrcSum sarg pass-through skips row groups (rowsScanned ≪ total)") {
+    import graft.sources.FastOrcSum
+    val dest = s"${sys.props("java.io.tmpdir")}/graft_orc_sarg_spec"
+    spark.read.parquet(s"$sf/lineitem.parquet")
+      .select("l_orderkey").coalesce(1).sortWithinPartitions("l_orderkey")
+      .write.mode("overwrite")
+      .option("compression", "snappy").option("orc.row.index.stride", "1000")
+      .orc(dest)
+    val total = spark.read.orc(dest).count()
+    val expected = spark.read.orc(dest)
+      .filter(col("l_orderkey").between(1, 300))
+      .agg(sum("l_orderkey")).head.getLong(0)
+    val (got, rowsScanned) =
+      FastOrcSum.sumFirstLongColumnFiltered(spark, dest, Some((1L, 300L)))
+    assert(got == expected, s"$got vs $expected")
+    // the sarg skipped most row groups: far fewer rows were delivered
+    // than the table holds
+    assert(rowsScanned < total / 2, s"scanned $rowsScanned of $total rows — no skipping")
+  }
+
   test("ORC scan prunes columns and pushes filters (Tier B sargs)") {
     val df = OrcRoundTrip.orcCopy(spark, sf, "lineitem")
       .filter(col("l_orderkey") > 1000)
