@@ -27,11 +27,69 @@ object TextAnalysis {
   private val stopFr = Seq("le", "la", "de", "et", "les", "un")
   private val stopZh = Seq("的", "是", "了", "在", "和", "有")
 
+  // Char-class marker sets — disjoint across languages (the shared é
+  // is deliberately excluded from both es and fr) so a marker hit is
+  // unambiguous evidence; CJK is a codepoint range. Weighted 3× over
+  // stopword hits: orthography outweighs shared function words.
+  private val markerEs = "ñ¿¡áíóú"
+  private val markerDe = "äöüß"
+  private val markerFr = "èêëàâîïôûùçœ"
+  private val markerZh = "一-鿿" // U+4E00..U+9FFF
+
   private def stopCount(toks: Column, words: Seq[String]): Column =
     size(filter(toks, t => t.isin(words: _*)))
 
   private def sqlStopCount(words: Seq[String]): String =
     s"len(list_filter(toks, t -> t IN (${words.map(w => s"'$w'").mkString(", ")})))"
+
+  private def markerCount(text: Column, cls: String): Column =
+    size(regexp_extract_all(lower(text), lit(s"[$cls]"), lit(0)))
+
+  private def sqlMarkerCount(cls: String): String =
+    s"len(regexp_extract_all(lower(text), '[$cls]'))"
+
+  /** Language-ID: char-class frequency profile (orthographic markers +
+    * CJK range) backed by stopword counts, argmax with the fixed
+    * priority en > es > de > fr > zh on ties. Real multilingual text
+    * scores decisively on markers (TextAnalysisSpec plants native
+    * sentences and asserts a perfect diagonal); text with no
+    * orthographic signal falls back to stopword evidence and finally
+    * to the 'en' prior.
+    */
+  def langPredicted(text: Column): Column = {
+    val toks = tokens(text)
+    val sEn = stopCount(toks, stopEn)
+    val sEs = markerCount(text, markerEs) * 3 + stopCount(toks, stopEs)
+    val sDe = markerCount(text, markerDe) * 3 + stopCount(toks, stopDe)
+    val sFr = markerCount(text, markerFr) * 3 + stopCount(toks, stopFr)
+    val sZh = markerCount(text, markerZh) * 3 + stopCount(toks, stopZh)
+    when(sEn >= sEs && sEn >= sDe && sEn >= sFr && sEn >= sZh, "en")
+      .when(sEs >= sDe && sEs >= sFr && sEs >= sZh, "es")
+      .when(sDe >= sFr && sDe >= sZh, "de")
+      .when(sFr >= sZh, "fr")
+      .otherwise("zh")
+  }
+
+  /** DuckDB mirror of [[langPredicted]] over columns `text`, `toks`. */
+  val langPredictedSql: String =
+    s"""CASE
+       |  WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+       |  WHEN s_es >= s_de AND s_es >= s_fr AND s_es >= s_zh THEN 'es'
+       |  WHEN s_de >= s_fr AND s_de >= s_zh THEN 'de'
+       |  WHEN s_fr >= s_zh THEN 'fr'
+       |  ELSE 'zh'
+       |END""".stripMargin
+
+  /** The per-language score columns for the SQL mirror (same term
+    * order as [[langPredicted]] — integer math, so order is exact
+    * anyway).
+    */
+  val langScoresSql: String =
+    s"""${sqlStopCount(stopEn)} AS s_en,
+       |         ${sqlMarkerCount(markerEs)} * 3 + ${sqlStopCount(stopEs)} AS s_es,
+       |         ${sqlMarkerCount(markerDe)} * 3 + ${sqlStopCount(stopDe)} AS s_de,
+       |         ${sqlMarkerCount(markerFr)} * 3 + ${sqlStopCount(stopFr)} AS s_fr,
+       |         ${sqlMarkerCount(markerZh)} * 3 + ${sqlStopCount(stopZh)} AS s_zh""".stripMargin
 
   /** Quality score, defined ONCE for both engines (q18 and the q39
     * pipeline reuse these; the Column and SQL forms must stay term-
@@ -87,47 +145,31 @@ object TextAnalysis {
         .orderBy("lang")
     },
 
-    // Language-ID: stopword-marker heuristic with a fixed priority order
-    // (en > es > de > fr > zh) on ties; reported as a confusion rollup
-    // against the labeled `lang`.
+    // Language-ID confusion rollup against the labeled `lang`, using
+    // the char-class + stopword scorer. NOTE on the fixture: the
+    // synthetic documents draw from ONE shared English-like vocabulary
+    // for every lang label (verified round 2), so no classifier can
+    // separate them — the rollup shows the honest all-'en' prediction
+    // here, while TextAnalysisSpec plants native-orthography sentences
+    // and asserts the scorer's perfect diagonal on real signal.
     QueryEntry.sql(
       "q17_lang_id",
       s"""WITH tok AS (
-         |  SELECT lang, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+         |  SELECT lang, text,
+         |         regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
          |  FROM documents
          |), scored AS (
          |  SELECT lang,
-         |         ${sqlStopCount(stopEn)} AS c_en,
-         |         ${sqlStopCount(stopEs)} AS c_es,
-         |         ${sqlStopCount(stopDe)} AS c_de,
-         |         ${sqlStopCount(stopFr)} AS c_fr,
-         |         ${sqlStopCount(stopZh)} AS c_zh
+         |         $langScoresSql
          |  FROM tok
          |)
          |SELECT lang,
-         |       CASE
-         |         WHEN c_en >= c_es AND c_en >= c_de AND c_en >= c_fr AND c_en >= c_zh THEN 'en'
-         |         WHEN c_es >= c_de AND c_es >= c_fr AND c_es >= c_zh THEN 'es'
-         |         WHEN c_de >= c_fr AND c_de >= c_zh THEN 'de'
-         |         WHEN c_fr >= c_zh THEN 'fr'
-         |         ELSE 'zh'
-         |       END AS predicted,
+         |       $langPredictedSql AS predicted,
          |       COUNT(*) AS cnt
          |FROM scored GROUP BY 1, 2 ORDER BY lang, predicted""".stripMargin,
     ) { (s, dir) =>
-      val toks = tokens(col("text"))
-      val cEn = stopCount(toks, stopEn)
-      val cEs = stopCount(toks, stopEs)
-      val cDe = stopCount(toks, stopDe)
-      val cFr = stopCount(toks, stopFr)
-      val cZh = stopCount(toks, stopZh)
-      val predicted = when(cEn >= cEs && cEn >= cDe && cEn >= cFr && cEn >= cZh, "en")
-        .when(cEs >= cDe && cEs >= cFr && cEs >= cZh, "es")
-        .when(cDe >= cFr && cDe >= cZh, "de")
-        .when(cFr >= cZh, "fr")
-        .otherwise("zh")
       Tables(s, dir).documentsRebalanced
-        .select(col("lang"), predicted.as("predicted"))
+        .select(col("lang"), langPredicted(col("text")).as("predicted"))
         .groupBy("lang", "predicted")
         .agg(count(lit(1)).as("cnt"))
         .orderBy("lang", "predicted")

@@ -1,0 +1,45 @@
+package graft
+
+import graft.operators.TextAnalysis
+import org.apache.spark.sql.functions._
+
+/** Language-ID scorer semantics on text with REAL signal — the
+  * synthetic fixture draws from one shared English-like vocabulary for
+  * every lang label, so the meaningful diagonal test lives here, on
+  * planted native-orthography sentences.
+  */
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val planted = Seq(
+    ("en", "the cat and the dog of a house is to be seen by the road"),
+    ("en", "a game of chess is a test of patience and the mind"),
+    ("es", "el niño y la niña que está en españa cada año señor"),
+    ("es", "la señora compró pequeños regalos el último día del año"),
+    ("de", "der hund und die katze ist ein tier auf der großen straße"),
+    ("de", "die schöne stadt über dem fluß hat grüne gärten und häuser"),
+    ("fr", "le chat et les chiens où est un peu de café être déjà là"),
+    ("fr", "la fenêtre de l'hôtel s'ouvre sur la forêt française"),
+    ("zh", "的是了在和有我不人这中大为上个国"),
+    ("zh", "今天天气很好我们一起去公园散步吧"),
+  )
+
+  test("lang-ID scores a perfect diagonal on planted native text (>90% required)") {
+    val df = planted.toDF("lang", "text")
+      .select(col("lang"), TextAnalysis.langPredicted(col("text")).as("predicted"))
+    val rows = df.collect().map(r => (r.getString(0), r.getString(1)))
+    val correct = rows.count { case (l, p) => l == p }
+    assert(correct.toDouble / rows.length > 0.9,
+      s"diagonal ${correct}/${rows.length}: ${rows.mkString(", ")}")
+  }
+
+  test("lang-ID falls back to stopword evidence, then the en prior") {
+    val df = Seq(
+      "der und ist das die ein",   // German stopwords, no markers
+      "xyzzy plugh 12345",         // no evidence at all → en prior
+    ).toDF("text").select(TextAnalysis.langPredicted(col("text")).as("p"))
+    val ps = df.as[String].collect()
+    assert(ps(0) == "de", ps.mkString(","))
+    assert(ps(1) == "en", ps.mkString(","))
+  }
+}
