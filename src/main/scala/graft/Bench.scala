@@ -3,19 +3,51 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main (BASELINE.md §2 protocol): every declared query on
-  * `SPARK_GRAFT_SF_DIR`, 1 warmup + 3 timed runs, median wall-clock,
+  * `SPARK_GRAFT_SF_DIR`, 1 warmup + 5 timed runs, median wall-clock,
   * forced through the `noop` sink so the full plan materializes
   * without sink I/O skewing the number (count() would let Catalyst
   * prune the very projections being measured).
   *
   * Emits exactly one JSON line:
-  * {"metric":"total_median_sec","value":N,"unit":"sec","queries":{...},"sf":...}
+  *   {"metric":"total_median_sec","value":N,"unit":"sec",
+  *    "queries":{...},"sf":...,"n_queries":N,"failed":N,
+  *    "vs_prev":{...},"prev":"BENCH_rXX.json"}
+  * `queries` values stay plain seconds (the driver's contract); a
+  * failed query is recorded as -1.0 there, EXCLUDED from the total,
+  * and counted in `failed` so a smaller total can never silently mean
+  * "a query crashed". `vs_prev` is this_run/prev_run per query against
+  * the newest BENCH_r*.json in the working directory (absent when no
+  * prior round exists). The line is also written to BENCH_LAST.json as
+  * a file artifact.
   */
 object Bench {
 
   def median(xs: Seq[Double]): Double = {
     val s = xs.sorted
     s(s.size / 2)
+  }
+
+  /** Per-query seconds from the newest BENCH_r*.json in cwd: scoped to
+    * the text of its "queries":{...} object (flat numbers by
+    * contract), tolerant of the driver's wrapper fields.
+    */
+  def previousQueryTimes(): (Option[String], Map[String, Double]) = {
+    val dirFiles = Option(new java.io.File(".").listFiles()).getOrElse(Array.empty)
+    val benches = dirFiles.filter(_.getName.matches("BENCH_r\\d+\\.json")).sortBy(_.getName)
+    benches.lastOption match {
+      case None => (None, Map.empty)
+      case Some(f) =>
+        val text = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+        val start = text.indexOf("\"queries\":{")
+        if (start < 0) (Some(f.getName), Map.empty)
+        else {
+          val body = text.substring(start + "\"queries\":{".length)
+          val obj = body.substring(0, math.max(0, body.indexOf('}')))
+          val pair = "\"([^\"]+)\":(-?[0-9.eE+]+)".r
+          (Some(f.getName),
+            pair.findAllMatchIn(obj).map(m => m.group(1) -> m.group(2).toDouble).toMap)
+        }
+    }
   }
 
   def main(args: Array[String]): Unit = {
@@ -41,7 +73,7 @@ object Bench {
           val warm = e.run(spark, sfDir)
           System.err.println(
             s"[bench] ${e.name} breakdown: ${metrics.RuntimeBreakdown.profile(warm).render}")
-          median(Seq.fill(3)(time(
+          median(Seq.fill(5)(time(
             e.run(spark, sfDir).write.format("noop").mode("overwrite").save())))
         } catch {
           case ex: Throwable =>
@@ -54,9 +86,21 @@ object Bench {
     val qs = results
       .map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    println(
-      s"""{"metric":"total_median_sec","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val ok = results.collect { case (_, v) if v >= 0 => v }
+    val failed = results.size - ok.size
+    val (prevFile, prev) = previousQueryTimes()
+    val vsPrev = results.collect {
+      case (k, v) if v >= 0 && prev.get(k).exists(_ > 0) =>
+        "\"" + k + "\":" + (math.round(1000.0 * v / prev(k)) / 1000.0)
+    }.mkString("{", ",", "}")
+    val prevTag = prevFile.map(f => s""","prev":"$f"""").getOrElse("")
+    val line =
+      s"""{"metric":"total_median_sec","value":${ok.sum},"unit":"sec","queries":$qs,""" +
+        s""""sf":"$sfDir","n_queries":${results.size},"failed":$failed""" +
+        s""","vs_prev":$vsPrev$prevTag}"""
+    println(line)
+    // file artifact in case the wrapper's stdout scrape misses the line
+    java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_LAST.json"), line + "\n")
     spark.stop()
   }
 }

@@ -62,15 +62,27 @@ object EngineSession {
   def defaultCpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
 
   /** Apply runtime confs + register graft SQL functions on an existing
-    * session (e.g. one built by the driver harness).
+    * session (e.g. one built by the driver harness). Idempotent and
+    * memoized per session: the driver wrapper calls this before every
+    * query, and re-setting ~15 confs plus re-registering every SQL
+    * function was a measurable slice of the old fixed per-query
+    * overhead.
     */
   def tune(spark: SparkSession): SparkSession = {
-    runtimeConf.foreach { case (k, v) => spark.conf.set(k, v) }
-    functions.GraftFunctions.registerAll(spark)
-    val rule = org.apache.spark.sql.graft.RewriteHofDotProduct
-    val em = spark.experimental
-    if (!em.extraOptimizations.contains(rule))
-      em.extraOptimizations = em.extraOptimizations :+ rule
+    if (tuned.add(spark)) {
+      runtimeConf.foreach { case (k, v) => spark.conf.set(k, v) }
+      functions.GraftFunctions.registerAll(spark)
+      val rule = org.apache.spark.sql.graft.RewriteHofDotProduct
+      val em = spark.experimental
+      if (!em.extraOptimizations.contains(rule))
+        em.extraOptimizations = em.extraOptimizations :+ rule
+    }
     spark
   }
+
+  /** Sessions already tuned (weak keys — a stopped session can be
+    * collected).
+    */
+  private val tuned = java.util.Collections.newSetFromMap(
+    new java.util.WeakHashMap[SparkSession, java.lang.Boolean]())
 }

@@ -10,8 +10,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * schemas anywhere.
   */
 final case class Tables(spark: SparkSession, dir: String) {
-  private def t(name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  private def t(name: String): DataFrame = Tables.load(spark, dir, name)
 
   def region: DataFrame = t("region")
   def nation: DataFrame = t("nation")
@@ -50,4 +49,22 @@ object Tables {
     */
   def eventsTsFromNanos: org.apache.spark.sql.Column =
     org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)")
+
+  /** Memoized source frames per (session, dir, table). `spark.read
+    * .parquet` pays file listing + footer schema inference on every
+    * call — a fixed per-query tax that dominated small benchmark
+    * queries (≈0.15 s × 46 queries in round 1). A DataFrame is an
+    * immutable plan over the listing snapshot, so reuse within a
+    * session is sound; if fixture files are rewritten mid-session call
+    * [[invalidate]] (the `REFRESH TABLE` contract, same as
+    * `Ivf.invalidateIndex`).
+    */
+  private val cache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), DataFrame]
+
+  def invalidate(): Unit = cache.clear()
+
+  private[graft] def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    cache.getOrElseUpdate((spark, dir, name),
+      spark.read.parquet(s"$dir/$name.parquet"))
 }

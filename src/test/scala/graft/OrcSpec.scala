@@ -142,9 +142,12 @@ class OrcSpec extends SparkSpec {
     // v2 reader is scoped to this check.
     val key = "spark.sql.sources.useV1SourceList"
     val prev = spark.conf.get(key)
+    OrcRoundTrip.orcCopy(spark, sf, "lineitem") // ensure staged
     try {
       spark.conf.set(key, prev.split(",").filterNot(_ == "orc").mkString(","))
-      val orcDf = OrcRoundTrip.orcCopy(spark, sf, "lineitem")
+      // read fresh (not the memoized frame): the v1/v2 choice is baked
+      // into the plan at read time, and this test needs the v2 reader
+      val orcDf = spark.read.orc(OrcRoundTrip.orcPath(sf, "lineitem"))
         .agg(min("l_orderkey"), max("l_orderkey"), count(lit(1)))
       val plan = orcDf.queryExecution.executedPlan.toString
       assert(plan.contains("PushedAggregation: [MIN(l_orderkey), MAX(l_orderkey), COUNT(*)]"),
