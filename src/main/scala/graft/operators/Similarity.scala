@@ -105,9 +105,17 @@ object Similarity {
     val left = a.join(broadcast(tiles), Seq("ba"))
       .select((col("ba") * nBlocks + col("bb")).as("pid"),
         col("va"), col("ea"), col("ba"), col("bb"))
+      // Distribute the tile workload explicitly: without this, a
+      // small/single-split input lets Catalyst broadcast the joined
+      // side and run every (n/B)² tile on the few input partitions —
+      // the whole quadratic scoring then serializes. One narrow
+      // shuffle of the (replicated) id+vector rows buys tile-count
+      // parallelism; at scale the shuffle is n·(B+1)/2 rows, far
+      // smaller than the join output it parallelizes.
+      .repartition(par, col("pid"))
     val right = b.join(broadcast(tiles), Seq("bb"))
       .select((col("ba") * nBlocks + col("bb")).as("pid"), col("vb"), col("eb"))
-    left.join(right, Seq("pid"))
+    left.join(right.hint("shuffle_hash"), Seq("pid"))
       .filter(col("ba") < col("bb") || col("va") < col("vb"))
       .select(
         least(col("va"), col("vb")).as("vec_a"),
