@@ -22,7 +22,8 @@ object SparkEntry {
       operators.EventsOps.entries ++
       operators.Analytic.entries ++
       operators.Multimodal.entries ++
-      sources.OrcRoundTrip.entries
+      sources.OrcRoundTrip.entries ++
+      sources.BucketedTables.entries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The 3-way broadcast-join revenue rollup (Q6) — the widest slice of

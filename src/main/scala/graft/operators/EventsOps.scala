@@ -1,6 +1,8 @@
 package graft.operators
 
 import graft.{QueryEntry, Tables}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -11,6 +13,40 @@ import org.apache.spark.sql.types._
   * batch ≡ streaming equivalence.
   */
 object EventsOps {
+
+  /** 1 hour in microseconds — the q50 interval length AND bucket width
+    * (bucket = interval length ⇒ every interval spans ≤ 2 buckets,
+    * which is what makes the equi-join decomposition exact).
+    */
+  private val HourUs = 3600L * 1000000L
+
+  /** Interval (range) join decomposed into an equi-join — the operator
+    * Spark would otherwise plan as a broadcast nested-loop. Probe
+    * events (event_id % 10 = 0) open a (t, t+1h] follower window over
+    * the same user's timeline. Buckets of width = interval length mean
+    * every window overlaps exactly 2 buckets, so the probe side is
+    * exploded ×2 and joined on (user, bucket) — a plain
+    * shuffle-partitioned hash join — with the precise range as a
+    * residual condition. Each matching pair is produced exactly once
+    * (the follower's timestamp lies in ONE bucket). At 100 TB this
+    * shuffles each side once on (user, bucket); no quadratic operator
+    * anywhere (spec asserts no BroadcastNestedLoopJoin).
+    */
+  def intervalJoinPairs(events: DataFrame): DataFrame = {
+    val e = events.select(col("user_id"), col("event_id"),
+      unix_micros(col("ts")).as("tus"))
+    val followers = e.select(
+      col("user_id").as("fu"), col("event_id").as("fid"), col("tus").as("ft"))
+      .withColumn("fbucket", expr(s"ft div $HourUs"))
+    val probes = e.filter(col("event_id") % 10 === 0)
+      .select(col("user_id").as("pu"), col("event_id").as("pid"),
+        col("tus").as("pt"))
+      .withColumn("pb", expr(s"pt div $HourUs"))
+      .withColumn("pbucket", explode(array(col("pb"), col("pb") + 1)))
+    probes.join(followers,
+      col("pu") === col("fu") && col("pbucket") === col("fbucket") &&
+        col("ft") > col("pt") && col("ft") <= col("pt") + HourUs)
+  }
 
   val entries: Seq[QueryEntry] = Seq(
     // Q14 — filtered typed rollup (batch form of the streaming agg).
@@ -36,6 +72,80 @@ object EventsOps {
           sum(get_json_object(col("props"), "$.k").cast(LongType)).as("sum_k"),
         )
         .orderBy("event_type")
+    },
+
+    // Sessionization (gaps-and-islands): a new session starts when the
+    // per-user event gap exceeds 30 minutes. One shuffle on user_id,
+    // two window passes (lag flag, running sum), then a grouped
+    // rollup — the canonical distributed sessionization shape; state
+    // never leaves the user partition, so it scales per-key. Gap math
+    // is integer microseconds (exact in both engines); per-user
+    // timestamps are unique so the order is total.
+    QueryEntry.sql(
+      "q49_sessionization",
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS tus
+        |  FROM events WHERE user_id < 20
+        |), flagged AS (
+        |  SELECT user_id, tus,
+        |         CASE WHEN LAG(tus) OVER w IS NULL
+        |                OR tus - LAG(tus) OVER w > 1800000000 THEN 1
+        |              ELSE 0 END AS new_s
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus)
+        |), sess AS (
+        |  SELECT user_id, tus,
+        |         CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY tus
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |           AS session_id
+        |  FROM flagged
+        |)
+        |SELECT user_id, session_id, COUNT(*) AS n_events,
+        |       ROUND((MAX(tus) - MIN(tus)) / CAST(1000000.0 AS DOUBLE), 6) AS dur_sec
+        |FROM sess GROUP BY 1, 2 ORDER BY user_id, session_id""".stripMargin,
+    ) { (s, dir) =>
+      val w = Window.partitionBy("user_id").orderBy("tus")
+      val wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val lagT = lag(col("tus"), 1).over(w)
+      Tables(s, dir).events
+        .filter(col("user_id") < 20)
+        .select(col("user_id"), unix_micros(col("ts")).as("tus"))
+        .withColumn("new_s",
+          when(lagT.isNull || col("tus") - lagT > 1800000000L, 1).otherwise(0))
+        .withColumn("session_id", sum("new_s").over(wcum).cast(LongType))
+        .groupBy("user_id", "session_id")
+        .agg(
+          count(lit(1)).as("n_events"),
+          round((max("tus") - min("tus")) / lit(1000000.0), 6).as("dur_sec"),
+        )
+        .orderBy("user_id", "session_id")
+    },
+
+    // Interval (range) join via bucket decomposition — see
+    // intervalJoinPairs. The oracle states the semantics directly as a
+    // non-equi range join; the engine plan is the ×2-exploded
+    // equi-join, so a hash match proves the decomposition exact.
+    QueryEntry.sql(
+      "q50_range_join",
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS t
+        |  FROM events
+        |)
+        |SELECT a.user_id, COUNT(*) AS n_pairs,
+        |       CAST(MIN(b.event_id) AS BIGINT) AS min_fid,
+        |       CAST(MAX(b.event_id) AS BIGINT) AS max_fid
+        |FROM (SELECT * FROM e WHERE event_id % 10 = 0) a
+        |JOIN e b ON b.user_id = a.user_id
+        |        AND b.t > a.t AND b.t <= a.t + 3600000000
+        |GROUP BY a.user_id ORDER BY a.user_id""".stripMargin,
+    ) { (s, dir) =>
+      intervalJoinPairs(Tables(s, dir).events)
+        .groupBy(col("pu").as("user_id"))
+        .agg(
+          count(lit(1)).as("n_pairs"),
+          min("fid").as("min_fid"),
+          max("fid").as("max_fid"),
+        )
+        .orderBy("user_id")
     },
 
     // Tumbling 1-hour windows — the exact shape the streaming variant

@@ -1,0 +1,47 @@
+package graft
+
+import graft.operators.EventsOps
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Sessionization and interval-join semantics + plan shape. */
+class EventsOpsSpec extends SparkSpec {
+
+  test("q49 sessions: gaps within a session ≤ 30 min, session starts exceed it") {
+    val sessions = run("q49_sessionization")
+    // session ids are dense per user starting at 1
+    val perUser = sessions.groupBy("user_id")
+      .agg(min("session_id").as("lo"), max("session_id").as("hi"),
+        countDistinct("session_id").as("n"))
+      .collect()
+    perUser.foreach { r =>
+      assert(r.getAs[Long]("lo") == 1L)
+      assert(r.getAs[Long]("hi") == r.getAs[Long]("n"))
+    }
+    // event counts conserve
+    val total = sessions.agg(sum("n_events")).head.getLong(0)
+    val expected = Tables(spark, sf).events.filter(col("user_id") < 20).count()
+    assert(total == expected)
+  }
+
+  test("q50 bucket-decomposed interval join equals the naive range join, no BNLJ") {
+    val t = Tables(spark, sf)
+    val got = run("q50_range_join")
+    assert(got.count() > 0, "interval join found no pairs — fixture drifted?")
+    // naive non-equi oracle over the same timeline
+    val e = t.events.select(col("user_id"), col("event_id"),
+      unix_micros(col("ts")).as("tus"))
+    val probes = e.filter(col("event_id") % 10 === 0)
+      .select(col("user_id").as("pu"), col("tus").as("pt"))
+    val naive = probes.join(e,
+        col("pu") === col("user_id") && col("tus") > col("pt") &&
+          col("tus") <= col("pt") + 3600000000L)
+      .groupBy(col("pu").as("user_id"))
+      .agg(count(lit(1)).as("n_pairs"),
+        min("event_id").as("min_fid"), max("event_id").as("max_fid"))
+      .orderBy("user_id")
+    assert(got.collect().toSeq == naive.collect().toSeq)
+    val plan = got.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+  }
+}
