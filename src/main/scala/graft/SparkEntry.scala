@@ -20,6 +20,7 @@ object SparkEntry {
       operators.Similarity.entries ++
       operators.Ivf.entries ++
       operators.EventsOps.entries ++
+      operators.Skew.entries ++
       operators.Analytic.entries ++
       operators.Multimodal.entries ++
       sources.OrcRoundTrip.entries ++

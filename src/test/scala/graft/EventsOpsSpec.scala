@@ -24,6 +24,39 @@ class EventsOpsSpec extends SparkSpec {
     assert(total == expected)
   }
 
+  test("q49 gaps-and-islands sessions ≡ Spark's native session_window") {
+    // same 30-minute gap semantics, two independent formulations; the
+    // per-user multiset of session event-counts must agree (boundary
+    // semantics differ only on exact-30-min gaps, measure-zero on the
+    // ns-unique fixture timeline)
+    val mine = run("q49_sessionization")
+      .groupBy("user_id").agg(sort_array(collect_list("n_events")).as("sizes"))
+    val native = Tables(spark, sf).events.filter(col("user_id") < 20)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .groupBy("user_id").agg(sort_array(collect_list("n_events")).as("sizes"))
+    val m = mine.collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val n = native.collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(m == n)
+  }
+
+  test("q52 salted join equals the unsalted join and spreads the key space") {
+    val t = Tables(spark, sf)
+    val got = run("q52_salted_skew_join").collect().toSeq
+    val plain = t.lineitem
+      .join(t.supplier, col("l_suppkey") === col("s_suppkey"))
+      .groupBy("s_name")
+      .agg(count(lit(1)).as("n_items"), sum("l_quantity").as("sum_qty"))
+      .orderBy("s_name").collect().toSeq
+    assert(got == plain)
+    // the salt actually distributes: every salt value occurs
+    val salted = graft.operators.Skew.saltedJoin(
+      t.lineitem, t.supplier, "l_suppkey", "s_suppkey",
+      graft.functions.GraftFunctions.xxhash64Seeded(7L,
+        col("l_orderkey"), col("l_linenumber")))
+    assert(salted.select(countDistinct("salt")).head.getLong(0) == 8L)
+  }
+
   test("q50 bucket-decomposed interval join equals the naive range join, no BNLJ") {
     val t = Tables(spark, sf)
     val got = run("q50_range_join")
