@@ -84,6 +84,41 @@ object StreamingEvents {
     * is keyed on the source's (mtime, size) fingerprint so a
     * regenerated fixture can never be shadowed by a stale staged copy.
     */
+  /** Streaming sessionization: the q49 semantics as a watermarked
+    * `session_window` streaming aggregation — Spark merges events into
+    * sessions while the gap stays under 30 minutes, state is
+    * partitioned by (user, session window) and expired by the
+    * watermark. Over the bounded fixture with AvailableNow the result
+    * must equal the batch `session_window` groupBy — asserted in
+    * StreamingSpec.
+    */
+  def sessionCounts(spark: SparkSession, dir: String): DataFrame = {
+    val src = stagedStreamSource(spark, dir)
+    val schema = spark.read.parquet(src).schema
+    spark.readStream
+      .schema(schema)
+      .parquet(src)
+      .withColumn("ts", graft.Tables.eventsTsFromNanos)
+      .withWatermark("ts", "1 hour")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("win"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        date_format(col("win.start"), "yyyy-MM-dd HH:mm:ss").as("w"),
+        col("n_events"))
+  }
+
+  /** Run [[sessionCounts]] to completion over the bounded fixture. */
+  def runSessionsToCompletion(spark: SparkSession, dir: String): DataFrame = {
+    val name = s"graft_sessions_${System.identityHashCode(spark)}"
+    val q = sessionCounts(spark, dir).writeStream
+      .format("memory").queryName(name)
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name).orderBy("user_id", "w")
+  }
+
   private def stagedStreamSource(spark: SparkSession, dir: String): String = {
     val src = java.nio.file.Paths.get(s"$dir/events.parquet")
     val f = src.toFile

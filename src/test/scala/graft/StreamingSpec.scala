@@ -16,6 +16,21 @@ class StreamingSpec extends SparkSpec {
     assert(batch.nonEmpty)
   }
 
+  test("streaming session_window sessions ≡ batch session_window") {
+    import org.apache.spark.sql.functions._
+    val streamed = StreamingEvents.runSessionsToCompletion(spark, sf)
+      .collect().map(_.toSeq).toSet
+    val batch = Tables(spark, sf).events
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("win"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        date_format(col("win.start"), "yyyy-MM-dd HH:mm:ss").as("w"),
+        col("n_events"))
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch)
+    assert(batch.nonEmpty)
+  }
+
   test("mapGroupsWithState per-user aggregates ≡ batch groupBy") {
     import org.apache.spark.sql.functions._
     val stateful = StreamingEvents.statefulUserCounts(spark, sf)
