@@ -21,6 +21,7 @@ object SparkEntry {
       operators.Ivf.entries ++
       operators.EventsOps.entries ++
       operators.Skew.entries ++
+      operators.CountMin.entries ++
       operators.Analytic.entries ++
       operators.Multimodal.entries ++
       sources.OrcRoundTrip.entries ++

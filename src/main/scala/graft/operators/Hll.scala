@@ -80,7 +80,11 @@ object Hll {
     s"CAST(((((CAST($a AS HUGEINT) // 4294967296) * $c) % 4294967296) * 4294967296" +
       s" + (CAST($a AS HUGEINT) % 4294967296) * $c) % 18446744073709551616 AS UBIGINT)"
 
-  /** SplitMix64 of a column, bit-identical to the Spark expression. */
+  /** SplitMix64 of a column, bit-identical to the Spark expression.
+    * Shared with the other pinned-hash sketches (see `CountMin`).
+    */
+  def splitmixSqlFor(x: String): String = splitmixSql(x)
+
   private def splitmixSql(x: String): String = {
     val z0 = s"CAST((CAST($x AS HUGEINT) + 11400714819323198485) % 18446744073709551616 AS UBIGINT)"
     val z1 = mulMod(s"xor($z0, $z0 >> 30)", BigInt("13787848793156543929"))

@@ -45,6 +45,19 @@ class EngineFacadeSpec extends SparkSpec {
       s"approx=$approxParts exact=$exactParts")
   }
 
+  test("count-min estimates dominate exact counts with bounded overcount (q53)") {
+    val r = run("q53_countmin_freq").collect()
+    assert(r.nonEmpty)
+    val n = spark.read.parquet(s"$sf/lineitem.parquet").count()
+    r.foreach { row =>
+      val est = row.getAs[Long]("est")
+      val exact = row.getAs[Long]("true_cnt")
+      assert(est >= exact, s"CMS must never undercount: $row")
+      assert(est - exact <= 8 * n / 1024,
+        s"overcount beyond the d=4,w=1024 bound: $row (n=$n)")
+    }
+  }
+
   test("splitmix64 SQL function matches the reference finalizer") {
     // pinned vectors, independently computable from the published
     // splitmix64 constants
