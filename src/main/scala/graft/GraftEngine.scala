@@ -86,4 +86,42 @@ final class GraftEngine(val spark: SparkSession) {
   def extractFeatures(dir: String,
       codec: operators.Multimodal.MediaCodec = operators.Multimodal.StubCodec) =
     operators.Multimodal.extractFeatures(spark, dir, codec)
+
+  /** Exact cosine near-dup pairs via the block-grid theta-join —
+    * bounded memory, size-gated; use [[annSearch]] for corpus scale.
+    */
+  def exactCosinePairs(emb: DataFrame, threshold: Double): DataFrame =
+    operators.Similarity.exactCosinePairs(emb, threshold)
+
+  /** Portable HLL distinct-count estimate (pinned splitmix64 hash —
+    * engine-independent estimates, see operators.Hll).
+    */
+  def approxDistinct(df: DataFrame, column: String): DataFrame =
+    operators.Hll.estimate(df, column, "approx_distinct")
+
+  /** Portable count-min point frequency estimates for `probes`
+    * (column `pk`).
+    */
+  def countMinFrequencies(df: DataFrame, column: String, probes: DataFrame): DataFrame =
+    operators.CountMin.estimates(df, column, probes)
+
+  /** Interval join: probe rows joined to same-user events within the
+    * following hour, via the ×2-bucket equi-join decomposition.
+    */
+  def intervalJoinPairs(events: DataFrame): DataFrame =
+    operators.EventsOps.intervalJoinPairs(events)
+
+  /** Salted fact⨝small equi-join for hot keys — identical results,
+    * skew spread over `salts` shuffle partitions.
+    */
+  def saltedJoin(fact: DataFrame, small: DataFrame, factKey: String,
+      smallKey: String, factSalt: org.apache.spark.sql.Column,
+      salts: Int = 8): DataFrame =
+    operators.Skew.saltedJoin(fact, small, factKey, smallKey, factSalt, salts)
+
+  /** Language prediction column (char-class markers + stopword
+    * evidence, 'en' prior).
+    */
+  def langPredicted(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    operators.TextAnalysis.langPredicted(text)
 }
