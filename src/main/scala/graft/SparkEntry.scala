@@ -22,6 +22,7 @@ object SparkEntry {
       operators.EventsOps.entries ++
       operators.Skew.entries ++
       operators.CountMin.entries ++
+      operators.HistQuantile.entries ++
       operators.Analytic.entries ++
       operators.Multimodal.entries ++
       sources.OrcRoundTrip.entries ++

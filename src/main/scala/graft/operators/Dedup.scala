@@ -181,6 +181,18 @@ object Dedup {
     out
   }
 
+  /** Full-corpus reproducible shuffle: every row keyed by a
+    * deterministic hash and globally sorted. Catalyst plans the total
+    * order as a range-partitioned sort (sampled split points, one
+    * shuffle, per-partition sorts) — the scalable shape for "write the
+    * corpus in shuffled order"; no RNG state, so reruns are identical.
+    */
+  def deterministicShuffle(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("shuffle_key",
+        md5(concat(lit("shuf"), col("doc_id").cast(StringType)).cast(BinaryType)))
+      .orderBy("shuffle_key", "doc_id")
+
   // ---- entries -----------------------------------------------------------
 
   val entries: Seq[QueryEntry] = Seq(
@@ -320,8 +332,10 @@ object Dedup {
 
     // Deterministic training-order shuffle: a reproducible global
     // permutation via hash-ordering — what "shuffle the corpus" means
-    // when the run must be replayable. Total order, no RNG state; at
-    // scale this is a range-partitioned sort on the hash.
+    // when the run must be replayable. The oracled entry samples the
+    // head (LIMIT keeps the differential check cheap); the full-corpus
+    // operator is [[deterministicShuffle]], whose plan IS the
+    // range-partitioned sort (spec-asserted).
     QueryEntry.sql(
       "q43_deterministic_shuffle",
       """SELECT doc_id,

@@ -1,0 +1,91 @@
+package graft.operators
+
+import graft.{QueryEntry, Tables}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Fixed-memory histogram quantiles — the third member of the
+  * engine-independent sketch family (cardinality = [[Hll]], frequency
+  * = [[CountMin]], quantiles = this). A single pass bins values into B
+  * equal-width buckets over a declared [lo, hi) domain; quantile q is
+  * answered from the cumulative bin counts as the midpoint of the bin
+  * containing rank ⌈q·N⌉. Everything after the binning FLOOR is
+  * integer math, and the FLOOR itself is one identical double op in
+  * both engines, so estimates sit under the DuckDB differential gate.
+  * Error is bounded by half a bin width by construction (spec-pinned
+  * against the exact percentile).
+  *
+  * Scale shape vs exact quantiles: `percentile` needs a full sort /
+  * large state per group; this is one map-side-combined groupBy onto
+  * ≤ B cells then a B-row scan — constant memory at any data size,
+  * and the sketch is trivially mergeable (cell-wise add).
+  */
+object HistQuantile {
+
+  /** Quantile estimates for `qs` over a numeric column. Values outside
+    * [lo, hi) clamp into the edge bins (their rank mass still counts,
+    * as in any fixed-domain histogram).
+    */
+  def estimate(df: DataFrame, column: String, lo: Double, hi: Double,
+      bins: Int, qs: Seq[Double]): DataFrame = {
+    val w = (hi - lo) / bins
+    val bin = least(lit(bins - 1), greatest(lit(0),
+      floor((col(column) - lo) / w).cast(LongType)))
+    val cells = df.filter(col(column).isNotNull)
+      .select(bin.as("b"))
+      .groupBy("b").agg(count(lit(1)).as("c"))
+    val cum = cells.select(col("b"), col("c"),
+      sum("c").over(org.apache.spark.sql.expressions.Window
+        .orderBy("b").rowsBetween(Long.MinValue, 0)).as("cum"))
+    val n = cum.agg(max("cum")).head.getLong(0)
+    val perQ = qs.map { q =>
+      val rank = math.ceil(q * n).toLong.max(1L)
+      cum.filter(col("cum") >= rank).orderBy("b").limit(1)
+        .select(lit(q).as("q"),
+          round(lit(lo) + (col("b") + lit(0.5)) * lit(w), 6).as("est"))
+    }
+    perQ.reduce(_ unionAll _).orderBy("q")
+  }
+
+  /** DuckDB mirror of [[estimate]] — same FLOOR binning, same integer
+    * cumulative ranks, same midpoint arithmetic.
+    */
+  def oracleSql(table: String, column: String, lo: Double, hi: Double,
+      bins: Int, qs: Seq[Double]): String = {
+    val w = s"((CAST($hi AS DOUBLE) - CAST($lo AS DOUBLE)) / $bins)"
+    val qsSql = qs.map(q => s"SELECT CAST($q AS DOUBLE) AS q").mkString(" UNION ALL ")
+    s"""WITH cells AS (
+       |  SELECT LEAST(${bins - 1}, GREATEST(0,
+       |           CAST(FLOOR(($column - CAST($lo AS DOUBLE)) / $w) AS BIGINT))) AS b,
+       |         COUNT(*) AS c
+       |  FROM $table WHERE $column IS NOT NULL GROUP BY 1
+       |), cum AS (
+       |  SELECT b, c, SUM(c) OVER (ORDER BY b
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM cells
+       |), n AS (SELECT MAX(cum) AS n FROM cum),
+       |quants AS ($qsSql)
+       |SELECT q.q,
+       |       ROUND(CAST($lo AS DOUBLE) + (CAST(pick.b AS DOUBLE) + CAST(0.5 AS DOUBLE)) * $w, 6) AS est
+       |FROM quants q, n,
+       |LATERAL (SELECT b FROM cum
+       |         WHERE cum >= GREATEST(CAST(1 AS BIGINT), CAST(CEIL(q.q * n.n) AS BIGINT))
+       |         ORDER BY b LIMIT 1) pick
+       |ORDER BY q.q""".stripMargin
+  }
+
+  val entries: Seq[QueryEntry] = Seq(
+    // Histogram quantiles of l_extendedprice over a declared domain —
+    // single-pass, constant memory, mergeable; exact-percentile error
+    // bound pinned in the spec suite.
+    QueryEntry.sql(
+      "q54_hist_quantiles",
+      oracleSql("lineitem", "l_extendedprice", lo = 0.0, hi = 120000.0,
+        bins = 1024, qs = Seq(0.5, 0.9, 0.99)),
+    ) { (s, dir) =>
+      estimate(Tables(s, dir).lineitem, "l_extendedprice",
+        lo = 0.0, hi = 120000.0, bins = 1024, qs = Seq(0.5, 0.9, 0.99))
+    },
+  )
+}

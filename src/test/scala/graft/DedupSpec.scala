@@ -80,4 +80,20 @@ class DedupSpec extends SparkSpec {
     val again = run("q15_dedup_survivors")
     assert(df.collect().toSeq == again.collect().toSeq)
   }
+
+  test("full-corpus deterministic shuffle plans as a range-partitioned sort") {
+    val docs = Tables(spark, sf).documents
+    val shuffled = Dedup.deterministicShuffle(docs)
+    // the scalable total-order shape: range partitioning, not a
+    // single-partition global sort
+    val plan = shuffled.queryExecution.executedPlan.toString.toLowerCase
+    assert(plan.contains("rangepartitioning"), plan.take(1500))
+    // reproducible: same permutation on rerun, and a true permutation
+    val ids1 = shuffled.select("doc_id").collect().map(_.getLong(0)).toSeq
+    val ids2 = Dedup.deterministicShuffle(docs)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(ids1 == ids2)
+    assert(ids1.sorted != ids1, "hash order should differ from id order")
+    assert(ids1.toSet.size == ids1.size)
+  }
 }

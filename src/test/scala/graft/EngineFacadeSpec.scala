@@ -58,6 +58,22 @@ class EngineFacadeSpec extends SparkSpec {
     }
   }
 
+  test("histogram quantiles land within half a bin of the exact percentile (q54)") {
+    val r = run("q54_hist_quantiles").collect()
+      .map(row => row.getDouble(0) -> row.getDouble(1)).toMap
+    assert(r.keySet == Set(0.5, 0.9, 0.99))
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val exact = li.select(
+      percentile(col("l_extendedprice"), lit(0.5)),
+      percentile(col("l_extendedprice"), lit(0.9)),
+      percentile(col("l_extendedprice"), lit(0.99))).head
+    val w = 120000.0 / 1024
+    Seq(0.5 -> exact.getDouble(0), 0.9 -> exact.getDouble(1), 0.99 -> exact.getDouble(2))
+      .foreach { case (q, ex) =>
+        assert(math.abs(r(q) - ex) <= w, s"q=$q est=${r(q)} exact=$ex width=$w")
+      }
+  }
+
   test("splitmix64 SQL function matches the reference finalizer") {
     // pinned vectors, independently computable from the published
     // splitmix64 constants
