@@ -38,7 +38,16 @@ object HistQuantile {
     val cum = cells.select(col("b"), col("c"),
       sum("c").over(org.apache.spark.sql.expressions.Window
         .orderBy("b").rowsBetween(Long.MinValue, 0)).as("cum"))
-    val n = cum.agg(max("cum")).head.getLong(0)
+    val nRow = cum.agg(max("cum")).head
+    val n = if (nRow.isNullAt(0)) 0L else nRow.getLong(0)
+    val spark = df.sparkSession
+    if (n == 0L) {
+      // empty input: a quantile has no value — zero rows, same schema
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(StructField("q", DoubleType, nullable = false),
+          StructField("est", DoubleType, nullable = true))))
+    }
     val perQ = qs.map { q =>
       val rank = math.ceil(q * n).toLong.max(1L)
       cum.filter(col("cum") >= rank).orderBy("b").limit(1)

@@ -52,7 +52,11 @@ object Hll {
       .agg(max("rho").as("mr"))
     regs
       .agg(
-        sum(expr("CAST(shiftleft(CAST(1 AS BIGINT), 53 - mr) AS DECIMAL(38,0))")).as("tp"),
+        // COALESCE: an empty input has no registers → tp must be 0 so
+        // the linear-counting branch yields the correct estimate of 0
+        coalesce(
+          sum(expr("CAST(shiftleft(CAST(1 AS BIGINT), 53 - mr) AS DECIMAL(38,0))")),
+          lit(0).cast(DecimalType(38, 0))).as("tp"),
         count(lit(1)).as("np"))
       .select(
         (col("tp") + (lit(M.toLong) - col("np")) *
@@ -103,7 +107,8 @@ object Hll {
        |         / CAST(tp + (4096 - np) * CAST(9007199254740992 AS HUGEINT) AS DOUBLE) AS raw,
        |         4096 - np AS v
        |  FROM (
-       |    SELECT SUM(CAST(1 AS BIGINT) << (53 - mr)) AS tp, COUNT(*) AS np
+       |    SELECT COALESCE(SUM(CAST(1 AS BIGINT) << (53 - mr)), 0) AS tp,
+       |           COUNT(*) AS np
        |    FROM (
        |      SELECT idx, MAX(CASE WHEN w = 0 THEN 53 ELSE 53 - length(bin(w)) END) AS mr
        |      FROM (SELECT z >> 52 AS idx, z & $W AS w

@@ -35,4 +35,26 @@ class EdgeCaseSpec extends SparkSpec {
     assert(sh(2L) == Seq("two words"))
     assert(sh(3L) == Seq("a b c", "b c d"))
   }
+
+  test("sketches on empty input: HLL estimates 0, histogram quantiles yield no rows") {
+    val empty = Seq.empty[Long].toDF("x")
+    val hll = graft.operators.Hll.estimate(empty, "x", "est").head.getDouble(0)
+    assert(hll == 0.0, s"empty-set cardinality must be 0, got $hll")
+    val hq = graft.operators.HistQuantile
+      .estimate(empty, "x", 0.0, 100.0, 16, Seq(0.5))
+    assert(hq.collect().isEmpty)
+  }
+
+  test("exactCosinePairs on empty and single-vector inputs") {
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("vec_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("embedding",
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType))))
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    assert(graft.operators.Similarity.exactCosinePairs(empty, 0.5).collect().isEmpty)
+    val one = Seq((1L, Seq(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    assert(graft.operators.Similarity.exactCosinePairs(one, 0.5).collect().isEmpty)
+  }
 }
