@@ -23,6 +23,7 @@ object SparkEntry {
       operators.Skew.entries ++
       operators.CountMin.entries ++
       operators.HistQuantile.entries ++
+      operators.Bloom.entries ++
       operators.Analytic.entries ++
       operators.Multimodal.entries ++
       sources.OrcRoundTrip.entries ++

@@ -74,6 +74,19 @@ class EngineFacadeSpec extends SparkSpec {
       }
   }
 
+  test("bloom membership never false-negatives and dominates exact hits (q55)") {
+    val rows = run("q55_bloom_membership").collect()
+    assert(rows.nonEmpty)
+    var exactTotal = 0L
+    rows.foreach { r =>
+      val maybe = r.getAs[Long]("n_maybe")
+      val exact = r.getAs[Long]("n_exact")
+      assert(maybe >= exact, s"false negative: $r")
+      exactTotal += exact
+    }
+    assert(exactTotal > 0, "eval set should hit itself at minimum")
+  }
+
   test("splitmix64 SQL function matches the reference finalizer") {
     // pinned vectors, independently computable from the published
     // splitmix64 constants
