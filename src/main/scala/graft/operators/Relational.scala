@@ -274,6 +274,85 @@ object Relational {
         .orderBy("side")
     },
 
+    // TPC-H Q3 shape (shipping priority): selective dimension filter →
+    // broadcast into orders → shuffle join with the lineitem fact on
+    // the order key → grouped revenue → top-10 via
+    // TakeOrderedAndProject. The full realistic-analytics pipeline in
+    // one declarative plan; at 100 TB only the fact⨝orders join
+    // shuffles, keyed on l_orderkey.
+    QueryEntry.sql(
+      "q56_tpch_q3",
+      """SELECT o_orderkey,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |                * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+        |         AS revenue,
+        |       strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS odate
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+        |GROUP BY o_orderkey, o_orderdate
+        |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
+    ) { (s, dir) =>
+      val t = Tables(s, dir)
+      val cutoff = lit("1995-03-15 00:00:00").cast(TimestampType)
+      t.customer.filter(col("c_mktsegment") === "BUILDING")
+        .join(t.orders.filter(col("o_orderdate") < cutoff),
+          col("c_custkey") === col("o_custkey"))
+        .join(t.lineitem.filter(col("l_shipdate") > cutoff),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(
+          sum(col("l_extendedprice").cast(DecimalType(18, 2)) *
+            (lit(1) - col("l_discount").cast(DecimalType(18, 2))))
+            .cast(DoubleType).as("revenue"))
+        .select(col("o_orderkey"), col("revenue"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("odate"))
+        .orderBy(col("revenue").desc, col("o_orderkey"))
+        .limit(10)
+    },
+
+    // TPC-H Q5 shape (local-supplier volume): six-table join — region
+    // → nation → customer broadcast chain, lineitem⨝orders shuffle on
+    // the order key, supplier broadcast with the locality condition
+    // (c_nationkey = s_nationkey) — revenue per nation. The widest
+    // join tree in the inventory; every dimension broadcasts, the two
+    // fact tables shuffle once.
+    QueryEntry.sql(
+      "q57_tpch_q5",
+      """SELECT n_name,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |                * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+        |         AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+    ) { (s, dir) =>
+      val t = Tables(s, dir)
+      t.customer
+        .join(t.orders, col("c_custkey") === col("o_custkey"))
+        .join(t.lineitem, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t.supplier),
+          col("l_suppkey") === col("s_suppkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(t.nation), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(t.region.filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(
+          sum(col("l_extendedprice").cast(DecimalType(18, 2)) *
+            (lit(1) - col("l_discount").cast(DecimalType(18, 2))))
+            .cast(DoubleType).as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    },
+
     // Row-to-text (Tier B: the reference links orc::ColumnPrinter,
     // `reader.cc:2`): rows serialized as JSON. The serialization is
     // spelled out field-by-field (compact separators, JSON string
