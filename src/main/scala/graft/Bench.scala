@@ -33,7 +33,9 @@ object Bench {
     */
   def previousQueryTimes(): (Option[String], Map[String, Double]) = {
     val dirFiles = Option(new java.io.File(".").listFiles()).getOrElse(Array.empty)
-    val benches = dirFiles.filter(_.getName.matches("BENCH_r\\d+\\.json")).sortBy(_.getName)
+    // sort by round NUMBER — lexicographic name order misorders r9/r10
+    val benches = dirFiles.filter(_.getName.matches("BENCH_r\\d+\\.json"))
+      .sortBy(f => f.getName.replaceAll("\\D", "").toInt)
     benches.lastOption match {
       case None => (None, Map.empty)
       case Some(f) =>

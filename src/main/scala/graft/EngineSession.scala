@@ -81,8 +81,10 @@ object EngineSession {
   }
 
   /** Sessions already tuned (weak keys — a stopped session can be
-    * collected).
+    * collected; synchronized — WeakHashMap is not thread-safe and
+    * parallel test suites tune concurrently).
     */
-  private val tuned = java.util.Collections.newSetFromMap(
-    new java.util.WeakHashMap[SparkSession, java.lang.Boolean]())
+  private val tuned = java.util.Collections.synchronizedSet(
+    java.util.Collections.newSetFromMap(
+      new java.util.WeakHashMap[SparkSession, java.lang.Boolean]()))
 }

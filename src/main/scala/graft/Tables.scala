@@ -57,14 +57,24 @@ object Tables {
     * immutable plan over the listing snapshot, so reuse within a
     * session is sound; if fixture files are rewritten mid-session call
     * [[invalidate]] (the `REFRESH TABLE` contract, same as
-    * `Ivf.invalidateIndex`).
+    * `Ivf.invalidateIndex`). Sessions are WEAK keys: cached frames pin
+    * their session, so a strong key would keep stopped sessions (and
+    * their plans) alive forever in a multi-session JVM.
     */
-  private val cache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), DataFrame]
+  private val cache = new java.util.WeakHashMap[
+    SparkSession, scala.collection.concurrent.TrieMap[(String, String), DataFrame]]()
 
-  def invalidate(): Unit = cache.clear()
+  def invalidate(): Unit = cache.synchronized(cache.clear())
 
-  private[graft] def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    cache.getOrElseUpdate((spark, dir, name),
-      spark.read.parquet(s"$dir/$name.parquet"))
+  private[graft] def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val per = cache.synchronized {
+      var m = cache.get(spark)
+      if (m == null) {
+        m = scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
+        cache.put(spark, m)
+      }
+      m
+    }
+    per.getOrElseUpdate((dir, name), spark.read.parquet(s"$dir/$name.parquet"))
+  }
 }

@@ -36,8 +36,18 @@ object Verify {
     } + "\""
     // static oracles plus the session-generated ones (fitted-model
     // parameters inlined as exact literals — the queries were just run
-    // above in this same session, so both sides see the same model)
-    val json = (SparkEntry.oracleSql ++ SparkEntry.dynamicOracleSql(spark, sfDir))
+    // above in this same session, so both sides see the same model).
+    // Dynamic generation runs Spark jobs (model fits); a failure there
+    // must degrade to "that query has no oracle", never abort before
+    // oracle_sql.json exists (which would zero the whole round).
+    val dynamic =
+      try SparkEntry.dynamicOracleSql(spark, sfDir)
+      catch {
+        case e: Throwable =>
+          System.err.println(s"[verify] dynamic oracle generation failed: ${e.getMessage}")
+          Map.empty[String, String]
+      }
+    val json = (SparkEntry.oracleSql ++ dynamic)
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

@@ -32,29 +32,33 @@ object HistQuantile {
     val w = (hi - lo) / bins
     val bin = least(lit(bins - 1), greatest(lit(0),
       floor((col(column) - lo) / w).cast(LongType)))
+    // ONE distributed pass builds the ≤`bins`-row histogram; the
+    // sketch itself is collected (it is the model, like the IVF
+    // centroids) and the rank lookups are plain driver arithmetic —
+    // re-deriving them as Spark jobs would re-scan the source once per
+    // quantile.
     val cells = df.filter(col(column).isNotNull)
       .select(bin.as("b"))
       .groupBy("b").agg(count(lit(1)).as("c"))
-    val cum = cells.select(col("b"), col("c"),
-      sum("c").over(org.apache.spark.sql.expressions.Window
-        .orderBy("b").rowsBetween(Long.MinValue, 0)).as("cum"))
-    val nRow = cum.agg(max("cum")).head
-    val n = if (nRow.isNullAt(0)) 0L else nRow.getLong(0)
+      .orderBy("b")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val n = cells.map(_._2).sum
     val spark = df.sparkSession
+    import spark.implicits._
     if (n == 0L) {
       // empty input: a quantile has no value — zero rows, same schema
-      return spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        StructType(Seq(StructField("q", DoubleType, nullable = false),
-          StructField("est", DoubleType, nullable = true))))
+      return Seq.empty[(Double, Double)].toDF("q", "est")
     }
-    val perQ = qs.map { q =>
+    val cum = cells.scanLeft((0L, 0L)) { case ((_, acc), (b, c)) => (b, acc + c) }.tail
+    val ests = qs.sorted.map { q =>
       val rank = math.ceil(q * n).toLong.max(1L)
-      cum.filter(col("cum") >= rank).orderBy("b").limit(1)
-        .select(lit(q).as("q"),
-          round(lit(lo) + (col("b") + lit(0.5)) * lit(w), 6).as("est"))
+      val b = cum.find(_._2 >= rank).get._1
+      // same double ops the oracle spells: lo + (b + 0.5) * w, HALF_UP
+      val est = BigDecimal(lo + (b + 0.5) * w)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (q, est)
     }
-    perQ.reduce(_ unionAll _).orderBy("q")
+    ests.toDF("q", "est")
   }
 
   /** DuckDB mirror of [[estimate]] — same FLOOR binning, same integer

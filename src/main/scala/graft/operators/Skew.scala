@@ -21,12 +21,15 @@ object Skew {
 
   /** Salted equi-join of a (possibly skewed) fact frame against a
     * small frame. `factSalt` must be a deterministic per-row
-    * expression (any well-distributed hash of fact columns).
+    * expression (any well-distributed hash of fact columns). The salt
+    * column is internal (collision-safe name, dropped from the
+    * output) — caller columns named "salt" pass through untouched.
     */
   def saltedJoin(fact: DataFrame, small: DataFrame, factKey: String,
       smallKey: String, factSalt: Column, salts: Int = 8): DataFrame = {
-    val salted = fact.withColumn("salt", pmod(factSalt, lit(salts)))
-    val replicated = small.withColumn("salt",
+    val s = "__graft_salt"
+    val salted = fact.withColumn(s, pmod(factSalt, lit(salts)))
+    val replicated = small.withColumn(s,
       explode(array((0 until salts).map(lit): _*)))
     // shuffle_hash keeps the demonstration honest: without it Catalyst
     // would broadcast the replicated small side and no salted shuffle
@@ -34,8 +37,8 @@ object Skew {
     // (broadcast if it fits) is of course fine to keep.
     salted.join(replicated.hint("shuffle_hash"),
       salted(factKey) === replicated(smallKey) &&
-        salted("salt") === replicated("salt"))
-      .drop(replicated("salt"))
+        salted(s) === replicated(s))
+      .drop(replicated(s)).drop(salted(s))
   }
 
   val entries: Seq[QueryEntry] = Seq(

@@ -27,13 +27,16 @@ object BucketedTables {
     * fingerprint) and registered in the session catalog.
     */
   def bucketedTable(spark: SparkSession, dir: String, name: String,
-      key: String): DataFrame = {
+      key: String): DataFrame = synchronized {
+    // synchronized: concurrent first calls would race saveAsTable on
+    // the same catalog name (parallel test suites share the session)
+    val dest = Staging.fingerprintPath("graft_bucketed", dir, s"$name.parquet",
+      s"${name}_$key")
     val src = new java.io.File(s"$dir/$name.parquet")
-    val tag = (dir + "_" + name + "_" + key + "_" +
-      src.lastModified() + "_" + src.length()).replaceAll("[^A-Za-z0-9_]", "_")
-    val table = s"graft_bucketed_$tag"
+    val table =
+      s"graft_bucketed_${dir}_${name}_${key}_${src.lastModified()}_${src.length()}"
+        .replaceAll("[^A-Za-z0-9_]", "_")
     if (!spark.catalog.tableExists(table)) {
-      val dest = s"${sys.props("java.io.tmpdir")}/graft_bucketed/$tag"
       spark.read.parquet(s"$dir/$name.parquet")
         .write.mode("overwrite")
         .option("path", dest)

@@ -15,16 +15,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object OrcRoundTrip {
 
-  /** Scratch location of the ORC copy for (fixture dir, table). The
-    * path is keyed on the source file's (mtime, size) fingerprint so a
-    * regenerated fixture can never be shadowed by a stale staged copy.
+  /** Scratch location of the ORC copy for (fixture dir, table) —
+    * fingerprint-keyed, see [[Staging]].
     */
-  def orcPath(dir: String, name: String): String = {
-    val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
-    val src = new java.io.File(s"$dir/$name.parquet")
-    val fp = s"${src.lastModified()}_${src.length()}"
-    s"${sys.props("java.io.tmpdir")}/graft_orc/$tag/${name}_$fp"
-  }
+  def orcPath(dir: String, name: String): String =
+    Staging.fingerprintPath("graft_orc", dir, s"$name.parquet", name)
 
   /** Write `name` to ORC(snappy) under the engine scratch dir (once per
     * (sfDir, name, source fingerprint) — subsequent calls reuse it) and
@@ -32,7 +27,7 @@ object OrcRoundTrip {
     */
   def orcCopy(spark: SparkSession, dir: String, name: String): DataFrame = {
     val dest = orcPath(dir, name)
-    if (stagedOk.add(dest) && !new java.io.File(dest, "_SUCCESS").exists()) {
+    Staging.ensureStaged(dest) {
       spark.read.parquet(s"$dir/$name.parquet")
         .write.mode("overwrite").option("compression", "snappy").orc(dest)
     }
@@ -42,13 +37,23 @@ object OrcRoundTrip {
   /** Memoized ORC frames per (session, staged path): the path embeds
     * the source fingerprint, so reuse is staleness-safe; avoids
     * re-listing + schema inference on every benchmark run (the
-    * `Tables.load` rationale applied to the ORC side).
+    * `Tables.load` rationale applied to the ORC side, including its
+    * weak session keys — a strong key would pin stopped sessions).
     */
-  private val orcFrames =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private val orcFrames = new java.util.WeakHashMap[
+    SparkSession, scala.collection.concurrent.TrieMap[String, DataFrame]]()
 
-  private def memoRead(spark: SparkSession, dest: String): DataFrame =
-    orcFrames.getOrElseUpdate((spark, dest), spark.read.orc(dest))
+  private def memoRead(spark: SparkSession, dest: String): DataFrame = {
+    val per = orcFrames.synchronized {
+      var m = orcFrames.get(spark)
+      if (m == null) {
+        m = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+        orcFrames.put(spark, m)
+      }
+      m
+    }
+    per.getOrElseUpdate(dest, spark.read.orc(dest))
+  }
 
   /** The full ORC type surface the reference links (`reader.cc:1`
     * includes orc/OrcFile.hh — struct/list/map/decimal/date among the
@@ -69,16 +74,13 @@ object OrcRoundTrip {
     )
 
   /** ORC(snappy) copy of the nested-typed lineitem projection — staged
-    * once per source fingerprint like [[orcCopy]].
+    * once per source fingerprint like [[orcCopy]] (fingerprint on the
+    * real source file, not the synthetic table name).
     */
   def nestedOrcCopy(spark: SparkSession, dir: String): DataFrame = {
-    // fingerprint on the real source file (lineitem.parquet), not the
-    // synthetic table name
-    val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
-    val src = new java.io.File(s"$dir/lineitem.parquet")
-    val dest = s"${sys.props("java.io.tmpdir")}/graft_orc/$tag/" +
-      s"lineitem_nested_${src.lastModified()}_${src.length()}"
-    if (stagedOk.add(dest) && !new java.io.File(dest, "_SUCCESS").exists()) {
+    val dest =
+      Staging.fingerprintPath("graft_orc", dir, "lineitem.parquet", "lineitem_nested")
+    Staging.ensureStaged(dest) {
       nestedProjection(spark.read.parquet(s"$dir/lineitem.parquet"))
         .write.mode("overwrite").option("compression", "snappy").orc(dest)
     }
@@ -95,11 +97,9 @@ object OrcRoundTrip {
     * PartitionFilters + the scan's file-count metric).
     */
   def partitionedOrcCopy(spark: SparkSession, dir: String): DataFrame = {
-    val tag = dir.replaceAll("[^A-Za-z0-9.]", "_")
-    val src = new java.io.File(s"$dir/lineitem.parquet")
-    val dest = s"${sys.props("java.io.tmpdir")}/graft_orc/$tag/" +
-      s"lineitem_byflag_${src.lastModified()}_${src.length()}"
-    if (stagedOk.add(dest) && !new java.io.File(dest, "_SUCCESS").exists()) {
+    val dest =
+      Staging.fingerprintPath("graft_orc", dir, "lineitem.parquet", "lineitem_byflag")
+    Staging.ensureStaged(dest) {
       spark.read.parquet(s"$dir/lineitem.parquet")
         .repartition(4) // several part files per partition directory
         .write.mode("overwrite").option("compression", "snappy")
@@ -107,11 +107,6 @@ object OrcRoundTrip {
     }
     memoRead(spark, dest)
   }
-
-  /** Destinations already confirmed this JVM — skips the per-call
-    * filesystem existence probe on the bench's hot path.
-    */
-  private val stagedOk = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
   val entries: Seq[QueryEntry] = Seq(
     // Parquet → ORC(snappy) → scan → grouped agg; oracle runs on the

@@ -79,11 +79,6 @@ object StreamingEvents {
       .orderBy("user_id")
   }
 
-  /** The file streaming source requires a directory; the fixture is a
-    * single parquet file — stage a copy under scratch. The staging dir
-    * is keyed on the source's (mtime, size) fingerprint so a
-    * regenerated fixture can never be shadowed by a stale staged copy.
-    */
   /** Streaming sessionization: the q49 semantics as a watermarked
     * `session_window` streaming aggregation — Spark merges events into
     * sessions while the gap stays under 30 minutes, state is
@@ -119,17 +114,21 @@ object StreamingEvents {
     spark.table(name).orderBy("user_id", "w")
   }
 
+  /** The file streaming source requires a directory; the fixture is a
+    * single parquet file — stage a copy under scratch, fingerprint-
+    * keyed and write-once via [[graft.sources.Staging]].
+    */
   private def stagedStreamSource(spark: SparkSession, dir: String): String = {
-    val src = java.nio.file.Paths.get(s"$dir/events.parquet")
-    val f = src.toFile
-    val streamDir = java.nio.file.Paths.get(
-      sys.props("java.io.tmpdir"), "graft_stream_src",
-      dir.replaceAll("[^A-Za-z0-9.]", "_") + s"_${f.lastModified()}_${f.length()}")
-    java.nio.file.Files.createDirectories(streamDir)
-    val dest = streamDir.resolve("events.parquet")
-    if (!java.nio.file.Files.exists(dest))
-      java.nio.file.Files.copy(src, dest)
-    streamDir.toString
+    val streamDir = graft.sources.Staging.fingerprintPath(
+      "graft_stream_src", dir, "events.parquet", "events")
+    graft.sources.Staging.ensureStaged(streamDir,
+      d => new java.io.File(d, "events.parquet")) {
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(streamDir))
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(s"$dir/events.parquet"),
+        java.nio.file.Paths.get(streamDir, "events.parquet"))
+    }
+    streamDir
   }
 
   /** Run to completion over the (bounded) fixture with AvailableNow and

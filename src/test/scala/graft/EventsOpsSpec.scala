@@ -50,11 +50,17 @@ class EventsOpsSpec extends SparkSpec {
       .orderBy("s_name").collect().toSeq
     assert(got == plain)
     // the salt actually distributes: every salt value occurs
-    val salted = graft.operators.Skew.saltedJoin(
+    val saltExpr = pmod(graft.functions.GraftFunctions.xxhash64Seeded(7L,
+      col("l_orderkey"), col("l_linenumber")), lit(8))
+    val nSalts = t.lineitem.select(saltExpr.as("s"))
+      .select(countDistinct("s")).head.getLong(0)
+    assert(nSalts == 8L)
+    // the internal salt column does not leak into the output
+    val out = graft.operators.Skew.saltedJoin(
       t.lineitem, t.supplier, "l_suppkey", "s_suppkey",
       graft.functions.GraftFunctions.xxhash64Seeded(7L,
         col("l_orderkey"), col("l_linenumber")))
-    assert(salted.select(countDistinct("salt")).head.getLong(0) == 8L)
+    assert(!out.columns.contains("__graft_salt"))
   }
 
   test("q50 bucket-decomposed interval join equals the naive range join, no BNLJ") {
