@@ -26,13 +26,24 @@ object Analytic {
         |GROUP BY ROLLUP(l_returnflag, l_linestatus)
         |ORDER BY gid, rf, ls""".stripMargin,
     ) { (s, dir) =>
-      Tables(s, dir).lineitem
+      // Two-level rollup: aggregate to the (rf, ls) grain FIRST (one
+      // scan, no Expand), then ROLLUP the tiny pre-aggregate with
+      // re-aggregable partials (COUNT→SUM, decimal SUM→SUM — exact, so
+      // results are identical to rolling up the raw rows). Catalyst's
+      // ROLLUP Expand otherwise triples the full scan through the
+      // aggregate; here it triples six rows.
+      val base = Tables(s, dir).lineitem
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          count(lit(1)).as("pc"),
+          sum(col("l_extendedprice").cast(DecimalType(18, 2))).as("ps"),
+        )
+      base
         .rollup("l_returnflag", "l_linestatus")
         .agg(
           (grouping(col("l_returnflag")) * 2 + grouping(col("l_linestatus"))).as("gid"),
-          count(lit(1)).as("cnt"),
-          sum(col("l_extendedprice").cast(DecimalType(18, 2)))
-            .cast(DoubleType).as("sum_price"),
+          sum(col("pc")).as("cnt"),
+          sum(col("ps")).cast(DoubleType).as("sum_price"),
         )
         .select(
           coalesce(col("l_returnflag"), lit("ALL")).as("rf"),

@@ -134,14 +134,41 @@ object Dedup {
     * involved doc labeled with the min doc_id of its component — the
     * survivor-per-cluster step real corpus dedup needs beyond pairs.
     *
-    * Distributed min-label propagation: labels live in a DataFrame,
-    * each round joins labels across edges and takes the min; the loop
-    * runs until a fixpoint (component count is stable), which takes
-    * O(component diameter) rounds — near-dup clusters are shallow, so
-    * a handful of shuffles on the (tiny, LSH-filtered) edge set.
+    * Hybrid strategy, the shape production CC implementations use: the
+    * edge set is LSH-filtered and exact-verified, i.e. orders of
+    * magnitude smaller than the corpus, so when it fits comfortably on
+    * the driver (≤ `smallGraphMax` edges) a local union-find answers
+    * in one pass — collecting a model-sized result, like the IVF
+    * centroids, not corpus data. Past the threshold the distributed
+    * min-label propagation below takes over: labels live in a
+    * DataFrame, each round joins labels across edges and takes the
+    * min, O(component diameter) shuffle rounds on the edge set.
     */
-  def nearDupGroups(docs: DataFrame, num: Int = 4, den: Int = 5): DataFrame = {
+  def nearDupGroups(docs: DataFrame, num: Int = 4, den: Int = 5,
+      smallGraphMax: Long = 10000000L): DataFrame = {
+    val spark = docs.sparkSession
     val pairs = nearDupPairs(docs, num, den).select("doc_a", "doc_b")
+    if (pairs.count() <= smallGraphMax) {
+      import spark.implicits._
+      val es = pairs.as[(Long, Long)].collect()
+      // union-find, union-by-min + path compression: the root of every
+      // set is its minimum label, matching the distributed fixpoint
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent(r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      es.foreach { case (a, b) =>
+        val ra = find(a); val rb = find(b)
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      return es.iterator.flatMap(e => Iterator(e._1, e._2)).toSeq.distinct.sorted
+        .map(id => (id, find(id)))
+        .toDF("doc_id", "group_id")
+    }
     val edges = pairs
       .unionAll(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .toDF("src", "dst")

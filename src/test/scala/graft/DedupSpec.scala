@@ -81,6 +81,15 @@ class DedupSpec extends SparkSpec {
     assert(df.collect().toSeq == again.collect().toSeq)
   }
 
+  test("connected components: driver union-find ≡ distributed min-label propagation") {
+    val docs = Tables(spark, sf).documents
+    val viaUnionFind = Dedup.nearDupGroups(docs).collect().toSeq
+    val viaPropagation = Dedup.nearDupGroups(docs, smallGraphMax = -1L)
+      .collect().toSeq // threshold -1 forces the distributed path
+    assert(viaUnionFind == viaPropagation)
+    assert(viaUnionFind.nonEmpty, "fixture should contain near-dup clusters")
+  }
+
   test("full-corpus deterministic shuffle plans as a range-partitioned sort") {
     val docs = Tables(spark, sf).documents
     val shuffled = Dedup.deterministicShuffle(docs)
