@@ -257,6 +257,51 @@ object TextAnalysis {
         .orderBy("lang")
     },
 
+    // Sequence packing — the training-data step after dedup/sampling:
+    // lay documents out in the deterministic shuffle order and cut the
+    // stream into packs of ≤ budget tokens via a prefix-sum bin
+    // (pack = tokens-before div budget — the distributed, order-stable
+    // form of greedy packing; a doc longer than the budget gets its
+    // own pack, the CASE both engines spell identically). One window
+    // cumsum over the shuffle-key order — range-partitioned at scale,
+    // exactly like q43's sort.
+    QueryEntry.sql(
+      "q58_sequence_packing",
+      """WITH ordered AS (
+        |  SELECT doc_id,
+        |         md5('shuf' || CAST(doc_id AS VARCHAR)) AS sk,
+        |         CAST(len(regexp_split_to_array(trim(lower(text)), '\s+')) AS BIGINT)
+        |           AS n_tok
+        |  FROM documents
+        |), packed AS (
+        |  SELECT doc_id, n_tok,
+        |         CAST((SUM(n_tok) OVER (ORDER BY sk, doc_id
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok)
+        |              // 512 AS BIGINT) AS pack_id
+        |  FROM ordered
+        |)
+        |SELECT pack_id, COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS sum_tok,
+        |       CAST(MIN(doc_id) AS BIGINT) AS first_doc
+        |FROM packed GROUP BY pack_id ORDER BY pack_id""".stripMargin,
+    ) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.orderBy("sk", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables(s, dir).documents
+        .select(col("doc_id"),
+          md5(concat(lit("shuf"), col("doc_id").cast(StringType)).cast(BinaryType))
+            .as("sk"),
+          size(tokens(col("text"))).cast(LongType).as("n_tok"))
+        .withColumn("cum", sum("n_tok").over(w))
+        // `div`, not `/`: Spark's / is fractional; both engines bin by
+        // integer division of the tokens-before prefix sum
+        .withColumn("pack_id", expr("(cum - n_tok) div 512"))
+        .groupBy("pack_id")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("sum_tok"),
+          min("doc_id").as("first_doc"))
+        .orderBy("pack_id")
+    },
+
     // Deterministic stratified sampling — the training-data staple that
     // must be reproducible across reruns and engines: membership is a
     // pure function of the row key (md5-derived 60-bit hash threshold),
