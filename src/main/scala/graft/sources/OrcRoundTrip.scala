@@ -55,6 +55,21 @@ object OrcRoundTrip {
     per.getOrElseUpdate(dest, spark.read.orc(dest))
   }
 
+  /** JSON-Lines copy of a fixture table — staged once per source
+    * fingerprint; read back with the parquet source's schema so the
+    * scan needs no inference pass (the 100 TB contract for schemaful
+    * text formats).
+    */
+  def jsonlCopy(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val dest = Staging.fingerprintPath("graft_jsonl", dir, s"$name.parquet", name)
+    Staging.ensureStaged(dest) {
+      spark.read.parquet(s"$dir/$name.parquet")
+        .write.mode("overwrite").json(dest)
+    }
+    val schema = spark.read.parquet(s"$dir/$name.parquet").schema
+    spark.read.schema(schema).json(dest)
+  }
+
   /** The full ORC type surface the reference links (`reader.cc:1`
     * includes orc/OrcFile.hh — struct/list/map/decimal/date among the
     * column kinds; SURVEY §1.3): lineitem re-shaped so one table
@@ -199,6 +214,25 @@ object OrcRoundTrip {
         .groupBy("l_linestatus")
         .agg(sum("l_orderkey").as("sum_ok"), count(lit(1)).as("cnt"))
         .orderBy("l_linestatus")
+    },
+
+    // Source-format breadth beyond ORC/parquet: documents staged as
+    // JSON Lines (the interchange format most text corpora arrive in),
+    // read back through the JSON source with an explicit schema (no
+    // inference pass at scale), aggregated under the parquet oracle —
+    // a match proves the JSONL write+read path value-preserving,
+    // including multi-byte text.
+    QueryEntry.sql(
+      "q59_jsonl_roundtrip",
+      """SELECT lang, COUNT(*) AS cnt, CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+        |       CAST(MIN(doc_id) AS BIGINT) AS min_id
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    ) { (s, dir) =>
+      jsonlCopy(s, dir, "documents")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("cnt"), sum("n_chars").as("sum_chars"),
+          min("doc_id").as("min_id"))
+        .orderBy("lang")
     },
 
     // The reference program through the hot path: stripe-parallel
