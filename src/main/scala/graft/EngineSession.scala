@@ -69,13 +69,19 @@ object EngineSession {
     * overhead.
     */
   def tune(spark: SparkSession): SparkSession = {
-    if (tuned.add(spark)) {
-      runtimeConf.foreach { case (k, v) => spark.conf.set(k, v) }
-      functions.GraftFunctions.registerAll(spark)
-      val rule = org.apache.spark.sql.graft.RewriteHofDotProduct
-      val em = spark.experimental
-      if (!em.extraOptimizations.contains(rule))
-        em.extraOptimizations = em.extraOptimizations :+ rule
+    // memo is set only AFTER tuning completes, under the lock — a
+    // concurrent caller must never run a query against a half-tuned
+    // session (functions not yet registered)
+    if (!tuned.contains(spark)) tuned.synchronized {
+      if (!tuned.contains(spark)) {
+        runtimeConf.foreach { case (k, v) => spark.conf.set(k, v) }
+        functions.GraftFunctions.registerAll(spark)
+        val rule = org.apache.spark.sql.graft.RewriteHofDotProduct
+        val em = spark.experimental
+        if (!em.extraOptimizations.contains(rule))
+          em.extraOptimizations = em.extraOptimizations :+ rule
+        tuned.add(spark)
+      }
     }
     spark
   }

@@ -57,23 +57,21 @@ object Tables {
     * immutable plan over the listing snapshot, so reuse within a
     * session is sound; if fixture files are rewritten mid-session call
     * [[invalidate]] (the `REFRESH TABLE` contract, same as
-    * `Ivf.invalidateIndex`). Sessions are WEAK keys: cached frames pin
-    * their session, so a strong key would keep stopped sessions (and
-    * their plans) alive forever in a multi-session JVM.
+    * `Ivf.invalidateIndex`). Stopped sessions are evicted on the next
+    * load — weak keys would not work here because every cached
+    * DataFrame strongly references its own session (the classic
+    * WeakHashMap value→key pitfall).
     */
-  private val cache = new java.util.WeakHashMap[
-    SparkSession, scala.collection.concurrent.TrieMap[(String, String), DataFrame]]()
+  private val cache = scala.collection.mutable.HashMap.empty[
+    SparkSession, scala.collection.concurrent.TrieMap[(String, String), DataFrame]]
 
   def invalidate(): Unit = cache.synchronized(cache.clear())
 
   private[graft] def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     val per = cache.synchronized {
-      var m = cache.get(spark)
-      if (m == null) {
-        m = scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
-        cache.put(spark, m)
-      }
-      m
+      cache.filterInPlace((s, _) => !s.sparkContext.isStopped)
+      cache.getOrElseUpdate(spark,
+        scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame])
     }
     per.getOrElseUpdate((dir, name), spark.read.parquet(s"$dir/$name.parquet"))
   }

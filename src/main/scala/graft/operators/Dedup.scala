@@ -142,10 +142,12 @@ object Dedup {
     * centroids, not corpus data. Past the threshold the distributed
     * min-label propagation below takes over: labels live in a
     * DataFrame, each round joins labels across edges and takes the
-    * min, O(component diameter) shuffle rounds on the edge set.
+    * min, O(component diameter) shuffle rounds on the edge set. The
+    * default threshold (1M edges ≈ low hundreds of MB boxed on the
+    * driver) stays well inside a default driver heap.
     */
   def nearDupGroups(docs: DataFrame, num: Int = 4, den: Int = 5,
-      smallGraphMax: Long = 10000000L): DataFrame = {
+      smallGraphMax: Long = 1000000L): DataFrame = {
     val spark = docs.sparkSession
     val pairs = nearDupPairs(docs, num, den).select("doc_a", "doc_b")
     if (pairs.count() <= smallGraphMax) {

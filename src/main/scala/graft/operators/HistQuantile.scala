@@ -50,13 +50,17 @@ object HistQuantile {
       return Seq.empty[(Double, Double)].toDF("q", "est")
     }
     val cum = cells.scanLeft((0L, 0L)) { case ((_, acc), (b, c)) => (b, acc + c) }.tail
-    val ests = qs.sorted.map { q =>
+    val ests = qs.sorted.flatMap { q =>
       val rank = math.ceil(q * n).toLong.max(1L)
-      val b = cum.find(_._2 >= rank).get._1
-      // same double ops the oracle spells: lo + (b + 0.5) * w, HALF_UP
-      val est = BigDecimal(lo + (b + 0.5) * w)
-        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-      (q, est)
+      // q outside (0, 1] can exceed every cumulative count — emit no
+      // row for it (the pre-collect formulation's behavior) rather
+      // than crash
+      cum.find(_._2 >= rank).map { case (b, _) =>
+        // same double ops the oracle spells: lo + (b + 0.5) * w, HALF_UP
+        val est = BigDecimal(lo + (b + 0.5) * w)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        (q, est)
+      }
     }
     ests.toDF("q", "est")
   }

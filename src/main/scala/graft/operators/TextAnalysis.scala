@@ -261,10 +261,14 @@ object TextAnalysis {
     // lay documents out in the deterministic shuffle order and cut the
     // stream into packs of ≤ budget tokens via a prefix-sum bin
     // (pack = tokens-before div budget — the distributed, order-stable
-    // form of greedy packing; a doc longer than the budget gets its
-    // own pack, the CASE both engines spell identically). One window
-    // cumsum over the shuffle-key order — range-partitioned at scale,
-    // exactly like q43's sort.
+    // form of greedy packing). The global cumulative sum is computed
+    // as a two-phase distributed prefix sum: deterministic key-range
+    // buckets (first hex char of the shuffle key — 16 ranges that
+    // agree with the global (sk, doc_id) order), per-bucket window
+    // cumsums in parallel, plus bucket offsets derived from the
+    // 16-row totals (model-sized driver arithmetic). An unpartitioned
+    // window would funnel the corpus through one task; this shape
+    // scales like any range-partitioned sort.
     QueryEntry.sql(
       "q58_sequence_packing",
       """WITH ordered AS (
@@ -285,14 +289,24 @@ object TextAnalysis {
         |FROM packed GROUP BY pack_id ORDER BY pack_id""".stripMargin,
     ) { (s, dir) =>
       import org.apache.spark.sql.expressions.Window
-      val w = Window.orderBy("sk", "doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      Tables(s, dir).documents
+      import s.implicits._
+      val docs = Tables(s, dir).documents
         .select(col("doc_id"),
           md5(concat(lit("shuf"), col("doc_id").cast(StringType)).cast(BinaryType))
             .as("sk"),
           size(tokens(col("text"))).cast(LongType).as("n_tok"))
-        .withColumn("cum", sum("n_tok").over(w))
+        .withColumn("bkt", substring(col("sk"), 1, 1))
+      // phase 1: 16 per-bucket token totals → exclusive prefix offsets
+      val totals = docs.groupBy("bkt").agg(sum("n_tok").as("t"))
+        .orderBy("bkt").collect().map(r => (r.getString(0), r.getLong(1)))
+      var acc = 0L
+      val offsets = totals.map { case (b, t) => val o = (b, acc); acc += t; o }
+      // phase 2: per-bucket window cumsum (parallel) + bucket offset
+      val wIn = Window.partitionBy("bkt").orderBy("sk", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      docs
+        .join(broadcast(offsets.toSeq.toDF("bkt", "off")), Seq("bkt"))
+        .withColumn("cum", sum("n_tok").over(wIn) + col("off"))
         // `div`, not `/`: Spark's / is fractional; both engines bin by
         // integer division of the tokens-before prefix sum
         .withColumn("pack_id", expr("(cum - n_tok) div 512"))

@@ -31,28 +31,27 @@ object OrcRoundTrip {
       spark.read.parquet(s"$dir/$name.parquet")
         .write.mode("overwrite").option("compression", "snappy").orc(dest)
     }
-    memoRead(spark, dest)
+    memoRead(spark, dest)(spark.read.orc(dest))
   }
 
-  /** Memoized ORC frames per (session, staged path): the path embeds
-    * the source fingerprint, so reuse is staleness-safe; avoids
+  /** Memoized staged frames per (session, staged path): the path
+    * embeds the source fingerprint, so reuse is staleness-safe; avoids
     * re-listing + schema inference on every benchmark run (the
-    * `Tables.load` rationale applied to the ORC side, including its
-    * weak session keys — a strong key would pin stopped sessions).
+    * `Tables.load` rationale applied to staged copies; stopped
+    * sessions are evicted on the next call — cached frames reference
+    * their session, so weak keys could never clear).
     */
-  private val orcFrames = new java.util.WeakHashMap[
-    SparkSession, scala.collection.concurrent.TrieMap[String, DataFrame]]()
+  private val stagedFrames = scala.collection.mutable.HashMap.empty[
+    SparkSession, scala.collection.concurrent.TrieMap[String, DataFrame]]
 
-  private def memoRead(spark: SparkSession, dest: String): DataFrame = {
-    val per = orcFrames.synchronized {
-      var m = orcFrames.get(spark)
-      if (m == null) {
-        m = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
-        orcFrames.put(spark, m)
-      }
-      m
+  private def memoRead(spark: SparkSession, dest: String)(
+      read: => DataFrame): DataFrame = {
+    val per = stagedFrames.synchronized {
+      stagedFrames.filterInPlace((s, _) => !s.sparkContext.isStopped)
+      stagedFrames.getOrElseUpdate(spark,
+        scala.collection.concurrent.TrieMap.empty[String, DataFrame])
     }
-    per.getOrElseUpdate(dest, spark.read.orc(dest))
+    per.getOrElseUpdate(dest, read)
   }
 
   /** JSON-Lines copy of a fixture table — staged once per source
@@ -63,11 +62,10 @@ object OrcRoundTrip {
   def jsonlCopy(spark: SparkSession, dir: String, name: String): DataFrame = {
     val dest = Staging.fingerprintPath("graft_jsonl", dir, s"$name.parquet", name)
     Staging.ensureStaged(dest) {
-      spark.read.parquet(s"$dir/$name.parquet")
-        .write.mode("overwrite").json(dest)
+      Tables.load(spark, dir, name).write.mode("overwrite").json(dest)
     }
-    val schema = spark.read.parquet(s"$dir/$name.parquet").schema
-    spark.read.schema(schema).json(dest)
+    memoRead(spark, dest)(
+      spark.read.schema(Tables.load(spark, dir, name).schema).json(dest))
   }
 
   /** The full ORC type surface the reference links (`reader.cc:1`
@@ -99,7 +97,7 @@ object OrcRoundTrip {
       nestedProjection(spark.read.parquet(s"$dir/lineitem.parquet"))
         .write.mode("overwrite").option("compression", "snappy").orc(dest)
     }
-    memoRead(spark, dest)
+    memoRead(spark, dest)(spark.read.orc(dest))
   }
 
   /** Hive-partitioned, multi-part ORC(snappy) copy of lineitem —
@@ -120,7 +118,7 @@ object OrcRoundTrip {
         .write.mode("overwrite").option("compression", "snappy")
         .partitionBy("l_returnflag").orc(dest)
     }
-    memoRead(spark, dest)
+    memoRead(spark, dest)(spark.read.orc(dest))
   }
 
   val entries: Seq[QueryEntry] = Seq(

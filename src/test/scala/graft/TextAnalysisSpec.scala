@@ -33,6 +33,14 @@ class TextAnalysisSpec extends SparkSpec {
       s"diagonal ${correct}/${rows.length}: ${rows.mkString(", ")}")
   }
 
+  test("q58 packing computes its prefix sum without a single-partition window") {
+    val df = run("q58_sequence_packing")
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange SinglePartition"), plan.take(2000))
+    assert(plan.toLowerCase.contains("hashpartitioning(bkt"), plan.take(2000))
+  }
+
   test("lang-ID falls back to stopword evidence, then the en prior") {
     val df = Seq(
       "der und ist das die ein",   // German stopwords, no markers
