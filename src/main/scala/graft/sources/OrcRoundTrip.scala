@@ -214,6 +214,26 @@ object OrcRoundTrip {
         .orderBy("l_linestatus")
     },
 
+    // The native path's double-column branch under the gate: an ORC
+    // copy with l_quantity leading, summed by the stripe-parallel
+    // DoubleColumnVector loop. l_quantity is integral-valued, so the
+    // double partial sums are exact and order-free — the oracle's SUM
+    // matches bit-for-bit (the same reasoning as q01's long path).
+    QueryEntry.sql(
+      "q60_fast_orc_double",
+      "SELECT SUM(l_quantity) AS sum_qty FROM lineitem",
+    ) { (s, dir) =>
+      import s.implicits._
+      val dest =
+        Staging.fingerprintPath("graft_orc", dir, "lineitem.parquet", "lineitem_qtyfirst")
+      Staging.ensureStaged(dest) {
+        s.read.parquet(s"$dir/lineitem.parquet")
+          .select(col("l_quantity"), col("l_orderkey"))
+          .write.mode("overwrite").option("compression", "snappy").orc(dest)
+      }
+      Seq(FastOrcSum.sumFirstDoubleColumn(s, dest)).toDF("sum_qty")
+    },
+
     // Source-format breadth beyond ORC/parquet: documents staged as
     // JSON Lines (the interchange format most text corpora arrive in),
     // read back through the JSON source with an explicit schema (no

@@ -114,6 +114,50 @@ object StreamingEvents {
     spark.table(name).orderBy("user_id", "w")
   }
 
+  /** Stream-stream interval join: the q50 semantics with BOTH sides
+    * streaming — probe events (event_id % 10 = 0) joined to same-user
+    * follower events within the next hour. Watermarks on both sides
+    * plus the time-range join condition let Spark bound the buffered
+    * state (each side keeps ≤ watermark + 1h of events per user);
+    * this is the canonical stream-stream join the Structured
+    * Streaming surface must cover. StreamingSpec asserts the
+    * AvailableNow run equals the batch interval join.
+    */
+  def streamStreamIntervalJoin(spark: SparkSession, dir: String): DataFrame = {
+    val src = stagedStreamSource(spark, dir)
+    val schema = spark.read.parquet(src).schema
+    def stream() = spark.readStream.schema(schema).parquet(src)
+      .withColumn("ts", graft.Tables.eventsTsFromNanos)
+    val probes = stream()
+      .filter(col("event_id") % 10 === 0)
+      .select(col("user_id").as("pu"), col("event_id").as("pid"),
+        col("ts").as("pt"))
+      .withWatermark("pt", "2 hours")
+    val followers = stream()
+      .select(col("user_id").as("fu"), col("event_id").as("fid"),
+        col("ts").as("ft"))
+      .withWatermark("ft", "2 hours")
+    probes.join(followers,
+      col("pu") === col("fu") &&
+        col("ft") > col("pt") &&
+        col("ft") <= col("pt") + expr("INTERVAL 1 HOUR"))
+      .select(col("pu").as("user_id"), col("pid"), col("fid"))
+  }
+
+  /** Run [[streamStreamIntervalJoin]] to completion over the bounded
+    * fixture.
+    */
+  def runStreamJoinToCompletion(spark: SparkSession, dir: String): DataFrame = {
+    val name = s"graft_ssjoin_${System.identityHashCode(spark)}"
+    val q = streamStreamIntervalJoin(spark, dir).writeStream
+      .format("memory").queryName(name)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name).orderBy("user_id", "pid", "fid")
+  }
+
   /** The file streaming source requires a directory; the fixture is a
     * single parquet file — stage a copy under scratch, fingerprint-
     * keyed and write-once via [[graft.sources.Staging]].

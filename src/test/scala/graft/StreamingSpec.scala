@@ -31,6 +31,23 @@ class StreamingSpec extends SparkSpec {
     assert(batch.nonEmpty)
   }
 
+  test("stream-stream interval join ≡ batch interval join (watermarked, AvailableNow)") {
+    import org.apache.spark.sql.functions._
+    val streamed = StreamingEvents.runStreamJoinToCompletion(spark, sf)
+      .collect().map(_.toSeq).toSet
+    val e = Tables(spark, sf).events
+      .select(col("user_id"), col("event_id"), col("ts"))
+    val probes = e.filter(col("event_id") % 10 === 0)
+      .select(col("user_id").as("pu"), col("event_id").as("pid"), col("ts").as("pt"))
+    val batch = probes.join(e,
+        col("pu") === col("user_id") && col("ts") > col("pt") &&
+          col("ts") <= col("pt") + expr("INTERVAL 1 HOUR"))
+      .select(col("pu").as("user_id"), col("pid"), col("event_id").as("fid"))
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch)
+    assert(batch.nonEmpty)
+  }
+
   test("mapGroupsWithState per-user aggregates ≡ batch groupBy") {
     import org.apache.spark.sql.functions._
     val stateful = StreamingEvents.statefulUserCounts(spark, sf)
