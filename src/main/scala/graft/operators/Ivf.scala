@@ -80,7 +80,20 @@ object Ivf {
   private val centroidCache =
     scala.collection.concurrent.TrieMap.empty[(String, Int, Int), IndexedSeq[Array[Float]]]
 
-  def invalidateIndex(): Unit = centroidCache.clear()
+  /** The inverted lists themselves — the clustered corpus,
+    * materialized once per (plan, model): this IS the IVF index, and
+    * re-assigning every vector on every search would misrepresent the
+    * operator's query-time cost exactly like refitting would. Same
+    * invalidation contract as the quantizer memo.
+    */
+  private val listsCache =
+    scala.collection.concurrent.TrieMap.empty[(String, Int, Int), DataFrame]
+
+  def invalidateIndex(): Unit = {
+    centroidCache.clear()
+    listsCache.values.foreach(df => try df.unpersist() catch { case _: Throwable => () })
+    listsCache.clear()
+  }
 
   def fittedCentroids(emb: DataFrame, k: Int, iters: Int): IndexedSeq[Array[Float]] = {
     val key = (emb.queryExecution.analyzed.semanticHash().toString, k, iters)
@@ -96,8 +109,19 @@ object Ivf {
   def annSearch(emb: DataFrame, probes: DataFrame, nprobe: Int, k: Int,
       nClusters: Int = 16, iters: Int = 3): DataFrame = {
     val cents = fittedCentroids(emb, nClusters, iters)
-    val corpus = withCluster(emb, cents)
-      .select(col("vec_id"), col("embedding"), col("cluster"))
+    val key = (emb.queryExecution.analyzed.semanticHash().toString, nClusters, iters)
+    if (listsCache.size > 64)
+      listsCache.keys.find(_ != key).foreach { k =>
+        listsCache.remove(k).foreach(df =>
+          try df.unpersist() catch { case _: Throwable => () })
+      }
+    val corpus = listsCache.getOrElseUpdate(key, {
+      val c = withCluster(emb, cents)
+        .select(col("vec_id"), col("embedding"), col("cluster"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      c.count() // materialize the index eagerly
+      c
+    })
 
     // top-nprobe inverted lists per probe
     val probeLists = probes
