@@ -81,13 +81,16 @@ object Ivf {
     scala.collection.concurrent.TrieMap.empty[(String, Int, Int), IndexedSeq[Array[Float]]]
 
   /** The inverted lists themselves — the clustered corpus,
-    * materialized once per (plan, model): this IS the IVF index, and
-    * re-assigning every vector on every search would misrepresent the
-    * operator's query-time cost exactly like refitting would. Same
-    * invalidation contract as the quantizer memo.
+    * materialized once per (session, plan, model): this IS the IVF
+    * index, and re-assigning every vector on every search would
+    * misrepresent the operator's query-time cost exactly like
+    * refitting would. Keyed by SESSION too (unlike the quantizer memo,
+    * whose values are plain arrays): a cached DataFrame is bound to
+    * the session that persisted it, and plan hashes collide across
+    * sessions. Entries of stopped sessions are evicted on access.
     */
-  private val listsCache =
-    scala.collection.concurrent.TrieMap.empty[(String, Int, Int), DataFrame]
+  private val listsCache = scala.collection.concurrent.TrieMap
+    .empty[(org.apache.spark.sql.SparkSession, String, Int, Int), DataFrame]
 
   def invalidateIndex(): Unit = {
     centroidCache.clear()
@@ -109,9 +112,11 @@ object Ivf {
   def annSearch(emb: DataFrame, probes: DataFrame, nprobe: Int, k: Int,
       nClusters: Int = 16, iters: Int = 3): DataFrame = {
     val cents = fittedCentroids(emb, nClusters, iters)
-    val key = (emb.queryExecution.analyzed.semanticHash().toString, nClusters, iters)
-    if (listsCache.size > 64)
-      listsCache.keys.find(_ != key).foreach { k =>
+    val key = (emb.sparkSession,
+      emb.queryExecution.analyzed.semanticHash().toString, nClusters, iters)
+    listsCache.keys
+      .filter(k => k._1.sparkContext.isStopped || (listsCache.size > 64 && k != key))
+      .foreach { k =>
         listsCache.remove(k).foreach(df =>
           try df.unpersist() catch { case _: Throwable => () })
       }
