@@ -74,6 +74,33 @@ object EventsOps {
         .orderBy("event_type")
     },
 
+    // Sliding windows (1 hour sliding by 15 minutes): every event
+    // lands in exactly 4 overlapping windows. Window starts are
+    // compared as epoch-microsecond integers so alignment is exact in
+    // both engines (Spark floors against the epoch; the oracle spells
+    // the same floor with integer division). The streaming twin is the
+    // same groupBy under a watermark.
+    QueryEntry.sql(
+      "q61_sliding_windows",
+      """WITH e AS (
+        |  SELECT epoch_us(CAST(ts AS TIMESTAMP)) AS tu, event_type FROM events
+        |), wins AS (
+        |  SELECT event_type,
+        |         (tu // 900000000) * 900000000 - k.k * 900000000 AS ws
+        |  FROM e, (SELECT unnest(range(0, 4)) AS k) k
+        |)
+        |SELECT CAST(ws AS BIGINT) AS ws, event_type, COUNT(*) AS cnt
+        |FROM wins GROUP BY 1, 2 ORDER BY ws, event_type""".stripMargin,
+    ) { (s, dir) =>
+      Tables(s, dir).events
+        .groupBy(window(col("ts"), "1 hour", "15 minutes").as("win"),
+          col("event_type"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(unix_micros(col("win.start")).as("ws"), col("event_type"),
+          col("cnt"))
+        .orderBy("ws", "event_type")
+    },
+
     // Sessionization (gaps-and-islands): a new session starts when the
     // per-user event gap exceeds 30 minutes. One shuffle on user_id,
     // two window passes (lag flag, running sum), then a grouped
