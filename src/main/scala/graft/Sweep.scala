@@ -45,62 +45,35 @@ object Sweep {
     // readerThreads.bash experiment (threads = 1..N over a fixed ORC
     // table), here as FastOrcSum task parallelism: stripes are grouped
     // into `p` contiguous ranges, one sequential reader per task, like
-    // the reference's per-thread row ranges. A 1 MiB stripe size gives
-    // the file enough stripes (~16 at sf0.1) for grouping to matter.
-    val dest = s"${sys.props("java.io.tmpdir")}/graft_sweep/$tag/snappy_smallstripe"
-    if (!new java.io.File(dest, "_SUCCESS").exists())
+    // the reference's per-thread row ranges; the per-task loop IS
+    // FastOrcSum.sumLongStripes, so the sweep measures the operator's
+    // own code. A 1 MiB stripe size gives the file enough stripes
+    // (~16 at sf0.1) for grouping to matter. The copy is
+    // fingerprint-staged like every other derived fixture.
+    import graft.sources.{FastOrcSum, Staging}
+    val dest = Staging.fingerprintPath("graft_sweep", sfDir, "lineitem.parquet",
+      "snappy_smallstripe")
+    Staging.ensureStaged(dest) {
       src.coalesce(1).write.mode("overwrite")
         .option("compression", "snappy").option("orc.stripe.size", "1048576")
         .orc(dest)
+    }
+    val splits = FastOrcSum.stripeSplits(spark, dest)
+    val hconf = org.apache.spark.sql.graft.Shims.broadcastHadoopConf(spark)
     for (p <- Seq(1, 2, 4, 8, 16, 32)) {
-      import graft.sources.FastOrcSum
-      val splits = FastOrcSum.stripeSplits(spark, dest)
-      def once(): Long = {
-        // merge stripes into p tasks: contiguous ranges per task keep
-        // each reader sequential, like the reference's per-thread row
-        // ranges (readerThreads.bash -t)
-        val groups = splits.grouped(math.max(1, (splits.size + p - 1) / p)).toSeq
-        val hconf = org.apache.spark.sql.graft.Shims.broadcastHadoopConf(spark)
-        spark.sparkContext.parallelize(groups, groups.size).map { g =>
-          var s = 0L
-          g.foreach { sp =>
-            val reader = org.apache.orc.OrcFile.createReader(
-              new org.apache.hadoop.fs.Path(sp.file),
-              org.apache.orc.OrcFile.readerOptions(hconf.conf))
-            try {
-              val schema = reader.getSchema
-              val include = new Array[Boolean](schema.getMaximumId + 1)
-              include(0) = true
-              include(schema.getChildren.get(0).getId) = true
-              val rows = reader.rows(
-                reader.options().range(sp.offset, sp.length).include(include))
-              try {
-                val batch = schema.createRowBatch(10000)
-                val c = batch.cols(0)
-                  .asInstanceOf[org.apache.hadoop.hive.ql.exec.vector.LongColumnVector]
-                while (rows.nextBatch(batch)) {
-                  if (c.isRepeating) {
-                    if (c.noNulls || !c.isNull(0)) s += c.vector(0) * batch.size
-                  } else {
-                    var i = 0
-                    while (i < batch.size) {
-                      if (c.noNulls || !c.isNull(i)) s += c.vector(i)
-                      i += 1
-                    }
-                  }
-                }
-              } finally rows.close()
-            } finally reader.close()
-          }
-          s
-        }.reduce(_ + _)
-      }
+      val groups = splits.grouped(math.max(1, (splits.size + p - 1) / p)).toSeq
+      def once(): Long =
+        spark.sparkContext.parallelize(groups, groups.size)
+          .map(g => FastOrcSum.sumLongStripes(hconf.conf, g))
+          .reduce(_ + _)
       once() // warm
       val times = Seq.fill(5) {
         val t0 = System.nanoTime(); once(); (System.nanoTime() - t0) / 1e9
       }
       val med = times.sorted.apply(times.size / 2)
-      println(s"""{"sweep":"reader_tasks","tasks":$p,"sec":$med,"rows":$rows}""")
+      // report the ACTUAL task count — above the stripe count the
+      // decomposition can't grow, and the row must say so
+      println(s"""{"sweep":"reader_tasks","requested":$p,"tasks":${groups.size},"sec":$med,"rows":$rows}""")
     }
     spark.stop()
   }

@@ -114,18 +114,24 @@ object Ivf {
     val cents = fittedCentroids(emb, nClusters, iters)
     val key = (emb.sparkSession,
       emb.queryExecution.analyzed.semanticHash().toString, nClusters, iters)
-    listsCache.keys
-      .filter(k => k._1.sparkContext.isStopped || (listsCache.size > 64 && k != key))
-      .foreach { k =>
-        listsCache.remove(k).foreach(df =>
-          try df.unpersist() catch { case _: Throwable => () })
+    def drop(k: (org.apache.spark.sql.SparkSession, String, Int, Int)): Unit =
+      listsCache.remove(k).foreach(df =>
+        try df.unpersist() catch { case _: Throwable => () })
+    listsCache.keys.filter(_._1.sparkContext.isStopped).foreach(drop)
+    // bound, don't flush: evict ONE stranger past the cap (the
+    // centroidCache policy)
+    if (listsCache.size > 64) listsCache.keys.find(_ != key).foreach(drop)
+    // build under a lock — TrieMap.getOrElseUpdate may run the builder
+    // twice concurrently, and the loser would stay persisted forever
+    val corpus = listsCache.get(key).getOrElse(listsCache.synchronized {
+      listsCache.get(key).getOrElse {
+        val c = withCluster(emb, cents)
+          .select(col("vec_id"), col("embedding"), col("cluster"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        c.count() // materialize the index eagerly
+        listsCache.put(key, c)
+        c
       }
-    val corpus = listsCache.getOrElseUpdate(key, {
-      val c = withCluster(emb, cents)
-        .select(col("vec_id"), col("embedding"), col("cluster"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      c.count() // materialize the index eagerly
-      c
     })
 
     // top-nprobe inverted lists per probe

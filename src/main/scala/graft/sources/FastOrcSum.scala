@@ -210,6 +210,43 @@ object FastOrcSum {
     sum
   }
 
+  /** Sum the first (integer-family) column across a set of stripe
+    * splits with one sequential reader per stripe — the per-task body
+    * shared by [[sumFirstLongColumn]]-style callers and the
+    * reader-parallelism sweep (`graft.Sweep`), so the sweep measures
+    * exactly the operator's loop.
+    */
+  def sumLongStripes(conf: Configuration, splits: Seq[StripeSplit]): Long = {
+    var total = 0L
+    splits.foreach { sp =>
+      val reader = OrcFile.createReader(new Path(sp.file), OrcFile.readerOptions(conf))
+      try {
+        val schema = reader.getSchema
+        val rowsIt = reader.rows(scanOptions(reader, schema, sp))
+        try {
+          val batch = schema.createRowBatch(10000)
+          val col = batch.cols(0).asInstanceOf[LongColumnVector]
+          while (rowsIt.nextBatch(batch)) {
+            val n = batch.size
+            if (col.isRepeating) {
+              if (col.noNulls || !col.isNull(0)) total += col.vector(0) * n
+            } else if (col.noNulls) {
+              var i = 0
+              while (i < n) { total += col.vector(i); i += 1 }
+            } else {
+              var i = 0
+              while (i < n) {
+                if (!col.isNull(i)) total += col.vector(i)
+                i += 1
+              }
+            }
+          }
+        } finally rowsIt.close()
+      } finally reader.close()
+    }
+    total
+  }
+
   /** Shared per-stripe read options: first-column projection only. */
   private def scanOptions(reader: Reader, schema: TypeDescription,
       s: StripeSplit): Reader.Options = {

@@ -68,6 +68,20 @@ object OrcRoundTrip {
       spark.read.schema(Tables.load(spark, dir, name).schema).json(dest))
   }
 
+  /** One staging policy for every derived-from-lineitem ORC copy:
+    * fingerprint path keyed on the real source file, write-once via
+    * [[Staging]], destination returned for callers that need the path
+    * itself (the native scan).
+    */
+  private def stagedDerivedOrc(spark: SparkSession, dir: String, label: String)(
+      write: (DataFrame, String) => Unit): String = {
+    val dest = Staging.fingerprintPath("graft_orc", dir, "lineitem.parquet", label)
+    Staging.ensureStaged(dest) {
+      write(spark.read.parquet(s"$dir/lineitem.parquet"), dest)
+    }
+    dest
+  }
+
   /** The full ORC type surface the reference links (`reader.cc:1`
     * includes orc/OrcFile.hh — struct/list/map/decimal/date among the
     * column kinds; SURVEY §1.3): lineitem re-shaped so one table
@@ -91,11 +105,9 @@ object OrcRoundTrip {
     * real source file, not the synthetic table name).
     */
   def nestedOrcCopy(spark: SparkSession, dir: String): DataFrame = {
-    val dest =
-      Staging.fingerprintPath("graft_orc", dir, "lineitem.parquet", "lineitem_nested")
-    Staging.ensureStaged(dest) {
-      nestedProjection(spark.read.parquet(s"$dir/lineitem.parquet"))
-        .write.mode("overwrite").option("compression", "snappy").orc(dest)
+    val dest = stagedDerivedOrc(spark, dir, "lineitem_nested") { (df, d) =>
+      nestedProjection(df)
+        .write.mode("overwrite").option("compression", "snappy").orc(d)
     }
     memoRead(spark, dest)(spark.read.orc(dest))
   }
@@ -110,13 +122,10 @@ object OrcRoundTrip {
     * PartitionFilters + the scan's file-count metric).
     */
   def partitionedOrcCopy(spark: SparkSession, dir: String): DataFrame = {
-    val dest =
-      Staging.fingerprintPath("graft_orc", dir, "lineitem.parquet", "lineitem_byflag")
-    Staging.ensureStaged(dest) {
-      spark.read.parquet(s"$dir/lineitem.parquet")
-        .repartition(4) // several part files per partition directory
+    val dest = stagedDerivedOrc(spark, dir, "lineitem_byflag") { (df, d) =>
+      df.repartition(4) // several part files per partition directory
         .write.mode("overwrite").option("compression", "snappy")
-        .partitionBy("l_returnflag").orc(dest)
+        .partitionBy("l_returnflag").orc(d)
     }
     memoRead(spark, dest)(spark.read.orc(dest))
   }
@@ -224,12 +233,9 @@ object OrcRoundTrip {
       "SELECT SUM(l_quantity) AS sum_qty FROM lineitem",
     ) { (s, dir) =>
       import s.implicits._
-      val dest =
-        Staging.fingerprintPath("graft_orc", dir, "lineitem.parquet", "lineitem_qtyfirst")
-      Staging.ensureStaged(dest) {
-        s.read.parquet(s"$dir/lineitem.parquet")
-          .select(col("l_quantity"), col("l_orderkey"))
-          .write.mode("overwrite").option("compression", "snappy").orc(dest)
+      val dest = stagedDerivedOrc(s, dir, "lineitem_qtyfirst") { (df, d) =>
+        df.select(col("l_quantity"), col("l_orderkey"))
+          .write.mode("overwrite").option("compression", "snappy").orc(d)
       }
       Seq(FastOrcSum.sumFirstDoubleColumn(s, dest)).toDF("sum_qty")
     },

@@ -33,8 +33,10 @@ class StreamingSpec extends SparkSpec {
 
   test("stream-stream interval join ≡ batch interval join (watermarked, AvailableNow)") {
     import org.apache.spark.sql.functions._
+    // multiset compare: duplicate emissions are the classic
+    // stream-stream join failure mode, and a Set would hide them
     val streamed = StreamingEvents.runStreamJoinToCompletion(spark, sf)
-      .collect().map(_.toSeq).toSet
+      .collect().map(_.toSeq.toString).sorted.toSeq
     val e = Tables(spark, sf).events
       .select(col("user_id"), col("event_id"), col("ts"))
     val probes = e.filter(col("event_id") % 10 === 0)
@@ -43,7 +45,7 @@ class StreamingSpec extends SparkSpec {
         col("pu") === col("user_id") && col("ts") > col("pt") &&
           col("ts") <= col("pt") + expr("INTERVAL 1 HOUR"))
       .select(col("pu").as("user_id"), col("pid"), col("event_id").as("fid"))
-      .collect().map(_.toSeq).toSet
+      .collect().map(_.toSeq.toString).sorted.toSeq
     assert(streamed == batch)
     assert(batch.nonEmpty)
   }
