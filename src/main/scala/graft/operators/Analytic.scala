@@ -89,6 +89,19 @@ object Analytic {
         .crossJoin(Hll.estimate(li, "l_partkey", "approx_parts"))
     },
 
+    // Grouped HLL — the sketch as re-aggregable partial state: per
+    // return-flag distinct-order estimates from (group, register)
+    // cells. HllSpec additionally proves mergeability (cell-wise MAX
+    // of the per-group registers reproduces the global estimate
+    // exactly), the property that makes sketches distributable.
+    QueryEntry.sql(
+      "q62_hll_by_group",
+      Hll.groupedOracleSql("lineitem", "l_returnflag", "l_orderkey", "approx_orders"),
+    ) { (s, dir) =>
+      Hll.estimateByGroup(Tables(s, dir).lineitem, "l_returnflag", "l_orderkey",
+        "approx_orders")
+    },
+
     // Window-function breadth: lag deltas and bounded-frame moving
     // averages per user over event time (the session-analytics shape).
     // Frames are fully ordered (ts is ns-unique per user) so float

@@ -75,6 +75,90 @@ object Hll {
           4).as(alias))
   }
 
+  /** Per-group HLL estimates: registers keyed by (group, idx), the
+    * same estimator per group. The register frame is the MERGEABLE
+    * partial state — union of sketches = cell-wise MAX of registers —
+    * which is what makes the sketch distributable at any scale;
+    * HllSpec asserts that merging the per-group sketches reproduces
+    * the global estimate exactly.
+    */
+  def estimateByGroup(df: DataFrame, groupCol: String, column: String,
+      alias: String): DataFrame = {
+    val regs = registers(df, column, Seq(groupCol))
+    finishEstimate(regs, Seq(groupCol), alias)
+      .orderBy(groupCol)
+  }
+
+  /** The raw (group*, idx, mr) register frame — the sketch state. */
+  def registers(df: DataFrame, column: String, groupCols: Seq[String]): DataFrame = {
+    val keep = groupCols.map(col) :+
+      GraftFunctions.splitmix64(col(column).cast(LongType)).as("z")
+    df.filter(col(column).isNotNull)
+      .select(keep: _*)
+      .select((groupCols.map(col) :+ expr("shiftrightunsigned(z, 52)").as("idx") :+
+        expr(s"z & $W").as("w")): _*)
+      .select((groupCols.map(col) :+ col("idx") :+
+        when(col("w") === 0, lit(53))
+          .otherwise(lit(53) - length(bin(col("w")))).as("rho")): _*)
+      .groupBy((groupCols :+ "idx").map(col): _*)
+      .agg(max("rho").as("mr"))
+  }
+
+  /** Estimator over a register frame, optionally grouped. */
+  def finishEstimate(regs: DataFrame, groupCols: Seq[String], alias: String): DataFrame = {
+    val grouped =
+      if (groupCols.isEmpty) regs.groupBy()
+      else regs.groupBy(groupCols.map(col): _*)
+    grouped
+      .agg(
+        coalesce(
+          sum(expr("CAST(shiftleft(CAST(1 AS BIGINT), 53 - mr) AS DECIMAL(38,0))")),
+          lit(0).cast(DecimalType(38, 0))).as("tp"),
+        count(lit(1)).as("np"))
+      .select((groupCols.map(col) :+
+        (col("tp") + (lit(M.toLong) - col("np")) *
+          lit(9007199254740992L).cast(DecimalType(38, 0)))
+          .cast(DoubleType).as("tt") :+
+        (lit(M.toLong) - col("np")).as("v")): _*)
+      .select((groupCols.map(col) :+
+        ((lit(0.7213) / (lit(1.0) + lit(1.079) / lit(4096.0)))
+          * lit(16777216.0) * lit(9007199254740992.0) / col("tt")).as("raw") :+
+        col("v")): _*)
+      .select((groupCols.map(col) :+
+        round(
+          when(col("raw") <= lit(10240.0) && col("v") > 0,
+            lit(4096.0) * log(lit(4096.0) / col("v")))
+            .otherwise(col("raw")),
+          4).as(alias)): _*)
+  }
+
+  /** DuckDB mirror of [[estimateByGroup]]. */
+  def groupedOracleSql(table: String, groupCol: String, column: String,
+      alias: String): String =
+    s"""SELECT $groupCol,
+       |       ROUND(CASE WHEN raw <= CAST(10240.0 AS DOUBLE) AND v > 0
+       |             THEN CAST(4096.0 AS DOUBLE) * ln(CAST(4096.0 AS DOUBLE) / v)
+       |             ELSE raw END, 4) AS $alias
+       |FROM (
+       |  SELECT $groupCol,
+       |         (CAST(0.7213 AS DOUBLE) / (CAST(1.0 AS DOUBLE) + CAST(1.079 AS DOUBLE) / CAST(4096.0 AS DOUBLE)))
+       |         * CAST(16777216.0 AS DOUBLE) * CAST(9007199254740992.0 AS DOUBLE)
+       |         / CAST(tp + (4096 - np) * CAST(9007199254740992 AS HUGEINT) AS DOUBLE) AS raw,
+       |         4096 - np AS v
+       |  FROM (
+       |    SELECT $groupCol,
+       |           COALESCE(SUM(CAST(1 AS BIGINT) << (53 - mr)), 0) AS tp,
+       |           COUNT(*) AS np
+       |    FROM (
+       |      SELECT $groupCol, idx,
+       |             MAX(CASE WHEN w = 0 THEN 53 ELSE 53 - length(bin(w)) END) AS mr
+       |      FROM (SELECT $groupCol, z >> 52 AS idx, z & $W AS w
+       |            FROM (SELECT $groupCol, ${splitmixSql(column)} AS z
+       |                  FROM $table WHERE $column IS NOT NULL) zz) ww
+       |      GROUP BY $groupCol, idx) gg
+       |    GROUP BY $groupCol) tt) ee
+       |ORDER BY $groupCol""".stripMargin
+
   // ---- DuckDB mirror -------------------------------------------------------
 
   /** (a * c) mod 2⁶⁴ in HUGEINT arithmetic: split a into 32-bit halves

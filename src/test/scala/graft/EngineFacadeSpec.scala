@@ -87,6 +87,18 @@ class EngineFacadeSpec extends SparkSpec {
     assert(exactTotal > 0, "eval set should hit itself at minimum")
   }
 
+  test("HLL sketches merge: MAX of per-group registers equals the global sketch (q62)") {
+    import graft.operators.Hll
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    // merge = cell-wise MAX of the per-group register frames
+    val merged = Hll.finishEstimate(
+      Hll.registers(li, "l_orderkey", Seq("l_returnflag"))
+        .groupBy("idx").agg(max("mr").as("mr")),
+      Seq.empty, "est").head.getDouble(0)
+    val direct = Hll.estimate(li, "l_orderkey", "est").head.getDouble(0)
+    assert(merged == direct, s"merged=$merged direct=$direct")
+  }
+
   test("splitmix64 SQL function matches the reference finalizer") {
     // pinned vectors, independently computable from the published
     // splitmix64 constants
