@@ -336,8 +336,11 @@ object Relational {
         |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
     ) { (s, dir) =>
       val t = Tables(s, dir)
-      t.customer
-        .join(t.orders, col("c_custkey") === col("o_custkey"))
+      // customer broadcasts like the other dimensions (the q06
+      // rationale): the orders fact stream stays unshuffled until the
+      // one l_orderkey exchange against lineitem
+      t.orders
+        .join(broadcast(t.customer), col("c_custkey") === col("o_custkey"))
         .join(t.lineitem, col("l_orderkey") === col("o_orderkey"))
         .join(broadcast(t.supplier),
           col("l_suppkey") === col("s_suppkey") &&
