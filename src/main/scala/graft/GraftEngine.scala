@@ -124,4 +124,17 @@ final class GraftEngine(val spark: SparkSession) {
     */
   def langPredicted(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     operators.TextAnalysis.langPredicted(text)
+
+  /** Gaps-and-islands sessionization per key. */
+  def sessionize(events: DataFrame, keyCol: String, tsCol: String,
+      gapMinutes: Int): DataFrame =
+    operators.EventsOps.sessionize(events, keyCol, tsCol, gapMinutes)
+
+  /** Deterministic sequence packing into ≤budget-token packs. */
+  def sequencePack(docs: DataFrame, budget: Int): DataFrame =
+    operators.TextAnalysis.sequencePack(docs, budget)
+
+  /** Per-group HLL distinct estimates (mergeable registers). */
+  def approxDistinctByGroup(df: DataFrame, groupCol: String, column: String): DataFrame =
+    operators.Hll.estimateByGroup(df, groupCol, column, "approx_distinct")
 }

@@ -48,6 +48,30 @@ object EventsOps {
         col("ft") > col("pt") && col("ft") <= col("pt") + HourUs)
   }
 
+  /** Gaps-and-islands sessionization: per-key sessions split where the
+    * event gap exceeds `gapMinutes`. Returns one row per (key,
+    * session) with count and duration; session ids are dense per key
+    * starting at 1. One shuffle on the key, two window passes — state
+    * never leaves the key partition.
+    */
+  def sessionize(events: DataFrame, keyCol: String, tsCol: String,
+      gapMinutes: Int): DataFrame = {
+    val gapUs = gapMinutes * 60L * 1000000L
+    val w = Window.partitionBy(keyCol).orderBy("tus")
+    val wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val lagT = lag(col("tus"), 1).over(w)
+    events
+      .select(col(keyCol), unix_micros(col(tsCol)).as("tus"))
+      .withColumn("new_s",
+        when(lagT.isNull || col("tus") - lagT > gapUs, 1).otherwise(0))
+      .withColumn("session_id", sum("new_s").over(wcum).cast(LongType))
+      .groupBy(keyCol, "session_id")
+      .agg(
+        count(lit(1)).as("n_events"),
+        round((max("tus") - min("tus")) / lit(1000000.0), 6).as("dur_sec"),
+      )
+  }
+
   val entries: Seq[QueryEntry] = Seq(
     // Q14 — filtered typed rollup (batch form of the streaming agg).
     // Money-style SUM in DECIMAL then DOUBLE for cross-engine
@@ -130,20 +154,8 @@ object EventsOps {
         |       ROUND((MAX(tus) - MIN(tus)) / CAST(1000000.0 AS DOUBLE), 6) AS dur_sec
         |FROM sess GROUP BY 1, 2 ORDER BY user_id, session_id""".stripMargin,
     ) { (s, dir) =>
-      val w = Window.partitionBy("user_id").orderBy("tus")
-      val wcum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val lagT = lag(col("tus"), 1).over(w)
-      Tables(s, dir).events
-        .filter(col("user_id") < 20)
-        .select(col("user_id"), unix_micros(col("ts")).as("tus"))
-        .withColumn("new_s",
-          when(lagT.isNull || col("tus") - lagT > 1800000000L, 1).otherwise(0))
-        .withColumn("session_id", sum("new_s").over(wcum).cast(LongType))
-        .groupBy("user_id", "session_id")
-        .agg(
-          count(lit(1)).as("n_events"),
-          round((max("tus") - min("tus")) / lit(1000000.0), 6).as("dur_sec"),
-        )
+      sessionize(Tables(s, dir).events.filter(col("user_id") < 20),
+        "user_id", "ts", gapMinutes = 30)
         .orderBy("user_id", "session_id")
     },
 

@@ -107,6 +107,34 @@ object TextAnalysis {
        |         + CASE WHEN n_chars BETWEEN 100 AND 1000
        |                THEN CAST(0.2 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END""".stripMargin
 
+  /** Sequence packing: documents in deterministic shuffle order cut
+    * into ≤`budget`-token packs via a two-phase distributed prefix
+    * sum (see the q58 entry's comment for the shape). Returns one row
+    * per doc with its pack id.
+    */
+  def sequencePack(docs: org.apache.spark.sql.DataFrame, budget: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val keyed = docs
+      .select(col("doc_id"),
+        md5(concat(lit("shuf"), col("doc_id").cast(StringType)).cast(BinaryType))
+          .as("sk"),
+        size(tokens(col("text"))).cast(LongType).as("n_tok"))
+      .withColumn("bkt", substring(col("sk"), 1, 1))
+    val totals = keyed.groupBy("bkt").agg(sum("n_tok").as("t"))
+      .orderBy("bkt").collect().map(r => (r.getString(0), r.getLong(1)))
+    var acc = 0L
+    val offsets = totals.map { case (b, t) => val o = (b, acc); acc += t; o }
+    val wIn = Window.partitionBy("bkt").orderBy("sk", "doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    keyed
+      .join(broadcast(offsets.toSeq.toDF("bkt", "off")), Seq("bkt"))
+      .withColumn("cum", sum("n_tok").over(wIn) + col("off"))
+      .withColumn("pack_id", expr(s"(cum - n_tok) div $budget"))
+      .select("doc_id", "n_tok", "pack_id")
+  }
+
   val entries: Seq[QueryEntry] = Seq(
     // Q12 — per-language stats straight off the labeled column.
     QueryEntry.sql(
@@ -288,28 +316,7 @@ object TextAnalysis {
         |       CAST(MIN(doc_id) AS BIGINT) AS first_doc
         |FROM packed GROUP BY pack_id ORDER BY pack_id""".stripMargin,
     ) { (s, dir) =>
-      import org.apache.spark.sql.expressions.Window
-      import s.implicits._
-      val docs = Tables(s, dir).documents
-        .select(col("doc_id"),
-          md5(concat(lit("shuf"), col("doc_id").cast(StringType)).cast(BinaryType))
-            .as("sk"),
-          size(tokens(col("text"))).cast(LongType).as("n_tok"))
-        .withColumn("bkt", substring(col("sk"), 1, 1))
-      // phase 1: 16 per-bucket token totals → exclusive prefix offsets
-      val totals = docs.groupBy("bkt").agg(sum("n_tok").as("t"))
-        .orderBy("bkt").collect().map(r => (r.getString(0), r.getLong(1)))
-      var acc = 0L
-      val offsets = totals.map { case (b, t) => val o = (b, acc); acc += t; o }
-      // phase 2: per-bucket window cumsum (parallel) + bucket offset
-      val wIn = Window.partitionBy("bkt").orderBy("sk", "doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      docs
-        .join(broadcast(offsets.toSeq.toDF("bkt", "off")), Seq("bkt"))
-        .withColumn("cum", sum("n_tok").over(wIn) + col("off"))
-        // `div`, not `/`: Spark's / is fractional; both engines bin by
-        // integer division of the tokens-before prefix sum
-        .withColumn("pack_id", expr("(cum - n_tok) div 512"))
+      sequencePack(Tables(s, dir).documents, budget = 512)
         .groupBy("pack_id")
         .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("sum_tok"),
           min("doc_id").as("first_doc"))
