@@ -7,8 +7,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * (`orc-parser/reader.cc`), which is [[sumFirstColumn]] here; every
   * capability beyond that is a named method over DataFrames.
   *
-  * All methods return lazy DataFrames — composition and optimization
-  * stay with Catalyst; nothing materializes until the caller acts.
+  * Most methods return lazy DataFrames — composition and optimization
+  * stay with Catalyst. The documented exceptions run model-sized
+  * eager steps at call time: [[annSearch]] (quantizer fit + index
+  * materialization), [[sequencePack]] (bucket-total prefix phase),
+  * and [[nearDupPairs]]/derived dedup paths (eager verified-pair
+  * materialization).
   *
   * NOTE: construction tunes the passed session in place (UTC session
   * timezone, ORC reader configs, graft functions, the HOF-dot-product

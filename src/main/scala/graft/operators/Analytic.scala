@@ -91,7 +91,7 @@ object Analytic {
 
     // Grouped HLL — the sketch as re-aggregable partial state: per
     // return-flag distinct-order estimates from (group, register)
-    // cells. HllSpec additionally proves mergeability (cell-wise MAX
+    // cells. EngineFacadeSpec additionally proves mergeability (cell-wise MAX
     // of the per-group registers reproduces the global estimate
     // exactly), the property that makes sketches distributable.
     QueryEntry.sql(

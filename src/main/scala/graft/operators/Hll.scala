@@ -36,57 +36,28 @@ object Hll {
   private val W = 4503599627370495L // 2^52 - 1
 
   /** One-row, one-column DataFrame: the HLL estimate of
-    * COUNT(DISTINCT column), ROUND(…, 4).
+    * COUNT(DISTINCT column), ROUND(…, 4) — the ungrouped
+    * specialization of [[registers]] + [[finishEstimate]], so exactly
+    * one copy of the pinned estimator math exists.
     */
-  def estimate(df: DataFrame, column: String, alias: String): DataFrame = {
-    val regs = df
-      .filter(col(column).isNotNull)
-      .select(GraftFunctions.splitmix64(col(column).cast(LongType)).as("z"))
-      .select(
-        expr("shiftrightunsigned(z, 52)").as("idx"),
-        expr(s"z & $W").as("w"))
-      .select(col("idx"),
-        when(col("w") === 0, lit(53))
-          .otherwise(lit(53) - length(bin(col("w")))).as("rho"))
-      .groupBy("idx")
-      .agg(max("rho").as("mr"))
-    regs
-      .agg(
-        // COALESCE: an empty input has no registers → tp must be 0 so
-        // the linear-counting branch yields the correct estimate of 0
-        coalesce(
-          sum(expr("CAST(shiftleft(CAST(1 AS BIGINT), 53 - mr) AS DECIMAL(38,0))")),
-          lit(0).cast(DecimalType(38, 0))).as("tp"),
-        count(lit(1)).as("np"))
-      .select(
-        (col("tp") + (lit(M.toLong) - col("np")) *
-          lit(9007199254740992L).cast(DecimalType(38, 0)))
-          .cast(DoubleType).as("tt"),
-        (lit(M.toLong) - col("np")).as("v"))
-      .select(
-        ((lit(0.7213) / (lit(1.0) + lit(1.079) / lit(4096.0)))
-          * lit(16777216.0) * lit(9007199254740992.0) / col("tt")).as("raw"),
-        col("v"))
-      .select(
-        round(
-          when(col("raw") <= lit(10240.0) && col("v") > 0,
-            lit(4096.0) * log(lit(4096.0) / col("v")))
-            .otherwise(col("raw")),
-          4).as(alias))
-  }
+  def estimate(df: DataFrame, column: String, alias: String): DataFrame =
+    finishEstimate(registers(df, column, Seq.empty), Seq.empty, alias)
 
   /** Per-group HLL estimates: registers keyed by (group, idx), the
     * same estimator per group. The register frame is the MERGEABLE
     * partial state — union of sketches = cell-wise MAX of registers —
     * which is what makes the sketch distributable at any scale;
-    * HllSpec asserts that merging the per-group sketches reproduces
-    * the global estimate exactly.
+    * EngineFacadeSpec asserts that merging the per-group sketches
+    * reproduces the global estimate exactly.
     */
   def estimateByGroup(df: DataFrame, groupCol: String, column: String,
       alias: String): DataFrame = {
     val regs = registers(df, column, Seq(groupCol))
+    // asc_nulls_last: DuckDB's ORDER BY defaults to NULLS LAST, and
+    // the driver gate compares rows IN ORDER — Spark's NULLS FIRST
+    // default would flip a NULL group to the other end
     finishEstimate(regs, Seq(groupCol), alias)
-      .orderBy(groupCol)
+      .orderBy(col(groupCol).asc_nulls_last)
   }
 
   /** The raw (group*, idx, mr) register frame — the sketch state. */
@@ -135,29 +106,38 @@ object Hll {
   /** DuckDB mirror of [[estimateByGroup]]. */
   def groupedOracleSql(table: String, groupCol: String, column: String,
       alias: String): String =
-    s"""SELECT $groupCol,
-       |       ROUND(CASE WHEN raw <= CAST(10240.0 AS DOUBLE) AND v > 0
+    oracleSqlImpl(table, Some(groupCol), column, alias)
+
+  /** One SQL builder for both mirrors — grouped and global differ only
+    * in the projected/grouped key; keeping a single copy of the
+    * estimator SQL matches the single Scala copy in
+    * [[finishEstimate]].
+    */
+  private def oracleSqlImpl(table: String, group: Option[String],
+      column: String, alias: String): String = {
+    val gSel = group.map(g => s"$g, ").getOrElse("")
+    val gBy = group.map(g => s" GROUP BY $g").getOrElse("")
+    val gByIdx = group.map(g => s"$g, idx").getOrElse("idx")
+    val order = group.map(g => s"\nORDER BY $g").getOrElse("")
+    s"""SELECT ${gSel}ROUND(CASE WHEN raw <= CAST(10240.0 AS DOUBLE) AND v > 0
        |             THEN CAST(4096.0 AS DOUBLE) * ln(CAST(4096.0 AS DOUBLE) / v)
        |             ELSE raw END, 4) AS $alias
        |FROM (
-       |  SELECT $groupCol,
-       |         (CAST(0.7213 AS DOUBLE) / (CAST(1.0 AS DOUBLE) + CAST(1.079 AS DOUBLE) / CAST(4096.0 AS DOUBLE)))
+       |  SELECT $gSel(CAST(0.7213 AS DOUBLE) / (CAST(1.0 AS DOUBLE) + CAST(1.079 AS DOUBLE) / CAST(4096.0 AS DOUBLE)))
        |         * CAST(16777216.0 AS DOUBLE) * CAST(9007199254740992.0 AS DOUBLE)
        |         / CAST(tp + (4096 - np) * CAST(9007199254740992 AS HUGEINT) AS DOUBLE) AS raw,
        |         4096 - np AS v
        |  FROM (
-       |    SELECT $groupCol,
-       |           COALESCE(SUM(CAST(1 AS BIGINT) << (53 - mr)), 0) AS tp,
+       |    SELECT ${gSel}COALESCE(SUM(CAST(1 AS BIGINT) << (53 - mr)), 0) AS tp,
        |           COUNT(*) AS np
        |    FROM (
-       |      SELECT $groupCol, idx,
+       |      SELECT ${gSel}idx,
        |             MAX(CASE WHEN w = 0 THEN 53 ELSE 53 - length(bin(w)) END) AS mr
-       |      FROM (SELECT $groupCol, z >> 52 AS idx, z & $W AS w
-       |            FROM (SELECT $groupCol, ${splitmixSql(column)} AS z
+       |      FROM (SELECT ${gSel}z >> 52 AS idx, z & $W AS w
+       |            FROM (SELECT $gSel${splitmixSql(column)} AS z
        |                  FROM $table WHERE $column IS NOT NULL) zz) ww
-       |      GROUP BY $groupCol, idx) gg
-       |    GROUP BY $groupCol) tt) ee
-       |ORDER BY $groupCol""".stripMargin
+       |      GROUP BY $gByIdx) gg$gBy) tt) ee$order""".stripMargin
+  }
 
   // ---- DuckDB mirror -------------------------------------------------------
 
@@ -182,21 +162,5 @@ object Hll {
 
   /** DuckDB SQL computing the identical estimate for one column. */
   def oracleSql(table: String, column: String, alias: String): String =
-    s"""SELECT ROUND(CASE WHEN raw <= CAST(10240.0 AS DOUBLE) AND v > 0
-       |             THEN CAST(4096.0 AS DOUBLE) * ln(CAST(4096.0 AS DOUBLE) / v)
-       |             ELSE raw END, 4) AS $alias
-       |FROM (
-       |  SELECT (CAST(0.7213 AS DOUBLE) / (CAST(1.0 AS DOUBLE) + CAST(1.079 AS DOUBLE) / CAST(4096.0 AS DOUBLE)))
-       |         * CAST(16777216.0 AS DOUBLE) * CAST(9007199254740992.0 AS DOUBLE)
-       |         / CAST(tp + (4096 - np) * CAST(9007199254740992 AS HUGEINT) AS DOUBLE) AS raw,
-       |         4096 - np AS v
-       |  FROM (
-       |    SELECT COALESCE(SUM(CAST(1 AS BIGINT) << (53 - mr)), 0) AS tp,
-       |           COUNT(*) AS np
-       |    FROM (
-       |      SELECT idx, MAX(CASE WHEN w = 0 THEN 53 ELSE 53 - length(bin(w)) END) AS mr
-       |      FROM (SELECT z >> 52 AS idx, z & $W AS w
-       |            FROM (SELECT ${splitmixSql(column)} AS z
-       |                  FROM $table WHERE $column IS NOT NULL) zz) ww
-       |      GROUP BY idx) gg) tt) ee""".stripMargin
+    oracleSqlImpl(table, None, column, alias)
 }

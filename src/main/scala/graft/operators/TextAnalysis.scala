@@ -111,8 +111,14 @@ object TextAnalysis {
     * into ≤`budget`-token packs via a two-phase distributed prefix
     * sum (see the q58 entry's comment for the shape). Returns one row
     * per doc with its pack id.
+    *
+    * EAGER (like `annSearch`'s model fit): phase 1 materializes the
+    * keyed frame (cached, so phase 2 sees the identical data even for
+    * non-deterministic inputs) and collects the 16-row bucket totals;
+    * the returned frame is checkpointed so the cache can be released.
     */
-  def sequencePack(docs: org.apache.spark.sql.DataFrame, budget: Int): org.apache.spark.sql.DataFrame = {
+  def sequencePack(docs: org.apache.spark.sql.DataFrame, budget: Int,
+      materialize: Boolean = true): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val spark = docs.sparkSession
     import spark.implicits._
@@ -122,17 +128,22 @@ object TextAnalysis {
           .as("sk"),
         size(tokens(col("text"))).cast(LongType).as("n_tok"))
       .withColumn("bkt", substring(col("sk"), 1, 1))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val totals = keyed.groupBy("bkt").agg(sum("n_tok").as("t"))
       .orderBy("bkt").collect().map(r => (r.getString(0), r.getLong(1)))
     var acc = 0L
     val offsets = totals.map { case (b, t) => val o = (b, acc); acc += t; o }
     val wIn = Window.partitionBy("bkt").orderBy("sk", "doc_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    keyed
+    val pre = keyed
       .join(broadcast(offsets.toSeq.toDF("bkt", "off")), Seq("bkt"))
       .withColumn("cum", sum("n_tok").over(wIn) + col("off"))
       .withColumn("pack_id", expr(s"(cum - n_tok) div $budget"))
       .select("doc_id", "n_tok", "pack_id")
+    if (!materialize) return pre // plan-inspection path (spec); keyed stays cached
+    val out = graft.metrics.RuntimeBreakdown.noteExecuted(pre).localCheckpoint(true)
+    keyed.unpersist()
+    out
   }
 
   val entries: Seq[QueryEntry] = Seq(

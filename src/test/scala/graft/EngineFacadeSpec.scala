@@ -87,6 +87,19 @@ class EngineFacadeSpec extends SparkSpec {
     assert(exactTotal > 0, "eval set should hit itself at minimum")
   }
 
+  test("facade delegations: sessionize, sequencePack, approxDistinctByGroup") {
+    val engine = new GraftEngine(spark)
+    val ev = Tables(spark, sf).events.filter(col("user_id") < 5)
+    val sessions = engine.sessionize(ev, "user_id", "ts", gapMinutes = 30)
+    assert(sessions.agg(sum("n_events")).head.getLong(0) == ev.count())
+    val packs = engine.sequencePack(Tables(spark, sf).documents, budget = 512)
+    assert(packs.count() == Tables(spark, sf).documents.count())
+    val byGroup = engine.approxDistinctByGroup(
+      spark.read.parquet(s"$sf/lineitem.parquet"), "l_returnflag", "l_orderkey")
+    assert(byGroup.columns.toSeq == Seq("l_returnflag", "approx_distinct"))
+    assert(byGroup.count() == 3)
+  }
+
   test("HLL sketches merge: MAX of per-group registers equals the global sketch (q62)") {
     import graft.operators.Hll
     val li = spark.read.parquet(s"$sf/lineitem.parquet")

@@ -34,7 +34,10 @@ class TextAnalysisSpec extends SparkSpec {
   }
 
   test("q58 packing computes its prefix sum without a single-partition window") {
-    val df = run("q58_sequence_packing")
+    // inspect the lazy pre-checkpoint plan — the materialized form
+    // returns a checkpoint-backed scan that hides the window shape
+    val df = TextAnalysis.sequencePack(Tables(spark, sf).documents,
+      budget = 512, materialize = false)
     df.collect()
     val plan = df.queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange SinglePartition"), plan.take(2000))
