@@ -107,6 +107,24 @@ object TextAnalysis {
        |         + CASE WHEN n_chars BETWEEN 100 AND 1000
        |                THEN CAST(0.2 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END""".stripMargin
 
+  /** Native-orthography sentences for the planted-language q63 gate —
+    * the synthetic corpus shares one vocabulary across lang labels, so
+    * this inline table is where the classifier's real signal is
+    * differential-tested (TextAnalysisSpec uses the same data).
+    */
+  val plantedSentences: Seq[(String, String)] = Seq(
+    ("en", "the cat and the dog of a house is to be seen by the road"),
+    ("en", "a game of chess is a test of patience and the mind"),
+    ("es", "el niño y la niña que está en españa cada año señor"),
+    ("es", "la señora compró pequeños regalos el último día del año"),
+    ("de", "der hund und die katze ist ein tier auf der großen straße"),
+    ("de", "die schöne stadt über dem fluß hat grüne gärten und häuser"),
+    ("fr", "le chat et les chiens où est un peu de café être déjà là"),
+    ("fr", "la fenêtre de l'hôtel s'ouvre sur la forêt française"),
+    ("zh", "的是了在和有我不人这中大为上个国"),
+    ("zh", "今天天气很好我们一起去公园散步吧"),
+  )
+
   /** Sequence packing: documents in deterministic shuffle order cut
     * into ≤`budget`-token packs via a two-phase distributed prefix
     * sum (see the q58 entry's comment for the shape). Returns one row
@@ -208,6 +226,40 @@ object TextAnalysis {
          |FROM scored GROUP BY 1, 2 ORDER BY lang, predicted""".stripMargin,
     ) { (s, dir) =>
       Tables(s, dir).documentsRebalanced
+        .select(col("lang"), langPredicted(col("text")).as("predicted"))
+        .groupBy("lang", "predicted")
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy("lang", "predicted")
+    },
+
+    // Language-ID on PLANTED native text under the driver gate: both
+    // engines classify the same inline multilingual table (real
+    // orthographic signal, unlike the shared-vocabulary fixture) and
+    // must produce the identical per-(label, prediction) rollup — a
+    // perfect diagonal, differential-tested rather than only
+    // spec-pinned.
+    QueryEntry.sql(
+      "q63_lang_id_planted",
+      s"""WITH planted(lang, text) AS (VALUES
+         |  ${plantedSentences.map { case (l, t) =>
+               s"('$l', '${t.replace("'", "''")}')"
+             }.mkString(",\n  ")}
+         |), tok AS (
+         |  SELECT lang, text,
+         |         regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+         |  FROM planted
+         |), scored AS (
+         |  SELECT lang,
+         |         $langScoresSql
+         |  FROM tok
+         |)
+         |SELECT lang,
+         |       $langPredictedSql AS predicted,
+         |       COUNT(*) AS cnt
+         |FROM scored GROUP BY 1, 2 ORDER BY lang, predicted""".stripMargin,
+    ) { (s, dir) =>
+      import s.implicits._
+      plantedSentences.toDF("lang", "text")
         .select(col("lang"), langPredicted(col("text")).as("predicted"))
         .groupBy("lang", "predicted")
         .agg(count(lit(1)).as("cnt"))

@@ -11,18 +11,7 @@ import org.apache.spark.sql.functions._
 class TextAnalysisSpec extends SparkSpec {
   import spark.implicits._
 
-  private val planted = Seq(
-    ("en", "the cat and the dog of a house is to be seen by the road"),
-    ("en", "a game of chess is a test of patience and the mind"),
-    ("es", "el niño y la niña que está en españa cada año señor"),
-    ("es", "la señora compró pequeños regalos el último día del año"),
-    ("de", "der hund und die katze ist ein tier auf der großen straße"),
-    ("de", "die schöne stadt über dem fluß hat grüne gärten und häuser"),
-    ("fr", "le chat et les chiens où est un peu de café être déjà là"),
-    ("fr", "la fenêtre de l'hôtel s'ouvre sur la forêt française"),
-    ("zh", "的是了在和有我不人这中大为上个国"),
-    ("zh", "今天天气很好我们一起去公园散步吧"),
-  )
+  private val planted = TextAnalysis.plantedSentences
 
   test("lang-ID scores a perfect diagonal on planted native text (>90% required)") {
     val df = planted.toDF("lang", "text")
