@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Bench/Verify emit a single machine-read JSON line on stdout; sbt's
+// "[success] Total time ..." footer would otherwise follow it, and the
+// default logger would prefix it with "[info] " — both break a
+// last-line JSON parse of the run's output.
+Global / showSuccess := false
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -31,26 +31,41 @@ object Bench {
     * the text of its "queries":{...} object (flat numbers by
     * contract), tolerant of the driver's wrapper fields.
     */
-  def previousQueryTimes(): (Option[String], Map[String, Double]) = {
-    val dirFiles = Option(new java.io.File(".").listFiles()).getOrElse(Array.empty)
-    // sort by round NUMBER — lexicographic name order misorders r9/r10
-    val benches = dirFiles.filter(_.getName.matches("BENCH_r\\d+\\.json"))
-      .sortBy(f => f.getName.replaceAll("\\D", "").toInt)
-    benches.lastOption match {
-      case None => (None, Map.empty)
-      case Some(f) =>
-        val text = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
-        val start = text.indexOf("\"queries\":{")
-        if (start < 0) (Some(f.getName), Map.empty)
-        else {
-          val body = text.substring(start + "\"queries\":{".length)
-          val obj = body.substring(0, math.max(0, body.indexOf('}')))
-          val pair = "\"([^\"]+)\":(-?[0-9.eE+]+)".r
+  def previousQueryTimes(): (Option[String], Map[String, Double]) =
+    try {
+      val dirFiles = Option(new java.io.File(".").listFiles()).getOrElse(Array.empty)
+      // sort by round NUMBER — lexicographic name order misorders r9/r10
+      val benches = dirFiles.filter(_.getName.matches("BENCH_r\\d+\\.json"))
+        .sortBy(f => f.getName.replaceAll("\\D", "").toInt)
+      benches.lastOption match {
+        case None => (None, Map.empty)
+        case Some(f) =>
+          // the driver may wrap our JSON line string-escaped (and
+          // truncated) inside its own "tail" field — unescape
+          // unconditionally; a clean bench line has no \" sequences
+          val text = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+            .replace("\\\"", "\"")
+          // full float syntax: a bare [0-9.eE+]+ class cannot carry a
+          // NEGATIVE exponent, so "4.9E-4" captured as "4.9E" would
+          // throw in toDouble and lose the whole run's vs_prev
+          val pair = "\"([^\"]+)\":(-?\\d+(?:\\.\\d+)?(?:[eE][+-]?\\d+)?)".r
+          val start = text.indexOf("\"queries\":{")
+          val scope =
+            if (start >= 0) {
+              val body = text.substring(start + "\"queries\":{".length)
+              body.substring(0, math.max(0, body.indexOf('}')))
+            } else text // truncated driver tail: fall back to the whole text
+          // keys are qNN_*: immune to the wrapper's own numeric fields
           (Some(f.getName),
-            pair.findAllMatchIn(obj).map(m => m.group(1) -> m.group(2).toDouble).toMap)
-        }
+            pair.findAllMatchIn(scope)
+              .filter(_.group(1).matches("q\\d+\\w*"))
+              .map(m => m.group(1) -> m.group(2).toDouble).toMap)
+      }
+    } catch {
+      // a malformed prior-round file degrades to "no vs_prev", never to
+      // losing this run's results
+      case scala.util.control.NonFatal(_) => (None, Map.empty)
     }
-  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -63,7 +78,15 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
-    val results = SparkEntry.allEntries.map { e =>
+    // SPARK_GRAFT_ONLY=q62,q33 — iteration aid: bench only the named
+    // query prefixes (never set by the driver; full runs are the default)
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+    val entries = only match {
+      case Some(ps) => SparkEntry.allEntries.filter(e => ps.exists(e.name.startsWith))
+      case None => SparkEntry.allEntries
+    }
+    val results = entries.map { e =>
       val t =
         try {
           // attribute native-path scan time and eagerly-materialized

@@ -71,9 +71,12 @@ object EngineSession {
   def tune(spark: SparkSession): SparkSession = {
     // memo is set only AFTER tuning completes, under the lock — a
     // concurrent caller must never run a query against a half-tuned
-    // session (functions not yet registered)
-    if (!tuned.contains(spark)) tuned.synchronized {
-      if (!tuned.contains(spark)) {
+    // session (functions not yet registered). The memo is guarded by a
+    // cheap sentinel probe: if the harness (or a test) mutated runtime
+    // confs since we tuned, re-assert the full set instead of letting
+    // the drift silently skew later queries.
+    if (!tuned.contains(spark) || sentinelDrifted(spark)) tuned.synchronized {
+      if (!tuned.contains(spark) || sentinelDrifted(spark)) {
         runtimeConf.foreach { case (k, v) => spark.conf.set(k, v) }
         functions.GraftFunctions.registerAll(spark)
         val rule = org.apache.spark.sql.graft.RewriteHofDotProduct
@@ -85,6 +88,16 @@ object EngineSession {
     }
     spark
   }
+
+  /** One-conf drift probe (a full ~15-conf re-assert per query was a
+    * measurable slice of per-query overhead; one get is not). Uses the
+    * conf most likely to be touched by a generic harness reset and
+    * least likely to coincide with our value by default (10000 vs
+    * Spark's 4096 default).
+    */
+  private val sentinel = ("spark.sql.orc.columnarReaderBatchSize", "10000")
+  private def sentinelDrifted(spark: SparkSession): Boolean =
+    !spark.conf.getOption(sentinel._1).contains(sentinel._2)
 
   /** Sessions already tuned (weak keys — a stopped session can be
     * collected; synchronized — WeakHashMap is not thread-safe and

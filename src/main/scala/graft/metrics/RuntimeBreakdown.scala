@@ -59,12 +59,19 @@ object RuntimeBreakdown {
   private val pending =
     new java.util.concurrent.ConcurrentLinkedQueue[org.apache.spark.sql.execution.QueryExecution]()
 
+  /** Retention cap: each entry pins a full plan tree (and its session),
+    * and only a bench-style caller ever drains — a long-lived engine
+    * user calling dedup operators must not accumulate them forever.
+    */
+  private val MaxPending = 64
+
   /** Record `df`'s QueryExecution for breakdown attribution; call just
     * before an eager materialization of `df` and chain on the SAME
     * DataFrame instance (the metrics live in its QueryExecution).
     */
   def noteExecuted(df: DataFrame): DataFrame = {
     pending.add(df.queryExecution)
+    while (pending.size > MaxPending) pending.poll()
     df
   }
 
@@ -77,8 +84,9 @@ object RuntimeBreakdown {
   def of(df: DataFrame): Bin = {
     var scan, shuffle, agg, sort, join, other = 0L
     // native-path (FastOrcSum) scan time is task-measured, not
-    // SQL-metric'd — fold it into the scan bin
-    scan += NativeScanTime.peekNanos / 1000000L
+    // SQL-metric'd — fold it into the scan bin, and reset so a later
+    // breakdown of an unrelated query can't re-count it
+    scan += NativeScanTime.drain() / 1000000L
     def binPlan(root: SparkPlan): Unit = walk(root).foreach { node =>
       val name = node.nodeName.toLowerCase
       // time-valued metrics are reported in ns ("time total") or ms
@@ -94,7 +102,11 @@ object RuntimeBreakdown {
       else other += ms
     }
     binPlan(df.queryExecution.executedPlan)
-    pending.forEach(qe => binPlan(qe.executedPlan))
+    // fold-and-drain: each noted sub-execution is attributed to exactly
+    // one breakdown (this one) and can never leak into a later,
+    // unrelated query's bins — nor pin its plan tree past this call
+    var qe = pending.poll()
+    while (qe != null) { binPlan(qe.executedPlan); qe = pending.poll() }
     Bin(scan, shuffle, agg, sort, join, other)
   }
 }

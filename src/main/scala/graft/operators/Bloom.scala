@@ -40,14 +40,21 @@ object Bloom {
   /** `maybe` column: true iff every one of the key's k positions is
     * set in `bloom` (built by [[build]]). No false negatives; false
     * positives at the pinned hash's collision rate.
+    *
+    * The filter collapses to ONE broadcast row (the ≤ m set-bit
+    * positions as an array) probed per input row, so duplicate input
+    * rows are preserved verbatim — a groupBy-based probe would merge
+    * duplicates and could turn the hit count into K×(dup count),
+    * breaking the no-false-negatives contract on non-unique input.
     */
   def withMembership(df: DataFrame, keyCol: String, bloom: DataFrame): DataFrame = {
-    val probed = df.withColumn("q", explode(array(positions(keyCol): _*)))
-      .withColumn("p", col("q.p")).drop("q")
-    probed
-      .join(broadcast(bloom.withColumn("hit", lit(1))), Seq("p"), "left")
-      .groupBy(df.columns.map(col): _*)
-      .agg((sum(coalesce(col("hit"), lit(0))) === K).as("maybe"))
+    val bits = bloom.agg(collect_set(col("p")).as("graft_bloom_bits"))
+    val maybe = positions(keyCol)
+      .map(s => array_contains(col("graft_bloom_bits"), s.getField("p")))
+      .reduce(_ && _)
+    df.crossJoin(broadcast(bits))
+      .withColumn("maybe", maybe)
+      .drop("graft_bloom_bits")
   }
 
   val entries: Seq[QueryEntry] = Seq(

@@ -36,13 +36,33 @@ object BucketedTables {
     val table =
       s"graft_bucketed_${dir}_${name}_${key}_${src.lastModified()}_${src.length()}"
         .replaceAll("[^A-Za-z0-9_]", "_")
+    // Files and catalog entry are verified INDEPENDENTLY: the catalog
+    // can outlive cleaned tmp files (scan would fail at read time) and
+    // staged files can outlive the catalog (a fresh JVM would silently
+    // rewrite them). The write itself goes through Staging.ensureStaged
+    // so the bucketed copy obeys the same fingerprint-keyed write-once
+    // policy as every other derived fixture.
+    val filesStaged = new java.io.File(dest, "_SUCCESS").exists()
+    if (!filesStaged) {
+      if (spark.catalog.tableExists(table))
+        spark.sql(s"DROP TABLE IF EXISTS $table")
+      Staging.ensureStaged(dest) {
+        spark.read.parquet(s"$dir/$name.parquet")
+          .write.mode("overwrite")
+          .option("path", dest)
+          .bucketBy(NBuckets, key)
+          .sortBy(key)
+          .saveAsTable(table)
+      }
+    }
     if (!spark.catalog.tableExists(table)) {
-      spark.read.parquet(s"$dir/$name.parquet")
-        .write.mode("overwrite")
-        .option("path", dest)
-        .bucketBy(NBuckets, key)
-        .sortBy(key)
-        .saveAsTable(table)
+      // files staged by an earlier JVM — re-register the external
+      // bucketed table over them instead of rewriting
+      val schema = spark.read.parquet(s"$dir/$name.parquet").schema.toDDL
+      spark.sql(
+        s"""CREATE TABLE $table ($schema) USING parquet
+           |CLUSTERED BY ($key) SORTED BY ($key) INTO $NBuckets BUCKETS
+           |LOCATION '$dest'""".stripMargin)
     }
     spark.table(table)
   }

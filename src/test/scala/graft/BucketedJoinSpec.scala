@@ -24,4 +24,25 @@ class BucketedJoinSpec extends SparkSpec {
       .count()
     assert(joined.count() == expected)
   }
+
+  test("lost catalog entry over staged files → re-registered, not rewritten") {
+    BucketedTables.bucketedTable(spark, sf, "orders", "o_custkey")
+    def names() = spark.catalog.listTables().collect().map(_.name)
+      .filter(n => n.startsWith("graft_bucketed_") && n.contains("_orders_"))
+    names().foreach(t => spark.sql(s"DROP TABLE $t"))
+    // a metastore wipe with surviving files must come back as the SAME
+    // bucketed external table, not a silent re-stage
+    val again = BucketedTables.bucketedTable(spark, sf, "orders", "o_custkey")
+    assert(again.count() == Tables(spark, sf).orders.count())
+    val desc = spark.sql(s"DESCRIBE FORMATTED ${names().head}")
+      .collect().map(r => s"${r.get(0)} ${r.get(1)}").mkString("\n")
+    assert(desc.contains("Num Buckets"), desc)
+    assert(desc.linesIterator.exists(l => l.contains("Num Buckets") && l.contains("8")), desc)
+  }
+
+  test("tune() re-asserts runtime confs after external drift") {
+    spark.conf.set("spark.sql.orc.columnarReaderBatchSize", "4096")
+    EngineSession.tune(spark)
+    assert(spark.conf.get("spark.sql.orc.columnarReaderBatchSize") == "10000")
+  }
 }
