@@ -87,6 +87,12 @@ object Bench {
       case None => SparkEntry.allEntries
     }
     val results = entries.map { e =>
+      // every run of a checkpoint-using query (q20/q38/q42/q58…) pins
+      // fresh block-manager memory; across 64 queries × 6 runs the
+      // accumulation degrades later queries (r02: q62 read 4.0 s in the
+      // full bench vs 0.56 s isolated). Unpersist what THIS query
+      // pinned once its runs finish; pre-existing memos stay.
+      val pinnedBefore = spark.sparkContext.getPersistentRDDs.keySet
       val t =
         try {
           // attribute native-path scan time and eagerly-materialized
@@ -105,6 +111,9 @@ object Bench {
             System.err.println(s"[bench] ${e.name} failed: ${ex.getMessage}")
             -1.0
         }
+      spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
+        if (!pinnedBefore.contains(id)) rdd.unpersist(blocking = false)
+      }
       e.name -> t
     }
 
