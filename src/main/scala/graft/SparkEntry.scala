@@ -25,6 +25,9 @@ object SparkEntry {
       operators.HistQuantile.entries ++
       operators.Bloom.entries ++
       operators.Analytic.entries ++
+      operators.Reshape.entries ++
+      operators.Winnow.entries ++
+      operators.Quantize.entries ++
       operators.Multimodal.entries ++
       sources.OrcRoundTrip.entries ++
       sources.BucketedTables.entries

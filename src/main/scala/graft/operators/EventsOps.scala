@@ -187,6 +187,87 @@ object EventsOps {
         .orderBy("user_id")
     },
 
+    // Time-series gap-fill + forward-fill: densify each user's hourly
+    // timeline over their own [min, max] hour range (sequence +
+    // explode — no driver-side range materialization), left-join the
+    // real aggregates, and forward-fill the last observed hourly sum
+    // with last_value(IGNORE NULLS). The canonical
+    // feature-engineering resample; per-user state never leaves its
+    // partition, so the shape holds at any user count.
+    QueryEntry.sql(
+      "q67_gapfill_ffill",
+      """WITH e AS (
+        |  SELECT user_id, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h, value
+        |  FROM events WHERE user_id < 5
+        |), agg AS (
+        |  SELECT user_id, h, COUNT(*) AS c,
+        |         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sv
+        |  FROM e GROUP BY 1, 2
+        |), bounds AS (
+        |  SELECT user_id, MIN(h) AS h0, MAX(h) AS h1 FROM e GROUP BY 1
+        |), grid AS (
+        |  SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h
+        |  FROM bounds
+        |), j AS (
+        |  SELECT g.user_id, g.h, COALESCE(a.c, 0) AS cnt, a.sv
+        |  FROM grid g LEFT JOIN agg a ON a.user_id = g.user_id AND a.h = g.h
+        |)
+        |SELECT user_id, strftime(h, '%Y-%m-%d %H:%M') AS hour,
+        |       CAST(cnt AS BIGINT) AS cnt,
+        |       ROUND(COALESCE(
+        |         LAST_VALUE(sv IGNORE NULLS) OVER (
+        |           PARTITION BY user_id ORDER BY h
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0), 6)
+        |         AS filled_sum
+        |FROM j ORDER BY user_id, hour""".stripMargin,
+    ) { (s, dir) =>
+      val e = Tables(s, dir).events.filter(col("user_id") < 5)
+        .select(col("user_id"), date_trunc("hour", col("ts")).as("h"),
+          col("value"))
+      val agg = e.groupBy("user_id", "h").agg(
+        count(lit(1)).as("cnt"),
+        sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType).as("sv"))
+      val grid = e.groupBy("user_id")
+        .agg(min("h").as("h0"), max("h").as("h1"))
+        .select(col("user_id"),
+          explode(expr("sequence(h0, h1, interval 1 hour)")).as("h"))
+      val w = Window.partitionBy("user_id").orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grid.join(agg, Seq("user_id", "h"), "left")
+        .withColumn("cnt", coalesce(col("cnt"), lit(0L)))
+        .withColumn("filled_sum",
+          round(coalesce(last(col("sv"), ignoreNulls = true).over(w), lit(0.0)), 6))
+        .select(col("user_id"),
+          date_format(col("h"), "yyyy-MM-dd HH:mm").as("hour"),
+          col("cnt"), col("filled_sum"))
+        .orderBy("user_id", "hour")
+    },
+
+    // Exactly-once restated over an at-least-once feed: the doubled
+    // events stream deduplicated on event_id, then aggregated. The
+    // batch form of streaming dropDuplicatesWithinWatermark
+    // (StreamingSpec asserts batch ≡ stream on the same doubled
+    // source); dedup key is the natural event id, so the state is one
+    // row per key — the shape that bounds streaming state at scale.
+    QueryEntry.sql(
+      "q71_stream_dedup",
+      """SELECT event_type, COUNT(*) AS cnt,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM (SELECT DISTINCT event_id, event_type, value FROM events)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    ) { (s, dir) =>
+      val e = Tables(s, dir).events.select("event_id", "event_type", "value")
+      e.unionAll(e)
+        .dropDuplicates("event_id")
+        .groupBy("event_type")
+        .agg(
+          count(lit(1)).as("cnt"),
+          sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType)
+            .as("sum_value"),
+        )
+        .orderBy("event_type")
+    },
+
     // Tumbling 1-hour windows — the exact shape the streaming variant
     // runs with a watermark; window rendered as a string for oracle
     // parity.

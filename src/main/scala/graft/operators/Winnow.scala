@@ -1,0 +1,133 @@
+package graft.operators
+
+import graft.functions.GraftFunctions
+import graft.{QueryEntry, Tables}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Rolling-window document fingerprinting (winnowing) and the
+  * deterministic corpus split — two training-pipeline staples over the
+  * documents table.
+  *
+  * Winnowing (Schleimer/Wilkerson/Aiken, SIGMOD'03 — public
+  * algorithm): hash every k-char gram of the normalized text, then
+  * keep the minimum hash of each window of w consecutive grams. The
+  * selected fingerprints are a position-robust document signature —
+  * the guarantee is that any shared substring of length ≥ k+w-1
+  * contributes at least one common fingerprint, which is what makes
+  * it the standard plagiarism/near-dup screen. Everything is pinned
+  * integer math on md5 (engine-independent), so the whole operator
+  * sits under the DuckDB differential gate.
+  *
+  * Scale shape: per-row explode (×~n_chars) → per-doc window pass →
+  * per-doc aggregate. One shuffle on doc_id for the window; the gram
+  * frame never leaves its doc partition. At 100 TB this is
+  * embarrassingly parallel per document — no cross-document state.
+  */
+object Winnow {
+
+  /** k-gram length and winnow window, the SWA paper's (k, w) knobs. */
+  private val K = 8
+  private val W = 4
+
+  /** Per-doc winnowed fingerprint frame: (doc_id, fp). */
+  def fingerprints(docs: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("p")
+      .rowsBetween(0, W - 1)
+    docs
+      .select(col("doc_id"),
+        regexp_replace(lower(col("text")), "\\s+", " ").as("t"))
+      // need ≥ W grams so every kept position has a full window
+      .filter(length(col("t")) >= K + W - 1)
+      .select(col("doc_id"), col("t"),
+        explode(expr(s"sequence(1, length(t) - ${K - 1})")).as("p"))
+      .withColumn("h",
+        conv(substring(md5(expr(s"substr(t, p, $K)").cast(BinaryType)), 1, 15),
+          16, 10).cast(LongType))
+      .withColumn("wmin", min(col("h")).over(w))
+      // the last W-1 positions have shrunk windows — not winnow output
+      .filter(col("p") <= length(col("t")) - lit(K - 1) - lit(W - 1))
+      .select(col("doc_id"), col("wmin").as("fp"))
+      .distinct()
+  }
+
+  val entries: Seq[QueryEntry] = Seq(
+    // Winnowed fingerprint profile per document: how many distinct
+    // fingerprints the (K=8, W=4) scheme keeps, with min/max as exact
+    // integer witnesses of the selected set.
+    QueryEntry.sql(
+      "q68_winnow_fingerprints",
+      s"""WITH d AS (
+         |  SELECT doc_id, regexp_replace(lower(text), '\\s+', ' ', 'g') AS t
+         |  FROM documents
+         |), grams AS (
+         |  SELECT doc_id, t, unnest(range(1, length(t) - ${K - 2})) AS p
+         |  FROM d WHERE length(t) >= ${K + W - 1}
+         |), hashed AS (
+         |  SELECT doc_id, t, p,
+         |         CAST('0x' || substr(md5(substr(t, CAST(p AS BIGINT), $K)), 1, 15)
+         |              AS BIGINT) AS h
+         |  FROM grams
+         |), winnowed AS (
+         |  SELECT doc_id, p,
+         |         MIN(h) OVER (PARTITION BY doc_id ORDER BY p
+         |                      ROWS BETWEEN CURRENT ROW AND ${W - 1} FOLLOWING)
+         |           AS wmin,
+         |         length(t) - ${K - 1} - ${W - 1} AS last_full
+         |  FROM hashed
+         |)
+         |SELECT doc_id,
+         |       CAST(COUNT(DISTINCT wmin) AS BIGINT) AS n_fp,
+         |       MIN(wmin) AS min_fp, MAX(wmin) AS max_fp
+         |FROM winnowed WHERE p <= last_full
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    ) { (s, dir) =>
+      fingerprints(Tables(s, dir).documentsRebalanced)
+        .groupBy("doc_id")
+        .agg(
+          countDistinct("fp").as("n_fp"),
+          min("fp").as("min_fp"),
+          max("fp").as("max_fp"),
+        )
+        .orderBy("doc_id")
+    },
+
+    // Deterministic train/val/test split (~80/10/10): bucket = the top
+    // 10 bits of splitmix64(doc_id) — unsigned-consistent in both
+    // engines (a mod-1000 split would NOT be: 2^64 % 1000 ≠ 0, so
+    // signed pmod and unsigned % disagree). Hash-of-key splits are
+    // stable under corpus growth and need no global sort or count —
+    // the only split discipline that works at 100 TB.
+    QueryEntry.sql(
+      "q69_corpus_split",
+      s"""WITH b AS (
+         |  SELECT doc_id, (${Hll.splitmixSqlFor("doc_id")}) >> 54 AS bucket
+         |  FROM documents
+         |)
+         |SELECT CASE WHEN bucket < 819 THEN 'train'
+         |            WHEN bucket < 922 THEN 'val'
+         |            ELSE 'test' END AS split,
+         |       COUNT(*) AS n_docs,
+         |       MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+         |FROM b GROUP BY 1 ORDER BY split""".stripMargin,
+    ) { (s, dir) =>
+      val bucket = expr("shiftrightunsigned(z, 54)")
+      Tables(s, dir).documents
+        .withColumn("z", GraftFunctions.splitmix64(col("doc_id")))
+        .withColumn("bucket", bucket)
+        .withColumn("split",
+          when(col("bucket") < 819, "train")
+            .when(col("bucket") < 922, "val")
+            .otherwise("test"))
+        .groupBy("split")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          min("doc_id").as("min_id"),
+          max("doc_id").as("max_id"),
+        )
+        .orderBy("split")
+    },
+  )
+}

@@ -158,6 +158,37 @@ object StreamingEvents {
     spark.table(name).orderBy("user_id", "pid", "fid")
   }
 
+  /** Streaming exactly-once dedup: the q71 semantics with the doubled
+    * (at-least-once) feed streaming through
+    * `dropDuplicatesWithinWatermark` — state holds one row per
+    * event_id and is expired by the watermark, which is what bounds
+    * dedup state on an unbounded stream. Emitted in append mode; the
+    * equivalence spec aggregates the deduplicated rows and compares
+    * against batch q71.
+    */
+  def dedupedStream(spark: SparkSession, dir: String): DataFrame = {
+    val src = stagedStreamSource(spark, dir)
+    val schema = spark.read.parquet(src).schema
+    def stream() = spark.readStream.schema(schema).parquet(src)
+      .withColumn("ts", graft.Tables.eventsTsFromNanos)
+      .select(col("event_id"), col("ts"), col("event_type"), col("value"))
+    stream().unionAll(stream())
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+  }
+
+  /** Run [[dedupedStream]] to completion over the bounded fixture. */
+  def runDedupToCompletion(spark: SparkSession, dir: String): DataFrame = {
+    val name = s"graft_dedup_${System.identityHashCode(spark)}"
+    val q = dedupedStream(spark, dir).writeStream
+      .format("memory").queryName(name)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
   /** The file streaming source requires a directory; the fixture is a
     * single parquet file — stage a copy under scratch, fingerprint-
     * keyed and write-once via [[graft.sources.Staging]].

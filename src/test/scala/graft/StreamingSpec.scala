@@ -50,6 +50,20 @@ class StreamingSpec extends SparkSpec {
     assert(batch.nonEmpty)
   }
 
+  test("streaming dropDuplicatesWithinWatermark ≡ batch dedup (q71)") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    val streamed = StreamingEvents.runDedupToCompletion(spark, sf)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType)
+          .as("sum_value"))
+      .collect().map(_.toSeq).toSet
+    val batch = run("q71_stream_dedup").collect().map(_.toSeq).toSet
+    assert(streamed == batch)
+    assert(batch.nonEmpty)
+  }
+
   test("mapGroupsWithState per-user aggregates ≡ batch groupBy") {
     import org.apache.spark.sql.functions._
     val stateful = StreamingEvents.statefulUserCounts(spark, sf)

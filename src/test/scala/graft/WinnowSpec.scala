@@ -1,0 +1,44 @@
+package graft
+
+import graft.operators.Winnow
+
+/** The winnowing guarantee (Schleimer/Wilkerson/Aiken): documents
+  * sharing a substring of length ≥ k+w−1 share at least one selected
+  * fingerprint — that containment is the whole point of the scheme.
+  */
+class WinnowSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("shared long substring ⇒ shared fingerprint; disjoint texts ⇒ none") {
+    val shared = "the quick brown fox jumps over the lazy dog"
+    val docs = Seq(
+      (1L, s"prefix one $shared and then something"),
+      (2L, s"a different beginning $shared with another tail"),
+      (3L, "entirely unrelated content with zero overlap at all here"),
+    ).toDF("doc_id", "text")
+    val fps = Winnow.fingerprints(docs).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    assert((fps(1L) & fps(2L)).nonEmpty, "shared substring must surface")
+    assert((fps(1L) & fps(3L)).isEmpty, "disjoint docs must not collide")
+  }
+
+  test("fingerprint count is bounded by kept positions and ≥ 1") {
+    val out = run("q68_winnow_fingerprints").collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val n = r.getLong(1)
+      assert(n >= 1L)
+      assert(r.getLong(2) <= r.getLong(3)) // min_fp ≤ max_fp
+    }
+  }
+
+  test("corpus split is exhaustive, disjoint, and ~80/10/10") {
+    val rows = run("q69_corpus_split").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = Tables(spark, sf).documents.count()
+    assert(rows.values.sum == total)
+    assert(rows("train") > rows("val") && rows("train") > rows("test"))
+    // hash split at n=500: generous tolerance, determinism is the contract
+    assert(rows("train").toDouble / total > 0.7)
+  }
+}
