@@ -46,6 +46,32 @@ object Multimodal {
     }
   }
 
+  /** Average-pooling "resize": the payload split into `featureDim`
+    * contiguous segments (segment of byte i = i·G div n — the exact
+    * integer-math pooling grid an image downscaler uses per axis),
+    * each reduced to its mean byte value. Integer accumulation, one
+    * double division and one float conversion per segment — so the
+    * features stay bit-reproducible cross-engine and q72 carries a
+    * full DuckDB oracle over the same bytes.
+    */
+  object PoolCodec extends MediaCodec {
+    val featureDim = 4
+    def decodeToFeatures(payload: Array[Byte]): Array[Float] = {
+      val n = payload.length
+      val sums = new Array[Long](featureDim)
+      val cnts = new Array[Long](featureDim)
+      var i = 0
+      while (i < n) {
+        val s = (i.toLong * featureDim / n).toInt
+        sums(s) += (payload(i) & 0xff)
+        cnts(s) += 1
+        i += 1
+      }
+      Array.tabulate(featureDim)(s =>
+        if (cnts(s) == 0) 0f else (sums(s).toDouble / cnts(s)).toFloat)
+    }
+  }
+
   final case class MediaRow(doc_id: Long, payload: Array[Byte])
   final case class MediaFeatures(doc_id: Long, n_bytes: Int, features: Array[Float])
 
@@ -123,6 +149,41 @@ object Multimodal {
       extractFeatures(s, dir).toDF()
         .select(col("doc_id"), col("n_bytes"),
           round(element_at(col("features"), 1).cast(DoubleType), 4).as("f0"))
+        .orderBy("doc_id")
+    },
+
+    // Average-pool "resize" through the same decode seam: 4 pooled
+    // mean-byte features per payload (the downscale grid), every
+    // feature under the differential gate — the oracle re-derives all
+    // four segments from hex pairs with the identical integer pooling
+    // grid.
+    QueryEntry.sql(
+      "q72_media_pooled",
+      """WITH raw AS (
+        |  SELECT doc_id, octet_length(encode(text)) AS n, hex(encode(text)) AS h
+        |  FROM documents WHERE octet_length(encode(text)) >= 4
+        |), bytes AS (
+        |  SELECT doc_id, n,
+        |         CAST('0x' || substr(h, CAST(2*i+1 AS BIGINT), 2) AS BIGINT) AS b,
+        |         (i * 4) // n AS seg
+        |  FROM (SELECT doc_id, n, h, unnest(range(0, n)) AS i FROM raw) t
+        |)
+        |SELECT doc_id, MAX(n) AS n_bytes,
+        |       ROUND(CAST(CAST(CAST(SUM(CASE WHEN seg=0 THEN b ELSE 0 END) AS DOUBLE)
+        |             / SUM(CASE WHEN seg=0 THEN 1 ELSE 0 END) AS FLOAT) AS DOUBLE), 4) AS f0,
+        |       ROUND(CAST(CAST(CAST(SUM(CASE WHEN seg=1 THEN b ELSE 0 END) AS DOUBLE)
+        |             / SUM(CASE WHEN seg=1 THEN 1 ELSE 0 END) AS FLOAT) AS DOUBLE), 4) AS f1,
+        |       ROUND(CAST(CAST(CAST(SUM(CASE WHEN seg=2 THEN b ELSE 0 END) AS DOUBLE)
+        |             / SUM(CASE WHEN seg=2 THEN 1 ELSE 0 END) AS FLOAT) AS DOUBLE), 4) AS f2,
+        |       ROUND(CAST(CAST(CAST(SUM(CASE WHEN seg=3 THEN b ELSE 0 END) AS DOUBLE)
+        |             / SUM(CASE WHEN seg=3 THEN 1 ELSE 0 END) AS FLOAT) AS DOUBLE), 4) AS f3
+        |FROM bytes GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    ) { (s, dir) =>
+      val feats = extractFeatures(s, dir, PoolCodec).toDF()
+        .filter(col("n_bytes") >= 4)
+      val fcols = (0 until PoolCodec.featureDim).map(i =>
+        round(element_at(col("features"), i + 1).cast(DoubleType), 4).as(s"f$i"))
+      feats.select((col("doc_id") +: col("n_bytes") +: fcols): _*)
         .orderBy("doc_id")
     },
   )

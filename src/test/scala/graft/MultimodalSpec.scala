@@ -27,4 +27,23 @@ class MultimodalSpec extends SparkSpec {
     assert(first.features.length == Multimodal.StubCodec.featureDim)
     assert(first.n_bytes > 0)
   }
+
+  test("pooled codec: mean-byte features stay in [0,255], grid covers all bytes") {
+    val f = Multimodal.PoolCodec.decodeToFeatures(
+      (0 until 1000).map(i => (i % 251).toByte).toArray)
+    assert(f.length == Multimodal.PoolCodec.featureDim)
+    assert(f.forall(v => v >= 0f && v <= 255f))
+    // a constant payload pools to that constant in every segment
+    val const = Multimodal.PoolCodec.decodeToFeatures(Array.fill(97)(65.toByte))
+    assert(const.forall(_ == 65f))
+    // q72 agrees at query level
+    val rows = run("q72_media_pooled").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      (2 to 5).foreach { i =>
+        val v = r.getDouble(i)
+        assert(v >= 0.0 && v <= 255.0)
+      }
+    }
+  }
 }
