@@ -141,4 +141,32 @@ final class GraftEngine(val spark: SparkSession) {
   /** Per-group HLL distinct estimates (mergeable registers). */
   def approxDistinctByGroup(df: DataFrame, groupCol: String, column: String): DataFrame =
     operators.Hll.estimateByGroup(df, groupCol, column, "approx_distinct")
+
+  /** Winnowed document fingerprints (k=8, w=4): (doc_id, fp) rows;
+    * any shared substring of length ≥ 11 yields a shared fingerprint.
+    */
+  def winnowFingerprints(docs: DataFrame): DataFrame =
+    operators.Winnow.fingerprints(docs)
+
+  /** Deterministic hash train/val/test split column (~80/10/10) on the
+    * top 10 bits of splitmix64(idCol) — stable under corpus growth, no
+    * global sort or count.
+    */
+  def splitColumn(idCol: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    val b = shiftrightunsigned(functions.GraftFunctions.splitmix64(idCol), 54)
+    when(b < 819, "train").when(b < 922, "val").otherwise("test")
+  }
+
+  /** Bloom membership `maybe` column against a key frame (no false
+    * negatives; broadcastable m=2^16-bit filter).
+    */
+  def bloomMembership(df: DataFrame, keyCol: String, keys: DataFrame): DataFrame =
+    operators.Bloom.withMembership(df, keyCol, operators.Bloom.build(keys))
+
+  /** Per-element int8 quantization frame (label, xd, qv) for error
+    * profiling; see operators.Quantize.
+    */
+  def int8QuantElements(emb: DataFrame): DataFrame =
+    operators.Quantize.elements(emb)
 }

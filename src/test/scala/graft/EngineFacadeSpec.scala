@@ -112,6 +112,23 @@ class EngineFacadeSpec extends SparkSpec {
     assert(merged == direct, s"merged=$merged direct=$direct")
   }
 
+  test("facade delegations: winnow, splitColumn, bloomMembership, int8 elements") {
+    val engine = new GraftEngine(spark)
+    val docs = Tables(spark, sf).documents
+    val fps = engine.winnowFingerprints(docs)
+    assert(fps.columns.toSeq == Seq("doc_id", "fp"))
+    assert(fps.count() > 0)
+    val split = docs.select(engine.splitColumn(col("doc_id")).as("s"))
+      .groupBy("s").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(split.keySet.subsetOf(Set("train", "val", "test")))
+    assert(split.values.sum == docs.count())
+    val keys = docs.filter(col("doc_id") % 7 === 0).select(col("doc_id").as("x"))
+    val mem = engine.bloomMembership(docs.select(col("doc_id").as("x")), "x", keys)
+    assert(mem.filter(col("x") % 7 === 0).collect().forall(_.getAs[Boolean]("maybe")))
+    val q = engine.int8QuantElements(Tables(spark, sf).embeddings)
+    assert(q.columns.toSeq == Seq("label", "xd", "qv"))
+  }
+
   test("splitmix64 SQL function matches the reference finalizer") {
     // pinned vectors, independently computable from the published
     // splitmix64 constants
