@@ -84,6 +84,13 @@ final class GraftEngine(val spark: SparkSession) {
   def annSearch(emb: DataFrame, probes: DataFrame, nprobe: Int = 3, k: Int = 10): DataFrame =
     operators.Ivf.annSearch(emb, probes, nprobe, k)
 
+  /** IVF-PQ approximate top-k: coarse-pruned, then asymmetric-distance
+    * ranked from 4-byte product-quantized codes — the memory-scale ANN
+    * path (corpus vectors never touched at query time).
+    */
+  def annSearchPq(emb: DataFrame, probes: DataFrame, nprobe: Int = 3, k: Int = 10): DataFrame =
+    operators.Pq.annSearchPq(emb, probes, nprobe, k)
+
   /** Batched binary-payload feature extraction through a pluggable
     * codec (stubbed decode; real plumbing).
     */

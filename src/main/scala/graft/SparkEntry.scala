@@ -19,6 +19,7 @@ object SparkEntry {
       operators.Dedup.entries ++
       operators.Similarity.entries ++
       operators.Ivf.entries ++
+      operators.Pq.entries ++
       operators.EventsOps.entries ++
       operators.Skew.entries ++
       operators.CountMin.entries ++

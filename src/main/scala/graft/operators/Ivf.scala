@@ -106,6 +106,18 @@ object Ivf {
     centroidCache.getOrElseUpdate(key, fitCentroids(emb, k, iters))
   }
 
+  /** (q_id, q_vec, pc = top-nprobe cluster ids) per probe — shared by
+    * plain IVF (q33) and IVF-PQ (q74) search.
+    */
+  def probeRanked(probes: DataFrame, cents: IndexedSeq[Array[Float]],
+      nprobe: Int): DataFrame =
+    probes
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+      .withColumn("pc",
+        transform(
+          slice(sort_array(centScores(col("q_vec"), cents), asc = false), 1, nprobe),
+          x => x.getField("c")))
+
   /** Top-k neighbors for each probe query via nprobe-bounded IVF over
     * the fitted quantizer.
     */
@@ -135,12 +147,7 @@ object Ivf {
     })
 
     // top-nprobe inverted lists per probe
-    val probeLists = probes
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
-      .withColumn("pc",
-        transform(
-          slice(sort_array(centScores(col("q_vec"), cents), asc = false), 1, nprobe),
-          x => x.getField("c")))
+    val probeLists = probeRanked(probes, cents, nprobe)
 
     // exact-score only the probed lists
     broadcast(probeLists)
@@ -196,9 +203,12 @@ object Ivf {
     nb
   }
 
-  /** Generated DuckDB SQL equivalent of the q33 IVF search. */
-  def annSearchOracleSql(spark: org.apache.spark.sql.SparkSession, dir: String,
-      nprobe: Int = 3, k: Int = 5, nClusters: Int = 16, iters: Int = 3): String = {
+  /** The shared coarse-quantizer CTE block (corpus assignment + probe
+    * cluster ranking) — everything q33 and q74 both need; returns the
+    * text BETWEEN `WITH` and the consumer's own CTEs.
+    */
+  def coarseCtes(spark: org.apache.spark.sql.SparkSession, dir: String,
+      nprobe: Int, nClusters: Int = 16, iters: Int = 3): String = {
     val cents = fittedCentroids(Tables(spark, dir).embeddings, nClusters, iters)
     val dim = cents.head.length
     val sCols = cents.indices.map { c =>
@@ -207,7 +217,7 @@ object Ivf {
     val unions = cents.indices.map { c =>
       s"SELECT vec_id, embedding, na, $c AS c, s$c AS s FROM scores"
     }.mkString("\n    UNION ALL ")
-    s"""WITH base AS (
+    s"""base AS (
        |  SELECT vec_id, embedding, (${normChain("embedding", dim)}) AS na
        |  FROM embeddings
        |), scores AS (
@@ -225,7 +235,15 @@ object Ivf {
        |), probes AS (
        |  SELECT vec_id AS q_id, embedding AS q_emb, na AS nq, c AS pcluster
        |  FROM ranked_c WHERE rn <= $nprobe AND vec_id < 10
-       |), cand AS (
+       |)""".stripMargin
+  }
+
+  /** Generated DuckDB SQL equivalent of the q33 IVF search. */
+  def annSearchOracleSql(spark: org.apache.spark.sql.SparkSession, dir: String,
+      nprobe: Int = 3, k: Int = 5, nClusters: Int = 16, iters: Int = 3): String = {
+    val cents = fittedCentroids(Tables(spark, dir).embeddings, nClusters, iters)
+    val dim = cents.head.length
+    s"""WITH ${coarseCtes(spark, dir, nprobe, nClusters, iters)}, cand AS (
        |  SELECT p.q_id, co.vec_id,
        |         ROUND((${dotChain2("p.q_emb", "co.embedding", dim)})
        |               / sqrt(p.nq * co.ne), 6) AS score

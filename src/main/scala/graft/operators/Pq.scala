@@ -1,0 +1,236 @@
+package graft.operators
+
+import graft.functions.CentroidAggregator
+import graft.{QueryEntry, Tables}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** IVF-PQ: product-quantized ANN search — the memory-scale path past
+  * plain IVF (Jégou/Douze/Schmid, "Product Quantization for Nearest
+  * Neighbor Search", TPAMI 2011 — public method).
+  *
+  * The 64-dim embedding is split into M=8 contiguous 8-dim subspaces;
+  * each subspace gets a K=16-entry codebook fitted by the same
+  * deterministic Lloyd's recipe as the IVF coarse quantizer (init =
+  * first K vec_ids, fixed iterations, ties to the lower code). A
+  * vector is stored as 8 four-bit codes — 4 bytes instead of 256 — and
+  * search ranks candidates by asymmetric distance (ADC): exact
+  * probe-side sub-vectors against the candidate's codebook entries.
+  *
+  * Scale shape: fitting moves only M×K×(dim/M) floats through the
+  * driver per iteration (one DataFrame job per iteration for ALL
+  * subspaces); encoding is a per-row map; search = coarse-cluster
+  * pruning (nprobe/k of the corpus, the IVF join) then per-candidate
+  * ADC from the 4-byte codes — the corpus vectors themselves are never
+  * touched at query time, which is the entire point at 100 TB.
+  *
+  * Cross-engine exactness: float→double casts and x·127-style products
+  * are exact; every distance is the same left-associated chain in both
+  * engines; cross-subspace accumulation is ROUND(·,12)→DECIMAL (order-
+  * free); fitted codebooks are inlined into the oracle as exact double
+  * literals, and DuckDB re-executes encoding + search end-to-end.
+  */
+object Pq {
+
+  val M = 8 // subspaces
+  val K = 16 // codes per subspace
+  private val SubDim = 8 // 64 / M
+
+  /** L2² between a sub-vector column (array<float>) and a codebook
+    * entry, accumulated exactly like the oracle's chain.
+    */
+  private def l2(sub: Column, cent: Array[Double]): Column =
+    aggregate(
+      zip_with(transform(sub, x => x.cast(DoubleType)), typedlit(cent),
+        (x, c) => (x - c) * (x - c)),
+      lit(0.0), (acc, t) => acc + t)
+
+  /** argmin code over one subspace's codebook (ties → lower code). */
+  private def codeFor(sub: Column, book: IndexedSeq[Array[Double]]): Column =
+    array_min(array(book.indices.map(k =>
+      struct(l2(sub, book(k)).as("d"), lit(k).as("c"))): _*)).getField("c")
+
+  /** Deterministic per-subspace Lloyd's — ONE DataFrame job per
+    * iteration covers all M subspaces (posexplode of the M slices,
+    * argmin against the m-th codebook via a literal 3-D lookup, then a
+    * (m, code) grouped centroid). Empty cells keep their previous
+    * entry.
+    */
+  def fitCodebooks(emb: DataFrame, iters: Int = 3): IndexedSeq[IndexedSeq[Array[Double]]] = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val init = emb.orderBy("vec_id").limit(K)
+      .select("embedding").as[Array[Float]].collect()
+    var books: IndexedSeq[IndexedSeq[Array[Double]]] =
+      (0 until M).map(m => init.toIndexedSeq.map(v =>
+        v.slice(m * SubDim, (m + 1) * SubDim).map(_.toDouble)))
+    val subsCol = array((0 until M).map(m =>
+      slice(col("embedding"), m * SubDim + 1, SubDim)): _*)
+    for (_ <- 1 to iters) {
+      val litBooks = typedlit(books.map(_.toArray).toArray)
+      val assigned = emb
+        .select(posexplode(subsCol).as(Seq("m", "sub")))
+        .withColumn("code",
+          array_min(array((0 until K).map { k =>
+            struct(
+              aggregate(
+                zip_with(transform(col("sub"), x => x.cast(DoubleType)),
+                  element_at(element_at(litBooks, col("m") + 1), k + 1),
+                  (x, c) => (x - c) * (x - c)),
+                lit(0.0), (acc, t) => acc + t).as("d"),
+              lit(k).as("c"))
+          }: _*)).getField("c"))
+        .groupBy("m", "code")
+        .agg(CentroidAggregator.centroid(col("sub")).as("cent"))
+        .as[(Int, Int, Array[Double])].collect()
+        .map { case (m, c, cent) => (m, c) -> cent }.toMap
+      books = (0 until M).map(m => (0 until K).map(k =>
+        assigned.getOrElse((m, k), books(m)(k))))
+    }
+    books
+  }
+
+  /** Fitted-codebook memo (the q33 policy: an index is built once and
+    * queried many times; see [[Ivf.fittedCentroids]]).
+    */
+  private val bookCache = scala.collection.concurrent.TrieMap
+    .empty[(String, Int), IndexedSeq[IndexedSeq[Array[Double]]]]
+
+  def fittedCodebooks(emb: DataFrame, iters: Int = 3): IndexedSeq[IndexedSeq[Array[Double]]] = {
+    val key = (emb.queryExecution.analyzed.semanticHash().toString, iters)
+    if (bookCache.size > 64) bookCache.keys.find(_ != key).foreach(bookCache.remove)
+    bookCache.getOrElseUpdate(key, fitCodebooks(emb, iters))
+  }
+
+  /** PQ-encode: (vec_id, cluster, codes array<int>) — the 4-byte-per-
+    * vector index payload, coarse cluster included for IVF pruning.
+    */
+  def encoded(emb: DataFrame, coarse: IndexedSeq[Array[Float]],
+      books: IndexedSeq[IndexedSeq[Array[Double]]]): DataFrame =
+    Ivf.withCluster(emb, coarse)
+      .select(col("vec_id"), col("cluster"),
+        array((0 until M).map(m =>
+          codeFor(slice(col("embedding"), m * SubDim + 1, SubDim), books(m))): _*)
+          .as("codes"))
+
+  /** IVF-PQ search: coarse-prune to nprobe lists, ADC-rank candidates
+    * from their codes alone.
+    */
+  def annSearchPq(emb: DataFrame, probes: DataFrame, nprobe: Int, k: Int,
+      iters: Int = 3): DataFrame = {
+    val coarse = Ivf.fittedCentroids(emb, 16, 3)
+    val books = fittedCodebooks(emb, iters)
+    val corpus = encoded(emb, coarse, books)
+
+    val probeLists = Ivf.probeRanked(probes, coarse, nprobe)
+
+    // ADC: per subspace, exact probe slice vs the candidate's codebook
+    // entry. ROUND(·,7)→DECIMAL makes the cross-subspace sum order-free;
+    // scale 7 (not 12): d_m is O(1), so its double has real mantissa
+    // bits at the 12th decimal and the two engines can round a
+    // near-tie differently — 1e-7 granularity is far above double
+    // noise (~1e-16) and far below any rank-relevant distance gap.
+    // Precision 18, NOT 38: adding two DECIMAL(38,7) overflows Spark's
+    // 38-digit cap, and the precision-adjustment rule silently drops
+    // the scale to 6 and rounds EVERY intermediate sum — (18,7) leaves
+    // the 8-term reduce headroom to stay exact.
+    val dm = (0 until M).map { m =>
+      round(
+        aggregate(
+          zip_with(
+            transform(slice(col("q_vec"), m * SubDim + 1, SubDim),
+              x => x.cast(DoubleType)),
+            element_at(typedlit(books(m).map(_.toArray).toArray),
+              element_at(col("codes"), m + 1) + 1),
+            (x, c) => (x - c) * (x - c)),
+          lit(0.0), (acc, t) => acc + t),
+        7).cast(DecimalType(18, 7))
+    }
+    broadcast(probeLists)
+      .join(corpus, array_contains(col("pc"), col("cluster")))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("adc", dm.reduce(_ + _).cast(DoubleType))
+      .withColumn("rank",
+        row_number().over(Window.partitionBy("q_id")
+          .orderBy(col("adc").asc, col("vec_id"))))
+      .filter(col("rank") <= k)
+      .select("q_id", "vec_id", "rank", "adc")
+      .orderBy("q_id", "rank")
+  }
+
+  // ---- DuckDB mirror -------------------------------------------------------
+
+  private def d2s(d: Double): String = s"CAST('${d.toString}' AS DOUBLE)"
+
+  /** codebook rows as a VALUES CTE: (m, code, [c1..c8]). */
+  private def codebookValues(books: IndexedSeq[IndexedSeq[Array[Double]]]): String =
+    (for (m <- 0 until M; k <- 0 until K) yield {
+      val list = books(m)(k).map(d2s).mkString("[", ", ", "]")
+      s"($m, $k, $list)"
+    }).mkString(",\n    ")
+
+  /** Σ_i (v[m·8+i] − c[i])² as the left-associated chain; `mRef` names
+    * the (possibly qualified) subspace column, so one chain serves
+    * every subspace.
+    */
+  private def l2Chain(vec: String, cents: String, mRef: String = "m"): String =
+    (1 to SubDim).map(i =>
+      s"(CAST($vec[CAST($mRef*$SubDim+$i AS BIGINT)] AS DOUBLE) - $cents[$i])" +
+        s" * (CAST($vec[CAST($mRef*$SubDim+$i AS BIGINT)] AS DOUBLE) - $cents[$i])")
+      .mkString(" + ")
+
+  /** Generated DuckDB SQL: re-executes coarse assignment, PQ encoding,
+    * probe ranking, and ADC top-k against the inlined fitted model.
+    */
+  def annSearchPqOracleSql(spark: org.apache.spark.sql.SparkSession, dir: String,
+      nprobe: Int = 3, k: Int = 5): String = {
+    val emb = Tables(spark, dir).embeddings
+    val books = fittedCodebooks(emb)
+    s"""WITH codebook(m, code, cents) AS (
+       |  VALUES
+       |    ${codebookValues(books)}
+       |), ${Ivf.coarseCtes(spark, dir, nprobe)}, enc_d AS (
+       |  SELECT co.vec_id, cb.m, cb.code,
+       |         (${l2Chain("co.embedding", "cb.cents")}) AS d
+       |  FROM corpus co, codebook cb
+       |), enc AS (
+       |  SELECT vec_id, m, code FROM (
+       |    SELECT vec_id, m, code,
+       |           row_number() OVER (PARTITION BY vec_id, m
+       |                              ORDER BY d ASC, code ASC) AS rn
+       |    FROM enc_d) WHERE rn = 1
+       |), cand AS (
+       |  SELECT p.q_id, co.vec_id, p.q_emb
+       |  FROM probes p JOIN corpus co ON co.cluster = p.pcluster
+       |  WHERE co.vec_id <> p.q_id
+       |), adc AS (
+       |  SELECT c.q_id, c.vec_id,
+       |         CAST(SUM(CAST(ROUND((${l2Chain("c.q_emb", "cb.cents", "cb.m")}), 7)
+       |                       AS DECIMAL(18,7))) AS DOUBLE) AS adc
+       |  FROM cand c
+       |  JOIN enc e ON e.vec_id = c.vec_id
+       |  JOIN codebook cb ON cb.m = e.m AND cb.code = e.code
+       |  GROUP BY c.q_id, c.vec_id
+       |)
+       |SELECT q_id, vec_id,
+       |       CAST(row_number() OVER (PARTITION BY q_id
+       |                               ORDER BY adc ASC, vec_id) AS INTEGER) AS rank,
+       |       adc
+       |FROM adc QUALIFY rank <= $k ORDER BY q_id, rank""".stripMargin
+  }
+
+  val entries: Seq[QueryEntry] = Seq(
+    // IVF-PQ search for the first 10 vec_ids. The fit is deterministic
+    // end-to-end (coarse quantizer AND the 8 codebooks), so the whole
+    // compressed-domain search sits under the differential gate; PQ
+    // recall vs exact cosine top-k is additionally pinned in IvfSpec.
+    QueryEntry.dynamicSql("q74_ann_ivfpq") { (s, dir) =>
+      annSearchPqOracleSql(s, dir, nprobe = 3, k = 5)
+    } { (s, dir) =>
+      val emb = Tables(s, dir).embeddings
+      annSearchPq(emb, emb.filter(col("vec_id") < 10), nprobe = 3, k = 5)
+    },
+  )
+}

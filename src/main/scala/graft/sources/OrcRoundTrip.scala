@@ -68,6 +68,26 @@ object OrcRoundTrip {
       spark.read.schema(Tables.load(spark, dir, name).schema).json(dest))
   }
 
+  /** CSV copy of a fixture table — quoted/escaped with a header,
+    * staged once per source fingerprint, read back with the parquet
+    * source's schema (no inference pass, no schema drift: at 100 TB an
+    * inference scan would read the corpus twice and could still guess
+    * wrong).
+    */
+  def csvCopy(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val dest = Staging.fingerprintPath("graft_csv", dir, s"$name.parquet", name)
+    Staging.ensureStaged(dest) {
+      Tables.load(spark, dir, name).write.mode("overwrite")
+        .option("header", "true")
+        .csv(dest)
+    }
+    memoRead(spark, dest)(
+      spark.read
+        .schema(Tables.load(spark, dir, name).schema)
+        .option("header", "true")
+        .csv(dest))
+  }
+
   /** One staging policy for every derived-from-lineitem ORC copy:
     * fingerprint path keyed on the real source file, write-once via
     * [[Staging]], destination returned for callers that need the path
@@ -257,6 +277,30 @@ object OrcRoundTrip {
         .agg(count(lit(1)).as("cnt"), sum("n_chars").as("sum_chars"),
           min("doc_id").as("min_id"))
         .orderBy("lang")
+    },
+
+    // CSV source round-trip: orders through a quoted, headered CSV
+    // copy and back under the supplied parquet schema; the oracle runs
+    // on the parquet source, so a hash match proves the text format
+    // preserved longs, doubles, timestamps and strings exactly —
+    // including the comma-bearing priority strings the quoting must
+    // survive.
+    QueryEntry.sql(
+      "q73_csv_roundtrip",
+      """SELECT o_orderpriority, COUNT(*) AS cnt,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total,
+        |       strftime(MIN(CAST(o_orderdate AS TIMESTAMP)), '%Y-%m-%d') AS first_day
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    ) { (s, dir) =>
+      csvCopy(s, dir, "orders")
+        .groupBy("o_orderpriority")
+        .agg(
+          count(lit(1)).as("cnt"),
+          sum(col("o_totalprice").cast(DecimalType(18, 2)))
+            .cast(DoubleType).as("total"),
+          date_format(min(col("o_orderdate")), "yyyy-MM-dd").as("first_day"),
+        )
+        .orderBy("o_orderpriority")
     },
 
     // The reference program through the hot path: stripe-parallel

@@ -35,6 +35,40 @@ class IvfSpec extends SparkSpec {
     assert(ivf.size == 10 && ivf.values.forall(_.size == 5))
   }
 
+  test("IVF-PQ: codes in range, 4-byte payload, recall@5 does not collapse") {
+    import graft.operators.Pq
+    val emb = Tables(spark, sf).embeddings
+    val probes = emb.filter(col("vec_id") < 10)
+    val books = Pq.fittedCodebooks(emb)
+    assert(books.length == Pq.M && books.forall(_.length == Pq.K))
+    val corpus = Pq.encoded(emb, Ivf.fittedCentroids(emb, 16, 3), books)
+    val codes = corpus.select(explode(col("codes")).as("c"))
+    assert(codes.filter(col("c") < 0 || col("c") >= Pq.K).count() == 0)
+
+    val pq = Pq.annSearchPq(emb, probes, nprobe = 3, k = 5)
+      .select("q_id", "vec_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val exact = probes.select(col("vec_id").as("q_id"), col("embedding").as("q"))
+      .crossJoin(emb.select(col("vec_id"), col("embedding")))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        round(GraftFunctions.cosineF32(col("q"), col("embedding")), 6).as("score"))
+      .withColumn("r", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("score").desc, col("vec_id"))))
+      .filter(col("r") <= 5)
+      .select("q_id", "vec_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val recalls = exact.map { case (q, want) =>
+      pq.getOrElse(q, Set.empty).intersect(want).size.toDouble / want.size
+    }
+    val mean = recalls.sum / recalls.size
+    info(f"PQ mean recall@5 = $mean%.2f")
+    // compressed-domain ranking on random unit vectors: the bar is
+    // "meaningfully above chance" (chance ≈ 5/500), not IVF parity
+    assert(mean >= 0.2, s"PQ recall collapsed: $mean")
+    assert(pq.size == 10 && pq.values.forall(_.size == 5))
+  }
+
   test("centroid UDAF equals the posexplode/avg computation") {
     val emb = Tables(spark, sf).embeddings
     val udaf = run("q32_label_centroids").as[(Int, Int, Double)].collect().toSet
