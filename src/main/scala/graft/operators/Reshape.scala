@@ -62,14 +62,24 @@ object Reshape {
         |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM m GROUP BY metric ORDER BY metric""".stripMargin,
     ) { (s, dir) =>
-      Tables(s, dir).lineitem
+      // aggregate early, reshape late: the four sums reduce to ONE row
+      // before the melt, so Expand multiplies 1 row — not the fact
+      // table (1.2 s → scan-bound at sf0.1). Decimal partials are
+      // exact, so the result is identical to melting first.
+      val sums = Tables(s, dir).lineitem.agg(
+        count(lit(1)).as("cnt"),
+        sum(col("l_quantity").cast(DecimalType(18, 2))).as("l_quantity"),
+        sum(col("l_extendedprice").cast(DecimalType(18, 2))).as("l_extendedprice"),
+        sum(col("l_discount").cast(DecimalType(18, 2))).as("l_discount"),
+        sum(col("l_tax").cast(DecimalType(18, 2))).as("l_tax"))
+      sums
         .unpivot(
-          Array(col("l_orderkey")),
+          Array(col("cnt")),
           Array(col("l_quantity"), col("l_extendedprice"),
             col("l_discount"), col("l_tax")),
-          "metric", "value")
-        .groupBy("metric")
-        .agg(count(lit(1)).as("cnt"), money("value").as("total"))
+          "metric", "total_dec")
+        .select(col("metric"), col("cnt"),
+          col("total_dec").cast(DoubleType).as("total"))
         .orderBy("metric")
     },
 
@@ -88,12 +98,19 @@ object Reshape {
         |GROUP BY CUBE (l_returnflag, l_linestatus)
         |ORDER BY gid, l_returnflag NULLS LAST, l_linestatus NULLS LAST""".stripMargin,
     ) { (s, dir) =>
-      Tables(s, dir).lineitem
+      // two-level cube (the q34 rollup trick): pre-aggregate to the
+      // (rf, ls) grain — COUNT and exact decimal SUM are re-aggregable
+      // partials — so Expand×4 multiplies SIX rows, not the table.
+      val grain = Tables(s, dir).lineitem
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("cnt0"),
+          sum(col("l_quantity").cast(DecimalType(18, 2))).as("tot0"))
+      grain
         .cube("l_returnflag", "l_linestatus")
         .agg(
           grouping_id().cast(LongType).as("gid"),
-          count(lit(1)).as("cnt"),
-          money("l_quantity").as("total"),
+          sum("cnt0").as("cnt"),
+          sum("tot0").cast(DoubleType).as("total"),
         )
         .select("l_returnflag", "l_linestatus", "gid", "cnt", "total")
         .orderBy(col("gid"), col("l_returnflag").asc_nulls_last,
