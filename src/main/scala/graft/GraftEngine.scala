@@ -176,4 +176,11 @@ final class GraftEngine(val spark: SparkSession) {
     */
   def int8QuantElements(emb: DataFrame): DataFrame =
     operators.Quantize.elements(emb)
+
+  /** Order-independent integrity fingerprint (n_rows, checksum) over
+    * pre-formatted columns — equal fingerprints ⇔ equal multisets of
+    * serialized rows; see operators.Checksum.
+    */
+  def tableChecksum(df: DataFrame, cols: Seq[org.apache.spark.sql.Column]): DataFrame =
+    operators.Checksum.tableChecksum(df, cols)
 }

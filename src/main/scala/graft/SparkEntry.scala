@@ -29,6 +29,7 @@ object SparkEntry {
       operators.Reshape.entries ++
       operators.Winnow.entries ++
       operators.Quantize.entries ++
+      operators.Checksum.entries ++
       operators.Multimodal.entries ++
       sources.OrcRoundTrip.entries ++
       sources.BucketedTables.entries

@@ -1,0 +1,66 @@
+package graft.operators
+
+import graft.{QueryEntry, Tables}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Order-independent table fingerprints — the migration/replication
+  * integrity check: XOR of per-row md5-derived hashes plus the row
+  * count. Two tables (or the same table in two engines, or before and
+  * after a 100 TB copy) are equal iff counts and checksums match, and
+  * the check is one narrow scan + an order-free aggregate — no sort,
+  * no shuffle beyond the 1-row combine, embarrassingly parallel.
+  *
+  * Only columns with engine-independent string forms participate
+  * (integers, strings, explicitly formatted dates) — double formatting
+  * differs across engines, so callers format or exclude floats.
+  */
+object Checksum {
+
+  /** XOR-of-row-hashes checksum over the given (pre-formatted) columns. */
+  def tableChecksum(df: DataFrame, cols: Seq[Column]): DataFrame = {
+    val row = concat_ws("|", cols: _*)
+    val h = conv(substring(md5(row.cast(BinaryType)), 1, 15), 16, 10)
+      .cast(LongType)
+    df.select(h.as("h")).agg(
+      count(lit(1)).as("n_rows"),
+      expr("bit_xor(h)").as("checksum"))
+  }
+
+  val entries: Seq[QueryEntry] = Seq(
+    // Fingerprints of orders (with a formatted date) and lineitem key
+    // columns in one row; a hash match here means both engines agree
+    // on every participating cell of every row.
+    QueryEntry.sql(
+      "q75_table_checksum",
+      """WITH o AS (
+        |  SELECT COUNT(*) AS o_rows,
+        |         bit_xor(CAST('0x' || substr(md5(concat_ws('|',
+        |             o_orderkey, o_custkey, o_orderstatus, o_orderpriority,
+        |             strftime(CAST(o_orderdate AS TIMESTAMP), '%Y-%m-%d'))), 1, 15)
+        |           AS BIGINT)) AS o_checksum
+        |  FROM orders
+        |), l AS (
+        |  SELECT COUNT(*) AS l_rows,
+        |         bit_xor(CAST('0x' || substr(md5(concat_ws('|',
+        |             l_orderkey, l_partkey, l_returnflag, l_linestatus)), 1, 15)
+        |           AS BIGINT)) AS l_checksum
+        |  FROM lineitem
+        |)
+        |SELECT o_rows, o_checksum, l_rows, l_checksum FROM o CROSS JOIN l""".stripMargin,
+    ) { (s, dir) =>
+      val t = Tables(s, dir)
+      val o = tableChecksum(t.orders, Seq(
+        col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_orderpriority"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd")))
+        .select(col("n_rows").as("o_rows"), col("checksum").as("o_checksum"))
+      val l = tableChecksum(t.lineitem, Seq(
+        col("l_orderkey"), col("l_partkey"), col("l_returnflag"),
+        col("l_linestatus")))
+        .select(col("n_rows").as("l_rows"), col("checksum").as("l_checksum"))
+      o.crossJoin(l)
+    },
+  )
+}

@@ -115,6 +115,40 @@ object Pq {
           codeFor(slice(col("embedding"), m * SubDim + 1, SubDim), books(m))): _*)
           .as("codes"))
 
+  /** The encoded corpus IS the PQ index — materialized once per
+    * (session, plan, model) and searched many times, the
+    * `Ivf.listsCache` policy (re-encoding on every search would
+    * misrepresent the operator's query-time cost).
+    */
+  private val encCache = scala.collection.concurrent.TrieMap
+    .empty[(org.apache.spark.sql.SparkSession, String, Int), DataFrame]
+
+  def invalidateIndex(): Unit = {
+    bookCache.clear()
+    encCache.values.foreach(df => try df.unpersist() catch { case _: Throwable => () })
+    encCache.clear()
+  }
+
+  private def encodedCached(emb: DataFrame, coarse: IndexedSeq[Array[Float]],
+      books: IndexedSeq[IndexedSeq[Array[Double]]], iters: Int): DataFrame = {
+    val key = (emb.sparkSession,
+      emb.queryExecution.analyzed.semanticHash().toString, iters)
+    def drop(k: (org.apache.spark.sql.SparkSession, String, Int)): Unit =
+      encCache.remove(k).foreach(df =>
+        try df.unpersist() catch { case _: Throwable => () })
+    encCache.keys.filter(_._1.sparkContext.isStopped).foreach(drop)
+    if (encCache.size > 64) encCache.keys.find(_ != key).foreach(drop)
+    encCache.get(key).getOrElse(encCache.synchronized {
+      encCache.get(key).getOrElse {
+        val c = encoded(emb, coarse, books)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        c.count()
+        encCache.put(key, c)
+        c
+      }
+    })
+  }
+
   /** IVF-PQ search: coarse-prune to nprobe lists, ADC-rank candidates
     * from their codes alone.
     */
@@ -122,7 +156,7 @@ object Pq {
       iters: Int = 3): DataFrame = {
     val coarse = Ivf.fittedCentroids(emb, 16, 3)
     val books = fittedCodebooks(emb, iters)
-    val corpus = encoded(emb, coarse, books)
+    val corpus = encodedCached(emb, coarse, books, iters)
 
     val probeLists = Ivf.probeRanked(probes, coarse, nprobe)
 

@@ -1,0 +1,32 @@
+package graft
+
+import graft.operators.Checksum
+import org.apache.spark.sql.functions._
+
+/** The integrity-fingerprint contract: invariant under row order and
+  * partitioning, sensitive to any single-cell change.
+  */
+class ChecksumSpec extends SparkSpec {
+
+  private def fp(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
+    val r = Checksum.tableChecksum(df,
+      Seq(col("o_orderkey"), col("o_orderstatus"))).head
+    (r.getLong(0), r.getLong(1))
+  }
+
+  test("checksum is partitioning- and order-invariant") {
+    val o = Tables(spark, sf).orders
+    assert(fp(o) == fp(o.repartition(17)))
+    assert(fp(o) == fp(o.orderBy(desc("o_totalprice"))))
+  }
+
+  test("checksum detects a single-cell change") {
+    val o = Tables(spark, sf).orders
+    val tampered = o.withColumn("o_orderstatus",
+      when(col("o_orderkey") === o.select(max("o_orderkey")).head.getLong(0),
+        lit("X")).otherwise(col("o_orderstatus")))
+    val (n1, c1) = fp(o)
+    val (n2, c2) = fp(tampered)
+    assert(n1 == n2 && c1 != c2)
+  }
+}
