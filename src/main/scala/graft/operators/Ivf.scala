@@ -149,9 +149,13 @@ object Ivf {
     // top-nprobe inverted lists per probe
     val probeLists = probeRanked(probes, cents, nprobe)
 
-    // exact-score only the probed lists
-    broadcast(probeLists)
-      .join(corpus, array_contains(col("pc"), col("cluster")))
+    // exact-score only the probed lists. The probe set is exploded to
+    // (probe, cluster) rows so the candidate join is a hash EQUI-join
+    // on cluster — array_contains would plan a nested-loop, fine for
+    // 10 probes but the wrong shape for a large probe batch; each
+    // (probe, cluster) pair is unique, so no duplicate candidates.
+    broadcast(probeLists.withColumn("cluster", explode(col("pc"))).drop("pc"))
+      .join(corpus, Seq("cluster"))
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"),
         round(GraftFunctions.cosineF32(col("q_vec"), col("embedding")), 6).as("score"))

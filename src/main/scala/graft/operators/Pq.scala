@@ -182,8 +182,10 @@ object Pq {
           lit(0.0), (acc, t) => acc + t),
         7).cast(DecimalType(18, 7))
     }
-    broadcast(probeLists)
-      .join(corpus, array_contains(col("pc"), col("cluster")))
+    // equi-join on the exploded (probe, cluster) pairs — see the
+    // matching note in Ivf.annSearch
+    broadcast(probeLists.withColumn("cluster", explode(col("pc"))).drop("pc"))
+      .join(corpus, Seq("cluster"))
       .filter(col("vec_id") =!= col("q_id"))
       .withColumn("adc", dm.reduce(_ + _).cast(DoubleType))
       .withColumn("rank",
