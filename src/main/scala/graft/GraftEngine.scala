@@ -183,4 +183,11 @@ final class GraftEngine(val spark: SparkSession) {
     */
   def tableChecksum(df: DataFrame, cols: Seq[org.apache.spark.sql.Column]): DataFrame =
     operators.Checksum.tableChecksum(df, cols)
+
+  /** CDC upsert (MERGE semantics): roll `base` forward by `delta` on
+    * `key` — delta wins, inserts appear, survivors keep; output adds
+    * an `action` provenance column. See operators.Cdc.
+    */
+  def upsert(base: DataFrame, delta: DataFrame, key: String): DataFrame =
+    operators.Cdc.upsert(base, delta, key)
 }

@@ -30,6 +30,7 @@ object SparkEntry {
       operators.Winnow.entries ++
       operators.Quantize.entries ++
       operators.Checksum.entries ++
+      operators.Cdc.entries ++
       operators.Multimodal.entries ++
       sources.OrcRoundTrip.entries ++
       sources.BucketedTables.entries

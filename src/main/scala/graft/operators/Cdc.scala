@@ -1,0 +1,88 @@
+package graft.operators
+
+import graft.{QueryEntry, Tables}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** CDC upsert (MERGE INTO semantics) as a pure Catalyst shape: one
+  * keyed FULL OUTER join of the base snapshot against a change batch,
+  * delta columns winning where present, with per-row action
+  * provenance (insert / update / keep). Spark core has no MERGE
+  * without a table format; this is the engine-level operator a
+  * training-data pipeline runs to roll a corpus snapshot forward.
+  *
+  * Scale shape: one shuffle per side on the merge key (or zero against
+  * bucketed layouts — see [[graft.sources.BucketedTables]]); no driver
+  * state, no row-by-row lookups. Deletes compose as a follow-up
+  * left_anti on a tombstone set (the q42 decontamination shape).
+  */
+object Cdc {
+
+  /** Roll `base` forward by `delta` on `key`: delta rows win, base
+    * rows without a delta survive, delta rows without a base insert.
+    * Output = base schema + `action` column.
+    */
+  def upsert(base: DataFrame, delta: DataFrame, key: String): DataFrame = {
+    val cols = base.columns
+    require(delta.columns.sameElements(cols),
+      s"delta schema ${delta.columns.toSeq} must match base ${cols.toSeq}")
+    val d = delta.select(cols.map(c => col(c).as(s"__d_$c")): _*)
+    val joined = base.join(d, col(key) === col(s"__d_$key"), "full_outer")
+    val merged = cols.map {
+      case `key` => coalesce(col(key), col(s"__d_$key")).as(key)
+      case c => coalesce(col(s"__d_$c"), col(c)).as(c)
+    }
+    val action = when(col(key).isNull, "insert")
+      .when(col(s"__d_$key").isNull, "keep")
+      .otherwise("update")
+    joined.select(merged :+ action.as("action"): _*)
+  }
+
+  val entries: Seq[QueryEntry] = Seq(
+    // Deterministic change batch derived from orders: keys ≡ 0 (mod
+    // 10) are price updates (+1.00), keys ≡ 1 are inserts (removed
+    // from the base first). The merged snapshot is summarized per
+    // action; the oracle restates the same merge as a FULL OUTER join.
+    QueryEntry.sql(
+      "q76_cdc_merge",
+      """WITH base AS (
+        |  SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey % 10 <> 1
+        |), delta AS (
+        |  SELECT o_orderkey,
+        |         CAST(CAST(o_totalprice AS DECIMAL(18,2)) + CAST(1.00 AS DECIMAL(18,2))
+        |              AS DOUBLE) AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 10 IN (0, 1)
+        |), merged AS (
+        |  SELECT COALESCE(b.o_orderkey, d.o_orderkey) AS k,
+        |         COALESCE(d.o_totalprice, b.o_totalprice) AS price,
+        |         CASE WHEN b.o_orderkey IS NULL THEN 'insert'
+        |              WHEN d.o_orderkey IS NULL THEN 'keep'
+        |              ELSE 'update' END AS action
+        |  FROM base b FULL OUTER JOIN delta d ON b.o_orderkey = d.o_orderkey
+        |)
+        |SELECT action, COUNT(*) AS cnt,
+        |       CAST(SUM(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS total,
+        |       MIN(k) AS min_key
+        |FROM merged GROUP BY action ORDER BY action""".stripMargin,
+    ) { (s, dir) =>
+      val o = Tables(s, dir).orders.select("o_orderkey", "o_totalprice")
+      val base = o.filter(col("o_orderkey") % 10 =!= 1)
+      val delta = o.filter(col("o_orderkey") % 10 === 0 ||
+          col("o_orderkey") % 10 === 1)
+        .withColumn("o_totalprice",
+          (col("o_totalprice").cast(DecimalType(18, 2)) +
+            lit(BigDecimal("1.00")).cast(DecimalType(18, 2)))
+            .cast(DoubleType))
+      upsert(base, delta, "o_orderkey")
+        .groupBy("action")
+        .agg(
+          count(lit(1)).as("cnt"),
+          sum(col("o_totalprice").cast(DecimalType(18, 2)))
+            .cast(DoubleType).as("total"),
+          min("o_orderkey").as("min_key"),
+        )
+        .orderBy("action")
+    },
+  )
+}
