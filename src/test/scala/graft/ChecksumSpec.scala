@@ -20,6 +20,13 @@ class ChecksumSpec extends SparkSpec {
     assert(fp(o) == fp(o.orderBy(desc("o_totalprice"))))
   }
 
+  test("empty frame: zero rows, NULL checksum (not a crash)") {
+    val empty = Tables(spark, sf).orders.filter(col("o_orderkey") < 0)
+    val r = Checksum.tableChecksum(empty, Seq(col("o_orderkey"))).head
+    assert(r.getLong(0) == 0L)
+    assert(r.isNullAt(1))
+  }
+
   test("checksum detects a single-cell change") {
     val o = Tables(spark, sf).orders
     val tampered = o.withColumn("o_orderstatus",

@@ -22,6 +22,14 @@ class WinnowSpec extends SparkSpec {
     assert((fps(1L) & fps(3L)).isEmpty, "disjoint docs must not collide")
   }
 
+  test("boundary: a doc of exactly k+w-1 chars yields exactly one fingerprint") {
+    val docs = Seq((1L, "abcdefghijk"), (2L, "abcdefghij")) // 11 and 10 chars
+      .toDF("doc_id", "text")
+    val fps = Winnow.fingerprints(docs).collect()
+    assert(fps.map(_.getLong(0)).toSet == Set(1L), "10-char doc must be filtered")
+    assert(fps.length == 1, "k+w-1 chars → one full window → one fingerprint")
+  }
+
   test("fingerprint count is bounded by kept positions and ≥ 1") {
     val out = run("q68_winnow_fingerprints").collect()
     assert(out.nonEmpty)
