@@ -190,4 +190,16 @@ final class GraftEngine(val spark: SparkSession) {
     */
   def upsert(base: DataFrame, delta: DataFrame, key: String): DataFrame =
     operators.Cdc.upsert(base, delta, key)
+
+  /** Frame sampling through the batched media seam (every `every`-th
+    * complete `frameBytes`-byte frame).
+    */
+  def sampleFrames(dir: String, frameBytes: Int = 16, every: Int = 4) =
+    operators.Multimodal.sampleFrames(spark, dir, frameBytes, every)
+
+  /** Per-key threshold-crossing alerts over an ordered value stream;
+    * streaming twin: `streaming.StreamingEvents.thresholdAlerts`.
+    */
+  def thresholdCrossings(events: DataFrame, step: Double): DataFrame =
+    operators.EventsOps.thresholdCrossings(events, step)
 }

@@ -72,7 +72,48 @@ object EventsOps {
       )
   }
 
+  /** Threshold-crossing alerts: one row per event whose running
+    * per-user cumulative value crosses a multiple of `step`. The fold
+    * is ordered by event_id, so the cumulative doubles are
+    * bit-identical in any engine that folds the same order — which is
+    * what lets the batch form sit under the gate and the
+    * flatMapGroupsWithState streaming twin (which emits 0..n rows per
+    * group from explicit state) be asserted equal in StreamingSpec.
+    */
+  def thresholdCrossings(events: DataFrame, step: Double): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events
+      .select(col("user_id"), col("event_id"), col("value"))
+      .withColumn("cum", sum("value").over(w))
+      .withColumn("level", floor(col("cum") / step))
+      .withColumn("prev_level", floor((col("cum") - col("value")) / step))
+      .filter(col("level") > col("prev_level"))
+      .select(col("user_id"), col("event_id"), col("level"))
+  }
+
   val entries: Seq[QueryEntry] = Seq(
+    // Threshold crossings (batch form of the flatMapGroupsWithState
+    // alert emitter): the per-user value stream alarms every time its
+    // running total passes another multiple of 100.
+    QueryEntry.sql(
+      "q78_threshold_crossings",
+      """WITH c AS (
+        |  SELECT user_id, event_id, value,
+        |         SUM(value) OVER (PARTITION BY user_id ORDER BY event_id
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM events
+        |)
+        |SELECT user_id, event_id,
+        |       CAST(FLOOR(cum / CAST(100.0 AS DOUBLE)) AS BIGINT) AS level
+        |FROM c
+        |WHERE FLOOR(cum / CAST(100.0 AS DOUBLE))
+        |      > FLOOR((cum - value) / CAST(100.0 AS DOUBLE))
+        |ORDER BY user_id, event_id""".stripMargin,
+    ) { (s, dir) =>
+      thresholdCrossings(Tables(s, dir).events, step = 100.0)
+        .orderBy("user_id", "event_id")
+    },
     // Q14 — filtered typed rollup (batch form of the streaming agg).
     // Money-style SUM in DECIMAL then DOUBLE for cross-engine
     // determinism; JSON props are parsed (scalar function surface) to

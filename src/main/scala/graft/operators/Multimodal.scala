@@ -74,6 +74,41 @@ object Multimodal {
 
   final case class MediaRow(doc_id: Long, payload: Array[Byte])
   final case class MediaFeatures(doc_id: Long, n_bytes: Int, features: Array[Float])
+  final case class FrameSample(doc_id: Long, n_frames: Long, n_sampled: Long,
+      sampled_sum: Long)
+
+  /** Frame sampling: the payload read as consecutive `frameBytes`-byte
+    * frames (the video/audio access pattern), keeping every `every`-th
+    * complete frame — integer metrics only, so the sample plan is
+    * fully differential-testable. Runs through the same per-partition
+    * batched seam as the decoders.
+    */
+  def sampleFrames(spark: SparkSession, dir: String,
+      frameBytes: Int = 16, every: Int = 4): Dataset[FrameSample] = {
+    import spark.implicits._
+    mediaTable(spark, dir)
+      .select(col("doc_id"), col("payload"))
+      .as[MediaRow]
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val n = r.payload.length
+          val nFrames = n / frameBytes
+          var sampled = 0L
+          var sum = 0L
+          var f = 0
+          while (f < nFrames) {
+            if (f % every == 0) {
+              sampled += 1
+              var i = f * frameBytes
+              val end = i + frameBytes
+              while (i < end) { sum += (r.payload(i) & 0xff); i += 1 }
+            }
+            f += 1
+          }
+          FrameSample(r.doc_id, nFrames.toLong, sampled, sum)
+        }
+      }
+  }
 
   /** Binary payload column + typed metadata, from the documents table. */
   def mediaTable(spark: SparkSession, dir: String): DataFrame =
@@ -185,6 +220,33 @@ object Multimodal {
         round(element_at(col("features"), i + 1).cast(DoubleType), 4).as(s"f$i"))
       feats.select((col("doc_id") +: col("n_bytes") +: fcols): _*)
         .orderBy("doc_id")
+    },
+
+    // Frame sampling under the gate: every 4th complete 16-byte frame;
+    // the oracle re-derives frame membership and byte sums from hex
+    // pairs — all integer, so the whole sampling plan hash-matches.
+    QueryEntry.sql(
+      "q77_media_frames",
+      """WITH raw AS (
+        |  SELECT doc_id, octet_length(encode(text)) AS n, hex(encode(text)) AS h
+        |  FROM documents
+        |), fr AS (
+        |  SELECT doc_id, n // 16 AS n_frames, h FROM raw
+        |), sampled AS (
+        |  SELECT doc_id, n_frames,
+        |         SUM(CAST('0x' || substr(h, CAST(2*i+1 AS BIGINT), 2) AS BIGINT)) AS s
+        |  FROM (SELECT doc_id, n_frames, h, unnest(range(0, n_frames*16)) AS i
+        |        FROM fr) t
+        |  WHERE (i // 16) % 4 = 0
+        |  GROUP BY doc_id, n_frames
+        |)
+        |SELECT f.doc_id, CAST(f.n_frames AS BIGINT) AS n_frames,
+        |       CAST((f.n_frames + 3) // 4 AS BIGINT) AS n_sampled,
+        |       CAST(COALESCE(s.s, 0) AS BIGINT) AS sampled_sum
+        |FROM fr f LEFT JOIN sampled s ON s.doc_id = f.doc_id
+        |ORDER BY f.doc_id""".stripMargin,
+    ) { (s, dir) =>
+      sampleFrames(s, dir).toDF().orderBy("doc_id")
     },
   )
 }

@@ -158,6 +158,47 @@ object StreamingEvents {
     spark.table(name).orderBy("user_id", "pid", "fid")
   }
 
+  /** flatMapGroupsWithState: the q78 threshold-crossing alert emitter
+    * as explicit streaming state emitting 0..n rows per group per
+    * batch — the variable-output sibling of mapGroupsWithState. State
+    * = the running per-user total; rows are folded in event_id order
+    * inside each batch so the cumulative doubles match the batch
+    * window fold bit-for-bit (single AvailableNow batch over the
+    * bounded fixture).
+    */
+  def thresholdAlerts(spark: SparkSession, dir: String,
+      step: Double = 100.0): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import spark.implicits._
+    val src = stagedStreamSource(spark, dir)
+    val schema = spark.read.parquet(src).schema
+    val events = spark.readStream.schema(schema).parquet(src)
+      .select(col("user_id"), col("event_id"), col("value"))
+      .as[(Long, Long, Double)]
+    val alerts = events
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, Long, Double)],
+            state: GroupState[Double]) =>
+          var cum = state.getOption.getOrElse(0.0)
+          val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+          rows.toSeq.sortBy(_._2).foreach { case (_, eventId, value) =>
+            val before = math.floor(cum / step)
+            cum += value
+            val after = math.floor(cum / step)
+            if (after > before) out += ((user, eventId, after.toLong))
+          }
+          state.update(cum)
+          out.iterator
+      }
+    val name = s"graft_alerts_${System.identityHashCode(spark)}"
+    val q = alerts.toDF("user_id", "event_id", "level").writeStream
+      .format("memory").queryName(name).outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(name).orderBy("user_id", "event_id")
+  }
+
   /** Streaming exactly-once dedup: the q71 semantics with the doubled
     * (at-least-once) feed streaming through
     * `dropDuplicatesWithinWatermark` — state holds one row per

@@ -64,6 +64,14 @@ class StreamingSpec extends SparkSpec {
     assert(batch.nonEmpty)
   }
 
+  test("flatMapGroupsWithState threshold alerts ≡ batch q78") {
+    val streamed = StreamingEvents.thresholdAlerts(spark, sf)
+      .collect().map(_.toSeq).toSet
+    val batch = run("q78_threshold_crossings").collect().map(_.toSeq).toSet
+    assert(streamed == batch)
+    assert(batch.nonEmpty)
+  }
+
   test("mapGroupsWithState per-user aggregates ≡ batch groupBy") {
     import org.apache.spark.sql.functions._
     val stateful = StreamingEvents.statefulUserCounts(spark, sf)
