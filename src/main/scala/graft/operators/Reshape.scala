@@ -21,9 +21,6 @@ import org.apache.spark.sql.types._
   */
 object Reshape {
 
-  private def money(c: String) =
-    sum(col(c).cast(DecimalType(18, 2))).cast(DoubleType)
-
   val entries: Seq[QueryEntry] = Seq(
     // Pivot: per return-flag quantity totals, one column per line
     // status. Explicit pivot values keep the output schema static (no
