@@ -202,4 +202,16 @@ final class GraftEngine(val spark: SparkSession) {
     */
   def thresholdCrossings(events: DataFrame, step: Double): DataFrame =
     operators.EventsOps.thresholdCrossings(events, step)
+
+  /** Corpus-fitted bigram familiarity quality scores (the integer-
+    * exact perplexity-filter analogue); see operators.Winnow.
+    */
+  def bigramFamiliarity(docs: DataFrame): DataFrame =
+    operators.Winnow.bigramFamiliarity(docs)
+
+  /** Skew pre-flight: top-k hottest keys with table share — the input
+    * to choosing [[saltedJoin]] over a plain shuffle join.
+    */
+  def hotKeys(df: DataFrame, keyCol: String, k: Int = 10): DataFrame =
+    operators.Skew.hotKeys(df, keyCol, k)
 }

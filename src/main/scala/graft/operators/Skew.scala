@@ -41,7 +41,34 @@ object Skew {
       .drop(replicated(s)).drop(salted(s))
   }
 
+  /** Skew pre-flight: the hottest join keys with their share of the
+    * table — the diagnostic that decides between a plain shuffle join,
+    * [[saltedJoin]], and AQE skew splitting. One map-side-combined
+    * groupBy + TakeOrdered(k); no global sort.
+    */
+  def hotKeys(df: DataFrame, keyCol: String, k: Int): DataFrame = {
+    val total = df.count()
+    df.groupBy(keyCol)
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("share",
+        round(col("cnt").cast("double") / lit(total.toDouble), 6))
+      .orderBy(col("cnt").desc, col(keyCol))
+      .limit(k)
+  }
+
   val entries: Seq[QueryEntry] = Seq(
+    // Hot-key report over the orders fact table: the top-10 customers
+    // by order count with their table share.
+    QueryEntry.sql(
+      "q80_skew_report",
+      """SELECT o_custkey, COUNT(*) AS cnt,
+        |       ROUND(COUNT(*) / CAST((SELECT COUNT(*) FROM orders) AS DOUBLE), 6)
+        |         AS share
+        |FROM orders GROUP BY o_custkey
+        |ORDER BY cnt DESC, o_custkey LIMIT 10""".stripMargin,
+    ) { (s, dir) =>
+      hotKeys(Tables(s, dir).orders, "o_custkey", 10)
+    },
     // Salted fact⨝dim join under the gate: per-supplier rollup of
     // lineitem. The oracle is the plain unsalted join — a hash match
     // proves salting changes the distribution, never the result.

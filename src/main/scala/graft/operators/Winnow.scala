@@ -53,6 +53,31 @@ object Winnow {
       .distinct()
   }
 
+  /** Corpus-familiarity scoring: the statistical quality signal a
+    * perplexity filter gives, in integer-exact form — each document
+    * scored by the mean corpus frequency of its character bigrams
+    * (model fitted on the corpus itself, one grouped count; scoring =
+    * broadcast model join). Log-probability perplexity would hinge on
+    * cross-engine `ln` bit-compatibility; mean bigram frequency ranks
+    * documents the same way for filtering purposes and stays under the
+    * differential gate.
+    */
+  def bigramFamiliarity(docs: DataFrame): DataFrame = {
+    val bigrams = docs
+      .select(col("doc_id"),
+        regexp_replace(lower(col("text")), "\\s+", " ").as("t"))
+      .filter(length(col("t")) >= 2)
+      .select(col("doc_id"), col("t"),
+        explode(expr("sequence(1, length(t) - 1)")).as("p"))
+      .select(col("doc_id"), expr("substr(t, p, 2)").as("bg"))
+    val model = bigrams.groupBy("bg").agg(count(lit(1)).as("cnt"))
+    bigrams.join(broadcast(model), "bg")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum("cnt").as("s"))
+      .select(col("doc_id"), col("n_bigrams"),
+        round(col("s").cast(DoubleType) / col("n_bigrams"), 6).as("familiarity"))
+  }
+
   val entries: Seq[QueryEntry] = Seq(
     // Winnowed fingerprint profile per document: how many distinct
     // fingerprints the (K=8, W=4) scheme keeps, with min/max as exact
@@ -92,6 +117,30 @@ object Winnow {
           max("fp").as("max_fp"),
         )
         .orderBy("doc_id")
+    },
+
+    // Corpus bigram-familiarity quality scores — low scorers are the
+    // "unusual character statistics" documents a perplexity gate would
+    // drop.
+    QueryEntry.sql(
+      "q79_bigram_familiarity",
+      """WITH d AS (
+        |  SELECT doc_id, regexp_replace(lower(text), '\s+', ' ', 'g') AS t
+        |  FROM documents
+        |), b AS (
+        |  SELECT doc_id, substr(t, CAST(p AS BIGINT), 2) AS bg
+        |  FROM (SELECT doc_id, t, unnest(range(1, length(t))) AS p
+        |        FROM d WHERE length(t) >= 2) x
+        |), m AS (
+        |  SELECT bg, COUNT(*) AS cnt FROM b GROUP BY bg
+        |)
+        |SELECT b.doc_id, COUNT(*) AS n_bigrams,
+        |       ROUND(CAST(CAST(SUM(m.cnt) AS BIGINT) AS DOUBLE) / COUNT(*), 6)
+        |         AS familiarity
+        |FROM b JOIN m ON m.bg = b.bg
+        |GROUP BY b.doc_id ORDER BY b.doc_id""".stripMargin,
+    ) { (s, dir) =>
+      bigramFamiliarity(Tables(s, dir).documentsRebalanced).orderBy("doc_id")
     },
 
     // Deterministic train/val/test split (~80/10/10): bucket = the top

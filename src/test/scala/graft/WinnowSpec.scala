@@ -40,6 +40,26 @@ class WinnowSpec extends SparkSpec {
     }
   }
 
+  test("bigram familiarity ranks repetitive-common text above rare-char text") {
+    val docs = Seq(
+      (1L, "the cat sat on the mat and the cat sat again"),
+      (2L, "zqxj wvkq bzpf jqzv xkwq"),
+    ).toDF("doc_id", "text")
+    val f = Winnow.bigramFamiliarity(docs).collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(f(1L) > f(2L), s"common-bigram doc must score higher: $f")
+  }
+
+  test("hot-key report: counts, shares, and deterministic tie order") {
+    import graft.operators.Skew
+    val df = (Seq.fill(6)(7L) ++ Seq.fill(3)(1L) ++ Seq.fill(3)(2L) ++ Seq(9L))
+      .toDF("k")
+    val top = Skew.hotKeys(df, "k", 3).collect()
+    assert(top.map(_.getLong(0)).toSeq == Seq(7L, 1L, 2L)) // ties → key asc
+    assert(top.head.getLong(1) == 6L)
+    assert(math.abs(top.head.getDouble(2) - 6.0 / 13.0) < 1e-6)
+  }
+
   test("corpus split is exhaustive, disjoint, and ~80/10/10") {
     val rows = run("q69_corpus_split").collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
