@@ -214,4 +214,16 @@ final class GraftEngine(val spark: SparkSession) {
     */
   def hotKeys(df: DataFrame, keyCol: String, k: Int = 10): DataFrame =
     operators.Skew.hotKeys(df, keyCol, k)
+
+  /** N-gram-level decontamination: train doc_ids sharing any word
+    * n-gram with the eval set (the GPT-3 appendix-C overlap rule).
+    */
+  def ngramContaminated(train: DataFrame, eval: DataFrame, n: Int = 5): DataFrame =
+    operators.Winnow.ngramContaminated(train, eval, n)
+
+  /** Gopher-style within-document repetition ratios (duplicate k-gram
+    * fraction).
+    */
+  def repetitionRatio(docs: DataFrame, k: Int = 8): DataFrame =
+    operators.Winnow.repetitionRatio(docs, k)
 }

@@ -78,7 +78,114 @@ object Winnow {
         round(col("s").cast(DoubleType) / col("n_bigrams"), 6).as("familiarity"))
   }
 
+  /** N-gram-level decontamination (the GPT-3 appendix-C method, public
+    * — word-gram overlap against the eval set, not whole-document
+    * fingerprints like q42): a train document is contaminated if it
+    * shares ANY word `n`-gram with any eval document. Eval gram set is
+    * distinct-hashed and broadcast (eval sets are small by nature);
+    * train side is one explode + hash join — no quadratic path.
+    */
+  def ngramContaminated(train: DataFrame, eval: DataFrame, n: Int): DataFrame = {
+    def grams(df: DataFrame): DataFrame = df
+      .select(col("doc_id"),
+        split(regexp_replace(lower(col("text")), "\\s+", " "), " ").as("toks"))
+      .filter(size(col("toks")) >= n)
+      .select(col("doc_id"),
+        explode(expr(s"sequence(1, size(toks) - ${n - 1})")).as("p"),
+        col("toks"))
+      .select(col("doc_id"),
+        conv(substring(md5(array_join(slice(col("toks"), col("p"), lit(n)), " ")
+          .cast(org.apache.spark.sql.types.BinaryType)), 1, 15), 16, 10)
+          .cast(LongType).as("gh"))
+    val evalGrams = grams(eval).select("gh").distinct()
+    grams(train)
+      .join(broadcast(evalGrams), Seq("gh"))
+      .select("doc_id").distinct()
+  }
+
+  /** Within-document repetition ratio (the Gopher-style quality rule):
+    * the fraction of character k-grams that are repeats of an earlier
+    * k-gram in the same document — pure per-document work.
+    */
+  def repetitionRatio(docs: DataFrame, k: Int = 8): DataFrame =
+    docs
+      .select(col("doc_id"),
+        regexp_replace(lower(col("text")), "\\s+", " ").as("t"))
+      .filter(length(col("t")) >= k)
+      .select(col("doc_id"), col("t"),
+        explode(expr(s"sequence(1, length(t) - ${k - 1})")).as("p"))
+      .select(col("doc_id"), expr(s"substr(t, p, $k)").as("g"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        countDistinct(col("g")).as("n_distinct"))
+      .select(col("doc_id"), col("n_grams"), col("n_distinct"),
+        round((col("n_grams") - col("n_distinct")).cast("double")
+          / col("n_grams"), 6).as("rep_ratio"))
+
   val entries: Seq[QueryEntry] = Seq(
+    // N-gram decontamination summarized per language: train docs (not
+    // in the eval set) flagged iff they share any word 5-gram with the
+    // doc_id % 97 eval set.
+    QueryEntry.sql(
+      "q81_ngram_decontaminate",
+      """WITH d AS (
+        |  SELECT doc_id, lang,
+        |         string_split(regexp_replace(lower(text), '\s+', ' ', 'g'), ' ') AS toks
+        |  FROM documents
+        |), g AS (
+        |  SELECT doc_id,
+        |         CAST('0x' || substr(md5(array_to_string(toks[CAST(p AS BIGINT):CAST(p+4 AS BIGINT)], ' ')), 1, 15)
+        |              AS BIGINT) AS gh
+        |  FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 3)) AS p
+        |        FROM d WHERE len(toks) >= 5) x
+        |), eg AS (
+        |  SELECT DISTINCT gh FROM g WHERE doc_id % 97 = 0
+        |), flagged AS (
+        |  SELECT DISTINCT g.doc_id FROM g JOIN eg ON eg.gh = g.gh
+        |  WHERE g.doc_id % 97 <> 0
+        |)
+        |SELECT d.lang,
+        |       CAST(SUM(CASE WHEN f.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_contaminated,
+        |       COUNT(*) AS n_train
+        |FROM d LEFT JOIN flagged f ON f.doc_id = d.doc_id
+        |WHERE d.doc_id % 97 <> 0
+        |GROUP BY d.lang ORDER BY d.lang""".stripMargin,
+    ) { (s, dir) =>
+      val docs = Tables(s, dir).documentsRebalanced
+      val eval = docs.filter(col("doc_id") % 97 === 0)
+      val train = docs.filter(col("doc_id") % 97 =!= 0)
+      val flagged = ngramContaminated(train, eval, n = 5)
+        .withColumn("flag", lit(1))
+      train.join(flagged, Seq("doc_id"), "left")
+        .groupBy("lang")
+        .agg(
+          sum(when(col("flag").isNotNull, 1L).otherwise(0L)).as("n_contaminated"),
+          count(lit(1)).as("n_train"),
+        )
+        .orderBy("lang")
+    },
+
+    // Per-document repetition ratios (q82): Gopher-style duplicate
+    // k-gram fraction.
+    QueryEntry.sql(
+      "q82_repetition_ratio",
+      """WITH d AS (
+        |  SELECT doc_id, regexp_replace(lower(text), '\s+', ' ', 'g') AS t
+        |  FROM documents
+        |), g AS (
+        |  SELECT doc_id, substr(t, CAST(p AS BIGINT), 8) AS g
+        |  FROM (SELECT doc_id, t, unnest(range(1, length(t) - 6)) AS p
+        |        FROM d WHERE length(t) >= 8) x
+        |)
+        |SELECT doc_id, COUNT(*) AS n_grams,
+        |       CAST(COUNT(DISTINCT g) AS BIGINT) AS n_distinct,
+        |       ROUND(CAST(COUNT(*) - COUNT(DISTINCT g) AS DOUBLE) / COUNT(*), 6)
+        |         AS rep_ratio
+        |FROM g GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    ) { (s, dir) =>
+      repetitionRatio(Tables(s, dir).documentsRebalanced).orderBy("doc_id")
+    },
     // Winnowed fingerprint profile per document: how many distinct
     // fingerprints the (K=8, W=4) scheme keeps, with min/max as exact
     // integer witnesses of the selected set.

@@ -60,6 +60,29 @@ class WinnowSpec extends SparkSpec {
     assert(math.abs(top.head.getDouble(2) - 6.0 / 13.0) < 1e-6)
   }
 
+  test("n-gram decontamination flags a shared 5-word phrase, not disjoint text") {
+    val phrase = "the quick brown fox jumps"
+    val eval = Seq((100L, s"evaluation question about $phrase here")).toDF("doc_id", "text")
+    val train = Seq(
+      (1L, s"training text containing $phrase in the middle of it"),
+      (2L, "completely different words with no overlap whatsoever at all"),
+    ).toDF("doc_id", "text")
+    val flagged = Winnow.ngramContaminated(train, eval, n = 5)
+      .collect().map(_.getLong(0)).toSet
+    assert(flagged == Set(1L))
+  }
+
+  test("repetition ratio: repeated text scores high, unique text low") {
+    val docs = Seq(
+      (1L, "spamspam" * 20), // one 8-gram repeated
+      (2L, ('a' to 'z').mkString + ('0' to '9').mkString), // all distinct (post-lowering)
+    ).toDF("doc_id", "text")
+    val r = Winnow.repetitionRatio(docs).collect()
+      .map(x => x.getLong(0) -> x.getDouble(3)).toMap
+    assert(r(1L) > 0.9, s"repeated doc: ${r(1L)}")
+    assert(r(2L) == 0.0, s"unique doc: ${r(2L)}")
+  }
+
   test("corpus split is exhaustive, disjoint, and ~80/10/10") {
     val rows = run("q69_corpus_split").collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
