@@ -78,14 +78,7 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
-    // SPARK_GRAFT_ONLY=q62,q33 — iteration aid: bench only the named
-    // query prefixes (never set by the driver; full runs are the default)
-    val only = sys.env.get("SPARK_GRAFT_ONLY")
-      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
-    val entries = only match {
-      case Some(ps) => SparkEntry.allEntries.filter(e => ps.exists(e.name.startsWith))
-      case None => SparkEntry.allEntries
-    }
+    val entries = SparkEntry.allEntries.filter(e => SparkEntry.envSelected(e.name))
     val results = entries.map { e =>
       // every run of a checkpoint-using query (q20/q38/q42/q58…) pins
       // fresh block-manager memory; across 64 queries × 6 runs the

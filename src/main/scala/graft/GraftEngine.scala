@@ -159,17 +159,22 @@ final class GraftEngine(val spark: SparkSession) {
     * top 10 bits of splitmix64(idCol) — stable under corpus growth, no
     * global sort or count.
     */
-  def splitColumn(idCol: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
-    import org.apache.spark.sql.functions._
-    val b = shiftrightunsigned(functions.GraftFunctions.splitmix64(idCol), 54)
-    when(b < 819, "train").when(b < 922, "val").otherwise("test")
-  }
+  def splitColumn(idCol: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    operators.Winnow.splitColumn(idCol)
 
   /** Bloom membership `maybe` column against a key frame (no false
-    * negatives; broadcastable m=2^16-bit filter).
+    * negatives; broadcastable m=2^16-bit filter). `keysCol` names the
+    * key column of `keys` (defaults to `keyCol`) — Bloom.build's
+    * internal frame is normalized here so callers aren't bound to its
+    * private column naming.
     */
-  def bloomMembership(df: DataFrame, keyCol: String, keys: DataFrame): DataFrame =
-    operators.Bloom.withMembership(df, keyCol, operators.Bloom.build(keys))
+  def bloomMembership(df: DataFrame, keyCol: String, keys: DataFrame,
+      keysCol: String = null): DataFrame = {
+    val kc = Option(keysCol).getOrElse(keyCol)
+    val normalized = keys.select(
+      org.apache.spark.sql.functions.col(kc).as("x"))
+    operators.Bloom.withMembership(df, keyCol, operators.Bloom.build(normalized))
+  }
 
   /** Per-element int8 quantization frame (label, xd, qv) for error
     * profiling; see operators.Quantize.
@@ -177,9 +182,11 @@ final class GraftEngine(val spark: SparkSession) {
   def int8QuantElements(emb: DataFrame): DataFrame =
     operators.Quantize.elements(emb)
 
-  /** Order-independent integrity fingerprint (n_rows, checksum) over
-    * pre-formatted columns — equal fingerprints ⇔ equal multisets of
-    * serialized rows; see operators.Checksum.
+  /** Order-independent integrity fingerprint (n_rows, checksum = exact
+    * sum of row hashes) over pre-formatted columns. Equal row
+    * multisets ⇒ equal fingerprints; the converse holds up to md5
+    * hash-sum collisions (cryptographically unlikely, not a theorem).
+    * See operators.Checksum.
     */
   def tableChecksum(df: DataFrame, cols: Seq[org.apache.spark.sql.Column]): DataFrame =
     operators.Checksum.tableChecksum(df, cols)

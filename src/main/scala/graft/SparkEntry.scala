@@ -46,6 +46,17 @@ object SparkEntry {
       .run(spark, "/root/testdata/sf0.001")
   }
 
+  /** SPARK_GRAFT_ONLY=q62,q33 — iteration aid shared by Bench and
+    * Verify (never set by the driver; full runs are the default): keep
+    * only names starting with one of the comma-separated prefixes.
+    */
+  def envSelected(name: String): Boolean =
+    sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq) match {
+      case Some(ps) if ps.nonEmpty => ps.exists(name.startsWith)
+      case _ => true
+    }
+
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     allEntries.map(e => e.name -> { (s: SparkSession, dir: String) =>

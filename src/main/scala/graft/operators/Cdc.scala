@@ -29,9 +29,13 @@ object Cdc {
       s"delta schema ${delta.columns.toSeq} must match base ${cols.toSeq}")
     val d = delta.select(cols.map(c => col(c).as(s"__d_$c")): _*)
     val joined = base.join(d, col(key) === col(s"__d_$key"), "full_outer")
+    // "delta wins" keys off the delta ROW's presence (its key), not a
+    // per-column coalesce — a delta that explicitly nulls a field must
+    // null it in the merge, not silently keep the base value
     val merged = cols.map {
       case `key` => coalesce(col(key), col(s"__d_$key")).as(key)
-      case c => coalesce(col(s"__d_$c"), col(c)).as(c)
+      case c => when(col(s"__d_$key").isNotNull, col(s"__d_$c"))
+        .otherwise(col(c)).as(c)
     }
     val action = when(col(key).isNull, "insert")
       .when(col(s"__d_$key").isNull, "keep")
@@ -55,7 +59,8 @@ object Cdc {
         |  FROM orders WHERE o_orderkey % 10 IN (0, 1)
         |), merged AS (
         |  SELECT COALESCE(b.o_orderkey, d.o_orderkey) AS k,
-        |         COALESCE(d.o_totalprice, b.o_totalprice) AS price,
+        |         CASE WHEN d.o_orderkey IS NOT NULL THEN d.o_totalprice
+        |              ELSE b.o_totalprice END AS price,
         |         CASE WHEN b.o_orderkey IS NULL THEN 'insert'
         |              WHEN d.o_orderkey IS NULL THEN 'keep'
         |              ELSE 'update' END AS action

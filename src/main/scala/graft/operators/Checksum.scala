@@ -6,11 +6,14 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 /** Order-independent table fingerprints — the migration/replication
-  * integrity check: XOR of per-row md5-derived hashes plus the row
-  * count. Two tables (or the same table in two engines, or before and
-  * after a 100 TB copy) are equal iff counts and checksums match, and
-  * the check is one narrow scan + an order-free aggregate — no sort,
-  * no shuffle beyond the 1-row combine, embarrassingly parallel.
+  * integrity check: the exact integer SUM of per-row md5-derived
+  * hashes plus the row count, one narrow scan + an order-free 1-row
+  * combine (no sort, no wide shuffle). The sum accumulates in
+  * DECIMAL(38,0), so unlike an XOR fold it cannot cancel even
+  * multiplicities (two tables differing by a swapped PAIR of rows
+  * XOR to the same value; their hash sums differ). Matching
+  * (n_rows, checksum) is collision-proof up to md5-sum collisions —
+  * cryptographically unlikely, not a theorem.
   *
   * Only columns with engine-independent string forms participate
   * (integers, strings, explicitly formatted dates) — double formatting
@@ -18,14 +21,18 @@ import org.apache.spark.sql.types._
   */
 object Checksum {
 
-  /** XOR-of-row-hashes checksum over the given (pre-formatted) columns. */
+  /** Sum-of-row-hashes checksum over the given (pre-formatted) columns. */
   def tableChecksum(df: DataFrame, cols: Seq[Column]): DataFrame = {
     val row = concat_ws("|", cols: _*)
     val h = conv(substring(md5(row.cast(BinaryType)), 1, 15), 16, 10)
       .cast(LongType)
+    // checksum travels as a STRING: a 2^74-scale decimal survives any
+    // client layer verbatim, where DECIMAL/HUGEINT degrade to float in
+    // dataframe bridges and lose the low digits
     df.select(h.as("h")).agg(
       count(lit(1)).as("n_rows"),
-      expr("bit_xor(h)").as("checksum"))
+      sum(col("h").cast(org.apache.spark.sql.types.DecimalType(38, 0)))
+        .cast(org.apache.spark.sql.types.StringType).as("checksum"))
   }
 
   val entries: Seq[QueryEntry] = Seq(
@@ -36,16 +43,16 @@ object Checksum {
       "q75_table_checksum",
       """WITH o AS (
         |  SELECT COUNT(*) AS o_rows,
-        |         bit_xor(CAST('0x' || substr(md5(concat_ws('|',
+        |         CAST(SUM(CAST(CAST('0x' || substr(md5(concat_ws('|',
         |             o_orderkey, o_custkey, o_orderstatus, o_orderpriority,
         |             strftime(CAST(o_orderdate AS TIMESTAMP), '%Y-%m-%d'))), 1, 15)
-        |           AS BIGINT)) AS o_checksum
+        |           AS BIGINT) AS DECIMAL(38,0))) AS VARCHAR) AS o_checksum
         |  FROM orders
         |), l AS (
         |  SELECT COUNT(*) AS l_rows,
-        |         bit_xor(CAST('0x' || substr(md5(concat_ws('|',
+        |         CAST(SUM(CAST(CAST('0x' || substr(md5(concat_ws('|',
         |             l_orderkey, l_partkey, l_returnflag, l_linestatus)), 1, 15)
-        |           AS BIGINT)) AS l_checksum
+        |           AS BIGINT) AS DECIMAL(38,0))) AS VARCHAR) AS l_checksum
         |  FROM lineitem
         |)
         |SELECT o_rows, o_checksum, l_rows, l_checksum FROM o CROSS JOIN l""".stripMargin,

@@ -82,12 +82,19 @@ object EventsOps {
     */
   def thresholdCrossings(events: DataFrame, step: Double): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy("event_id")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wCum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // previous total = the running prefix EXCLUDING this row — the
+    // same left fold the streaming twin keeps in state. Recomputing it
+    // as (cum - value) would not be bit-identical (float subtraction
+    // does not invert the fold) and could flip a floor() at a
+    // threshold boundary, desyncing batch from stream.
+    val wPrev = w.rowsBetween(Window.unboundedPreceding, -1)
     events
       .select(col("user_id"), col("event_id"), col("value"))
-      .withColumn("cum", sum("value").over(w))
+      .withColumn("cum", sum("value").over(wCum))
+      .withColumn("prev", coalesce(sum("value").over(wPrev), lit(0.0)))
       .withColumn("level", floor(col("cum") / step))
-      .withColumn("prev_level", floor((col("cum") - col("value")) / step))
+      .withColumn("prev_level", floor(col("prev") / step))
       .filter(col("level") > col("prev_level"))
       .select(col("user_id"), col("event_id"), col("level"))
   }
@@ -99,16 +106,18 @@ object EventsOps {
     QueryEntry.sql(
       "q78_threshold_crossings",
       """WITH c AS (
-        |  SELECT user_id, event_id, value,
+        |  SELECT user_id, event_id,
         |         SUM(value) OVER (PARTITION BY user_id ORDER BY event_id
-        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |         COALESCE(SUM(value) OVER (PARTITION BY user_id ORDER BY event_id
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0) AS prev
         |  FROM events
         |)
         |SELECT user_id, event_id,
         |       CAST(FLOOR(cum / CAST(100.0 AS DOUBLE)) AS BIGINT) AS level
         |FROM c
         |WHERE FLOOR(cum / CAST(100.0 AS DOUBLE))
-        |      > FLOOR((cum - value) / CAST(100.0 AS DOUBLE))
+        |      > FLOOR(prev / CAST(100.0 AS DOUBLE))
         |ORDER BY user_id, event_id""".stripMargin,
     ) { (s, dir) =>
       thresholdCrossings(Tables(s, dir).events, step = 100.0)
@@ -292,14 +301,26 @@ object EventsOps {
     // row per key — the shape that bounds streaming state at scale.
     QueryEntry.sql(
       "q71_stream_dedup",
-      """SELECT event_type, COUNT(*) AS cnt,
+      """WITH d AS (
+        |  SELECT event_id, event_type, value,
+        |         row_number() OVER (PARTITION BY event_id
+        |                            ORDER BY event_type, value) AS rn
+        |  FROM events
+        |)
+        |SELECT event_type, COUNT(*) AS cnt,
         |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
-        |FROM (SELECT DISTINCT event_id, event_type, value FROM events)
+        |FROM d WHERE rn = 1
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
     ) { (s, dir) =>
       val e = Tables(s, dir).events.select("event_id", "event_type", "value")
+      // deterministic survivor (min payload per key), NOT a bare
+      // dropDuplicates("event_id"): if a key ever carried two distinct
+      // payloads — exactly the at-least-once scenario — an arbitrary
+      // pick could not be mirrored by any oracle
+      val w = Window.partitionBy("event_id").orderBy("event_type", "value")
       e.unionAll(e)
-        .dropDuplicates("event_id")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
         .groupBy("event_type")
         .agg(
           count(lit(1)).as("cnt"),

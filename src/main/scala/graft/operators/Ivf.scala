@@ -145,6 +145,16 @@ object Ivf {
         c
       }
     })
+    // self-heal: an external unpersist (e.g. a bench loop freeing what a
+    // query pinned) must not silently turn the memoized index into a
+    // recompute-per-search frame
+    if (corpus.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+      listsCache.synchronized {
+        if (corpus.storageLevel == org.apache.spark.storage.StorageLevel.NONE) {
+          corpus.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          corpus.count()
+        }
+      }
 
     // top-nprobe inverted lists per probe
     val probeLists = probeRanked(probes, cents, nprobe)

@@ -138,15 +138,24 @@ object Pq {
         try df.unpersist() catch { case _: Throwable => () })
     encCache.keys.filter(_._1.sparkContext.isStopped).foreach(drop)
     if (encCache.size > 64) encCache.keys.find(_ != key).foreach(drop)
-    encCache.get(key).getOrElse(encCache.synchronized {
+    val c = encCache.get(key).getOrElse(encCache.synchronized {
       encCache.get(key).getOrElse {
-        val c = encoded(emb, coarse, books)
+        val built = encoded(emb, coarse, books)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        c.count()
-        encCache.put(key, c)
-        c
+        built.count()
+        encCache.put(key, built)
+        built
       }
     })
+    // self-heal after an external unpersist (see Ivf.annSearch)
+    if (c.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+      encCache.synchronized {
+        if (c.storageLevel == org.apache.spark.storage.StorageLevel.NONE) {
+          c.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          c.count()
+        }
+      }
+    c
   }
 
   /** IVF-PQ search: coarse-prune to nprobe lists, ADC-rank candidates

@@ -31,6 +31,22 @@ object Winnow {
   private val K = 8
   private val W = 4
 
+  /** Corpus-split thresholds over the 1024 top-bit buckets of
+    * splitmix64(id): [0,819) train (~80%), [819,922) val (~10%), rest
+    * test — ONE definition shared by the q69 Spark body, the q69
+    * oracle SQL, and the facade's splitColumn.
+    */
+  val SplitTrainLt = 819
+  val SplitValLt = 922
+
+  /** Deterministic train/val/test split column for an id column. */
+  def splitColumn(idCol: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val b = shiftrightunsigned(GraftFunctions.splitmix64(idCol), 54)
+    when(b < SplitTrainLt, "train")
+      .when(b < SplitValLt, "val")
+      .otherwise("test")
+  }
+
   /** Per-doc winnowed fingerprint frame: (doc_id, fp). */
   def fingerprints(docs: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
@@ -262,21 +278,15 @@ object Winnow {
          |  SELECT doc_id, (${Hll.splitmixSqlFor("doc_id")}) >> 54 AS bucket
          |  FROM documents
          |)
-         |SELECT CASE WHEN bucket < 819 THEN 'train'
-         |            WHEN bucket < 922 THEN 'val'
+         |SELECT CASE WHEN bucket < $SplitTrainLt THEN 'train'
+         |            WHEN bucket < $SplitValLt THEN 'val'
          |            ELSE 'test' END AS split,
          |       COUNT(*) AS n_docs,
          |       MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
          |FROM b GROUP BY 1 ORDER BY split""".stripMargin,
     ) { (s, dir) =>
-      val bucket = expr("shiftrightunsigned(z, 54)")
       Tables(s, dir).documents
-        .withColumn("z", GraftFunctions.splitmix64(col("doc_id")))
-        .withColumn("bucket", bucket)
-        .withColumn("split",
-          when(col("bucket") < 819, "train")
-            .when(col("bucket") < 922, "val")
-            .otherwise("test"))
+        .withColumn("split", splitColumn(col("doc_id")))
         .groupBy("split")
         .agg(
           count(lit(1)).as("n_docs"),

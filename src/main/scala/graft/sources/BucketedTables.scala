@@ -46,6 +46,10 @@ object BucketedTables {
     if (!filesStaged) {
       if (spark.catalog.tableExists(table))
         spark.sql(s"DROP TABLE IF EXISTS $table")
+      // we just observed the marker missing: drop the in-JVM write-once
+      // memo too, or ensureStaged would no-op over a cleaned directory
+      // and the re-register below would mount an empty table
+      Staging.invalidate(dest)
       Staging.ensureStaged(dest) {
         spark.read.parquet(s"$dir/$name.parquet")
           .write.mode("overwrite")

@@ -36,4 +36,10 @@ object Staging {
         staged.add(dest)
       }
     }
+
+  /** Forget the in-JVM memo for `dest` — for callers that OBSERVED the
+    * staged files missing (e.g. a tmp cleaner removed them mid-JVM);
+    * the next ensureStaged re-checks the marker and rewrites.
+    */
+  def invalidate(dest: String): Unit = synchronized { staged.remove(dest) }
 }

@@ -19,6 +19,15 @@ class CdcSpec extends SparkSpec {
       3L -> ("c", "keep"), 9L -> ("Z", "insert")))
   }
 
+  test("a delta that explicitly nulls a field nulls it in the merge") {
+    val base = Seq((1L, Some("a")), (2L, Some("b"))).toDF("k", "v")
+    val delta = Seq((1L, None: Option[String])).toDF("k", "v")
+    val out = Cdc.upsert(base, delta, "k").collect()
+      .map(r => r.getLong(0) -> (Option(r.getString(1)), r.getString(2))).toMap
+    assert(out(1L) == (None, "update"), s"NULL update must win: $out")
+    assert(out(2L) == (Some("b"), "keep"))
+  }
+
   test("upsert refuses mismatched schemas") {
     val base = Seq((1L, "a")).toDF("k", "v")
     val bad = Seq((1L, "a", 0)).toDF("k", "v", "extra")

@@ -8,16 +8,25 @@ import org.apache.spark.sql.functions._
   */
 class ChecksumSpec extends SparkSpec {
 
-  private def fp(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
+  private def fp(df: org.apache.spark.sql.DataFrame): (Long, String) = {
     val r = Checksum.tableChecksum(df,
       Seq(col("o_orderkey"), col("o_orderstatus"))).head
-    (r.getLong(0), r.getLong(1))
+    (r.getLong(0), r.getString(1))
   }
 
   test("checksum is partitioning- and order-invariant") {
     val o = Tables(spark, sf).orders
     assert(fp(o) == fp(o.repartition(17)))
     assert(fp(o) == fp(o.orderBy(desc("o_totalprice"))))
+  }
+
+  test("even-multiplicity row swaps do NOT cancel (the XOR failure mode)") {
+    import spark.implicits._
+    val a = Seq("r1", "r1", "r2", "r2").toDF("v")
+    val b = Seq("r3", "r3", "r2", "r2").toDF("v")
+    def sums(df: org.apache.spark.sql.DataFrame) =
+      Checksum.tableChecksum(df, Seq(col("v"))).head.getString(1)
+    assert(sums(a) != sums(b), "a pair-for-pair substitution must change the sum")
   }
 
   test("empty frame: zero rows, NULL checksum (not a crash)") {
