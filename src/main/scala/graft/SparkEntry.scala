@@ -33,7 +33,8 @@ object SparkEntry {
       operators.Cdc.entries ++
       operators.Multimodal.entries ++
       sources.OrcRoundTrip.entries ++
-      sources.BucketedTables.entries
+      sources.BucketedTables.entries ++
+      sources.Compaction.entries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The 3-way broadcast-join revenue rollup (Q6) — the widest slice of
