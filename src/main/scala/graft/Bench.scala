@@ -104,6 +104,13 @@ object Bench {
             System.err.println(s"[bench] ${e.name} failed: ${ex.getMessage}")
             -1.0
         }
+      // index memos FIRST, via their own invalidation (Dataset.unpersist
+      // + memo removal): a raw RDD-level unpersist would free the blocks
+      // but leave the memo claiming a materialized index that silently
+      // recomputes per search. Each index-using query rebuilds in its
+      // own warmup, so cost attribution stays honest.
+      operators.Ivf.invalidateIndex()
+      operators.Pq.invalidateIndex()
       spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
         if (!pinnedBefore.contains(id)) rdd.unpersist(blocking = false)
       }

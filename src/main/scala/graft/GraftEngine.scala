@@ -234,12 +234,12 @@ final class GraftEngine(val spark: SparkSession) {
   def repetitionRatio(docs: DataFrame, k: Int = 8): DataFrame =
     operators.Winnow.repetitionRatio(docs, k)
 
-  /** Small-file compaction: rewrite `df` as `targetFiles` files at
-    * `path` and return the compacted frame. Verify preservation with
-    * [[tableChecksum]] before and after (the q83 pattern).
+  /** Small-file compaction: rewrite `df` as `targetFiles` files at the
+    * FRESH location `path` (must not exist — in-place compaction races
+    * the read against the overwrite) and return the compacted frame.
+    * Verify preservation with [[tableChecksum]] before and after (the
+    * q83 pattern); see sources.Compaction.
     */
-  def compact(df: DataFrame, path: String, targetFiles: Int): DataFrame = {
-    df.repartition(targetFiles).write.mode("overwrite").parquet(path)
-    spark.read.parquet(path)
-  }
+  def compact(df: DataFrame, path: String, targetFiles: Int): DataFrame =
+    sources.Compaction.compact(df, path, targetFiles)
 }

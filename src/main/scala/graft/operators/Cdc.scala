@@ -27,18 +27,21 @@ object Cdc {
     val cols = base.columns
     require(delta.columns.sameElements(cols),
       s"delta schema ${delta.columns.toSeq} must match base ${cols.toSeq}")
-    val d = delta.select(cols.map(c => col(c).as(s"__d_$c")): _*)
+    // "delta wins" keys off an explicit presence MARKER, not the delta
+    // key column: a per-column coalesce would drop explicit NULL
+    // updates, and keying off the delta key would erase the payload of
+    // a NULL-keyed delta row (a legitimate insert under join-miss
+    // semantics).
+    val d = delta.select(
+      cols.map(c => col(c).as(s"__d_$c")) :+ lit(1).as("__d_present"): _*)
     val joined = base.join(d, col(key) === col(s"__d_$key"), "full_outer")
-    // "delta wins" keys off the delta ROW's presence (its key), not a
-    // per-column coalesce — a delta that explicitly nulls a field must
-    // null it in the merge, not silently keep the base value
     val merged = cols.map {
       case `key` => coalesce(col(key), col(s"__d_$key")).as(key)
-      case c => when(col(s"__d_$key").isNotNull, col(s"__d_$c"))
+      case c => when(col("__d_present").isNotNull, col(s"__d_$c"))
         .otherwise(col(c)).as(c)
     }
-    val action = when(col(key).isNull, "insert")
-      .when(col(s"__d_$key").isNull, "keep")
+    val action = when(col(key).isNull && col("__d_present").isNotNull, "insert")
+      .when(col("__d_present").isNull, "keep")
       .otherwise("update")
     joined.select(merged :+ action.as("action"): _*)
   }

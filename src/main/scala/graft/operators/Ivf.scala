@@ -145,16 +145,12 @@ object Ivf {
         c
       }
     })
-    // self-heal: an external unpersist (e.g. a bench loop freeing what a
-    // query pinned) must not silently turn the memoized index into a
-    // recompute-per-search frame
-    if (corpus.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
-      listsCache.synchronized {
-        if (corpus.storageLevel == org.apache.spark.storage.StorageLevel.NONE) {
-          corpus.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-          corpus.count()
-        }
-      }
+    // NOTE an external RDD-level unpersist of the materialized blocks is
+    // NOT detectable here (Dataset.storageLevel reports the requested
+    // level, not live block state) — callers that free pinned storage
+    // behind the engine's back must call invalidateIndex() so the memo
+    // is rebuilt instead of silently recomputing per search. The bench
+    // loop does exactly that between queries.
 
     // top-nprobe inverted lists per probe
     val probeLists = probeRanked(probes, cents, nprobe)

@@ -138,7 +138,10 @@ object Pq {
         try df.unpersist() catch { case _: Throwable => () })
     encCache.keys.filter(_._1.sparkContext.isStopped).foreach(drop)
     if (encCache.size > 64) encCache.keys.find(_ != key).foreach(drop)
-    val c = encCache.get(key).getOrElse(encCache.synchronized {
+    // see the invalidateIndex note in Ivf.annSearch: external RDD-level
+    // unpersists are undetectable here; callers freeing pinned storage
+    // must invalidate the memo (the bench loop does, between queries)
+    encCache.get(key).getOrElse(encCache.synchronized {
       encCache.get(key).getOrElse {
         val built = encoded(emb, coarse, books)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -147,15 +150,6 @@ object Pq {
         built
       }
     })
-    // self-heal after an external unpersist (see Ivf.annSearch)
-    if (c.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
-      encCache.synchronized {
-        if (c.storageLevel == org.apache.spark.storage.StorageLevel.NONE) {
-          c.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-          c.count()
-        }
-      }
-    c
   }
 
   /** IVF-PQ search: coarse-prune to nprobe lists, ADC-rank candidates

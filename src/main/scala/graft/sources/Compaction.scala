@@ -24,6 +24,22 @@ object Compaction {
   private val FragmentFiles = 64
   private val CompactFiles = 4
 
+  /** Generic compaction: rewrite `df` as `targetFiles` files at the
+    * FRESH location `dest` and return the compacted frame. `dest` must
+    * not already exist: compacting a table onto its own path would
+    * race the read against the overwrite (Spark rejects the simple
+    * case; a cached plan that hides the source relation would destroy
+    * the only copy on a mid-write crash) — swap directories only after
+    * this returns.
+    */
+  def compact(df: DataFrame, dest: String, targetFiles: Int): DataFrame = {
+    require(!new java.io.File(dest).exists(),
+      s"compaction destination must be a fresh location: $dest exists " +
+        "(in-place compaction would race the read against the overwrite)")
+    df.repartition(targetFiles).write.parquet(dest)
+    df.sparkSession.read.parquet(dest)
+  }
+
   /** Fragmented copy of documents (64 files), staged write-once. */
   def fragmentedPath(dir: String): String =
     Staging.fingerprintPath("graft_compact", dir, "documents.parquet",
@@ -48,7 +64,9 @@ object Compaction {
         .repartition(CompactFiles)
         .write.mode("overwrite").parquet(compact)
     }
-    spark.read.parquet(compact)
+    // memoized read: re-listing + schema inference per call was the
+    // round-1 fixed per-query tax Tables.load eliminated
+    OrcRoundTrip.memoRead(spark, compact)(spark.read.parquet(compact))
   }
 
   /** Parquet data files under a staged dir (excludes markers). */

@@ -44,7 +44,7 @@ object OrcRoundTrip {
   private val stagedFrames = scala.collection.mutable.HashMap.empty[
     SparkSession, scala.collection.concurrent.TrieMap[String, DataFrame]]
 
-  private def memoRead(spark: SparkSession, dest: String)(
+  private[sources] def memoRead(spark: SparkSession, dest: String)(
       read: => DataFrame): DataFrame = {
     val per = stagedFrames.synchronized {
       stagedFrames.filterInPlace((s, _) => !s.sparkContext.isStopped)

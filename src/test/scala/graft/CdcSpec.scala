@@ -28,6 +28,16 @@ class CdcSpec extends SparkSpec {
     assert(out(2L) == (Some("b"), "keep"))
   }
 
+  test("a NULL-keyed delta row inserts with its payload intact") {
+    val base = Seq((1L, "a")).toDF("k", "v")
+    val delta = Seq((Option.empty[Long], Some("x"))).toDF("k", "v")
+    val out = Cdc.upsert(base, delta, "k").collect()
+      .map(r => (if (r.isNullAt(0)) None else Some(r.getLong(0)),
+        r.getString(1), r.getString(2))).toSet
+    assert(out == Set((Some(1L), "a", "keep"), (None, "x", "insert")),
+      s"payload must survive the join miss: $out")
+  }
+
   test("upsert refuses mismatched schemas") {
     val base = Seq((1L, "a")).toDF("k", "v")
     val bad = Seq((1L, "a", 0)).toDF("k", "v", "extra")

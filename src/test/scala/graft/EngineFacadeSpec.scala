@@ -129,6 +129,18 @@ class EngineFacadeSpec extends SparkSpec {
     assert(q.columns.toSeq == Seq("label", "xd", "qv"))
   }
 
+  test("facade compact: preservation plus the fresh-location contract") {
+    val engine = new GraftEngine(spark)
+    val dest = java.nio.file.Files.createTempDirectory("graft_compact_t")
+      .toString + "/out"
+    val src = Tables(spark, sf).region
+    val out = engine.compact(src, dest, 2)
+    assert(out.count() == src.count())
+    intercept[IllegalArgumentException] {
+      engine.compact(src, dest, 2) // dest now exists → must refuse
+    }
+  }
+
   test("splitmix64 SQL function matches the reference finalizer") {
     // pinned vectors, independently computable from the published
     // splitmix64 constants
