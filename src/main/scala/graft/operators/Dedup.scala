@@ -222,6 +222,31 @@ object Dedup {
         md5(concat(lit("shuf"), col("doc_id").cast(StringType)).cast(BinaryType)))
       .orderBy("shuffle_key", "doc_id")
 
+  /** Graph metrics over an (a < b)-ordered edge frame: vertex count,
+    * edge count, triangle count, max degree — the structural summary
+    * of a near-dup graph (dense triangles ⇒ template/boilerplate
+    * clusters that per-pair dedup under-counts). Triangles are counted
+    * by the classic two-join expansion on ordered edges — each
+    * triangle x<y<z matches exactly once as (x,y)+(y,z)+(x,z) — all
+    * shuffle equi-joins on node keys; at scale this is the standard
+    * distributed triangle count (edge set is LSH-filtered, orders of
+    * magnitude below corpus size).
+    */
+  def graphMetrics(edges: DataFrame): DataFrame = {
+    val e = edges.select(col("doc_a").as("a"), col("doc_b").as("b"))
+    val verts = e.select(col("a").as("v")).unionAll(e.select(col("b").as("v")))
+    val deg = verts.groupBy("v").agg(count(lit(1)).as("d"))
+    val e1 = e.select(col("a").as("x"), col("b").as("y"))
+    val e2 = e.select(col("a").as("y"), col("b").as("z"))
+    val e3 = e.select(col("a").as("x"), col("b").as("z"))
+    val tri = e1.join(e2, "y").join(e3, Seq("x", "z"))
+      .agg(count(lit(1)).as("n_triangles"))
+    deg.agg(count(lit(1)).as("n_nodes"), max("d").as("max_degree"))
+      .crossJoin(e.agg(count(lit(1)).as("n_edges")))
+      .crossJoin(tri)
+      .select("n_nodes", "n_edges", "n_triangles", "max_degree")
+  }
+
   // ---- entries -----------------------------------------------------------
 
   val entries: Seq[QueryEntry] = Seq(
@@ -269,6 +294,39 @@ object Dedup {
          |WHERE inter * 5 >= uni * 4
          |ORDER BY doc_a, doc_b""".stripMargin,
     ) { (s, dir) => nearDupPairs(Tables(s, dir).documents) },
+
+    // Near-dup graph structure (q84): vertex/edge/triangle counts and
+    // max degree over the verified pair set — the oracle re-derives
+    // the edge set brute-force (the q20 equivalence) and counts
+    // triangles by the same ordered two-join expansion.
+    QueryEntry.sql(
+      "q84_neardup_graph",
+      s"""WITH sh AS (
+         |  SELECT doc_id, $shinglesSql AS shingles
+         |  FROM (SELECT doc_id,
+         |               regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+         |        FROM documents) t
+         |), e AS (
+         |  SELECT a.doc_id AS a, b.doc_id AS b
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |  WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS BIGINT) * 5
+         |        >= CAST(len(a.shingles) + len(b.shingles)
+         |                - len(list_intersect(a.shingles, b.shingles)) AS BIGINT) * 4
+         |), deg AS (
+         |  SELECT v, COUNT(*) AS d
+         |  FROM (SELECT a AS v FROM e UNION ALL SELECT b AS v FROM e) vv
+         |  GROUP BY v
+         |), tri AS (
+         |  SELECT COUNT(*) AS n_triangles
+         |  FROM e e1 JOIN e e2 ON e2.a = e1.b JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+         |)
+         |SELECT (SELECT COUNT(*) FROM deg) AS n_nodes,
+         |       (SELECT COUNT(*) FROM e) AS n_edges,
+         |       (SELECT n_triangles FROM tri) AS n_triangles,
+         |       (SELECT CAST(MAX(d) AS BIGINT) FROM deg) AS max_degree""".stripMargin,
+    ) { (s, dir) =>
+      graphMetrics(nearDupPairs(Tables(s, dir).documents))
+    },
 
     // Standalone n-gram Jaccard similarity (the exact-verify primitive
     // of q20 surfaced as its own operator): full similarity matrix over

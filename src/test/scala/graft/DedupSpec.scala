@@ -105,4 +105,19 @@ class DedupSpec extends SparkSpec {
     assert(ids1.sorted != ids1, "hash order should differ from id order")
     assert(ids1.toSet.size == ids1.size)
   }
+
+  test("graphMetrics counts a planted triangle exactly once") {
+    // K3 on {1,2,3} plus a pendant edge (3,4): 4 nodes, 4 edges,
+    // 1 triangle, max degree 3
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L))
+      .toDF("doc_a", "doc_b")
+    val r = Dedup.graphMetrics(edges).head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      == ((4L, 4L, 1L, 3L)))
+    // two disjoint edges: no triangle, degrees all 1
+    val r2 = Dedup.graphMetrics(
+      Seq((1L, 2L), (3L, 4L)).toDF("doc_a", "doc_b")).head
+    assert((r2.getLong(0), r2.getLong(1), r2.getLong(2), r2.getLong(3))
+      == ((4L, 2L, 0L, 1L)))
+  }
 }
