@@ -16,6 +16,8 @@ object SparkEntry {
   def allEntries: Seq[QueryEntry] =
     operators.Relational.entries ++
       operators.TextAnalysis.entries ++
+      operators.Redact.entries ++
+      operators.Search.entries ++
       operators.Dedup.entries ++
       operators.Similarity.entries ++
       operators.Ivf.entries ++

@@ -270,6 +270,66 @@ object Ivf {
        |WHERE rank <= $k ORDER BY q_id, rank""".stripMargin
   }
 
+  /** SemDeDup-style semantic deduplication: cluster with the coarse
+    * quantizer, then drop every vector that has an EARLIER (smaller
+    * vec_id) same-cluster neighbor at rounded cosine ≥ `threshold` —
+    * the deterministic keep-first rule, so survivors need no
+    * connected-components pass. Pairwise scoring happens only WITHIN a
+    * cluster (an equi-join on the cluster key): compute per cluster is
+    * (n/k)², which is the published SemDeDup trade — k grows with the
+    * corpus so cluster population stays bounded (production uses
+    * k ~ √n; the fixture uses the shared 16-cluster quantizer). Cross-
+    * cluster near-dups are missed by construction — that is the
+    * approximation being bought, same as IVF's nprobe.
+    */
+  def semanticDedup(emb: DataFrame, threshold: Double,
+      nClusters: Int = 16, iters: Int = 3): DataFrame = {
+    val cents = fittedCentroids(emb, nClusters, iters)
+    val c = withCluster(emb, cents)
+      .select(col("vec_id"), col("embedding"), col("cluster"))
+    val a = c.select(col("cluster"), col("vec_id").as("va"),
+      col("embedding").as("ea"))
+    val b = c.select(col("cluster"), col("vec_id").as("vb"),
+      col("embedding").as("eb"))
+    val dropped = a.join(b, Seq("cluster"))
+      .filter(col("va") > col("vb") &&
+        round(GraftFunctions.cosineF32(col("ea"), col("eb")), 6) >= threshold)
+      .select(col("cluster"), col("va").as("vec_id")).distinct()
+    c.groupBy("cluster").agg(count(lit(1)).as("n_vecs"))
+      .join(dropped.groupBy("cluster").agg(count(lit(1)).as("nd")), Seq("cluster"),
+        "left")
+      .select(col("cluster"), col("n_vecs"),
+        coalesce(col("nd"), lit(0L)).as("n_dropped"),
+        (col("n_vecs") - coalesce(col("nd"), lit(0L))).as("n_kept"))
+      .orderBy("cluster")
+  }
+
+  /** Generated DuckDB mirror of [[semanticDedup]]: the fitted quantizer
+    * is inlined (coarseCtes) and DuckDB independently re-clusters the
+    * corpus and re-derives the keep-first drop set.
+    */
+  def semanticDedupOracleSql(spark: org.apache.spark.sql.SparkSession,
+      dir: String, threshold: Double, nClusters: Int = 16,
+      iters: Int = 3): String = {
+    val cents = fittedCentroids(Tables(spark, dir).embeddings, nClusters, iters)
+    val dim = cents.head.length
+    s"""WITH ${coarseCtes(spark, dir, nprobe = 1, nClusters, iters)}, drops AS (
+       |  SELECT DISTINCT a.cluster, a.vec_id
+       |  FROM corpus a JOIN corpus b
+       |    ON b.cluster = a.cluster AND a.vec_id > b.vec_id
+       |  WHERE ROUND((${dotChain2("a.embedding", "b.embedding", dim)})
+       |              / sqrt(a.ne * b.ne), 6) >= CAST('$threshold' AS DOUBLE)
+       |), per AS (
+       |  SELECT cluster, COUNT(*) AS n_vecs FROM corpus GROUP BY 1
+       |), dc AS (
+       |  SELECT cluster, COUNT(*) AS nd FROM drops GROUP BY 1
+       |)
+       |SELECT p.cluster, p.n_vecs,
+       |       CAST(COALESCE(dc.nd, 0) AS BIGINT) AS n_dropped,
+       |       CAST(p.n_vecs - COALESCE(dc.nd, 0) AS BIGINT) AS n_kept
+       |FROM per p LEFT JOIN dc USING (cluster) ORDER BY cluster""".stripMargin
+  }
+
   val entries: Seq[QueryEntry] = Seq(
     // Centroid computation itself is oracle-able: explode the UDAF's
     // vector output to (label, d, v) and DuckDB recomputes per-dim
@@ -297,6 +357,16 @@ object Ivf {
     } { (s, dir) =>
       val emb = Tables(s, dir).embeddings
       annSearch(emb, emb.filter(col("vec_id") < 10), nprobe = 3, k = 5)
+    },
+
+    // SemDeDup: per-cluster semantic dedup rollup under the full
+    // differential gate — DuckDB refits nothing (the deterministic
+    // quantizer is inlined) but re-executes clustering, within-cluster
+    // pair scoring, and the keep-first drop rule end to end.
+    QueryEntry.dynamicSql("q88_semantic_dedup") { (s, dir) =>
+      semanticDedupOracleSql(s, dir, threshold = 0.45)
+    } { (s, dir) =>
+      semanticDedup(Tables(s, dir).embeddings, threshold = 0.45)
     },
   )
 }

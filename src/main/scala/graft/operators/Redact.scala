@@ -1,0 +1,80 @@
+package graft.operators
+
+import graft.{QueryEntry, Tables}
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** PII scrubbing — the compliance pass every training-data pipeline
+  * runs before a corpus ships: find-and-mask structured identifiers
+  * (emails, phone numbers) with per-document audit counts.
+  *
+  * The synthetic fixture text carries no natural PII, so the operator
+  * is differential-tested over a PLANTED contact line: both engines
+  * append the identical deterministic contact string (derived from
+  * (source, doc_id) — the q63 planted-input pattern) and must then
+  * find, count, and mask the identical spans. The patterns use only
+  * the regex intersection both engines compile the same way (character
+  * classes, bounded quantifiers — no backreferences, no lookaround,
+  * which RE2-family engines reject).
+  *
+  * Scale shape: pure per-row regex work inside whole-stage codegen —
+  * embarrassingly parallel, no shuffle before the output sort; the
+  * masked text never leaves the executors (only its fingerprint and
+  * the audit counts do).
+  */
+object Redact {
+
+  /** Regex source shared verbatim by both engines (RE2 ∩ java.util.regex). */
+  val emailPattern = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  val phonePattern = "\\+1-555-[0-9]{4}"
+
+  /** The planted contact line: a pure function of (source, doc_id). */
+  def plantedText(text: Column, source: Column, docId: Column): Column =
+    concat(text, lit(" contact "), source, lit("."),
+      docId.cast(StringType), lit("@example.com or tel +1-555-"),
+      lpad(pmod(docId, lit(10000)).cast(StringType), 4, "0"))
+
+  /** Mask every email/phone span; count what was masked. */
+  def redacted(full: Column): Column =
+    regexp_replace(
+      regexp_replace(full, emailPattern, "[EMAIL]"),
+      phonePattern, "[PHONE]")
+
+  val entries: Seq[QueryEntry] = Seq(
+    // PII redaction under the differential gate: per-doc mask counts
+    // plus the md5 fingerprint of the masked text (the full masked
+    // corpus stays distributed; only fingerprints reach the check).
+    QueryEntry.sql(
+      "q85_pii_redact",
+      s"""WITH planted AS (
+         |  SELECT doc_id,
+         |         text || ' contact ' || source || '.' ||
+         |         CAST(doc_id AS VARCHAR) || '@example.com or tel +1-555-' ||
+         |         lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS full_text
+         |  FROM documents
+         |)
+         |SELECT doc_id,
+         |       CAST(len(regexp_extract_all(full_text, '$emailPattern')) AS BIGINT)
+         |         AS n_emails,
+         |       CAST(len(regexp_extract_all(full_text, '$phonePattern')) AS BIGINT)
+         |         AS n_phones,
+         |       md5(regexp_replace(regexp_replace(full_text, '$emailPattern',
+         |             '[EMAIL]', 'g'), '$phonePattern', '[PHONE]', 'g')) AS redacted_fp
+         |FROM planted ORDER BY doc_id""".stripMargin,
+    ) { (s, dir) =>
+      Tables(s, dir).documentsRebalanced
+        .select(col("doc_id"),
+          plantedText(col("text"), col("source"), col("doc_id")).as("full_text"))
+        .select(
+          col("doc_id"),
+          size(regexp_extract_all(col("full_text"), lit(emailPattern), lit(0)))
+            .cast(LongType).as("n_emails"),
+          size(regexp_extract_all(col("full_text"), lit(phonePattern), lit(0)))
+            .cast(LongType).as("n_phones"),
+          md5(redacted(col("full_text")).cast(BinaryType)).as("redacted_fp"),
+        )
+        .orderBy("doc_id")
+    },
+  )
+}
