@@ -99,7 +99,63 @@ object EventsOps {
       .select(col("user_id"), col("event_id"), col("level"))
   }
 
+  /** Per-group z-score anomaly flags: two-pass shape — a map-side-
+    * combined stats pass (group count + exact DECIMAL sums of value and
+    * value², so the mean/std are order-independent — a double SUM would
+    * be shuffle-order-dependent and unoracleable), broadcast the tiny
+    * stats frame back onto the stream, flag |z| > `cut`. At 100 TB the
+    * stats pass reduces to one row per group before the broadcast; the
+    * flagging pass is per-row codegen. A window over the group key
+    * would instead funnel each group through one task — with 5 event
+    * types that is 5 tasks total, the classic low-cardinality skew.
+    */
+  def zScoreAnomalies(events: DataFrame, cut: Double): DataFrame = {
+    val dec = col("value").cast(DecimalType(18, 6))
+    val stats = events.groupBy("event_type").agg(
+      count(lit(1)).as("n"),
+      sum(dec).cast(DoubleType).as("s1"),
+      sum(dec * dec).cast(DoubleType).as("s2"))
+      .withColumn("mean", col("s1") / col("n"))
+      .withColumn("std",
+        sqrt(col("s2") / col("n") - col("mean") * col("mean")))
+    events.join(broadcast(stats), Seq("event_type"))
+      .withColumn("z", (col("value") - col("mean")) / col("std"))
+      .filter(abs(col("z")) > cut)
+  }
+
   val entries: Seq[QueryEntry] = Seq(
+    // Outlier detection: per-type mean/σ from exact decimal sums, then
+    // per-row z-scores; anomalies (|z| > 2.5) rolled up per type. The
+    // per-row double arithmetic (sub/div/abs) is IEEE-identical in both
+    // engines because each z is a scalar function of exact aggregates.
+    QueryEntry.sql(
+      "q90_anomaly_zscore",
+      """WITH stats AS (
+        |  SELECT event_type, COUNT(*) AS n,
+        |         CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS s1,
+        |         CAST(SUM(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6)))
+        |              AS DOUBLE) AS s2
+        |  FROM events GROUP BY event_type
+        |), st AS (
+        |  SELECT event_type, n, s1 / n AS mean,
+        |         sqrt(s2 / n - (s1 / n) * (s1 / n)) AS std
+        |  FROM stats
+        |), z AS (
+        |  SELECT e.event_type, (e.value - st.mean) / st.std AS z
+        |  FROM events e JOIN st ON e.event_type = st.event_type
+        |)
+        |SELECT event_type, COUNT(*) AS n_anomalies,
+        |       ROUND(MAX(ABS(z)), 6) AS max_abs_z
+        |FROM z WHERE ABS(z) > CAST(2.5 AS DOUBLE)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    ) { (s, dir) =>
+      zScoreAnomalies(Tables(s, dir).events, cut = 2.5)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_anomalies"),
+          round(max(abs(col("z"))), 6).as("max_abs_z"))
+        .orderBy("event_type")
+    },
+
     // Threshold crossings (batch form of the flatMapGroupsWithState
     // alert emitter): the per-user value stream alarms every time its
     // running total passes another multiple of 100.

@@ -91,6 +91,18 @@ object TextAnalysis {
        |         ${sqlMarkerCount(markerFr)} * 3 + ${sqlStopCount(stopFr)} AS s_fr,
        |         ${sqlMarkerCount(markerZh)} * 3 + ${sqlStopCount(stopZh)} AS s_zh""".stripMargin
 
+  /** Canonical text normalization — the cleanup pass that runs before
+    * any dedup/fingerprint stage in a training pipeline: lowercase,
+    * strip non-alphanumerics to spaces, collapse runs of spaces, trim.
+    * Pure per-row expression (whole-stage codegen; no shuffle).
+    */
+  def normalizeText(c: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(c), "[^a-z0-9 ]", " "), " +", " "))
+
+  /** DuckDB mirror of [[normalizeText]] over a column expression. */
+  def normalizeTextSql(c: String): String =
+    s"trim(regexp_replace(regexp_replace(lower($c), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))"
+
   /** Quality score, defined ONCE for both engines (q18 and the q39
     * pipeline reuse these; the Column and SQL forms must stay term-
     * for-term identical for oracle parity).
@@ -416,6 +428,79 @@ object TextAnalysis {
         .agg(count(lit(1)).as("n_sampled"),
           min("doc_id").as("min_id"), max("doc_id").as("max_id"))
         .orderBy("lang")
+    },
+
+    // Text normalization (the pre-dedup cleanup pass): lowercase /
+    // punctuation-strip / whitespace-collapse as one codegen'd per-row
+    // expression, rolled up per source with the distinct-after-
+    // normalization count — the number exact dedup would key on next.
+    QueryEntry.sql(
+      "q89_text_normalize",
+      s"""WITH n AS (
+         |  SELECT source, ${normalizeTextSql("text")} AS norm FROM documents
+         |)
+         |SELECT source, COUNT(*) AS cnt,
+         |       CAST(COUNT(DISTINCT norm) AS BIGINT) AS n_distinct_norm,
+         |       CAST(SUM(len(norm)) AS BIGINT) AS sum_norm_len
+         |FROM n GROUP BY source ORDER BY source""".stripMargin,
+    ) { (s, dir) =>
+      Tables(s, dir).documentsRebalanced
+        .select(col("source"), normalizeText(col("text")).as("norm"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("cnt"),
+          countDistinct("norm").as("n_distinct_norm"),
+          sum(length(col("norm"))).as("sum_norm_len"))
+        .orderBy("source")
+    },
+
+    // Weighted mixture sampling (Efraimidis–Spirakis A-Res): every doc
+    // draws a deterministic uniform u from its key hash; its selection
+    // key is u^(1/w) and the global top-k by key IS an exact weighted
+    // sample without replacement. Source weights are powers of two so
+    // u^(1/w) is a sqrt chain — sqrt is IEEE-754 correctly rounded,
+    // making the keys bit-identical in any engine (no transcendental
+    // libm drift, unlike ln/pow). The top-k is TakeOrderedAndProject —
+    // no global sort — and membership is a pure function of the row,
+    // so the mixture is exactly reproducible at any scale.
+    QueryEntry.sql(
+      "q91_weighted_sample",
+      """WITH keyed AS (
+        |  SELECT source, doc_id,
+        |         CAST(CAST('0x' || substr(md5('wsamp' || CAST(doc_id AS VARCHAR)), 1, 15)
+        |              AS BIGINT) AS DOUBLE) / 1152921504606846976.0 AS u
+        |  FROM documents
+        |), w AS (
+        |  SELECT source, doc_id,
+        |         CASE WHEN source IN ('src0', 'src1', 'src2', 'src3', 'src4')
+        |                THEN sqrt(sqrt(u))
+        |              WHEN source IN ('src5', 'src6', 'src7', 'src8', 'src9')
+        |                THEN sqrt(u)
+        |              ELSE u END AS k
+        |  FROM keyed
+        |), top AS (
+        |  SELECT source, doc_id FROM w ORDER BY k DESC, doc_id LIMIT 200
+        |)
+        |SELECT source, COUNT(*) AS n_sampled,
+        |       CAST(MIN(doc_id) AS BIGINT) AS min_id,
+        |       CAST(MAX(doc_id) AS BIGINT) AS max_id
+        |FROM top GROUP BY source ORDER BY source""".stripMargin,
+    ) { (s, dir) =>
+      val h = conv(substring(md5(
+        concat(lit("wsamp"), col("doc_id").cast(StringType)).cast(BinaryType)),
+        1, 15), 16, 10).cast(LongType)
+      val u = h.cast(DoubleType) / lit(1152921504606846976.0)
+      val k = when(col("source").isin("src0", "src1", "src2", "src3", "src4"),
+          sqrt(sqrt(u)))
+        .when(col("source").isin("src5", "src6", "src7", "src8", "src9"), sqrt(u))
+        .otherwise(u)
+      Tables(s, dir).documentsRebalanced
+        .select(col("source"), col("doc_id"), k.as("k"))
+        .orderBy(col("k").desc, col("doc_id"))
+        .limit(200)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_sampled"),
+          min("doc_id").as("min_id"), max("doc_id").as("max_id"))
+        .orderBy("source")
     },
   )
 }

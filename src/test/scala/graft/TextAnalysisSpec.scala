@@ -42,4 +42,35 @@ class TextAnalysisSpec extends SparkSpec {
     assert(ps(0) == "de", ps.mkString(","))
     assert(ps(1) == "en", ps.mkString(","))
   }
+
+  test("normalizeText is idempotent and strips case/punct/space noise") {
+    val df = Seq(
+      "  Hello,   WORLD!! ",
+      "hello world",
+      "a--b\tc",
+    ).toDF("text").select(TextAnalysis.normalizeText(col("text")).as("n"))
+    val ns = df.as[String].collect()
+    assert(ns(0) == "hello world", ns(0))
+    assert(ns(1) == "hello world")
+    assert(ns(2) == "a b c", ns(2))
+    // idempotence: normalizing a normalized string is the identity
+    val twice = df.select(TextAnalysis.normalizeText(col("n")).as("n2"))
+      .as[String].collect()
+    assert(ns.sameElements(twice))
+  }
+
+  test("q91 weighted sample favors the weighted sources and is top-k planned") {
+    val got = run("q91_weighted_sample")
+    val bySource = got.collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // weight-4 sources (src0-4) must outdraw weight-1 sources in total;
+    // each source holds 25 docs at this sf, so counts are comparable
+    val w4 = (0 to 4).map(i => bySource.getOrElse(s"src$i", 0L)).sum
+    val w1 = (10 to 19).map(i => bySource.getOrElse(s"src$i", 0L)).sum / 2
+    assert(w4 > w1, s"w4=$w4 vs scaled w1=$w1: $bySource")
+    // the selection is TakeOrdered, never a global sort
+    val plan = SparkEntry.queries("q91_weighted_sample")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(2000))
+  }
 }
