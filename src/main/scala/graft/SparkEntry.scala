@@ -36,7 +36,8 @@ object SparkEntry {
       operators.Multimodal.entries ++
       sources.OrcRoundTrip.entries ++
       sources.BucketedTables.entries ++
-      sources.Compaction.entries
+      sources.Compaction.entries ++
+      sources.ZOrderLayout.entries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The 3-way broadcast-join revenue rollup (Q6) — the widest slice of
