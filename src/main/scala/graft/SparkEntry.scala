@@ -23,6 +23,7 @@ object SparkEntry {
       operators.Ivf.entries ++
       operators.Pq.entries ++
       operators.EventsOps.entries ++
+      operators.PageRank.entries ++
       operators.Skew.entries ++
       operators.CountMin.entries ++
       operators.HistQuantile.entries ++
