@@ -32,6 +32,21 @@ object PageRank {
   private val Base = (1.0 - Damping) / N // exact same double in the SQL literal
   private val Init = 1.0 / N
 
+  /** Above this node count the per-iteration rank frame stops being
+    * broadcast (a billion-node rank vector would OOM executors) and
+    * the edge⨝rank join falls back to Catalyst's shuffle strategies.
+    */
+  val BroadcastNodeLimit = 5000000L
+
+  /** Up to this node count the rank vector is model-sized state carried
+    * on the DRIVER between iterations (the IVF-centroid pattern): each
+    * iteration is then ONE distributed job — edge scan, map-literal
+    * rank lookup, map-side-combined aggregation — with no checkpoint
+    * write and no broadcast build per step. Past it, the distributed
+    * loop pins the rank frame each iteration instead.
+    */
+  val LiteralCarryLimit = 1L << 20
+
   /** Trade edges: customer nation → supplier nation, weighted by
     * revenue. Dimension sides broadcast; the one shuffle is
     * lineitem⨝orders on l_orderkey, then a map-side-combined rollup to
@@ -53,16 +68,105 @@ object PageRank {
   }
 
   /** `iters` synchronous iterations over (src, dst, frac) edges and a
-    * (node) vertex frame. The edge frame is pinned eagerly so the
-    * chained iteration plans don't recompute its upstream joins.
+    * (node) vertex frame. Init and teleport base derive from the
+    * PASSED graph's node count (counted once), not a fixed constant —
+    * the operator is correct for any graph size. In both paths the
+    * edge frame is pinned eagerly so no iteration recomputes its
+    * upstream joins; the rank-vector representation is what switches
+    * with graph size ([[LiteralCarryLimit]]): driver-carried literals
+    * below it, a per-iteration-pinned distributed frame above.
     */
   def pageRank(edges: DataFrame, nodes: DataFrame, damping: Double,
       iters: Int): DataFrame = {
+    val nodeCount = nodes.count()
+    require(nodeCount > 0, "pageRank needs a non-empty vertex frame")
+    if (nodeCount <= LiteralCarryLimit) literalLoop(edges, nodes, damping, iters, nodeCount)
+    else distributedLoop(edges, nodes, damping, iters, nodeCount)
+  }
+
+  /** Model-sized-GRAPH path: ranks live on the driver. Two regimes by
+    * EDGE count (probed after pinning the rollup once):
+    *
+    *  - edges also model-sized (the N² nation grid here): the whole
+    *    iteration is driver math over the collected rollup — the
+    *    distributed work was building the rollup from the fact tables,
+    *    and burning one Spark job per iteration on ≤2²⁰ rows buys
+    *    nothing. The arithmetic replays Spark's exactly: each
+    *    contribution is `BigDecimal.valueOf(pr·frac).setScale(18,
+    *    HALF_UP)` (= CAST(double AS DECIMAL(38,18))), summed exactly,
+    *    `doubleValue` at the end (= CAST(decimal AS DOUBLE)) — so the
+    *    decimal-sum order-independence and the per-node
+    *    `base + d·in_sum` doubles are bit-identical to the plans below.
+    *  - edges large: per iteration the executors see the ranks as one
+    *    map LITERAL (src → pr lookup, no join build) and aggregate
+    *    contributions by dst over the checkpointed edge frame — one
+    *    shuffle per iteration, ≤ nodeCount rows shipped back. An edge
+    *    whose src is outside `nodes` looks up NULL and drops out of the
+    *    decimal sum — the inner-join semantics of the distributed path.
+    */
+  private[graft] def literalLoop(edges: DataFrame, nodes: DataFrame, damping: Double,
+      iters: Int, nodeCount: Long,
+      edgeLocalLimit: Long = LiteralCarryLimit): DataFrame = {
+    val spark = edges.sparkSession
     val e = graft.metrics.RuntimeBreakdown.noteExecuted(edges).localCheckpoint(true)
-    val base = (1.0 - damping) / N
-    var ranks = nodes.select(col("node"), lit(1.0 / N).as("pr"))
+    val base = (1.0 - damping) / nodeCount
+    val nodeType = nodes.schema("node").dataType
+    val ids = nodes.select(col("node").cast(LongType))
+      .collect().map(_.getLong(0)).toSeq
+    var pr: Map[Long, Double] = ids.map(_ -> 1.0 / nodeCount).toMap
+    if (e.count() <= edgeLocalLimit) {
+      val eArr = e.select(col("src").cast(LongType), col("dst").cast(LongType),
+        col("frac").cast(DoubleType)).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      for (_ <- 1 to iters) {
+        val sums = collection.mutable.HashMap.empty[Long, java.math.BigDecimal]
+        eArr.foreach { case (s, d, f) =>
+          pr.get(s).foreach { p =>
+            val c = java.math.BigDecimal.valueOf(p * f)
+              .setScale(18, java.math.RoundingMode.HALF_UP)
+            sums.update(d, sums.getOrElse(d, java.math.BigDecimal.ZERO).add(c))
+          }
+        }
+        pr = ids.map(j =>
+          j -> (base + damping * sums.get(j).map(_.doubleValue).getOrElse(0.0))).toMap
+      }
+    } else {
+      for (_ <- 1 to iters) {
+        val rmap = typedlit(pr)
+        val sums = e
+          .select(col("dst").cast(LongType).as("dst"),
+            (element_at(rmap, col("src").cast(LongType)) * col("frac"))
+              .cast(DecimalType(38, 18)).as("c"))
+          .groupBy("dst")
+          .agg(sum("c").cast(DoubleType).as("in_sum"))
+          .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+        pr = ids.map(j => j -> (base + damping * sums.getOrElse(j, 0.0))).toMap
+      }
+    }
+    import spark.implicits._
+    ids.map(j => (j, pr(j))).toDF("node", "pr")
+      .select(col("node").cast(nodeType), col("pr"))
+  }
+
+  /** Large-graph path: the rank FRAME is pinned every iteration —
+    * without that, iteration k's action drags a k-deep stacked
+    * join+agg lineage through the optimizer and re-executes it from
+    * scratch (the classic iterative-lineage blowup). The previous
+    * vector is pinned at the top of each step, so the returned frame
+    * stays a lazy single join+agg — inspectable by callers. Ranks
+    * broadcast while the graph is under [[BroadcastNodeLimit]] nodes;
+    * past that the join shuffles both sides.
+    */
+  private[graft] def distributedLoop(edges: DataFrame, nodes: DataFrame,
+      damping: Double, iters: Int, nodeCount: Long): DataFrame = {
+    val e = graft.metrics.RuntimeBreakdown.noteExecuted(edges).localCheckpoint(true)
+    val base = (1.0 - damping) / nodeCount
+    val small = nodeCount <= BroadcastNodeLimit
+    var ranks = nodes.select(col("node"), lit(1.0 / nodeCount).as("pr"))
     for (_ <- 1 to iters) {
-      val contrib = e.join(broadcast(ranks), col("src") === col("node"))
+      val pinned = ranks.localCheckpoint(true)
+      val rankSide = if (small) broadcast(pinned) else pinned
+      val contrib = e.join(rankSide, col("src") === col("node"))
         .select(col("dst"), (col("pr") * col("frac")).cast(DecimalType(38, 18)).as("c"))
         .groupBy("dst")
         .agg(sum("c").cast(DoubleType).as("in_sum"))

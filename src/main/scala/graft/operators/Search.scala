@@ -1,64 +1,91 @@
 package graft.operators
 
 import graft.{QueryEntry, Tables}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-/** Term-level IR surface over `documents`: inverted-index construction
-  * and TF-IDF term ranking — the retrieval side of a corpus pipeline
-  * (dedup/decontamination find near-copies; these find *relevant*
-  * documents).
+/** Term-level IR surface over `documents`: inverted-index construction,
+  * TF-IDF term ranking, and a term-lookup retrieval query — the
+  * retrieval side of a corpus pipeline (dedup/decontamination find
+  * near-copies; these find *relevant* documents).
   *
-  * Both operators run on the shared whitespace tokenizer
+  * All three operators run on the shared whitespace tokenizer
   * ([[TextAnalysis.tokens]]) so token identity agrees with every other
   * text operator (and with the DuckDB mirrors' `regexp_split_to_array`).
   */
 object Search {
 
-  /** Inverted index: term → (document frequency, ordered postings).
-    * Two shuffles — (term, doc) distinct, then groupBy term — both on
-    * uniform keys. The postings list for a term is assembled per term
-    * partition; at 100 TB a stopword's postings outgrow one task, and
-    * production sharding splits postings by (term, doc_id range) —
-    * here the list is certified by fingerprint instead of shipped
-    * whole, so only df/bounds/md5 leave the executors.
+  /** Postings chunk width: a term's postings are fingerprinted in
+    * bounded runs of `doc_id ∈ [kB, (k+1)B)` so no aggregation buffer
+    * ever holds more than B entries — a stopword with df ≈ corpus size
+    * costs corpus/B *rows*, never one corpus-sized array in one task.
     */
-  def invertedIndex(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+  val PostingsChunk = 8192
+
+  /** Inverted index: term → (document frequency, id bounds, postings
+    * signature). Scale shape: one distinct on the uniform (term,
+    * doc_id) key, then a TWO-LEVEL aggregation — (term, doc_id/B)
+    * chunks fingerprint at most [[PostingsChunk]] ordered ids each
+    * (`md5` of the comma-joined run), and the per-term combine is an
+    * order-free DECIMAL(38,0) sum of the chunk digests' 60-bit
+    * prefixes (the q75 checksum combine, [[Checksum]]): map-side
+    * combinable, constant-width buffer, skew-immune. The full postings
+    * list is never materialized in any single task; what leaves the
+    * executors per term is (df, bounds, signature). A differing id in
+    * any chunk flips that chunk's md5 and hence the sum.
+    */
+  def invertedIndex(docs: DataFrame): DataFrame =
     docs
       .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("term"))
       .distinct()
-      .groupBy("term")
+      .groupBy(col("term"), floor(col("doc_id") / PostingsChunk).as("chunk"))
       .agg(
-        count(lit(1)).as("df"),
-        min("doc_id").as("first_doc"),
-        max("doc_id").as("last_doc"),
+        count(lit(1)).as("c"),
+        min("doc_id").as("mn"),
+        max("doc_id").as("mx"),
         md5(array_join(
           transform(sort_array(collect_list(col("doc_id"))),
-            d => d.cast(StringType)), ",").cast(BinaryType)).as("postings_md5"),
+            d => d.cast(StringType)), ",").cast(BinaryType)).as("cd"),
+      )
+      .groupBy("term")
+      .agg(
+        sum("c").as("df"),
+        min("mn").as("first_doc"),
+        max("mx").as("last_doc"),
+        sum(conv(substring(col("cd"), 1, 15), 16, 10).cast(LongType)
+          .cast(DecimalType(38, 0))).cast(StringType).as("postings_sig"),
       )
 
   /** Per-document TF-IDF top terms: tf = in-doc term count, idf =
     * ln(N/df) with df over the WHOLE corpus (restricting df to the
-    * scored slice would inflate rare-term scores). Ranking uses the
-    * ROUNDed score (FIXTURES.md float rule: mathematically-equal
-    * products computed differently — ln(4) vs 2·ln(2) — differ by an
-    * ulp; rounding to 6 dp before ranking plus the term tie-break
-    * makes the order engine-independent), then the term
-    * lexicographically.
+    * scored slice would inflate rare-term scores). Both tf and df
+    * derive from ONE (doc_id, term) count aggregate: the tf branch
+    * pushes `doc_id < docLimit` down to the scan (tokenizes only the
+    * scored slice), the df branch rolls the full-corpus aggregate up
+    * by term — the corpus is tokenized once, not per branch. The
+    * tf⨝df join on `term` is a plain shuffle join: the vocabulary is
+    * corpus-derived and heavy-tailed, so it is NEVER broadcast (at
+    * web scale billions of distinct tokens would OOM the driver); the
+    * df side is already term-partitioned by its aggregate, so the
+    * join adds one exchange on the (small, pre-filtered) tf side only.
+    *
+    * Ranking uses the ROUNDed score (FIXTURES.md float rule:
+    * mathematically-equal products computed differently — ln(4) vs
+    * 2·ln(2) — differ by an ulp; rounding to 6 dp before ranking plus
+    * the term tie-break makes the order engine-independent).
     */
-  def tfidfTopTerms(docs: org.apache.spark.sql.DataFrame, k: Int,
-      docLimit: Long): org.apache.spark.sql.DataFrame = {
-    val tok = docs
+  def tfidfTopTerms(docs: DataFrame, k: Int, docLimit: Long): DataFrame = {
+    def perDocCounts(d: DataFrame): DataFrame = d
       .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("term"))
-    val n = docs.select(count(lit(1)).as("n"))
-    val tf = tok.filter(col("doc_id") < docLimit)
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val df = tok.select(col("term"), col("doc_id")).distinct()
-      .groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs.select(count(lit(1)).as("n"))
+    val tf = perDocCounts(docs).filter(col("doc_id") < docLimit)
+    val df = perDocCounts(docs).groupBy("term").agg(count(lit(1)).as("df"))
     val w = Window.partitionBy("doc_id")
       .orderBy(col("score").desc, col("term"))
-    tf.join(df.hint("broadcast"), Seq("term"))
+    tf.join(df, Seq("term"))
       .crossJoin(broadcast(n))
       .withColumn("score",
         round(col("tf") * log(col("n").cast(DoubleType) / col("df")), 6))
@@ -69,24 +96,49 @@ object Search {
       .orderBy("doc_id", "rank")
   }
 
+  /** Term lookup — the retrieval loop closed: probe term → top-k
+    * documents ranked by in-document term frequency. Scale shape: the
+    * term filter lands right after the tokenizer (only matching rows
+    * survive the explode), one map-side-combined count per doc, then
+    * `TakeOrderedAndProject` picks the k survivors BEFORE the
+    * documents table is touched again — the doc-metadata join is a
+    * k-row broadcast against the corpus, never a corpus×corpus join.
+    */
+  def termLookup(docs: DataFrame, term: String, k: Int): DataFrame = {
+    val hits = docs
+      .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("t"))
+      .filter(col("t") === lit(term))
+      .groupBy("doc_id").agg(count(lit(1)).as("tf"))
+      .orderBy(col("tf").desc, col("doc_id"))
+      .limit(k)
+    broadcast(hits).join(docs, Seq("doc_id"))
+      .select(col("doc_id"), col("tf"), length(col("text")).as("doc_len"))
+      .orderBy(col("tf").desc, col("doc_id"))
+  }
+
   val entries: Seq[QueryEntry] = Seq(
     // Inverted-index build under the differential gate: DuckDB
-    // re-derives every postings list (ordered, distinct) and the md5
-    // fingerprints must agree term by term.
+    // re-derives every postings chunk (ordered, distinct), re-digests
+    // it, and the per-term chunk-digest sums must agree term by term.
     QueryEntry.sql(
       "q86_inverted_index",
-      """WITH tok AS (
+      s"""WITH tok AS (
         |  SELECT DISTINCT term, doc_id FROM (
         |    SELECT doc_id,
-        |           unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+        |           unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
         |    FROM documents) t
+        |), chunks AS (
+        |  SELECT term, CAST(FLOOR(doc_id / $PostingsChunk.0) AS BIGINT) AS chunk,
+        |         COUNT(*) AS c, MIN(doc_id) AS mn, MAX(doc_id) AS mx,
+        |         md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id)) AS cd
+        |  FROM tok GROUP BY 1, 2
         |)
-        |SELECT term, COUNT(*) AS df,
-        |       CAST(MIN(doc_id) AS BIGINT) AS first_doc,
-        |       CAST(MAX(doc_id) AS BIGINT) AS last_doc,
-        |       md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id))
-        |         AS postings_md5
-        |FROM tok GROUP BY term ORDER BY term""".stripMargin,
+        |SELECT term, CAST(SUM(c) AS BIGINT) AS df,
+        |       CAST(MIN(mn) AS BIGINT) AS first_doc,
+        |       CAST(MAX(mx) AS BIGINT) AS last_doc,
+        |       CAST(SUM(CAST(CAST('0x' || substr(cd, 1, 15) AS BIGINT)
+        |         AS DECIMAL(38,0))) AS VARCHAR) AS postings_sig
+        |FROM chunks GROUP BY term ORDER BY term""".stripMargin,
     ) { (s, dir) =>
       invertedIndex(Tables(s, dir).documentsRebalanced).orderBy("term")
     },
@@ -122,6 +174,27 @@ object Search {
         |FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
     ) { (s, dir) =>
       tfidfTopTerms(Tables(s, dir).documentsRebalanced, k = 3, docLimit = 100L)
+    },
+
+    // Retrieval: top-10 documents for the probe term 'join' by term
+    // frequency (deterministic doc_id tie-break), with doc metadata
+    // fetched by a k-row broadcast join back to `documents`.
+    QueryEntry.sql(
+      "q94_term_lookup",
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |         unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS t
+        |  FROM documents
+        |), tf AS (
+        |  SELECT doc_id, COUNT(*) AS tf FROM tok WHERE t = 'join' GROUP BY 1
+        |  ORDER BY tf DESC, doc_id LIMIT 10
+        |)
+        |SELECT t.doc_id, CAST(t.tf AS BIGINT) AS tf,
+        |       CAST(length(d.text) AS INT) AS doc_len
+        |FROM tf t JOIN documents d USING (doc_id)
+        |ORDER BY tf DESC, doc_id""".stripMargin,
+    ) { (s, dir) =>
+      termLookup(Tables(s, dir).documentsRebalanced, term = "join", k = 10)
     },
   )
 }

@@ -15,9 +15,9 @@ class PageRankSpec extends SparkSpec {
     val nodes = Seq(0L, 1L, 2L).toDF("node")
     val ranks = PageRank.pageRank(edges, nodes, damping = 0.85, iters = 10)
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
-    // base is computed against PageRank.N (25), so the fixed point here
-    // is b + d*x = x with b = 0.15/25 => x = 0.04
-    val expected = (1.0 - 0.85) / PageRank.N / (1.0 - 0.85)
+    // base derives from THIS graph's node count (3), so uniform 1/3 is
+    // the exact fixed point: b + d*(1/3) = 0.05 + 0.85/3 = 1/3
+    val expected = 1.0 / 3.0
     nodes.as[Long].collect().foreach { n =>
       assert(math.abs(ranks(n) - expected) < 1e-12, s"node $n -> ${ranks(n)}")
     }
@@ -32,10 +32,30 @@ class PageRankSpec extends SparkSpec {
     assert(got.max > got.min, "weighted graph must differentiate ranks")
   }
 
-  test("each iteration broadcasts the rank vector, never shuffles edges twice") {
-    val got = SparkEntry.queries("q93_pagerank")(spark, sf)
+  test("large-graph path: broadcasts the rank vector, pins it per iteration") {
+    // same graph forced down the distributed loop the >LiteralCarryLimit
+    // path takes: the returned frame must be a 1-deep broadcast-join+agg
+    // over pinned (checkpointed) inputs, not a 10-deep stacked lineage
+    val edges = Seq((0L, 1L, 1.0), (1L, 2L, 1.0), (2L, 0L, 1.0))
+      .toDF("src", "dst", "frac")
+    val nodes = Seq(0L, 1L, 2L).toDF("node")
+    val got = operators.PageRank.distributedLoop(edges, nodes,
+      damping = 0.85, iters = 3, nodeCount = 3L)
     got.collect()
     val plan = got.queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), plan.take(1500))
+    assert(plan.contains("ExistingRDD") || plan.contains("Scan ExistingRDD"),
+      plan.take(1500))
+    // bit-identity across ALL paths: driver math (default), literal
+    // ranks over a distributed edge agg (edgeLocalLimit=0), and the
+    // distributed rank-frame loop must agree to the last bit
+    val a = got.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val lit = operators.PageRank.pageRank(edges, nodes, damping = 0.85, iters = 3)
+    val b = lit.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val mid = operators.PageRank.literalLoop(edges, nodes, damping = 0.85,
+      iters = 3, nodeCount = 3L, edgeLocalLimit = 0L)
+    val c = mid.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(a == b, s"driver path diverges: $a vs $b")
+    assert(a == c, s"literal-agg path diverges: $a vs $c")
   }
 }

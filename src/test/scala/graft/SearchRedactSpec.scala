@@ -37,15 +37,73 @@ class SearchRedactSpec extends SparkSpec {
     assert(bad == 0L)
   }
 
-  test("inverted index: df, bounds and ordered postings on a planted corpus") {
+  /** The q75-style chunk-digest combine: 60-bit md5 prefix, summed. */
+  private def chunkHash(postings: String): BigInt =
+    BigInt(md5Hex(postings).take(15), 16)
+
+  test("inverted index: df, bounds and chunk-digest signature on a planted corpus") {
     val docs = Seq((1L, "a b a"), (2L, "b c"), (3L, "a"))
       .toDF("doc_id", "text")
     val got = Search.invertedIndex(docs).orderBy("term")
       .as[(String, Long, Long, Long, String)].collect().toSeq
+    // all ids < PostingsChunk → one chunk per term; sig = that chunk's hash
     assert(got == Seq(
-      ("a", 2L, 1L, 3L, md5Hex("1,3")),
-      ("b", 2L, 1L, 2L, md5Hex("1,2")),
-      ("c", 1L, 2L, 2L, md5Hex("2")),
+      ("a", 2L, 1L, 3L, chunkHash("1,3").toString),
+      ("b", 2L, 1L, 2L, chunkHash("1,2").toString),
+      ("c", 1L, 2L, 2L, chunkHash("2").toString),
+    ))
+  }
+
+  test("inverted index: postings spanning chunks sum their per-chunk digests") {
+    val b = Search.PostingsChunk.toLong
+    // term x: ids {1, B-1} land in chunk 0, {B, 2B+5} in chunks 1 and 2 —
+    // the signature is the order-free SUM of the three chunk digests
+    val docs = Seq((1L, "x"), (b - 1, "x"), (b, "x"), (2 * b + 5, "x y"))
+      .toDF("doc_id", "text")
+    val got = Search.invertedIndex(docs).orderBy("term")
+      .as[(String, Long, Long, Long, String)].collect().toSeq
+    val xSig = chunkHash(s"1,${b - 1}") + chunkHash(s"$b") + chunkHash(s"${2 * b + 5}")
+    assert(got == Seq(
+      ("x", 4L, 1L, 2 * b + 5, xSig.toString),
+      ("y", 1L, 2 * b + 5, 2 * b + 5, chunkHash(s"${2 * b + 5}").toString),
+    ))
+  }
+
+  test("inverted index plan: every postings collect_list is chunk-bounded") {
+    // the scale gate: no aggregation may assemble a term's FULL postings
+    // list — any collect_list must sit under a (term, chunk) grouping
+    val q = run("q86_inverted_index")
+    val listAggs = q.queryExecution.optimizedPlan.collect {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate
+          if a.aggregateExpressions.exists(_.toString.contains("collect_list")) =>
+        a.groupingExpressions.size
+    }
+    assert(listAggs.nonEmpty && listAggs.forall(_ == 2),
+      s"collect_list grouping arities: $listAggs")
+  }
+
+  test("tfidf plan: the corpus-derived vocabulary is never broadcast") {
+    val q = run("q87_tfidf_topterms")
+    val hintedEquiJoins = q.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join
+          if j.condition.isDefined =>
+        j.hint.toString.toLowerCase.contains("broadcast")
+    }
+    assert(hintedEquiJoins.nonEmpty && hintedEquiJoins.forall(_ == false),
+      s"equi-join broadcast hints: $hintedEquiJoins")
+  }
+
+  test("termLookup ranks docs by tf with doc_id tie-break and joins metadata") {
+    val docs = Seq(
+      (1L, "q q q pad"), (2L, "q"), (3L, "q q longer text here"),
+      (4L, "none"), (5L, "q q"),
+    ).toDF("doc_id", "text")
+    val got = Search.termLookup(docs, term = "q", k = 3)
+      .as[(Long, Long, Int)].collect().toSeq
+    assert(got == Seq(
+      (1L, 3L, 9),   // "q q q pad"
+      (3L, 2L, 20),  // tf tie at 2 → doc_id 3 before 5
+      (5L, 2L, 3),
     ))
   }
 
