@@ -108,6 +108,17 @@ object EventsOps {
     * flagging pass is per-row codegen. A window over the group key
     * would instead funnel each group through one task — with 5 event
     * types that is 5 tasks total, the classic low-cardinality skew.
+    *
+    * Degenerate groups — one event, or a constant value — define no
+    * z-score and are dropped (n > 1 AND std > 0), and the variance is
+    * clamped at zero before the sqrt: `s2/n − mean²` can round a hair
+    * negative for near-constant groups, where Spark would yield NaN
+    * but an ANSI engine raises. Magnitude bound for the exact-stats
+    * claim: SUM(value²) accumulates in DECIMAL(38,12) with 26 integer
+    * digits of headroom, so the stats stay exact (no silent NULL
+    * overflow) while n·value² < 10²⁶ — e.g. |value| ≤ 3·10⁶ across
+    * 10¹² rows. Values beyond that need pre-centering or a wider
+    * intermediate; the events fixture is orders of magnitude inside it.
     */
   def zScoreAnomalies(events: DataFrame, cut: Double): DataFrame = {
     val dec = col("value").cast(DecimalType(18, 6))
@@ -117,7 +128,8 @@ object EventsOps {
       sum(dec * dec).cast(DoubleType).as("s2"))
       .withColumn("mean", col("s1") / col("n"))
       .withColumn("std",
-        sqrt(col("s2") / col("n") - col("mean") * col("mean")))
+        sqrt(greatest(col("s2") / col("n") - col("mean") * col("mean"), lit(0.0))))
+      .filter(col("n") > 1 && col("std") > 0.0)
     events.join(broadcast(stats), Seq("event_type"))
       .withColumn("z", (col("value") - col("mean")) / col("std"))
       .filter(abs(col("z")) > cut)
@@ -137,9 +149,12 @@ object EventsOps {
         |              AS DOUBLE) AS s2
         |  FROM events GROUP BY event_type
         |), st AS (
-        |  SELECT event_type, n, s1 / n AS mean,
-        |         sqrt(s2 / n - (s1 / n) * (s1 / n)) AS std
-        |  FROM stats
+        |  SELECT * FROM (
+        |    SELECT event_type, n, s1 / n AS mean,
+        |           sqrt(greatest(s2 / n - (s1 / n) * (s1 / n),
+        |                CAST(0.0 AS DOUBLE))) AS std
+        |    FROM stats
+        |  ) WHERE n > 1 AND std > CAST(0.0 AS DOUBLE)
         |), z AS (
         |  SELECT e.event_type, (e.value - st.mean) / st.std AS z
         |  FROM events e JOIN st ON e.event_type = st.event_type

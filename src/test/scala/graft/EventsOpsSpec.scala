@@ -97,4 +97,19 @@ class EventsOpsSpec extends SparkSpec {
     val plan = got.queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
   }
+
+  test("q90 z-scores: degenerate groups yield no rows, never NaN/Inf") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // one singleton group, one constant-valued group, one real group
+    // with an obvious outlier — only the real group may flag anything
+    val events = (Seq((1L, "solo", 5.0), (2L, "const", 1.0), (3L, "const", 1.0),
+      (4L, "const", 1.0)) ++
+      (5L to 40L).map(i => (i, "live", 1.0)) :+ (41L, "live", 1000.0))
+      .toDF("event_id", "event_type", "value")
+    val got = operators.EventsOps.zScoreAnomalies(events, cut = 2.5)
+      .select(col("event_type"), col("z")).collect()
+    assert(got.forall(r => !r.getDouble(1).isNaN && !r.getDouble(1).isInfinite))
+    assert(got.map(_.getString(0)).toSet == Set("live"))
+  }
 }
