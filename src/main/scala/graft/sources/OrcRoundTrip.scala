@@ -132,6 +132,37 @@ object OrcRoundTrip {
     memoRead(spark, dest)(spark.read.orc(dest))
   }
 
+  /** Twin ORC copies for the file-level bloom-filter index surface
+    * (SURVEY §2.2 sargs row: the reference builds the full sargs
+    * machinery incl. bloom evaluation — `orc-parser/Makefile:37` adds
+    * `../orc/c++/src/sargs`). Identical layout — single file, natural
+    * row order, 1k-row index stride — differing ONLY in
+    * `orc.bloom.filter.columns=l_partkey`. l_partkey is scattered, so
+    * every row group's min/max spans nearly the whole key range and a
+    * POINT predicate prunes nothing through min/max indexes alone;
+    * with the bloom index the reader skips every row group whose
+    * filter rejects the probe value. OrcSpec measures exactly that
+    * differential (scan output rows bloom ≪ no-bloom).
+    */
+  def bloomOrcPath(spark: SparkSession, dir: String, withBloom: Boolean): String =
+    stagedDerivedOrc(spark, dir,
+      if (withBloom) "lineitem_bloom" else "lineitem_nobloom") { (df, d) =>
+      val w = df.select("l_orderkey", "l_partkey", "l_quantity")
+        .coalesce(1)
+        .write.mode("overwrite").option("compression", "snappy")
+        .option("orc.row.index.stride", "1000")
+      (if (withBloom)
+        w.option("orc.bloom.filter.columns", "l_partkey")
+          .option("orc.bloom.filter.fpp", "0.05")
+      else w).orc(d)
+    }
+
+  /** ORC frame over the bloom-indexed lineitem copy. */
+  def bloomOrcCopy(spark: SparkSession, dir: String): DataFrame = {
+    val dest = bloomOrcPath(spark, dir, withBloom = true)
+    memoRead(spark, dest)(spark.read.orc(dest))
+  }
+
   /** Hive-partitioned, multi-part ORC(snappy) copy of lineitem —
     * `l_returnflag=<v>/part-*.orc`, several part files per partition:
     * the multi-part directory layout the reference's scripts consume
@@ -301,6 +332,24 @@ object OrcRoundTrip {
           date_format(min(col("o_orderdate")), "yyyy-MM-dd").as("first_day"),
         )
         .orderBy("o_orderpriority")
+    },
+
+    // Point lookup through the bloom-indexed ORC copy: the equality
+    // sarg reaches the reader (PushedFilters), the bloom index does
+    // the row-group skipping min/max can't (OrcSpec proves the
+    // skipping differentially), and the oracle recomputes the
+    // aggregate from the parquet source — value-preservation and
+    // index-correctness (no matching row lost to a bloom) in one gate.
+    QueryEntry.sql(
+      "q95_orc_bloom_lookup",
+      """SELECT CAST(SUM(l_orderkey) AS BIGINT) AS sum_ok,
+        |       SUM(l_quantity) AS sum_qty, COUNT(*) AS cnt
+        |FROM lineitem WHERE l_partkey = 100""".stripMargin,
+    ) { (s, dir) =>
+      bloomOrcCopy(s, dir)
+        .filter(col("l_partkey") === 100)
+        .agg(sum("l_orderkey").as("sum_ok"),
+          sum("l_quantity").as("sum_qty"), count(lit(1)).as("cnt"))
     },
 
     // The reference program through the hot path: stripe-parallel

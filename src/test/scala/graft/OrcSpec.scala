@@ -103,6 +103,60 @@ class OrcSpec extends SparkSpec {
       s"scan=$scanRows matching=$matching total=$total")
   }
 
+  test("bloom-filter index skips row groups a min/max index can't (measured)") {
+    // identical twin copies — hash-scattered keys, 1k stride, 50 row
+    // groups — one with orc.bloom.filter.columns=key. A point probe on
+    // a value that occurs ONCE, in-range: every group's min/max spans
+    // nearly the whole key space (no pruning without blooms); the
+    // bloom index must skip all but the one group that truly contains
+    // it (+fpp noise). The fixture table is too small for this (6 row
+    // groups, every partkey in all of them), so the corpus is
+    // synthesized at spec scale through the same writer/reader path.
+    val rows = spark.range(50000)
+      .select(col("id").as("rowid"),
+        pmod(xxhash64(col("id")), lit(1000000)).as("key"))
+    // a MID-RANGE unique key: an extreme one would sit outside most
+    // groups' [min,max] and let the plain index prune it, masking the
+    // bloom's contribution
+    val probe = rows.groupBy("key").count()
+      .filter(col("count") === 1 && col("key").between(400000, 600000))
+      .orderBy("key").head.getLong(0)
+    def write(dest: String, withBloom: Boolean): Unit = {
+      val w = rows.coalesce(1)
+        .write.mode("overwrite").option("compression", "snappy")
+        .option("orc.row.index.stride", "1000")
+      (if (withBloom)
+        w.option("orc.bloom.filter.columns", "key")
+          .option("orc.bloom.filter.fpp", "0.05")
+      else w).orc(dest)
+    }
+    def scanRows(dest: String): (Long, Long) = {
+      val q = spark.read.orc(dest).filter(col("key") === probe).select("rowid")
+      val matching = q.collect().length.toLong
+      val scanned = q.queryExecution.executedPlan.collectLeaves()
+        .collect { case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+          s.metrics("numOutputRows").value }
+        .sum
+      (matching, scanned)
+    }
+    val noDest = s"${sys.props("java.io.tmpdir")}/graft_orc_bloom_no"
+    val yesDest = s"${sys.props("java.io.tmpdir")}/graft_orc_bloom_yes"
+    write(noDest, withBloom = false)
+    write(yesDest, withBloom = true)
+    val (m1, noBloom) = scanRows(noDest)
+    val (m2, bloom) = scanRows(yesDest)
+    assert(m1 == 1 && m2 == 1, s"probe $probe matches: $m1 vs $m2")
+    // without blooms the scattered key defeats min/max: most groups read
+    assert(noBloom > 25000, s"no-bloom scan $noBloom of 50000 — min/max pruned?")
+    // with blooms the reader must skip the overwhelming majority
+    assert(bloom >= m1 && bloom < noBloom / 4,
+      s"bloom scan $bloom vs no-bloom $noBloom (matching $m1)")
+    // and the sarg really reached the reader
+    val plan = spark.read.orc(yesDest)
+      .filter(col("key") === probe).queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("key"), plan.take(1500))
+  }
+
   test("partitioned ORC layout: multi-part files, pruned scan (reference multi-part dirs)") {
     val df = OrcRoundTrip.partitionedOrcCopy(spark, sf)
     // multi-part layout: >1 data file under at least one partition dir
