@@ -36,6 +36,7 @@ object SparkEntry {
       operators.Cdc.entries ++
       operators.Multimodal.entries ++
       sources.OrcRoundTrip.entries ++
+      sources.CharVarcharOrc.entries ++
       sources.BucketedTables.entries ++
       sources.Compaction.entries ++
       sources.ZOrderLayout.entries

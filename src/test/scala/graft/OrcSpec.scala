@@ -157,6 +157,39 @@ class OrcSpec extends SparkSpec {
     assert(plan.contains("PushedFilters") && plan.contains("key"), plan.take(1500))
   }
 
+  test("char/varchar ORC: true types in the footer, pad/truncate semantics round-trip") {
+    import spark.implicits._
+    // the STAGED copy carries real char(1)/varchar(n) ORC types — the
+    // footer must say so (Spark's own writer would have erased them)
+    sources.CharVarcharOrc.charVarcharCopy(spark, sf).count()
+    val staged = graft.sources.Staging.fingerprintPath(
+      "graft_orc", sf, "lineitem.parquet", "lineitem_charvarchar")
+    val orcFile = new java.io.File(staged).listFiles()
+      .filter(_.getName.endsWith(".orc")).head
+    val footer = org.apache.orc.OrcFile.createReader(
+      new org.apache.hadoop.fs.Path(orcFile.getAbsolutePath),
+      org.apache.orc.OrcFile.readerOptions(
+        new org.apache.hadoop.conf.Configuration())).getSchema.toString
+    assert(footer.contains("char(1)") && footer.contains("varchar(1)") &&
+      footer.contains("varchar(10)"), footer)
+    // padding/truncation: char(3) pads short values, varchar(2) truncates
+    val dest = s"${sys.props("java.io.tmpdir")}/graft_orc_cv_sem"
+    val fs = new org.apache.hadoop.fs.Path(dest).getFileSystem(
+      spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(dest), true)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(dest))
+    val rows = Seq(("a", "xyz", "longvalue", 1L), ("bbb", "q", "s", 2L))
+      .toDF("flag", "status", "ship", "ok").coalesce(1)
+    sources.CharVarcharOrc.writeTyped(rows, dest,
+      "struct<flag:char(3),status:varchar(2),ship:varchar(4),ok:bigint>")
+    val back = spark.read.orc(dest).orderBy("ok")
+      .as[(String, String, String, Long)].collect().toSeq
+    assert(back == Seq(
+      ("a  ", "xy", "long", 1L), // char pads, varchar truncates
+      ("bbb", "q", "s", 2L),
+    ))
+  }
+
   test("partitioned ORC layout: multi-part files, pruned scan (reference multi-part dirs)") {
     val df = OrcRoundTrip.partitionedOrcCopy(spark, sf)
     // multi-part layout: >1 data file under at least one partition dir
