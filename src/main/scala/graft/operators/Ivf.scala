@@ -71,10 +71,15 @@ object Ivf {
 
   /** Fitted-quantizer memo: an IVF index is built once and queried
     * many times; refitting per query would misrepresent the operator's
-    * cost. Keyed by the logical plan's semantic hash — NOTE this keys
-    * the *plan*, not the files: if data under the same path is
-    * rewritten in a long-lived session, call [[invalidateIndex]] (the
-    * same contract as Spark's own `REFRESH TABLE`). Bounded to 64
+    * cost. Keyed by the logical plan's semantic hash, which includes
+    * the resolved file listing — so a FRESH `spark.read` after a
+    * same-path rewrite misses the memo and refits automatically
+    * (spec-asserted in IvfSpec). The stale hazard is holding the SAME
+    * DataFrame across a rewrite (unchanged plan → unchanged hash):
+    * Spark's CacheManager re-caches the persisted inverted lists on a
+    * same-session overwrite, but THIS memo keeps serving the
+    * quantizer fitted on the old data — call [[invalidateIndex]] and
+    * re-read, the engine's `REFRESH TABLE` analogue. Bounded to 64
     * fitted models.
     */
   private val centroidCache =

@@ -35,6 +35,53 @@ class IvfSpec extends SparkSpec {
     assert(ivf.size == 10 && ivf.values.forall(_.size == 5))
   }
 
+  test("index memo contract: rewrite detection via plan hash, invalidateIndex() for held plans") {
+    // The memo keys the semantic hash of the READ PLAN, which includes
+    // the file listing: a FRESH spark.read after a same-path rewrite
+    // therefore misses the memo and refits from the new files
+    // automatically. The stale hazard is holding the SAME DataFrame
+    // across a rewrite — its plan (and hash) is unchanged, so the memo
+    // keeps serving the materialized index; invalidateIndex() is the
+    // REFRESH TABLE analogue that resets it.
+    val p = s"${sys.props("java.io.tmpdir")}/graft_ivf_fresh_spec"
+    def write(vs: Seq[(Long, Array[Float])]): Unit =
+      vs.toDF("vec_id", "embedding").coalesce(1)
+        .write.mode("overwrite").parquet(p)
+    val probes = Seq((100L, Array(1f, 0f, 0f, 0f))).toDF("vec_id", "embedding")
+    def top1(emb: org.apache.spark.sql.DataFrame): Long =
+      Ivf.annSearch(emb, probes, nprobe = 2, k = 1, nClusters = 2, iters = 1)
+        .select("vec_id").as[Long].head()
+    Ivf.invalidateIndex() // isolate from other tests' memo state
+    write(Seq(
+      (0L, Array(1f, 0f, 0f, 0f)), (1L, Array(0f, 1f, 0f, 0f)),
+      (2L, Array(0f, 0f, 1f, 0f)), (3L, Array(0f, 0f, 0f, 1f))))
+    val held = spark.read.parquet(p)
+    assert(top1(held) == 0L) // vec 0 is the exact match
+    val centsBefore = Ivf.fittedCentroids(held, 2, 1).map(_.toSeq)
+    // rewrite under the SAME path: now vec 7 is the exact match, and
+    // the natural clusters lie along different axes than before
+    write(Seq(
+      (5L, Array(0f, 1f, 0f, 0f)), (6L, Array(0f, 0f, 1f, 0f)),
+      (7L, Array(1f, 0f, 0f, 0f)), (8L, Array(0f, 0f, 0f, 1f))))
+    // a fresh read lists the new files -> new plan hash -> full refit
+    assert(top1(spark.read.parquet(p)) == 7L,
+      "fresh read after rewrite must refit the index")
+    // the HELD plan's layers split: Spark's CacheManager refreshed the
+    // persisted inverted lists on the same-session overwrite (so the
+    // DATA is current), but the fitted quantizer memo-hits on the
+    // unchanged plan hash and stays STALE — the reason the contract
+    // says invalidate + re-read after a rewrite
+    val centsHeld = Ivf.fittedCentroids(held, 2, 1).map(_.toSeq)
+    assert(centsHeld == centsBefore,
+      "held plan must memo-hit the (stale) fitted quantizer")
+    Ivf.invalidateIndex()
+    val fresh = spark.read.parquet(p)
+    assert(Ivf.fittedCentroids(fresh, 2, 1).map(_.toSeq) != centsBefore,
+      "invalidation must refit the quantizer from the rewritten files")
+    assert(top1(fresh) == 7L,
+      "invalidation must rebuild from the rewritten files")
+  }
+
   test("IVF-PQ: codes in range, 4-byte payload, recall@5 does not collapse") {
     import graft.operators.Pq
     val emb = Tables(spark, sf).embeddings
