@@ -79,7 +79,13 @@ object Bench {
     }
 
     val entries = SparkEntry.allEntries.filter(e => SparkEntry.envSelected(e.name))
-    val results = entries.map { e =>
+    val results = entries.zipWithIndex.map { case (e, idx) =>
+      // Deterministic trial hygiene (outside every timed region): a
+      // driver GC lets ContextCleaner reclaim the previous queries'
+      // broadcast blocks NOW rather than whenever the 30s periodic GC
+      // lands mid-measurement; every 16 queries keeps the pause cost
+      // (~100ms on this heap) amortized to noise.
+      if (idx % 16 == 0) System.gc()
       // every run of a checkpoint-using query (q20/q38/q42/q58…) pins
       // fresh block-manager memory; across 64 queries × 6 runs the
       // accumulation degrades later queries (r02: q62 read 4.0 s in the

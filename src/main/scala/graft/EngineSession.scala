@@ -52,6 +52,15 @@ object EngineSession {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .config("spark.driver.host", "localhost")
+      // ContextCleaner frees broadcast/shuffle blocks only after a
+      // driver GC enqueues their weak references; the 30min default
+      // means a long-running driver accumulates every query's broadcast
+      // blocks in block-manager memory meanwhile (measured: the
+      // broadcast-join-heavy q45/q56/q57 ran 1.3-2.2x slower at the
+      // tail of a 97-query sequence than isolated). 30s bounds the
+      // accumulation window. Context-start-only conf, so set here and
+      // not in runtimeConf.
+      .config("spark.cleaner.periodicGC.interval", "30s")
     runtimeConf.foreach { case (k, v) => b.config(k, v) }
     val spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

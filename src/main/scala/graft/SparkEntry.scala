@@ -16,13 +16,18 @@ object SparkEntry {
   def allEntries: Seq[QueryEntry] =
     operators.Relational.entries ++
       operators.TextAnalysis.entries ++
+      operators.CorpusOps.entries ++
       operators.Redact.entries ++
       operators.Search.entries ++
       operators.Dedup.entries ++
+      operators.Fuzzy.entries ++
       operators.Similarity.entries ++
+      operators.Knn.entries ++
       operators.Ivf.entries ++
       operators.Pq.entries ++
       operators.EventsOps.entries ++
+      operators.Retention.entries ++
+      operators.Profile.entries ++
       operators.PageRank.entries ++
       operators.Skew.entries ++
       operators.CountMin.entries ++

@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.expressions.{Expression, XxHash64}
-import org.apache.spark.sql.graft.{CosineSimF32, DotProductF32, MinHashSignature, Shims, SimHash64, SplitMix64}
+import org.apache.spark.sql.graft.{CosineSimF32, DotProductF32, MinHashSignature, Shims, SimHash64, SplitMix64, TopKScoreId}
 import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
 
 /** Column-level API + SQL registration for the graft expressions.
@@ -43,6 +43,13 @@ object GraftFunctions {
   def xxhash64Seeded(seed: Long, cols: Column*): Column =
     col(XxHash64(cols.map(expr), seed))
 
+  /** topk_score_id(score double, id bigint, k) → array<struct<score,id>>
+    * sorted (score DESC, id ASC): grouped top-k with a k-bounded
+    * map-side partial buffer (see [[TopKScoreId]]).
+    */
+  def topkScoreId(score: Column, id: Column, k: Int): Column =
+    col(TopKScoreId(expr(score), expr(id), k).toAggregateExpression())
+
   private def arity(name: String, n: Int)(es: Seq[Expression]): Unit =
     require(es.length == n,
       s"$name expects $n argument(s), got ${es.length}")
@@ -55,6 +62,18 @@ object GraftFunctions {
     "cosine_f32" -> (es => { arity("cosine_f32", 2)(es); CosineSimF32(es(0), es(1)) }),
     "simhash64" -> (es => { arity("simhash64", 1)(es); SimHash64(es(0)) }),
     "splitmix64" -> (es => { arity("splitmix64", 1)(es); SplitMix64(es(0)) }),
+    // k must be a positive integer literal (it sizes the agg buffer)
+    "topk_score_id" -> (es => es match {
+      case Seq(s, i, kE) if kE.foldable =>
+        kE.eval() match {
+          case n: Number if n.intValue() > 0 =>
+            TopKScoreId(s, i, n.intValue()).toAggregateExpression()
+          case other => throw new IllegalArgumentException(
+            s"topk_score_id k must be a positive integer literal, got $other")
+        }
+      case _ => throw new IllegalArgumentException(
+        "topk_score_id expects (score double, id bigint, k literal)")
+    }),
     // optional second arg: permutation count (non-null int literal)
     "minhash_sig" -> (es => es match {
       case Seq(e) => MinHashSignature(e)

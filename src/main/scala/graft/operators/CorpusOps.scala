@@ -1,0 +1,105 @@
+package graft.operators
+
+import graft.{QueryEntry, Tables}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Corpus-preparation operators: fixed-window text chunking (the
+  * RAG/embedding-prep splitter) and corpus-wide word n-gram counting.
+  *
+  * Both are narrow per-document explodes followed by stock shuffles —
+  * no driver-side state, no per-key buffers beyond the n-gram count
+  * aggregate (map-side combinable), so they hold at corpus scale.
+  */
+object CorpusOps {
+
+  /** Fixed-size overlapping character chunks: windows of `window` chars
+    * every `window - overlap` chars (the standard RAG splitter shape).
+    * Per-row explode of the start offsets — ≤ ⌈len/step⌉ rows per doc,
+    * each chunk fingerprinted so downstream chunk-level dedup can run
+    * without carrying the text.
+    */
+  def chunk(docs: DataFrame, window: Int, overlap: Int): DataFrame = {
+    require(overlap >= 0 && overlap < window,
+      s"need 0 <= overlap < window, got window=$window overlap=$overlap")
+    val step = window - overlap
+    docs
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(0), length(col("text")) - 1, lit(step)))
+          .as("chunk_start"))
+      .select(
+        col("doc_id"),
+        (col("chunk_start") / step).cast(IntegerType).as("chunk_id"),
+        col("chunk_start").cast(LongType).as("chunk_start"),
+        length(substring_index_window(col("text"), col("chunk_start"), window))
+          .as("chunk_len"),
+        md5(substring_index_window(col("text"), col("chunk_start"), window)
+          .cast(BinaryType)).as("chunk_md5"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
+  /** substring(text, start+1, window) as a named helper (1-based SQL
+    * substring over a 0-based offset column).
+    */
+  private def substring_index_window(text: org.apache.spark.sql.Column,
+      start: org.apache.spark.sql.Column, window: Int) =
+    text.substr(start + 1, lit(window))
+
+  /** Corpus-wide word n-gram counts, top `k` by (count DESC, gram ASC).
+    * The CASE guard matters: Spark's `sequence(a, b)` steps BACKWARD
+    * when b < a (a doc shorter than n grams would fabricate negative
+    * indices), so short docs must yield an empty gram array explicitly.
+    */
+  def topNgrams(docs: DataFrame, n: Int, k: Int): DataFrame = {
+    require(n >= 2, s"use plain token counts for n=1, got n=$n")
+    val gramExpr =
+      (0 until n).map(j => s"toks[i + $j]").mkString("concat_ws(' ', ", ", ", ")")
+    docs
+      .select(TextAnalysis.tokens(col("text")).as("toks"))
+      .select(explode(expr(
+        s"CASE WHEN size(toks) >= $n THEN " +
+          s"transform(sequence(0, size(toks) - $n), i -> $gramExpr) " +
+          "ELSE array() END")).as("gram"))
+      .groupBy("gram")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("gram"))
+      .limit(k)
+  }
+
+  val entries: Seq[QueryEntry] = Seq(
+    // q100 — 80-char windows with 20-char overlap; DuckDB re-derives
+    // every offset, length, and chunk digest.
+    QueryEntry.sql(
+      "q100_text_chunks",
+      """WITH starts AS (
+        |  SELECT doc_id, text,
+        |         unnest(generate_series(0, length(text) - 1, 60)) AS chunk_start
+        |  FROM documents
+        |)
+        |SELECT doc_id, CAST(chunk_start / 60 AS INT) AS chunk_id,
+        |       CAST(chunk_start AS BIGINT) AS chunk_start,
+        |       CAST(length(substr(text, chunk_start + 1, 80)) AS INT) AS chunk_len,
+        |       md5(substr(text, chunk_start + 1, 80)) AS chunk_md5
+        |FROM starts ORDER BY doc_id, chunk_id""".stripMargin,
+    ) { (s, dir) =>
+      chunk(Tables(s, dir).documentsRebalanced, window = 80, overlap = 20)
+    },
+
+    // q101 — corpus top-50 word trigrams (count tie broken by gram).
+    QueryEntry.sql(
+      "q101_top_ngrams",
+      """WITH tok AS (
+        |  SELECT regexp_split_to_array(trim(lower(text)), '\s+') AS t
+        |  FROM documents
+        |), g AS (
+        |  SELECT t[i] || ' ' || t[i + 1] || ' ' || t[i + 2] AS gram
+        |  FROM (SELECT t, unnest(generate_series(1, len(t) - 2)) AS i FROM tok)
+        |)
+        |SELECT gram, COUNT(*) AS n FROM g GROUP BY gram
+        |ORDER BY n DESC, gram LIMIT 50""".stripMargin,
+    ) { (s, dir) =>
+      topNgrams(Tables(s, dir).documentsRebalanced, n = 3, k = 50)
+    },
+  )
+}

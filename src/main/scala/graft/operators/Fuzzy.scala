@@ -1,0 +1,62 @@
+package graft.operators
+
+import graft.{QueryEntry, Tables}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Fuzzy (edit-distance) self-join — typo-variant entity resolution for
+  * record linkage / dedup pipelines.
+  *
+  * Candidate generation is the deletion-neighborhood scheme (FastSS,
+  * Bocek et al. 2007; popularized as SymSpell): each string emits its
+  * ≤ len+1 single-deletion variants (plus itself), candidates are pairs
+  * sharing ANY variant — an equi-join on the variant key — and a final
+  * `levenshtein(a,b) <= 1` filter removes the false positives the
+  * shared-variant condition admits (sharing a deletion variant bounds
+  * the distance by 2, not 1). Soundness: if lev(a,b) ≤ 1 the pair
+  * shares a variant (equal → identity variant; substitution at i →
+  * both drop i; insertion → the longer drops the inserted char), so no
+  * true pair is missed.
+  *
+  * The 100 TB shape: candidate generation is a narrow per-row explode
+  * (≤ len+1 rows each), the join is a plain shuffle equi-join on the
+  * variant key, and compute is Σ bucket² over variant buckets whose
+  * size is bounded by alphabet·length (every member of a bucket is one
+  * edit from the same variant) — never the all-pairs n² the naive
+  * `levenshtein` theta-join would cost. `distinct` before the join
+  * collapses duplicate variants (a digit run yields the same string
+  * for every deleted position).
+  */
+object Fuzzy {
+
+  /** Pairs of `keyCol` values within levenshtein distance 1, each pair
+    * once (a < b).
+    */
+  def fuzzyPairs(df: DataFrame, keyCol: String): DataFrame = {
+    val keys = df.select(col(keyCol).as("k")).distinct()
+    val variants = keys.select(col("k"), explode(array_distinct(concat(
+      array(col("k")),
+      expr("transform(sequence(1, length(k)), i -> " +
+        "concat(substring(k, 1, i - 1), substring(k, i + 1)))")))).as("v"))
+    variants.as("a").join(variants.as("b"), col("a.v") === col("b.v"))
+      .filter(col("a.k") < col("b.k"))
+      .select(col("a.k").as("name_a"), col("b.k").as("name_b"))
+      .distinct()
+      .filter(levenshtein(col("name_a"), col("name_b")) <= 1)
+      .orderBy("name_a", "name_b")
+  }
+
+  val entries: Seq[QueryEntry] = Seq(
+    // q99 — all customer-name pairs within one edit. The DuckDB oracle
+    // is the naive all-pairs theta-join (correct by definition); the
+    // engine side must produce the identical pair set from the
+    // deletion-neighborhood candidates.
+    QueryEntry.sql(
+      "q99_fuzzy_join",
+      """SELECT a.c_name AS name_a, b.c_name AS name_b
+        |FROM customer a JOIN customer b
+        |  ON a.c_name < b.c_name AND levenshtein(a.c_name, b.c_name) <= 1
+        |ORDER BY name_a, name_b""".stripMargin,
+    ) { (s, dir) => fuzzyPairs(Tables(s, dir).customer, "c_name") },
+  )
+}

@@ -116,6 +116,44 @@ object Search {
       .orderBy(col("tf").desc, col("doc_id"))
   }
 
+  /** BM25 ranked retrieval (Robertson k1/b form, Lucene idf):
+    * score(d,Q) = Σ_t ln(1 + (N-df+0.5)/(df+0.5)) ·
+    *              tf·(k1+1) / (tf + k1·(1 - b + b·dl/avgdl)).
+    *
+    * Scale shape: the term filter lands directly after the tokenizer,
+    * so the tf frame is bounded by documents containing query terms —
+    * the classic IR working set — while doc length (dl) and the corpus
+    * stats (N, avgdl) come from one full-corpus count aggregate. The
+    * per-term df frame has |Q| rows (df over query terms only) and the
+    * 1-row stats frame is a crossJoin broadcast; the tf⨝dl join on
+    * doc_id is a plain shuffle equi-join. Per-doc scores sum at most
+    * |Q| addends; ROUND(,6) + doc_id tie-break before the final
+    * `TakeOrderedAndProject` keeps the ranking engine-independent.
+    */
+  def bm25(docs: DataFrame, terms: Seq[String], k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val tok = docs
+      .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("t"))
+    val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n"), avg("dl").as("avgdl"))
+    val tf = tok.filter(col("t").isInCollection(terms))
+      .groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("t").agg(count(lit(1)).as("df"))
+    tf.join(broadcast(df), Seq("t"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log(lit(1) + (col("n") - col("df") + 0.5) / (col("df") + 0.5)))
+      .withColumn("contrib",
+        col("idf") * col("tf") * (k1 + 1) /
+          (col("tf") + lit(k1) * (lit(1) - b + lit(b) * col("dl") / col("avgdl"))))
+      .groupBy("doc_id")
+      .agg(round(sum("contrib"), 6).as("score"),
+        count(lit(1)).cast(IntegerType).as("n_terms"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
+
   val entries: Seq[QueryEntry] = Seq(
     // Inverted-index build under the differential gate: DuckDB
     // re-derives every postings chunk (ordered, distinct), re-digests
@@ -195,6 +233,41 @@ object Search {
         |ORDER BY tf DESC, doc_id""".stripMargin,
     ) { (s, dir) =>
       termLookup(Tables(s, dir).documentsRebalanced, term = "join", k = 10)
+    },
+
+    // BM25 top-10 for the 3-term query {join, vector, dup} ('dup' is
+    // the rare high-idf term in the fixture vocabulary); DuckDB
+    // re-derives every factor — dl, avgdl, df, idf — from scratch.
+    QueryEntry.sql(
+      "q98_bm25",
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |         unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS t
+        |  FROM documents
+        |), dl AS (
+        |  SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY 1
+        |), stats AS (
+        |  SELECT COUNT(*) AS n, AVG(dl) AS avgdl FROM dl
+        |), tf AS (
+        |  SELECT doc_id, t, COUNT(*) AS tf FROM tok
+        |  WHERE t IN ('join', 'vector', 'dup') GROUP BY 1, 2
+        |), df AS (
+        |  SELECT t, COUNT(*) AS df FROM tf GROUP BY 1
+        |), contrib AS (
+        |  SELECT tf.doc_id,
+        |         ln(1 + (stats.n - df.df + 0.5) / (df.df + 0.5))
+        |           * tf.tf * 2.2
+        |           / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl))
+        |           AS c
+        |  FROM tf JOIN df USING (t) JOIN dl USING (doc_id), stats
+        |)
+        |SELECT doc_id, ROUND(SUM(c), 6) AS score,
+        |       CAST(COUNT(*) AS INT) AS n_terms
+        |FROM contrib GROUP BY doc_id
+        |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
+    ) { (s, dir) =>
+      bm25(Tables(s, dir).documentsRebalanced,
+        terms = Seq("join", "vector", "dup"), k = 10)
     },
   )
 }

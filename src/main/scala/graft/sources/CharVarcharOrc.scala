@@ -46,9 +46,13 @@ object CharVarcharOrc {
       val schema = TypeDescription.fromString(schemaStr)
       val widths = schema.getChildren
       val pid = TaskContext.get().partitionId()
+      // overwrite: a write block re-entered after a failed or
+      // marker-less earlier attempt must be idempotent (the ORC writer
+      // refuses existing files by default)
       val writer = OrcFile.createWriter(new Path(s"$dest/part-r$pid.orc"),
         OrcFile.writerOptions(new Configuration())
-          .setSchema(schema).compress(CompressionKind.SNAPPY))
+          .setSchema(schema).compress(CompressionKind.SNAPPY)
+          .overwrite(true))
       val batch = schema.createRowBatch(10000)
       def flush(): Unit =
         if (batch.size > 0) { writer.addRowBatch(batch); batch.reset() }
@@ -92,6 +96,10 @@ object CharVarcharOrc {
           date_format(col("l_shipdate"), "yyyy-MM-dd").as("ship"),
           col("l_orderkey").as("ok")),
         dest)
+      // Spark's committer drops _SUCCESS automatically; the native
+      // per-partition writer must place the marker itself, or every
+      // new JVM re-stages over the last one's files
+      new java.io.File(dest, "_SUCCESS").createNewFile()
     }
     OrcRoundTrip.memoRead(spark, dest)(spark.read.orc(dest))
   }

@@ -1,0 +1,89 @@
+package graft
+
+import graft.functions.GraftFunctions
+import graft.operators.Knn
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+class KnnSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("knnJoin equals the window-rank brute force") {
+    val emb = Tables(spark, sf).embeddings
+    val got = run("q97_knn_join")
+      .as[(Long, Int, Long, Double)].collect().toSeq
+
+    val probes = emb.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pvec"))
+    val w = Window.partitionBy("probe_id")
+      .orderBy(col("score").desc, col("vec_id"))
+    val brute = emb.crossJoin(broadcast(probes))
+      .filter(col("vec_id") =!= col("probe_id"))
+      .select(col("probe_id"), col("vec_id"),
+        round(GraftFunctions.cosineF32(col("embedding"), col("pvec")), 6).as("score"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("probe_id"), col("rank"), col("vec_id"), col("score"))
+      .orderBy("probe_id", "rank")
+      .as[(Long, Int, Long, Double)].collect().toSeq
+
+    assert(got == brute)
+  }
+
+  test("grouped top-k aggregates with a k-bounded partial (no window exchange of scored rows)") {
+    val plan = run("q97_knn_join").queryExecution.executedPlan.toString
+    // the native heap aggregate plans as ObjectHashAggregate with a
+    // partial mode before the exchange; a window formulation would show
+    // a Window node over the full scored set instead
+    assert(plan.contains("ObjectHashAggregate"), plan.take(2000))
+    assert(!plan.contains("Window"), plan.take(2000))
+  }
+
+  test("topk_score_id: ties break by smaller id; k beyond group size returns all, sorted") {
+    val df = Seq(
+      (1L, 0.5, 10L), (1L, 0.5, 3L), (1L, 0.9, 7L), (1L, 0.1, 1L),
+      (2L, 0.4, 2L),
+    ).toDF("g", "score", "id")
+    val out = df.groupBy("g")
+      .agg(GraftFunctions.topkScoreId(col("score"), col("id"), 3).as("nn"))
+      .select(col("g"), expr("transform(nn, x -> x.id)").as("ids"))
+      .orderBy("g")
+      .as[(Long, Seq[Long])].collect().toSeq
+    assert(out == Seq((1L, Seq(7L, 3L, 10L)), (2L, Seq(2L))))
+  }
+
+  test("topk_score_id merges partial heaps across partitions and ignores nulls") {
+    val df = spark.range(0, 1000, 1, 8)
+      .select(col("id"),
+        when(col("id") % 97 === 0, lit(null))
+          .otherwise((col("id") % 101).cast("double")).as("score"))
+    val got = df.groupBy(lit(1).as("g"))
+      .agg(GraftFunctions.topkScoreId(col("score"), col("id"), 5).as("nn"))
+      .select(expr("transform(nn, x -> x.id)"))
+      .as[Seq[Long]].head()
+    // best score is 100 at id % 101 == 100, smallest ids first
+    val expected = (0L until 1000L)
+      .filter(i => i % 97 != 0)
+      .map(i => (i % 101, i))
+      .sortBy { case (s, i) => (-s, i) }
+      .take(5).map(_._2)
+    assert(got == expected)
+  }
+
+  test("topk_score_id works from SQL registration") {
+    val one = spark.sql(
+      "SELECT topk_score_id(CAST(c AS DOUBLE), CAST(i AS BIGINT), 2) AS nn " +
+        "FROM VALUES (1.0, 1), (3.0, 2), (2.0, 3) AS t(c, i)")
+      .select(expr("transform(nn, x -> x.id)")).as[Seq[Long]].head()
+    assert(one == Seq(2L, 3L))
+  }
+
+  test("knnJoin probe-batch gate fails loudly") {
+    val emb = Tables(spark, sf).embeddings
+    val probes = emb.select(col("vec_id").as("probe_id"), col("embedding").as("pvec"))
+    val e = intercept[IllegalArgumentException] {
+      Knn.knnJoin(emb, probes, k = 5, maxProbes = 3L)
+    }
+    assert(e.getMessage.contains("maxProbes"))
+  }
+}

@@ -1,0 +1,124 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.operators.{CorpusOps, Fuzzy, Profile, Retention, Search}
+import org.apache.spark.sql.functions._
+
+/** Round-4 pipeline operators: BM25, fuzzy join, chunking, n-grams,
+  * profiler, cohort/funnel.
+  */
+class PipelineOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("q99 deletion-neighborhood fuzzy join equals the naive levenshtein theta-join") {
+    val names = Tables(spark, sf).customer.select(col("c_name").as("k"))
+    val got = run("q99_fuzzy_join").as[(String, String)].collect().toSeq
+    val naive = names.as("a").crossJoin(names.as("b"))
+      .filter(col("a.k") < col("b.k") &&
+        levenshtein(col("a.k"), col("b.k")) <= 1)
+      .select(col("a.k"), col("b.k"))
+      .orderBy("a.k", "b.k")
+      .as[(String, String)].collect().toSeq
+    assert(got == naive)
+    assert(got.nonEmpty) // fixture sanity: digit-substitution pairs exist
+  }
+
+  test("fuzzy join candidates come from an equi-join, not a cartesian product") {
+    val plan = run("q99_fuzzy_join").queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+  }
+
+  test("fuzzy join catches substitution, deletion, and case-equal strings exactly once") {
+    val df = Seq("abcd", "abce", "abd", "xbcd", "abcd_far").toDF("k")
+    val got = Fuzzy.fuzzyPairs(df, "k").as[(String, String)].collect().toSeq
+    // lev(abce, abd) = 2: sharing a deletion variant ("ab?") admits it
+    // as a candidate, the final levenshtein filter must drop it
+    assert(got == Seq(
+      ("abcd", "abce"), // substitution at tail
+      ("abcd", "abd"), // deletion
+      ("abcd", "xbcd"), // substitution at head (no shared prefix!)
+    ))
+  }
+
+  test("q100 chunks cover the text with the declared overlap") {
+    val chunks = CorpusOps.chunk(
+      Seq((1L, "a" * 205)).toDF("doc_id", "text"), window = 80, overlap = 20)
+      .select("chunk_id", "chunk_start", "chunk_len")
+      .as[(Int, Long, Int)].collect().toSeq
+    // starts every 60 chars until len-1: 0, 60, 120, 180
+    assert(chunks == Seq((0, 0L, 80), (1, 60L, 80), (2, 120L, 80), (3, 180L, 25)))
+  }
+
+  test("q101 short docs yield no fabricated n-grams (the backward-sequence guard)") {
+    val grams = CorpusOps.topNgrams(
+      Seq("one two", "solo", "a b c d").toDF("text"), n = 3, k = 10)
+      .as[(String, Long)].collect().toSeq
+    assert(grams == Seq(("a b c", 1L), ("b c d", 1L)))
+  }
+
+  test("q102 profiler counts nulls and distincts per column") {
+    val df = Seq(
+      (Some(1L), Some("x")), (Some(1L), None), (None, Some("y")),
+    ).toDF("a", "b")
+    val got = Profile.profile(df, Seq("a", "b"))
+      .as[(String, Long, Long, Long, String, String)].collect().toSeq
+    assert(got == Seq(
+      ("a", 3L, 1L, 1L, "1", "1"),
+      ("b", 3L, 1L, 2L, "x", "y")))
+  }
+
+  test("q104 funnel requires strict event order within each user") {
+    def ts(min: Int) = new Timestamp(min * 60000L)
+    val ev = Seq(
+      // u1 completes the funnel in order
+      (1L, "view", ts(0)), (1L, "click", ts(1)), (1L, "purchase", ts(2)),
+      // u2 clicks BEFORE first view: never a clicker
+      (2L, "click", ts(0)), (2L, "view", ts(1)), (2L, "purchase", ts(2)),
+      // u3 views only
+      (3L, "view", ts(0)),
+    ).toDF("user_id", "event_type", "ts")
+    val got = Retention.funnel(ev).as[(Long, Long, Long)].head()
+    assert(got == ((3L, 1L, 1L)))
+  }
+
+  test("q103 cohort week 0 row counts every user of the cohort") {
+    val events = Tables(spark, sf).events
+    val rows = Retention.cohortRetention(events)
+    val week0 = rows.filter(col("week_no") === 0)
+      .agg(sum("n_users")).as[Long].head()
+    val users = events.select(countDistinct("user_id")).as[Long].head()
+    assert(week0 == users) // every user is active in their own first week
+  }
+
+  test("q98 BM25 ranks the rare term's documents above common-term-only matches") {
+    val got = run("q98_bm25")
+    val rows = got.as[(Long, Double, Int)].collect().toSeq
+    assert(rows.size == 10)
+    assert(rows.map(_._2) == rows.map(_._2).sorted.reverse) // score-descending
+    // every top doc must contain 'dup' (idf of the rare term dominates)
+    val dupDocs = Tables(spark, sf).documentsRebalanced
+      .filter(array_contains(operators.TextAnalysis.tokens(col("text")), "dup"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(rows.forall(r => dupDocs.contains(r._1)),
+      s"top-10 contains non-'dup' docs: ${rows.map(_._1)}")
+    // df/idf sanity via the public shape: n_terms ≤ 3
+    assert(rows.forall(_._3 <= 3))
+  }
+
+  test("BM25 forces no broadcast of corpus-derived frames (hints only on df and stats)") {
+    // At fixture scale AQE may legitimately broadcast the tiny dl
+    // frame — the 100 TB property is that the PROGRAM only pins
+    // broadcasts on the query-sized frames: the |Q|-row df and the
+    // 1-row stats. Exactly those two hints, nothing else.
+    val plan = Search.bm25(Tables(spark, sf).documentsRebalanced,
+      Seq("join", "vector", "dup"), k = 10)
+      .queryExecution.optimizedPlan
+    val hints = plan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join =>
+        Seq(j.hint.leftHint, j.hint.rightHint).flatten.filter(_.strategy.isDefined)
+    }.flatten
+    assert(hints.size == 2, s"expected the df + stats hints, got: $hints")
+  }
+}
