@@ -242,4 +242,52 @@ final class GraftEngine(val spark: SparkSession) {
     */
   def compact(df: DataFrame, path: String, targetFiles: Int): DataFrame =
     sources.Compaction.compact(df, path, targetFiles)
+
+  /** Exact k-NN join: each probe row (probe_id, pvec) gets its k
+    * nearest corpus vectors by cosine, via the k-bounded-heap native
+    * aggregate (≤k rows per probe per map task cross the shuffle).
+    * The probe batch is broadcast — request-sized by contract, gated.
+    */
+  def knnJoin(emb: DataFrame, probes: DataFrame, k: Int): DataFrame =
+    operators.Knn.knnJoin(emb, probes, k)
+
+  /** BM25 ranked retrieval over (doc_id, text) for a term query. */
+  def bm25(docs: DataFrame, terms: Seq[String], k: Int = 10): DataFrame =
+    operators.Search.bm25(docs, terms, k)
+
+  /** Edit-distance-≤1 fuzzy self-join on `keyCol` via deletion-
+    * neighborhood candidates (FastSS) — no all-pairs comparison.
+    */
+  def fuzzyPairs(df: DataFrame, keyCol: String): DataFrame =
+    operators.Fuzzy.fuzzyPairs(df, keyCol)
+
+  /** Fixed-window overlapping text chunks with per-chunk fingerprints
+    * (the RAG/embedding-prep splitter).
+    */
+  def chunk(docs: DataFrame, window: Int, overlap: Int): DataFrame =
+    operators.CorpusOps.chunk(docs, window, overlap)
+
+  /** Corpus-wide word n-gram counts, top k. */
+  def topNgrams(docs: DataFrame, n: Int = 3, k: Int = 50): DataFrame =
+    operators.CorpusOps.topNgrams(docs, n, k)
+
+  /** Exact per-column profile: rows, nulls, distincts, min/max
+    * (data-quality pre-flight); one pruned pass per column.
+    */
+  def profile(df: DataFrame, columns: Seq[String]): DataFrame =
+    operators.Profile.profile(df, columns)
+
+  /** Single-pass approximate profile (HLL++ distincts) — the 100 TB
+    * default when exact distincts aren't required.
+    */
+  def approxProfile(df: DataFrame, columns: Seq[String]): DataFrame =
+    operators.Profile.approxProfile(df, columns)
+
+  /** Weekly cohort retention counts over (user_id, ts) events. */
+  def cohortRetention(events: DataFrame): DataFrame =
+    operators.Retention.cohortRetention(events)
+
+  /** Strictly-ordered view→click→purchase funnel stage counts. */
+  def funnel(events: DataFrame): DataFrame =
+    operators.Retention.funnel(events)
 }

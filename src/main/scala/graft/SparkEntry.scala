@@ -41,6 +41,7 @@ object SparkEntry {
       operators.Cdc.entries ++
       operators.Multimodal.entries ++
       sources.OrcRoundTrip.entries ++
+      sources.SchemaEvolution.entries ++
       sources.CharVarcharOrc.entries ++
       sources.BucketedTables.entries ++
       sources.Compaction.entries ++

@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.expressions.{Expression, XxHash64}
-import org.apache.spark.sql.graft.{CosineSimF32, DotProductF32, MinHashSignature, Shims, SimHash64, SplitMix64, TopKScoreId}
+import org.apache.spark.sql.graft.{CosineSimF32, DotProductF32, MinHashSignature, Shims, SimHash64, SplitMix64, TopKScoreId, WithinEdit1}
 import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
 
 /** Column-level API + SQL registration for the graft expressions.
@@ -43,6 +43,11 @@ object GraftFunctions {
   def xxhash64Seeded(seed: Long, cols: Column*): Column =
     col(XxHash64(cols.map(expr), seed))
 
+  /** within_edit1(string, string) → boolean: levenshtein ≤ 1 by a
+    * single two-pointer scan (codegen) — the fuzzy-join verifier.
+    */
+  def withinEdit1(a: Column, b: Column): Column = col(WithinEdit1(expr(a), expr(b)))
+
   /** topk_score_id(score double, id bigint, k) → array<struct<score,id>>
     * sorted (score DESC, id ASC): grouped top-k with a k-bounded
     * map-side partial buffer (see [[TopKScoreId]]).
@@ -62,6 +67,7 @@ object GraftFunctions {
     "cosine_f32" -> (es => { arity("cosine_f32", 2)(es); CosineSimF32(es(0), es(1)) }),
     "simhash64" -> (es => { arity("simhash64", 1)(es); SimHash64(es(0)) }),
     "splitmix64" -> (es => { arity("splitmix64", 1)(es); SplitMix64(es(0)) }),
+    "within_edit1" -> (es => { arity("within_edit1", 2)(es); WithinEdit1(es(0), es(1)) }),
     // k must be a positive integer literal (it sizes the agg buffer)
     "topk_score_id" -> (es => es match {
       case Seq(s, i, kE) if kE.foldable =>

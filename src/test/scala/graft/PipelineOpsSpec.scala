@@ -42,6 +42,21 @@ class PipelineOpsSpec extends SparkSpec {
     ))
   }
 
+  test("within_edit1 agrees with levenshtein <= 1 across a generated pair grid") {
+    // alphabet {a,b}, lengths 0..4: 31 strings, all 961 ordered pairs —
+    // covers equality, substitution, insert/delete, distance ≥ 2, and
+    // the trailing-byte edge cases exhaustively at small size
+    val strs = (0 to 4).flatMap(n =>
+      (0 until (1 << n)).map(bits =>
+        (0 until n).map(i => if (((bits >> i) & 1) == 1) 'b' else 'a').mkString))
+    val pairs = for (x <- strs; y <- strs) yield (x, y)
+    val df = pairs.toDF("x", "y")
+      .select(col("x"), col("y"),
+        graft.functions.GraftFunctions.withinEdit1(col("x"), col("y")).as("fast"),
+        (levenshtein(col("x"), col("y")) <= 1).as("slow"))
+    assert(df.filter(col("fast") =!= col("slow")).count() == 0)
+  }
+
   test("q100 chunks cover the text with the declared overlap") {
     val chunks = CorpusOps.chunk(
       Seq((1L, "a" * 205)).toDF("doc_id", "text"), window = 80, overlap = 20)
@@ -69,6 +84,25 @@ class PipelineOpsSpec extends SparkSpec {
       ("b", 3L, 1L, 2L, "x", "y")))
   }
 
+  test("approxProfile matches the exact profile within HLL tolerance, without an Expand") {
+    val cols = Seq("l_orderkey", "l_returnflag")
+    val li = Tables(spark, sf).lineitem
+    def asMap(df: org.apache.spark.sql.DataFrame) = df
+      .select("col_name", "n_rows", "n_nulls", "n_distinct")
+      .as[(String, Long, Long, Long)].collect()
+      .map { case (c, n, nl, nd) => c -> ((n, nl, nd)) }.toMap
+    val exact = asMap(Profile.profile(li, cols))
+    val approx = asMap(Profile.approxProfile(li, cols))
+    for ((c, (n, nulls, nd)) <- exact) {
+      val (an, anulls, and) = approx(c)
+      assert((an, anulls) == ((n, nulls)))
+      assert(math.abs(and - nd) <= math.max(2L, (nd * 0.15).toLong),
+        s"$c: approx $and vs exact $nd")
+    }
+    val plan = Profile.approxProfile(li, cols).queryExecution.executedPlan.toString
+    assert(!plan.contains("Expand"), plan.take(1500))
+  }
+
   test("q104 funnel requires strict event order within each user") {
     def ts(min: Int) = new Timestamp(min * 60000L)
     val ev = Seq(
@@ -90,6 +124,21 @@ class PipelineOpsSpec extends SparkSpec {
       .agg(sum("n_users")).as[Long].head()
     val users = events.select(countDistinct("user_id")).as[Long].head()
     assert(week0 == users) // every user is active in their own first week
+  }
+
+  test("q105 mergeSchema read spans generations: late column NULL exactly on old files") {
+    val merged = sources.SchemaEvolution.evolvedOrders(spark, sf)
+    assert(merged.columns.contains("priority_score"))
+    assert(merged.columns.contains("generation")) // partition discovery
+    val byGen = merged.groupBy("generation")
+      .agg(count(lit(1)).as("n"),
+        count(col("priority_score")).as("n_scored"))
+      .orderBy("generation")
+      .as[(Int, Long, Long)].collect().toSeq
+    val total = Tables(spark, sf).orders.count()
+    assert(byGen.map(_._2).sum == total)
+    assert(byGen.head._3 == 0L) // generation 1: column absent → all NULL
+    assert(byGen(1)._3 == byGen(1)._2) // generation 2: fully populated
   }
 
   test("q98 BM25 ranks the rare term's documents above common-term-only matches") {
