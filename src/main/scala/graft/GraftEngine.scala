@@ -271,6 +271,10 @@ final class GraftEngine(val spark: SparkSession) {
   def topNgrams(docs: DataFrame, n: Int = 3, k: Int = 50): DataFrame =
     operators.CorpusOps.topNgrams(docs, n, k)
 
+  /** Per-group top-k terms via the k-bounded string heap aggregate. */
+  def topTermsPerGroup(docs: DataFrame, groupCol: String, k: Int = 5): DataFrame =
+    operators.CorpusOps.topTermsPerGroup(docs, groupCol, k)
+
   /** Exact per-column profile: rows, nulls, distincts, min/max
     * (data-quality pre-flight); one pruned pass per column.
     */

@@ -42,6 +42,7 @@ object SparkEntry {
       operators.Multimodal.entries ++
       sources.OrcRoundTrip.entries ++
       sources.SchemaEvolution.entries ++
+      sources.CorruptJsonl.entries ++
       sources.CharVarcharOrc.entries ++
       sources.BucketedTables.entries ++
       sources.Compaction.entries ++

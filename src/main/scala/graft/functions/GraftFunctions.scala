@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.expressions.{Expression, XxHash64}
-import org.apache.spark.sql.graft.{CosineSimF32, DotProductF32, MinHashSignature, Shims, SimHash64, SplitMix64, TopKScoreId, WithinEdit1}
+import org.apache.spark.sql.graft.{CosineSimF32, DotProductF32, MinHashSignature, Shims, SimHash64, SplitMix64, TopKScoreId, TopKScoreStr, WithinEdit1}
 import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
 
 /** Column-level API + SQL registration for the graft expressions.
@@ -55,6 +55,12 @@ object GraftFunctions {
   def topkScoreId(score: Column, id: Column, k: Int): Column =
     col(TopKScoreId(expr(score), expr(id), k).toAggregateExpression())
 
+  /** topk_score_str(score double, key string, k): string-payload
+    * variant of [[topkScoreId]] (same bounded-buffer property).
+    */
+  def topkScoreStr(score: Column, key: Column, k: Int): Column =
+    col(TopKScoreStr(expr(score), expr(key), k).toAggregateExpression())
+
   private def arity(name: String, n: Int)(es: Seq[Expression]): Unit =
     require(es.length == n,
       s"$name expects $n argument(s), got ${es.length}")
@@ -79,6 +85,17 @@ object GraftFunctions {
         }
       case _ => throw new IllegalArgumentException(
         "topk_score_id expects (score double, id bigint, k literal)")
+    }),
+    "topk_score_str" -> (es => es match {
+      case Seq(s, v, kE) if kE.foldable =>
+        kE.eval() match {
+          case n: Number if n.intValue() > 0 =>
+            TopKScoreStr(s, v, n.intValue()).toAggregateExpression()
+          case other => throw new IllegalArgumentException(
+            s"topk_score_str k must be a positive integer literal, got $other")
+        }
+      case _ => throw new IllegalArgumentException(
+        "topk_score_str expects (score double, key string, k literal)")
     }),
     // optional second arg: permutation count (non-null int literal)
     "minhash_sig" -> (es => es match {

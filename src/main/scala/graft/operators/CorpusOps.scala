@@ -67,6 +67,29 @@ object CorpusOps {
       .limit(k)
   }
 
+  /** Per-group top-k terms by frequency — the corpus-census query
+    * ("what does each language's text look like"). Two aggregates:
+    * (group, term) counts (map-side combinable), then the k-bounded
+    * string heap ([[org.apache.spark.sql.graft.TopKScoreStr]]) per
+    * group — ≤k (count, term) entries per group per map task cross the
+    * second exchange, where a window rank would shuffle the whole
+    * vocabulary-by-group frame. Ties break by term ascending in both
+    * the heap and the oracle's ORDER BY.
+    */
+  def topTermsPerGroup(docs: DataFrame, groupCol: String, k: Int): DataFrame =
+    docs
+      .select(col(groupCol).as("grp"),
+        explode(TextAnalysis.tokens(col("text"))).as("term"))
+      .groupBy("grp", "term")
+      .agg(count(lit(1)).as("n"))
+      .groupBy("grp")
+      .agg(graft.functions.GraftFunctions
+        .topkScoreStr(col("n").cast(DoubleType), col("term"), k).as("top"))
+      .select(col("grp"), posexplode(col("top")))
+      .select(col("grp"), (col("pos") + 1).cast(IntegerType).as("rank"),
+        col("col.key").as("term"), col("col.score").cast(LongType).as("n"))
+      .orderBy("grp", "rank")
+
   val entries: Seq[QueryEntry] = Seq(
     // q100 — 80-char windows with 20-char overlap; DuckDB re-derives
     // every offset, length, and chunk digest.
@@ -100,6 +123,28 @@ object CorpusOps {
         |ORDER BY n DESC, gram LIMIT 50""".stripMargin,
     ) { (s, dir) =>
       topNgrams(Tables(s, dir).documentsRebalanced, n = 3, k = 50)
+    },
+
+    // q106 — top-5 terms per language; DuckDB brute-forces the grouped
+    // ranking with a window.
+    QueryEntry.sql(
+      "q106_top_terms_per_lang",
+      """WITH tok AS (
+        |  SELECT lang AS grp,
+        |         unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+        |  FROM documents
+        |), counts AS (
+        |  SELECT grp, term, COUNT(*) AS n FROM tok GROUP BY 1, 2
+        |), ranked AS (
+        |  SELECT grp, term, n,
+        |         CAST(row_number() OVER (PARTITION BY grp
+        |                ORDER BY n DESC, term) AS INT) AS rank
+        |  FROM counts
+        |)
+        |SELECT grp, rank, term, CAST(n AS BIGINT) AS n
+        |FROM ranked WHERE rank <= 5 ORDER BY grp, rank""".stripMargin,
+    ) { (s, dir) =>
+      topTermsPerGroup(Tables(s, dir).documentsRebalanced, "lang", k = 5)
     },
   )
 }

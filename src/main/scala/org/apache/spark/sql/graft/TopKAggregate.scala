@@ -8,6 +8,7 @@ import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggreg
 import org.apache.spark.sql.catalyst.trees.BinaryLike
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Bounded k-best buffer ordered by (score DESC, id ASC): a binary
   * min-heap keyed on "worseness" whose root is the worst survivor, so
@@ -153,4 +154,154 @@ case class TopKScoreId(
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): TopKScoreId =
     copy(score = newLeft, id = newRight)
+}
+
+/** String-payload sibling of [[TopKHeap]]: k-best (score DESC, key ASC
+  * by UTF-8 byte order — which IS UTF8String's comparison order, so the
+  * tie-break matches ORDER BY on the string column).
+  */
+final class TopKStrHeap(val k: Int) {
+  var size: Int = 0
+  val scores: Array[Double] = new Array[Double](k)
+  val keys: Array[UTF8String] = new Array[UTF8String](k)
+
+  private def worse(s1: Double, k1: UTF8String, s2: Double, k2: UTF8String): Boolean =
+    s1 < s2 || (s1 == s2 && k1.compareTo(k2) > 0)
+
+  def insert(s: Double, key: UTF8String): Unit =
+    if (size < k) {
+      var i = size
+      scores(i) = s; keys(i) = key; size += 1
+      while (i > 0 && worse(scores(i), keys(i), scores((i - 1) / 2), keys((i - 1) / 2))) {
+        swap(i, (i - 1) / 2); i = (i - 1) / 2
+      }
+    } else if (k > 0 && worse(scores(0), keys(0), s, key)) {
+      scores(0) = s; keys(0) = key
+      var i = 0
+      var done = false
+      while (!done) {
+        val l = 2 * i + 1
+        val r = 2 * i + 2
+        var w = i
+        if (l < size && worse(scores(l), keys(l), scores(w), keys(w))) w = l
+        if (r < size && worse(scores(r), keys(r), scores(w), keys(w))) w = r
+        if (w == i) done = true else { swap(i, w); i = w }
+      }
+    }
+
+  private def swap(a: Int, b: Int): Unit = {
+    val s = scores(a); scores(a) = scores(b); scores(b) = s
+    val t = keys(a); keys(a) = keys(b); keys(b) = t
+  }
+
+  def mergeFrom(other: TopKStrHeap): Unit = {
+    var i = 0
+    while (i < other.size) { insert(other.scores(i), other.keys(i)); i += 1 }
+  }
+
+  def sorted: Array[(Double, UTF8String)] =
+    (0 until size).map(i => (scores(i), keys(i))).toArray
+      .sortWith { case ((s1, k1), (s2, k2)) =>
+        s1 > s2 || (s1 == s2 && k1.compareTo(k2) < 0)
+      }
+}
+
+/** `topk_score_str(score, key, k)` → `array<struct<score:double,key:string>>`
+  * sorted (score DESC, key ASC): [[TopKScoreId]] generalized to string
+  * payloads — grouped "top terms per language"-style rankings with the
+  * same k-bounded map-side partial property.
+  */
+case class TopKScoreStr(
+    score: Expression,
+    key: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[TopKStrHeap]
+    with BinaryLike[Expression] {
+
+  require(k > 0, s"topk_score_str requires k > 0, got $k")
+
+  override def left: Expression = score
+  override def right: Expression = key
+  override def prettyName: String = "topk_score_str"
+
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("score", DoubleType, nullable = false),
+      StructField("key", StringType, nullable = false))),
+    containsNull = false)
+  override def nullable: Boolean = false
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    if (score.dataType == DoubleType && key.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"topk_score_str expects (double, string), got " +
+          s"(${score.dataType.simpleString}, ${key.dataType.simpleString})")
+  }
+
+  override def createAggregationBuffer(): TopKStrHeap = new TopKStrHeap(k)
+
+  override def update(buffer: TopKStrHeap, input: InternalRow): TopKStrHeap = {
+    val s = score.eval(input)
+    val v = key.eval(input)
+    if (s != null && v != null)
+      // clone: the input UTF8String may be backed by a reused row buffer
+      buffer.insert(s.asInstanceOf[Double], v.asInstanceOf[UTF8String].clone())
+    buffer
+  }
+
+  override def merge(buffer: TopKStrHeap, other: TopKStrHeap): TopKStrHeap = {
+    buffer.mergeFrom(other)
+    buffer
+  }
+
+  override def eval(buffer: TopKStrHeap): Any =
+    new GenericArrayData(buffer.sorted.map { case (s, v) =>
+      InternalRow(s, v)
+    })
+
+  override def serialize(buffer: TopKStrHeap): Array[Byte] = {
+    var bytes = 4
+    var i = 0
+    while (i < buffer.size) { bytes += 12 + buffer.keys(i).numBytes(); i += 1 }
+    val bb = ByteBuffer.allocate(bytes)
+    bb.putInt(buffer.size)
+    i = 0
+    while (i < buffer.size) {
+      bb.putDouble(buffer.scores(i))
+      val kb = buffer.keys(i).getBytes
+      bb.putInt(kb.length)
+      bb.put(kb)
+      i += 1
+    }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): TopKStrHeap = {
+    val bb = ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val h = new TopKStrHeap(k)
+    var i = 0
+    while (i < n) {
+      val s = bb.getDouble
+      val len = bb.getInt
+      val kb = new Array[Byte](len)
+      bb.get(kb)
+      h.insert(s, UTF8String.fromBytes(kb))
+      i += 1
+    }
+    h
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): TopKScoreStr =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): TopKScoreStr =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): TopKScoreStr =
+    copy(score = newLeft, key = newRight)
 }

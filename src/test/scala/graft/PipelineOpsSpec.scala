@@ -141,6 +141,57 @@ class PipelineOpsSpec extends SparkSpec {
     assert(byGen(1)._3 == byGen(1)._2) // generation 2: fully populated
   }
 
+  test("q106 grouped top terms equal the window-rank brute force; plan uses the heap aggregate") {
+    val docs = Tables(spark, sf).documentsRebalanced
+    val got = run("q106_top_terms_per_lang")
+    val rows = got.as[(String, Int, String, Long)].collect().toSeq
+    import org.apache.spark.sql.expressions.Window
+    val counts = docs
+      .select(col("lang").as("grp"),
+        explode(operators.TextAnalysis.tokens(col("text"))).as("term"))
+      .groupBy("grp", "term").agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("grp").orderBy(col("n").desc, col("term"))
+    val brute = counts.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select(col("grp"), col("rank"), col("term"), col("n"))
+      .orderBy("grp", "rank")
+      .as[(String, Int, String, Long)].collect().toSeq
+    assert(rows == brute)
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate") && !plan.contains("Window"),
+      plan.take(2000))
+  }
+
+  test("topk_score_str ties break by UTF-8 order and survive partial merges") {
+    // 7 distinct terms over 4 partitions (forces serialize+merge);
+    // scores tie across t1/t6 and t0/t5
+    val df = spark.range(0, 7, 1, 4)
+      .select(concat(lit("t"), col("id").cast("string")).as("term"),
+        (col("id") % 5).cast("double").as("n"))
+    val got = df.groupBy(lit(1).as("g"))
+      .agg(graft.functions.GraftFunctions.topkScoreStr(col("n"), col("term"), 4).as("top"))
+      .select(expr("transform(top, x -> x.key)")).as[Seq[String]].head()
+    // n: t0→0 t1→1 t2→2 t3→3 t4→4 t5→0 t6→1; tie at n=1 → t1 before t6
+    assert(got == Seq("t4", "t3", "t2", "t1"))
+  }
+
+  test("q107 corrupt rows carry the raw line in the dead-letter column, fields null") {
+    // cache: Spark disallows corrupt-only-column queries on the raw
+    // source (QUERY_ONLY_CORRUPT_RECORD_COLUMN) — the documented
+    // pattern is to cache the parsed result first
+    val df = sources.CorruptJsonl.corruptDocuments(spark, sf).cache()
+    try {
+      val bad = df.filter(col("_corrupt_record").isNotNull)
+      assert(bad.filter(col("doc_id").isNotNull || col("text").isNotNull).count() == 0)
+      val sample = bad.select("_corrupt_record").as[String].head()
+      assert(sample.startsWith("{\"doc_id\"") && !sample.endsWith("}"))
+      // planting rule: exactly the doc_id ≡ 0 (mod 97) rows are bad
+      val expectedBad = Tables(spark, sf).documents
+        .filter(col("doc_id") % 97 === 0).count()
+      assert(bad.count() == expectedBad)
+    } finally df.unpersist()
+  }
+
   test("q98 BM25 ranks the rare term's documents above common-term-only matches") {
     val got = run("q98_bm25")
     val rows = got.as[(Long, Double, Int)].collect().toSeq
