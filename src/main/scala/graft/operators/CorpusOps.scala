@@ -26,7 +26,12 @@ object CorpusOps {
     val step = window - overlap
     docs
       .select(col("doc_id"), col("text"),
-        explode(sequence(lit(0), length(col("text")) - 1, lit(step)))
+        // empty text must yield NO chunks: Spark's sequence(0, -1, step)
+        // THROWS on the backward boundary (unlike DuckDB's
+        // generate_series, which returns empty) — guard explicitly
+        explode(when(length(col("text")) > 0,
+          sequence(lit(0), length(col("text")) - 1, lit(step)))
+          .otherwise(array().cast("array<int>")))
           .as("chunk_start"))
       .select(
         col("doc_id"),

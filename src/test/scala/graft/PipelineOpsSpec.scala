@@ -66,6 +66,14 @@ class PipelineOpsSpec extends SparkSpec {
     assert(chunks == Seq((0, 0L, 80), (1, 60L, 80), (2, 120L, 80), (3, 180L, 25)))
   }
 
+  test("chunk yields nothing for empty text (DuckDB generate_series parity)") {
+    val chunks = CorpusOps.chunk(
+      Seq((1L, ""), (2L, "abc")).toDF("doc_id", "text"), window = 80, overlap = 20)
+      .select("doc_id", "chunk_id", "chunk_len")
+      .as[(Long, Int, Int)].collect().toSeq
+    assert(chunks == Seq((2L, 0, 3)))
+  }
+
   test("q101 short docs yield no fabricated n-grams (the backward-sequence guard)") {
     val grams = CorpusOps.topNgrams(
       Seq("one two", "solo", "a b c d").toDF("text"), n = 3, k = 10)
