@@ -113,7 +113,10 @@ case class TopKScoreId(
   override def update(buffer: TopKHeap, input: InternalRow): TopKHeap = {
     val s = score.eval(input)
     val i = id.eval(input)
-    if (s != null && i != null)
+    // NaN is unordered under < / == — it could lodge at the heap root
+    // and block all admissions; treat it like NULL (SQL aggregates
+    // skip non-values)
+    if (s != null && i != null && !s.asInstanceOf[Double].isNaN)
       buffer.insert(s.asInstanceOf[Double], i.asInstanceOf[Long])
     buffer
   }
@@ -248,7 +251,8 @@ case class TopKScoreStr(
   override def update(buffer: TopKStrHeap, input: InternalRow): TopKStrHeap = {
     val s = score.eval(input)
     val v = key.eval(input)
-    if (s != null && v != null)
+    // NaN skipped for the same reason as TopKScoreId
+    if (s != null && v != null && !s.asInstanceOf[Double].isNaN)
       // clone: the input UTF8String may be backed by a reused row buffer
       buffer.insert(s.asInstanceOf[Double], v.asInstanceOf[UTF8String].clone())
     buffer

@@ -70,6 +70,14 @@ class KnnSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("topk_score_id skips NaN scores (they would jam the heap root)") {
+    val got = spark.sql(
+      "SELECT topk_score_id(c, i, 2) AS nn FROM VALUES " +
+        "(CAST('NaN' AS DOUBLE), 1L), (1.0D, 2L), (2.0D, 3L) AS t(c, i)")
+      .select(expr("transform(nn, x -> x.id)")).as[Seq[Long]].head()
+    assert(got == Seq(3L, 2L))
+  }
+
   test("topk_score_id works from SQL registration") {
     val one = spark.sql(
       "SELECT topk_score_id(CAST(c AS DOUBLE), CAST(i AS BIGINT), 2) AS nn " +
