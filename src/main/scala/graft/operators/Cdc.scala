@@ -46,7 +46,56 @@ object Cdc {
     joined.select(merged :+ action.as("action"): _*)
   }
 
+  /** SCD2 history build — the warehouse-side complement of [[upsert]]:
+    * from a change-event stream, produce validity intervals
+    * [valid_from, valid_to) per key, collapsing consecutive no-change
+    * events so each row is one distinct state (the type-2
+    * slowly-changing-dimension shape). Two window passes over the SAME
+    * (user_id) partitioning — one shuffle total: lag() drops
+    * no-change events, lead() over the survivors closes each interval;
+    * the open (current) state carries valid_to = NULL. Ties at equal
+    * ts break by event_id in both engines.
+    */
+  def scd2History(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    events
+      .select(col("user_id"), col("ts"), col("event_id"),
+        floor(col("value")).cast(LongType).as("v"))
+      .withColumn("prev", lag(col("v"), 1).over(w))
+      .filter(col("prev").isNull || col("v") =!= col("prev"))
+      .withColumn("valid_to_ts", lead(col("ts"), 1).over(w))
+      .select(col("user_id"),
+        unix_micros(col("ts")).as("valid_from"),
+        unix_micros(col("valid_to_ts")).as("valid_to"),
+        col("v"))
+      .orderBy("user_id", "valid_from")
+  }
+
   val entries: Seq[QueryEntry] = Seq(
+    // q108 — SCD2 validity intervals over the events stream (state =
+    // floor(value) so consecutive repeats exist to collapse); epoch-
+    // microsecond interval bounds are integer-exact in both engines.
+    QueryEntry.sql(
+      "q108_scd2_history",
+      """WITH base AS (
+        |  SELECT user_id, ts, event_id, CAST(FLOOR(value) AS BIGINT) AS v
+        |  FROM events
+        |), changed AS (
+        |  SELECT user_id, ts, event_id, v FROM (
+        |    SELECT user_id, ts, event_id, v,
+        |           lag(v) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |             AS prev
+        |    FROM base) t
+        |  WHERE prev IS NULL OR v <> prev
+        |)
+        |SELECT user_id,
+        |       epoch_us(CAST(ts AS TIMESTAMP)) AS valid_from,
+        |       epoch_us(CAST(lead(ts) OVER (PARTITION BY user_id
+        |                ORDER BY ts, event_id) AS TIMESTAMP)) AS valid_to,
+        |       v
+        |FROM changed ORDER BY user_id, valid_from""".stripMargin,
+    ) { (s, dir) => scd2History(Tables(s, dir).events) },
     // Deterministic change batch derived from orders: keys ≡ 0 (mod
     // 10) are price updates (+1.00), keys ≡ 1 are inserts (removed
     // from the base first). The merged snapshot is summarized per

@@ -200,6 +200,23 @@ class PipelineOpsSpec extends SparkSpec {
     } finally df.unpersist()
   }
 
+  test("q108 SCD2 collapses no-change events and leaves the current interval open") {
+    def ts(min: Int) = new Timestamp(min * 60000L)
+    val ev = Seq(
+      (1L, ts(0), 10L, 5.2), // state 5
+      (1L, ts(1), 11L, 5.9), // still 5 — collapsed
+      (1L, ts(2), 12L, 7.1), // state 7
+      (2L, ts(5), 20L, 3.0), // single state, open interval
+    ).toDF("user_id", "ts", "event_id", "value")
+    val got = operators.Cdc.scd2History(ev)
+      .as[(Long, Long, Option[Long], Long)].collect().toSeq
+    def us(min: Int) = min * 60000000L
+    assert(got == Seq(
+      (1L, us(0), Some(us(2)), 5L), // closed by the 7-state, spans the collapse
+      (1L, us(2), None, 7L),
+      (2L, us(5), None, 3L)))
+  }
+
   test("q98 BM25 ranks the rare term's documents above common-term-only matches") {
     val got = run("q98_bm25")
     val rows = got.as[(Long, Double, Int)].collect().toSeq
