@@ -151,5 +151,43 @@ object CorpusOps {
     ) { (s, dir) =>
       topTermsPerGroup(Tables(s, dir).documentsRebalanced, "lang", k = 5)
     },
+
+    // q109 — collection-function breadth under the gate (the
+    // array-function slot of SURVEY §2.3's scalar checklist): slicing,
+    // distinct+sort, membership, reverse indexing, and a
+    // transform+aggregate HOF, each mirrored by DuckDB's list
+    // functions. All per-row codegen, no shuffle beyond the ORDER BY.
+    QueryEntry.sql(
+      "q109_collection_breadth",
+      """SELECT doc_id,
+        |       CAST(len(t) AS INT) AS n_toks,
+        |       array_to_string(t[1:3], ' ') AS first3,
+        |       array_to_string(list_sort(list_distinct(t)), ' ')
+        |         AS distinct_sorted,
+        |       list_contains(t, 'join') AS has_join,
+        |       list_reverse(t)[1] AS last_tok,
+        |       CAST(list_sum(list_transform(t, x -> length(x))) AS BIGINT)
+        |         AS sum_tok_chars
+        |FROM (
+        |  SELECT doc_id,
+        |         regexp_split_to_array(trim(lower(text)), '\s+') AS t
+        |  FROM documents WHERE doc_id < 100
+        |) ORDER BY doc_id""".stripMargin,
+    ) { (s, dir) =>
+      Tables(s, dir).documents
+        .filter(col("doc_id") < 100)
+        .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("toks"))
+        .select(
+          col("doc_id"),
+          size(col("toks")).cast(IntegerType).as("n_toks"),
+          concat_ws(" ", slice(col("toks"), 1, 3)).as("first3"),
+          concat_ws(" ", sort_array(array_distinct(col("toks"))))
+            .as("distinct_sorted"),
+          array_contains(col("toks"), "join").as("has_join"),
+          element_at(reverse(col("toks")), 1).as("last_tok"),
+          aggregate(transform(col("toks"), x => length(x)),
+            lit(0), (a, x) => a + x).cast(LongType).as("sum_tok_chars"))
+        .orderBy("doc_id")
+    },
   )
 }
