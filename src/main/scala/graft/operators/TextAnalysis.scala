@@ -502,5 +502,42 @@ object TextAnalysis {
           min("doc_id").as("min_id"), max("doc_id").as("max_id"))
         .orderBy("source")
     },
+
+    // q110 — per-GROUP deterministic sample without replacement: 20
+    // docs per language, selection key = the same md5-derived uniform
+    // as q91 (A-Res with w=1), grouped top-k through the k-bounded
+    // heap aggregate — ≤k rows per language per map task cross the
+    // exchange, so per-stratum subsampling never shuffles the corpus
+    // (the balanced-subsample shape of a training-mixture pipeline).
+    QueryEntry.sql(
+      "q110_per_group_sample",
+      """WITH keyed AS (
+        |  SELECT lang, doc_id,
+        |         CAST(CAST('0x' || substr(md5('gsamp' || CAST(doc_id AS VARCHAR)), 1, 15)
+        |              AS BIGINT) AS DOUBLE) / 1152921504606846976.0 AS u
+        |  FROM documents
+        |), ranked AS (
+        |  SELECT lang, doc_id, u,
+        |         CAST(row_number() OVER (PARTITION BY lang
+        |                ORDER BY u DESC, doc_id) AS INT) AS rank
+        |  FROM keyed
+        |)
+        |SELECT lang, rank, doc_id, ROUND(u, 6) AS u
+        |FROM ranked WHERE rank <= 20 ORDER BY lang, rank""".stripMargin,
+    ) { (s, dir) =>
+      val h = conv(substring(md5(
+        concat(lit("gsamp"), col("doc_id").cast(StringType)).cast(BinaryType)),
+        1, 15), 16, 10).cast(LongType)
+      val u = h.cast(DoubleType) / lit(1152921504606846976.0)
+      Tables(s, dir).documentsRebalanced
+        .select(col("lang"), col("doc_id"), u.as("u"))
+        .groupBy("lang")
+        .agg(graft.functions.GraftFunctions
+          .topkScoreId(col("u"), col("doc_id"), 20).as("top"))
+        .select(col("lang"), posexplode(col("top")))
+        .select(col("lang"), (col("pos") + 1).cast(IntegerType).as("rank"),
+          col("col.id").as("doc_id"), round(col("col.score"), 6).as("u"))
+        .orderBy("lang", "rank")
+    },
   )
 }
