@@ -199,6 +199,63 @@ object StreamingEvents {
     spark.table(name).orderBy("user_id", "event_id")
   }
 
+  /** Streaming SCD2 (the q108 semantics as streaming CDC): explicit
+    * per-user state = the OPEN interval (current value, valid_from);
+    * a state-changing event emits the now-CLOSED interval and rolls
+    * the state — closed history flows to the sink, the open interval
+    * lives in the state store, which is exactly the streaming-CDC
+    * contract (the open row cannot be emitted in append mode because
+    * its valid_to is still unknown). Events fold in (ts, event_id)
+    * order inside the batch (single AvailableNow batch over the
+    * bounded fixture, like [[thresholdAlerts]]). Batch ≡ stream: the
+    * emitted set must equal batch q108's closed rows — asserted in
+    * `StreamingSpec`.
+    */
+  def scd2ClosedIntervals(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import spark.implicits._
+    val src = stagedStreamSource(spark, dir)
+    val schema = spark.read.parquet(src).schema
+    val events = spark.readStream.schema(schema).parquet(src)
+      // raw fixture ts is epoch NANOS; q108's epoch-micro bounds are
+      // ts div 1000 — INTEGER division (the `/` operator would go
+      // through double and round-to-nearest at 1e18 magnitudes)
+      .select(col("user_id"), expr("ts div 1000").as("tus"),
+        col("event_id"), floor(col("value")).cast("long").as("v"))
+      .as[(Long, Long, Long, Long)]
+    val closed = events
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, Long, Long, Long)],
+            state: GroupState[(Long, Long)]) => // (v, valid_from_us)
+          var cur = state.getOption
+          val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+          rows.toSeq.sortBy(r => (r._2, r._3)).foreach { case (_, tus, _, v) =>
+            cur match {
+              case None => cur = Some((v, tus))
+              case Some((pv, pf)) if v != pv =>
+                out += ((user, pf, tus, pv))
+                cur = Some((v, tus))
+              case _ => () // no-change event: interval stays open
+            }
+          }
+          cur.foreach(state.update)
+          out.iterator
+      }
+    closed.toDF("user_id", "valid_from", "valid_to", "v")
+  }
+
+  /** Run [[scd2ClosedIntervals]] to completion over the bounded fixture. */
+  def runScd2ToCompletion(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.OutputMode
+    val name = s"graft_scd2_${System.identityHashCode(spark)}"
+    val q = scd2ClosedIntervals(spark, dir).writeStream
+      .format("memory").queryName(name).outputMode(OutputMode.Append())
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    spark.table(name).orderBy("user_id", "valid_from")
+  }
+
   /** Streaming exactly-once dedup: the q71 semantics with the doubled
     * (at-least-once) feed streaming through
     * `dropDuplicatesWithinWatermark` — state holds one row per

@@ -83,4 +83,16 @@ class StreamingSpec extends SparkSpec {
     assert(stateful == batch)
     assert(batch.nonEmpty)
   }
+
+  test("streaming SCD2 closed intervals ≡ batch q108 closed rows") {
+    import org.apache.spark.sql.functions._
+    val streamed = StreamingEvents.runScd2ToCompletion(spark, sf)
+      .collect().map(_.toSeq).toSet
+    val batch = run("q108_scd2_history")
+      .filter(col("valid_to").isNotNull)
+      .select("user_id", "valid_from", "valid_to", "v")
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch)
+    assert(batch.nonEmpty)
+  }
 }
