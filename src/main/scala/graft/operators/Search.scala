@@ -120,10 +120,10 @@ object Search {
     * score(d,Q) = Σ_t ln(1 + (N-df+0.5)/(df+0.5)) ·
     *              tf·(k1+1) / (tf + k1·(1 - b + b·dl/avgdl)).
     *
-    * Scale shape: the term filter lands directly after the tokenizer,
-    * so the tf frame is bounded by documents containing query terms —
-    * the classic IR working set — while doc length (dl) and the corpus
-    * stats (N, avgdl) come from one full-corpus count aggregate. The
+    * Scale shape: ONE shared (doc, term) count aggregate feeds dl, tf,
+    * and the corpus stats (the corpus is tokenized once — the q87
+    * lesson); tf filters that frame to query terms, so it is bounded
+    * by documents containing them — the classic IR working set. The
     * per-term df frame has |Q| rows (df over query terms only) and the
     * 1-row stats frame is a crossJoin broadcast; the tf⨝dl join on
     * doc_id is a plain shuffle equi-join. Per-doc scores sum at most
@@ -132,12 +132,20 @@ object Search {
     */
   def bm25(docs: DataFrame, terms: Seq[String], k: Int,
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    val tok = docs
+    // ONE tokenize+count pass feeds every factor: dl (per-doc length)
+    // needs the whole corpus and tf can't push its token filter to the
+    // scan, so without sharing, the corpus would tokenize twice (the
+    // q87 lesson). The (doc, term) count frame is persisted
+    // MEMORY_AND_DISK (spills, never OOMs) and is strictly smaller
+    // than the token stream it replaces.
+    val counts = docs
       .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("t"))
-    val dl = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+      .groupBy("doc_id", "t").agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dl = counts.groupBy("doc_id").agg(sum("c").as("dl"))
     val stats = dl.agg(count(lit(1)).as("n"), avg("dl").as("avgdl"))
-    val tf = tok.filter(col("t").isInCollection(terms))
-      .groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
+    val tf = counts.filter(col("t").isInCollection(terms))
+      .select(col("doc_id"), col("t"), col("c").as("tf"))
     val df = tf.groupBy("t").agg(count(lit(1)).as("df"))
     tf.join(broadcast(df), Seq("t"))
       .join(dl, Seq("doc_id"))
