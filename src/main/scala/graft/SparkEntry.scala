@@ -26,6 +26,8 @@ object SparkEntry {
       operators.Ivf.entries ++
       operators.Pq.entries ++
       operators.EventsOps.entries ++
+      operators.Ewma.entries ++
+      operators.Kmv.entries ++
       operators.Retention.entries ++
       operators.Profile.entries ++
       operators.PageRank.entries ++
@@ -46,6 +48,7 @@ object SparkEntry {
       sources.CharVarcharOrc.entries ++
       sources.BucketedTables.entries ++
       sources.Compaction.entries ++
+      sources.StatsManifest.entries ++
       sources.ZOrderLayout.entries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

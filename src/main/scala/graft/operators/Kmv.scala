@@ -1,0 +1,108 @@
+package graft.operators
+
+import graft.{QueryEntry, Tables}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.DataFrame
+
+import scala.jdk.CollectionConverters._
+
+/** KMV (k-minimum-values / bottom-k) distinct-count sketch — the
+  * third cardinality estimator in the engine next to exact
+  * `COUNT(DISTINCT)` (q11) and HyperLogLog (q35/q62), and the only one
+  * whose sketch CONTENT is itself mergeable set state: the k smallest
+  * distinct hash values double as a uniform sample of the key space,
+  * so two tables' sketches union into a set-operation estimate
+  * (|A∪B|, and Jaccard via the shared bottom-k) — the property HLL
+  * registers lack. Estimator: with h ~ U(0,1) per distinct key, the
+  * k-th smallest distinct hash h₍ₖ₎ estimates k/|D|, so
+  * `|D| ≈ (k-1)/h₍ₖ₎` (the unbiased Beta-order-statistic form,
+  * Bar-Yossef et al., RANDOM'02).
+  *
+  * Scale shape: each input task keeps a k-bounded ordered set and
+  * emits ≤ k rows — duplicates collapse inside the task and nothing
+  * resembling the distinct key set ever crosses the wire (the whole
+  * point vs `COUNT(DISTINCT)`'s full shuffle of distinct keys). The
+  * global combine then dedups and orders ≤ k·P rows (P = input
+  * tasks), a frame bounded by parallelism, not data. The same bound
+  * argument as the reference's fixed-width DPU aggregation buffers
+  * (`dpu/task.c` accumulators): per-worker state is CONSTANT in rows
+  * scanned.
+  */
+object Kmv {
+
+  val K = 64
+  /** 16^15 — the first 15 hex digits of an md5 as a fraction of the
+    * full 60-bit space; 15 digits keep the integer form exact in a
+    * signed 64-bit long (16 would not).
+    */
+  private val HexSpace = 1152921504606846976.0
+
+  /** The k lexicographically-smallest DISTINCT md5 hashes of `key`,
+    * one ≤k-row frame. md5-hex ordering IS uniform-fraction ordering
+    * (hex strings of equal length compare like their numeric value).
+    */
+  def bottomK(df: DataFrame, key: String, k: Int = K): DataFrame = {
+    import df.sparkSession.implicits._
+    val hashes = df.select(md5(col(key).cast(StringType)).as("h")).as[String]
+    val perTask = hashes.mapPartitions { it =>
+      val set = new java.util.TreeSet[String]()
+      it.foreach { h => set.add(h); if (set.size > k) set.pollLast() }
+      set.iterator.asScala
+    }
+    perTask.toDF("h").distinct().orderBy("h").limit(k)
+  }
+
+  /** One-row sketch report: the estimate next to the exact count (the
+    * reference's USE_PIM differential stance applied to an estimator —
+    * ship the sketch AND its ground truth so the error is a measured
+    * column, not a claim). The exact side costs one extra scan and
+    * exists only for the report; a production caller reads `estimate`.
+    */
+  def distinctEstimate(df: DataFrame, key: String, k: Int = K): DataFrame = {
+    val bot = bottomK(df, key, k)
+    val agg = bot.agg(count(lit(1)).as("kept"), max("h").as("kth"))
+    val exact = df.agg(countDistinct(col(key)).as("exact"))
+    agg.crossJoin(exact)
+      .withColumn("frac",
+        conv(substring(col("kth"), 1, 15), 16, 10).cast(LongType) / HexSpace)
+      .select(
+        lit(k).as("k"),
+        col("kept"),
+        col("kth").as("kth_hash"),
+        round(when(col("kept") < k, col("kept").cast(DoubleType))
+          .otherwise(lit(k - 1.0) / col("frac")), 6).as("estimate"),
+        col("exact"),
+      )
+      .withColumn("rel_err",
+        round(abs(col("estimate") - col("exact")) / col("exact"), 4))
+  }
+
+  val entries: Seq[QueryEntry] = Seq(
+    // KMV distinct-order-count over lineitem: DuckDB re-derives the
+    // full bottom-64 distinct-hash set, the order statistic, and the
+    // estimator — estimate, exact, and relative error must all agree.
+    QueryEntry.sql(
+      "q111_kmv_distinct",
+      s"""WITH hs AS (
+         |  SELECT DISTINCT md5(CAST(l_orderkey AS VARCHAR)) AS h FROM lineitem
+         |), bot AS (SELECT h FROM hs ORDER BY h LIMIT $K),
+         |agg AS (SELECT COUNT(*) AS kept, MAX(h) AS kth FROM bot),
+         |ex AS (SELECT COUNT(DISTINCT l_orderkey) AS exact FROM lineitem),
+         |est AS (
+         |  SELECT CAST($K AS INTEGER) AS k, CAST(kept AS BIGINT) AS kept,
+         |         kth AS kth_hash,
+         |         ROUND(CASE WHEN kept < $K THEN CAST(kept AS DOUBLE)
+         |           ELSE ${K - 1}.0 /
+         |                (CAST(CAST('0x' || substr(kth, 1, 15) AS BIGINT) AS DOUBLE)
+         |                 / $HexSpace) END, 6) AS estimate,
+         |         CAST(exact AS BIGINT) AS exact
+         |  FROM agg, ex)
+         |SELECT k, kept, kth_hash, estimate, exact,
+         |       ROUND(ABS(estimate - exact) / exact, 4) AS rel_err
+         |FROM est""".stripMargin,
+    ) { (s, dir) =>
+      distinctEstimate(Tables(s, dir).lineitem, "l_orderkey")
+    },
+  )
+}

@@ -193,6 +193,46 @@ object PageRank {
        |  GROUP BY n.node
        |)""".stripMargin
 
+  /** Minimum trade-flow share that keeps an edge in the q115 BFS graph
+    * — the dense N² nation grid sparsified to its dominant-partner
+    * edges so hop distances are non-trivial.
+    */
+  val HopEdgeMinFrac = 0.05
+  val HopIters = 4
+
+  /** K-hop BFS: minimum hop distance from `source` along `edges`
+    * (src, dst), up to `iters` hops — the other canonical iterative
+    * graph pattern next to PageRank's mass propagation (min-label
+    * instead of sum-of-mass, the q38 connected-components shape with a
+    * counter).
+    *
+    * Scale shape: per iteration ONE equi-join of the pinned frontier
+    * against the pinned edge list and a map-side-combined MIN — no
+    * driver state beyond the loop counter. The distance frame is
+    * `localCheckpoint`ed each step (the q93 lesson: an unpinned
+    * iterative lineage re-executes k-deep plans), and only NEW nodes
+    * join the next frontier, so work per step is proportional to the
+    * frontier, not the visited set.
+    */
+  def kHop(edges: DataFrame, source: Long, iters: Int): DataFrame = {
+    val e = edges.select(col("src"), col("dst")).localCheckpoint(true)
+    var dist = e.sparkSession.range(1)
+      .select(lit(source).as("node"), lit(0).as("hops")).localCheckpoint(true)
+    var frontier = dist
+    for (k <- 1 to iters) {
+      val next = frontier.join(e, col("node") === col("src"))
+        .select(col("dst").as("node"), lit(k).as("hops"))
+        .groupBy("node").agg(min("hops").as("hops"))
+      val grown = dist.unionByName(next)
+        .groupBy("node").agg(min("hops").as("hops"))
+        .localCheckpoint(true)
+      frontier = grown.join(dist.select(col("node").as("seen")),
+        col("node") === col("seen"), "left_anti")
+      dist = grown
+    }
+    dist
+  }
+
   val entries: Seq[QueryEntry] = Seq(
     // PageRank over the nation trade graph, 10 iterations; the oracle
     // unrolls the iterations as chained CTEs and must match rank-for-
@@ -227,6 +267,40 @@ object PageRank {
       pageRank(tradeEdges(s, dir), nodes, Damping, Iters)
         .select(col("node"), round(col("pr"), 12).as("pr"))
         .orderBy(col("pr").desc, col("node"))
+    },
+
+    // K-hop reachability from nation 0 over the dominant-partner trade
+    // graph (edges with flow share > HopEdgeMinFrac); the oracle walks
+    // the same graph with a recursive CTE and must agree on every
+    // node's minimum hop count.
+    QueryEntry.sql(
+      "q115_khop",
+      s"""WITH RECURSIVE raw AS (
+         |  SELECT c_nationkey AS src, s_nationkey AS dst,
+         |         SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+         |             * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS w
+         |  FROM lineitem
+         |  JOIN orders ON l_orderkey = o_orderkey
+         |  JOIN customer ON o_custkey = c_custkey
+         |  JOIN supplier ON l_suppkey = s_suppkey
+         |  GROUP BY 1, 2
+         |), edges AS (
+         |  SELECT src, dst,
+         |         CAST(w AS DOUBLE) / CAST(SUM(w) OVER (PARTITION BY src) AS DOUBLE)
+         |           AS frac
+         |  FROM raw
+         |), e AS (SELECT src, dst FROM edges WHERE frac > $HopEdgeMinFrac),
+         |hops(node, d) AS (
+         |  SELECT CAST(0 AS BIGINT), 0
+         |  UNION ALL
+         |  SELECT e.dst, h.d + 1 FROM hops h JOIN e ON e.src = h.node
+         |  WHERE h.d < $HopIters
+         |)
+         |SELECT node, CAST(MIN(d) AS INTEGER) AS hops
+         |FROM hops GROUP BY 1 ORDER BY 1""".stripMargin,
+    ) { (s, dir) =>
+      kHop(tradeEdges(s, dir).filter(col("frac") > HopEdgeMinFrac),
+        source = 0L, iters = HopIters).orderBy("node")
     },
   )
 }

@@ -162,6 +162,33 @@ object Search {
       .limit(k)
   }
 
+  /** Phrase search: documents containing `first second` as adjacent
+    * tokens, with per-document occurrence counts — the positional-
+    * index query a bag-of-words index (q86) cannot answer.
+    *
+    * Scale shape: ONE `posexplode` pass is filtered to the two query
+    * terms immediately (the per-row filter sits under the shuffle, so
+    * the positional stream that leaves the tokenizer is bounded by the
+    * terms' postings, not the corpus), persisted once, and both phrase
+    * sides derive from it — the corpus is tokenized once (the q87/q98
+    * lesson). Adjacency is then an equi-join on (doc_id, pos+1):
+    * hash-partitioned by document, never a theta join.
+    */
+  def phraseSearch(docs: DataFrame, first: String, second: String): DataFrame = {
+    val hits = docs
+      .select(col("doc_id"),
+        posexplode(TextAnalysis.tokens(col("text"))).as(Seq("pos", "t")))
+      .filter(col("t") === lit(first) || col("t") === lit(second))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val a = hits.filter(col("t") === lit(first)).select(col("doc_id"), col("pos"))
+    val b = hits.filter(col("t") === lit(second))
+      .select(col("doc_id").as("b_doc"), col("pos").as("b_pos"))
+    a.join(b, col("doc_id") === col("b_doc") && col("b_pos") === col("pos") + 1)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("hits"))
+      .orderBy("doc_id")
+  }
+
   val entries: Seq[QueryEntry] = Seq(
     // Inverted-index build under the differential gate: DuckDB
     // re-derives every postings chunk (ordered, distinct), re-digests
@@ -276,6 +303,29 @@ object Search {
     ) { (s, dir) =>
       bm25(Tables(s, dir).documentsRebalanced,
         terms = Seq("join", "vector", "dup"), k = 10)
+    },
+
+    // Phrase query "hash join": DuckDB re-derives token positions via
+    // generate_series over the split array (1-based there, 0-based in
+    // Spark's posexplode — the +1 adjacency offset cancels inside each
+    // engine) and must match hit counts document by document.
+    QueryEntry.sql(
+      "q112_phrase_search",
+      """WITH parts AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS p
+        |  FROM documents
+        |), idx AS (
+        |  SELECT doc_id, unnest(generate_series(1, array_length(p))) AS pos, p
+        |  FROM parts
+        |), t AS (
+        |  SELECT doc_id, pos, p[pos] AS t FROM idx
+        |)
+        |SELECT a.doc_id, COUNT(*) AS hits
+        |FROM t a JOIN t b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+        |WHERE a.t = 'hash' AND b.t = 'join'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    ) { (s, dir) =>
+      phraseSearch(Tables(s, dir).documentsRebalanced, "hash", "join")
     },
   )
 }

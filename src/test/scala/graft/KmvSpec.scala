@@ -1,0 +1,42 @@
+package graft
+
+import graft.operators.Kmv
+import org.apache.spark.sql.functions._
+
+/** KMV bottom-k sketch: boundedness of what leaves the map stage, the
+  * exact-below-k regime, and the estimator's accuracy envelope.
+  */
+class KmvSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bottomK returns at most k rows, sorted, distinct") {
+    val bot = Kmv.bottomK(Tables(spark, sf).lineitem, "l_orderkey", k = 16)
+      .as[String].collect()
+    assert(bot.length == 16)
+    assert(bot.toSeq == bot.toSeq.sorted)
+    assert(bot.distinct.length == bot.length)
+    // the global bottom-k must equal brute force over all distinct hashes
+    val brute = Tables(spark, sf).lineitem
+      .select(md5(col("l_orderkey").cast("string")).as("h"))
+      .distinct().as[String].collect().sorted.take(16)
+    assert(bot.toSeq == brute.toSeq)
+  }
+
+  test("fewer than k distinct keys -> estimate is the exact count") {
+    val small = (1 to 40).map(i => i % 10).toDF("key") // 10 distinct
+    val row = Kmv.distinctEstimate(small, "key", k = 64).collect().head
+    assert(row.getAs[Long]("kept") == 10L)
+    assert(row.getAs[Double]("estimate") == 10.0)
+    assert(row.getAs[Long]("exact") == 10L)
+    assert(row.getAs[Double]("rel_err") == 0.0)
+  }
+
+  test("k=64 estimate lands within the theoretical error envelope") {
+    // KMV std error ~ 1/sqrt(k-2) = 12.7% at k=64; 4 sigma = 51%.
+    val row = Kmv.distinctEstimate(Tables(spark, sf).lineitem, "l_orderkey")
+      .collect().head
+    assert(row.getAs[Long]("kept") == 64L)
+    assert(row.getAs[Double]("rel_err") < 0.51,
+      s"rel_err ${row.getAs[Double]("rel_err")} outside 4-sigma envelope")
+  }
+}

@@ -141,4 +141,16 @@ class SearchRedactSpec extends SparkSpec {
       .as[(Int, Long, Long, Long)].collect().toSeq
     assert(got == Seq((0, 3L, 2L, 1L), (1, 2L, 1L, 1L)))
   }
+  test("phraseSearch: adjacency in order, not co-occurrence") {
+    val docs = Seq(
+      (1L, "hash join is fast"),        // 1 hit
+      (2L, "join hash"),                // reversed - no hit
+      (3L, "hash and join"),            // not adjacent - no hit
+      (4L, "hash join hash join"),      // 2 hits
+      (5L, "HASH  JOIN"),               // case/whitespace-normalized hit
+    ).toDF("doc_id", "text")
+    val got = Search.phraseSearch(docs, "hash", "join")
+      .as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 1L), (4L, 2L), (5L, 1L)))
+  }
 }
