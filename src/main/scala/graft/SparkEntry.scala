@@ -27,6 +27,9 @@ object SparkEntry {
       operators.Pq.entries ++
       operators.EventsOps.entries ++
       operators.Ewma.entries ++
+      operators.Markov.entries ++
+      operators.Robust.entries ++
+      operators.TableDiff.entries ++
       operators.Kmv.entries ++
       operators.Retention.entries ++
       operators.Profile.entries ++

@@ -78,6 +78,58 @@ object Kmv {
         round(abs(col("estimate") - col("exact")) / col("exact"), 4))
   }
 
+  /** KMV set-operation estimates — the property that makes bottom-k
+    * worth carrying next to HLL: two sketches over the same key domain
+    * merge by "union, keep the k smallest", and the merged sketch is
+    * exactly the sketch of the UNION. Jaccard is then the match rate
+    * inside the merged bottom-k (h ∈ bottom-k(A∪B) ∧ h ∈ A ⟹ h ∈
+    * bottom-k(A), so side membership is decidable from the two
+    * sketches alone — Beyer et al., SIGMOD'07).
+    *
+    * Scale shape: each input pays its own bottom-k pass (k-bounded
+    * task state, §[[bottomK]]); everything after operates on ≤ 3k rows
+    * of sketch — the merge, flags, and estimates would cost the same
+    * over two 100 TB tables. The exact intersection/union counts in
+    * the report are the differential ground truth (one distinct join),
+    * present for the same reason q111 carries `exact`.
+    */
+  def jaccardSketch(a: DataFrame, keyA: String, b: DataFrame, keyB: String,
+      k: Int = K): DataFrame = {
+    val sa = bottomK(a, keyA, k).withColumnRenamed("h", "ha")
+    val sb = bottomK(b, keyB, k).withColumnRenamed("h", "hb")
+    val merged = sa.select(col("ha").as("h"))
+      .unionByName(sb.select(col("hb").as("h")))
+      .distinct().orderBy("h").limit(k)
+    val sketch = merged
+      .join(broadcast(sa), col("h") === col("ha"), "left")
+      .join(broadcast(sb), col("h") === col("hb"), "left")
+      .agg(
+        count(lit(1)).as("kept"),
+        max("h").as("kth"),
+        sum(when(col("ha").isNotNull && col("hb").isNotNull, 1L)
+          .otherwise(0L)).as("matches"),
+      )
+    val ak = a.select(col(keyA).cast(StringType).as("key")).distinct()
+    val bk = b.select(col(keyB).cast(StringType).as("key")).distinct()
+    val exact = ak.join(bk, Seq("key")).agg(count(lit(1)).as("ni"))
+      .crossJoin(ak.unionByName(bk).distinct().agg(count(lit(1)).as("nu")))
+    sketch.crossJoin(broadcast(exact))
+      .withColumn("frac",
+        conv(substring(col("kth"), 1, 15), 16, 10).cast(LongType) / HexSpace)
+      .select(
+        lit(k).as("k"),
+        col("kept"),
+        col("matches"),
+        round(col("matches") / col("kept"), 6).as("jaccard_est"),
+        round(col("ni") / col("nu"), 6).as("jaccard_exact"),
+        round(when(col("kept") < k, col("kept").cast(DoubleType))
+          .otherwise(lit(k - 1.0) / col("frac")), 6).as("union_est"),
+        col("nu").as("union_exact"),
+      )
+      .withColumn("jaccard_abs_err",
+        round(abs(col("jaccard_est") - col("jaccard_exact")), 4))
+  }
+
   val entries: Seq[QueryEntry] = Seq(
     // KMV distinct-order-count over lineitem: DuckDB re-derives the
     // full bottom-64 distinct-hash set, the order statistic, and the
@@ -103,6 +155,56 @@ object Kmv {
          |FROM est""".stripMargin,
     ) { (s, dir) =>
       distinctEstimate(Tables(s, dir).lineitem, "l_orderkey")
+    },
+
+    // Sketch-merged Jaccard between "customers who ordered in 1995"
+    // and "customers in the BUILDING segment" — DuckDB re-derives both
+    // bottom-64 sketches, the merged union sketch, the side-membership
+    // flags, and the exact ground truth.
+    QueryEntry.sql(
+      "q117_kmv_jaccard",
+      s"""WITH a_keys AS (
+         |  SELECT DISTINCT CAST(o_custkey AS VARCHAR) AS key
+         |  FROM orders WHERE year(o_orderdate) = 1995
+         |), b_keys AS (
+         |  SELECT DISTINCT CAST(c_custkey AS VARCHAR) AS key
+         |  FROM customer WHERE c_mktsegment = 'BUILDING'
+         |), bot_a AS (SELECT md5(key) AS h FROM a_keys ORDER BY h LIMIT $K),
+         |bot_b AS (SELECT md5(key) AS h FROM b_keys ORDER BY h LIMIT $K),
+         |merged AS (
+         |  SELECT DISTINCT h FROM (
+         |    SELECT h FROM bot_a UNION ALL SELECT h FROM bot_b)
+         |  ORDER BY h LIMIT $K
+         |), sk AS (
+         |  SELECT COUNT(*) AS kept, MAX(m.h) AS kth,
+         |         SUM(CASE WHEN a.h IS NOT NULL AND b.h IS NOT NULL
+         |                  THEN 1 ELSE 0 END) AS matches
+         |  FROM merged m
+         |  LEFT JOIN bot_a a ON a.h = m.h
+         |  LEFT JOIN bot_b b ON b.h = m.h
+         |), ex AS (
+         |  SELECT (SELECT COUNT(*) FROM
+         |            (SELECT key FROM a_keys INTERSECT SELECT key FROM b_keys)) AS ni,
+         |         (SELECT COUNT(*) FROM
+         |            (SELECT key FROM a_keys UNION SELECT key FROM b_keys)) AS nu
+         |)
+         |SELECT CAST($K AS INTEGER) AS k, CAST(kept AS BIGINT) AS kept,
+         |       CAST(matches AS BIGINT) AS matches,
+         |       ROUND(matches / kept, 6) AS jaccard_est,
+         |       ROUND(ni / nu, 6) AS jaccard_exact,
+         |       ROUND(CASE WHEN kept < $K THEN CAST(kept AS DOUBLE)
+         |         ELSE ${K - 1}.0 /
+         |              (CAST(CAST('0x' || substr(kth, 1, 15) AS BIGINT) AS DOUBLE)
+         |               / $HexSpace) END, 6) AS union_est,
+         |       CAST(nu AS BIGINT) AS union_exact,
+         |       ROUND(ABS(ROUND(matches / kept, 6) - ROUND(ni / nu, 6)), 4)
+         |         AS jaccard_abs_err
+         |FROM sk, ex""".stripMargin,
+    ) { (s, dir) =>
+      val t = Tables(s, dir)
+      jaccardSketch(
+        t.orders.filter(year(col("o_orderdate")) === 1995), "o_custkey",
+        t.customer.filter(col("c_mktsegment") === "BUILDING"), "c_custkey")
     },
   )
 }

@@ -214,23 +214,44 @@ object PageRank {
     * join the next frontier, so work per step is proportional to the
     * frontier, not the visited set.
     */
-  def kHop(edges: DataFrame, source: Long, iters: Int): DataFrame = {
-    val e = edges.select(col("src"), col("dst")).localCheckpoint(true)
-    var dist = e.sparkSession.range(1)
-      .select(lit(source).as("node"), lit(0).as("hops")).localCheckpoint(true)
-    var frontier = dist
-    for (k <- 1 to iters) {
-      val next = frontier.join(e, col("node") === col("src"))
-        .select(col("dst").as("node"), lit(k).as("hops"))
-        .groupBy("node").agg(min("hops").as("hops"))
-      val grown = dist.unionByName(next)
-        .groupBy("node").agg(min("hops").as("hops"))
-        .localCheckpoint(true)
-      frontier = grown.join(dist.select(col("node").as("seen")),
-        col("node") === col("seen"), "left_anti")
-      dist = grown
+  def kHop(edges: DataFrame, source: Long, iters: Int,
+      edgeLocalLimit: Long = LiteralCarryLimit): DataFrame = {
+    val e = graft.metrics.RuntimeBreakdown.noteExecuted(
+      edges.select(col("src").cast(LongType).as("src"),
+        col("dst").cast(LongType).as("dst"))).localCheckpoint(true)
+    // Model-sized graph (≤ edgeLocalLimit edges): BFS is driver math
+    // over the collected adjacency — burning one Spark job per hop on
+    // a ≤2²⁰-row frame buys nothing (the q93 literal-carry argument;
+    // the distributed loop below is the >limit path).
+    if (e.count() <= edgeLocalLimit) {
+      val adj = e.collect().map(r => (r.getLong(0), r.getLong(1)))
+        .groupBy(_._1).map { case (s, a) => s -> a.map(_._2) }
+      val dist = collection.mutable.Map(source -> 0)
+      var frontier = Seq(source)
+      for (k <- 1 to iters) {
+        frontier = frontier.flatMap(n => adj.getOrElse(n, Array.empty[Long]))
+          .distinct.filterNot(dist.contains)
+        frontier.foreach(n => dist(n) = k)
+      }
+      import e.sparkSession.implicits._
+      dist.toSeq.toDF("node", "hops")
+    } else {
+      var dist = e.sparkSession.range(1)
+        .select(lit(source).as("node"), lit(0).as("hops")).localCheckpoint(true)
+      var frontier = dist
+      for (k <- 1 to iters) {
+        val next = frontier.join(e, col("node") === col("src"))
+          .select(col("dst").as("node"), lit(k).as("hops"))
+          .groupBy("node").agg(min("hops").as("hops"))
+        val grown = dist.unionByName(next)
+          .groupBy("node").agg(min("hops").as("hops"))
+          .localCheckpoint(true)
+        frontier = grown.join(dist.select(col("node").as("seen")),
+          col("node") === col("seen"), "left_anti")
+        dist = grown
+      }
+      dist
     }
-    dist
   }
 
   val entries: Seq[QueryEntry] = Seq(

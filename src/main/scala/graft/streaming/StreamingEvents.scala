@@ -256,6 +256,56 @@ object StreamingEvents {
     spark.table(name).orderBy("user_id", "valid_from")
   }
 
+  /** Streaming EWMA twin: q114's per-user smoothing as the literal
+    * recurrence sᵢ = α·vᵢ + (1-α)·sᵢ₋₁ over (ewma, n) keyed state —
+    * the stateful form whose algebraic closure IS the batch closed
+    * form (one weighted window sum), so their agreement certifies
+    * both: the stream that the recurrence is implemented right, the
+    * batch that the closed form is the right closure. State is two
+    * numbers per user — constant, never watermark-dependent.
+    */
+  def ewmaStates(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    import spark.implicits._
+    val src = stagedStreamSource(spark, dir)
+    val schema = spark.read.parquet(src).schema
+    val alpha = graft.operators.Ewma.Alpha
+    spark.readStream.schema(schema).parquet(src)
+      .select(col("user_id"), expr("ts div 1000").as("tus"),
+        col("event_id"), col("value"))
+      .as[(Long, Long, Long, Double)]
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, Long, Long, Double)],
+            state: org.apache.spark.sql.streaming.GroupState[(Double, Long)]) =>
+          var (s, n) = state.getOption.getOrElse((0.0, 0L))
+          rows.toSeq.sortBy(r => (r._2, r._3)).foreach { case (_, _, _, v) =>
+            s = if (n == 0L) v else alpha * v + (1 - alpha) * s
+            n += 1
+          }
+          state.update((s, n))
+          (user, n, s)
+      }
+      .toDF("user_id", "n_events", "ewma")
+  }
+
+  /** Run [[ewmaStates]] to completion; in update mode each trigger
+    * re-emits touched users, so the final state per user is the row
+    * with the largest n_events (n is monotone in events consumed).
+    */
+  def runEwmaToCompletion(spark: SparkSession, dir: String): DataFrame = {
+    val name = s"graft_ewma_${System.identityHashCode(spark)}"
+    val q = ewmaStates(spark, dir).writeStream
+      .format("memory").queryName(name).outputMode("update")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("n_events").desc)
+    spark.table(name)
+      .withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+      .select("user_id", "n_events", "ewma").orderBy("user_id")
+  }
+
   /** Streaming exactly-once dedup: the q71 semantics with the doubled
     * (at-least-once) feed streaming through
     * `dropDuplicatesWithinWatermark` — state holds one row per

@@ -31,6 +31,30 @@ class KmvSpec extends SparkSpec {
     assert(row.getAs[Double]("rel_err") == 0.0)
   }
 
+  test("jaccardSketch: identical, disjoint, and half-overlap sets") {
+    val a = (1 to 200).toDF("key")
+    val same = Kmv.jaccardSketch(a, "key", a, "key", k = 32).collect().head
+    assert(same.getAs[Double]("jaccard_est") == 1.0)
+    assert(same.getAs[Double]("jaccard_exact") == 1.0)
+
+    val b = (201 to 400).toDF("key")
+    val disj = Kmv.jaccardSketch(a, "key", b, "key", k = 32).collect().head
+    assert(disj.getAs[Double]("jaccard_est") == 0.0)
+    assert(disj.getAs[Double]("jaccard_exact") == 0.0)
+    assert(disj.getAs[Long]("union_exact") == 400L)
+
+    // sketch-of-union property: merged bottom-k == bottom-k of A∪B
+    val c = (101 to 300).toDF("key")
+    val merged = Kmv.jaccardSketch(a, "key", c, "key", k = 32).collect().head
+    val unionKth = Kmv.bottomK((1 to 300).toDF("key"), "key", k = 32)
+      .agg(max("h")).collect().head.getString(0)
+    val est = merged.getAs[Double]("union_est")
+    val fromUnion = Kmv.distinctEstimate((1 to 300).toDF("key"), "key", k = 32)
+      .collect().head.getAs[Double]("estimate")
+    assert(est == fromUnion, s"merged-sketch estimate $est != union-sketch $fromUnion")
+    assert(unionKth.nonEmpty)
+  }
+
   test("k=64 estimate lands within the theoretical error envelope") {
     // KMV std error ~ 1/sqrt(k-2) = 12.7% at k=64; 4 sigma = 51%.
     val row = Kmv.distinctEstimate(Tables(spark, sf).lineitem, "l_orderkey")

@@ -58,20 +58,30 @@ class PageRankSpec extends SparkSpec {
     assert(a == b, s"driver path diverges: $a vs $b")
     assert(a == c, s"literal-agg path diverges: $a vs $c")
   }
-  test("kHop: chain graph distances, unreachable nodes absent") {
+  test("kHop: chain graph distances, unreachable nodes absent — both paths") {
     val chain = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (9L, 0L))
       .toDF("src", "dst")
-    val got = PageRank.kHop(chain, source = 0L, iters = 4)
-      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val expect = Map(0L -> 0, 1L -> 1, 2L -> 2, 3L -> 3, 4L -> 4)
     // 4 iterations reach hop 4; node 5 (hop 5) and node 9 (upstream
     // only — BFS follows edge direction) must be absent
-    assert(got == Map(0L -> 0, 1L -> 1, 2L -> 2, 3L -> 3, 4L -> 4))
+    val driver = PageRank.kHop(chain, source = 0L, iters = 4)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(driver == expect)
+    val distributed = PageRank.kHop(chain, source = 0L, iters = 4,
+        edgeLocalLimit = 0L)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(distributed == expect, "distributed path diverges from driver path")
   }
 
-  test("kHop: min over multiple paths wins") {
+  test("kHop: min over multiple paths wins — both paths") {
     val g = Seq((0L, 1L), (1L, 2L), (2L, 3L), (0L, 3L)).toDF("src", "dst")
-    val got = PageRank.kHop(g, source = 0L, iters = 4)
+    val expect = Map(0L -> 0, 1L -> 1, 2L -> 2, 3L -> 1)
+    val driver = PageRank.kHop(g, source = 0L, iters = 4)
       .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
-    assert(got == Map(0L -> 0, 1L -> 1, 2L -> 2, 3L -> 1))
+    assert(driver == expect)
+    val distributed = PageRank.kHop(g, source = 0L, iters = 4,
+        edgeLocalLimit = 0L)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(distributed == expect)
   }
 }

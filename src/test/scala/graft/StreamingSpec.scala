@@ -95,4 +95,18 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
     assert(batch.nonEmpty)
   }
+
+  test("streaming EWMA recurrence ≡ batch q114 closed form (6 dp)") {
+    val streamed = StreamingEvents.runEwmaToCompletion(spark, sf)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val batch = run("q114_ewma")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(streamed.keySet == batch.keySet)
+    assert(batch.nonEmpty)
+    for ((u, (bn, bv)) <- batch) {
+      val (sn, sv) = streamed(u)
+      assert(sn == bn, s"user $u event count: stream $sn vs batch $bn")
+      assert(math.abs(sv - bv) < 1e-6, s"user $u: stream $sv vs batch $bv")
+    }
+  }
 }
