@@ -30,6 +30,8 @@ object SparkEntry {
       operators.Markov.entries ++
       operators.Robust.entries ++
       operators.TableDiff.entries ++
+      operators.Preflight.entries ++
+      operators.Overlap.entries ++
       operators.Kmv.entries ++
       operators.Retention.entries ++
       operators.Profile.entries ++
