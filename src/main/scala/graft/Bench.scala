@@ -83,9 +83,11 @@ object Bench {
       // Deterministic trial hygiene (outside every timed region): a
       // driver GC lets ContextCleaner reclaim the previous queries'
       // broadcast blocks NOW rather than whenever the 30s periodic GC
-      // lands mid-measurement; every 16 queries keeps the pause cost
-      // (~100ms on this heap) amortized to noise.
-      if (idx % 16 == 0) System.gc()
+      // lands mid-measurement; every 8 queries keeps the pause cost
+      // (~100ms on this heap) amortized to noise (16 left the text-
+      // heavy q87/q94/q98 running 2-3x their isolated times late in
+      // the 122-query sequence).
+      if (idx % 8 == 0) System.gc()
       // every run of a checkpoint-using query (q20/q38/q42/q58…) pins
       // fresh block-manager memory; across 64 queries × 6 runs the
       // accumulation degrades later queries (r02: q62 read 4.0 s in the

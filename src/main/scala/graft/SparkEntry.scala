@@ -32,6 +32,9 @@ object SparkEntry {
       operators.TableDiff.entries ++
       operators.Preflight.entries ++
       operators.Overlap.entries ++
+      operators.JsonProps.entries ++
+      operators.Regression.entries ++
+      operators.Sliding.entries ++
       operators.Kmv.entries ++
       operators.Retention.entries ++
       operators.Profile.entries ++

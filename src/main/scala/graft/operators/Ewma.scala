@@ -35,26 +35,35 @@ object Ewma {
 
   val Alpha = 0.3
 
-  /** Final smoothed `value` per `user_id` over the (ts, event_id)
-    * timeline.
+  /** The closed form over any (key, order, value) frame: one row per
+    * key with (count, smoothed value). `nName`/`sName` label the two
+    * output columns so callers keep their domain vocabulary.
     */
-  def ewmaByUser(events: DataFrame, alpha: Double = Alpha): DataFrame = {
-    val byUser = Window.partitionBy("user_id")
-    val ordered = byUser.orderBy(col("ts"), col("event_id"))
-    events
-      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+  def smoothed(df: DataFrame, keyCol: String, orderCols: Seq[String],
+      valueCol: String, alpha: Double, nName: String, sName: String): DataFrame = {
+    val byKey = Window.partitionBy(keyCol)
+    val ordered = byKey.orderBy(orderCols.map(col): _*)
+    df
       .withColumn("rn", row_number().over(ordered))
-      .withColumn("n", count(lit(1)).over(byUser))
+      .withColumn("n", count(lit(1)).over(byKey))
       .withColumn("wt",
         when(col("rn") === 1, pow(lit(1 - alpha), col("n") - 1))
           .otherwise(lit(alpha) * pow(lit(1 - alpha), col("n") - col("rn"))))
-      .groupBy("user_id")
+      .groupBy(keyCol)
       .agg(
-        count(lit(1)).as("n_events"),
-        round(sum(col("wt") * col("value")), 6).as("ewma"),
+        count(lit(1)).as(nName),
+        round(sum(col("wt") * col(valueCol)), 6).as(sName),
       )
-      .orderBy("user_id")
+      .orderBy(keyCol)
   }
+
+  /** Final smoothed `value` per `user_id` over the (ts, event_id)
+    * timeline.
+    */
+  def ewmaByUser(events: DataFrame, alpha: Double = Alpha): DataFrame =
+    smoothed(
+      events.select(col("user_id"), col("ts"), col("event_id"), col("value")),
+      "user_id", Seq("ts", "event_id"), "value", alpha, "n_events", "ewma")
 
   val entries: Seq[QueryEntry] = Seq(
     // Per-user EWMA (α=0.3) over the event stream; DuckDB evaluates
@@ -74,6 +83,32 @@ object Ewma {
          |FROM e GROUP BY 1 ORDER BY 1""".stripMargin,
     ) { (s, dir) =>
       ewmaByUser(Tables(s, dir).events)
+    },
+
+    // Trending score: the same closed form over each event type's
+    // DAILY COUNT series — recency-weighted volume, the "what's rising
+    // now" ranking. The window input here is days-per-type (bounded by
+    // calendar), the corpus only pays the daily rollup.
+    QueryEntry.sql(
+      "q123_trending",
+      s"""WITH daily AS (
+         |  SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS cnt
+         |  FROM events GROUP BY 1, 2
+         |), e AS (
+         |  SELECT event_type, cnt,
+         |         row_number() OVER (PARTITION BY event_type ORDER BY day) AS rn,
+         |         count(*) OVER (PARTITION BY event_type) AS n
+         |  FROM daily)
+         |SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days,
+         |       ROUND(SUM(CASE WHEN rn = 1 THEN power(${1 - Alpha}, n - 1)
+         |                      ELSE $Alpha * power(${1 - Alpha}, n - rn)
+         |                 END * cnt), 6) AS trend
+         |FROM e GROUP BY 1 ORDER BY 1""".stripMargin,
+    ) { (s, dir) =>
+      val daily = Tables(s, dir).events
+        .select(col("event_type"), to_date(col("ts")).as("day"))
+        .groupBy("event_type", "day").agg(count(lit(1)).as("cnt"))
+      smoothed(daily, "event_type", Seq("day"), "cnt", Alpha, "n_days", "trend")
     },
   )
 }

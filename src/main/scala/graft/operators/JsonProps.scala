@@ -1,0 +1,50 @@
+package graft.operators
+
+import graft.{QueryEntry, Tables}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.DataFrame
+
+/** Semi-structured property extraction — pull typed fields out of a
+  * JSON string column and aggregate on them, the everyday ingestion
+  * shape for event streams whose payload schema outlives the table
+  * schema (q31 writes rows TO json; this is the read side).
+  *
+  * Scale shape: `get_json_object` is a per-row codegen expression (no
+  * UDF, no shuffle of its own); the aggregate after it is an ordinary
+  * map-side-combined rollup on (type, bucket) — alphabet × 10 cells.
+  * A malformed or missing key extracts NULL and lands in the NULL
+  * bucket rather than failing the query (the PERMISSIVE stance of
+  * q107, expression-level).
+  */
+object JsonProps {
+
+  /** Per (event_type, k-decile) counts and value means, with `k`
+    * extracted from the `props` JSON payload.
+    */
+  def propsBuckets(events: DataFrame): DataFrame =
+    events
+      .select(col("event_type"), col("value"),
+        get_json_object(col("props"), "$.k").cast(IntegerType).as("k"))
+      .select(col("event_type"), col("value"),
+        (col("k") / 10).cast(IntegerType).as("k_bucket"))
+      .groupBy("event_type", "k_bucket")
+      .agg(count(lit(1)).as("cnt"), round(avg("value"), 6).as("avg_value"))
+      .orderBy("event_type", "k_bucket")
+
+  val entries: Seq[QueryEntry] = Seq(
+    // JSON property extraction + decile rollup; DuckDB re-extracts via
+    // json_extract_string and must agree cell by cell.
+    QueryEntry.sql(
+      "q122_json_extract",
+      """SELECT event_type,
+        |       CAST(CAST(json_extract_string(props, '$.k') AS INTEGER) // 10
+        |            AS INTEGER) AS k_bucket,
+        |       COUNT(*) AS cnt,
+        |       ROUND(AVG(value), 6) AS avg_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    ) { (s, dir) =>
+      propsBuckets(Tables(s, dir).events)
+    },
+  )
+}

@@ -34,6 +34,23 @@ class EwmaSpec extends SparkSpec {
     assert(got.getLong(1) == 1L && got.getDouble(2) == 42.5)
   }
 
+  test("trending: rising series outranks falling series of equal volume") {
+    // 20 steps: the s1=v1 initialization carries (1-α)^19 ≈ 0.1% by the
+    // end, so the recency weighting dominates (at 4 steps it would NOT:
+    // a falling series' high start still outweighs 3 recent steps)
+    val n = 20
+    val daily = (1 to n).flatMap(i => Seq(
+      ("rising", i, i.toDouble), ("falling", i, (n + 1 - i).toDouble)))
+      .toDF("event_type", "day", "cnt")
+    val got = Ewma.smoothed(daily, "event_type", Seq("day"), "cnt",
+        Ewma.Alpha, "n_days", "trend")
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(got("rising") > got("falling"),
+      s"recency weighting inverted: $got")
+    // both are convex combinations of the counts -> inside [1, n]
+    assert(got.values.forall(v => v >= 1.0 && v <= n))
+  }
+
   test("ties on ts break by event_id deterministically") {
     // same ts for all rows: order = event_id; last event dominates
     val df = Seq((1L, 5L, 1L, 0.0), (1L, 5L, 2L, 0.0), (1L, 5L, 3L, 100.0))
