@@ -83,11 +83,13 @@ object Bench {
       // Deterministic trial hygiene (outside every timed region): a
       // driver GC lets ContextCleaner reclaim the previous queries'
       // broadcast blocks NOW rather than whenever the 30s periodic GC
-      // lands mid-measurement; every 8 queries keeps the pause cost
-      // (~100ms on this heap) amortized to noise (16 left the text-
-      // heavy q87/q94/q98 running 2-3x their isolated times late in
-      // the 122-query sequence).
-      if (idx % 8 == 0) System.gc()
+      // lands mid-measurement. Before EVERY query: periodic cadences
+      // (16, then 8) left whichever queries sat furthest from a GC
+      // point running 2-3x their isolated times (q87/q94 at %16, q84
+      // at %8 — the victims moved when entries were inserted), so the
+      // only position-independent hygiene is a fresh heap per query;
+      // the ~100ms pause is outside the timed region.
+      System.gc()
       // every run of a checkpoint-using query (q20/q38/q42/q58…) pins
       // fresh block-manager memory; across 64 queries × 6 runs the
       // accumulation degrades later queries (r02: q62 read 4.0 s in the

@@ -35,6 +35,7 @@ object SparkEntry {
       operators.JsonProps.entries ++
       operators.Regression.entries ++
       operators.Sliding.entries ++
+      operators.Drift.entries ++
       operators.Kmv.entries ++
       operators.Retention.entries ++
       operators.Profile.entries ++

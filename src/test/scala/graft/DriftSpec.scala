@@ -1,0 +1,30 @@
+package graft
+
+import graft.operators.Drift
+
+class DriftSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(day: Int) = java.time.LocalDateTime.of(2024, 1, day, 9, 0)
+
+  test("identical slices drift zero; vanished bucket takes the eps floor") {
+    // ref (days < 15) and cur (days >= 15) both uniform over buckets 0,1
+    val same = (1 to 40).map { i =>
+      (ts(if (i <= 20) 1 else 20), (i % 2) * 10.0 + 5.0)
+    }.toDF("ts", "value")
+    val zero = Drift.psiBuckets(same, "2024-01-15").collect()
+    assert(zero.forall(_.getAs[Double]("contrib") == 0.0), zero.mkString(","))
+
+    // bucket 3 present only in ref -> cur share takes the 1e-6 floor,
+    // contribution large and positive
+    val gone = ((1 to 10).map(_ => (ts(1), 35.0)) ++
+      (1 to 10).map(_ => (ts(1), 5.0)) ++
+      (1 to 20).map(_ => (ts(20), 5.0))).toDF("ts", "value")
+    val rows = Drift.psiBuckets(gone, "2024-01-15").collect()
+      .map(r => r.getInt(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(rows(3)._2 == Drift.Eps)
+    assert(rows(3)._3 > 1.0, s"vanished bucket contribution ${rows(3)._3}")
+    // PSI total = sum of contributions, all finite
+    assert(rows.values.map(_._3).sum < Double.PositiveInfinity)
+  }
+}
