@@ -22,7 +22,10 @@ import org.apache.spark.sql.DataFrame
   */
 object Preflight {
 
-  /** One-row preflight for `a ⋈ b` on `key` (column name shared). */
+  /** One-row preflight for `a ⋈ b` on `key`. No shared keys → an
+    * EMPTY frame (the join output would be empty too); callers gate on
+    * `join_rows` of the row if present.
+    */
   def joinSize(a: DataFrame, keyA: String, b: DataFrame, keyB: String): DataFrame = {
     val ca = a.groupBy(col(keyA).as("k")).agg(count(lit(1)).as("ca"))
     val cb = b.groupBy(col(keyB).as("k")).agg(count(lit(1)).as("cb"))
