@@ -44,7 +44,11 @@ object Kmv {
     */
   def bottomK(df: DataFrame, key: String, k: Int = K): DataFrame = {
     import df.sparkSession.implicits._
-    val hashes = df.select(md5(col(key).cast(StringType)).as("h")).as[String]
+    // NULL keys have no hash and are excluded (the COUNT(DISTINCT)
+    // convention both estimators compare against); without the filter
+    // a null would reach the TreeSet comparator.
+    val hashes = df.select(md5(col(key).cast(StringType)).as("h"))
+      .filter(col("h").isNotNull).as[String]
     val perTask = hashes.mapPartitions { it =>
       val set = new java.util.TreeSet[String]()
       it.foreach { h => set.add(h); if (set.size > k) set.pollLast() }

@@ -41,8 +41,12 @@ object Regression {
     val nD = col("n").cast(DoubleType)
     val sxD = col("sx").cast(DoubleType)
     val syD = col("sy").cast(DoubleType)
-    val slope = (nD * col("sxy").cast(DoubleType) - sxD * syD) /
-      (nD * col("sxx").cast(DoubleType) - sxD * sxD)
+    // den = nΣx² − (Σx)² ≥ 0, and 0 exactly when the group has a
+    // single distinct x — an undefined slope. Guarded to NULL in both
+    // engines (unguarded, Spark's double division and DuckDB's would
+    // diverge on the degenerate group — the q90 z-score lesson).
+    val den = nD * col("sxx").cast(DoubleType) - sxD * sxD
+    val slope = when(den > 0, (nD * col("sxy").cast(DoubleType) - sxD * syD) / den)
     s.select(col(groupCol), col("n"),
         round(slope, 6).as("slope"),
         round((syD - slope * sxD) / nD, 6).as("intercept"))
@@ -66,15 +70,20 @@ object Regression {
         |         SUM(CAST(x AS BIGINT) * x) AS sxx
         |  FROM b GROUP BY 1
         |)
+        |, g AS (
+        |  SELECT event_type, n, sx, sy, sxy, sxx,
+        |         n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx AS den
+        |  FROM s
+        |)
         |SELECT event_type, CAST(n AS BIGINT) AS n,
-        |       ROUND((n * CAST(sxy AS DOUBLE) - sx * CAST(sy AS DOUBLE)) /
-        |             (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx), 6)
-        |         AS slope,
+        |       ROUND(CASE WHEN den > 0 THEN
+        |               (n * CAST(sxy AS DOUBLE) - sx * CAST(sy AS DOUBLE)) / den
+        |             END, 6) AS slope,
         |       ROUND((CAST(sy AS DOUBLE) -
-        |              (n * CAST(sxy AS DOUBLE) - sx * CAST(sy AS DOUBLE)) /
-        |              (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx)
-        |              * sx) / n, 6) AS intercept
-        |FROM s ORDER BY 1""".stripMargin,
+        |              CASE WHEN den > 0 THEN
+        |                (n * CAST(sxy AS DOUBLE) - sx * CAST(sy AS DOUBLE)) / den
+        |              END * sx) / n, 6) AS intercept
+        |FROM g ORDER BY 1""".stripMargin,
     ) { (s, dir) =>
       dailyTrend(Tables(s, dir).events, "event_type", "ts", "value")
     },

@@ -22,6 +22,12 @@ class KmvSpec extends SparkSpec {
     assert(bot.toSeq == brute.toSeq)
   }
 
+  test("NULL keys are excluded, not NPEd") {
+    val withNulls = Seq(Some(1), None, Some(2), None, Some(1)).toDF("key")
+    val bot = Kmv.bottomK(withNulls, "key", k = 8).collect()
+    assert(bot.length == 2)
+  }
+
   test("fewer than k distinct keys -> estimate is the exact count") {
     val small = (1 to 40).map(i => i % 10).toDF("key") // 10 distinct
     val row = Kmv.distinctEstimate(small, "key", k = 64).collect().head

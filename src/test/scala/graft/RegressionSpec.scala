@@ -18,6 +18,13 @@ class RegressionSpec extends SparkSpec {
     assert(got("b") == ((-0.5, 100.0)), s"got ${got("b")}")
   }
 
+  test("single-day group: slope undefined -> NULL, not Inf/NaN") {
+    val ts = java.time.LocalDateTime.of(2024, 3, 1, 10, 0)
+    val df = Seq(("a", ts, 1.0), ("a", ts.plusHours(2), 5.0)).toDF("g", "ts", "value")
+    val row = Regression.dailyTrend(df, "g", "ts", "value").collect().head
+    assert(row.isNullAt(2) && row.isNullAt(3), row.toString)
+  }
+
   // days between 1990-01-01 and 2024-01-01 — the x of the first row
   private val dayBase =
     java.time.temporal.ChronoUnit.DAYS.between(
