@@ -78,8 +78,11 @@ object Kmv {
           .otherwise(lit(k - 1.0) / col("frac")), 6).as("estimate"),
         col("exact"),
       )
+      // exact = 0 (empty input) leaves rel_err NULL rather than a
+      // divide-by-zero (ANSI mode throws; the guard is the contract)
       .withColumn("rel_err",
-        round(abs(col("estimate") - col("exact")) / col("exact"), 4))
+        when(col("exact") > 0,
+          round(abs(col("estimate") - col("exact")) / col("exact"), 4)))
   }
 
   /** KMV set-operation estimates — the property that makes bottom-k
@@ -124,12 +127,16 @@ object Kmv {
         lit(k).as("k"),
         col("kept"),
         col("matches"),
-        round(col("matches") / col("kept"), 6).as("jaccard_est"),
-        round(col("ni") / col("nu"), 6).as("jaccard_exact"),
+        when(col("kept") > 0, round(col("matches") / col("kept"), 6))
+          .as("jaccard_est"),
+        when(col("nu") > 0, round(col("ni") / col("nu"), 6))
+          .as("jaccard_exact"),
         round(when(col("kept") < k, col("kept").cast(DoubleType))
           .otherwise(lit(k - 1.0) / col("frac")), 6).as("union_est"),
         col("nu").as("union_exact"),
       )
+      // both-empty inputs leave the ratios NULL (ANSI divide-by-zero
+      // guard), not an error
       .withColumn("jaccard_abs_err",
         round(abs(col("jaccard_est") - col("jaccard_exact")), 4))
   }
@@ -155,7 +162,8 @@ object Kmv {
          |         CAST(exact AS BIGINT) AS exact
          |  FROM agg, ex)
          |SELECT k, kept, kth_hash, estimate, exact,
-         |       ROUND(ABS(estimate - exact) / exact, 4) AS rel_err
+         |       CASE WHEN exact > 0
+         |            THEN ROUND(ABS(estimate - exact) / exact, 4) END AS rel_err
          |FROM est""".stripMargin,
     ) { (s, dir) =>
       distinctEstimate(Tables(s, dir).lineitem, "l_orderkey")
@@ -194,14 +202,16 @@ object Kmv {
          |)
          |SELECT CAST($K AS INTEGER) AS k, CAST(kept AS BIGINT) AS kept,
          |       CAST(matches AS BIGINT) AS matches,
-         |       ROUND(matches / kept, 6) AS jaccard_est,
-         |       ROUND(ni / nu, 6) AS jaccard_exact,
+         |       CASE WHEN kept > 0 THEN ROUND(matches / kept, 6) END
+         |         AS jaccard_est,
+         |       CASE WHEN nu > 0 THEN ROUND(ni / nu, 6) END AS jaccard_exact,
          |       ROUND(CASE WHEN kept < $K THEN CAST(kept AS DOUBLE)
          |         ELSE ${K - 1}.0 /
          |              (CAST(CAST('0x' || substr(kth, 1, 15) AS BIGINT) AS DOUBLE)
          |               / $HexSpace) END, 6) AS union_est,
          |       CAST(nu AS BIGINT) AS union_exact,
-         |       ROUND(ABS(ROUND(matches / kept, 6) - ROUND(ni / nu, 6)), 4)
+         |       ROUND(ABS(CASE WHEN kept > 0 THEN ROUND(matches / kept, 6) END
+         |                 - CASE WHEN nu > 0 THEN ROUND(ni / nu, 6) END), 4)
          |         AS jaccard_abs_err
          |FROM sk, ex""".stripMargin,
     ) { (s, dir) =>

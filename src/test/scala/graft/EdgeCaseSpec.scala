@@ -57,4 +57,30 @@ class EdgeCaseSpec extends SparkSpec {
     val one = Seq((1L, Seq(1.0f, 0.0f))).toDF("vec_id", "embedding")
     assert(graft.operators.Similarity.exactCosinePairs(one, 0.5).collect().isEmpty)
   }
+
+  test("round-4 analytics degrade to empty/zero on empty or degenerate input") {
+    def ts(d: Int) = java.time.LocalDateTime.of(2024, 1, d, 9, 0)
+    val noEvents = Seq.empty[(Long, java.time.LocalDateTime, Long, String, Double)]
+      .toDF("user_id", "ts", "event_id", "event_type", "value")
+    // Markov: no second event anywhere -> no transitions
+    assert(graft.operators.Markov.transitions(noEvents).collect().isEmpty)
+    val singletons = Seq((1L, ts(1), 1L, "A", 1.0), (2L, ts(2), 2L, "B", 2.0))
+      .toDF("user_id", "ts", "event_id", "event_type", "value")
+    assert(graft.operators.Markov.transitions(singletons).collect().isEmpty)
+    // EWMA / sliding distinct / audience overlap on empty
+    assert(graft.operators.Ewma.ewmaByUser(noEvents).collect().isEmpty)
+    assert(graft.operators.Sliding.slidingDistinctUsers(noEvents, 7)
+      .collect().isEmpty)
+    assert(graft.operators.Overlap.audienceOverlap(noEvents).collect().isEmpty)
+    // phrase search: absent terms -> empty, not error
+    val docs = Seq((1L, "no such phrase here")).toDF("doc_id", "text")
+    assert(graft.operators.Search.phraseSearch(docs, "zz", "qq")
+      .collect().isEmpty)
+    // KMV on empty: kept=0, estimate 0, rel_err NULL (exact = 0)
+    val emptyKeys = Seq.empty[Long].toDF("key")
+    val kmv = graft.operators.Kmv.distinctEstimate(emptyKeys, "key")
+      .collect().head
+    assert(kmv.getAs[Long]("kept") == 0L)
+    assert(kmv.getAs[Double]("estimate") == 0.0)
+  }
 }
