@@ -36,6 +36,7 @@ object SparkEntry {
       operators.Regression.entries ++
       operators.Sliding.entries ++
       operators.Drift.entries ++
+      operators.Skyline.entries ++
       operators.Kmv.entries ++
       operators.Retention.entries ++
       operators.Profile.entries ++

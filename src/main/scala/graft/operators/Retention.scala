@@ -61,6 +61,38 @@ object Retention {
       .crossJoin(p.agg(count(lit(1)).as("n_purchasers")))
   }
 
+  /** Conversion-latency distribution: for users who complete the full
+    * strictly-ordered view → click → purchase funnel, the quantiles of
+    * (first purchase − first view). The "how long does converting
+    * take" number product teams pair with q104's "how many convert".
+    *
+    * All timestamps are compared and differenced as epoch MICROS on
+    * both engines (the q108 truncation bound: Spark's nanos→micros
+    * conversion ≡ DuckDB's TIMESTAMP_NS→TIMESTAMP cast), so strictness
+    * and latency values are grain-identical. Same user-key join shape
+    * as [[funnel]]; the quantile runs over one row per converted user.
+    */
+  def conversionLatency(events: DataFrame): DataFrame = {
+    val tus = unix_micros(col("ts"))
+    val v = events.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min(tus).as("vts"))
+    val c = events.filter(col("event_type") === "click")
+      .join(v, Seq("user_id"))
+      .filter(tus > col("vts"))
+      .groupBy(col("user_id"), col("vts")).agg(min(tus).as("cts"))
+    val p = events.filter(col("event_type") === "purchase")
+      .join(c, Seq("user_id"))
+      .filter(tus > col("cts"))
+      .groupBy(col("user_id"), col("vts")).agg(min(tus).as("pts"))
+    p.select(((col("pts") - col("vts")) / lit(1000000.0)).as("latency_sec"))
+      .agg(
+        count(lit(1)).as("n_converted"),
+        round(expr("percentile(latency_sec, 0.25)"), 6).as("p25"),
+        round(expr("percentile(latency_sec, 0.5)"), 6).as("p50"),
+        round(expr("percentile(latency_sec, 0.9)"), 6).as("p90"),
+      )
+  }
+
   val entries: Seq[QueryEntry] = Seq(
     QueryEntry.sql(
       "q103_cohort_retention",
@@ -96,5 +128,36 @@ object Retention {
         |       (SELECT COUNT(*) FROM c) AS n_clickers,
         |       (SELECT COUNT(*) FROM p) AS n_purchasers""".stripMargin,
     ) { (s, dir) => funnel(Tables(s, dir).events) },
+
+    // Funnel latency quantiles; DuckDB re-walks the stage chain on the
+    // same epoch-micro grain and re-interpolates the quantiles.
+    QueryEntry.sql(
+      "q128_conversion_latency",
+      """WITH v AS (
+        |  SELECT user_id, MIN(epoch_us(CAST(ts AS TIMESTAMP))) AS vts
+        |  FROM events WHERE event_type = 'view' GROUP BY 1
+        |), c AS (
+        |  SELECT e.user_id, v.vts,
+        |         MIN(epoch_us(CAST(e.ts AS TIMESTAMP))) AS cts
+        |  FROM events e JOIN v USING (user_id)
+        |  WHERE e.event_type = 'click'
+        |    AND epoch_us(CAST(e.ts AS TIMESTAMP)) > v.vts
+        |  GROUP BY 1, 2
+        |), p AS (
+        |  SELECT e.user_id, c.vts,
+        |         MIN(epoch_us(CAST(e.ts AS TIMESTAMP))) AS pts
+        |  FROM events e JOIN c USING (user_id)
+        |  WHERE e.event_type = 'purchase'
+        |    AND epoch_us(CAST(e.ts AS TIMESTAMP)) > c.cts
+        |  GROUP BY 1, 2
+        |), lat AS (
+        |  SELECT (pts - vts) / 1000000.0 AS latency_sec FROM p
+        |)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_converted,
+        |       ROUND(quantile_cont(latency_sec, 0.25), 6) AS p25,
+        |       ROUND(quantile_cont(latency_sec, 0.5), 6) AS p50,
+        |       ROUND(quantile_cont(latency_sec, 0.9), 6) AS p90
+        |FROM lat""".stripMargin,
+    ) { (s, dir) => conversionLatency(Tables(s, dir).events) },
   )
 }
