@@ -37,6 +37,7 @@ object SparkEntry {
       operators.Sliding.entries ++
       operators.Drift.entries ++
       operators.Skyline.entries ++
+      operators.Ivm.entries ++
       operators.Kmv.entries ++
       operators.Retention.entries ++
       operators.Profile.entries ++

@@ -47,12 +47,12 @@ object TableDiff {
     */
   def driftedOrders(orders: DataFrame): DataFrame = {
     val kept = orders.filter(col("o_orderkey") % 101 =!= 0)
-      .select(col("o_orderkey"),
+      .select(col("o_orderkey"), col("o_orderdate"),
         when(col("o_orderkey") % 17 === 0, col("o_totalprice") + 1.5)
           .otherwise(col("o_totalprice")).as("o_totalprice"))
     val inserted = orders.filter(col("o_orderkey") % 113 === 0)
       .select((col("o_orderkey") + 100000000L).as("o_orderkey"),
-        col("o_totalprice"))
+        col("o_orderdate"), col("o_totalprice"))
     kept.unionByName(inserted)
   }
 
