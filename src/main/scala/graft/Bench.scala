@@ -121,6 +121,7 @@ object Bench {
       // own warmup, so cost attribution stays honest.
       operators.Ivf.invalidateIndex()
       operators.Pq.invalidateIndex()
+      TransientCaches.release()
       spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
         if (!pinnedBefore.contains(id)) rdd.unpersist(blocking = false)
       }

@@ -251,15 +251,29 @@ final class GraftEngine(val spark: SparkSession) {
   def knnJoin(emb: DataFrame, probes: DataFrame, k: Int): DataFrame =
     operators.Knn.knnJoin(emb, probes, k)
 
-  /** BM25 ranked retrieval over (doc_id, text) for a term query. */
+  /** BM25 ranked retrieval over (doc_id, text) for a term query.
+    * Persists a shared tokenize pass; see [[releaseTransientCaches]].
+    */
   def bm25(docs: DataFrame, terms: Seq[String], k: Int = 10): DataFrame =
     operators.Search.bm25(docs, terms, k)
 
   /** Edit-distance-≤1 fuzzy self-join on `keyCol` via deletion-
     * neighborhood candidates (FastSS) — no all-pairs comparison.
+    * ASCII keys take the byte-scan verifier fast path; non-ASCII keys
+    * are verified at codepoint level (same levenshtein-≤1 semantics).
+    * Persists the shared variant frame; see [[releaseTransientCaches]].
     */
   def fuzzyPairs(df: DataFrame, keyCol: String): DataFrame =
     operators.Fuzzy.fuzzyPairs(df, keyCol)
+
+  /** Free the intermediate frames operators persisted for plan-sharing
+    * (fuzzyPairs' variant frame, bm25's token counts, phrase-search
+    * postings). Safe at any time — a released frame a live plan still
+    * needs is recomputed, never wrong. Long-lived sessions should call
+    * this after materializing those operators' results; otherwise the
+    * blocks wait for driver GC + the 30 s ContextCleaner cadence.
+    */
+  def releaseTransientCaches(): Unit = TransientCaches.release()
 
   /** Fixed-window overlapping text chunks with per-chunk fingerprints
     * (the RAG/embedding-prep splitter).

@@ -26,8 +26,12 @@ object JsonProps {
     events
       .select(col("event_type"), col("value"),
         get_json_object(col("props"), "$.k").cast(IntegerType).as("k"))
+      // floor, not plain cast: `/` is double division and Int cast
+      // truncates toward zero, so a negative k would bucket to 0 where
+      // the oracle's `//` (floor division) gives -1 — floor() matches
+      // DuckDB for ALL inputs, not just the non-negative fixture
       .select(col("event_type"), col("value"),
-        (col("k") / 10).cast(IntegerType).as("k_bucket"))
+        floor(col("k") / 10).cast(IntegerType).as("k_bucket"))
       .groupBy("event_type", "k_bucket")
       .agg(count(lit(1)).as("cnt"), round(avg("value"), 6).as("avg_value"))
       .orderBy("event_type", "k_bucket")

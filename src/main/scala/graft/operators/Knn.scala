@@ -25,15 +25,22 @@ import org.apache.spark.sql.functions._
   */
 object Knn {
 
+  /** @param excludeSelf drop candidates with `vec_id == probe_id` —
+    *   correct ONLY when the probe batch is drawn from the corpus and
+    *   shares its id space (the q97 self-probe shape, hence the
+    *   default). An EXTERNAL probe batch whose ids coincidentally
+    *   collide with corpus vec_ids must pass `excludeSelf = false` or
+    *   legitimate nearest neighbors are silently dropped.
+    */
   def knnJoin(emb: DataFrame, probes: DataFrame, k: Int,
-      maxProbes: Long = 100000L): DataFrame = {
+      maxProbes: Long = 100000L, excludeSelf: Boolean = true): DataFrame = {
     val n = probes.count()
     require(n <= maxProbes,
       s"knnJoin broadcasts the probe batch: $n probes exceeds maxProbes=" +
         s"$maxProbes — route corpus-scale probe sets through Ivf.annSearch " +
         "or raise maxProbes explicitly")
     emb.crossJoin(broadcast(probes))
-      .filter(col("vec_id") =!= col("probe_id"))
+      .filter(if (excludeSelf) col("vec_id") =!= col("probe_id") else lit(true))
       .select(
         col("probe_id"),
         col("vec_id"),

@@ -22,9 +22,11 @@ import org.apache.spark.sql.DataFrame
   */
 object Preflight {
 
-  /** One-row preflight for `a ⋈ b` on `key`. No shared keys → an
-    * EMPTY frame (the join output would be empty too); callers gate on
-    * `join_rows` of the row if present.
+  /** One-row preflight for `a ⋈ b` on `key` — ALWAYS one row: no
+    * shared keys yields (0, NULL, NULL, NULL) (the argmax row is
+    * LEFT-joined, so an empty cell frame cannot erase the report),
+    * matching what `FROM cells, top` aggregates to in the SQL mirror.
+    * Callers gate on `join_rows` (NULL ≡ empty join).
     */
   def joinSize(a: DataFrame, keyA: String, b: DataFrame, keyB: String): DataFrame = {
     val ca = a.groupBy(col(keyA).as("k")).agg(count(lit(1)).as("ca"))
@@ -36,7 +38,7 @@ object Preflight {
         count(lit(1)).as("shared_keys"),
         sum("cell").as("join_rows"),
       )
-      .crossJoin(broadcast(top))
+      .join(broadcast(top), lit(true), "left")
       .select(col("shared_keys"), col("join_rows"),
         col("max_key"), col("max_key_rows"))
   }

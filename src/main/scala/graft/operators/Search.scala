@@ -137,11 +137,13 @@ object Search {
     // scan, so without sharing, the corpus would tokenize twice (the
     // q87 lesson). The (doc, term) count frame is persisted
     // MEMORY_AND_DISK (spills, never OOMs) and is strictly smaller
-    // than the token stream it replaces.
-    val counts = docs
+    // than the token stream it replaces; registered with
+    // TransientCaches — release() after materializing frees the blocks
+    // without waiting for driver GC.
+    val counts = graft.TransientCaches.register(docs
       .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("t"))
       .groupBy("doc_id", "t").agg(count(lit(1)).as("c"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val dl = counts.groupBy("doc_id").agg(sum("c").as("dl"))
     val stats = dl.agg(count(lit(1)).as("n"), avg("dl").as("avgdl"))
     val tf = counts.filter(col("t").isInCollection(terms))
@@ -175,11 +177,11 @@ object Search {
     * hash-partitioned by document, never a theta join.
     */
   def phraseSearch(docs: DataFrame, first: String, second: String): DataFrame = {
-    val hits = docs
+    val hits = graft.TransientCaches.register(docs
       .select(col("doc_id"),
         posexplode(TextAnalysis.tokens(col("text"))).as(Seq("pos", "t")))
       .filter(col("t") === lit(first) || col("t") === lit(second))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val a = hits.filter(col("t") === lit(first)).select(col("doc_id"), col("pos"))
     val b = hits.filter(col("t") === lit(second))
       .select(col("doc_id").as("b_doc"), col("pos").as("b_pos"))

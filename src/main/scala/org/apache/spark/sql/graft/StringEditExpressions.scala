@@ -6,17 +6,17 @@ import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
 /** `within_edit1(a, b)` — true iff levenshtein(a, b) ≤ 1, decided by a
-  * single two-pointer byte scan instead of the full O(|a|·|b|) DP the
+  * single two-pointer scan instead of the full O(|a|·|b|) DP the
   * general `levenshtein` expression runs: length gap > 1 is false
   * outright; equal lengths allow one substitution; gap-1 lengths allow
-  * one skip in the longer string. Byte-wise comparison is exact for
-  * this predicate: UTF-8 equality is byte equality, and a single
-  * CODEPOINT edit always yields byte-level edits confined to one
-  * position's encoding — which the one-mismatch scan only accepts when
-  * the encodings differ by ≤1 byte, i.e. a conservative subset of
-  * codepoint-edit-1 that coincides with it on ASCII (the fixture and
-  * the typical entity-key domain). Verified against `levenshtein` in
-  * the spec suite.
+  * one skip in the longer string. The scan runs over raw UTF-8 bytes
+  * when BOTH operands are pure ASCII (byte equality ≡ codepoint
+  * equality there, and the all-ASCII test is one pass that the hot
+  * fuzzy-join path always satisfies); any non-ASCII byte on either
+  * side falls back to the same scan over decoded CODEPOINTS, so a
+  * substitution that changes encoded length ('a'→'é', 1 byte → 2) is
+  * still one edit — byte-only scanning would reject it. Verified
+  * against `levenshtein` (incl. non-ASCII pairs) in the spec suite.
   *
   * Built for deletion-neighborhood fuzzy joins ([[graft.operators.Fuzzy]]):
   * candidate pairs arrive already knowing distance ≤ 2, and the
@@ -52,8 +52,24 @@ case class WithinEdit1(left: Expression, right: Expression)
 }
 
 object WithinEdit1 {
-  /** Two-pointer one-edit scan over raw UTF-8 bytes. */
-  def oneEdit(a: Array[Byte], b: Array[Byte]): Boolean = {
+  /** One-edit decision: byte scan on all-ASCII operands, codepoint scan
+    * otherwise (levenshtein is defined over codepoints — a multi-byte
+    * substitution is ONE edit even when the encodings differ in length).
+    */
+  def oneEdit(a: Array[Byte], b: Array[Byte]): Boolean =
+    if (allAscii(a) && allAscii(b)) oneEditBytes(a, b)
+    else oneEditInts(
+      new String(a, java.nio.charset.StandardCharsets.UTF_8).codePoints().toArray,
+      new String(b, java.nio.charset.StandardCharsets.UTF_8).codePoints().toArray)
+
+  private def allAscii(a: Array[Byte]): Boolean = {
+    var i = 0
+    while (i < a.length) { if ((a(i) & 0x80) != 0) return false; i += 1 }
+    true
+  }
+
+  /** Two-pointer one-edit scan over raw UTF-8 bytes (ASCII-only callers). */
+  def oneEditBytes(a: Array[Byte], b: Array[Byte]): Boolean = {
     val (s, l) = if (a.length <= b.length) (a, b) else (b, a)
     val gap = l.length - s.length
     if (gap > 1) return false
@@ -70,6 +86,26 @@ object WithinEdit1 {
       }
     }
     // trailing unmatched byte of the longer string counts as the edit
+    edits + (l.length - j) + (s.length - i) <= 1
+  }
+
+  /** The same scan over decoded codepoints — the non-ASCII fallback. */
+  private def oneEditInts(a: Array[Int], b: Array[Int]): Boolean = {
+    val (s, l) = if (a.length <= b.length) (a, b) else (b, a)
+    val gap = l.length - s.length
+    if (gap > 1) return false
+    var i = 0
+    var j = 0
+    var edits = 0
+    while (i < s.length && j < l.length) {
+      if (s(i) == l(j)) { i += 1; j += 1 }
+      else {
+        edits += 1
+        if (edits > 1) return false
+        if (gap == 0) { i += 1; j += 1 }
+        else j += 1
+      }
+    }
     edits + (l.length - j) + (s.length - i) <= 1
   }
 }

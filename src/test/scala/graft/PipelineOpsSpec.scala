@@ -57,6 +57,27 @@ class PipelineOpsSpec extends SparkSpec {
     assert(df.filter(col("fast") =!= col("slow")).count() == 0)
   }
 
+  test("within_edit1 handles non-ASCII: a codepoint edit that changes encoded length") {
+    // 'a'→'é' is ONE levenshtein edit but the UTF-8 encodings differ by
+    // a byte ('é' is 2 bytes) — the codepoint fallback must accept it;
+    // also cover multi-byte equality, insertion, and distance-2 rejects
+    val pairs = Seq(
+      ("cafe", "café"), // substitution changing encoded length
+      ("café", "café"), // equality with multi-byte content
+      ("café", "cafés"), // insertion after multi-byte char
+      ("café", "cafeés"), // two edits → must reject
+      ("naïve", "naive"), // substitution back to ASCII
+      ("日本", "日本語"), // CJK insertion (3-byte codepoints)
+      ("日本語", "日本誤"), // CJK substitution
+      ("日本語", "語本日"), // distance 2 → reject
+    )
+    val df = pairs.toDF("x", "y")
+      .select(
+        graft.functions.GraftFunctions.withinEdit1(col("x"), col("y")).as("fast"),
+        (levenshtein(col("x"), col("y")) <= 1).as("slow"))
+    assert(df.filter(col("fast") =!= col("slow")).count() == 0)
+  }
+
   test("q100 chunks cover the text with the declared overlap") {
     val chunks = CorpusOps.chunk(
       Seq((1L, "a" * 205)).toDF("doc_id", "text"), window = 80, overlap = 20)

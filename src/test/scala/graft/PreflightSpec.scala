@@ -16,6 +16,18 @@ class PreflightSpec extends SparkSpec {
     assert(row.getAs[Long]("max_key_rows") == 6L)
   }
 
+  test("joinSize with zero shared keys yields one (0, null, null, null) row") {
+    val a = Seq(1, 2).toDF("k")
+    val b = Seq(3, 4).toDF("kb")
+    val rows = Preflight.joinSize(a, "k", b, "kb").collect()
+    assert(rows.length == 1) // the SQL mirror's `FROM cells, top` shape
+    val row = rows.head
+    assert(row.getAs[Long]("shared_keys") == 0L)
+    assert(row.isNullAt(row.fieldIndex("join_rows")))
+    assert(row.isNullAt(row.fieldIndex("max_key")))
+    assert(row.isNullAt(row.fieldIndex("max_key_rows")))
+  }
+
   test("preflight join_rows equals the executed join's row count") {
     val li = Tables(spark, sf).lineitem
     val predicted = Preflight.joinSize(li, "l_partkey", li, "l_partkey")
