@@ -11,14 +11,20 @@ import org.apache.spark.sql.SparkSession
   * Emits exactly one JSON line:
   *   {"metric":"total_median_sec","value":N,"unit":"sec",
   *    "queries":{...},"sf":...,"n_queries":N,"failed":N,
-  *    "vs_prev":{...},"prev":"BENCH_rXX.json"}
+  *    "vs_prev":{...},"prev":"BENCH_rXX.json",
+  *    "witness":{"qNN":{"seq":s,"iso":s},...}}
   * `queries` values stay plain seconds (the driver's contract); a
   * failed query is recorded as -1.0 there, EXCLUDED from the total,
   * and counted in `failed` so a smaller total can never silently mean
   * "a query crashed". `vs_prev` is this_run/prev_run per query against
   * the newest BENCH_r*.json in the working directory (absent when no
-  * prior round exists). The line is also written to BENCH_LAST.json as
-  * a file artifact.
+  * prior round exists). `witness` makes the record self-certifying
+  * (BASELINE.md §2 protocol): the slowest queries and any >1.5x
+  * vs_prev regression are re-measured ISOLATED after the sequence —
+  * seq/iso ≈ 1 certifies the sequence number; a regression that
+  * vanishes isolated is sequence/host noise, visible in the record
+  * itself. The line is also written to BENCH_LAST.json as a file
+  * artifact.
   */
 object Bench {
 
@@ -67,6 +73,17 @@ object Bench {
       case scala.util.control.NonFatal(_) => (None, Map.empty)
     }
 
+  /** Queries witnessed isolated after the sequence (the slowest ones
+    * dominate total time AND are where sequence-position noise is most
+    * expensive to misread), plus any query whose vs_prev ratio exceeds
+    * [[WitnessRegressionRatio]] — a regression must either reproduce
+    * isolated (real) or vanish (sequence/host noise), and the record
+    * distinguishes the two without a human re-run.
+    */
+  val WitnessSlowest = 8
+  val WitnessRegressionRatio = 1.5
+  val WitnessCap = 14
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -79,7 +96,13 @@ object Bench {
     }
 
     val entries = SparkEntry.allEntries.filter(e => SparkEntry.envSelected(e.name))
-    val results = entries.zipWithIndex.map { case (e, idx) =>
+
+    /** One hygienic measurement of `e`: GC + fresh warmup + timed
+      * medians, then release everything the query pinned. Shared by the
+      * sequence pass and the isolated witness pass so the two numbers
+      * differ ONLY in what ran before them in this JVM.
+      */
+    def measure(e: QueryEntry, timedRuns: Int, profile: Boolean): Double = {
       // Deterministic trial hygiene (outside every timed region): a
       // driver GC lets ContextCleaner reclaim the previous queries'
       // broadcast blocks NOW rather than whenever the 30s periodic GC
@@ -105,9 +128,9 @@ object Bench {
           // warmup doubles as the reference-style runtime-breakdown
           // profile (parse_stackcollapse bins)
           val warm = e.run(spark, sfDir)
-          System.err.println(
+          if (profile) System.err.println(
             s"[bench] ${e.name} breakdown: ${metrics.RuntimeBreakdown.profile(warm).render}")
-          median(Seq.fill(5)(time(
+          median(Seq.fill(timedRuns)(time(
             e.run(spark, sfDir).write.format("noop").mode("overwrite").save())))
         } catch {
           case ex: Throwable =>
@@ -125,8 +148,10 @@ object Bench {
       spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
         if (!pinnedBefore.contains(id)) rdd.unpersist(blocking = false)
       }
-      e.name -> t
+      t
     }
+
+    val results = entries.map(e => e.name -> measure(e, timedRuns = 5, profile = true))
 
     val qs = results
       .map { case (k, v) => "\"" + k + "\":" + v }
@@ -139,10 +164,41 @@ object Bench {
         "\"" + k + "\":" + (math.round(1000.0 * v / prev(k)) / 1000.0)
     }.mkString("{", ",", "}")
     val prevTag = prevFile.map(f => s""","prev":"$f"""").getOrElse("")
+
+    // ---- isolated-time witnesses --------------------------------------
+    // A long in-JVM sequence can inflate individual queries (GC
+    // pressure, code-cache churn, a loaded host) in ways the sequence
+    // numbers alone cannot distinguish from plan regressions. Re-run
+    // the slowest queries — plus anything that regressed >1.5x vs the
+    // prior round — ISOLATED (same hygiene, nothing else between), and
+    // record (seq, iso) pairs: a number is trustworthy iff seq/iso is
+    // near 1, and a vs_prev regression that vanishes isolated is
+    // sequence noise, certified by the record itself.
+    val byName = results.toMap
+    val witnessNames = {
+      val slowest = results.filter(_._2 > 0).sortBy(-_._2)
+        .take(WitnessSlowest).map(_._1)
+      val regressed = results.collect {
+        case (k, v) if v > 0 &&
+          prev.get(k).exists(p => p > 0 && v / p > WitnessRegressionRatio) => k
+      }
+      (slowest ++ regressed).distinct.take(WitnessCap)
+    }
+    val witness = witnessNames.flatMap { n =>
+      entries.find(_.name == n).map { e =>
+        val iso = measure(e, timedRuns = 3, profile = false)
+        System.err.println(f"[bench] witness $n: seq=${byName(n)}%.3f iso=$iso%.3f")
+        n -> iso
+      }
+    }
+    val witnessJson = witness.map { case (n, iso) =>
+      s""""$n":{"seq":${byName(n)},"iso":$iso}"""
+    }.mkString("{", ",", "}")
+
     val line =
       s"""{"metric":"total_median_sec","value":${ok.sum},"unit":"sec","queries":$qs,""" +
         s""""sf":"$sfDir","n_queries":${results.size},"failed":$failed""" +
-        s""","vs_prev":$vsPrev$prevTag}"""
+        s""","vs_prev":$vsPrev$prevTag,"witness":$witnessJson}"""
     println(line)
     // file artifact in case the wrapper's stdout scrape misses the line
     java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_LAST.json"), line + "\n")
