@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.expressions.{Expression, XxHash64}
-import org.apache.spark.sql.graft.{CosineSimF32, DotProductF32, MinHashSignature, Shims, SimHash64, SplitMix64, TopKScoreId, TopKScoreStr, WithinEdit1}
+import org.apache.spark.sql.graft.{CosineSimF32, DotProductF32, KmvSketch, MinHashSignature, Shims, SimHash64, SplitMix64, TopKScoreId, TopKScoreStr, WithinEdit1}
 import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
 
 /** Column-level API + SQL registration for the graft expressions.
@@ -61,6 +61,13 @@ object GraftFunctions {
   def topkScoreStr(score: Column, key: Column, k: Int): Column =
     col(TopKScoreStr(expr(score), expr(key), k).toAggregateExpression())
 
+  /** kmv_sketch(hash string, k) → array<string>: the k smallest
+    * DISTINCT hashes per group, ascending — the groupable KMV
+    * distinct-count sketch (see [[KmvSketch]]).
+    */
+  def kmvSketch(hash: Column, k: Int): Column =
+    col(KmvSketch(expr(hash), k).toAggregateExpression())
+
   private def arity(name: String, n: Int)(es: Seq[Expression]): Unit =
     require(es.length == n,
       s"$name expects $n argument(s), got ${es.length}")
@@ -96,6 +103,17 @@ object GraftFunctions {
         }
       case _ => throw new IllegalArgumentException(
         "topk_score_str expects (score double, key string, k literal)")
+    }),
+    "kmv_sketch" -> (es => es match {
+      case Seq(h, kE) if kE.foldable =>
+        kE.eval() match {
+          case n: Number if n.intValue() > 0 =>
+            KmvSketch(h, n.intValue()).toAggregateExpression()
+          case other => throw new IllegalArgumentException(
+            s"kmv_sketch k must be a positive integer literal, got $other")
+        }
+      case _ => throw new IllegalArgumentException(
+        "kmv_sketch expects (hash string, k literal)")
     }),
     // optional second arg: permutation count (non-null int literal)
     "minhash_sig" -> (es => es match {

@@ -1,11 +1,10 @@
 package graft.operators
 
+import graft.functions.GraftFunctions
 import graft.{QueryEntry, Tables}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
-import org.apache.spark.sql.DataFrame
-
-import scala.jdk.CollectionConverters._
+import org.apache.spark.sql.{Column, DataFrame}
 
 /** KMV (k-minimum-values / bottom-k) distinct-count sketch — the
   * third cardinality estimator in the engine next to exact
@@ -41,21 +40,23 @@ object Kmv {
   /** The k lexicographically-smallest DISTINCT md5 hashes of `key`,
     * one ≤k-row frame. md5-hex ordering IS uniform-fraction ordering
     * (hex strings of equal length compare like their numeric value).
+    *
+    * Runs on the [[org.apache.spark.sql.graft.KmvSketch]] native
+    * aggregate (partial/final ObjectHashAggregate, k-bounded buffer
+    * per map task) rather than a mapPartitions pass: same bound, but
+    * composable — the grouped form ([[groupedDistinctEstimate]]) is
+    * the identical aggregate under a groupBy, and Catalyst sees a
+    * declarative aggregate instead of an opaque lambda.
     */
-  def bottomK(df: DataFrame, key: String, k: Int = K): DataFrame = {
-    import df.sparkSession.implicits._
-    // NULL keys have no hash and are excluded (the COUNT(DISTINCT)
-    // convention both estimators compare against); without the filter
-    // a null would reach the TreeSet comparator.
-    val hashes = df.select(md5(col(key).cast(StringType)).as("h"))
-      .filter(col("h").isNotNull).as[String]
-    val perTask = hashes.mapPartitions { it =>
-      val set = new java.util.TreeSet[String]()
-      it.foreach { h => set.add(h); if (set.size > k) set.pollLast() }
-      set.iterator.asScala
-    }
-    perTask.toDF("h").distinct().orderBy("h").limit(k)
-  }
+  def bottomK(df: DataFrame, key: String, k: Int = K): DataFrame =
+    df
+      // NULL keys have no hash and are excluded (the COUNT(DISTINCT)
+      // convention both estimators compare against) — the aggregate
+      // skips NULL inputs, matching this filter by construction
+      .select(md5(col(key).cast(StringType)).as("h"))
+      .agg(GraftFunctions.kmvSketch(col("h"), k).as("sk"))
+      .select(explode(col("sk")).as("h"))
+      .orderBy("h")
 
   /** One-row sketch report: the estimate next to the exact count (the
     * reference's USE_PIM differential stance applied to an estimator —
@@ -83,6 +84,48 @@ object Kmv {
       .withColumn("rel_err",
         when(col("exact") > 0,
           round(abs(col("estimate") - col("exact")) / col("exact"), 4)))
+  }
+
+  /** The KMV estimator column: kept < k ⇒ the sketch IS the distinct
+    * set (exact); else (k−1)/h₍ₖ₎ with the hash read as a fraction of
+    * the 60-bit space. Shared by the table-level and grouped reports.
+    */
+  private def estimateCol(kept: Column, kth: Column, k: Int): Column =
+    round(when(kept < k, kept.cast(DoubleType))
+      .otherwise(lit(k - 1.0) /
+        (conv(substring(kth, 1, 15), 16, 10).cast(LongType) / HexSpace)), 6)
+
+  /** Per-group distinct estimation — the form the mapPartitions
+    * bottom-k could never take: ONE [[org.apache.spark.sql.graft.KmvSketch]]
+    * aggregate under `groupBy(groupCol)` (k-bounded buffer per (group,
+    * map task); merge = union-keep-k, exactly the union's sketch), so
+    * shuffle volume is ≤ k hashes per group per map task — never the
+    * distinct key sets a `COUNT(DISTINCT)` shuffle carries. The exact
+    * side is the same differential ground truth q111 ships (one extra
+    * scan, report-only).
+    */
+  def groupedDistinctEstimate(df: DataFrame, groupCol: String, key: String,
+      k: Int = K): DataFrame = {
+    val sk = df
+      .select(col(groupCol).as("g"), md5(col(key).cast(StringType)).as("h"))
+      .groupBy("g")
+      .agg(GraftFunctions.kmvSketch(col("h"), k).as("sk"))
+    val exact = df.groupBy(col(groupCol).as("ge"))
+      .agg(countDistinct(col(key)).as("exact"))
+    sk.join(exact, col("g") === col("ge"))
+      .select(
+        col("g").as(groupCol),
+        lit(k).as("k"),
+        size(col("sk")).cast(LongType).as("kept"),
+        element_at(col("sk"), -1).as("kth_hash"),
+        estimateCol(size(col("sk")).cast(LongType), element_at(col("sk"), -1), k)
+          .as("estimate"),
+        col("exact"),
+      )
+      .withColumn("rel_err",
+        when(col("exact") > 0,
+          round(abs(col("estimate") - col("exact")) / col("exact"), 4)))
+      .orderBy(groupCol)
   }
 
   /** KMV set-operation estimates — the property that makes bottom-k
@@ -167,6 +210,40 @@ object Kmv {
          |FROM est""".stripMargin,
     ) { (s, dir) =>
       distinctEstimate(Tables(s, dir).lineitem, "l_orderkey")
+    },
+
+    // Grouped KMV distinct-orderkey estimates per returnflag: the
+    // native aggregate under a groupBy. DuckDB re-derives each group's
+    // bottom-64 distinct-hash set via a window rank, the order
+    // statistic, the estimator, and the exact ground truth.
+    QueryEntry.sql(
+      "q130_kmv_grouped",
+      s"""WITH hs AS (
+         |  SELECT DISTINCT l_returnflag AS g, md5(CAST(l_orderkey AS VARCHAR)) AS h
+         |  FROM lineitem
+         |), ranked AS (
+         |  SELECT g, h, row_number() OVER (PARTITION BY g ORDER BY h) AS rn FROM hs
+         |), agg AS (
+         |  SELECT g, COUNT(*) AS kept, MAX(h) AS kth FROM ranked
+         |  WHERE rn <= $K GROUP BY g
+         |), ex AS (
+         |  SELECT l_returnflag AS g, COUNT(DISTINCT l_orderkey) AS exact
+         |  FROM lineitem GROUP BY 1
+         |), est AS (
+         |  SELECT a.g, CAST($K AS INTEGER) AS k, CAST(a.kept AS BIGINT) AS kept,
+         |         a.kth AS kth_hash,
+         |         ROUND(CASE WHEN a.kept < $K THEN CAST(a.kept AS DOUBLE)
+         |           ELSE ${K - 1}.0 /
+         |                (CAST(CAST('0x' || substr(a.kth, 1, 15) AS BIGINT) AS DOUBLE)
+         |                 / $HexSpace) END, 6) AS estimate,
+         |         CAST(ex.exact AS BIGINT) AS exact
+         |  FROM agg a JOIN ex ON ex.g = a.g)
+         |SELECT g AS l_returnflag, k, kept, kth_hash, estimate, exact,
+         |       CASE WHEN exact > 0
+         |            THEN ROUND(ABS(estimate - exact) / exact, 4) END AS rel_err
+         |FROM est ORDER BY l_returnflag""".stripMargin,
+    ) { (s, dir) =>
+      groupedDistinctEstimate(Tables(s, dir).lineitem, "l_returnflag", "l_orderkey")
     },
 
     // Sketch-merged Jaccard between "customers who ordered in 1995"

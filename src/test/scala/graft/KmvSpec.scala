@@ -61,6 +61,51 @@ class KmvSpec extends SparkSpec {
     assert(unionKth.nonEmpty)
   }
 
+  test("grouped kmv_sketch: per-group bottom-k equals per-group brute force") {
+    val li = Tables(spark, sf).lineitem
+    val got = Kmv.groupedDistinctEstimate(li, "l_returnflag", "l_orderkey", k = 16)
+      .select("l_returnflag", "kept", "kth_hash")
+      .as[(String, Long, String)].collect().toSeq
+    val brute = li
+      .select(col("l_returnflag").as("g"),
+        md5(col("l_orderkey").cast("string")).as("h"))
+      .distinct().as[(String, String)].collect()
+      .groupBy(_._1).map { case (g, hs) =>
+        val bot = hs.map(_._2).distinct.sorted.take(16)
+        (g, bot.length.toLong, bot.last)
+      }.toSeq.sortBy(_._1)
+    assert(got == brute)
+  }
+
+  test("kmv_sketch is partitioning-invariant (merge = union-keep-k is exact)") {
+    val df = (1 to 500).toDF("key")
+    def sketch(parts: Int): Seq[String] =
+      Kmv.bottomK(df.repartition(parts), "key", k = 32).as[String].collect().toSeq
+    assert(sketch(1) == sketch(7))
+    assert(sketch(7) == sketch(32))
+  }
+
+  test("bottomK plans as a partial/final native aggregate, not mapPartitions") {
+    val plan = Kmv.bottomK(Tables(spark, sf).lineitem, "l_orderkey")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("kmv_sketch"), plan.take(2000))
+    assert(plan.contains("ObjectHashAggregate"), plan.take(2000))
+    assert(!plan.contains("MapPartitions"), plan.take(2000))
+  }
+
+  test("kmv_sketch works from SQL registration") {
+    graft.functions.GraftFunctions.registerAll(spark)
+    Seq(3, 1, 2, 3, 1).toDF("k").createOrReplaceTempView("kmv_sql_t")
+    val arr = spark.sql(
+      "SELECT kmv_sketch(md5(CAST(k AS STRING)), 2) AS sk FROM kmv_sql_t")
+      .collect().head.getSeq[String](0)
+    val expect = Seq(1, 2, 3).map(i =>
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(i.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString).distinct.sorted.take(2)
+    assert(arr == expect)
+  }
+
   test("k=64 estimate lands within the theoretical error envelope") {
     // KMV std error ~ 1/sqrt(k-2) = 12.7% at k=64; 4 sigma = 51%.
     val row = Kmv.distinctEstimate(Tables(spark, sf).lineitem, "l_orderkey")
