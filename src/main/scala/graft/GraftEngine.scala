@@ -91,6 +91,24 @@ final class GraftEngine(val spark: SparkSession) {
   def annSearchPq(emb: DataFrame, probes: DataFrame, nprobe: Int = 3, k: Int = 10): DataFrame =
     operators.Pq.annSearchPq(emb, probes, nprobe, k)
 
+  /** IVF search against the DURABLE on-disk index for the corpus at
+    * `dir` (fitted quantizer + inverted lists staged as
+    * fingerprint-keyed parquet): reload, never refit — a fresh session
+    * pays two parquet reads, not a corpus refit. Results ≡
+    * [[annSearch]] (deterministic fit, spec-proved).
+    */
+  def annSearchDurable(dir: String, probes: DataFrame, nprobe: Int = 3,
+      k: Int = 10): DataFrame =
+    operators.Ivf.annSearchStaged(spark, dir, probes, nprobe, k)
+
+  /** IVF-PQ search against the DURABLE on-disk index (coarse quantizer,
+    * codebooks, and 4-byte codes all staged as fingerprint-keyed
+    * parquet). Results ≡ [[annSearchPq]].
+    */
+  def annSearchPqDurable(dir: String, probes: DataFrame, nprobe: Int = 3,
+      k: Int = 10): DataFrame =
+    operators.Pq.annSearchPqStaged(spark, dir, probes, nprobe, k)
+
   /** Batched binary-payload feature extraction through a pluggable
     * codec (stubbed decode; real plumbing).
     */

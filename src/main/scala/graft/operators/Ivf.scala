@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.functions.{CentroidAggregator, GraftFunctions}
+import graft.sources.Staging
 import graft.{QueryEntry, Tables}
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
@@ -101,6 +102,9 @@ object Ivf {
     centroidCache.clear()
     listsCache.values.foreach(df => try df.unpersist() catch { case _: Throwable => () })
     listsCache.clear()
+    // staged-index in-JVM memos too (the staged FILES stay — they are
+    // the index; fingerprint-keyed paths make them stale-proof)
+    stagedCentroidCache.clear()
   }
 
   def fittedCentroids(emb: DataFrame, k: Int, iters: Int): IndexedSeq[Array[Float]] = {
@@ -123,8 +127,38 @@ object Ivf {
           slice(sort_array(centScores(col("q_vec"), cents), asc = false), 1, nprobe),
           x => x.getField("c")))
 
+  /** The shared IVF query plan: rank centroids per probe, explode to
+    * (probe, cluster) pairs, hash equi-join against the inverted
+    * lists, exact-score, top-k. `corpus` is (vec_id, embedding,
+    * cluster) — memo-persisted ([[annSearch]]) or parquet-backed
+    * ([[annSearchStaged]]); the plan is identical either way.
+    *
+    * The probe set is exploded to (probe, cluster) rows so the
+    * candidate join is a hash EQUI-join on cluster — array_contains
+    * would plan a nested-loop, fine for 10 probes but the wrong shape
+    * for a large probe batch; each (probe, cluster) pair is unique, so
+    * no duplicate candidates.
+    */
+  private def searchLists(corpus: DataFrame, cents: IndexedSeq[Array[Float]],
+      probes: DataFrame, nprobe: Int, k: Int): DataFrame = {
+    val probeLists = probeRanked(probes, cents, nprobe)
+    broadcast(probeLists.withColumn("cluster", explode(col("pc"))).drop("pc"))
+      .join(corpus, Seq("cluster"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        round(GraftFunctions.cosineF32(col("q_vec"), col("embedding")), 6).as("score"))
+      .withColumn("rank",
+        row_number().over(Window.partitionBy("q_id")
+          .orderBy(col("score").desc, col("vec_id"))))
+      .filter(col("rank") <= k)
+      .select("q_id", "vec_id", "rank", "score")
+      .orderBy("q_id", "rank")
+  }
+
   /** Top-k neighbors for each probe query via nprobe-bounded IVF over
-    * the fitted quantizer.
+    * the fitted quantizer. Session-scoped index (in-JVM memo +
+    * persisted lists) — for corpora addressed as DataFrames; the
+    * DURABLE form for dir-anchored corpora is [[annSearchStaged]].
     */
   def annSearch(emb: DataFrame, probes: DataFrame, nprobe: Int, k: Int,
       nClusters: Int = 16, iters: Int = 3): DataFrame = {
@@ -156,26 +190,84 @@ object Ivf {
     // behind the engine's back must call invalidateIndex() so the memo
     // is rebuilt instead of silently recomputing per search. The bench
     // loop does exactly that between queries.
+    searchLists(corpus, cents, probes, nprobe, k)
+  }
 
-    // top-nprobe inverted lists per probe
-    val probeLists = probeRanked(probes, cents, nprobe)
+  // ---- durable index (index-as-file) ---------------------------------------
+  //
+  // The reference's design premise is a PERSISTED index: ORC row-index
+  // seeks work because the index lives in the file footer
+  // (orc-parser/reader.cc:47), not in any process's memory. The
+  // session-keyed memos above refit a 100 TB corpus on every JVM
+  // restart; the staged layout below writes the fitted quantizer and
+  // the clustered corpus (the inverted lists) to parquet ONCE per
+  // fixture fingerprint, and every later session — including a fresh
+  // JVM — reloads instead of refitting. Freshness is structural: the
+  // path embeds the source file's (mtime, size), so a regenerated
+  // corpus can never be served a stale index (Staging.fingerprintPath).
 
-    // exact-score only the probed lists. The probe set is exploded to
-    // (probe, cluster) rows so the candidate join is a hash EQUI-join
-    // on cluster — array_contains would plan a nested-loop, fine for
-    // 10 probes but the wrong shape for a large probe batch; each
-    // (probe, cluster) pair is unique, so no duplicate candidates.
-    broadcast(probeLists.withColumn("cluster", explode(col("pc"))).drop("pc"))
-      .join(corpus, Seq("cluster"))
-      .filter(col("vec_id") =!= col("q_id"))
-      .select(col("q_id"), col("vec_id"),
-        round(GraftFunctions.cosineF32(col("q_vec"), col("embedding")), 6).as("score"))
-      .withColumn("rank",
-        row_number().over(Window.partitionBy("q_id")
-          .orderBy(col("score").desc, col("vec_id"))))
-      .filter(col("rank") <= k)
-      .select("q_id", "vec_id", "rank", "score")
-      .orderBy("q_id", "rank")
+  def stagedCentroidsPath(dir: String, nClusters: Int, iters: Int): String =
+    Staging.fingerprintPath("graft_ivf", dir, "embeddings.parquet",
+      s"centroids_${nClusters}_$iters")
+
+  def stagedListsPath(dir: String, nClusters: Int, iters: Int): String =
+    Staging.fingerprintPath("graft_ivf", dir, "embeddings.parquet",
+      s"lists_${nClusters}_$iters")
+
+  /** Reloaded staged-centroid arrays, memoized per staged path (the
+    * path carries the fixture fingerprint, so the memo can't go stale).
+    */
+  private val stagedCentroidCache =
+    scala.collection.concurrent.TrieMap.empty[String, IndexedSeq[Array[Float]]]
+
+  /** Fit-once-load-forever quantizer: the k×dim model as a k-row
+    * parquet file. A JVM that finds the file reads k rows; only the
+    * first JVM ever to see this fixture pays the fit.
+    */
+  def stagedCentroids(spark: org.apache.spark.sql.SparkSession, dir: String,
+      nClusters: Int = 16, iters: Int = 3): IndexedSeq[Array[Float]] = {
+    import spark.implicits._
+    val dest = stagedCentroidsPath(dir, nClusters, iters)
+    stagedCentroidCache.getOrElseUpdate(dest, {
+      Staging.ensureStaged(dest) {
+        val cents = fitCentroids(Tables(spark, dir).embeddings, nClusters, iters)
+        cents.indices.map(i => (i, cents(i)))
+          .toDF("cluster_id", "centroid")
+          .coalesce(1).write.mode("overwrite").parquet(dest)
+      }
+      spark.read.parquet(dest)
+        .orderBy("cluster_id")
+        .select("centroid").as[Array[Float]].collect().toIndexedSeq
+    })
+  }
+
+  /** The durable inverted lists: the corpus clustered under the staged
+    * quantizer, written once as parquet. Readers get an ordinary
+    * parquet scan — partition pruning, column pruning, and predicate
+    * pushdown all apply, which is exactly what "the index is a file"
+    * buys at 100 TB.
+    */
+  def stagedLists(spark: org.apache.spark.sql.SparkSession, dir: String,
+      nClusters: Int = 16, iters: Int = 3): DataFrame = {
+    val dest = stagedListsPath(dir, nClusters, iters)
+    Staging.ensureStaged(dest) {
+      val cents = stagedCentroids(spark, dir, nClusters, iters)
+      withCluster(Tables(spark, dir).embeddings, cents)
+        .select(col("vec_id"), col("embedding"), col("cluster"))
+        .write.mode("overwrite").parquet(dest)
+    }
+    spark.read.parquet(dest)
+  }
+
+  /** IVF search against the DURABLE staged index — reload, never
+    * refit: identical results to [[annSearch]] (spec-proved), but a
+    * fresh session's cost is two parquet reads, not a corpus refit.
+    */
+  def annSearchStaged(spark: org.apache.spark.sql.SparkSession, dir: String,
+      probes: DataFrame, nprobe: Int, k: Int,
+      nClusters: Int = 16, iters: Int = 3): DataFrame = {
+    val cents = stagedCentroids(spark, dir, nClusters, iters)
+    searchLists(stagedLists(spark, dir, nClusters, iters), cents, probes, nprobe, k)
   }
 
   // ---- DuckDB mirror of the IVF search -------------------------------------
@@ -360,8 +452,12 @@ object Ivf {
     QueryEntry.dynamicSql("q33_ann_ivf") { (s, dir) =>
       annSearchOracleSql(s, dir, nprobe = 3, k = 5)
     } { (s, dir) =>
+      // the DURABLE index path: search reads the staged quantizer +
+      // inverted-list files (built once per fixture fingerprint); the
+      // oracle refits deterministically and must agree — reload ≡ refit
+      // under the differential gate itself
       val emb = Tables(s, dir).embeddings
-      annSearch(emb, emb.filter(col("vec_id") < 10), nprobe = 3, k = 5)
+      annSearchStaged(s, dir, emb.filter(col("vec_id") < 10), nprobe = 3, k = 5)
     },
 
     // SemDeDup: per-cluster semantic dedup rollup under the full

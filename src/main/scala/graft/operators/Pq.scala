@@ -127,6 +127,7 @@ object Pq {
     bookCache.clear()
     encCache.values.foreach(df => try df.unpersist() catch { case _: Throwable => () })
     encCache.clear()
+    stagedBookCache.clear()
   }
 
   private def encodedCached(emb: DataFrame, coarse: IndexedSeq[Array[Float]],
@@ -152,15 +153,13 @@ object Pq {
     })
   }
 
-  /** IVF-PQ search: coarse-prune to nprobe lists, ADC-rank candidates
-    * from their codes alone.
+  /** The shared ADC query plan over an encoded corpus (vec_id, cluster,
+    * codes) — memo-backed ([[annSearchPq]]) or parquet-backed
+    * ([[annSearchPqStaged]]); the plan is identical either way.
     */
-  def annSearchPq(emb: DataFrame, probes: DataFrame, nprobe: Int, k: Int,
-      iters: Int = 3): DataFrame = {
-    val coarse = Ivf.fittedCentroids(emb, 16, 3)
-    val books = fittedCodebooks(emb, iters)
-    val corpus = encodedCached(emb, coarse, books, iters)
-
+  private def adcSearch(corpus: DataFrame, coarse: IndexedSeq[Array[Float]],
+      books: IndexedSeq[IndexedSeq[Array[Double]]],
+      probes: DataFrame, nprobe: Int, k: Int): DataFrame = {
     val probeLists = Ivf.probeRanked(probes, coarse, nprobe)
 
     // ADC: per subspace, exact probe slice vs the candidate's codebook
@@ -198,6 +197,76 @@ object Pq {
       .select("q_id", "vec_id", "rank", "adc")
       .orderBy("q_id", "rank")
   }
+
+  /** IVF-PQ search: coarse-prune to nprobe lists, ADC-rank candidates
+    * from their codes alone. Session-scoped index; the durable form is
+    * [[annSearchPqStaged]].
+    */
+  def annSearchPq(emb: DataFrame, probes: DataFrame, nprobe: Int, k: Int,
+      iters: Int = 3): DataFrame = {
+    val coarse = Ivf.fittedCentroids(emb, 16, 3)
+    val books = fittedCodebooks(emb, iters)
+    adcSearch(encodedCached(emb, coarse, books, iters), coarse, books,
+      probes, nprobe, k)
+  }
+
+  // ---- durable index (index-as-file; see Ivf's matching section) -----------
+
+  def stagedBooksPath(dir: String, iters: Int): String =
+    graft.sources.Staging.fingerprintPath("graft_pq", dir, "embeddings.parquet",
+      s"books_${M}_${K}_$iters")
+
+  def stagedEncodedPath(dir: String, iters: Int): String =
+    graft.sources.Staging.fingerprintPath("graft_pq", dir, "embeddings.parquet",
+      s"enc_${M}_${K}_$iters")
+
+  private val stagedBookCache = scala.collection.concurrent.TrieMap
+    .empty[String, IndexedSeq[IndexedSeq[Array[Double]]]]
+
+  /** Fit-once-load-forever codebooks: M×K rows of (m, code, cents). */
+  def stagedCodebooks(spark: org.apache.spark.sql.SparkSession, dir: String,
+      iters: Int = 3): IndexedSeq[IndexedSeq[Array[Double]]] = {
+    import spark.implicits._
+    val dest = stagedBooksPath(dir, iters)
+    stagedBookCache.getOrElseUpdate(dest, {
+      graft.sources.Staging.ensureStaged(dest) {
+        val books = fitCodebooks(Tables(spark, dir).embeddings, iters)
+        (for (m <- 0 until M; c <- 0 until K) yield (m, c, books(m)(c)))
+          .toDF("m", "code", "cents")
+          .coalesce(1).write.mode("overwrite").parquet(dest)
+      }
+      val rows = spark.read.parquet(dest)
+        .select("m", "code", "cents").as[(Int, Int, Array[Double])].collect()
+        .map { case (m, c, cents) => (m, c) -> cents }.toMap
+      (0 until M).map(m => (0 until K).map(c => rows((m, c))))
+    })
+  }
+
+  /** The durable PQ payload: (vec_id, cluster, codes) parquet — 4 bytes
+    * of quantized state per vector behind an ordinary columnar scan.
+    */
+  def stagedEncoded(spark: org.apache.spark.sql.SparkSession, dir: String,
+      iters: Int = 3): DataFrame = {
+    val dest = stagedEncodedPath(dir, iters)
+    graft.sources.Staging.ensureStaged(dest) {
+      encoded(Tables(spark, dir).embeddings,
+          Ivf.stagedCentroids(spark, dir, 16, 3),
+          stagedCodebooks(spark, dir, iters))
+        .write.mode("overwrite").parquet(dest)
+    }
+    spark.read.parquet(dest)
+  }
+
+  /** IVF-PQ search against the DURABLE staged index — reload, never
+    * refit (coarse quantizer, codebooks, and encoded corpus are all
+    * fingerprint-keyed files; identical results to [[annSearchPq]],
+    * spec-proved).
+    */
+  def annSearchPqStaged(spark: org.apache.spark.sql.SparkSession, dir: String,
+      probes: DataFrame, nprobe: Int, k: Int, iters: Int = 3): DataFrame =
+    adcSearch(stagedEncoded(spark, dir, iters),
+      Ivf.stagedCentroids(spark, dir, 16, 3),
+      stagedCodebooks(spark, dir, iters), probes, nprobe, k)
 
   // ---- DuckDB mirror -------------------------------------------------------
 
@@ -268,8 +337,11 @@ object Pq {
     QueryEntry.dynamicSql("q74_ann_ivfpq") { (s, dir) =>
       annSearchPqOracleSql(s, dir, nprobe = 3, k = 5)
     } { (s, dir) =>
+      // durable-index path (see q33): staged coarse quantizer,
+      // codebooks, and encoded corpus; the oracle refits
+      // deterministically, so reload ≡ refit sits under the gate
       val emb = Tables(s, dir).embeddings
-      annSearchPq(emb, emb.filter(col("vec_id") < 10), nprobe = 3, k = 5)
+      annSearchPqStaged(s, dir, emb.filter(col("vec_id") < 10), nprobe = 3, k = 5)
     },
   )
 }

@@ -82,6 +82,43 @@ class IvfSpec extends SparkSpec {
       "invalidation must rebuild from the rewritten files")
   }
 
+  test("staged ANN index: reload equals refit, and the index is durable files") {
+    import graft.operators.Pq
+    val emb = Tables(spark, sf).embeddings
+    val probes = emb.filter(col("vec_id") < 10)
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[(Long, Long, Int)] =
+      df.select("q_id", "vec_id", "rank").as[(Long, Long, Int)].collect().toSeq
+
+    // session-scoped (memo) result is the ground truth the staged path
+    // must reproduce
+    val memoIvf = rows(Ivf.annSearch(emb, probes, nprobe = 3, k = 5))
+    val memoPq = rows(Pq.annSearchPq(emb, probes, nprobe = 3, k = 5))
+
+    // cold JVM state: every in-memory memo gone — what's left is files
+    Ivf.invalidateIndex()
+    Pq.invalidateIndex()
+    assert(rows(Ivf.annSearchStaged(spark, sf, probes, nprobe = 3, k = 5)) == memoIvf)
+    assert(rows(Pq.annSearchPqStaged(spark, sf, probes, nprobe = 3, k = 5)) == memoPq)
+
+    // the index IS durable files now
+    def success(p: String) = new java.io.File(p, "_SUCCESS")
+    val listFiles = Seq(
+      success(Ivf.stagedCentroidsPath(sf, 16, 3)),
+      success(Ivf.stagedListsPath(sf, 16, 3)),
+      success(Pq.stagedBooksPath(sf, 3)),
+      success(Pq.stagedEncodedPath(sf, 3)))
+    assert(listFiles.forall(_.exists()), listFiles.map(_.getPath).mkString(", "))
+
+    // second cold pass RELOADS (no refit-rewrite): file mtimes unchanged
+    val mtimes = listFiles.map(_.lastModified())
+    Ivf.invalidateIndex()
+    Pq.invalidateIndex()
+    assert(rows(Ivf.annSearchStaged(spark, sf, probes, nprobe = 3, k = 5)) == memoIvf)
+    assert(rows(Pq.annSearchPqStaged(spark, sf, probes, nprobe = 3, k = 5)) == memoPq)
+    assert(listFiles.map(_.lastModified()) == mtimes,
+      "staged index files were rewritten — reload path refit instead of reloading")
+  }
+
   test("IVF-PQ: codes in range, 4-byte payload, recall@5 does not collapse") {
     import graft.operators.Pq
     val emb = Tables(spark, sf).embeddings
