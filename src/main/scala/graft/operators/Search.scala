@@ -164,30 +164,85 @@ object Search {
       .limit(k)
   }
 
-  /** Phrase search: documents containing `first second` as adjacent
-    * tokens, with per-document occurrence counts — the positional-
-    * index query a bag-of-words index (q86) cannot answer.
-    *
-    * Scale shape: ONE `posexplode` pass is filtered to the two query
-    * terms immediately (the per-row filter sits under the shuffle, so
-    * the positional stream that leaves the tokenizer is bounded by the
-    * terms' postings, not the corpus), persisted once, and both phrase
-    * sides derive from it — the corpus is tokenized once (the q87/q98
-    * lesson). Adjacency is then an equi-join on (doc_id, pos+1):
-    * hash-partitioned by document, never a theta join.
+  /** The one filtered positional pass every phrase/proximity query
+    * derives from: (doc_id, pos, t) restricted to the query terms. The
+    * per-row filter sits under the shuffle, so the positional stream
+    * that leaves the tokenizer is bounded by the terms' postings, not
+    * the corpus; persisted because every term's side of the join reads
+    * it (the q87/q98 tokenize-once lesson), registered for release.
     */
-  def phraseSearch(docs: DataFrame, first: String, second: String): DataFrame = {
-    val hits = graft.TransientCaches.register(docs
+  private def positionalHits(docs: DataFrame, terms: Seq[String]): DataFrame =
+    graft.TransientCaches.register(docs
       .select(col("doc_id"),
         posexplode(TextAnalysis.tokens(col("text"))).as(Seq("pos", "t")))
-      .filter(col("t") === lit(first) || col("t") === lit(second))
+      .filter(col("t").isInCollection(terms.distinct))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-    val a = hits.filter(col("t") === lit(first)).select(col("doc_id"), col("pos"))
-    val b = hits.filter(col("t") === lit(second))
-      .select(col("doc_id").as("b_doc"), col("pos").as("b_pos"))
-    a.join(b, col("doc_id") === col("b_doc") && col("b_pos") === col("pos") + 1)
+
+  /** N-term phrase search: documents containing `terms` as ADJACENT
+    * tokens (in order), with per-document occurrence counts — the
+    * positional-index query a bag-of-words index (q86) cannot answer.
+    *
+    * Scale shape: one [[positionalHits]] pass, then the i-th term's
+    * positions join on (doc_id, pos + i) — a CHAIN of hash equi-joins
+    * partitioned by document, one per extra term, each join shrinking
+    * the survivor stream (a phrase's selectivity multiplies term by
+    * term); never a theta join. n = 2 recovers the classic bigram
+    * phrase query.
+    */
+  def phraseSearchN(docs: DataFrame, terms: Seq[String]): DataFrame = {
+    require(terms.length >= 2, s"a phrase needs >= 2 terms, got $terms")
+    val hits = positionalHits(docs, terms)
+    val base = hits.filter(col("t") === lit(terms.head))
+      .select(col("doc_id"), col("pos"))
+    terms.zipWithIndex.drop(1)
+      .foldLeft(base) { case (acc, (t, i)) =>
+        val side = hits.filter(col("t") === lit(t))
+          .select(col("doc_id").as(s"d_$i"), col("pos").as(s"p_$i"))
+        acc.join(side,
+            col("doc_id") === col(s"d_$i") && col(s"p_$i") === col("pos") + i)
+          .drop(s"d_$i", s"p_$i")
+      }
       .groupBy("doc_id")
       .agg(count(lit(1)).as("hits"))
+      .orderBy("doc_id")
+  }
+
+  /** Two-term phrase search (the n = 2 case of [[phraseSearchN]]). */
+  def phraseSearch(docs: DataFrame, first: String, second: String): DataFrame =
+    phraseSearchN(docs, Seq(first, second))
+
+  /** Within-w proximity search: per-document count of (posA, posB)
+    * pairs with |posA − posB| ≤ w between two DISTINCT terms, plus the
+    * closest distance — the "near each other" retrieval predicate
+    * between adjacency (w = 1 ⊃ phrase, unordered) and bag-of-words
+    * co-occurrence (w = ∞).
+    *
+    * Scale shape: the band predicate |pa − pb| ≤ w is decomposed into
+    * an EQUI-join on position buckets of width w (each A-position
+    * probes buckets {b−1, b, b+1}; any in-band pair lands in exactly
+    * one bucket pairing since B's bucket is a function of pb) — the
+    * interval-join decomposition (q21), so Spark plans a hash join on
+    * (doc_id, bucket), never a per-document cross product; the exact
+    * band filter runs join-local on the bucket-collocated candidates.
+    */
+  def proximitySearch(docs: DataFrame, termA: String, termB: String,
+      w: Int): DataFrame = {
+    require(w >= 1, s"proximity window must be >= 1, got $w")
+    require(termA != termB,
+      "proximity between a term and itself would pair each token with itself")
+    val hits = positionalHits(docs, Seq(termA, termB))
+    val a = hits.filter(col("t") === lit(termA))
+      .select(col("doc_id"), col("pos").as("pa"))
+      .withColumn("bk", explode(array(
+        (-1 to 1).map(d => floor(col("pa") / w) + d): _*)))
+    val b = hits.filter(col("t") === lit(termB))
+      .select(col("doc_id").as("db"), col("pos").as("pb"),
+        floor(col("pb") / lit(w)).as("bkb"))
+    a.join(b, col("doc_id") === col("db") && col("bk") === col("bkb"))
+      .filter(abs(col("pa") - col("pb")) <= w)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("pairs"),
+        min(abs(col("pa") - col("pb"))).cast(IntegerType).as("min_dist"))
       .orderBy("doc_id")
   }
 
@@ -328,6 +383,55 @@ object Search {
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     ) { (s, dir) =>
       phraseSearch(Tables(s, dir).documentsRebalanced, "hash", "join")
+    },
+
+    // 3-term phrase "big order scan": the chained (doc, pos+i)
+    // equi-join generalization; DuckDB chains the same two positional
+    // self-joins and must match hit counts document by document.
+    QueryEntry.sql(
+      "q131_phrase_nterm",
+      """WITH parts AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS p
+        |  FROM documents
+        |), idx AS (
+        |  SELECT doc_id, unnest(generate_series(1, array_length(p))) AS pos, p
+        |  FROM parts
+        |), t AS (
+        |  SELECT doc_id, pos, p[pos] AS t FROM idx
+        |)
+        |SELECT a.doc_id, COUNT(*) AS hits
+        |FROM t a
+        |JOIN t b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+        |JOIN t c ON c.doc_id = a.doc_id AND c.pos = a.pos + 2
+        |WHERE a.t = 'big' AND b.t = 'order' AND c.t = 'scan'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    ) { (s, dir) =>
+      phraseSearchN(Tables(s, dir).documentsRebalanced,
+        Seq("big", "order", "scan"))
+    },
+
+    // Proximity "hash near join" within 3 positions: pair counts and
+    // closest distance per document. The engine's bucketed equi-join
+    // decomposition must agree with DuckDB's naive band theta-join.
+    QueryEntry.sql(
+      "q132_proximity_search",
+      """WITH parts AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS p
+        |  FROM documents
+        |), idx AS (
+        |  SELECT doc_id, unnest(generate_series(1, array_length(p))) AS pos, p
+        |  FROM parts
+        |), t AS (
+        |  SELECT doc_id, pos, p[pos] AS t FROM idx
+        |)
+        |SELECT a.doc_id, COUNT(*) AS pairs,
+        |       CAST(MIN(ABS(a.pos - b.pos)) AS INT) AS min_dist
+        |FROM t a JOIN t b
+        |  ON b.doc_id = a.doc_id AND ABS(a.pos - b.pos) <= 3
+        |WHERE a.t = 'hash' AND b.t = 'join'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    ) { (s, dir) =>
+      proximitySearch(Tables(s, dir).documentsRebalanced, "hash", "join", w = 3)
     },
   )
 }

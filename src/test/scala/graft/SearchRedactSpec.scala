@@ -107,6 +107,34 @@ class SearchRedactSpec extends SparkSpec {
     ))
   }
 
+  test("phraseSearchN counts n-term occurrences; overlapping and boundary cases") {
+    val docs = Seq(
+      (1L, "a b c a b c a b"),   // "a b c" at pos 0 and 3; trailing "a b" is not a hit
+      (2L, "a b c"),             // exactly one
+      (3L, "c b a"),             // reversed — no hit (order matters)
+      (4L, "a b x c"),           // gap breaks adjacency
+      (5L, "a a b c"),           // one hit starting at pos 1
+    ).toDF("doc_id", "text")
+    val got = Search.phraseSearchN(docs, Seq("a", "b", "c"))
+      .as[(Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 2L), (2L, 1L), (5L, 1L)))
+  }
+
+  test("proximitySearch: band pairs and min distance; bucket join, no cartesian") {
+    val docs = Seq(
+      (1L, "x q q y"),       // |0-3| = 3 <= 3: one pair, dist 3
+      (2L, "x q q q q y"),   // |0-5| = 5 > 3: no pair
+      (3L, "y x y"),         // x at 1, y at {0,2}: two pairs, min dist 1
+      (4L, "x q x q y"),     // x at {0,2}, y at 4: |2-4|=2 in, |0-4|=4 out
+    ).toDF("doc_id", "text")
+    val q = Search.proximitySearch(docs, "x", "y", w = 3)
+    val got = q.as[(Long, Long, Int)].collect().toSeq
+    assert(got == Seq((1L, 1L, 3), (3L, 2L, 1), (4L, 1L, 2)))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+  }
+
   test("tfidf: scores and ranks on a planted corpus, df over the whole corpus") {
     // doc 2 is OUTSIDE docLimit but still contributes to df — the
     // corpus-wide-idf rule the operator documents.
