@@ -11,11 +11,29 @@ import org.apache.spark.sql.types._
   * retrieval side of a corpus pipeline (dedup/decontamination find
   * near-copies; these find *relevant* documents).
   *
-  * All three operators run on the shared whitespace tokenizer
+  * All operators run on the shared whitespace tokenizer
   * ([[TextAnalysis.tokens]]) so token identity agrees with every other
   * text operator (and with the DuckDB mirrors' `regexp_split_to_array`).
+  * Each operator has two entry forms: a docs-based one that tokenizes
+  * inline (arbitrary (doc_id, text) frames), and a token-frame core the
+  * declared queries feed from the STAGED token table
+  * ([[graft.sources.TokenizedCorpus]]) — the corpus is tokenized once
+  * per fixture, ever, and retrieval queries become columnar scans of
+  * (doc_id, pos, term) with term filters pushed to parquet.
   */
 object Search {
+
+  /** (doc_id, term) token-pair frame from raw documents — the inline
+    * tokenize the staged table replaces for dir-anchored corpora.
+    */
+  def tokenPairs(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      explode(TextAnalysis.tokens(col("text"))).as("term"))
+
+  /** (doc_id, pos, term) positional frame from raw documents. */
+  def tokenPositions(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      posexplode(TextAnalysis.tokens(col("text"))).as(Seq("pos", "term")))
 
   /** Postings chunk width: a term's postings are fingerprinted in
     * bounded runs of `doc_id ∈ [kB, (k+1)B)` so no aggregation buffer
@@ -37,8 +55,15 @@ object Search {
     * any chunk flips that chunk's md5 and hence the sum.
     */
   def invertedIndex(docs: DataFrame): DataFrame =
-    docs
-      .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("term"))
+    invertedIndexPairs(tokenPairs(docs))
+
+  /** [[invertedIndex]] over a pre-tokenized (doc_id, term) frame —
+    * the staged-table form: the scan reads two columns and nothing
+    * re-tokenizes.
+    */
+  def invertedIndexPairs(pairs: DataFrame): DataFrame =
+    pairs
+      .select("doc_id", "term")
       .distinct()
       .groupBy(col("term"), floor(col("doc_id") / PostingsChunk).as("chunk"))
       .agg(
@@ -76,17 +101,24 @@ object Search {
     * 2·ln(2) — differ by an ulp; rounding to 6 dp before ranking plus
     * the term tie-break makes the order engine-independent).
     */
-  def tfidfTopTerms(docs: DataFrame, k: Int, docLimit: Long): DataFrame = {
-    def perDocCounts(d: DataFrame): DataFrame = d
-      .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("term"))
+  def tfidfTopTerms(docs: DataFrame, k: Int, docLimit: Long): DataFrame =
+    tfidfTopTermsPairs(tokenPairs(docs),
+      docs.select(count(lit(1)).as("n")), k, docLimit)
+
+  /** [[tfidfTopTerms]] over a pre-tokenized (doc_id, term) frame;
+    * `nDocs` is the 1-row corpus-size frame (kept an explicit input so
+    * the staged path counts `documents`, not token rows).
+    */
+  def tfidfTopTermsPairs(pairs: DataFrame, nDocs: DataFrame, k: Int,
+      docLimit: Long): DataFrame = {
+    val counts = pairs.select("doc_id", "term")
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    val n = docs.select(count(lit(1)).as("n"))
-    val tf = perDocCounts(docs).filter(col("doc_id") < docLimit)
-    val df = perDocCounts(docs).groupBy("term").agg(count(lit(1)).as("df"))
+    val tf = counts.filter(col("doc_id") < docLimit)
+    val df = counts.groupBy("term").agg(count(lit(1)).as("df"))
     val w = Window.partitionBy("doc_id")
       .orderBy(col("score").desc, col("term"))
     tf.join(df, Seq("term"))
-      .crossJoin(broadcast(n))
+      .crossJoin(broadcast(nDocs))
       .withColumn("score",
         round(col("tf") * log(col("n").cast(DoubleType) / col("df")), 6))
       .withColumn("rank", row_number().over(w))
@@ -104,10 +136,18 @@ object Search {
     * documents table is touched again — the doc-metadata join is a
     * k-row broadcast against the corpus, never a corpus×corpus join.
     */
-  def termLookup(docs: DataFrame, term: String, k: Int): DataFrame = {
-    val hits = docs
-      .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("t"))
-      .filter(col("t") === lit(term))
+  def termLookup(docs: DataFrame, term: String, k: Int): DataFrame =
+    termLookupPairs(tokenPairs(docs), docs, term, k)
+
+  /** [[termLookup]] over a pre-tokenized (doc_id, term) frame — on the
+    * staged table the term predicate is PUSHED to the parquet scan
+    * (postings-style pruning from file/row-group stats); `docs` is
+    * still the metadata side of the final k-row broadcast join.
+    */
+  def termLookupPairs(pairs: DataFrame, docs: DataFrame, term: String,
+      k: Int): DataFrame = {
+    val hits = pairs
+      .filter(col("term") === lit(term))
       .groupBy("doc_id").agg(count(lit(1)).as("tf"))
       .orderBy(col("tf").desc, col("doc_id"))
       .limit(k)
@@ -131,17 +171,22 @@ object Search {
     * `TakeOrderedAndProject` keeps the ranking engine-independent.
     */
   def bm25(docs: DataFrame, terms: Seq[String], k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame =
+    bm25Pairs(tokenPairs(docs), terms, k, k1, b)
+
+  /** [[bm25]] over a pre-tokenized (doc_id, term) frame. */
+  def bm25Pairs(pairs: DataFrame, terms: Seq[String], k: Int,
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    // ONE tokenize+count pass feeds every factor: dl (per-doc length)
-    // needs the whole corpus and tf can't push its token filter to the
-    // scan, so without sharing, the corpus would tokenize twice (the
-    // q87 lesson). The (doc, term) count frame is persisted
-    // MEMORY_AND_DISK (spills, never OOMs) and is strictly smaller
-    // than the token stream it replaces; registered with
+    // ONE (doc, term) count pass feeds every factor: dl (per-doc
+    // length) needs the whole corpus and tf can't push its token
+    // filter into the shared aggregate, so without sharing the token
+    // frame would aggregate twice (the q87 lesson). The count frame is
+    // persisted MEMORY_AND_DISK (spills, never OOMs) and is strictly
+    // smaller than the token stream it replaces; registered with
     // TransientCaches — release() after materializing frees the blocks
     // without waiting for driver GC.
-    val counts = graft.TransientCaches.register(docs
-      .select(col("doc_id"), explode(TextAnalysis.tokens(col("text"))).as("t"))
+    val counts = graft.TransientCaches.register(pairs
+      .select(col("doc_id"), col("term").as("t"))
       .groupBy("doc_id", "t").agg(count(lit(1)).as("c"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val dl = counts.groupBy("doc_id").agg(sum("c").as("dl"))
@@ -165,16 +210,16 @@ object Search {
   }
 
   /** The one filtered positional pass every phrase/proximity query
-    * derives from: (doc_id, pos, t) restricted to the query terms. The
-    * per-row filter sits under the shuffle, so the positional stream
-    * that leaves the tokenizer is bounded by the terms' postings, not
+    * derives from: (doc_id, pos, term) restricted to the query terms.
+    * The per-row filter sits under the shuffle (and, on the staged
+    * token table, is PUSHED to the parquet scan), so the positional
+    * stream entering the joins is bounded by the terms' postings, not
     * the corpus; persisted because every term's side of the join reads
     * it (the q87/q98 tokenize-once lesson), registered for release.
     */
-  private def positionalHits(docs: DataFrame, terms: Seq[String]): DataFrame =
-    graft.TransientCaches.register(docs
-      .select(col("doc_id"),
-        posexplode(TextAnalysis.tokens(col("text"))).as(Seq("pos", "t")))
+  private def positionalHits(pos: DataFrame, terms: Seq[String]): DataFrame =
+    graft.TransientCaches.register(pos
+      .select(col("doc_id"), col("pos"), col("term").as("t"))
       .filter(col("t").isInCollection(terms.distinct))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
@@ -189,9 +234,13 @@ object Search {
     * term); never a theta join. n = 2 recovers the classic bigram
     * phrase query.
     */
-  def phraseSearchN(docs: DataFrame, terms: Seq[String]): DataFrame = {
+  def phraseSearchN(docs: DataFrame, terms: Seq[String]): DataFrame =
+    phraseSearchNPos(tokenPositions(docs), terms)
+
+  /** [[phraseSearchN]] over a pre-tokenized (doc_id, pos, term) frame. */
+  def phraseSearchNPos(pos: DataFrame, terms: Seq[String]): DataFrame = {
     require(terms.length >= 2, s"a phrase needs >= 2 terms, got $terms")
-    val hits = positionalHits(docs, terms)
+    val hits = positionalHits(pos, terms)
     val base = hits.filter(col("t") === lit(terms.head))
       .select(col("doc_id"), col("pos"))
     terms.zipWithIndex.drop(1)
@@ -226,11 +275,16 @@ object Search {
     * band filter runs join-local on the bucket-collocated candidates.
     */
   def proximitySearch(docs: DataFrame, termA: String, termB: String,
+      w: Int): DataFrame =
+    proximitySearchPos(tokenPositions(docs), termA, termB, w)
+
+  /** [[proximitySearch]] over a pre-tokenized (doc_id, pos, term) frame. */
+  def proximitySearchPos(pos: DataFrame, termA: String, termB: String,
       w: Int): DataFrame = {
     require(w >= 1, s"proximity window must be >= 1, got $w")
     require(termA != termB,
       "proximity between a term and itself would pair each token with itself")
-    val hits = positionalHits(docs, Seq(termA, termB))
+    val hits = positionalHits(pos, Seq(termA, termB))
     val a = hits.filter(col("t") === lit(termA))
       .select(col("doc_id"), col("pos").as("pa"))
       .withColumn("bk", explode(array(
@@ -270,7 +324,8 @@ object Search {
         |         AS DECIMAL(38,0))) AS VARCHAR) AS postings_sig
         |FROM chunks GROUP BY term ORDER BY term""".stripMargin,
     ) { (s, dir) =>
-      invertedIndex(Tables(s, dir).documentsRebalanced).orderBy("term")
+      invertedIndexPairs(graft.sources.TokenizedCorpus.tokens(s, dir))
+        .orderBy("term")
     },
 
     // TF-IDF top-3 terms for the first 100 documents (df fitted on the
@@ -303,7 +358,9 @@ object Search {
         |       CAST(df AS BIGINT) AS df, score
         |FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
     ) { (s, dir) =>
-      tfidfTopTerms(Tables(s, dir).documentsRebalanced, k = 3, docLimit = 100L)
+      tfidfTopTermsPairs(graft.sources.TokenizedCorpus.tokens(s, dir),
+        Tables(s, dir).documents.select(count(lit(1)).as("n")),
+        k = 3, docLimit = 100L)
     },
 
     // Retrieval: top-10 documents for the probe term 'join' by term
@@ -324,7 +381,8 @@ object Search {
         |FROM tf t JOIN documents d USING (doc_id)
         |ORDER BY tf DESC, doc_id""".stripMargin,
     ) { (s, dir) =>
-      termLookup(Tables(s, dir).documentsRebalanced, term = "join", k = 10)
+      termLookupPairs(graft.sources.TokenizedCorpus.tokens(s, dir),
+        Tables(s, dir).documentsRebalanced, term = "join", k = 10)
     },
 
     // BM25 top-10 for the 3-term query {join, vector, dup} ('dup' is
@@ -358,7 +416,7 @@ object Search {
         |FROM contrib GROUP BY doc_id
         |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
     ) { (s, dir) =>
-      bm25(Tables(s, dir).documentsRebalanced,
+      bm25Pairs(graft.sources.TokenizedCorpus.tokens(s, dir),
         terms = Seq("join", "vector", "dup"), k = 10)
     },
 
@@ -382,7 +440,8 @@ object Search {
         |WHERE a.t = 'hash' AND b.t = 'join'
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     ) { (s, dir) =>
-      phraseSearch(Tables(s, dir).documentsRebalanced, "hash", "join")
+      phraseSearchNPos(graft.sources.TokenizedCorpus.tokens(s, dir),
+        Seq("hash", "join"))
     },
 
     // 3-term phrase "big order scan": the chained (doc, pos+i)
@@ -406,7 +465,7 @@ object Search {
         |WHERE a.t = 'big' AND b.t = 'order' AND c.t = 'scan'
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     ) { (s, dir) =>
-      phraseSearchN(Tables(s, dir).documentsRebalanced,
+      phraseSearchNPos(graft.sources.TokenizedCorpus.tokens(s, dir),
         Seq("big", "order", "scan"))
     },
 
@@ -431,7 +490,8 @@ object Search {
         |WHERE a.t = 'hash' AND b.t = 'join'
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     ) { (s, dir) =>
-      proximitySearch(Tables(s, dir).documentsRebalanced, "hash", "join", w = 3)
+      proximitySearchPos(graft.sources.TokenizedCorpus.tokens(s, dir),
+        "hash", "join", w = 3)
     },
   )
 }

@@ -107,6 +107,15 @@ class SearchRedactSpec extends SparkSpec {
     ))
   }
 
+  test("staged token table equals the inline tokenize pass, row for row") {
+    val staged = graft.sources.TokenizedCorpus.tokens(spark, sf)
+      .select("doc_id", "pos", "term").as[(Long, Int, String)].collect().sorted.toSeq
+    val inline = Search.tokenPositions(Tables(spark, sf).documentsRebalanced)
+      .select("doc_id", "pos", "term").as[(Long, Int, String)].collect().sorted.toSeq
+    assert(staged == inline)
+    assert(staged.nonEmpty)
+  }
+
   test("phraseSearchN counts n-term occurrences; overlapping and boundary cases") {
     val docs = Seq(
       (1L, "a b c a b c a b"),   // "a b c" at pos 0 and 3; trailing "a b" is not a hit
