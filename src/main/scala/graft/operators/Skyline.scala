@@ -55,6 +55,45 @@ object Skyline {
       .orderBy("price")
   }
 
+  /** Per-group Pareto frontier — one skyline per `groupCol` value.
+    *
+    * Unlike the GLOBAL 2-D case (whose final window is inherently
+    * single-task and therefore needs the partition-local prefilter),
+    * the grouped form is the embarrassingly-parallel one: a window
+    * PARTITIONED BY the group shuffles each group to one task and runs
+    * the monotone running-max scan there — every group's frontier
+    * computes independently, no global sort, no single-task stage.
+    * Groups are event/category-sized by contract; a single pathological
+    * group degenerates to the global case and would take the q127
+    * prefilter INSIDE that group.
+    *
+    * Dimensions d ≥ 3 need a DIFFERENT algorithm, not a wider window:
+    * the 2-D trick works because after sorting by (price asc, qty
+    * desc), dominance collapses to a SCALAR running max — one number
+    * summarizes the entire "seen" set. With a third criterion the
+    * dominated region is the union of axis-aligned boxes and no scalar
+    * summary exists; the standard distributed shapes are block-
+    * nested-loop / sort-filter-skyline with a partition-local frontier
+    * SET as the prefilter (same soundness argument as q127's local
+    * pass: local dominators are global dominators) and a frontier-
+    * sized merge. Declared out of scope here; the 2-D monotone case is
+    * what composes into a window-free plan.
+    */
+  def groupedSkyline2d(df: DataFrame, groupCol: String, minCol: String,
+      maxCol: String): DataFrame = {
+    val g = Window.partitionBy("grp")
+      .orderBy(col("price").asc, col("qty").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df
+      .select(col(groupCol).as("grp"),
+        col(minCol).cast(DoubleType).as("price"),
+        col(maxCol).cast(DoubleType).as("qty"))
+      .withColumn("pm", max("qty").over(g))
+      .filter(col("pm").isNull || col("qty") > col("pm"))
+      .select(col("grp").as(groupCol), col("price"), col("qty"))
+      .orderBy(groupCol, "price")
+  }
+
   val entries: Seq[QueryEntry] = Seq(
     // Price/quantity frontier of lineitem; DuckDB runs the monotone
     // single-window formulation over the whole table — the engine's
@@ -74,6 +113,29 @@ object Skyline {
         |ORDER BY price""".stripMargin,
     ) { (s, dir) =>
       skyline2d(Tables(s, dir).lineitem, "l_extendedprice", "l_quantity")
+    },
+
+    // Per-returnflag frontiers: the grouped (partitioned-window) form.
+    // DuckDB partitions the same monotone window by the group and must
+    // land on identical per-group frontiers.
+    QueryEntry.sql(
+      "q133_skyline_grouped",
+      """WITH s AS (
+        |  SELECT l_returnflag,
+        |         CAST(l_extendedprice AS DOUBLE) AS price,
+        |         CAST(l_quantity AS DOUBLE) AS qty,
+        |         MAX(CAST(l_quantity AS DOUBLE)) OVER (
+        |           PARTITION BY l_returnflag
+        |           ORDER BY l_extendedprice, l_quantity DESC
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+        |  FROM lineitem
+        |)
+        |SELECT l_returnflag, price, qty FROM s
+        |WHERE pm IS NULL OR qty > pm
+        |ORDER BY l_returnflag, price""".stripMargin,
+    ) { (s, dir) =>
+      groupedSkyline2d(Tables(s, dir).lineitem, "l_returnflag",
+        "l_extendedprice", "l_quantity")
     },
   )
 }
