@@ -39,7 +39,17 @@ object Ivm {
     * delete+insert pair in any real CDC encoding and lands in the
     * NULL-side branches here.
     */
-  def changeDelta(before: DataFrame, after: DataFrame): DataFrame = {
+  def changeDelta(before: DataFrame, after: DataFrame): DataFrame =
+    changeRows(before, after)
+      .groupBy("month")
+      .agg(sum("dc").as("dc"), sum("dv").as("dv"))
+
+  /** The un-aggregated signed change feed — one row per changed order:
+    * what a CDC source actually emits, and the input the STREAMING twin
+    * consumes batch by batch ([[graft.streaming.StreamingEvents.ivmMaintainedRollup]]).
+    * [[changeDelta]] is its per-group rollup.
+    */
+  def changeRows(before: DataFrame, after: DataFrame): DataFrame = {
     val a = before.select(col("o_orderkey").as("ka"),
       monthOf(col("o_orderdate")).as("ma"),
       col("o_totalprice").cast(DecimalType(18, 2)).as("va"))
@@ -54,8 +64,6 @@ object Ivm {
         (coalesce(col("vb"), lit(0).cast(DecimalType(18, 2))) -
           coalesce(col("va"), lit(0).cast(DecimalType(18, 2)))).as("dv"),
       )
-      .groupBy("month")
-      .agg(sum("dc").as("dc"), sum("dv").as("dv"))
   }
 
   /** base view + delta → maintained view: one outer join of two

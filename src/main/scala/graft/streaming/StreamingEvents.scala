@@ -337,6 +337,77 @@ object StreamingEvents {
     spark.table(name)
   }
 
+  /** Streaming IVM twin: q129's delta-merge as a stateful foreachBatch
+    * sink — the production form of incremental view maintenance, where
+    * the CDC feed arrives in micro-batches and each batch's
+    * group-sized delta merges into the maintained rollup WITHOUT
+    * rescanning the base table.
+    *
+    * Mechanics: the signed change feed ([[graft.operators.Ivm.changeRows]])
+    * is staged as a 4-file directory and streamed with
+    * `maxFilesPerTrigger = 1`, so AvailableNow really exercises
+    * MULTIPLE incremental merges (a single batch would degenerate to
+    * batch q129). Each batch aggregates its own delta in Spark
+    * (map-side combined, group-sized output) and foreachBatch merges
+    * it into the maintained view; the view is held group-sized on the
+    * driver — the stand-in for what production writes with MERGE INTO
+    * a transactional sink table, same state class as the rollup
+    * itself. Zero-count groups vanish on merge exactly as in batch
+    * [[graft.operators.Ivm.maintain]].
+    *
+    * Batch ≡ stream (StreamingSpec): after all batches the maintained
+    * view equals batch q129 — which the correctness gate already
+    * proves equal to a from-scratch recompute, closing the chain
+    * stream ≡ batch-IVM ≡ recompute.
+    */
+  def ivmMaintainedRollup(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val orders = graft.Tables(spark, dir).orders
+    val feedDir = graft.sources.Staging.fingerprintPath(
+      "graft_ivm_feed", dir, "orders.parquet", "changes4")
+    graft.sources.Staging.ensureStaged(feedDir) {
+      graft.operators.Ivm.changeRows(orders,
+          graft.operators.TableDiff.driftedOrders(orders))
+        .repartition(4)
+        .write.mode("overwrite").parquet(feedDir)
+    }
+    // the materialized base view, held group-sized: month -> (cnt, total)
+    val state = scala.collection.mutable.Map.empty[String, (Long, java.math.BigDecimal)]
+    graft.operators.Ivm.orderRollup(orders)
+      .select(col("month"), col("cnt"), col("total"))
+      .as[(String, Long, java.math.BigDecimal)].collect()
+      .foreach { case (m, c, t) => state(m) = (c, t) }
+
+    val schema = spark.read.parquet(feedDir).schema
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(feedDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // the batch-local delta is a Spark aggregate (map-side
+        // combined); only the group-sized result reaches the driver
+        val delta = batch.groupBy("month")
+          .agg(sum("dc").as("dc"), sum("dv").as("dv"))
+          .select(col("month"), col("dc"), col("dv"))
+          .collect()
+        delta.foreach { r =>
+          val m = r.getString(0)
+          val dc = r.getLong(1)
+          val dv = Option(r.getDecimal(2)).getOrElse(java.math.BigDecimal.ZERO)
+          val (c0, t0) = state.getOrElse(m, (0L, new java.math.BigDecimal("0.00")))
+          val c1 = c0 + dc
+          if (c1 > 0) state(m) = (c1, t0.add(dv)) else state.remove(m)
+        }
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    state.toSeq.map { case (m, (c, t)) => (m, c, t.doubleValue()) }
+      .toDF("month", "cnt", "total")
+      .orderBy("month")
+  }
+
   /** The file streaming source requires a directory; the fixture is a
     * single parquet file — stage a copy under scratch, fingerprint-
     * keyed and write-once via [[graft.sources.Staging]].

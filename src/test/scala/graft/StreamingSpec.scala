@@ -96,6 +96,15 @@ class StreamingSpec extends SparkSpec {
     assert(batch.nonEmpty)
   }
 
+  test("streaming IVM foreachBatch merge ≡ batch q129 maintained view") {
+    val streamed = StreamingEvents.ivmMaintainedRollup(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    val batch = run("q129_incremental_view")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(streamed == batch)
+    assert(batch.nonEmpty)
+  }
+
   test("streaming EWMA recurrence ≡ batch q114 closed form (6 dp)") {
     val streamed = StreamingEvents.runEwmaToCompletion(spark, sf)
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
