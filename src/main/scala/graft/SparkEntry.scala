@@ -53,6 +53,10 @@ object SparkEntry {
       operators.Checksum.entries ++
       operators.Cdc.entries ++
       operators.Multimodal.entries ++
+      operators.Colloc.entries ++
+      operators.HeavyHitters.entries ++
+      operators.Mixture.entries ++
+      operators.SetJoin.entries ++
       sources.OrcRoundTrip.entries ++
       sources.SchemaEvolution.entries ++
       sources.CorruptJsonl.entries ++

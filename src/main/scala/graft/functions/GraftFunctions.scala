@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.expressions.{Expression, XxHash64}
-import org.apache.spark.sql.graft.{CosineSimF32, DotProductF32, KmvSketch, MinHashSignature, Shims, SimHash64, SplitMix64, TopKScoreId, TopKScoreStr, WithinEdit1}
+import org.apache.spark.sql.graft.{CosineSimF32, DotProductF32, FreqSketch, KmvSketch, MinHashSignature, Shims, SimHash64, SplitMix64, TopKScoreId, TopKScoreStr, WithinEdit1}
 import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
 
 /** Column-level API + SQL registration for the graft expressions.
@@ -68,6 +68,14 @@ object GraftFunctions {
   def kmvSketch(hash: Column, k: Int): Column =
     col(KmvSketch(expr(hash), k).toAggregateExpression())
 
+  /** freq_sketch(item string, k) → map<string,bigint>: Misra–Gries
+    * top-k frequency estimates per group with a k-bounded buffer;
+    * exact whenever a group's distinct-item count stays ≤ k (see
+    * [[FreqSketch]]).
+    */
+  def freqSketch(item: Column, k: Int): Column =
+    col(FreqSketch(expr(item), k).toAggregateExpression())
+
   private def arity(name: String, n: Int)(es: Seq[Expression]): Unit =
     require(es.length == n,
       s"$name expects $n argument(s), got ${es.length}")
@@ -114,6 +122,17 @@ object GraftFunctions {
         }
       case _ => throw new IllegalArgumentException(
         "kmv_sketch expects (hash string, k literal)")
+    }),
+    "freq_sketch" -> (es => es match {
+      case Seq(h, kE) if kE.foldable =>
+        kE.eval() match {
+          case n: Number if n.intValue() > 0 =>
+            FreqSketch(h, n.intValue()).toAggregateExpression()
+          case other => throw new IllegalArgumentException(
+            s"freq_sketch k must be a positive integer literal, got $other")
+        }
+      case _ => throw new IllegalArgumentException(
+        "freq_sketch expects (item string, k literal)")
     }),
     // optional second arg: permutation count (non-null int literal)
     "minhash_sig" -> (es => es match {

@@ -466,5 +466,83 @@ object Dedup {
         .select(col("doc_id"), GraftFunctions.simhash64(hashes).as("sh"))
         .orderBy("doc_id")
     },
+
+    // q138 — SimHash near-dup JOIN (q21's signatures made actionable):
+    // Hamming-ball pairing at distance ≤ 3 via 4-band pigeonhole
+    // blocking. The oracle brute-forces all signature pairs, so a
+    // band-split bug that drops a qualifying pair fails the gate.
+    QueryEntry.sql(
+      "q138_simhash_neardup",
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS t
+        |  FROM documents
+        |), th AS (
+        |  SELECT doc_id, CAST('0x' || substr(md5(t), 1, 15) AS BIGINT) AS h FROM tok
+        |), bits AS (
+        |  SELECT doc_id, b.b AS b,
+        |         SUM(CASE WHEN ((h >> b.b) & 1) = 1 THEN 1 ELSE -1 END) AS cnt
+        |  FROM th, (SELECT unnest(range(0, 60)) AS b) b
+        |  GROUP BY doc_id, b.b
+        |), sig AS (
+        |  SELECT doc_id,
+        |         CAST(SUM(CASE WHEN cnt > 0 THEN CAST(1 AS BIGINT) << b ELSE 0 END) AS BIGINT) AS sh
+        |  FROM bits GROUP BY doc_id
+        |)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |       CAST(bit_count(xor(a.sh, b.sh)) AS INTEGER) AS hamming
+        |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.sh, b.sh)) <= 3
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    ) { (s, dir) => simhashNearDup(docsWithSimhash(Tables(s, dir)), maxHamming = 3) },
   )
+
+  // ---- SimHash near-dup join ---------------------------------------------
+
+  /** (doc_id, sh): the q21 signature frame. */
+  def docsWithSimhash(t: Tables): DataFrame = {
+    val hashes = transform(TextAnalysis.tokens(col("text")),
+      tk => conv(substring(md5(tk.cast(BinaryType)), 1, 15), 16, 10).cast(LongType))
+    t.documentsRebalanced
+      .select(col("doc_id"), GraftFunctions.simhash64(hashes).as("sh"))
+  }
+
+  /** Hamming-distance ≤ `maxHamming` pairs over 60-bit SimHash
+    * signatures, by pigeonhole banding: split the signature into
+    * `maxHamming + 1` disjoint bit-bands — any pair within distance d
+    * ≤ maxHamming differs in at most d bands, so at least one band
+    * matches EXACTLY, and a hash equi-join on (band_id, band_bits)
+    * recovers every qualifying pair without an all-pairs product (the
+    * Manku WWW'07 rotation trick, expressed as a Spark shuffle join).
+    * Candidates are distinct-ed (a pair can share several bands), then
+    * verified with one codegen `bit_count(xor)`.
+    *
+    * Scale shape: |bands| × corpus rows shuffled on 15-bit band keys;
+    * candidate volume is the sum over band-key groups of C(n,2) — at
+    * 100 TB the band width is the knob (wider bands → fewer spurious
+    * collisions), and heavy band-key skew (e.g. the all-zeros band of
+    * near-empty docs) surfaces in [[Skew]]'s report before it hurts.
+    */
+  def simhashNearDup(sigs: DataFrame, maxHamming: Int): DataFrame = {
+    val nBands = maxHamming + 1
+    val width = 60 / nBands // 60-bit signatures (md5-derived hashes)
+    val bandCols = (0 until nBands).map { b =>
+      struct(lit(b).as("band"),
+        (shiftrightunsigned(col("sh"), b * width)
+          .bitwiseAND(lit((1L << width) - 1))).as("key"))
+    }
+    val banded = sigs.select(col("doc_id"), col("sh"),
+      explode(array(bandCols: _*)).as("bk"))
+      .select(col("doc_id"), col("sh"), col("bk.band").as("band"), col("bk.key").as("key"))
+    val a = banded.select(col("band"), col("key"),
+      col("doc_id").as("doc_a"), col("sh").as("sha"))
+    val b = banded.select(col("band"), col("key"),
+      col("doc_id").as("doc_b"), col("sh").as("shb"))
+    a.join(b, Seq("band", "key"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("sha").bitwiseXOR(col("shb"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+      .orderBy("doc_a", "doc_b")
+  }
 }

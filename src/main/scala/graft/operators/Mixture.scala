@@ -1,0 +1,83 @@
+package graft.operators
+
+import graft.{QueryEntry, Tables}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.DataFrame
+
+/** Temperature-based mixture sampling across corpus strata — the
+  * standard multi-source rebalancing step of LLM training-data
+  * pipelines (sampled size per stratum ∝ n^α, α < 1 upsampling rare
+  * strata relative to dominant ones; cf. the multilingual sampling
+  * rule of Conneau & Lample, NeurIPS'19).
+  *
+  * Determinism discipline: the usual formulation normalizes by
+  * Σ_s n_s^α — a cross-row DOUBLE sum whose accumulation order an
+  * engine does not pin, so a differential oracle could flip on an ulp.
+  * This operator instead uses the UNNORMALIZED per-stratum rate
+  *   rate_s = C / sqrt(n_s)   (α = 1/2 ⇒ sampled_s ∝ sqrt(n_s)),
+  * which needs only IEEE-exact operations (sqrt, one multiply, one
+  * divide, floor) — bit-identical in any IEEE engine, no float sum
+  * anywhere. Membership is the house hash rule (md5-derived 60-bit
+  * key bucket, q41's): a pure function of the row key, rerunnable at
+  * any scale and oracle-able.
+  *
+  * Scale shape: one tiny groupBy for stratum sizes, broadcast back,
+  * one codegen filter, one grouped count — two scans of the corpus (or
+  * one plus a reused cache), state bounded by the stratum count.
+  */
+object Mixture {
+
+  private val Buckets = 1048576L // 2^20 hash space for membership
+
+  /** Per-stratum sampling report: size, integer hash threshold,
+    * sampled count, effective rate.
+    */
+  def temperatureSample(df: DataFrame, stratumCol: String, c: Double): DataFrame = {
+    val sizes = df.groupBy(col(stratumCol)).agg(count(lit(1)).as("n_docs"))
+      .withColumn("threshold",
+        least(
+          floor(lit(c * Buckets.toDouble) / sqrt(col("n_docs").cast(DoubleType)))
+            .cast(LongType),
+          lit(Buckets)))
+    val bucket =
+      conv(substring(md5(col("doc_id").cast(StringType).cast(BinaryType)), 1, 15), 16, 10)
+        .cast(LongType) % Buckets
+    df.join(broadcast(sizes), stratumCol)
+      .select(col(stratumCol), col("n_docs"), col("threshold"),
+        (bucket < col("threshold")).as("in_sample"))
+      .groupBy(col(stratumCol), col("n_docs"), col("threshold"))
+      .agg(sum(when(col("in_sample"), 1L).otherwise(0L)).as("n_sampled"))
+      .select(col(stratumCol), col("n_docs"), col("threshold"), col("n_sampled"),
+        round(col("n_sampled").cast(DoubleType) / col("n_docs").cast(DoubleType), 6)
+          .as("eff_rate"))
+      .orderBy(stratumCol)
+  }
+
+  def entries: Seq[QueryEntry] = Seq(
+    // q137 — sqrt-temperature sampling of documents by language
+    // (C=6: at sf0.01 'en' keeps ~41%, the rare languages ~70% — the
+    // rebalancing visibly favors the tail, which is the point).
+    QueryEntry.sql(
+      "q137_mixture_sample",
+      """WITH sizes AS (
+        |  SELECT lang, COUNT(*) AS n_docs,
+        |         LEAST(CAST(FLOOR(6291456.0 / sqrt(CAST(COUNT(*) AS DOUBLE))) AS BIGINT),
+        |               1048576) AS threshold
+        |  FROM documents GROUP BY lang
+        |), hashed AS (
+        |  SELECT d.lang, s.n_docs, s.threshold,
+        |         CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+        |           % 1048576 AS bucket
+        |  FROM documents d JOIN sizes s ON d.lang = s.lang
+        |)
+        |SELECT lang, CAST(n_docs AS BIGINT) AS n_docs, threshold,
+        |       CAST(SUM(CASE WHEN bucket < threshold THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
+        |       ROUND(CAST(SUM(CASE WHEN bucket < threshold THEN 1 ELSE 0 END) AS DOUBLE)
+        |             / CAST(n_docs AS DOUBLE), 6) AS eff_rate
+        |FROM hashed GROUP BY lang, n_docs, threshold ORDER BY lang""".stripMargin,
+    ) { (s, dir) =>
+      temperatureSample(Tables(s, dir).documentsRebalanced, "lang", c = 6.0)
+    },
+  )
+}

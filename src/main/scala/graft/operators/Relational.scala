@@ -385,5 +385,40 @@ object Relational {
         )
         .orderBy("n_nationkey")
     },
+
+    // q140 — correlated aggregate subquery (the TPC-H Q17 shape:
+    // "small-quantity-order revenue"): lineitems below 20% of their
+    // part's average quantity, for one brand, summed. Declaratively a
+    // correlated scalar subquery; the engine expresses the
+    // decorrelated form Catalyst itself would produce — a per-part
+    // aggregate joined back on the part key — so the plan is two
+    // hash-partitioned passes over lineitem, no per-row re-scan.
+    // Money discipline (FIXTURES.md): prices accumulate in
+    // DECIMAL(18,2) in both engines before the final DOUBLE cast.
+    QueryEntry.sql(
+      "q140_small_qty_revenue",
+      """SELECT ROUND(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |             / 7.0, 2) AS avg_yearly,
+        |       COUNT(*) AS n_lines
+        |FROM lineitem l
+        |JOIN part p ON p.p_partkey = l.l_partkey
+        |WHERE p.p_brand = 'Brand#1'
+        |  AND l.l_quantity < (
+        |    SELECT 0.2 * AVG(l2.l_quantity) FROM lineitem l2
+        |    WHERE l2.l_partkey = p.p_partkey)""".stripMargin,
+    ) { (s, dir) =>
+      val t = Tables(s, dir)
+      val perPart = t.lineitem.groupBy(col("l_partkey").as("pk"))
+        .agg(avg("l_quantity").as("avg_qty"))
+      t.lineitem
+        .join(t.part.filter(col("p_brand") === "Brand#1"),
+          col("l_partkey") === col("p_partkey"))
+        .join(perPart, col("l_partkey") === col("pk"))
+        .filter(col("l_quantity") < lit(0.2) * col("avg_qty"))
+        .agg(
+          round((sum(col("l_extendedprice").cast(DecimalType(18, 2)))
+            .cast(DoubleType) / 7.0), 2).as("avg_yearly"),
+          count(lit(1)).as("n_lines"))
+    },
   )
 }

@@ -1,0 +1,110 @@
+package graft.operators
+
+import graft.{QueryEntry, Tables}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.DataFrame
+
+/** EXACT set-similarity self-join (token-set Jaccard ≥ τ) via prefix
+  * filtering — the deterministic complement to MinHash-LSH
+  * ([[Dedup]]): no hash choices, no miss probability; every
+  * qualifying pair is found, with the candidate space cut by the
+  * prefix-filter principle (Chaudhuri et al. ICDE'06 / Xiao et al.
+  * WWW'08 "PPJoin", prefix filter only — the position filter is
+  * documented future work, not needed for correctness).
+  *
+  * Principle: order every set by GLOBAL token rarity (ascending
+  * document frequency, term as tie-break); a set of size l keeps only
+  * its first `l - ceil(τ·l) + 1` tokens as its prefix. Two sets with
+  * Jaccard ≥ τ must share at least one prefix token, so a shuffle
+  * equi-join on prefix tokens yields a complete candidate set;
+  * candidates are verified with an exact intersect over the full
+  * sorted arrays, thresholded in INTEGER arithmetic (5·inter ≥ 4·uni
+  * for τ = 0.8 — no float compare anywhere).
+  *
+  * Scale shape: document frequencies are one map-side-combined
+  * groupBy; the rarity sort is a per-doc `collect_list` + array sort
+  * (arrays bounded by document length, never corpus size); the join
+  * key is the rarest-token prefix, whose frequency is LOW by
+  * construction — the hot common tokens (the skew killers of a naive
+  * token join) never appear in any prefix, which is the whole point of
+  * rarity ordering. Verification joins carry arrays only for
+  * LSH-style candidate counts, not all pairs.
+  */
+object SetJoin {
+
+  /** DuckDB mirror of the shingle-set unit (binds `toks` from the
+    * enclosing tokenized subquery — [[Dedup.shinglesSql]]).
+    */
+  private val shingleSetSql: String = Dedup.shinglesSql
+
+  /** (doc_id, toks, len): distinct 3-gram shingle set per doc
+    * ([[Dedup.shingles]] — the dedup family's set unit; raw token sets
+    * barely discriminate, shingles carry order), ordered by ascending
+    * global document frequency then term.
+    */
+  private def raritySortedSets(docs: DataFrame): DataFrame = {
+    val termDoc = docs
+      .select(col("doc_id"), explode(Dedup.shingles(col("text"))).as("term"))
+    val freq = termDoc.groupBy("term").agg(count(lit(1)).as("df"))
+    termDoc.join(freq, "term")
+      .groupBy("doc_id")
+      .agg(array_sort(collect_list(struct(col("df"), col("term")))).as("ranked"))
+      .select(col("doc_id"),
+        transform(col("ranked"), r => r.getField("term")).as("toks"),
+        size(col("ranked")).as("len"))
+  }
+
+  /** All pairs with token-set Jaccard ≥ num/den (integer threshold),
+    * emitted as (doc_a, doc_b, inter, uni). Empty sets never pair
+    * (a 0/0 Jaccard is undefined, not 1).
+    */
+  def jaccardSelfJoin(docs: DataFrame, num: Int, den: Int): DataFrame = {
+    val sets = raritySortedSets(docs)
+    // prefix length for tau = num/den: l - ceil(tau*l) + 1, in integer
+    // arithmetic: ceil(num*l/den) = floor((num*l + den - 1)/den)
+    val prefixLen = (col("len") - floor((lit(num) * col("len") + den - 1) / den) + 1)
+      .cast(IntegerType)
+    val prefixes = sets.filter(col("len") > 0)
+      .select(col("doc_id"), explode(slice(col("toks"), lit(1), prefixLen)).as("term"))
+    val cand = prefixes.select(col("term"), col("doc_id").as("doc_a"))
+      .join(prefixes.select(col("term"), col("doc_id").as("doc_b")), "term")
+      .filter(col("doc_a") < col("doc_b"))
+      .select("doc_a", "doc_b").distinct()
+    val inter = size(array_intersect(col("ta"), col("tb")))
+    cand
+      .join(sets.select(col("doc_id").as("doc_a"), col("toks").as("ta"), col("len").as("la")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("toks").as("tb"), col("len").as("lb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        inter.cast(LongType).as("inter"),
+        (col("la") + col("lb") - inter).cast(LongType).as("uni"))
+      .filter(col("inter") * den >= col("uni") * num && col("uni") > 0)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  def entries: Seq[QueryEntry] = Seq(
+    // q139 — exact Jaccard ≥ 0.8 self-join over distinct shingle sets;
+    // the oracle is the brute-force all-pairs join, so any pair the
+    // prefix filter wrongly prunes fails the differential gate.
+    QueryEntry.sql(
+      "q139_jaccard_join",
+      s"""WITH sets AS (
+        |  SELECT doc_id, $shingleSetSql AS toks
+        |  FROM (SELECT doc_id,
+        |               regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+        |        FROM documents) t
+        |)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |       CAST(len(list_intersect(a.toks, b.toks)) AS BIGINT) AS inter,
+        |       CAST(len(a.toks) + len(b.toks)
+        |            - len(list_intersect(a.toks, b.toks)) AS BIGINT) AS uni
+        |FROM sets a JOIN sets b ON a.doc_id < b.doc_id
+        |WHERE 5 * len(list_intersect(a.toks, b.toks))
+        |      >= 4 * (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)))
+        |  AND len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)) > 0
+        |ORDER BY doc_a, doc_b""".stripMargin,
+    ) { (s, dir) =>
+      jaccardSelfJoin(Tables(s, dir).documentsRebalanced, num = 4, den = 5)
+    },
+  )
+}
