@@ -80,6 +80,19 @@ object Dedup {
     sh.select(col("doc_id"), col("shingles"), sig.as("sig"))
   }
 
+  /** (doc_id, band_sig): one row per (doc, band) — the LSH bucket key
+    * shared by the self-join ([[nearDupPairs]]) and the cross-corpus
+    * join ([[crossCorpusNearDup]]).
+    */
+  private def bandSignatures(sigs: DataFrame): DataFrame =
+    sigs.select(
+      col("doc_id"),
+      explode(array((0 until NumBands).map { b =>
+        xxhash64(lit(b), element_at(col("sig"), b * BandRows + 1),
+          element_at(col("sig"), b * BandRows + 2)).as(s"b$b")
+      }: _*)).as("band_sig"),
+    )
+
   /** Near-dup pairs at Jaccard ≥ `num/den` (integer threshold — the
     * comparison `den*inter >= num*union` is exact in both engines):
     * LSH band-bucket join for candidates, then exact shingle-set
@@ -96,13 +109,7 @@ object Dedup {
     val par = docs.sparkSession.sessionState.conf.numShufflePartitions
     val sigs = minhashSignatures(docs.repartition(par, col("doc_id")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val bands = sigs.select(
-      col("doc_id"),
-      explode(array((0 until NumBands).map { b =>
-        xxhash64(lit(b), element_at(col("sig"), b * BandRows + 1),
-          element_at(col("sig"), b * BandRows + 2)).as(s"b$b")
-      }: _*)).as("band_sig"),
-    )
+    val bands = bandSignatures(sigs)
     val cand = bands.as("x")
       .join(bands.as("y"), col("x.band_sig") === col("y.band_sig") &&
         col("x.doc_id") < col("y.doc_id"))
@@ -494,7 +501,81 @@ object Dedup {
         |WHERE bit_count(xor(a.sh, b.sh)) <= 3
         |ORDER BY doc_a, doc_b""".stripMargin,
     ) { (s, dir) => simhashNearDup(docsWithSimhash(Tables(s, dir)), maxHamming = 3) },
+
+    // q142 — cross-corpus NEAR-dup decontamination: the fuzzy
+    // complement of q42 (exact-hash) and q81 (n-gram): eval docs
+    // (doc_id % 50 = 0, standing in for a benchmark set) matched
+    // against the whole corpus at shingle-Jaccard ≥ 0.8 — the pairs a
+    // train-set owner must drop before training. Same banded-LSH +
+    // exact-verify dataflow as q20, across two corpora instead of a
+    // self-join; the brute-force oracle fails the gate if banding
+    // drops a qualifying pair.
+    QueryEntry.sql(
+      "q142_neardup_decontaminate",
+      s"""WITH sh AS (
+         |  SELECT doc_id, $shinglesSql AS shingles
+         |  FROM (SELECT doc_id,
+         |               regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+         |        FROM documents) t
+         |), ev AS (SELECT * FROM sh WHERE doc_id % 50 = 0)
+         |SELECT e.doc_id AS eval_id, s.doc_id AS train_id,
+         |       CAST(len(list_intersect(e.shingles, s.shingles)) AS BIGINT) AS inter,
+         |       CAST(len(e.shingles) + len(s.shingles)
+         |            - len(list_intersect(e.shingles, s.shingles)) AS BIGINT) AS uni
+         |FROM ev e JOIN sh s ON s.doc_id <> e.doc_id
+         |WHERE 5 * len(list_intersect(e.shingles, s.shingles))
+         |      >= 4 * (len(e.shingles) + len(s.shingles)
+         |              - len(list_intersect(e.shingles, s.shingles)))
+         |ORDER BY eval_id, train_id""".stripMargin,
+    ) { (s, dir) =>
+      val docs = Tables(s, dir).documentsRebalanced
+      crossCorpusNearDup(docs, docs.filter(col("doc_id") % 50 === 0))
+    },
   )
+
+  /** Cross-corpus near-dup join: every (eval doc, train doc) pair at
+    * shingle-Jaccard ≥ num/den — near-dup DECONTAMINATION (eval-set
+    * leakage has fuzzy copies, not just exact ones; Brown et al.
+    * NeurIPS'20 appendix C motivates the n-gram form, LSH generalizes
+    * it). Candidates come from matching the two corpora's MinHash band
+    * buckets (shuffle equi-join on band signature — the probe side is
+    * typically tiny but is NOT broadcast-assumed; AQE picks the
+    * strategy), then exact shingle verification with the integer
+    * threshold. A train doc that IS the eval doc (same id) is excluded;
+    * everything else, including exact copies under different ids, is a
+    * contamination hit.
+    *
+    * Output: (eval_id, train_id, inter, uni), ordered.
+    */
+  def crossCorpusNearDup(corpus: DataFrame, probes: DataFrame,
+      num: Int = 4, den: Int = 5): DataFrame = {
+    val par = corpus.sparkSession.sessionState.conf.numShufflePartitions
+    val sigC = minhashSignatures(corpus.repartition(par, col("doc_id")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sigP = minhashSignatures(probes)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cand = bandSignatures(sigP).as("p")
+      .join(bandSignatures(sigC).as("c"),
+        col("p.band_sig") === col("c.band_sig") &&
+          col("p.doc_id") =!= col("c.doc_id"))
+      .select(col("p.doc_id").as("eval_id"), col("c.doc_id").as("train_id"))
+      .distinct()
+    val inter = size(array_intersect(col("se"), col("st")))
+    val pre = cand
+      .join(sigP.select(col("doc_id").as("ide"), col("shingles").as("se")),
+        col("eval_id") === col("ide"))
+      .join(sigC.select(col("doc_id").as("idt"), col("shingles").as("st")),
+        col("train_id") === col("idt"))
+      .select(col("eval_id"), col("train_id"),
+        inter.cast(LongType).as("inter"),
+        (size(col("se")) + size(col("st")) - inter).cast(LongType).as("uni"))
+      .filter(col("inter") * den >= col("uni") * num)
+      .orderBy("eval_id", "train_id")
+    val out = graft.metrics.RuntimeBreakdown.noteExecuted(pre).localCheckpoint(true)
+    sigC.unpersist()
+    sigP.unpersist()
+    out
+  }
 
   // ---- SimHash near-dup join ---------------------------------------------
 

@@ -85,5 +85,66 @@ object Knn {
         .select(col("vec_id").as("probe_id"), col("embedding").as("pvec"))
       knnJoin(emb, probes, k = 5)
     },
+
+    // q141 — hard-negative mining (contrastive-training staple): for
+    // each probe, the top-3 most-similar vectors whose LABEL differs —
+    // high-score wrong-class neighbors are exactly the negatives a
+    // contrastive loss learns most from. Same broadcast + k-bounded
+    // heap-aggregate shape as q97; the label inequality rides the
+    // codegen filter before any aggregation state exists.
+    QueryEntry.sql(
+      "q141_hard_negatives",
+      """WITH probes AS (
+        |  SELECT vec_id AS probe_id, embedding AS pvec, label AS plabel
+        |  FROM embeddings WHERE vec_id < 8
+        |), scored AS (
+        |  SELECT p.probe_id, e.vec_id, e.label,
+        |         ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+        |                                      CAST(p.pvec AS DOUBLE[])), 6) AS score
+        |  FROM embeddings e, probes p
+        |  WHERE e.vec_id <> p.probe_id AND e.label <> p.plabel
+        |), ranked AS (
+        |  SELECT probe_id, vec_id, label, score,
+        |         CAST(row_number() OVER (PARTITION BY probe_id
+        |                ORDER BY score DESC, vec_id) AS INT) AS rank
+        |  FROM scored
+        |)
+        |SELECT probe_id, rank, vec_id, label, score
+        |FROM ranked WHERE rank <= 3 ORDER BY probe_id, rank""".stripMargin,
+    ) { (s, dir) =>
+      val emb = Tables(s, dir).embeddings
+      val probes = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("pvec"),
+          col("label").as("plabel"))
+      hardNegatives(emb, probes, k = 3)
+    },
   )
+
+  /** Top-k cross-label neighbors per probe (hard negatives). The probe
+    * frame carries (probe_id, pvec, plabel); negatives exclude the
+    * probe itself and anything sharing its label. Labels rejoin the
+    * heap output by vec_id (the heap payload stays a bare id so the
+    * k-bounded [[GraftFunctions.topkScoreId]] buffer is reused as-is).
+    */
+  def hardNegatives(emb: DataFrame, probes: DataFrame, k: Int,
+      maxProbes: Long = 100000L): DataFrame = {
+    val n = probes.count()
+    require(n <= maxProbes,
+      s"hardNegatives broadcasts the probe batch: $n probes exceeds " +
+        s"maxProbes=$maxProbes — stage probes through Ivf.annSearch instead")
+    val ranked = emb.crossJoin(broadcast(probes))
+      .filter(col("vec_id") =!= col("probe_id") && col("label") =!= col("plabel"))
+      .select(col("probe_id"),
+        col("vec_id"),
+        round(GraftFunctions.cosineF32(col("embedding"), col("pvec")), 6).as("score"))
+      .groupBy("probe_id")
+      .agg(GraftFunctions.topkScoreId(col("score"), col("vec_id"), k).as("nn"))
+      .select(col("probe_id"), posexplode(col("nn")))
+      .select(col("probe_id"), (col("pos") + 1).cast("int").as("rank"),
+        col("col.id").as("vec_id"), col("col.score").as("score"))
+    ranked
+      .join(emb.select(col("vec_id"), col("label")), "vec_id")
+      .select(col("probe_id"), col("rank"), col("vec_id"), col("label"), col("score"))
+      .orderBy("probe_id", "rank")
+  }
 }

@@ -65,6 +65,47 @@ class SetJoinSpec extends SparkSpec {
     assert(got == Set((1L, 2L, 3L, 3L), (3L, 4L, 1L, 1L)))
   }
 
+  test("crossCorpusNearDup: equals brute force; self-ids excluded, cross-id copies found") {
+    val docs = Tables(spark, sf).documents.limit(80)
+    val probes = docs.filter(col("doc_id") % 10 === 0)
+    val got = Dedup.crossCorpusNearDup(docs, probes)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val sets = docs.select(col("doc_id"), Dedup.shingles(col("text")).as("sh"))
+      .as[(Long, Seq[String])].collect()
+    val probeIds = sets.map(_._1).filter(_ % 10 == 0).toSet
+    val brute = (for {
+      (pe, se) <- sets if probeIds.contains(pe)
+      (pt, st) <- sets if pt != pe
+      inter = se.toSet.intersect(st.toSet).size
+      uni = se.toSet.union(st.toSet).size
+      if 5 * inter >= 4 * uni
+    } yield (pe, pt, inter.toLong, uni.toLong)).toSet
+    assert(got == brute)
+    assert(got.forall { case (e, t, _, _) => e != t })
+  }
+
+  test("hardNegatives: every returned neighbor has a different label than its probe") {
+    val emb = Tables(spark, sf).embeddings
+    val probes = emb.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pvec"),
+        col("label").as("plabel"))
+    val labels = emb.select(col("vec_id"), col("label")).as[(Long, Int)].collect().toMap
+    val got = operators.Knn.hardNegatives(emb, probes, k = 3)
+      .as[(Long, Int, Long, Int, Double)].collect()
+    assert(got.nonEmpty)
+    got.foreach { case (pid, _, vid, lab, _) =>
+      assert(vid != pid)
+      assert(lab != labels(pid))
+      assert(lab == labels(vid))
+    }
+    // ranks are 1..k per probe, scores non-increasing
+    got.groupBy(_._1).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1 to sorted.length).toSeq)
+      assert(sorted.map(_._5).toSeq == sorted.map(_._5).sortBy(-_).toSeq)
+    }
+  }
+
   test("q140 small-quantity revenue: matches the explicit two-pass computation") {
     val t = Tables(spark, sf)
     val avgQty = t.lineitem.groupBy("l_partkey").agg(avg("l_quantity").as("aq"))
