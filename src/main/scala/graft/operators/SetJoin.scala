@@ -60,7 +60,13 @@ object SetJoin {
     * (a 0/0 Jaccard is undefined, not 1).
     */
   def jaccardSelfJoin(docs: DataFrame, num: Int, den: Int): DataFrame = {
-    val sets = raritySortedSets(docs)
+    // the set frame feeds the prefix pass AND both verify joins — one
+    // tokenize+rank pass instead of three. Registered in
+    // TransientCaches (returned frame is lazy; release degrades to
+    // recompute, never to wrong results).
+    val sets = graft.TransientCaches.register(
+      raritySortedSets(docs)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     // prefix length for tau = num/den: l - ceil(tau*l) + 1, in integer
     // arithmetic: ceil(num*l/den) = floor((num*l + den - 1)/den)
     val prefixLen = (col("len") - floor((lit(num) * col("len") + den - 1) / den) + 1)

@@ -446,4 +446,42 @@ object StreamingEvents {
     q.awaitTermination()
     spark.table(name).orderBy("w", "event_type")
   }
+
+  /** Streaming twin of q136 (grouped Misra–Gries heavy hitters): the
+    * `freq_sketch` TypedImperativeAggregate under a streaming
+    * `groupBy().agg()` in complete mode — the state store carries the
+    * SERIALIZED k-bounded buffer per group across triggers, so the
+    * same bounded-state property that holds per map task in batch
+    * holds per group across an unbounded stream. The feed is the
+    * events fixture split into 4 files with maxFilesPerTrigger=1,
+    * forcing real cross-batch buffer restore+merge (a single-batch run
+    * would never exercise deserialize).
+    */
+  def streamingHeavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    val feedDir = graft.sources.Staging.fingerprintPath(
+      "graft_hh_feed", dir, "events.parquet", "events4")
+    graft.sources.Staging.ensureStaged(feedDir) {
+      spark.read.parquet(s"$dir/events.parquet")
+        .repartition(4)
+        .write.mode("overwrite").parquet(feedDir)
+    }
+    val schema = spark.read.parquet(feedDir).schema
+    val name = s"graft_hh_${System.identityHashCode(spark)}"
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(feedDir)
+      .withColumn("grp", pmod(col("user_id"), lit(16)).cast("long"))
+      .groupBy("grp")
+      .agg(graft.functions.GraftFunctions.freqSketch(col("event_type"), 8).as("sketch"))
+      .writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+      .select(col("grp"), explode(col("sketch")).as(Seq("item", "est_n")))
+      .orderBy("grp", "item")
+  }
 }

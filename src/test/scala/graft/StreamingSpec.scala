@@ -105,6 +105,15 @@ class StreamingSpec extends SparkSpec {
     assert(batch.nonEmpty)
   }
 
+  test("streaming freq_sketch heavy hitters ≡ batch q136 (exact regime)") {
+    val streamed = StreamingEvents.streamingHeavyHitters(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val batch = run("q136_heavy_hitters")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(streamed == batch)
+    assert(batch.nonEmpty)
+  }
+
   test("streaming EWMA recurrence ≡ batch q114 closed form (6 dp)") {
     val streamed = StreamingEvents.runEwmaToCompletion(spark, sf)
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
