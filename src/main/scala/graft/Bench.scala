@@ -142,11 +142,17 @@ object Bench {
       // but leave the memo claiming a materialized index that silently
       // recomputes per search. Each index-using query rebuilds in its
       // own warmup, so cost attribution stays honest.
-      operators.Ivf.invalidateIndex()
-      operators.Pq.invalidateIndex()
-      TransientCaches.release()
+      // BLOCKING unpersists everywhere in this sweep: an async
+      // unpersist returns immediately and the block-deletion IO lands
+      // inside the NEXT query's timed runs (the r5 witness pass showed
+      // text-heavy queries at 2-3x their isolated times in-sequence —
+      // deletion overlap is the controllable part of that gap). The
+      // sweep runs outside every timed region, so waiting here is free.
+      operators.Ivf.invalidateIndex(blocking = true)
+      operators.Pq.invalidateIndex(blocking = true)
+      TransientCaches.release(blocking = true)
       spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
-        if (!pinnedBefore.contains(id)) rdd.unpersist(blocking = false)
+        if (!pinnedBefore.contains(id)) rdd.unpersist(blocking = true)
       }
       t
     }

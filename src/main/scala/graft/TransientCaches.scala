@@ -33,14 +33,16 @@ object TransientCaches {
   }
 
   /** Unpersist every registered frame still reachable; empties the
-    * registry. Non-blocking: block deletion proceeds asynchronously.
+    * registry. Non-blocking by default: block deletion proceeds
+    * asynchronously. A measurement harness passes `blocking = true` so
+    * deletion IO cannot bleed into the next timed region.
     */
-  def release(): Unit = {
+  def release(blocking: Boolean = false): Unit = {
     var ref = frames.poll()
     while (ref != null) {
       val df = ref.get()
       if (df != null) {
-        try df.unpersist(blocking = false)
+        try df.unpersist(blocking = blocking)
         catch { case scala.util.control.NonFatal(_) => () }
       }
       ref = frames.poll()

@@ -98,9 +98,10 @@ object Ivf {
   private val listsCache = scala.collection.concurrent.TrieMap
     .empty[(org.apache.spark.sql.SparkSession, String, Int, Int), DataFrame]
 
-  def invalidateIndex(): Unit = {
+  def invalidateIndex(blocking: Boolean = false): Unit = {
     centroidCache.clear()
-    listsCache.values.foreach(df => try df.unpersist() catch { case _: Throwable => () })
+    listsCache.values.foreach(df =>
+      try df.unpersist(blocking) catch { case _: Throwable => () })
     listsCache.clear()
     // staged-index in-JVM memos too (the staged FILES stay — they are
     // the index; fingerprint-keyed paths make them stale-proof)

@@ -72,6 +72,52 @@ object Multimodal {
     }
   }
 
+  /** REAL decoder bound at the [[MediaCodec]] seam — JDK-only:
+    * `javax.imageio.ImageIO` readers for PNG/JPEG/BMP/GIF ship with
+    * the Java runtime, so no external media library is needed.
+    * Features = grid×grid average-pooled luma (ITU-R BT.601 integer
+    * weights), each cell normalized to [0, 1]: integer accumulation,
+    * one double division and one float conversion per cell — the same
+    * fixed-width, bit-reproducible contract the stub satisfies, so
+    * swapping codecs changes no schema, plan, or partitioning.
+    *
+    * The driver fixtures carry text bytes, not images, so the ORACLED
+    * queries keep [[StubCodec]]; MultimodalSpec proves THIS codec on
+    * real PNG/BMP images generated in-test (lossless containers — the
+    * decoded pixels are exactly the written ones) and pushed through
+    * the identical batched seam ([[featuresThroughSeam]]).
+    */
+  final case class ImageIoCodec(grid: Int = 4) extends MediaCodec {
+    val featureDim: Int = grid * grid
+
+    def decodeToFeatures(payload: Array[Byte]): Array[Float] = {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      require(img != null, s"payload is not a decodable image (${payload.length} bytes)")
+      val w = img.getWidth
+      val h = img.getHeight
+      val sums = new Array[Long](featureDim)
+      val cnts = new Array[Long](featureDim)
+      var y = 0
+      while (y < h) {
+        val gy = (y.toLong * grid / h).toInt // PoolCodec's exact pooling grid, per axis
+        var x = 0
+        while (x < w) {
+          val gx = (x.toLong * grid / w).toInt
+          val rgb = img.getRGB(x, y)
+          val luma = (299 * ((rgb >> 16) & 0xff) + 587 * ((rgb >> 8) & 0xff)
+            + 114 * (rgb & 0xff)) / 1000
+          val cell = gy * grid + gx
+          sums(cell) += luma
+          cnts(cell) += 1
+          x += 1
+        }
+        y += 1
+      }
+      Array.tabulate(featureDim)(c =>
+        if (cnts(c) == 0) 0f else (sums(c).toDouble / (cnts(c) * 255.0)).toFloat)
+    }
+  }
+
   final case class MediaRow(doc_id: Long, payload: Array[Byte])
   final case class MediaFeatures(doc_id: Long, n_bytes: Int, features: Array[Float])
   final case class FrameSample(doc_id: Long, n_frames: Long, n_sampled: Long,
@@ -126,15 +172,25 @@ object Multimodal {
   def extractFeatures(spark: SparkSession, dir: String,
       codec: MediaCodec = StubCodec): Dataset[MediaFeatures] = {
     import spark.implicits._
-    mediaTable(spark, dir)
-      .select(col("doc_id"), col("payload"))
-      .as[MediaRow]
-      .mapPartitions { rows =>
-        rows.map { r =>
-          MediaFeatures(r.doc_id, r.payload.length,
-            codec.decodeToFeatures(r.payload))
-        }
+    featuresThroughSeam(
+      mediaTable(spark, dir).select(col("doc_id"), col("payload")).as[MediaRow],
+      codec)
+  }
+
+  /** The seam itself, over ANY binary frame: one codec per partition,
+    * rows decoded in partition order, fixed-width float output. This is
+    * what a real media table (or the in-test PNG/BMP frames of
+    * MultimodalSpec) plugs into directly.
+    */
+  def featuresThroughSeam(media: Dataset[MediaRow],
+      codec: MediaCodec): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        MediaFeatures(r.doc_id, r.payload.length,
+          codec.decodeToFeatures(r.payload))
       }
+    }
   }
 
   val entries: Seq[QueryEntry] = Seq(

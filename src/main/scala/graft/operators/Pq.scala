@@ -123,9 +123,10 @@ object Pq {
   private val encCache = scala.collection.concurrent.TrieMap
     .empty[(org.apache.spark.sql.SparkSession, String, Int), DataFrame]
 
-  def invalidateIndex(): Unit = {
+  def invalidateIndex(blocking: Boolean = false): Unit = {
     bookCache.clear()
-    encCache.values.foreach(df => try df.unpersist() catch { case _: Throwable => () })
+    encCache.values.foreach(df =>
+      try df.unpersist(blocking) catch { case _: Throwable => () })
     encCache.clear()
     stagedBookCache.clear()
   }
