@@ -84,6 +84,26 @@ object Bench {
   val WitnessRegressionRatio = 1.5
   val WitnessCap = 14
 
+  /** Cumulative (busy, steal, total) jiffies from /proc/stat — the
+    * hypervisor-contention witness. On a shared host, CPU STEAL is the
+    * one inflater a JVM can neither see nor control: r5 measured two
+    * identical-code full runs at 70.4 s and 133.8 s while a sampler
+    * showed steal bursts up to 14% during the slow run. Recording the
+    * per-query steal fraction in the bench line makes that visible in
+    * the record itself — a query's number is trustworthy iff its
+    * steal% is near zero, and a slow-total round with high steal reads
+    * as a loaded host, not a plan regression. Linux-only; absent
+    * silently elsewhere.
+    */
+  def readCpu(): Option[(Long, Long, Long)] =
+    try {
+      val line = scala.io.Source.fromFile("/proc/stat").getLines().next()
+      val f = line.trim.split("\\s+").drop(1).map(_.toLong)
+      // user nice system idle iowait irq softirq steal
+      val steal = if (f.length > 7) f(7) else 0L
+      Some((f(0) + f(1) + f(2), steal, f.sum))
+    } catch { case scala.util.control.NonFatal(_) => None }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -102,6 +122,8 @@ object Bench {
       * sequence pass and the isolated witness pass so the two numbers
       * differ ONLY in what ran before them in this JVM.
       */
+    val stealByQuery = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+
     def measure(e: QueryEntry, timedRuns: Int, profile: Boolean): Double = {
       // Deterministic trial hygiene (outside every timed region): a
       // driver GC lets ContextCleaner reclaim the previous queries'
@@ -119,6 +141,7 @@ object Bench {
       // full bench vs 0.56 s isolated). Unpersist what THIS query
       // pinned once its runs finish; pre-existing memos stay.
       val pinnedBefore = spark.sparkContext.getPersistentRDDs.keySet
+      val cpu0 = readCpu()
       val t =
         try {
           // attribute native-path scan time and eagerly-materialized
@@ -137,6 +160,8 @@ object Bench {
             System.err.println(s"[bench] ${e.name} failed: ${ex.getMessage}")
             -1.0
         }
+      for ((b0, s0, t0) <- cpu0; (b1, s1, t1) <- readCpu() if t1 > t0)
+        stealByQuery(e.name) = (s1 - s0).toDouble / (t1 - t0).toDouble
       // index memos FIRST, via their own invalidation (Dataset.unpersist
       // + memo removal): a raw RDD-level unpersist would free the blocks
       // but leave the memo claiming a materialized index that silently
@@ -158,6 +183,9 @@ object Bench {
     }
 
     val results = entries.map(e => e.name -> measure(e, timedRuns = 5, profile = true))
+    // sequence-time steal, snapshotted before the witness pass reuses
+    // measure() (which would overwrite entries with isolated-run steal)
+    val seqSteal = stealByQuery.toMap
 
     val qs = results
       .map { case (k, v) => "\"" + k + "\":" + v }
@@ -194,17 +222,31 @@ object Bench {
       entries.find(_.name == n).map { e =>
         val iso = measure(e, timedRuns = 3, profile = false)
         System.err.println(f"[bench] witness $n: seq=${byName(n)}%.3f iso=$iso%.3f")
-        n -> iso
+        (n, iso, stealByQuery.getOrElse(n, 0.0))
       }
     }
-    val witnessJson = witness.map { case (n, iso) =>
-      s""""$n":{"seq":${byName(n)},"iso":$iso}"""
+    val witnessJson = witness.map { case (n, iso, isoSteal) =>
+      s""""$n":{"seq":${byName(n)},"iso":$iso,""" +
+        s""""iso_steal":${math.round(isoSteal * 1000.0) / 1000.0}}"""
     }.mkString("{", ",", "}")
+
+    // per-query steal fractions above 1% (plus the run-wide fraction):
+    // the environmental trust signal — see readCpu()
+    val stealJson = {
+      val hot = seqSteal.collect {
+        case (k, v) if v >= 0.01 => s""""$k":${math.round(v * 1000.0) / 1000.0}"""
+      }
+      val runWide = seqSteal.values
+      val avg =
+        if (runWide.isEmpty) 0.0
+        else math.round(runWide.sum / runWide.size * 1000.0) / 1000.0
+      s"""{"run_avg":$avg${if (hot.isEmpty) "" else hot.mkString(",", ",", "")}}"""
+    }
 
     val line =
       s"""{"metric":"total_median_sec","value":${ok.sum},"unit":"sec","queries":$qs,""" +
         s""""sf":"$sfDir","n_queries":${results.size},"failed":$failed""" +
-        s""","vs_prev":$vsPrev$prevTag,"witness":$witnessJson}"""
+        s""","vs_prev":$vsPrev$prevTag,"witness":$witnessJson,"steal":$stealJson}"""
     println(line)
     // file artifact in case the wrapper's stdout scrape misses the line
     java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_LAST.json"), line + "\n")
