@@ -189,5 +189,104 @@ object CorpusOps {
             lit(0), (a, x) => a + x).cast(LongType).as("sum_tok_chars"))
         .orderBy("doc_id")
     },
+
+    // q143 — vocabulary coverage curve (the tokenizer-sizing question:
+    // "what fraction of corpus tokens does a top-k vocabulary
+    // cover?"). Scale shape: one map-side-combined term count, then
+    // for each k a k-bounded TakeOrdered — never a global window
+    // cumsum over the full vocabulary (single-task at 100 TB). All
+    // integer sums; the share is one division, ROUND(,6).
+    QueryEntry.sql(
+      "q143_vocab_coverage",
+      """WITH tok AS (
+        |  SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+        |  FROM documents
+        |), counts AS (SELECT term, COUNT(*) AS c FROM tok GROUP BY term),
+        |tot AS (SELECT CAST(SUM(c) AS BIGINT) AS total,
+        |               CAST(COUNT(*) AS BIGINT) AS vocab FROM counts),
+        |ranked AS (
+        |  SELECT c, row_number() OVER (ORDER BY c DESC, term) AS rn FROM counts
+        |), ks AS (SELECT unnest([10, 100, 1000]) AS k)
+        |SELECT ks.k, CAST(SUM(CASE WHEN rn <= ks.k THEN c ELSE 0 END) AS BIGINT) AS covered,
+        |       t.total, t.vocab,
+        |       ROUND(CAST(SUM(CASE WHEN rn <= ks.k THEN c ELSE 0 END) AS DOUBLE)
+        |             / CAST(t.total AS DOUBLE), 6) AS share
+        |FROM ranked CROSS JOIN ks CROSS JOIN tot t
+        |GROUP BY ks.k, t.total, t.vocab ORDER BY ks.k""".stripMargin,
+    ) { (s, dir) => vocabCoverage(graft.sources.TokenizedCorpus.tokens(s, dir), Seq(10, 100, 1000)) },
+
+    // q144 — document token-length histogram in power-of-2 buckets
+    // (the packing-buffer sizing input: q58's packer wastes whatever
+    // the tail distribution says it wastes). Pure integer math per
+    // row, one grouped count.
+    QueryEntry.sql(
+      "q144_length_histogram",
+      """WITH lens AS (
+        |  SELECT CAST(len(regexp_split_to_array(trim(lower(text)), '\s+')) AS BIGINT) AS n
+        |  FROM documents
+        |), b AS (
+        |  SELECT n, CAST(length(format('{:b}', GREATEST(n, 1))) - 1 AS BIGINT) AS bucket
+        |  FROM lens
+        |)
+        |SELECT bucket,
+        |       CAST(POW(2, bucket) AS BIGINT) AS bucket_lo,
+        |       COUNT(*) AS n_docs,
+        |       CAST(SUM(n) AS BIGINT) AS total_tokens,
+        |       CAST(MIN(n) AS BIGINT) AS min_len, CAST(MAX(n) AS BIGINT) AS max_len
+        |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin,
+    ) { (s, dir) =>
+      lengthHistogram(Tables(s, dir).documentsRebalanced)
+    },
   )
+
+  /** Coverage of the top-k vocabulary per k: one term-count pass, then
+    * a k-bounded heap per requested k (no global rank window — the
+    * vocabulary is corpus-derived and a single-task cumsum over it is
+    * the classic 100 TB trap). Ties at the k-th count break by term,
+    * mirrored in the oracle's (c DESC, term) rank.
+    */
+  def vocabCoverage(tokens: DataFrame, ks: Seq[Int]): DataFrame = {
+    val spark = tokens.sparkSession
+    import spark.implicits._
+    val counts = tokens.groupBy("term").agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.TransientCaches.register(counts)
+    val tot = counts.agg(sum("c").cast(LongType).as("total"),
+      count(lit(1)).as("vocab"))
+    val perK = ks.map { k =>
+      // string-keyed heap: score = count, payload = term (tie-break asc)
+      val top = counts
+        .agg(graft.functions.GraftFunctions
+          .topkScoreStr(col("c").cast(DoubleType), col("term"), k).as("top"))
+        .select(explode(col("top")).as("e"))
+        .agg(sum(col("e.score")).cast(LongType).as("covered"))
+      top.select(lit(k).as("k"), col("covered"))
+    }.reduce(_ union _)
+    perK.crossJoin(broadcast(tot))
+      .select(col("k"), col("covered"), col("total"), col("vocab"),
+        round(col("covered").cast(DoubleType) / col("total").cast(DoubleType), 6)
+          .as("share"))
+      .orderBy("k")
+  }
+
+  /** Power-of-2 token-length histogram. bucket = floor(log2(max(n,1)))
+    * computed WITHOUT floating point on both sides — binary-string
+    * length minus one (`conv(_,10,2)` here, `format('{:b}')` in the
+    * oracle) — so an exact power of two can never fall in the wrong
+    * bucket on a libm ulp.
+    */
+  def lengthHistogram(docs: DataFrame): DataFrame = {
+    val n = size(TextAnalysis.tokens(col("text"))).cast(LongType)
+    val bucket = (length(conv(greatest(n, lit(1L)).cast(StringType), 10, 2)) - 1)
+      .cast(LongType)
+    docs.select(n.as("n"), bucket.as("bucket"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n").cast(LongType).as("total_tokens"),
+        min("n").as("min_len"), max("n").as("max_len"))
+      .select(col("bucket"),
+        pow(lit(2.0), col("bucket").cast(DoubleType)).cast(LongType).as("bucket_lo"),
+        col("n_docs"), col("total_tokens"), col("min_len"), col("max_len"))
+      .orderBy("bucket")
+  }
 }

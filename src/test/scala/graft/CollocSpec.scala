@@ -106,6 +106,35 @@ class CollocSpec extends SparkSpec {
     assert(m == Map("x" -> 2L, "y" -> 1L))
   }
 
+  // -- vocab coverage / length histogram ------------------------------
+
+  test("vocabCoverage: known corpus; k past the vocabulary covers everything") {
+    // terms: a x5, b x3, c x1, d x1 (total 10, vocab 4)
+    val toks = Seq.fill(5)("a") ++ Seq.fill(3)("b") ++ Seq("c", "d")
+    val df = toks.zipWithIndex.map { case (t, i) => (i.toLong, i, t) }
+      .toDF("doc_id", "pos", "term")
+    val rows = operators.CorpusOps.vocabCoverage(df, Seq(1, 2, 10)).collect()
+    val byK = rows.map(r => r.getAs[Int]("k") ->
+      (r.getAs[Long]("covered"), r.getAs[Long]("total"), r.getAs[Long]("vocab"))).toMap
+    assert(byK(1) == ((5L, 10L, 4L)))
+    assert(byK(2) == ((8L, 10L, 4L)))
+    assert(byK(10) == ((10L, 10L, 4L)))
+    assert(rows.map(_.getAs[Double]("share")).toSeq == Seq(0.5, 0.8, 1.0))
+  }
+
+  test("lengthHistogram: exact power-of-2 buckets, no libm in the path") {
+    val docs = Seq(
+      (1L, "a"), (2L, "a b"), (3L, "a b c"), (4L, "a b c d"),
+      (5L, "a b c d e f g"), (6L, "a b c d e f g h"),
+    ).toDF("doc_id", "text")
+    val rows = operators.CorpusOps.lengthHistogram(docs)
+      .collect().map(r => (r.getAs[Long]("bucket"), r.getAs[Long]("bucket_lo"),
+        r.getAs[Long]("n_docs"), r.getAs[Long]("min_len"), r.getAs[Long]("max_len")))
+    // lengths 1,2,3,4,7,8 -> buckets 0,1,1,2,2,3
+    assert(rows.toSeq == Seq((0L, 1L, 1L, 1L, 1L), (1L, 2L, 2L, 2L, 3L),
+      (2L, 4L, 2L, 4L, 7L), (3L, 8L, 1L, 8L, 8L)))
+  }
+
   // -- Mixture sampling ----------------------------------------------
 
   test("temperatureSample: deterministic across reruns; rare strata keep higher rates") {
