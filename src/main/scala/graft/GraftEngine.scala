@@ -326,4 +326,68 @@ final class GraftEngine(val spark: SparkSession) {
   /** Strictly-ordered view→click→purchase funnel stage counts. */
   def funnel(events: DataFrame): DataFrame =
     operators.Retention.funnel(events)
+
+  // ---- round-5 families ---------------------------------------------
+
+  /** Top-k PMI bigram collocations over a (doc_id, pos, term) token
+    * frame (stage one with [[sources.TokenizedCorpus.tokens]]).
+    */
+  def pmiCollocations(tokens: DataFrame, minCount: Int = 3, k: Int = 40): DataFrame =
+    operators.Colloc.pmiBigrams(tokens, minCount, k)
+
+  /** Per-cell mutual-information contributions between two
+    * categorical columns (no cross-row float summation).
+    */
+  def mutualInformation(df: DataFrame, aCol: String, bCol: String): DataFrame =
+    operators.Colloc.miCells(df, aCol, bCol)
+
+  /** Grouped Misra–Gries heavy hitters (k-bounded counters per group;
+    * exact whenever distinct items per group ≤ k).
+    */
+  def heavyHitters(df: DataFrame, groupCol: String, itemCol: String,
+      k: Int = 16): DataFrame =
+    operators.HeavyHitters.groupedHeavyHitters(df, groupCol, itemCol, k)
+
+  /** sqrt-temperature mixture sampling report per stratum
+    * (deterministic hash membership, no RNG state).
+    */
+  def temperatureSample(df: DataFrame, stratumCol: String, c: Double = 6.0): DataFrame =
+    operators.Mixture.temperatureSample(df, stratumCol, c)
+
+  /** SimHash hamming-ball near-dup pairs at distance ≤ maxHamming
+    * (pigeonhole banding, no all-pairs product) over a
+    * (doc_id, text) frame.
+    */
+  def simhashNearDup(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.{BinaryType, LongType}
+    val hashes = transform(operators.TextAnalysis.tokens(col("text")),
+      tk => conv(substring(md5(tk.cast(BinaryType)), 1, 15), 16, 10).cast(LongType))
+    operators.Dedup.simhashNearDup(
+      docs.select(col("doc_id"), functions.GraftFunctions.simhash64(hashes).as("sh")),
+      maxHamming)
+  }
+
+  /** Exact shingle-Jaccard ≥ num/den self-join via prefix filtering. */
+  def jaccardJoin(docs: DataFrame, num: Int = 4, den: Int = 5): DataFrame =
+    operators.SetJoin.jaccardSelfJoin(docs, num, den)
+
+  /** Top-k cross-label neighbors per probe (hard-negative mining). */
+  def hardNegatives(emb: DataFrame, probes: DataFrame, k: Int = 3): DataFrame =
+    operators.Knn.hardNegatives(emb, probes, k)
+
+  /** Cross-corpus near-dup decontamination pairs (eval × train at
+    * shingle-Jaccard ≥ num/den via banded MinHash).
+    */
+  def decontaminatePairs(corpus: DataFrame, evalDocs: DataFrame,
+      num: Int = 4, den: Int = 5): DataFrame =
+    operators.Dedup.crossCorpusNearDup(corpus, evalDocs, num, den)
+
+  /** Vocabulary coverage curve over a staged token frame. */
+  def vocabCoverage(tokens: DataFrame, ks: Seq[Int] = Seq(10, 100, 1000)): DataFrame =
+    operators.CorpusOps.vocabCoverage(tokens, ks)
+
+  /** Power-of-2 token-length histogram (packing-buffer planning). */
+  def lengthHistogram(docs: DataFrame): DataFrame =
+    operators.CorpusOps.lengthHistogram(docs)
 }

@@ -87,6 +87,31 @@ class EngineFacadeSpec extends SparkSpec {
     assert(exactTotal > 0, "eval set should hit itself at minimum")
   }
 
+  test("facade delegations: round-5 families (colloc, sketch, sampling, joins, planning)") {
+    val docs = Tables(spark, sf).documents
+    val toks = sources.TokenizedCorpus.tokens(spark, sf)
+    assert(engine.pmiCollocations(toks, minCount = 2, k = 5).count() <= 5)
+    val mi = engine.mutualInformation(docs, "lang", "source")
+    assert(mi.columns.toSeq == Seq("a", "b", "n_ab", "mi_contrib"))
+    val hh = engine.heavyHitters(Tables(spark, sf).events, "event_type", "event_type", k = 8)
+    assert(hh.count() == 5) // exact regime: one row per (type, type) diagonal
+    assert(engine.temperatureSample(docs, "lang").count() ==
+      docs.select("lang").distinct().count())
+    val sh = engine.simhashNearDup(docs)
+    assert(sh.columns.toSeq == Seq("doc_a", "doc_b", "hamming"))
+    assert(engine.jaccardJoin(docs).count() ==
+      operators.SetJoin.jaccardSelfJoin(docs, 4, 5).count())
+    val emb = Tables(spark, sf).embeddings
+    val probes = emb.filter(col("vec_id") < 2)
+      .select(col("vec_id").as("probe_id"), col("embedding").as("pvec"),
+        col("label").as("plabel"))
+    assert(engine.hardNegatives(emb, probes, k = 2).count() <= 4)
+    assert(engine.decontaminatePairs(docs, docs.filter(col("doc_id") % 10 === 0))
+      .columns.toSeq == Seq("eval_id", "train_id", "inter", "uni"))
+    assert(engine.vocabCoverage(toks, Seq(10)).head.getAs[Long]("covered") > 0)
+    assert(engine.lengthHistogram(docs).agg(sum("n_docs")).head.getLong(0) == docs.count())
+  }
+
   test("facade delegations: sessionize, sequencePack, approxDistinctByGroup") {
     val engine = new GraftEngine(spark)
     val ev = Tables(spark, sf).events.filter(col("user_id") < 5)
