@@ -390,4 +390,18 @@ final class GraftEngine(val spark: SparkSession) {
   /** Power-of-2 token-length histogram (packing-buffer planning). */
   def lengthHistogram(docs: DataFrame): DataFrame =
     operators.CorpusOps.lengthHistogram(docs)
+
+  /** Per-domain quota-cap report (k-bounded heap selection; no
+    * window sort of the dominant domain).
+    */
+  def domainQuotaCap(docs: DataFrame, domainCol: String, cap: Int): DataFrame =
+    operators.Curation.domainQuotaCap(docs, domainCol, cap)
+
+  /** Top-k BPE merge-pair counts over a staged token frame. */
+  def bpePairCounts(tokens: DataFrame, k: Int = 30): DataFrame =
+    operators.Curation.bpePairCounts(tokens, k)
+
+  /** Balanced shard striping report via two-phase distributed rank. */
+  def balancedShards(docs: DataFrame, nShards: Int = 8): DataFrame =
+    operators.Curation.balancedShards(docs, nShards)
 }

@@ -54,6 +54,7 @@ object SparkEntry {
       operators.Cdc.entries ++
       operators.Multimodal.entries ++
       operators.Colloc.entries ++
+      operators.Curation.entries ++
       operators.HeavyHitters.entries ++
       operators.Mixture.entries ++
       operators.SetJoin.entries ++

@@ -1,0 +1,190 @@
+package graft.operators
+
+import graft.{QueryEntry, Tables}
+import graft.functions.GraftFunctions
+import graft.sources.TokenizedCorpus
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.DataFrame
+
+/** Corpus-curation operators a production training-data pipeline runs
+  * between dedup and packing: per-domain quota capping (no single
+  * domain may dominate the mixture), BPE merge-pair counting (the
+  * inner statistic of tokenizer training), and balanced shard
+  * assignment (striping documents across output shards so no shard is
+  * byte-heavy).
+  *
+  * Scale discipline shared by all three:
+  *   - quota capping never sorts a domain's partition — selection is a
+  *     k-bounded heap aggregate (cap entries per group per task), so
+  *     the dominant domain costs the same shuffle row count as a rare
+  *     one;
+  *   - pair counting explodes the VOCABULARY (distinct terms), never
+  *     the corpus — the token table is reduced to (term, freq) first,
+  *     so a trillion-token corpus explodes only its ~10⁶-entry vocab;
+  *   - shard balancing computes an exact global rank without a
+  *     single-partition window, via per-bucket offsets (the classic
+  *     two-phase distributed rank).
+  */
+object Curation {
+
+  private val Buckets = 1048576L // 2^20 md5-derived hash space (house rule, q41/q137)
+
+  /** Deterministic per-domain quota cap report: for each domain keep
+    * the `cap` documents with the smallest (hash-bucket, doc_id) and
+    * report how many documents / characters survive.
+    *
+    * Selection is ONE k-bounded heap per group ([[GraftFunctions
+    * .topkScoreId]]): the ordering (bucket ASC, doc_id ASC) is packed
+    * into a single double score `-(bucket·2³² + doc_id)` — exact while
+    * doc_id < 2³² since the packed magnitude stays below 2⁵³ — and the
+    * id slot (never consulted: scores are injective in doc_id) carries
+    * `n_chars` as payload, so the survivor character sum falls out of
+    * one array fold. Map-side partials ship at most `cap` rows per
+    * domain per task; the reference point is the grouped-top-k shape of
+    * q106, not a window sort of the dominant domain's whole partition.
+    */
+  def domainQuotaCap(docs: DataFrame, domainCol: String, cap: Int): DataFrame = {
+    val bucket =
+      conv(substring(md5(col("doc_id").cast(StringType).cast(BinaryType)), 1, 15), 16, 10)
+        .cast(LongType) % Buckets
+    val score =
+      -(bucket.cast(DoubleType) * lit(4294967296.0) + col("doc_id").cast(DoubleType))
+    docs
+      .select(col(domainCol).as("domain"), score.as("sel_score"),
+        col("n_chars").as("payload"))
+      .groupBy("domain")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        GraftFunctions.topkScoreId(col("sel_score"), col("payload"), cap).as("kept"))
+      .select(
+        col("domain"),
+        col("n_docs"),
+        size(col("kept")).cast(LongType).as("n_kept"),
+        aggregate(col("kept"), lit(0L), (acc, x) => acc + x.getField("id"))
+          .as("chars_kept"))
+      .orderBy("domain")
+  }
+
+  /** Global top-k adjacent character pairs weighted by term frequency —
+    * the statistic one iteration of BPE tokenizer training maximizes
+    * (Sennrich et al., ACL'16). Computed over the staged token table:
+    * reduce to (term, freq) vocab first, explode the ≤ |term|−1 pairs
+    * of DISTINCT terms only, weight by freq, map-side-combined count.
+    *
+    * `sequence(1, len−1)` needs the len ≥ 2 guard: Spark's `sequence`
+    * steps DOWNWARD when stop < start (sequence(1,0) = [1,0]), which
+    * would fabricate pairs for single-char terms instead of none.
+    */
+  def bpePairCounts(tokens: DataFrame, k: Int): DataFrame = {
+    val vocab = tokens.groupBy(col("term")).agg(count(lit(1)).as("freq"))
+    vocab
+      .filter(length(col("term")) >= 2)
+      .select(
+        explode(transform(
+          sequence(lit(1), length(col("term")) - 1),
+          i => col("term").substr(i, lit(2)))).as("pair"),
+        col("freq"))
+      .groupBy("pair").agg(sum(col("freq")).as("pair_count"))
+      .orderBy(desc("pair_count"), col("pair"))
+      .limit(k)
+  }
+
+  /** Balanced shard striping report: rank documents by (n_chars DESC,
+    * doc_id ASC), assign shard = (rank−1) mod nShards — the classic
+    * size-striping heuristic that bounds the per-shard byte spread by
+    * one document's width per stripe — and report per-shard doc and
+    * character totals.
+    *
+    * The global rank is EXACT but never materializes a single-partition
+    * window: documents are bucketed by `n_chars div bucketWidth`
+    * (monotone in the major sort key), per-bucket counts (≈ maxChars /
+    * bucketWidth rows) get prefix-summed in a tiny window and broadcast
+    * back as offsets, and the within-bucket `row_number` runs in a
+    * window PARTITIONED by bucket. rank = offset + within-bucket rank.
+    * The one unpartitioned window touches only the bucket summary
+    * frame. Equal-width bands assume the n_chars distribution has no
+    * single dominant value; a corpus hard-truncated at a length cap
+    * piles up in the cap's band — switch bucket boundaries to histogram
+    * quantiles (q54's sketch) in that regime, the rank algebra is
+    * unchanged.
+    */
+  def balancedShards(docs: DataFrame, nShards: Int, bucketWidth: Int = 64): DataFrame = {
+    val based = docs.select(col("doc_id"), col("n_chars"),
+      expr(s"n_chars div $bucketWidth").as("bkt"))
+    val counts = based.groupBy("bkt").agg(count(lit(1)).as("c"))
+    val offW = Window.orderBy(desc("bkt")).rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = counts
+      .withColumn("off", coalesce(sum("c").over(offW), lit(0L)))
+      .select("bkt", "off")
+    val inBucket = Window.partitionBy("bkt").orderBy(desc("n_chars"), col("doc_id"))
+    based
+      .join(broadcast(offsets), "bkt")
+      .withColumn("rk", col("off") + row_number().over(inBucket))
+      .withColumn("shard", (col("rk") - 1) % nShards)
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+      .orderBy("shard")
+  }
+
+  def entries: Seq[QueryEntry] = Seq(
+    // q145 — per-language quota cap at 60 docs: the dominant language
+    // is capped, the tail survives whole — the mixture-shaping step
+    // that runs right after dedup in a curation pipeline.
+    QueryEntry.sql(
+      "q145_domain_quota",
+      """WITH ranked AS (
+        |  SELECT lang AS domain, n_chars,
+        |         ROW_NUMBER() OVER (
+        |           PARTITION BY lang
+        |           ORDER BY CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+        |                      % 1048576,
+        |                    doc_id) AS rk
+        |  FROM documents)
+        |SELECT domain, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |       CAST(SUM(CASE WHEN rk <= 60 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |       CAST(SUM(CASE WHEN rk <= 60 THEN n_chars ELSE 0 END) AS BIGINT) AS chars_kept
+        |FROM ranked GROUP BY domain ORDER BY domain""".stripMargin,
+    ) { (s, dir) =>
+      domainQuotaCap(Tables(s, dir).documentsRebalanced, "lang", cap = 60)
+    },
+
+    // q146 — top-30 BPE merge-pair counts over the staged token table;
+    // the oracle re-tokenizes from `documents` independently (q134
+    // style), so the staged layout sits under the differential gate.
+    QueryEntry.sql(
+      "q146_bpe_pairs",
+      """WITH tok AS (
+        |  SELECT unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+        |  FROM documents
+        |), vocab AS (
+        |  SELECT term, COUNT(*) AS freq FROM tok GROUP BY term
+        |), pairs AS (
+        |  SELECT substr(term, i, 2) AS pair, freq
+        |  FROM (SELECT term, freq, unnest(generate_series(1, len(term) - 1)) AS i
+        |        FROM vocab WHERE len(term) >= 2)
+        |)
+        |SELECT pair, CAST(SUM(freq) AS BIGINT) AS pair_count
+        |FROM pairs GROUP BY pair
+        |ORDER BY pair_count DESC, pair LIMIT 30""".stripMargin,
+    ) { (s, dir) =>
+      bpePairCounts(TokenizedCorpus.tokens(s, dir), k = 30)
+    },
+
+    // q147 — 8-way balanced shard striping by document size.
+    QueryEntry.sql(
+      "q147_shard_balance",
+      """WITH ranked AS (
+        |  SELECT n_chars,
+        |         ROW_NUMBER() OVER (ORDER BY n_chars DESC, doc_id) AS rk
+        |  FROM documents)
+        |SELECT CAST((rk - 1) % 8 AS BIGINT) AS shard,
+        |       CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        |FROM ranked GROUP BY shard ORDER BY shard""".stripMargin,
+    ) { (s, dir) =>
+      balancedShards(Tables(s, dir).documentsRebalanced, nShards = 8)
+    },
+  )
+}

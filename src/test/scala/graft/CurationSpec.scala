@@ -1,0 +1,105 @@
+package graft
+
+import graft.operators.Curation
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Quota capping, BPE pair counting, and balanced shard striping —
+  * each checked against an in-test brute force.
+  */
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  // -- domain quota cap ----------------------------------------------
+
+  test("domainQuotaCap: under-cap domains survive whole, capped domains match window brute force") {
+    val docs = Tables(spark, sf).documents
+    val cap = 3
+    val got = Curation.domainQuotaCap(docs, "lang", cap).collect()
+      .map(r => r.getAs[String]("domain") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Long]("n_kept"), r.getAs[Long]("chars_kept"))).toMap
+
+    val bucket =
+      conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 15), 16, 10)
+        .cast("long") % 1048576L
+    val w = Window.partitionBy("lang").orderBy(col("b"), col("doc_id"))
+    val brute = docs.withColumn("b", bucket)
+      .withColumn("rk", row_number().over(w))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("rk") <= cap, 1L).otherwise(0L)).as("k"),
+        sum(when(col("rk") <= cap, col("n_chars")).otherwise(0L)).as("ch"))
+      .collect()
+      .map(r => r.getAs[String]("lang") ->
+        (r.getAs[Long]("n"), r.getAs[Long]("k"), r.getAs[Long]("ch"))).toMap
+
+    assert(got == brute)
+    assert(got.values.forall { case (n, k, _) => k == math.min(n, cap.toLong) })
+  }
+
+  test("domainQuotaCap: deterministic across reruns and input partitioning") {
+    val docs = Tables(spark, sf).documents
+    val a = Curation.domainQuotaCap(docs, "lang", 5).collect().toSeq
+    val b = Curation.domainQuotaCap(docs.repartition(13), "lang", 5).collect().toSeq
+    assert(a == b)
+  }
+
+  // -- BPE pair counts ------------------------------------------------
+
+  test("bpePairCounts: hand-checked pair weights; single-char terms contribute nothing") {
+    // vocab: "abc" freq 2 -> pairs ab, bc each weighted 2
+    //        "ab"  freq 1 -> pair ab weighted 1
+    //        "a"   freq 5 -> no pairs (the sequence(1, len-1) guard)
+    val toks = (Seq.fill(2)("abc") ++ Seq("ab") ++ Seq.fill(5)("a"))
+      .zipWithIndex.map { case (t, i) => (i.toLong, i, t) }
+      .toDF("doc_id", "pos", "term")
+    val rows = Curation.bpePairCounts(toks, k = 10)
+      .as[(String, Long)].collect().toSeq
+    assert(rows == Seq(("ab", 3L), ("bc", 2L)))
+  }
+
+  test("bpePairCounts: explodes the vocab, not the corpus (weighting is by term freq)") {
+    // one term repeated 1000x must weight its pairs 1000, from ONE vocab row
+    val toks = Seq.fill(1000)("xy").zipWithIndex
+      .map { case (t, i) => (i.toLong, i, t) }.toDF("doc_id", "pos", "term")
+    val rows = Curation.bpePairCounts(toks, k = 5).as[(String, Long)].collect().toSeq
+    assert(rows == Seq(("xy", 1000L)))
+  }
+
+  // -- balanced shards ------------------------------------------------
+
+  test("balancedShards: two-phase distributed rank equals the single-window brute force") {
+    val docs = Tables(spark, sf).documents
+    val n = 8
+    val got = Curation.balancedShards(docs, n).collect()
+      .map(r => (r.getAs[Long]("shard"), r.getAs[Long]("n_docs"), r.getAs[Long]("total_chars")))
+
+    val w = Window.orderBy(desc("n_chars"), col("doc_id"))
+    val brute = docs.withColumn("rk", row_number().over(w))
+      .withColumn("shard", (col("rk") - 1) % n)
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("total_chars"))
+      .orderBy("shard").collect()
+      .map(r => (r.getAs[Long]("shard"), r.getAs[Long]("n_docs"), r.getAs[Long]("total_chars")))
+
+    assert(got.toSeq == brute.toSeq)
+    // striping property: per-shard doc counts differ by at most 1
+    val counts = got.map(_._2)
+    assert(counts.max - counts.min <= 1)
+  }
+
+  test("balancedShards: exact ranks survive ties inside and across buckets") {
+    // widths all in one or two buckets, heavy ties on n_chars
+    val docs = (1 to 97).map(i => (i.toLong, 64 + (i % 3))).toDF("doc_id", "n_chars")
+    val got = Curation.balancedShards(docs, nShards = 4, bucketWidth = 2).collect()
+      .map(r => (r.getAs[Long]("shard"), r.getAs[Long]("n_docs"), r.getAs[Long]("total_chars")))
+    val w = Window.orderBy(desc("n_chars"), col("doc_id"))
+    val brute = docs.withColumn("rk", row_number().over(w))
+      .withColumn("shard", (col("rk") - 1) % 4)
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("total_chars"))
+      .orderBy("shard").collect()
+      .map(r => (r.getAs[Long]("shard"), r.getAs[Long]("n_docs"), r.getAs[Long]("total_chars")))
+    assert(got.toSeq == brute.toSeq)
+  }
+}

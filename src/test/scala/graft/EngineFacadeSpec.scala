@@ -110,6 +110,10 @@ class EngineFacadeSpec extends SparkSpec {
       .columns.toSeq == Seq("eval_id", "train_id", "inter", "uni"))
     assert(engine.vocabCoverage(toks, Seq(10)).head.getAs[Long]("covered") > 0)
     assert(engine.lengthHistogram(docs).agg(sum("n_docs")).head.getLong(0) == docs.count())
+    assert(engine.domainQuotaCap(docs, "lang", 5)
+      .agg(sum("n_kept")).head.getLong(0) <= 5L * 5)
+    assert(engine.bpePairCounts(toks, k = 10).count() == 10)
+    assert(engine.balancedShards(docs).agg(sum("n_docs")).head.getLong(0) == docs.count())
   }
 
   test("facade delegations: sessionize, sequencePack, approxDistinctByGroup") {
