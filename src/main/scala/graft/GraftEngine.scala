@@ -404,4 +404,12 @@ final class GraftEngine(val spark: SparkSession) {
   /** Balanced shard striping report via two-phase distributed rank. */
   def balancedShards(docs: DataFrame, nShards: Int = 8): DataFrame =
     operators.Curation.balancedShards(docs, nShards)
+
+  /** Corpus duplicated n-gram rate (dedup health scalar). */
+  def dupNgramRate(tokens: DataFrame, n: Int = 5): DataFrame =
+    operators.Curation.dupNgramRate(tokens, n)
+
+  /** Per-eval-doc contamination score vs the train split. */
+  def contaminationScore(tokens: DataFrame, n: Int = 5, evalMod: Int = 10): DataFrame =
+    operators.Curation.contaminationScore(tokens, n, evalMod)
 }

@@ -128,6 +128,66 @@ object Curation {
       .orderBy("shard")
   }
 
+  /** Corpus-level duplicated n-gram rate — the share of n-gram
+    * occurrences that are repeats of a gram seen elsewhere (the
+    * train-set health metric motivating dedup in Lee et al., ACL'22:
+    * a corpus whose dup rate stays high after document-level dedup
+    * has boilerplate that only substring-level tools can reach).
+    *
+    * One window pass over the staged token table builds the grams
+    * (n−1 `lead`s partitioned by doc), one map-side-combined count per
+    * distinct gram, one scalar rollup — no gram string ever carries
+    * more than n terms, and the heavy state is the (gram, count)
+    * shuffle, key-partitioned.
+    */
+  def dupNgramRate(tokens: DataFrame, n: Int): DataFrame = {
+    val byDoc = Window.partitionBy("doc_id").orderBy("pos")
+    val parts = col("term") +: (1 until n).map(i => lead("term", i).over(byDoc))
+    val grams = tokens
+      .select(concat_ws(" ", parts: _*).as("g"),
+        lead("term", n - 1).over(byDoc).isNotNull.as("full"))
+      .filter(col("full"))
+    grams.groupBy("g").agg(count(lit(1)).as("c"))
+      .agg(
+        sum("c").as("n_grams"),
+        count(lit(1)).as("n_distinct"),
+        sum(when(col("c") > 1, col("c")).otherwise(0L)).as("dup_occurrences"))
+      .select(col("n_grams"), col("n_distinct"), col("dup_occurrences"),
+        round(col("dup_occurrences").cast(DoubleType) / col("n_grams").cast(DoubleType), 6)
+          .as("dup_rate"))
+  }
+
+  /** Per-eval-document contamination score: the fraction of the doc's
+    * DISTINCT n-grams that appear anywhere in the train split — the
+    * scoring companion to the q81 decontamination FILTER (a filter
+    * answers "drop it?", the score answers "how burned is it?", which
+    * is what an eval-suite audit reports). Split rule is the house
+    * doc_id mod convention (q142).
+    *
+    * Scale shape: grams from one windowed pass; the train side is
+    * reduced to DISTINCT grams before the LEFT join, so the join is
+    * gram-key-partitioned set membership — never doc × doc.
+    */
+  def contaminationScore(tokens: DataFrame, n: Int, evalMod: Int): DataFrame = {
+    val byDoc = Window.partitionBy("doc_id").orderBy("pos")
+    val parts = col("term") +: (1 until n).map(i => lead("term", i).over(byDoc))
+    val grams = tokens
+      .select(col("doc_id"), concat_ws(" ", parts: _*).as("g"),
+        lead("term", n - 1).over(byDoc).isNotNull.as("full"))
+      .filter(col("full"))
+    val evalGrams = grams.filter(col("doc_id") % evalMod === 0)
+      .select(col("doc_id"), col("g")).distinct()
+    val trainGrams = grams.filter(col("doc_id") % evalMod =!= 0)
+      .select(col("g")).distinct().withColumn("hit", lit(1L))
+    evalGrams.join(trainGrams, Seq("g"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"), sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+      .select(col("doc_id"), col("n_grams"), col("n_hit"),
+        round(col("n_hit").cast(DoubleType) / col("n_grams").cast(DoubleType), 6)
+          .as("contamination"))
+      .orderBy("doc_id")
+  }
+
   def entries: Seq[QueryEntry] = Seq(
     // q145 — per-language quota cap at 60 docs: the dominant language
     // is capped, the tail survives whole — the mixture-shaping step
@@ -185,6 +245,45 @@ object Curation {
         |FROM ranked GROUP BY shard ORDER BY shard""".stripMargin,
     ) { (s, dir) =>
       balancedShards(Tables(s, dir).documentsRebalanced, nShards = 8)
+    },
+
+    // q148 — corpus duplicated 5-gram rate (the dedup health metric).
+    QueryEntry.sql(
+      "q148_dup_ngram_rate",
+      """WITH tok AS (
+        |  SELECT regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM documents
+        |), grams AS (
+        |  SELECT array_to_string(t[i:i+4], ' ') AS g
+        |  FROM (SELECT t, unnest(generate_series(1, len(t) - 4)) AS i FROM tok)
+        |), c AS (SELECT g, COUNT(*) AS c FROM grams GROUP BY g)
+        |SELECT CAST(SUM(c) AS BIGINT) AS n_grams,
+        |       CAST(COUNT(*) AS BIGINT) AS n_distinct,
+        |       CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS dup_occurrences,
+        |       ROUND(CAST(SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS DOUBLE)
+        |             / CAST(SUM(c) AS DOUBLE), 6) AS dup_rate
+        |FROM c""".stripMargin,
+    ) { (s, dir) =>
+      dupNgramRate(TokenizedCorpus.tokens(s, dir), n = 5)
+    },
+
+    // q149 — per-eval-doc contamination score (doc_id % 10 = eval split).
+    QueryEntry.sql(
+      "q149_contamination_score",
+      """WITH tok AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t FROM documents
+        |), grams AS (
+        |  SELECT doc_id, array_to_string(t[i:i+4], ' ') AS g
+        |  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 4)) AS i FROM tok)
+        |), eg AS (SELECT DISTINCT doc_id, g FROM grams WHERE doc_id % 10 = 0),
+        |tg AS (SELECT DISTINCT g FROM grams WHERE doc_id % 10 <> 0)
+        |SELECT eg.doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+        |       CAST(SUM(CASE WHEN tg.g IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+        |       ROUND(CAST(SUM(CASE WHEN tg.g IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+        |             / CAST(COUNT(*) AS DOUBLE), 6) AS contamination
+        |FROM eg LEFT JOIN tg ON eg.g = tg.g
+        |GROUP BY eg.doc_id ORDER BY eg.doc_id""".stripMargin,
+    ) { (s, dir) =>
+      contaminationScore(TokenizedCorpus.tokens(s, dir), n = 5, evalMod = 10)
     },
   )
 }

@@ -66,6 +66,61 @@ class CurationSpec extends SparkSpec {
     assert(rows == Seq(("xy", 1000L)))
   }
 
+  // -- duplicated n-gram rate ----------------------------------------
+
+  test("dupNgramRate: hand-checked counts; a unique doc dilutes the rate") {
+    // doc 1 "a b a b a": bigrams (a b)x2 (b a)x2 -> all 4 duplicated
+    // doc 2 "x y": bigram (x y)x1 -> unique
+    val toks = Seq(
+      (1L, 0, "a"), (1L, 1, "b"), (1L, 2, "a"), (1L, 3, "b"), (1L, 4, "a"),
+      (2L, 0, "x"), (2L, 1, "y"),
+    ).toDF("doc_id", "pos", "term")
+    val r = Curation.dupNgramRate(toks, n = 2).collect().head
+    assert(r.getAs[Long]("n_grams") == 5L)
+    assert(r.getAs[Long]("n_distinct") == 3L)
+    assert(r.getAs[Long]("dup_occurrences") == 4L)
+    assert(r.getAs[Double]("dup_rate") == 0.8)
+  }
+
+  test("dupNgramRate: grams never span documents") {
+    // two docs ending/starting with the same terms must NOT join up
+    val toks = Seq((1L, 0, "a"), (1L, 1, "b"), (2L, 0, "b"), (2L, 1, "a"))
+      .toDF("doc_id", "pos", "term")
+    val r = Curation.dupNgramRate(toks, n = 2).collect().head
+    assert(r.getAs[Long]("n_grams") == 2L) // "a b" and "b a", one each
+    assert(r.getAs[Long]("dup_occurrences") == 0L)
+  }
+
+  // -- contamination score -------------------------------------------
+
+  test("contaminationScore: hand-checked hit fraction against the train split") {
+    // eval doc 2 "a b c" -> grams {a b, b c}; train doc 1 has "a b",
+    // train doc 3 shares nothing -> contamination 1/2
+    val toks = Seq(
+      (1L, 0, "a"), (1L, 1, "b"), (1L, 2, "x"),
+      (2L, 0, "a"), (2L, 1, "b"), (2L, 2, "c"),
+      (3L, 0, "q"), (3L, 1, "r"),
+    ).toDF("doc_id", "pos", "term")
+    val rows = Curation.contaminationScore(toks, n = 2, evalMod = 2).collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    assert(r.getAs[Long]("doc_id") == 2L)
+    assert(r.getAs[Long]("n_grams") == 2L)
+    assert(r.getAs[Long]("n_hit") == 1L)
+    assert(r.getAs[Double]("contamination") == 0.5)
+  }
+
+  test("contaminationScore: repeated eval grams count once (distinct semantics)") {
+    // eval doc 4 repeats "a b" three times; train has it -> 1 gram, 1 hit
+    val toks = Seq(
+      (4L, 0, "a"), (4L, 1, "b"), (4L, 2, "a"), (4L, 3, "b"), (4L, 4, "a"), (4L, 5, "b"),
+      (1L, 0, "a"), (1L, 1, "b"),
+    ).toDF("doc_id", "pos", "term")
+    val r = Curation.contaminationScore(toks, n = 2, evalMod = 2).collect().head
+    assert(r.getAs[Long]("n_grams") == 2L) // distinct grams: "a b", "b a"
+    assert(r.getAs[Long]("n_hit") == 1L)
+  }
+
   // -- balanced shards ------------------------------------------------
 
   test("balancedShards: two-phase distributed rank equals the single-window brute force") {

@@ -114,6 +114,9 @@ class EngineFacadeSpec extends SparkSpec {
       .agg(sum("n_kept")).head.getLong(0) <= 5L * 5)
     assert(engine.bpePairCounts(toks, k = 10).count() == 10)
     assert(engine.balancedShards(docs).agg(sum("n_docs")).head.getLong(0) == docs.count())
+    assert(engine.dupNgramRate(toks).head.getAs[Double]("dup_rate") >= 0.0)
+    assert(engine.contaminationScore(toks).count() ==
+      docs.filter(col("doc_id") % 10 === 0).count())
   }
 
   test("facade delegations: sessionize, sequencePack, approxDistinctByGroup") {
