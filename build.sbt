@@ -33,4 +33,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // A 150-query bench sequence emits thousands of whole-stage-codegen
+  // classes; at the JDK default (240 MB) the code cache fills near the
+  // end of the run and the JIT stops compiling, leaving CPU-bound
+  // queries interpreted at 10-15x their compiled times (measured in the
+  // r5 witness pass; Bench records the occupancy per witness entry).
+  "-XX:ReservedCodeCacheSize=512m",
 )

@@ -104,6 +104,25 @@ object Bench {
       Some((f(0) + f(1) + f(2), steal, f.sum))
     } catch { case scala.util.control.NonFatal(_) => None }
 
+  /** JIT code-cache occupancy (used / reserved across the CodeHeap
+    * pools) — the in-JVM slowdown witness. A long codegen-heavy
+    * sequence can fill the code cache; when it is full the JIT stops
+    * compiling and CPU-bound queries run interpreted at 10-15× (the r5
+    * witness pass measured q68 at 10.7 s isolated-at-end-of-sequence
+    * vs 0.54 s in a fresh JVM, with near-zero steal — steal could not
+    * explain it, occupancy does). A witness entry is trustworthy iff
+    * both its steal AND its code-cache fraction are low.
+    */
+  def codeCacheFrac(): Double =
+    try {
+      import scala.jdk.CollectionConverters._
+      val pools = java.lang.management.ManagementFactory.getMemoryPoolMXBeans.asScala
+        .filter(p => p.getName.startsWith("CodeHeap") || p.getName == "Code Cache")
+      val used = pools.map(_.getUsage.getUsed).sum.toDouble
+      val max = pools.map(p => math.max(p.getUsage.getMax, 0L)).sum.toDouble
+      if (max > 0) used / max else -1.0
+    } catch { case scala.util.control.NonFatal(_) => -1.0 }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -221,13 +240,16 @@ object Bench {
     val witness = witnessNames.flatMap { n =>
       entries.find(_.name == n).map { e =>
         val iso = measure(e, timedRuns = 3, profile = false)
-        System.err.println(f"[bench] witness $n: seq=${byName(n)}%.3f iso=$iso%.3f")
-        (n, iso, stealByQuery.getOrElse(n, 0.0))
+        val cc = codeCacheFrac()
+        System.err.println(
+          f"[bench] witness $n: seq=${byName(n)}%.3f iso=$iso%.3f code_cache=$cc%.2f")
+        (n, iso, stealByQuery.getOrElse(n, 0.0), cc)
       }
     }
-    val witnessJson = witness.map { case (n, iso, isoSteal) =>
+    val witnessJson = witness.map { case (n, iso, isoSteal, cc) =>
       s""""$n":{"seq":${byName(n)},"iso":$iso,""" +
-        s""""iso_steal":${math.round(isoSteal * 1000.0) / 1000.0}}"""
+        s""""iso_steal":${math.round(isoSteal * 1000.0) / 1000.0},""" +
+        s""""code_cache":${math.round(cc * 100.0) / 100.0}}"""
     }.mkString("{", ",", "}")
 
     // per-query steal fractions above 1% (plus the run-wide fraction):

@@ -412,4 +412,14 @@ final class GraftEngine(val spark: SparkSession) {
   /** Per-eval-doc contamination score vs the train split. */
   def contaminationScore(tokens: DataFrame, n: Int = 5, evalMod: Int = 10): DataFrame =
     operators.Curation.contaminationScore(tokens, n, evalMod)
+
+  /** Per-series CUSUM change-point day over daily event counts. */
+  def cusumChangepoint(events: DataFrame): DataFrame =
+    operators.Drift.cusumChangepoint(events)
+
+  /** Triangle census (degree-oriented wedge join) of a (src, dst,
+    * frac) edge frame thinned at minFrac.
+    */
+  def triangleStats(edges: DataFrame, minFrac: Double = 0.0): DataFrame =
+    operators.PageRank.triangleStats(edges, minFrac)
 }

@@ -1,6 +1,8 @@
 package graft.operators
 
 import graft.{QueryEntry, Tables}
+import graft.functions.GraftFunctions
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.DataFrame
@@ -49,6 +51,46 @@ object Drift {
       .orderBy("bucket")
   }
 
+  /** Offline CUSUM change-point estimate per series: the day k
+    * maximizing |S_k|, S_k = Σ_{i≤k}(x_i − x̄) over the series' daily
+    * counts — the classic single-change-point location estimator
+    * (Page's CUSUM in its offline form).
+    *
+    * INTEGER-EXACT by construction: the mean subtraction is cleared of
+    * division by scaling with n_days — S'_k = n_days·prefix_k −
+    * k·total — so the running statistic is integer arithmetic end to
+    * end and the argmax cannot flip on an ulp (the magnitude bound
+    * n_days·total < 2⁵³ is the caller contract; daily grain on yearly
+    * windows leaves ~2⁴⁰ headroom for the count). The running sum is a
+    * per-series ordered window (partitioned by series — parallel across
+    * series); the argmax is the house k-bounded heap with k=1
+    * ((|S| DESC, day ASC), so ties resolve to the earliest day).
+    */
+  def cusumChangepoint(events: DataFrame): DataFrame = {
+    val daily = events
+      .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+      .agg(count(lit(1)).as("n"))
+    val tot = daily.groupBy("event_type")
+      .agg(sum("n").as("total"), count(lit(1)).as("n_days"))
+    val w = Window.partitionBy("event_type").orderBy("d")
+    val s = daily.join(broadcast(tot), "event_type")
+      .withColumn("prefix", sum("n").over(w))
+      .withColumn("k", row_number().over(w))
+      .withColumn("s_abs",
+        abs(col("n_days") * col("prefix") - col("k") * col("total")))
+    s.groupBy(col("event_type"), col("n_days"), col("total"))
+      .agg(GraftFunctions.topkScoreId(
+        col("s_abs").cast(DoubleType),
+        datediff(col("d"), lit("1970-01-01").cast(DateType)).cast(LongType), 1).as("top"))
+      .select(col("event_type"), col("n_days"), col("total"),
+        date_format(
+          date_add(lit("1970-01-01").cast(DateType),
+            element_at(col("top"), 1).getField("id").cast(IntegerType)),
+          "yyyy-MM-dd").as("change_day"),
+        element_at(col("top"), 1).getField("score").cast(LongType).as("s_abs"))
+      .orderBy("event_type")
+  }
+
   val entries: Seq[QueryEntry] = Seq(
     // Value-distribution drift across the mid-January boundary; DuckDB
     // re-derives bucket shares and the per-bucket PSI contribution.
@@ -77,6 +119,37 @@ object Drift {
         |FROM p ORDER BY 1""".stripMargin,
     ) { (s, dir) =>
       psiBuckets(Tables(s, dir).events, "2024-01-15")
+    },
+
+    // q150 — CUSUM change-point day per event_type over daily counts;
+    // the statistic is the n_days-scaled running deviation (integer
+    // arithmetic end to end on both sides).
+    QueryEntry.sql(
+      "q150_cusum_changepoint",
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS d, COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2
+        |), tot AS (
+        |  SELECT event_type, SUM(n) AS total, COUNT(*) AS n_days FROM daily GROUP BY 1
+        |), s AS (
+        |  SELECT daily.event_type, d, t.n_days, t.total,
+        |         ABS(t.n_days * SUM(n) OVER (PARTITION BY daily.event_type ORDER BY d)
+        |             - ROW_NUMBER() OVER (PARTITION BY daily.event_type ORDER BY d)
+        |               * t.total) AS s_abs
+        |  FROM daily JOIN tot t ON daily.event_type = t.event_type
+        |), ranked AS (
+        |  SELECT event_type, n_days, total, d, s_abs,
+        |         ROW_NUMBER() OVER (PARTITION BY event_type
+        |                            ORDER BY s_abs DESC, d) AS rk
+        |  FROM s
+        |)
+        |SELECT event_type, CAST(n_days AS BIGINT) AS n_days,
+        |       CAST(total AS BIGINT) AS total,
+        |       strftime(d, '%Y-%m-%d') AS change_day,
+        |       CAST(s_abs AS BIGINT) AS s_abs
+        |FROM ranked WHERE rk = 1 ORDER BY event_type""".stripMargin,
+    ) { (s, dir) =>
+      cusumChangepoint(Tables(s, dir).events)
     },
   )
 }

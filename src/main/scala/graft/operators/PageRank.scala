@@ -254,6 +254,59 @@ object PageRank {
     }
   }
 
+  /** Triangle census of an undirected graph via DEGREE ORIENTATION
+    * (Schank's node-iterator++): orient every edge toward the
+    * lexicographically larger (degree, id) endpoint, enumerate wedges
+    * only at each edge's smaller endpoint, close them with one more
+    * equi-join. Out-degree under this orientation is O(√m), so wedge
+    * candidates are O(m^1.5) worst case instead of Σd² — the property
+    * that makes the count feasible on power-law graphs where the
+    * naive wedge join explodes at the hubs. No window, no global
+    * rank: the orientation key is the composite (degree, id) compared
+    * lexicographically, so it never needs a global sort.
+    *
+    * Output is one row: vertices, edges, triangles, wedges
+    * (Σ d(d−1)/2, integer-exact via `div`), and the global clustering
+    * coefficient 3·T / W (the only double, one division, ROUND(,6)).
+    *
+    * Input contract: a directed (src, dst, frac) edge frame
+    * ([[tradeEdges]] shape); edges with frac ≤ minFrac and self-loops
+    * are dropped, direction and multiplicity collapse away.
+    */
+  def triangleStats(edges: DataFrame, minFrac: Double): DataFrame = {
+    val und = edges
+      .filter(col("frac") > minFrac && col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .distinct()
+    val deg = und.select(col("a").as("v")).unionAll(und.select(col("b").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("d"))
+    val j = und
+      .join(deg.select(col("v").as("a"), col("d").as("da")), "a")
+      .join(deg.select(col("v").as("b"), col("d").as("db")), "b")
+    val aFirst = (col("da") < col("db")) ||
+      (col("da") === col("db") && col("a") < col("b"))
+    val oriented = j.select(
+      when(aFirst, col("a")).otherwise(col("b")).as("lo"),
+      when(aFirst, col("b")).otherwise(col("a")).as("hi"),
+      when(aFirst, col("db")).otherwise(col("da")).as("dhi"))
+    val wedges = oriented.select(col("lo"), col("hi").as("v"), col("dhi").as("dv"))
+      .join(oriented.select(col("lo"), col("hi").as("w"), col("dhi").as("dw")), Seq("lo"))
+      .filter(col("dv") < col("dw") || (col("dv") === col("dw") && col("v") < col("w")))
+    val closed = wedges
+      .join(oriented.select(col("lo").as("v"), col("hi").as("w")), Seq("v", "w"))
+    val vs = deg.agg(count(lit(1)).as("n_vertices"),
+      coalesce(sum(expr("d * (d - 1) div 2")), lit(0L)).as("n_wedges"))
+    val es = und.agg(count(lit(1)).as("n_edges"))
+    val ts = closed.agg(count(lit(1)).as("n_triangles"))
+    vs.crossJoin(es).crossJoin(ts)
+      .select(col("n_vertices"), col("n_edges"), col("n_wedges"), col("n_triangles"),
+        when(col("n_wedges") === 0L, lit(0.0))
+          .otherwise(round(lit(3.0) * col("n_triangles").cast(DoubleType) /
+            col("n_wedges").cast(DoubleType), 6))
+          .as("global_clustering"))
+  }
+
   val entries: Seq[QueryEntry] = Seq(
     // PageRank over the nation trade graph, 10 iterations; the oracle
     // unrolls the iterations as chained CTEs and must match rank-for-
@@ -322,6 +375,59 @@ object PageRank {
     ) { (s, dir) =>
       kHop(tradeEdges(s, dir).filter(col("frac") > HopEdgeMinFrac),
         source = 0L, iters = HopIters).orderBy("node")
+    },
+
+    // q151 — triangle census of the thinned undirected trade graph
+    // (frac > HopEdgeMinFrac, the q115 thinning). The oracle replays
+    // the degree orientation relationally; the engine-side wedge join
+    // is the O(m^1.5) Schank formulation, not the Σd² hub explosion.
+    QueryEntry.sql(
+      "q151_triangle_count",
+      s"""WITH raw AS (
+         |  SELECT c_nationkey AS src, s_nationkey AS dst,
+         |         SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+         |             * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS w
+         |  FROM lineitem
+         |  JOIN orders ON l_orderkey = o_orderkey
+         |  JOIN customer ON o_custkey = c_custkey
+         |  JOIN supplier ON l_suppkey = s_suppkey
+         |  GROUP BY 1, 2
+         |), edges AS (
+         |  SELECT src, dst,
+         |         CAST(w AS DOUBLE) / CAST(SUM(w) OVER (PARTITION BY src) AS DOUBLE)
+         |           AS frac
+         |  FROM raw
+         |), e0 AS (
+         |  SELECT src, dst FROM edges WHERE frac > $HopEdgeMinFrac AND src <> dst
+         |), und AS (
+         |  SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b FROM e0
+         |), deg AS (
+         |  SELECT v, COUNT(*) AS d
+         |  FROM (SELECT a AS v FROM und UNION ALL SELECT b AS v FROM und) GROUP BY v
+         |), o AS (
+         |  SELECT CASE WHEN da.d < db.d OR (da.d = db.d AND u.a < u.b)
+         |              THEN u.a ELSE u.b END AS lo,
+         |         CASE WHEN da.d < db.d OR (da.d = db.d AND u.a < u.b)
+         |              THEN u.b ELSE u.a END AS hi,
+         |         CASE WHEN da.d < db.d OR (da.d = db.d AND u.a < u.b)
+         |              THEN db.d ELSE da.d END AS dhi
+         |  FROM und u JOIN deg da ON u.a = da.v JOIN deg db ON u.b = db.v
+         |), wedge AS (
+         |  SELECT o1.hi AS v, o2.hi AS w
+         |  FROM o o1 JOIN o o2 ON o1.lo = o2.lo
+         |  WHERE o1.dhi < o2.dhi OR (o1.dhi = o2.dhi AND o1.hi < o2.hi)
+         |), tri AS (
+         |  SELECT COUNT(*) AS t FROM wedge JOIN o ON wedge.v = o.lo AND wedge.w = o.hi
+         |)
+         |SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM deg) AS n_vertices,
+         |       (SELECT CAST(COUNT(*) AS BIGINT) FROM und) AS n_edges,
+         |       (SELECT CAST(SUM(d * (d - 1) // 2) AS BIGINT) FROM deg) AS n_wedges,
+         |       (SELECT CAST(t AS BIGINT) FROM tri) AS n_triangles,
+         |       ROUND(3.0 * (SELECT CAST(t AS DOUBLE) FROM tri)
+         |             / (SELECT CAST(SUM(d * (d - 1) // 2) AS DOUBLE) FROM deg), 6)
+         |         AS global_clustering""".stripMargin,
+    ) { (s, dir) =>
+      triangleStats(tradeEdges(s, dir), HopEdgeMinFrac)
     },
   )
 }

@@ -27,4 +27,28 @@ class DriftSpec extends SparkSpec {
     // PSI total = sum of contributions, all finite
     assert(rows.values.map(_._3).sum < Double.PositiveInfinity)
   }
+
+  test("cusumChangepoint: hand-computed level shift lands on the shift day") {
+    // daily counts 1,1,1,5,5,5 (days 1..6): total=18, n_days=6,
+    // S'_k = 6*prefix_k - 18k = -12,-24,-36,-24,-12,0 -> max |S'| = 36 at day 3
+    val perDay = Seq(1, 1, 1, 5, 5, 5)
+    val rows = perDay.zipWithIndex.flatMap { case (n, i) =>
+      (1 to n).map(j => (ts(i + 1).plusMinutes(j.toLong), "shift"))
+    }.toDF("ts", "event_type")
+    val r = operators.Drift.cusumChangepoint(rows).collect().head
+    assert(r.getAs[Long]("n_days") == 6L)
+    assert(r.getAs[Long]("total") == 18L)
+    assert(r.getAs[String]("change_day") == "2024-01-03")
+    assert(r.getAs[Long]("s_abs") == 36L)
+  }
+
+  test("cusumChangepoint: flat series peaks nowhere special with tiny |S|; earliest-day tie-break") {
+    // constant 3/day for 4 days: S'_k = 0 for every k -> tie on 0,
+    // earliest day must win
+    val rows = (1 to 4).flatMap(d => (1 to 3).map(j =>
+      (ts(d).plusMinutes(j.toLong), "flat"))).toDF("ts", "event_type")
+    val r = operators.Drift.cusumChangepoint(rows).collect().head
+    assert(r.getAs[Long]("s_abs") == 0L)
+    assert(r.getAs[String]("change_day") == "2024-01-01")
+  }
 }

@@ -117,6 +117,10 @@ class EngineFacadeSpec extends SparkSpec {
     assert(engine.dupNgramRate(toks).head.getAs[Double]("dup_rate") >= 0.0)
     assert(engine.contaminationScore(toks).count() ==
       docs.filter(col("doc_id") % 10 === 0).count())
+    assert(engine.cusumChangepoint(Tables(spark, sf).events).count() == 5)
+    val tri = engine.triangleStats(
+      operators.PageRank.tradeEdges(spark, sf), minFrac = 0.05).head
+    assert(tri.getAs[Long]("n_triangles") >= 0L)
   }
 
   test("facade delegations: sessionize, sequencePack, approxDistinctByGroup") {

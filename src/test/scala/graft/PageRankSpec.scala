@@ -84,4 +84,44 @@ class PageRankSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
     assert(distributed == expect)
   }
+
+  test("triangleStats: hand graph — one triangle plus a pendant; dedup of direction/loops") {
+    // 1-2, 2-3, 1-3 (triangle) + 3-4 (pendant); plus a reversed
+    // duplicate and a self-loop that must collapse away
+    val e = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (2L, 1L), (4L, 4L))
+      .toDF("src", "dst").withColumn("frac", lit(1.0))
+    val r = PageRank.triangleStats(e, minFrac = 0.0).collect().head
+    assert(r.getAs[Long]("n_vertices") == 4L)
+    assert(r.getAs[Long]("n_edges") == 4L)
+    // degrees 2,2,3,1 -> wedges 1+1+3+0 = 5
+    assert(r.getAs[Long]("n_wedges") == 5L)
+    assert(r.getAs[Long]("n_triangles") == 1L)
+    assert(r.getAs[Double]("global_clustering") == 0.6)
+  }
+
+  test("triangleStats: matches the canonical triple-join brute force on a pseudo-random graph") {
+    val edges = (for {
+      i <- 0L until 30L; j <- 0L until 30L
+      if i != j && (i * 31 + j * 17) % 7 == 0
+    } yield (i, j)).toDF("src", "dst").withColumn("frac", lit(1.0))
+    val r = PageRank.triangleStats(edges, minFrac = 0.0).collect().head
+
+    val und = edges.select(least(col("src"), col("dst")).as("a"),
+      greatest(col("src"), col("dst")).as("b")).distinct()
+    val brute = und.as("e1")
+      .join(und.as("e2"), col("e1.b") === col("e2.a"))
+      .join(und.as("e3"),
+        col("e3.a") === col("e1.a") && col("e3.b") === col("e2.b"))
+      .count()
+    assert(r.getAs[Long]("n_triangles") == brute)
+    assert(r.getAs[Long]("n_edges") == und.count())
+  }
+
+  test("triangleStats: empty thinned graph reports zeros, no division error") {
+    val e = Seq((1L, 2L)).toDF("src", "dst").withColumn("frac", lit(0.01))
+    val r = PageRank.triangleStats(e, minFrac = 0.5).collect().head
+    assert(r.getAs[Long]("n_vertices") == 0L)
+    assert(r.getAs[Long]("n_triangles") == 0L)
+    assert(r.getAs[Double]("global_clustering") == 0.0)
+  }
 }
