@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
 /** User-facing facade — the "switch from the reference" surface: a
   * reference user's whole program is `read ORC → SUM(first column)`
@@ -422,4 +422,14 @@ final class GraftEngine(val spark: SparkSession) {
     */
   def triangleStats(edges: DataFrame, minFrac: Double = 0.0): DataFrame =
     operators.PageRank.triangleStats(edges, minFrac)
+
+  /** Percentile (quantile-normalization) transform of an integral
+    * column, exact ranks via the two-phase distributed rank.
+    */
+  def percentileTransform(df: DataFrame, key: String, tie: String): DataFrame =
+    operators.Curation.percentileTransform(df, key, tie)
+
+  /** Merkle-style per-bucket (n_rows, checksum) integrity rows. */
+  def bucketChecksums(df: DataFrame, bucket: Column, cols: Seq[Column]): DataFrame =
+    operators.Checksum.bucketChecksums(df, bucket, cols)
 }

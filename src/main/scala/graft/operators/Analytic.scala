@@ -226,5 +226,58 @@ object Analytic {
         .select(col("event_id"), col("asof_orderkey"))
         .orderBy("event_id")
     },
+
+    // As-of join WITH TOLERANCE — the production variant (a staleness
+    // bound: a match older than Δ is no match). Same single-shuffle
+    // union/last plan as q37, additionally carrying the matched
+    // timestamp so the tolerance check is one codegen filter on the
+    // output; restricting candidates to [ts−Δ, ts] is equivalent to
+    // post-filtering the unrestricted latest (every other candidate is
+    // older still), so no second pass exists.
+    QueryEntry.sql(
+      "q153_asof_tolerance",
+      """WITH m AS (
+        |  SELECT e.event_id, e.ts, e.user_id, MAX(o.o_orderdate) AS md
+        |  FROM events e LEFT JOIN orders o
+        |    ON o.o_custkey % 100 = e.user_id AND o.o_orderdate <= e.ts
+        |  GROUP BY 1, 2, 3
+        |)
+        |SELECT m.event_id,
+        |       CASE WHEN m.md IS NOT NULL
+        |                 AND date_diff('day', CAST(m.md AS TIMESTAMP), m.ts) <= 45
+        |            THEN (SELECT MAX(o.o_orderkey) FROM orders o
+        |                  WHERE o.o_custkey % 100 = m.user_id
+        |                    AND o.o_orderdate = m.md)
+        |            END AS asof_orderkey
+        |FROM m ORDER BY m.event_id""".stripMargin,
+    ) { (s, dir) =>
+      val t = Tables(s, dir)
+      val orders = t.orders.select(
+        (col("o_custkey") % 100).as("k"),
+        col("o_orderdate").cast(TimestampType).as("ts"),
+        lit(0).as("side"),
+        col("o_orderkey").as("ok"),
+        lit(null).cast(LongType).as("event_id"),
+      )
+      val events = t.events.select(
+        col("user_id").as("k"),
+        col("ts"),
+        lit(1).as("side"),
+        lit(null).cast(LongType).as("ok"),
+        col("event_id"),
+      )
+      val w = Window.partitionBy("k")
+        .orderBy(col("ts"), col("side"), col("ok").asc_nulls_last)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      orders.unionAll(events)
+        .withColumn("cand", last(col("ok"), ignoreNulls = true).over(w))
+        .withColumn("cand_ts",
+          last(when(col("side") === 0, col("ts")), ignoreNulls = true).over(w))
+        .filter(col("side") === 1)
+        .select(col("event_id"),
+          when(datediff(col("ts").cast(DateType), col("cand_ts").cast(DateType)) <= 45,
+            col("cand")).as("asof_orderkey"))
+        .orderBy("event_id")
+    },
   )
 }

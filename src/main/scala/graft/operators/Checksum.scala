@@ -69,5 +69,37 @@ object Checksum {
         .select(col("n_rows").as("l_rows"), col("checksum").as("l_checksum"))
       o.crossJoin(l)
     },
+
+    // q154 — merkle-style PER-BUCKET checksums: the sync/repair
+    // companion to q75's single fingerprint. Two replicas compare
+    // bucket rows and re-transfer only buckets whose (n_rows,
+    // checksum) differ — at 100 TB that is the difference between
+    // re-shipping a key range and re-shipping the table. Same
+    // order-free decimal hash-sum, grouped by an id-range bucket (one
+    // map-side-combined aggregation; bucket count is the only state).
+    QueryEntry.sql(
+      "q154_bucket_checksums",
+      """SELECT doc_id // 50 AS bucket, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |       CAST(SUM(CAST(CAST('0x' || substr(md5(concat_ws('|',
+        |           doc_id, lang, source, n_chars)), 1, 15)
+        |         AS BIGINT) AS DECIMAL(38,0))) AS VARCHAR) AS checksum
+        |FROM documents GROUP BY bucket ORDER BY bucket""".stripMargin,
+    ) { (s, dir) =>
+      bucketChecksums(Tables(s, dir).documentsRebalanced,
+        expr("doc_id div 50"),
+        Seq(col("doc_id"), col("lang"), col("source"), col("n_chars")))
+    },
   )
+
+  /** Grouped [[tableChecksum]]: one checksum row per bucket. */
+  def bucketChecksums(df: DataFrame, bucket: Column, cols: Seq[Column]): DataFrame = {
+    val h = conv(substring(md5(concat_ws("|", cols: _*).cast(BinaryType)), 1, 15), 16, 10)
+      .cast(LongType)
+    df.select(bucket.as("bucket"), h.as("h"))
+      .groupBy("bucket")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(col("h").cast(DecimalType(38, 0))).cast(StringType).as("checksum"))
+      .orderBy("bucket")
+  }
 }

@@ -110,22 +110,55 @@ object Curation {
     * quantiles (q54's sketch) in that regime, the rank algebra is
     * unchanged.
     */
-  def balancedShards(docs: DataFrame, nShards: Int, bucketWidth: Int = 64): DataFrame = {
-    val based = docs.select(col("doc_id"), col("n_chars"),
-      expr(s"n_chars div $bucketWidth").as("bkt"))
-    val counts = based.groupBy("bkt").agg(count(lit(1)).as("c"))
-    val offW = Window.orderBy(desc("bkt")).rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = counts
-      .withColumn("off", coalesce(sum("c").over(offW), lit(0L)))
-      .select("bkt", "off")
-    val inBucket = Window.partitionBy("bkt").orderBy(desc("n_chars"), col("doc_id"))
-    based
-      .join(broadcast(offsets), "bkt")
-      .withColumn("rk", col("off") + row_number().over(inBucket))
+  def balancedShards(docs: DataFrame, nShards: Int, bucketWidth: Int = 64): DataFrame =
+    withGlobalRank(docs.select("doc_id", "n_chars"),
+      key = "n_chars", tie = "doc_id", descending = true, bucketWidth = bucketWidth)
       .withColumn("shard", (col("rk") - 1) % nShards)
       .groupBy("shard")
       .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
       .orderBy("shard")
+
+  /** Appends an exact 1-based global `rk` column ordered by
+    * (`key` ASC|DESC, `tie` ASC) — the two-phase distributed rank
+    * shared by [[balancedShards]] and [[percentileTransform]]: bucket
+    * by `key div bucketWidth` (monotone in the major sort key),
+    * prefix-sum the per-bucket counts in a window over the tiny bucket
+    * summary frame, broadcast the offsets back, and run `row_number`
+    * in a window PARTITIONED by bucket. `key` and `tie` must be
+    * integral; `tie` must be unique (rank determinism).
+    */
+  def withGlobalRank(df: DataFrame, key: String, tie: String,
+      descending: Boolean, bucketWidth: Int = 64): DataFrame = {
+    val based = df.withColumn("bkt", expr(s"$key div $bucketWidth"))
+    val counts = based.groupBy("bkt").agg(count(lit(1)).as("c"))
+    val bktOrder = if (descending) desc("bkt") else asc("bkt")
+    val offW = Window.orderBy(bktOrder).rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = counts
+      .withColumn("off", coalesce(sum("c").over(offW), lit(0L)))
+      .select("bkt", "off")
+    val keyOrder = if (descending) desc(key) else asc(key)
+    val inBucket = Window.partitionBy("bkt").orderBy(keyOrder, col(tie))
+    based
+      .join(broadcast(offsets), "bkt")
+      .withColumn("rk", col("off") + row_number().over(inBucket))
+      .drop("bkt", "off")
+  }
+
+  /** Percentile (quantile-normalization) transform of an integral
+    * column: each row's pct = (rank−1)/(N−1) under (`key` ASC, `tie`
+    * ASC) — the normalization step before mixing heterogeneous quality
+    * scores into one curation signal. Exact global ranks from
+    * [[withGlobalRank]] (no single-partition window); the count rides
+    * in as a 1-row broadcast.
+    */
+  def percentileTransform(df: DataFrame, key: String, tie: String): DataFrame = {
+    val n = df.agg(count(lit(1)).as("n"))
+    withGlobalRank(df, key, tie, descending = false)
+      .crossJoin(broadcast(n))
+      .select(col(tie), col(key),
+        round((col("rk") - 1).cast(DoubleType) / (col("n") - 1).cast(DoubleType), 6)
+          .as("pct"))
+      .orderBy(tie)
   }
 
   /** Corpus-level duplicated n-gram rate — the share of n-gram
@@ -245,6 +278,24 @@ object Curation {
         |FROM ranked GROUP BY shard ORDER BY shard""".stripMargin,
     ) { (s, dir) =>
       balancedShards(Tables(s, dir).documentsRebalanced, nShards = 8)
+    },
+
+    // q152 — percentile normalization of document lengths (rank
+    // transform); the same two-phase rank as q147, ascending.
+    QueryEntry.sql(
+      "q152_percentile_transform",
+      """WITH ranked AS (
+        |  SELECT doc_id, n_chars,
+        |         ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) AS rk,
+        |         COUNT(*) OVER () AS n
+        |  FROM documents)
+        |SELECT doc_id, n_chars,
+        |       ROUND(CAST(rk - 1 AS DOUBLE) / CAST(n - 1 AS DOUBLE), 6) AS pct
+        |FROM ranked ORDER BY doc_id""".stripMargin,
+    ) { (s, dir) =>
+      percentileTransform(
+        Tables(s, dir).documentsRebalanced.select("doc_id", "n_chars"),
+        key = "n_chars", tie = "doc_id")
     },
 
     // q148 — corpus duplicated 5-gram rate (the dedup health metric).

@@ -36,6 +36,23 @@ class ChecksumSpec extends SparkSpec {
     assert(r.isNullAt(1))
   }
 
+  test("bucketChecksums: localizes a change to its bucket; counts partition the table") {
+    import spark.implicits._
+    val base = (0L until 200L).map(i => (i, s"v$i")).toDF("id", "v")
+    val cols = Seq(col("id"), col("v"))
+    val a = Checksum.bucketChecksums(base, expr("id div 50"), cols)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(a.keySet == Set(0L, 1L, 2L, 3L))
+    assert(a.values.map(_._1).sum == 200L)
+    // mutate one row in bucket 2: only bucket 2's checksum changes
+    val mutated = base.withColumn("v",
+      when(col("id") === 123L, lit("CHANGED")).otherwise(col("v")))
+    val b = Checksum.bucketChecksums(mutated, expr("id div 50"), cols)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(b(2L) != a(2L))
+    assert(Seq(0L, 1L, 3L).forall(k => b(k) == a(k)))
+  }
+
   test("checksum detects a single-cell change") {
     val o = Tables(spark, sf).orders
     val tampered = o.withColumn("o_orderstatus",

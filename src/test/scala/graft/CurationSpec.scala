@@ -143,6 +143,19 @@ class CurationSpec extends SparkSpec {
     assert(counts.max - counts.min <= 1)
   }
 
+  test("percentileTransform: matches the single-window brute force; endpoints are 0 and 1") {
+    val docs = Tables(spark, sf).documents.select("doc_id", "n_chars")
+    val got = Curation.percentileTransform(docs, "n_chars", "doc_id").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("pct")).toMap
+    val w = Window.orderBy(col("n_chars"), col("doc_id"))
+    val n = docs.count()
+    val brute = docs.withColumn("rk", row_number().over(w))
+      .withColumn("pct", round((col("rk") - 1).cast("double") / (n - 1).toDouble, 6))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("pct")).toMap
+    assert(got == brute)
+    assert(got.values.min == 0.0 && got.values.max == 1.0)
+  }
+
   test("balancedShards: exact ranks survive ties inside and across buckets") {
     // widths all in one or two buckets, heavy ties on n_chars
     val docs = (1 to 97).map(i => (i.toLong, 64 + (i % 3))).toDF("doc_id", "n_chars")

@@ -121,6 +121,11 @@ class EngineFacadeSpec extends SparkSpec {
     val tri = engine.triangleStats(
       operators.PageRank.tradeEdges(spark, sf), minFrac = 0.05).head
     assert(tri.getAs[Long]("n_triangles") >= 0L)
+    val pct = engine.percentileTransform(docs.select("doc_id", "n_chars"),
+      "n_chars", "doc_id")
+    assert(pct.agg(max("pct")).head.getDouble(0) == 1.0)
+    assert(engine.bucketChecksums(docs, expr("doc_id div 100"),
+      Seq(col("doc_id"), col("lang"))).count() == 5)
   }
 
   test("facade delegations: sessionize, sequencePack, approxDistinctByGroup") {
