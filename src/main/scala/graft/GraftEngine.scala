@@ -432,4 +432,8 @@ final class GraftEngine(val spark: SparkSession) {
   /** Merkle-style per-bucket (n_rows, checksum) integrity rows. */
   def bucketChecksums(df: DataFrame, bucket: Column, cols: Seq[Column]): DataFrame =
     operators.Checksum.bucketChecksums(df, bucket, cols)
+
+  /** Top-k Jaro–Winkler-similar part-name pairs within brand blocks. */
+  def jaroWinklerBlocked(part: DataFrame, k: Int = 20): DataFrame =
+    operators.Fuzzy.jaroWinklerBlocked(part, k)
 }

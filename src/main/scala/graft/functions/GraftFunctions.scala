@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.expressions.{Expression, XxHash64}
-import org.apache.spark.sql.graft.{CosineSimF32, DotProductF32, FreqSketch, KmvSketch, MinHashSignature, Shims, SimHash64, SplitMix64, TopKScoreId, TopKScoreStr, WithinEdit1}
+import org.apache.spark.sql.graft.{CosineSimF32, DotProductF32, FreqSketch, JaroWinklerSim, KmvSketch, MinHashSignature, Shims, SimHash64, SplitMix64, TopKScoreId, TopKScoreStr, WithinEdit1}
 import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
 
 /** Column-level API + SQL registration for the graft expressions.
@@ -48,6 +48,11 @@ object GraftFunctions {
     */
   def withinEdit1(a: Column, b: Column): Column = col(WithinEdit1(expr(a), expr(b)))
 
+  /** jaro_winkler(string, string) → double: classic Jaro–Winkler
+    * similarity (codegen) — the blocked entity-resolution scorer.
+    */
+  def jaroWinkler(a: Column, b: Column): Column = col(JaroWinklerSim(expr(a), expr(b)))
+
   /** topk_score_id(score double, id bigint, k) → array<struct<score,id>>
     * sorted (score DESC, id ASC): grouped top-k with a k-bounded
     * map-side partial buffer (see [[TopKScoreId]]).
@@ -89,6 +94,7 @@ object GraftFunctions {
     "simhash64" -> (es => { arity("simhash64", 1)(es); SimHash64(es(0)) }),
     "splitmix64" -> (es => { arity("splitmix64", 1)(es); SplitMix64(es(0)) }),
     "within_edit1" -> (es => { arity("within_edit1", 2)(es); WithinEdit1(es(0), es(1)) }),
+    "jaro_winkler" -> (es => { arity("jaro_winkler", 2)(es); JaroWinklerSim(es(0), es(1)) }),
     // k must be a positive integer literal (it sizes the agg buffer)
     "topk_score_id" -> (es => es match {
       case Seq(s, i, kE) if kE.foldable =>

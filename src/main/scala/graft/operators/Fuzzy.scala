@@ -76,5 +76,41 @@ object Fuzzy {
         |  ON a.c_name < b.c_name AND levenshtein(a.c_name, b.c_name) <= 1
         |ORDER BY name_a, name_b""".stripMargin,
     ) { (s, dir) => fuzzyPairs(Tables(s, dir).customer, "c_name") },
+
+    // q155 — blocked Jaro–Winkler entity resolution: top-20 most
+    // similar part-name pairs within a brand block (the classic ER
+    // blocking shape: equi-key join + length band prefilter, then the
+    // codegen scorer once per surviving candidate; never a global
+    // cross join). Both sides ROUND(,6) before ranking; the ordering
+    // (jw DESC, key_a, key_b) is total.
+    QueryEntry.sql(
+      "q155_jaro_winkler_block",
+      """WITH p AS (SELECT p_partkey, p_brand, p_name FROM part),
+        |pairs AS (
+        |  SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+        |         ROUND(jaro_winkler_similarity(a.p_name, b.p_name), 6) AS jw
+        |  FROM p a JOIN p b
+        |    ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+        |  WHERE abs(len(a.p_name) - len(b.p_name)) <= 4
+        |)
+        |SELECT key_a, key_b, jw FROM pairs
+        |ORDER BY jw DESC, key_a, key_b LIMIT 20""".stripMargin,
+    ) { (s, dir) => jaroWinklerBlocked(Tables(s, dir).part, k = 20) },
   )
+
+  /** Top-k Jaro–Winkler part-name pairs within brand blocks. */
+  def jaroWinklerBlocked(part: org.apache.spark.sql.DataFrame, k: Int)
+      : org.apache.spark.sql.DataFrame = {
+    val p = part.select(col("p_partkey"), col("p_brand"), col("p_name"))
+    val a = p.select(col("p_brand"), col("p_partkey").as("key_a"), col("p_name").as("name_a"))
+    val b = p.select(col("p_brand"), col("p_partkey").as("key_b"), col("p_name").as("name_b"))
+    a.join(b, Seq("p_brand"))
+      .filter(col("key_a") < col("key_b") &&
+        abs(length(col("name_a")) - length(col("name_b"))) <= 4)
+      .select(col("key_a"), col("key_b"),
+        round(graft.functions.GraftFunctions.jaroWinkler(col("name_a"), col("name_b")), 6)
+          .as("jw"))
+      .orderBy(desc("jw"), col("key_a"), col("key_b"))
+      .limit(k)
+  }
 }

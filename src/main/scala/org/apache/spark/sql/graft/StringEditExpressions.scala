@@ -51,6 +51,98 @@ case class WithinEdit1(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** `jaro_winkler(a, b)` — the classic Jaro similarity (match window
+  * ⌊max(|a|,|b|)/2⌋−1, greedy first-unmatched in-window matching,
+  * transpositions = half the mismatches between the two matched
+  * sequences) with the Winkler prefix boost (+ℓ·0.1·(1−jaro) for the
+  * common prefix ℓ ≤ 4, applied only when jaro > 0.7). Either operand
+  * empty scores 0. Semantics pinned against DuckDB's
+  * `jaro_winkler_similarity` on the edge cases (2-char windows,
+  * transposition-heavy pairs, one-sided length gaps) so the
+  * differential oracle compares like for like; the arithmetic is
+  * divisions of small exact integers — no libm — so both engines land
+  * on the same double to well under the ROUND(,6) the queries apply.
+  *
+  * Built for blocked entity-resolution joins ([[graft.operators.Fuzzy]]):
+  * candidates arrive pre-blocked (equi-key + length band), the scorer
+  * runs once per candidate pair inside codegen.
+  */
+case class JaroWinklerSim(left: Expression, right: Expression)
+    extends BinaryExpression
+    with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType, StringType)
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "jaro_winkler"
+
+  override def nullSafeEval(l: Any, r: Any): Any =
+    JaroWinklerSim.sim(l.asInstanceOf[UTF8String], r.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      s"${ev.value} = org.apache.spark.sql.graft.JaroWinklerSim.sim($a, $b);"
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object JaroWinklerSim {
+
+  def sim(au: UTF8String, bu: UTF8String): Double =
+    jaroWinkler(au.toString.codePoints().toArray, bu.toString.codePoints().toArray)
+
+  /** Codepoint-array Jaro–Winkler; see the case-class doc for the
+    * pinned semantics.
+    */
+  def jaroWinkler(a: Array[Int], b: Array[Int]): Double = {
+    if (a.length == 0 || b.length == 0) return 0.0
+    val window = math.max(math.max(a.length, b.length) / 2 - 1, 0)
+    val aFlag = new Array[Boolean](a.length)
+    val bFlag = new Array[Boolean](b.length)
+    var m = 0
+    var i = 0
+    while (i < a.length) {
+      val lo = math.max(i - window, 0)
+      val hi = math.min(i + window, b.length - 1)
+      var j = lo
+      var found = false
+      while (j <= hi && !found) {
+        if (!bFlag(j) && a(i) == b(j)) {
+          aFlag(i) = true; bFlag(j) = true; m += 1; found = true
+        }
+        j += 1
+      }
+      i += 1
+    }
+    if (m == 0) return 0.0
+    // mismatches between the two matched sequences, then halved
+    var k = 0
+    var j = 0
+    i = 0
+    while (i < a.length) {
+      if (aFlag(i)) {
+        while (!bFlag(j)) j += 1
+        if (a(i) != b(j)) k += 1
+        j += 1
+      }
+      i += 1
+    }
+    val t = k / 2
+    val jaro = (m.toDouble / a.length + m.toDouble / b.length +
+      (m - t).toDouble / m) / 3.0
+    if (jaro <= 0.7) jaro
+    else {
+      var p = 0
+      val pMax = math.min(math.min(a.length, b.length), 4)
+      while (p < pMax && a(p) == b(p)) p += 1
+      jaro + 0.1 * p * (1.0 - jaro)
+    }
+  }
+}
+
 object WithinEdit1 {
   /** One-edit decision: byte scan on all-ASCII operands, codepoint scan
     * otherwise (levenshtein is defined over codepoints — a multi-byte

@@ -126,6 +126,8 @@ class EngineFacadeSpec extends SparkSpec {
     assert(pct.agg(max("pct")).head.getDouble(0) == 1.0)
     assert(engine.bucketChecksums(docs, expr("doc_id div 100"),
       Seq(col("doc_id"), col("lang"))).count() == 5)
+    val jwTop = engine.jaroWinklerBlocked(Tables(spark, sf).part, k = 5).collect()
+    assert(jwTop.length == 5 && jwTop.forall(_.getAs[Double]("jw") >= 0.0))
   }
 
   test("facade delegations: sessionize, sequencePack, approxDistinctByGroup") {

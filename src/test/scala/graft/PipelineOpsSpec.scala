@@ -78,6 +78,42 @@ class PipelineOpsSpec extends SparkSpec {
     assert(df.filter(col("fast") =!= col("slow")).count() == 0)
   }
 
+  test("jaro_winkler matches the DuckDB-pinned reference values exactly") {
+    // the probe table that pinned the semantics (window max/2-1, greedy
+    // in-window matching, t = mismatches/2 integer, boost iff jaro>0.7,
+    // empty -> 0); values are DuckDB jaro_winkler_similarity outputs
+    val cases = Seq(
+      ("martha", "marhta", 0.9611111111),
+      ("dixon", "dicksonx", 0.8133333333),
+      ("crate", "trace", 0.7333333333), // jaro>0.7 but prefix 0: no boost
+      ("abcde", "edcba", 0.4666666667),
+      ("", "", 0.0),
+      ("a", "", 0.0),
+      ("ab", "ba", 0.0), // window 0 at len 2: no off-position matches
+      ("abc", "acb", 0.5555555556),
+      ("abcd", "badc", 0.8333333333), // all four matches mismatched: t=2
+      ("abcdef", "fedcba", 0.3888888889), // window 2 excludes e,f matches
+      ("ab", "abcdefgh", 0.8), // boost on a one-sided length gap
+      ("same", "same", 1.0),
+    )
+    val got = cases.toDF("x", "y", "want")
+      .select(
+        graft.functions.GraftFunctions.jaroWinkler(col("x"), col("y")).as("jw"),
+        col("want"))
+      .collect()
+    got.foreach(r =>
+      assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-9, r.toString))
+  }
+
+  test("jaro_winkler SQL registration and symmetry") {
+    graft.functions.GraftFunctions.registerAll(spark)
+    val r = spark.sql(
+      "SELECT jaro_winkler('martha', 'marhta') AS a, jaro_winkler('marhta', 'martha') AS b")
+      .head
+    assert(math.abs(r.getDouble(0) - 0.9611111111) < 1e-9)
+    assert(r.getDouble(0) == r.getDouble(1))
+  }
+
   test("q100 chunks cover the text with the declared overlap") {
     val chunks = CorpusOps.chunk(
       Seq((1L, "a" * 205)).toDF("doc_id", "text"), window = 80, overlap = 20)
