@@ -436,4 +436,8 @@ final class GraftEngine(val spark: SparkSession) {
   /** Top-k Jaro–Winkler-similar part-name pairs within brand blocks. */
   def jaroWinklerBlocked(part: DataFrame, k: Int = 20): DataFrame =
     operators.Fuzzy.jaroWinklerBlocked(part, k)
+
+  /** Sorted-neighborhood ER pairs (w-window over the name sort). */
+  def sortedNeighborhood(part: DataFrame, w: Int = 5, minJw: Double = 0.9): DataFrame =
+    operators.Fuzzy.sortedNeighborhood(part, w, minJw)
 }

@@ -96,7 +96,70 @@ object Fuzzy {
         |SELECT key_a, key_b, jw FROM pairs
         |ORDER BY jw DESC, key_a, key_b LIMIT 20""".stripMargin,
     ) { (s, dir) => jaroWinklerBlocked(Tables(s, dir).part, k = 20) },
+
+    // q156 — sorted-neighborhood ER over part names (window w=5,
+    // jw ≥ 0.9): the complement of q155's equi-blocking. The oracle's
+    // single global window IS the brute force the two-phase rank must
+    // reproduce exactly before any pair forms.
+    QueryEntry.sql(
+      "q156_sorted_neighborhood",
+      """WITH ranked AS (
+        |  SELECT p_partkey, p_name,
+        |         ROW_NUMBER() OVER (ORDER BY p_name, p_partkey) AS r
+        |  FROM part)
+        |SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+        |       ROUND(jaro_winkler_similarity(a.p_name, b.p_name), 6) AS jw
+        |FROM ranked a JOIN ranked b ON b.r > a.r AND b.r <= a.r + 5
+        |WHERE ROUND(jaro_winkler_similarity(a.p_name, b.p_name), 6) >= 0.9
+        |ORDER BY key_a, key_b""".stripMargin,
+    ) { (s, dir) => sortedNeighborhood(Tables(s, dir).part, w = 5, minJw = 0.9) },
   )
+
+  /** Sorted-neighborhood entity resolution (Hernández & Stolfo,
+    * SIGMOD'95): sort records by the match key, score only pairs within
+    * `w` positions of each other — the blocking strategy for typo-heavy
+    * keys where equi-blocking (q155's brand blocks) misses cross-block
+    * matches. Candidates are O(n·w) instead of O(n²).
+    *
+    * Scale shape: the global name rank is the two-phase distributed
+    * rank (q147's machinery with a STRING bucket — the 2-char name
+    * prefix is monotone in the sort key; the only unpartitioned window
+    * runs on the prefix-count frame). The w-band pairing is the q50
+    * interval decomposition: rank-buckets of width w, the left side
+    * exploded to its two candidate buckets, hash equi-join, exact band
+    * filter join-local, then the codegen [[GraftFunctions.jaroWinkler]]
+    * scorer once per candidate.
+    */
+  def sortedNeighborhood(part: org.apache.spark.sql.DataFrame, w: Int,
+      minJw: Double): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val based = part
+      .select(col("p_partkey"), col("p_name"), substring(col("p_name"), 1, 2).as("bkt"))
+    val counts = based.groupBy("bkt").agg(count(lit(1)).as("c"))
+    val offW = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = counts
+      .withColumn("off", coalesce(sum("c").over(offW), lit(0L)))
+      .select("bkt", "off")
+    val inBucket = Window.partitionBy("bkt").orderBy(col("p_name"), col("p_partkey"))
+    val ranked = based
+      .join(broadcast(offsets), "bkt")
+      .withColumn("r", col("off") + row_number().over(inBucket))
+      .select("p_partkey", "p_name", "r")
+    val a = ranked.select(col("p_partkey").as("key_a"), col("p_name").as("name_a"),
+      col("r").as("ra"))
+      .withColumn("rb_bucket",
+        explode(array(expr(s"ra div $w"), expr(s"ra div $w") + 1)))
+    val b = ranked.select(col("p_partkey").as("key_b"), col("p_name").as("name_b"),
+      col("r").as("rb"))
+      .withColumn("rb_bucket", expr(s"rb div $w"))
+    a.join(b, Seq("rb_bucket"))
+      .filter(col("rb") > col("ra") && col("rb") <= col("ra") + w)
+      .select(col("key_a"), col("key_b"),
+        round(graft.functions.GraftFunctions.jaroWinkler(col("name_a"), col("name_b")), 6)
+          .as("jw"))
+      .filter(col("jw") >= minJw)
+      .orderBy("key_a", "key_b")
+  }
 
   /** Top-k Jaro–Winkler part-name pairs within brand blocks. */
   def jaroWinklerBlocked(part: org.apache.spark.sql.DataFrame, k: Int)

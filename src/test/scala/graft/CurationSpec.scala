@@ -156,6 +156,22 @@ class CurationSpec extends SparkSpec {
     assert(got.values.min == 0.0 && got.values.max == 1.0)
   }
 
+  test("sortedNeighborhood: string-bucket two-phase rank reproduces the single-window pair set") {
+    val part = Tables(spark, sf).part
+    val got = operators.Fuzzy.sortedNeighborhood(part, w = 4, minJw = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val w = Window.orderBy(col("p_name"), col("p_partkey"))
+    val ranked = part.select(col("p_partkey"), col("p_name"))
+      .withColumn("r", row_number().over(w))
+    val brute = ranked.as("a").join(ranked.as("b"),
+        col("b.r") > col("a.r") && col("b.r") <= col("a.r") + 4)
+      .filter(round(graft.functions.GraftFunctions
+        .jaroWinkler(col("a.p_name"), col("b.p_name")), 6) >= 0.9)
+      .select(col("a.p_partkey"), col("b.p_partkey"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == brute && got.nonEmpty)
+  }
+
   test("balancedShards: exact ranks survive ties inside and across buckets") {
     // widths all in one or two buckets, heavy ties on n_chars
     val docs = (1 to 97).map(i => (i.toLong, 64 + (i % 3))).toDF("doc_id", "n_chars")
