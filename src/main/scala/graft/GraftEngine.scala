@@ -440,4 +440,10 @@ final class GraftEngine(val spark: SparkSession) {
   /** Sorted-neighborhood ER pairs (w-window over the name sort). */
   def sortedNeighborhood(part: DataFrame, w: Int = 5, minJw: Double = 0.9): DataFrame =
     operators.Fuzzy.sortedNeighborhood(part, w, minJw)
+
+  /** Exact equi-depth histogram (equal row counts, data-dependent
+    * bounds) of document lengths.
+    */
+  def equiDepthHistogram(docs: DataFrame, buckets: Int = 8): DataFrame =
+    operators.HistQuantile.equiDepth(docs, buckets)
 }

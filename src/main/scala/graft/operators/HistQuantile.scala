@@ -104,5 +104,42 @@ object HistQuantile {
       estimate(Tables(s, dir).lineitem, "l_extendedprice",
         lo = 0.0, hi = 120000.0, bins = 1024, qs = Seq(0.5, 0.9, 0.99))
     },
+
+    // q157 — EXACT equi-depth histogram (the optimizer-statistics
+    // companion to q54's fixed-width sketch: equal ROW counts per
+    // bucket, data-dependent boundaries — what a planner wants for
+    // selectivity on skewed columns). bucket = (rank−1)·B div N on the
+    // two-phase distributed rank (q147's machinery — no
+    // single-partition window, unlike NTILE); all integer arithmetic.
+    QueryEntry.sql(
+      "q157_equidepth_histogram",
+      """WITH ranked AS (
+        |  SELECT n_chars,
+        |         ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) AS r,
+        |         COUNT(*) OVER () AS n
+        |  FROM documents)
+        |SELECT CAST((r - 1) * 8 // n AS BIGINT) AS bucket,
+        |       CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |       CAST(MIN(n_chars) AS BIGINT) AS lo,
+        |       CAST(MAX(n_chars) AS BIGINT) AS hi
+        |FROM ranked GROUP BY bucket ORDER BY bucket""".stripMargin,
+    ) { (s, dir) => equiDepth(Tables(s, dir).documentsRebalanced, buckets = 8) },
   )
+
+  /** Exact equi-depth histogram of `n_chars` over a (doc_id, n_chars)
+    * frame: `buckets` buckets of equal row count (±1), boundaries from
+    * the data. Exact global ranks via [[Curation.withGlobalRank]]; the
+    * total count rides in as a 1-row broadcast.
+    */
+  def equiDepth(docs: DataFrame, buckets: Int): DataFrame = {
+    val n = docs.agg(count(lit(1)).as("n"))
+    Curation.withGlobalRank(docs.select("doc_id", "n_chars"),
+        key = "n_chars", tie = "doc_id", descending = false)
+      .crossJoin(broadcast(n))
+      .withColumn("bucket", expr(s"((rk - 1) * $buckets) div n"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("n_chars")).as("lo"), max(col("n_chars")).as("hi"))
+      .orderBy("bucket")
+  }
 }

@@ -156,6 +156,20 @@ class CurationSpec extends SparkSpec {
     assert(got.values.min == 0.0 && got.values.max == 1.0)
   }
 
+  test("equiDepth: equal bucket depths (B | N), contiguous non-overlapping bounds") {
+    val docs = Tables(spark, sf).documents
+    val rows = operators.HistQuantile.equiDepth(docs, buckets = 10).collect()
+      .map(r => (r.getAs[Long]("bucket"), r.getAs[Long]("n_rows"),
+        r.getAs[Long]("lo"), r.getAs[Long]("hi")))
+    assert(rows.map(_._1).toSeq == (0L until 10L))
+    // 500 docs / 10 buckets: exactly 50 each
+    assert(rows.forall(_._2 == docs.count() / 10))
+    // boundaries are monotone: each bucket's lo >= the previous hi is
+    // not guaranteed at ties, but hi must be non-decreasing and lo <= hi
+    assert(rows.forall(r => r._3 <= r._4))
+    assert(rows.map(_._4).toSeq == rows.map(_._4).toSeq.sorted)
+  }
+
   test("sortedNeighborhood: string-bucket two-phase rank reproduces the single-window pair set") {
     val part = Tables(spark, sf).part
     val got = operators.Fuzzy.sortedNeighborhood(part, w = 4, minJw = 0.9)

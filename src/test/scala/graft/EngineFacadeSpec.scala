@@ -128,6 +128,9 @@ class EngineFacadeSpec extends SparkSpec {
       Seq(col("doc_id"), col("lang"))).count() == 5)
     val jwTop = engine.jaroWinklerBlocked(Tables(spark, sf).part, k = 5).collect()
     assert(jwTop.length == 5 && jwTop.forall(_.getAs[Double]("jw") >= 0.0))
+    assert(engine.sortedNeighborhood(Tables(spark, sf).part, w = 3).count() > 0)
+    assert(engine.equiDepthHistogram(docs).agg(sum("n_rows")).head.getLong(0) ==
+      docs.count())
   }
 
   test("facade delegations: sessionize, sequencePack, approxDistinctByGroup") {
