@@ -161,11 +161,23 @@ object Fuzzy {
       .orderBy("key_a", "key_b")
   }
 
-  /** Top-k Jaro–Winkler part-name pairs within brand blocks. */
+  /** Top-k Jaro–Winkler part-name pairs within brand blocks.
+    *
+    * The probe side is rebalanced across the session parallelism before
+    * the block join: the local fixture's `part` is a single parquet
+    * split, and with the dimension-sized build side broadcast, pair
+    * generation + scoring would otherwise inherit the scan's one
+    * partition and serialize the O(pairs) scorer onto one core — the
+    * same single-split trap as [[Tables.documentsRebalanced]]. At 100 TB
+    * the source is naturally multi-split and the linear shuffle is noise
+    * next to the quadratic-in-block-size scoring it parallelizes.
+    */
   def jaroWinklerBlocked(part: org.apache.spark.sql.DataFrame, k: Int)
       : org.apache.spark.sql.DataFrame = {
     val p = part.select(col("p_partkey"), col("p_brand"), col("p_name"))
+    val parallelism = part.sparkSession.sessionState.conf.numShufflePartitions
     val a = p.select(col("p_brand"), col("p_partkey").as("key_a"), col("p_name").as("name_a"))
+      .repartition(parallelism, col("key_a"))
     val b = p.select(col("p_brand"), col("p_partkey").as("key_b"), col("p_name").as("name_b"))
     a.join(b, Seq("p_brand"))
       .filter(col("key_a") < col("key_b") &&
