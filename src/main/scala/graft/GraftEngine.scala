@@ -362,7 +362,7 @@ final class GraftEngine(val spark: SparkSession) {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types.{BinaryType, LongType}
     val hashes = transform(operators.TextAnalysis.tokens(col("text")),
-      tk => conv(substring(md5(tk.cast(BinaryType)), 1, 15), 16, 10).cast(LongType))
+      tk => functions.GraftFunctions.md5Long(tk.cast(BinaryType)))
     operators.Dedup.simhashNearDup(
       docs.select(col("doc_id"), functions.GraftFunctions.simhash64(hashes).as("sh")),
       maxHamming)

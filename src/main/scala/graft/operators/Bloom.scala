@@ -94,8 +94,9 @@ object Bloom {
     ) { (s, dir) =>
       val fp = Tables(s, dir).documentsRebalanced.select(
         col("doc_id"), col("lang"),
-        conv(substring(md5(regexp_replace(lower(col("text")), "\\s+", " ")
-          .cast(BinaryType)), 1, 15), 16, 10).cast(LongType).as("x"))
+        graft.functions.GraftFunctions.md5Long(
+          regexp_replace(lower(col("text")), "\\s+", " ")
+            .cast(BinaryType)).as("x"))
       val evalKeys = fp.filter(col("doc_id") % 97 === 0).select("x").distinct()
       val bloom = build(evalKeys)
       val withM = withMembership(fp, "x", bloom)

@@ -24,8 +24,7 @@ object Checksum {
   /** Sum-of-row-hashes checksum over the given (pre-formatted) columns. */
   def tableChecksum(df: DataFrame, cols: Seq[Column]): DataFrame = {
     val row = concat_ws("|", cols: _*)
-    val h = conv(substring(md5(row.cast(BinaryType)), 1, 15), 16, 10)
-      .cast(LongType)
+    val h = graft.functions.GraftFunctions.md5Long(row.cast(BinaryType))
     // checksum travels as a STRING: a 2^74-scale decimal survives any
     // client layer verbatim, where DECIMAL/HUGEINT degrade to float in
     // dataframe bridges and lose the low digits
@@ -93,8 +92,8 @@ object Checksum {
 
   /** Grouped [[tableChecksum]]: one checksum row per bucket. */
   def bucketChecksums(df: DataFrame, bucket: Column, cols: Seq[Column]): DataFrame = {
-    val h = conv(substring(md5(concat_ws("|", cols: _*).cast(BinaryType)), 1, 15), 16, 10)
-      .cast(LongType)
+    val h = graft.functions.GraftFunctions.md5Long(
+      concat_ws("|", cols: _*).cast(BinaryType))
     df.select(bucket.as("bucket"), h.as("h"))
       .groupBy("bucket")
       .agg(

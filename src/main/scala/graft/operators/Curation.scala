@@ -47,8 +47,8 @@ object Curation {
     */
   def domainQuotaCap(docs: DataFrame, domainCol: String, cap: Int): DataFrame = {
     val bucket =
-      conv(substring(md5(col("doc_id").cast(StringType).cast(BinaryType)), 1, 15), 16, 10)
-        .cast(LongType) % Buckets
+      graft.functions.GraftFunctions.md5Long(
+        col("doc_id").cast(StringType).cast(BinaryType)) % Buckets
     val score =
       -(bucket.cast(DoubleType) * lit(4294967296.0) + col("doc_id").cast(DoubleType))
     docs

@@ -468,7 +468,7 @@ object Dedup {
     ) { (s, dir) =>
       val toks = TextAnalysis.tokens(col("text"))
       val hashes = transform(toks,
-        t => conv(substring(md5(t.cast(BinaryType)), 1, 15), 16, 10).cast(LongType))
+        t => GraftFunctions.md5Long(t.cast(BinaryType)))
       Tables(s, dir).documentsRebalanced
         .select(col("doc_id"), GraftFunctions.simhash64(hashes).as("sh"))
         .orderBy("doc_id")
@@ -582,7 +582,7 @@ object Dedup {
   /** (doc_id, sh): the q21 signature frame. */
   def docsWithSimhash(t: Tables): DataFrame = {
     val hashes = transform(TextAnalysis.tokens(col("text")),
-      tk => conv(substring(md5(tk.cast(BinaryType)), 1, 15), 16, 10).cast(LongType))
+      tk => GraftFunctions.md5Long(tk.cast(BinaryType)))
     t.documentsRebalanced
       .select(col("doc_id"), GraftFunctions.simhash64(hashes).as("sh"))
   }

@@ -41,8 +41,8 @@ object Mixture {
             .cast(LongType),
           lit(Buckets)))
     val bucket =
-      conv(substring(md5(col("doc_id").cast(StringType).cast(BinaryType)), 1, 15), 16, 10)
-        .cast(LongType) % Buckets
+      graft.functions.GraftFunctions.md5Long(
+        col("doc_id").cast(StringType).cast(BinaryType)) % Buckets
     df.join(broadcast(sizes), stratumCol)
       .select(col(stratumCol), col("n_docs"), col("threshold"),
         (bucket < col("threshold")).as("in_sample"))

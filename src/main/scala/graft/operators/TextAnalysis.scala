@@ -419,8 +419,8 @@ object TextAnalysis {
         |GROUP BY lang ORDER BY lang""".stripMargin,
     ) { (s, dir) =>
       val bucket =
-        conv(substring(md5(col("doc_id").cast(StringType).cast(BinaryType)), 1, 15), 16, 10)
-          .cast(LongType) % 100
+        graft.functions.GraftFunctions.md5Long(
+          col("doc_id").cast(StringType).cast(BinaryType)) % 100
       Tables(s, dir).documentsRebalanced
         .select(col("lang"), col("doc_id"), bucket.as("bucket"))
         .filter(col("bucket") < when(col("lang") === "en", 50).otherwise(20))
@@ -485,9 +485,8 @@ object TextAnalysis {
         |       CAST(MAX(doc_id) AS BIGINT) AS max_id
         |FROM top GROUP BY source ORDER BY source""".stripMargin,
     ) { (s, dir) =>
-      val h = conv(substring(md5(
-        concat(lit("wsamp"), col("doc_id").cast(StringType)).cast(BinaryType)),
-        1, 15), 16, 10).cast(LongType)
+      val h = graft.functions.GraftFunctions.md5Long(
+        concat(lit("wsamp"), col("doc_id").cast(StringType)).cast(BinaryType))
       val u = h.cast(DoubleType) / lit(1152921504606846976.0)
       val k = when(col("source").isin("src0", "src1", "src2", "src3", "src4"),
           sqrt(sqrt(u)))
@@ -525,9 +524,8 @@ object TextAnalysis {
         |SELECT lang, rank, doc_id, ROUND(u, 6) AS u
         |FROM ranked WHERE rank <= 20 ORDER BY lang, rank""".stripMargin,
     ) { (s, dir) =>
-      val h = conv(substring(md5(
-        concat(lit("gsamp"), col("doc_id").cast(StringType)).cast(BinaryType)),
-        1, 15), 16, 10).cast(LongType)
+      val h = graft.functions.GraftFunctions.md5Long(
+        concat(lit("gsamp"), col("doc_id").cast(StringType)).cast(BinaryType))
       val u = h.cast(DoubleType) / lit(1152921504606846976.0)
       Tables(s, dir).documentsRebalanced
         .select(col("lang"), col("doc_id"), u.as("u"))

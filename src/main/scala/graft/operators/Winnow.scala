@@ -60,8 +60,8 @@ object Winnow {
       .select(col("doc_id"), col("t"),
         explode(expr(s"sequence(1, length(t) - ${K - 1})")).as("p"))
       .withColumn("h",
-        conv(substring(md5(expr(s"substr(t, p, $K)").cast(BinaryType)), 1, 15),
-          16, 10).cast(LongType))
+        graft.functions.GraftFunctions.md5Long(
+          expr(s"substr(t, p, $K)").cast(BinaryType)))
       .withColumn("wmin", min(col("h")).over(w))
       // the last W-1 positions have shrunk windows — not winnow output
       .filter(col("p") <= length(col("t")) - lit(K - 1) - lit(W - 1))
@@ -110,9 +110,9 @@ object Winnow {
         explode(expr(s"sequence(1, size(toks) - ${n - 1})")).as("p"),
         col("toks"))
       .select(col("doc_id"),
-        conv(substring(md5(array_join(slice(col("toks"), col("p"), lit(n)), " ")
-          .cast(org.apache.spark.sql.types.BinaryType)), 1, 15), 16, 10)
-          .cast(LongType).as("gh"))
+        graft.functions.GraftFunctions.md5Long(
+          array_join(slice(col("toks"), col("p"), lit(n)), " ")
+            .cast(org.apache.spark.sql.types.BinaryType)).as("gh"))
     val evalGrams = grams(eval).select("gh").distinct()
     grams(train)
       .join(broadcast(evalGrams), Seq("gh"))

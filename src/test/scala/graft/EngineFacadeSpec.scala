@@ -187,6 +187,29 @@ class EngineFacadeSpec extends SparkSpec {
     }
   }
 
+  test("md5_long equals the composed conv(substring(md5,1,15),16,10) form") {
+    import org.apache.spark.sql.functions._
+    // the strings the engine actually hashes: ascii tokens, empty,
+    // whitespace-normalized text, unicode, long text, numeric ids
+    val samples = Seq("", "a", "the", "hello world", "éclair ünïcødé 中文",
+      "x" * 5000, "42", "doc-000123", "|", "a|b|c") ++
+      (0 until 200).map(i => s"tok$i")
+    val df = spark.createDataFrame(samples.map(Tuple1(_))).toDF("s")
+      .select(col("s"),
+        graft.functions.GraftFunctions.md5Long(
+          col("s").cast(org.apache.spark.sql.types.BinaryType)).as("fast"),
+        conv(substring(md5(col("s").cast(org.apache.spark.sql.types.BinaryType)),
+          1, 15), 16, 10).cast(org.apache.spark.sql.types.LongType).as("slow"))
+    assert(df.filter(col("fast") =!= col("slow")).count() == 0)
+    assert(df.filter(col("fast") < 0).count() == 0) // 60-bit ⇒ non-negative
+    // SQL registration path agrees, and NULL propagates
+    val viaSql = spark.sql(
+      "SELECT md5_long(CAST('hello world' AS BINARY)) a, md5_long(NULL) b").head
+    assert(viaSql.getLong(0) ==
+      df.filter(col("s") === "hello world").head.getLong(1))
+    assert(viaSql.isNullAt(1))
+  }
+
   test("splitmix64 SQL function matches the reference finalizer") {
     // pinned vectors, independently computable from the published
     // splitmix64 constants
