@@ -221,6 +221,57 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** Exact-substring span-removal dedup (the Lee et al. 2022
+    * "Deduplicating Training Data Makes Language Models Better"
+    * transform, in token-gram form): every token covered by ANY
+    * corpus-duplicated `n`-gram is REMOVED from the document, and the
+    * report carries the cleaned text's md5 so the rewrite itself sits
+    * under the differential gate — this is the missing TRANSFORM
+    * companion to q148's dup-rate METRIC (a metric answers "how
+    * burned is the corpus?", the transform produces the corpus you
+    * actually train on).
+    *
+    * Scale shape: grams come from the one windowed pass over the
+    * staged token table (no re-tokenize); the duplicated-gram set is a
+    * grouped count filtered to c>1, joined back BY GRAM KEY (set
+    * membership, never doc × doc); cover propagation is a per-doc
+    * ROWS-frame window (n−1 preceding → current), so a token learns it
+    * is covered from its own partition — no position self-join. The
+    * rebuild collects only each doc's KEPT tokens (null-skipping
+    * collect_list), bounded by document size — the same per-doc state
+    * bound as q100's chunker.
+    */
+  def spanDedup(tokens: DataFrame, n: Int): DataFrame = {
+    val byDoc = Window.partitionBy("doc_id").orderBy("pos")
+    val parts = col("term") +: (1 until n).map(i => lead("term", i).over(byDoc))
+    val withGram = tokens
+      .select(col("doc_id"), col("pos"), col("term"),
+        concat_ws(" ", parts: _*).as("g"),
+        lead("term", n - 1).over(byDoc).isNotNull.as("full"))
+    val dupGrams = withGram.filter(col("full"))
+      .groupBy("g").agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1)
+      .select(col("g"), lit(1).as("dup"))
+    val cover = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(-(n - 1), Window.currentRow)
+    withGram
+      .join(dupGrams, Seq("g"), "left")
+      .select(col("doc_id"), col("pos"), col("term"),
+        when(col("full") && col("dup").isNotNull, 1).otherwise(0).as("ds"))
+      .withColumn("cv", max(col("ds")).over(cover))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(col("cv")).cast(LongType).as("n_removed"),
+        md5(array_join(
+          transform(
+            array_sort(collect_list(
+              when(col("cv") === 0, struct(col("pos"), col("term"))))),
+            x => x.getField("term")),
+          " ").cast(BinaryType)).as("clean_md5"))
+      .orderBy("doc_id")
+  }
+
   def entries: Seq[QueryEntry] = Seq(
     // q145 — per-language quota cap at 60 docs: the dominant language
     // is capped, the tail survives whole — the mixture-shaping step
@@ -335,6 +386,46 @@ object Curation {
         |GROUP BY eg.doc_id ORDER BY eg.doc_id""".stripMargin,
     ) { (s, dir) =>
       contaminationScore(TokenizedCorpus.tokens(s, dir), n = 5, evalMod = 10)
+    },
+
+    // q158 — exact-substring span-removal dedup: tokens covered by any
+    // corpus-duplicated 5-gram are removed; the oracle replays the
+    // mark-cover-rebuild relationally and md5-compares the CLEANED
+    // TEXT itself, so the transform (not just its counts) is
+    // differential-tested.
+    QueryEntry.sql(
+      "q158_span_dedup",
+      """WITH tok0 AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+        |  FROM documents
+        |), tok AS (
+        |  SELECT doc_id, i AS pos, t[i] AS term
+        |  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t))) AS i FROM tok0)
+        |), grams AS (
+        |  SELECT doc_id, i AS pos, array_to_string(t[i:i+4], ' ') AS g
+        |  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 4)) AS i FROM tok0)
+        |), dup AS (
+        |  SELECT g FROM (SELECT g, COUNT(*) AS c FROM grams GROUP BY g) WHERE c > 1
+        |), starts AS (
+        |  SELECT grams.doc_id, grams.pos FROM grams JOIN dup USING (g)
+        |), marked AS (
+        |  SELECT tok.doc_id, tok.pos, tok.term,
+        |         CASE WHEN starts.pos IS NOT NULL THEN 1 ELSE 0 END AS ds
+        |  FROM tok LEFT JOIN starts
+        |    ON tok.doc_id = starts.doc_id AND tok.pos = starts.pos
+        |), cov AS (
+        |  SELECT doc_id, pos, term,
+        |         MAX(ds) OVER (PARTITION BY doc_id ORDER BY pos
+        |                       ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS cv
+        |  FROM marked
+        |)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |       CAST(SUM(cv) AS BIGINT) AS n_removed,
+        |       md5(COALESCE(string_agg(CASE WHEN cv = 0 THEN term END, ' '
+        |                               ORDER BY pos), '')) AS clean_md5
+        |FROM cov GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    ) { (s, dir) =>
+      spanDedup(TokenizedCorpus.tokens(s, dir), n = 5)
     },
   )
 }

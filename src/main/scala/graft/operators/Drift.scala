@@ -91,6 +91,43 @@ object Drift {
       .orderBy("event_type")
   }
 
+  /** Per-label embedding centroid drift between two corpus halves
+    * (vec_id parity): the L2 distance between each label's half-A and
+    * half-B mean vectors — the EMBEDDING-space counterpart to the
+    * scalar PSI above (PSI watches a feature's distribution; this
+    * watches a representation, the standard "did my encoder or my
+    * corpus move?" monitor between ingestion batches).
+    *
+    * Scale shape: ONE posexplode pass over the vectors, one grouped
+    * aggregate to (label × dim) cells with the two half-means computed
+    * as conditional AVGs in the same shuffle, then the L2 folds the
+    * dim-sized cell frame per label — the corpus is touched once, and
+    * nothing larger than labels × dims is ever materialized. Counts
+    * ride a separate vector-level aggregate (labels-sized, broadcast
+    * back). The half-means are snapped to 6 decimals BEFORE the L2 so
+    * the statistic is insensitive to summation order (same pin both
+    * engines — differential-safe under parallel aggregation).
+    */
+  def centroidDrift(emb: DataFrame): DataFrame = {
+    val half = (col("vec_id") % 2).as("half")
+    val cells = emb
+      .select(col("label"), half, posexplode(col("embedding")).as(Seq("d", "v")))
+      .groupBy("label", "d")
+      .agg(
+        round(avg(when(col("half") === 0, col("v").cast(DoubleType))), 6).as("ma"),
+        round(avg(when(col("half") === 1, col("v").cast(DoubleType))), 6).as("mb"))
+    val counts = emb.groupBy("label").agg(
+      sum(when(col("vec_id") % 2 === 0, 1L).otherwise(0L)).as("n_a"),
+      sum(when(col("vec_id") % 2 === 1, 1L).otherwise(0L)).as("n_b"))
+    cells
+      .groupBy("label")
+      .agg(round(sqrt(sum((col("ma") - col("mb")) * (col("ma") - col("mb")))), 6)
+        .as("drift"))
+      .join(broadcast(counts), Seq("label"))
+      .select(col("label"), col("n_a"), col("n_b"), col("drift"))
+      .orderBy("label")
+  }
+
   val entries: Seq[QueryEntry] = Seq(
     // Value-distribution drift across the mid-January boundary; DuckDB
     // re-derives bucket shares and the per-bucket PSI contribution.
@@ -150,6 +187,35 @@ object Drift {
         |FROM ranked WHERE rk = 1 ORDER BY event_type""".stripMargin,
     ) { (s, dir) =>
       cusumChangepoint(Tables(s, dir).events)
+    },
+
+    // q159 — per-label centroid drift between the vec_id-parity halves
+    // of the embedding corpus; DuckDB re-derives the half-means by list
+    // indexing and re-folds the L2 independently. Both engines snap the
+    // means to 6 decimals before the fold (order-insensitivity pin).
+    QueryEntry.sql(
+      "q159_centroid_drift",
+      """WITH cells AS (
+        |  SELECT label, d,
+        |         ROUND(AVG(CASE WHEN vec_id % 2 = 0
+        |                        THEN CAST(embedding[d] AS DOUBLE) END), 6) AS ma,
+        |         ROUND(AVG(CASE WHEN vec_id % 2 = 1
+        |                        THEN CAST(embedding[d] AS DOUBLE) END), 6) AS mb
+        |  FROM embeddings, (SELECT unnest(range(1, 65)) AS d) dims
+        |  GROUP BY label, d
+        |), drift AS (
+        |  SELECT label, ROUND(sqrt(SUM((ma - mb) * (ma - mb))), 6) AS drift
+        |  FROM cells GROUP BY label
+        |), counts AS (
+        |  SELECT label,
+        |         CAST(SUM(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |         CAST(SUM(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+        |  FROM embeddings GROUP BY label
+        |)
+        |SELECT d.label, c.n_a, c.n_b, d.drift
+        |FROM drift d JOIN counts c USING (label) ORDER BY label""".stripMargin,
+    ) { (s, dir) =>
+      centroidDrift(Tables(s, dir).embeddings)
     },
   )
 }

@@ -200,4 +200,47 @@ class CurationSpec extends SparkSpec {
       .map(r => (r.getAs[Long]("shard"), r.getAs[Long]("n_docs"), r.getAs[Long]("total_chars")))
     assert(got.toSeq == brute.toSeq)
   }
+
+  // -- exact-substring span-removal dedup -----------------------------
+
+  test("spanDedup: hand-built corpus — cross-doc and within-doc duplicated grams cover correctly") {
+    // bigrams (n=2): "a b" appears in docs 1 and 2 (cross-doc dup);
+    // "p q" appears twice inside doc 3 (within-doc dup); doc 4 is clean
+    val toks = Seq(
+      (1L, Seq("a", "b", "c", "d")),
+      (2L, Seq("x", "a", "b", "y")),
+      (3L, Seq("p", "q", "p", "q")),
+      (4L, Seq("u", "v", "w")),
+    ).flatMap { case (d, ts) =>
+      ts.zipWithIndex.map { case (t, i) => (d, i + 1, t) }
+    }.toDF("doc_id", "pos", "term")
+
+    val got = Curation.spanDedup(toks, n = 2).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("n_removed"),
+          r.getAs[String]("clean_md5"))).toMap
+
+    def md5hex(s: String): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      d.map("%02x".format(_)).mkString
+    }
+    // doc 1: a,b removed -> "c d"; doc 2: a,b removed -> "x y";
+    // doc 3: fully covered -> ""; doc 4: untouched
+    assert(got(1L) == ((4L, 2L, md5hex("c d"))))
+    assert(got(2L) == ((4L, 2L, md5hex("x y"))))
+    assert(got(3L) == ((4L, 4L, md5hex(""))))
+    assert(got(4L) == ((3L, 0L, md5hex("u v w"))))
+  }
+
+  test("spanDedup: partitioning-invariant and removal counts bounded by doc size") {
+    val toks = sources.TokenizedCorpus.tokens(spark, sf)
+    val a = Curation.spanDedup(toks, n = 5).collect().toSeq
+    val b = Curation.spanDedup(toks.repartition(17), n = 5).collect().toSeq
+    assert(a == b && a.nonEmpty)
+    assert(a.forall { r =>
+      val n = r.getAs[Long]("n_tokens"); val rm = r.getAs[Long]("n_removed")
+      rm >= 0L && rm <= n
+    })
+  }
 }

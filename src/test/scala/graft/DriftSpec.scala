@@ -51,4 +51,31 @@ class DriftSpec extends SparkSpec {
     assert(r.getAs[Long]("s_abs") == 0L)
     assert(r.getAs[String]("change_day") == "2024-01-01")
   }
+
+  test("centroidDrift: hand-computed L2 between parity-half means; identical halves drift zero") {
+    // label 0: half A (vec_id 0,2) mean [2,3]; half B (vec_id 1,3)
+    // mean [2,1] -> L2 = sqrt(0+4) = 2. label 1: halves identical -> 0.
+    val emb = Seq(
+      (0L, Seq(1.0f, 2.0f), 0),
+      (2L, Seq(3.0f, 4.0f), 0),
+      (1L, Seq(0.0f, 1.0f), 0),
+      (3L, Seq(4.0f, 1.0f), 0),
+      (10L, Seq(5.0f, 5.0f), 1),
+      (11L, Seq(5.0f, 5.0f), 1),
+    ).toDF("vec_id", "embedding", "label")
+    val got = Drift.centroidDrift(emb).collect()
+      .map(r => r.getAs[Int]("label") ->
+        (r.getAs[Long]("n_a"), r.getAs[Long]("n_b"),
+          r.getAs[Double]("drift"))).toMap
+    assert(got(0) == ((2L, 2L, 2.0)))
+    assert(got(1) == ((1L, 1L, 0.0)))
+  }
+
+  test("centroidDrift: partitioning-invariant on the fixture corpus") {
+    val emb = Tables(spark, sf).embeddings
+    val a = Drift.centroidDrift(emb).collect().toSeq
+    val b = Drift.centroidDrift(emb.repartition(11)).collect().toSeq
+    assert(a == b && a.nonEmpty)
+    assert(a.forall(_.getAs[Double]("drift") >= 0.0))
+  }
 }
