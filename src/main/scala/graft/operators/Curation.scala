@@ -272,6 +272,59 @@ object Curation {
       .orderBy("doc_id")
   }
 
+  /** DSIR-style importance weights (Xie et al., NeurIPS'23 "Data
+    * Selection for Language Models via Importance Resampling"): score
+    * every raw document by how target-like its hashed-bigram profile
+    * is — w(d) = Σ_{bigram g∈d} [ln p̂_target(bucket(g)) −
+    * ln p̂_raw(bucket(g))], add-1-smoothed over a B-bucket hashed
+    * feature space. The resampling step then draws by softmax(w); the
+    * weights are the whole statistical content, so that is what this
+    * operator produces (per doc: bigram count + weight).
+    *
+    * Scale shape: the classic fit→broadcast→score pipeline. The corpus
+    * is STREAMED twice and materialized never — once to reduce bigram
+    * instances to the B-sized (n_target, n_raw) cell frame (map-side
+    * combined), once to score docs against the fitted model; the model
+    * (B rows, B ≈ 2¹²) broadcasts to every executor, so scoring is a
+    * shuffle-free map + one per-doc aggregate. Bigram hashing is the
+    * native [[GraftFunctions.md5Long]] (no hex-string round trip).
+    *
+    * Determinism pin: per-bucket log weights are snapped to 6 decimals
+    * and carried as DECIMAL(18,6), so the per-doc sum is EXACT integer
+    * arithmetic — summation order cannot move the result (q75/q154
+    * checksum rule; the bound: |lw| ≤ ln(T+B) ≤ 60, × 10⁶ scale ×
+    * ~10⁴ bigrams/doc stays far under DECIMAL(28,6)).
+    */
+  def dsirWeights(tokens: DataFrame, docs: DataFrame, targetLang: String,
+      buckets: Int = 4096): DataFrame = {
+    val byDoc = Window.partitionBy("doc_id").orderBy("pos")
+    val big = tokens
+      .select(col("doc_id"), col("term"), lead("term", 1).over(byDoc).as("nxt"))
+      .filter(col("nxt").isNotNull)
+      .select(col("doc_id"), concat_ws(" ", col("term"), col("nxt")).as("g"))
+    val hb = big
+      .join(docs.select(col("doc_id"), (col("lang") === targetLang).as("tgt")),
+        Seq("doc_id"))
+      .select(col("doc_id"),
+        (GraftFunctions.md5Long(col("g").cast(BinaryType)) % buckets).as("b"),
+        col("tgt"))
+    val cells = hb.groupBy("b").agg(
+      sum(when(col("tgt"), 1L).otherwise(0L)).as("nt"),
+      count(lit(1)).as("nr"))
+    val tots = cells.agg(sum("nt").as("tt"), sum("nr").as("tr"))
+    val model = cells.crossJoin(broadcast(tots))
+      .select(col("b"),
+        round(
+          log((col("nt") + lit(1.0)) / (col("tt") + lit(buckets.toDouble))) -
+          log((col("nr") + lit(1.0)) / (col("tr") + lit(buckets.toDouble))), 6)
+          .cast(DecimalType(18, 6)).as("lw"))
+    hb.join(broadcast(model), Seq("b"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("lw")).cast(DoubleType).as("weight"))
+      .orderBy("doc_id")
+  }
+
   def entries: Seq[QueryEntry] = Seq(
     // q145 — per-language quota cap at 60 docs: the dominant language
     // is capped, the tail survives whole — the mixture-shaping step
@@ -426,6 +479,44 @@ object Curation {
         |FROM cov GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     ) { (s, dir) =>
       spanDedup(TokenizedCorpus.tokens(s, dir), n = 5)
+    },
+
+    // q160 — DSIR importance weights against the lang='en' target
+    // slice over a 4096-bucket hashed-bigram space; DuckDB refits the
+    // whole model (bigrams, hash buckets, smoothed log-ratios)
+    // independently and re-scores every document. Weights travel as
+    // 6dp DECIMAL in both engines, so the comparison is exact.
+    QueryEntry.sql(
+      "q160_dsir_weights",
+      """WITH tok0 AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+        |  FROM documents
+        |), big AS (
+        |  SELECT doc_id, t[i] || ' ' || t[i+1] AS g
+        |  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i
+        |        FROM tok0)
+        |), hb AS (
+        |  SELECT big.doc_id,
+        |         CAST('0x' || substr(md5(g), 1, 15) AS BIGINT) % 4096 AS b,
+        |         (lang = 'en') AS tgt
+        |  FROM big JOIN documents USING (doc_id)
+        |), cells AS (
+        |  SELECT b, SUM(CASE WHEN tgt THEN 1 ELSE 0 END) AS nt, COUNT(*) AS nr
+        |  FROM hb GROUP BY b
+        |), tots AS (SELECT SUM(nt) AS tt, SUM(nr) AS tr FROM cells),
+        |model AS (
+        |  SELECT b, CAST(ROUND(ln((nt + 1.0) / (tt + 4096.0))
+        |                       - ln((nr + 1.0) / (tr + 4096.0)), 6)
+        |                 AS DECIMAL(18,6)) AS lw
+        |  FROM cells, tots
+        |)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+        |       CAST(SUM(lw) AS DOUBLE) AS weight
+        |FROM hb JOIN model USING (b)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    ) { (s, dir) =>
+      dsirWeights(TokenizedCorpus.tokens(s, dir), Tables(s, dir).documents,
+        targetLang = "en")
     },
   )
 }

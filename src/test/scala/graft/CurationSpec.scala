@@ -243,4 +243,62 @@ class CurationSpec extends SparkSpec {
       rm >= 0L && rm <= n
     })
   }
+
+  // -- DSIR importance weights ----------------------------------------
+
+  test("dsirWeights: toy corpus matches a plain-Scala refit of the hashed model") {
+    val docs = Seq((1L, "en"), (2L, "fr"), (3L, "fr"))
+      .toDF("doc_id", "lang")
+    val toks = Seq(
+      (1L, 1, "a"), (1L, 2, "b"),
+      (2L, 1, "a"), (2L, 2, "b"),
+      (3L, 1, "c"), (3L, 2, "d"),
+    ).toDF("doc_id", "pos", "term")
+    val B = 4096
+
+    // independent refit: MessageDigest md5 -> leading 60 bits -> bucket
+    def bucket(g: String): Long = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(g.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(h.take(15), 16) % B
+    }
+    val grams = Seq((1L, "a b", true), (2L, "a b", false), (3L, "c d", false))
+    val byB = grams.groupBy { case (_, g, _) => bucket(g) }
+    val (tt, tr) = (grams.count(_._3).toDouble, grams.size.toDouble)
+    def lw(b: Long): BigDecimal = {
+      val cell = byB(b)
+      val nt = cell.count(_._3); val nr = cell.size
+      BigDecimal(math.log((nt + 1.0) / (tt + B)) - math.log((nr + 1.0) / (tr + B)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    }
+    val expected = grams.groupBy(_._1).map { case (d, gs) =>
+      d -> gs.map(g => lw(bucket(g._2))).sum.toDouble
+    }
+
+    val got = Curation.dsirWeights(toks, docs, "en", buckets = B).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_bigrams"), r.getAs[Double]("weight"))).toMap
+    assert(got.keySet == Set(1L, 2L, 3L))
+    assert(got.values.forall(_._1 == 1L))
+    expected.foreach { case (d, w) =>
+      assert(math.abs(got(d)._2 - w) < 1e-9, s"doc $d: ${got(d)._2} vs $w")
+    }
+    // the target doc's bigram is target-heavy -> strictly higher weight
+    assert(got(1L)._2 > got(3L)._2)
+  }
+
+  test("dsirWeights: partitioning-invariant; en docs outscore non-en on the fixture") {
+    val toks = sources.TokenizedCorpus.tokens(spark, sf)
+    val docs = Tables(spark, sf).documents
+    val a = Curation.dsirWeights(toks, docs, "en").collect().toSeq
+    val b = Curation.dsirWeights(toks.repartition(13), docs, "en").collect().toSeq
+    assert(a == b && a.nonEmpty)
+    val byLang = docs.select("doc_id", "lang").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("lang")).toMap
+    val (en, rest) = a.partition(r => byLang(r.getAs[Long]("doc_id")) == "en")
+    def mean(rs: Seq[org.apache.spark.sql.Row]) =
+      rs.map(_.getAs[Double]("weight")).sum / rs.size
+    assert(mean(en) > mean(rest),
+      s"DSIR should rank the target slice higher: ${mean(en)} vs ${mean(rest)}")
+  }
 }
