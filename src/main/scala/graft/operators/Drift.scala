@@ -128,6 +128,60 @@ object Drift {
       .orderBy("label")
   }
 
+  /** Per-label Davies–Bouldin cluster-quality terms (Davies & Bouldin,
+    * IEEE TPAMI 1979): for each label i, scatter s_i = mean L2 of the
+    * label's vectors to their centroid, and the DB term
+    * max_{j≠i}(s_i+s_j)/d_ij — the worst separation ratio against any
+    * other label, with the offending label named. The scalar DB index
+    * is the mean of `db_term`; reported per label so a degrading
+    * cluster is attributable (the same per-group-attribution stance as
+    * PSI above and q126's buckets). The standard "are my labels still
+    * separable in embedding space?" monitor after an encoder or corpus
+    * change — the quality companion to [[centroidDrift]].
+    *
+    * Scale shape: the corpus is streamed twice and materialized never —
+    * once to fit the labels×dims centroid cell frame, once to score
+    * each vector's distance against its own centroid (cells broadcast,
+    * so scoring is shuffle-free up to the per-vector aggregate).
+    * Everything downstream (pairwise centroid distances, ratio argmax)
+    * runs on labels²-sized frames. Centroid means are snapped to 6dp
+    * in both engines (q159's order-insensitivity pin); the ratio
+    * argmax tie-breaks to the smallest label id.
+    */
+  def daviesBouldin(emb: DataFrame): DataFrame = {
+    val cells = emb
+      .select(col("label"), posexplode(col("embedding")).as(Seq("d", "v")))
+      .groupBy("label", "d")
+      .agg(round(avg(col("v").cast(DoubleType)), 6).as("m"))
+    val dist = emb
+      .select(col("vec_id"), col("label"),
+        posexplode(col("embedding")).as(Seq("d", "v")))
+      .join(broadcast(cells), Seq("label", "d"))
+      .groupBy(col("vec_id"), col("label"))
+      .agg(sqrt(sum((col("v").cast(DoubleType) - col("m"))
+        * (col("v").cast(DoubleType) - col("m")))).as("dist"))
+    val scatter = dist.groupBy("label")
+      .agg(count(lit(1)).as("n_vecs"), round(avg("dist"), 6).as("s"))
+    val dij = cells.select(col("label").as("i"), col("d"), col("m").as("mi"))
+      .join(cells.select(col("label").as("j"), col("d"), col("m").as("mj")),
+        Seq("d"))
+      .filter(col("i") =!= col("j"))
+      .groupBy("i", "j")
+      .agg(sqrt(sum((col("mi") - col("mj")) * (col("mi") - col("mj")))).as("dij"))
+    val ratios = dij
+      .join(broadcast(scatter.select(
+        col("label").as("i"), col("s").as("si"), col("n_vecs"))), Seq("i"))
+      .join(broadcast(scatter.select(col("label").as("j"), col("s").as("sj"))),
+        Seq("j"))
+      .select(col("i"), col("n_vecs"), col("si"), col("j"),
+        round((col("si") + col("sj")) / col("dij"), 6).as("db_term"))
+    val w = Window.partitionBy("i").orderBy(desc("db_term"), col("j"))
+    ratios.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+      .select(col("i").as("label"), col("n_vecs"), col("si").as("scatter"),
+        col("j").as("worst_label"), col("db_term"))
+      .orderBy("label")
+  }
+
   val entries: Seq[QueryEntry] = Seq(
     // Value-distribution drift across the mid-January boundary; DuckDB
     // re-derives bucket shares and the per-bucket PSI contribution.
@@ -216,6 +270,48 @@ object Drift {
         |FROM drift d JOIN counts c USING (label) ORDER BY label""".stripMargin,
     ) { (s, dir) =>
       centroidDrift(Tables(s, dir).embeddings)
+    },
+
+    // q161 — per-label Davies–Bouldin terms: scatter, worst-separated
+    // neighbor label, and the (s_i+s_j)/d_ij ratio; DuckDB refits the
+    // centroids by list indexing and re-derives distances, scatters,
+    // and the argmax independently.
+    QueryEntry.sql(
+      "q161_davies_bouldin",
+      """WITH dims AS (SELECT unnest(range(1, 65)) AS d),
+        |cells AS (
+        |  SELECT label, d, ROUND(AVG(CAST(embedding[d] AS DOUBLE)), 6) AS m
+        |  FROM embeddings CROSS JOIN dims GROUP BY label, d
+        |), dist AS (
+        |  SELECT vec_id, e.label,
+        |         sqrt(SUM((CAST(e.embedding[c.d] AS DOUBLE) - c.m)
+        |                  * (CAST(e.embedding[c.d] AS DOUBLE) - c.m))) AS dist
+        |  FROM embeddings e JOIN cells c ON c.label = e.label
+        |  GROUP BY vec_id, e.label
+        |), scatter AS (
+        |  SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+        |         ROUND(AVG(dist), 6) AS s
+        |  FROM dist GROUP BY label
+        |), dij AS (
+        |  SELECT a.label AS i, b.label AS j,
+        |         sqrt(SUM((a.m - b.m) * (a.m - b.m))) AS dij
+        |  FROM cells a JOIN cells b ON a.d = b.d AND a.label <> b.label
+        |  GROUP BY a.label, b.label
+        |), ratios AS (
+        |  SELECT i, j, si.n_vecs, si.s AS scatter_i,
+        |         ROUND((si.s + sj.s) / dij, 6) AS db_term,
+        |         ROW_NUMBER() OVER (
+        |           PARTITION BY i
+        |           ORDER BY ROUND((si.s + sj.s) / dij, 6) DESC, j) AS rk
+        |  FROM dij
+        |  JOIN scatter si ON si.label = i
+        |  JOIN scatter sj ON sj.label = j
+        |)
+        |SELECT i AS label, n_vecs, scatter_i AS scatter,
+        |       j AS worst_label, db_term
+        |FROM ratios WHERE rk = 1 ORDER BY label""".stripMargin,
+    ) { (s, dir) =>
+      daviesBouldin(Tables(s, dir).embeddings)
     },
   )
 }

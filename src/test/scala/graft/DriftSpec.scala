@@ -71,6 +71,36 @@ class DriftSpec extends SparkSpec {
     assert(got(1) == ((1L, 1L, 0.0)))
   }
 
+  test("daviesBouldin: hand-computed three-cluster geometry") {
+    // label 0: [0,0],[2,0] -> centroid [1,0], scatter 1
+    // label 1: [10,0],[10,2] -> centroid [10,1], scatter 1
+    // label 2: [4,0] singleton -> scatter 0
+    // d(0,2)=3, d(0,1)=sqrt(82), d(1,2)=sqrt(37)
+    // worst ratios: i=0 -> j=2 (1/3); i=1 -> j=0 (2/sqrt82); i=2 -> j=0 (1/3)
+    val emb = Seq(
+      (0L, Seq(0.0f, 0.0f), 0), (1L, Seq(2.0f, 0.0f), 0),
+      (2L, Seq(10.0f, 0.0f), 1), (3L, Seq(10.0f, 2.0f), 1),
+      (4L, Seq(4.0f, 0.0f), 2),
+    ).toDF("vec_id", "embedding", "label")
+    val got = Drift.daviesBouldin(emb).collect()
+      .map(r => r.getAs[Int]("label") ->
+        (r.getAs[Long]("n_vecs"), r.getAs[Double]("scatter"),
+          r.getAs[Int]("worst_label"), r.getAs[Double]("db_term"))).toMap
+    assert(got(0) == ((2L, 1.0, 2, 0.333333)))
+    assert(got(1)._3 == 0)
+    assert(math.abs(got(1)._4 - 2.0 / math.sqrt(82.0)) < 1e-6)
+    assert(got(2) == ((1L, 0.0, 0, 0.333333)))
+  }
+
+  test("daviesBouldin: partitioning-invariant; scatters and terms nonnegative") {
+    val emb = Tables(spark, sf).embeddings
+    val a = Drift.daviesBouldin(emb).collect().toSeq
+    val b = Drift.daviesBouldin(emb.repartition(7)).collect().toSeq
+    assert(a == b && a.nonEmpty)
+    assert(a.forall(r => r.getAs[Double]("scatter") >= 0.0 &&
+      r.getAs[Double]("db_term") >= 0.0))
+  }
+
   test("centroidDrift: partitioning-invariant on the fixture corpus") {
     val emb = Tables(spark, sf).embeddings
     val a = Drift.centroidDrift(emb).collect().toSeq
