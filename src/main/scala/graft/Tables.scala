@@ -19,14 +19,10 @@ final case class Tables(spark: SparkSession, dir: String) {
   def part: DataFrame = t("part")
   def orders: DataFrame = t("orders")
   def lineitem: DataFrame = t("lineitem")
-  /** `ts` is parquet TIMESTAMP(NANOS) — unreadable natively; with
-    * `spark.sql.legacy.parquet.nanosAsLong` it arrives as a raw long.
-    * Integer `div` (not `/`) — nanosecond epochs exceed 2^53, double
-    * division would corrupt them. Truncation to micros matches DuckDB's
-    * TIMESTAMP_NS → TIMESTAMP cast, keeping oracle parity.
+  /** `ts` normalized to session TimestampType whatever the fixture's
+    * parquet encoding is this round — see [[Tables.withEventsTs]].
     */
-  def events: DataFrame =
-    t("events").withColumn("ts", Tables.eventsTsFromNanos)
+  def events: DataFrame = Tables.withEventsTs(t("events"))
   def documents: DataFrame = t("documents")
 
   /** documents rebalanced across the session's parallelism — the local
@@ -43,12 +39,50 @@ final case class Tables(spark: SparkSession, dir: String) {
 }
 
 object Tables {
-  /** The one shared nanos→micros conversion for the events timeline —
-    * batch (`Tables.events`) and streaming (`StreamingEvents`) must use
-    * the identical expression or their equivalence breaks.
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.functions.{col, expr}
+  import org.apache.spark.sql.types.{DataType, LongType, TimestampNTZType, TimestampType}
+
+  /** The one shared `ts` decode for the events timeline — batch
+    * (`Tables.events`) and streaming (`StreamingEvents`) must use the
+    * identical expression or their equivalence breaks. The driver
+    * regenerates the fixtures between rounds and has shipped `ts` as
+    * both parquet TIMESTAMP(NANOS) (a raw long under
+    * `spark.sql.legacy.parquet.nanosAsLong`) and plain `timestamp[us]`
+    * (read as TIMESTAMP_NTZ), so the decode branches on the arriving
+    * type instead of hard-coding either era:
+    *
+    *  - `LongType` (epoch nanos): integer `div` (not `/`) — nanosecond
+    *    epochs exceed 2^53 and double division would corrupt them;
+    *    truncation to micros matches DuckDB's TIMESTAMP_NS → TIMESTAMP
+    *    cast, keeping oracle parity.
+    *  - `TimestampNTZType`: cast to TimestampType — value-preserving
+    *    because the session timezone is pinned UTC
+    *    (`EngineSession`), and keeps every downstream consumer
+    *    (windows, watermarks, `unix_micros`) on the one type they were
+    *    written against.
+    *  - `TimestampType`: already the target type.
     */
-  def eventsTsFromNanos: org.apache.spark.sql.Column =
-    org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)")
+  def eventsTs(dt: DataType): Column = dt match {
+    case LongType         => expr("timestamp_micros(ts div 1000)")
+    case TimestampNTZType => col("ts").cast(TimestampType)
+    case TimestampType    => col("ts")
+    case other => throw new IllegalArgumentException(
+      s"events.ts arrived as $other; expected nanos long, timestamp_ntz, or timestamp")
+  }
+
+  /** [[eventsTs]] applied: `ts` replaced with its TimestampType form. */
+  def withEventsTs(df: DataFrame): DataFrame =
+    df.withColumn("ts", eventsTs(df.schema("ts").dataType))
+
+  /** Epoch-micros form of `ts`, for consumers that fold on raw micro
+    * longs (streaming SCD2/EWMA) — derived from the same decode so the
+    * batch/stream equivalence rests on one expression.
+    */
+  def eventsTsMicros(dt: DataType): Column = dt match {
+    case LongType => expr("ts div 1000")
+    case _        => org.apache.spark.sql.functions.unix_micros(eventsTs(dt))
+  }
 
   /** Memoized source frames per (session, dir, table). `spark.read
     * .parquet` pays file listing + footer schema inference on every

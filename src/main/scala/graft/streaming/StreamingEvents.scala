@@ -29,7 +29,7 @@ object StreamingEvents {
     spark.readStream
       .schema(schema)
       .parquet(src)
-      .withColumn("ts", graft.Tables.eventsTsFromNanos)
+      .withColumn("ts", graft.Tables.eventsTs(schema("ts").dataType))
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour").as("win"), col("event_type"))
       .agg(count(lit(1)).as("cnt"))
@@ -93,7 +93,7 @@ object StreamingEvents {
     spark.readStream
       .schema(schema)
       .parquet(src)
-      .withColumn("ts", graft.Tables.eventsTsFromNanos)
+      .withColumn("ts", graft.Tables.eventsTs(schema("ts").dataType))
       .withWatermark("ts", "1 hour")
       .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("win"))
       .agg(count(lit(1)).as("n_events"))
@@ -127,7 +127,7 @@ object StreamingEvents {
     val src = stagedStreamSource(spark, dir)
     val schema = spark.read.parquet(src).schema
     def stream() = spark.readStream.schema(schema).parquet(src)
-      .withColumn("ts", graft.Tables.eventsTsFromNanos)
+      .withColumn("ts", graft.Tables.eventsTs(schema("ts").dataType))
     val probes = stream()
       .filter(col("event_id") % 10 === 0)
       .select(col("user_id").as("pu"), col("event_id").as("pid"),
@@ -217,10 +217,8 @@ object StreamingEvents {
     val src = stagedStreamSource(spark, dir)
     val schema = spark.read.parquet(src).schema
     val events = spark.readStream.schema(schema).parquet(src)
-      // raw fixture ts is epoch NANOS; q108's epoch-micro bounds are
-      // ts div 1000 — INTEGER division (the `/` operator would go
-      // through double and round-to-nearest at 1e18 magnitudes)
-      .select(col("user_id"), expr("ts div 1000").as("tus"),
+      .select(col("user_id"),
+        graft.Tables.eventsTsMicros(schema("ts").dataType).as("tus"),
         col("event_id"), floor(col("value")).cast("long").as("v"))
       .as[(Long, Long, Long, Long)]
     val closed = events
@@ -271,7 +269,8 @@ object StreamingEvents {
     val schema = spark.read.parquet(src).schema
     val alpha = graft.operators.Ewma.Alpha
     spark.readStream.schema(schema).parquet(src)
-      .select(col("user_id"), expr("ts div 1000").as("tus"),
+      .select(col("user_id"),
+        graft.Tables.eventsTsMicros(schema("ts").dataType).as("tus"),
         col("event_id"), col("value"))
       .as[(Long, Long, Long, Double)]
       .groupByKey(_._1)
@@ -318,7 +317,7 @@ object StreamingEvents {
     val src = stagedStreamSource(spark, dir)
     val schema = spark.read.parquet(src).schema
     def stream() = spark.readStream.schema(schema).parquet(src)
-      .withColumn("ts", graft.Tables.eventsTsFromNanos)
+      .withColumn("ts", graft.Tables.eventsTs(schema("ts").dataType))
       .select(col("event_id"), col("ts"), col("event_type"), col("value"))
     stream().unionAll(stream())
       .withWatermark("ts", "1 hour")
