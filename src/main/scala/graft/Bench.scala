@@ -23,8 +23,10 @@ import org.apache.spark.sql.SparkSession
   * vs_prev regression are re-measured ISOLATED after the sequence —
   * seq/iso ≈ 1 certifies the sequence number; a regression that
   * vanishes isolated is sequence/host noise, visible in the record
-  * itself. The line is also written to BENCH_LAST.json as a file
-  * artifact.
+  * itself. When seq and iso THEMSELVES disagree (>1.5x either way) the
+  * query is re-measured once more in a fresh child JVM and recorded as
+  * `witness.<q>.fresh` — the no-shared-history tiebreaker. The line is
+  * also written to BENCH_LAST.json as a file artifact.
   */
 object Bench {
 
@@ -83,6 +85,58 @@ object Bench {
   val WitnessSlowest = 8
   val WitnessRegressionRatio = 1.5
   val WitnessCap = 14
+
+  /** Fresh-JVM tiebreaker (round-7 protocol): when a witnessed query's
+    * seq and iso numbers disagree by more than this ratio in EITHER
+    * direction, the in-JVM record is self-contradictory — iso ≫ seq
+    * with low steal and low code-cache is a state the signature table
+    * cannot classify (r6: q139 seq 4.99 s / iso 15.10 s). The only
+    * measurement with no shared-JVM history at all is a new process, so
+    * such queries are re-measured once in a child JVM (same flags,
+    * classpath, and hygiene; nothing else has ever run in it) and the
+    * result recorded as `witness.<q>.fresh`. Trust order: fresh > the
+    * lower of seq/iso > the higher.
+    */
+  val FreshDisagreeRatio = 1.5
+  val FreshCap = 8
+
+  /** Measure one query in a brand-new JVM: re-exec this class with the
+    * parent's own JVM flags and classpath, `SPARK_GRAFT_FRESH=1` +
+    * `SPARK_GRAFT_ONLY=<name>`, and parse the single `{"fresh":{...}}`
+    * stdout line. -1.0 on any failure — a broken tiebreaker must never
+    * take down the bench record.
+    */
+  def freshJvmSeconds(name: String, sfDir: String, cpus: String): Double =
+    try {
+      import scala.jdk.CollectionConverters._
+      val javaBin = java.nio.file.Paths.get(
+        sys.props("java.home"), "bin", "java").toString
+      val jvmArgs = java.lang.management.ManagementFactory
+        .getRuntimeMXBean.getInputArguments.asScala.toSeq
+        .filterNot(a => a.startsWith("-agentlib") || a.startsWith("-javaagent"))
+      val cmd = Seq(javaBin) ++ jvmArgs ++
+        Seq("-cp", sys.props("java.class.path"), "graft.Bench")
+      val pb = new ProcessBuilder(cmd.asJava)
+      pb.environment().put("SPARK_GRAFT_FRESH", "1")
+      pb.environment().put("SPARK_GRAFT_ONLY", name)
+      pb.environment().put("SPARK_GRAFT_SF_DIR", sfDir)
+      pb.environment().put("SPARK_GRAFT_CPUS", cpus)
+      pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+      val p = pb.start()
+      // watchdog: reading stdout blocks until the child exits; a hung
+      // child is killed rather than hanging the whole bench
+      val killer = new Thread(() => {
+        if (!p.waitFor(600, java.util.concurrent.TimeUnit.SECONDS))
+          p.destroyForcibly()
+      })
+      killer.setDaemon(true)
+      killer.start()
+      val out = new String(p.getInputStream.readAllBytes(), "UTF-8")
+      p.waitFor()
+      val re = ("\"" + java.util.regex.Pattern.quote(name) +
+        "\":(-?\\d+(?:\\.\\d+)?(?:[eE][+-]?\\d+)?)").r
+      re.findFirstMatchIn(out).map(_.group(1).toDouble).getOrElse(-1.0)
+    } catch { case scala.util.control.NonFatal(_) => -1.0 }
 
   /** Cumulative (busy, steal, total) jiffies from /proc/stat — the
     * hypervisor-contention witness. On a shared host, CPU STEAL is the
@@ -201,6 +255,18 @@ object Bench {
       t
     }
 
+    // fresh-JVM child mode (see freshJvmSeconds): measure the selected
+    // queries with the shared hygiene and emit ONE minimal JSON line —
+    // no witness pass, no vs_prev, and no BENCH_LAST.json (which would
+    // clobber the parent's record).
+    if (sys.env.contains("SPARK_GRAFT_FRESH")) {
+      val rs = entries.map(e => e.name -> measure(e, timedRuns = 3, profile = false))
+      println(rs.map { case (k, v) => "\"" + k + "\":" + v }
+        .mkString("""{"fresh":{""", ",", "}}"))
+      spark.stop()
+      return
+    }
+
     val results = entries.map(e => e.name -> measure(e, timedRuns = 5, profile = true))
     // sequence-time steal, snapshotted before the witness pass reuses
     // measure() (which would overwrite entries with isolated-run steal)
@@ -246,10 +312,25 @@ object Bench {
         (n, iso, stealByQuery.getOrElse(n, 0.0), cc)
       }
     }
+    // fresh-JVM tiebreaker for self-contradictory witnesses (seq vs iso
+    // off by >FreshDisagreeRatio in either direction)
+    val freshByName = witness
+      .filter { case (n, iso, _, _) =>
+        val seq = byName(n)
+        seq > 0 && iso > 0 &&
+          math.max(seq / iso, iso / seq) > FreshDisagreeRatio
+      }
+      .take(FreshCap)
+      .map { case (n, _, _, _) =>
+        val f = freshJvmSeconds(n, sfDir, cpus)
+        System.err.println(f"[bench] fresh-JVM witness $n: fresh=$f%.3f")
+        n -> f
+      }.toMap
     val witnessJson = witness.map { case (n, iso, isoSteal, cc) =>
+      val freshTag = freshByName.get(n).map(f => s""","fresh":$f""").getOrElse("")
       s""""$n":{"seq":${byName(n)},"iso":$iso,""" +
         s""""iso_steal":${math.round(isoSteal * 1000.0) / 1000.0},""" +
-        s""""code_cache":${math.round(cc * 100.0) / 100.0}}"""
+        s""""code_cache":${math.round(cc * 100.0) / 100.0}$freshTag}"""
     }.mkString("{", ",", "}")
 
     // per-query steal fractions above 1% (plus the run-wide fraction):
