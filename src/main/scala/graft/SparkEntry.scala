@@ -65,7 +65,8 @@ object SparkEntry {
       sources.BucketedTables.entries ++
       sources.Compaction.entries ++
       sources.StatsManifest.entries ++
-      sources.ZOrderLayout.entries
+      sources.ZOrderLayout.entries ++
+      sources.TimestampInstantOrc.entries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The 3-way broadcast-join revenue rollup (Q6) — the widest slice of
