@@ -1,0 +1,153 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Scale-stress harness (round-7 VERDICT item 6): measure how the most
+  * expensive bench queries scale with DATA SIZE, not just how fast they
+  * are at sf0.1 — a hidden quadratic is invisible at one scale and
+  * fatal at 100 TB; the time-vs-scale exponent makes it measurable.
+  *
+  * Method: stage an N× blowup of the fixture tables into scratch —
+  * replica i shifts every synthetic key by i·(max+1) so join/group
+  * cardinalities grow linearly like real data growth (fixed-cardinality
+  * dims region/nation stay 1×, exactly the realistic star shape);
+  * `documents.text` is salted with a per-replica token so EXACT-dup and
+  * near-dup structure is preserved per replica rather than amplified
+  * N× (an unsalted copy would hand q20/q88 an artificial N-clique per
+  * document and measure clique explosion, not the operator's scaling).
+  * Embedding vectors are kept verbatim: ANN/knn cost depends on row
+  * count and dimension, not on vector values.
+  *
+  * Then each query runs at 1× and N× (same code path, same session)
+  * and the record reports exponent = ln(tN/t1)/ln(N): ~1 linear, ~1.5
+  * shuffle-log-ish, ~2 quadratic. One JSON line on stdout, same
+  * contract style as Bench; also appended to SCALE_STRESS.json.
+  *
+  * Env: SPARK_GRAFT_SF_DIR (default sf0.1), SPARK_GRAFT_SCALE (default
+  * 10), SPARK_GRAFT_ONLY to subset queries.
+  */
+object ScaleStress {
+
+  /** The queries worth stressing: the top of BENCH_r06_full.json by
+    * median seconds — these dominate total bench time and carry the
+    * documented complexity caveats.
+    */
+  val TopQueries: Seq[String] = Seq(
+    "q20_minhash_neardup",
+    "q139_jaccard_join",
+    "q81_ngram_decontaminate",
+    "q155_jaro_winkler_block",
+    "q101_top_ngrams",
+    "q158_span_dedup",
+    "q68_winnow_fingerprints",
+    "q151_triangle_count",
+    "q98_bm25",
+    "q93_pagerank",
+  )
+
+  /** Per-table key-shift rules: every synthetic surrogate key column
+    * that must stay unique/consistent across replicas.
+    */
+  private val keyCols: Map[String, Seq[String]] = Map(
+    "region" -> Seq.empty,
+    "nation" -> Seq.empty,
+    "customer" -> Seq("c_custkey"),
+    "supplier" -> Seq("s_suppkey"),
+    "part" -> Seq("p_partkey"),
+    "orders" -> Seq("o_orderkey", "o_custkey"),
+    "lineitem" -> Seq("l_orderkey", "l_partkey", "l_suppkey"),
+    "events" -> Seq("event_id", "user_id"),
+    "documents" -> Seq("doc_id"),
+    "embeddings" -> Seq("vec_id"),
+  )
+
+  /** One replica: keys shifted by i·stride (per column, stride =
+    * max+1 of the SOURCE so replicas never collide), text salted.
+    */
+  private def replica(src: DataFrame, table: String, i: Int,
+      strides: Map[String, Long]): DataFrame = {
+    val shifted = keyCols(table).foldLeft(src) { (df, k) =>
+      df.withColumn(k, col(k) + lit(i * strides(k)))
+    }
+    if (table == "documents" && i > 0)
+      shifted.withColumn("text", concat(col("text"), lit(s" rep$i")))
+    else shifted
+  }
+
+  def stageBlowup(spark: SparkSession, srcDir: String, n: Int): String = {
+    val tag = srcDir.replaceAll("[^A-Za-z0-9.]", "_")
+    val dest = s"${sys.props("java.io.tmpdir")}/graft_scale/${tag}_x$n"
+    sources.Staging.ensureStaged(dest) {
+      keyCols.keys.toSeq.sorted.foreach { table =>
+        val src = Tables.load(spark, srcDir, table)
+        val strides = keyCols(table).map { k =>
+          k -> (src.agg(max(col(k)).cast("long")).head.getLong(0) + 1L)
+        }.toMap
+        val out =
+          if (keyCols(table).isEmpty) src // fixed-cardinality dim: 1×
+          else (0 until n).map(i => replica(src, table, i, strides))
+            .reduce(_ unionAll _)
+        out.write.mode("overwrite").parquet(s"$dest/$table.parquet")
+      }
+      java.nio.file.Files.createFile(java.nio.file.Paths.get(dest, "_SUCCESS"))
+    }
+    dest
+  }
+
+  def main(args: Array[String]): Unit = {
+    val srcDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val n = sys.env.getOrElse("SPARK_GRAFT_SCALE", "10").toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = EngineSession.local("graft-scale-stress", cpus)
+    val big = stageBlowup(spark, srcDir, n)
+    System.err.println(s"[scale] staged ${n}x blowup at $big")
+
+    val entries = SparkEntry.allEntries
+      .filter(e => TopQueries.contains(e.name) && SparkEntry.envSelected(e.name))
+
+    def timed(e: QueryEntry, dir: String, runs: Int): Double = {
+      System.gc()
+      val pinnedBefore = spark.sparkContext.getPersistentRDDs.keySet
+      val t =
+        try {
+          e.run(spark, dir) // warmup (also stages derived copies)
+          val times = Seq.fill(runs) {
+            val t0 = System.nanoTime()
+            e.run(spark, dir).write.format("noop").mode("overwrite").save()
+            (System.nanoTime() - t0) / 1e9
+          }
+          Bench.median(times)
+        } catch {
+          case ex: Throwable =>
+            System.err.println(s"[scale] ${e.name} failed at $dir: ${ex.getMessage}")
+            -1.0
+        }
+      operators.Ivf.invalidateIndex(blocking = true)
+      operators.Pq.invalidateIndex(blocking = true)
+      TransientCaches.release(blocking = true)
+      spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
+        if (!pinnedBefore.contains(id)) rdd.unpersist(blocking = true)
+      }
+      t
+    }
+
+    val rows = entries.map { e =>
+      val t1 = timed(e, srcDir, runs = 3)
+      val tN = timed(e, big, runs = 1)
+      val exp =
+        if (t1 > 0 && tN > 0) math.log(tN / t1) / math.log(n.toDouble) else -1.0
+      System.err.println(f"[scale] ${e.name}: t1=$t1%.2f tN=$tN%.2f exp=$exp%.2f")
+      (e.name, t1, tN, exp)
+    }
+
+    val json = rows.map { case (name, t1, tN, exp) =>
+      f""""$name":{"t1":$t1%.3f,"tn":$tN%.3f,"exponent":$exp%.3f}"""
+    }.mkString(s"""{"metric":"scale_exponent","scale":$n,"sf":"$srcDir","queries":{""",
+      ",", "}}")
+    println(json)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("SCALE_STRESS.json"), json + "\n")
+    spark.stop()
+  }
+}
