@@ -63,7 +63,22 @@ object ScaleStress {
   )
 
   /** One replica: keys shifted by i·stride (per column, stride =
-    * max+1 of the SOURCE so replicas never collide), text salted.
+    * max+1 of the SOURCE so replicas never collide), text re-lexed.
+    *
+    * Replica i's text gets a PER-TOKEN prefix (`r3xword`), not an
+    * appended suffix: a suffix salt leaves replicas ~identical, so
+    * every doc arrives with N near-copies and the similarity joins
+    * (q20/q139/q155) measure manufactured N-clique explosion instead
+    * of input scaling — the first x10 run read q139 at exponent 1.60
+    * for exactly this reason. A per-token prefix preserves the
+    * WITHIN-replica dup/similarity structure verbatim (every gram
+    * count, length, and rank is unchanged) while making cross-replica
+    * token sets disjoint — a 10x corpus of NEW content, which is what
+    * data growth means. `p_name` gets a replica prefix for the same
+    * reason (Jaro–Winkler weights prefixes, so prefixed names are
+    * genuinely new entities); brand keys stay 1x — fixed-cardinality
+    * blocking under 10x data is real blocking pressure the ER join
+    * must answer for, not an artifact.
     */
   private def replica(src: DataFrame, table: String, i: Int,
       strides: Map[String, Long]): DataFrame = {
@@ -71,13 +86,18 @@ object ScaleStress {
       df.withColumn(k, col(k) + lit(i * strides(k)))
     }
     if (table == "documents" && i > 0)
-      shifted.withColumn("text", concat(col("text"), lit(s" rep$i")))
+      shifted.withColumn("text",
+        regexp_replace(col("text"), "(\\S+)", s"r${i}x$$1"))
+    else if (table == "part" && i > 0)
+      shifted.withColumn("p_name", concat(lit(s"r${i}x "), col("p_name")))
     else shifted
   }
 
   def stageBlowup(spark: SparkSession, srcDir: String, n: Int): String = {
     val tag = srcDir.replaceAll("[^A-Za-z0-9.]", "_")
-    val dest = s"${sys.props("java.io.tmpdir")}/graft_scale/${tag}_x$n"
+    // v2: per-token replica prefix (see replica()) — new path so a v1
+    // staging is never reused
+    val dest = s"${sys.props("java.io.tmpdir")}/graft_scale/${tag}_x${n}_v2"
     sources.Staging.ensureStaged(dest) {
       keyCols.keys.toSeq.sorted.foreach { table =>
         val src = Tables.load(spark, srcDir, table)

@@ -190,6 +190,50 @@ object Curation {
           .as("dup_rate"))
   }
 
+  /** Per-document Gopher-style repetition signals (Rae et al. 2021,
+    * "Scaling Language Models: ... Gopher", Table A1 quality
+    * heuristics, word form): the word-fraction captured by the doc's
+    * most common bigram and the fraction of trigram positions whose
+    * trigram repeats WITHIN the doc. Corpus-level q148 answers "how
+    * duplicated is the corpus"; this answers "which docs are
+    * internally repetitious" — the production Gopher filter drops
+    * docs above thresholds on exactly these signals, so the gate
+    * emits them for every doc.
+    *
+    * The fractions need no tie-break: when several bigrams share the
+    * max count the fraction is identical whichever wins. Docs shorter
+    * than 3 words have no trigram and drop out of BOTH engines via
+    * the inner joins.
+    *
+    * Scale shape: one windowed pass per gram size (the q148 builder
+    * shape) and doc-keyed aggregations throughout — no cross-doc join
+    * anywhere, so the operator is embarrassingly doc-parallel at any
+    * corpus size.
+    */
+  def gopherRepetition(tokens: DataFrame): DataFrame = {
+    val byDoc = Window.partitionBy("doc_id").orderBy("pos")
+    def grams(n: Int): DataFrame = {
+      val parts = col("term") +: (1 until n).map(i => lead("term", i).over(byDoc))
+      tokens
+        .select(col("doc_id"), concat_ws(" ", parts: _*).as("g"),
+          lead("term", n - 1).over(byDoc).isNotNull.as("full"))
+        .filter(col("full"))
+    }
+    val nWords = tokens.groupBy("doc_id").agg(count(lit(1)).as("n_words"))
+    val top2 = grams(2).groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(max("c").as("mx"))
+    val dup3 = grams(3).groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(
+        sum(when(col("c") > 1, col("c")).otherwise(0L)).as("dup"),
+        sum("c").as("tot"))
+    nWords.join(top2, "doc_id").join(dup3, "doc_id")
+      .select(col("doc_id"), col("n_words"),
+        round(lit(2.0) * col("mx") / col("n_words"), 6).as("top_bigram_frac"),
+        round(col("dup").cast(DoubleType) / col("tot").cast(DoubleType), 6)
+          .as("dup_trigram_frac"))
+      .orderBy("doc_id")
+  }
+
   /** Per-eval-document contamination score: the fraction of the doc's
     * DISTINCT n-grams that appear anywhere in the train split — the
     * scoring companion to the q81 decontamination FILTER (a filter
@@ -517,6 +561,38 @@ object Curation {
     ) { (s, dir) =>
       dsirWeights(TokenizedCorpus.tokens(s, dir), Tables(s, dir).documents,
         targetLang = "en")
+    },
+
+    // q163 — per-doc Gopher repetition signals (top-bigram word
+    // fraction + duplicated-trigram fraction); the oracle re-derives
+    // both from the raw text with the house tokenization.
+    QueryEntry.sql(
+      "q163_gopher_repetition",
+      """WITH tok AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+        |  FROM documents
+        |), counts AS (
+        |  SELECT doc_id, len(t) AS n_words FROM tok
+        |), bi AS (
+        |  SELECT doc_id, array_to_string(t[i:i+1], ' ') AS g
+        |  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i FROM tok)
+        |), bic AS (SELECT doc_id, g, COUNT(*) AS c FROM bi GROUP BY doc_id, g),
+        |top2 AS (SELECT doc_id, MAX(c) AS mx FROM bic GROUP BY doc_id),
+        |tri AS (
+        |  SELECT doc_id, array_to_string(t[i:i+2], ' ') AS g
+        |  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 2)) AS i FROM tok)
+        |), tric AS (SELECT doc_id, g, COUNT(*) AS c FROM tri GROUP BY doc_id, g),
+        |dup3 AS (
+        |  SELECT doc_id, SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup, SUM(c) AS tot
+        |  FROM tric GROUP BY doc_id
+        |)
+        |SELECT counts.doc_id, CAST(counts.n_words AS BIGINT) AS n_words,
+        |       ROUND(2.0 * top2.mx / counts.n_words, 6) AS top_bigram_frac,
+        |       ROUND(CAST(dup3.dup AS DOUBLE) / CAST(dup3.tot AS DOUBLE), 6) AS dup_trigram_frac
+        |FROM counts JOIN top2 USING (doc_id) JOIN dup3 USING (doc_id)
+        |ORDER BY doc_id""".stripMargin,
+    ) { (s, dir) =>
+      gopherRepetition(TokenizedCorpus.tokens(s, dir))
     },
   )
 }

@@ -86,6 +86,23 @@ class FixtureSpec extends SparkSpec {
     }
   }
 
+  test("eventsTs long branch: nanos decode truncates to micros with integer div") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // 2^53-breaking nanosecond epoch: double division would corrupt it
+    val nanos = Seq(1704164645123456789L, -1L, 0L).toDF("ts")
+    val got = nanos
+      .select(
+        Tables.eventsTs(LongType).as("ts"),
+        Tables.eventsTsMicros(LongType).as("tus"))
+      .select(unix_micros(col("ts")).as("via_ts"), col("tus"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // `div` truncates toward zero: -1 ns -> 0 us. Fixture timestamps are
+    // all post-1970, so the negative-epoch edge is out of oracle domain.
+    assert(got.toSeq === Seq(
+      (1704164645123456L, 1704164645123456L), (0L, 0L), (0L, 0L)))
+  }
+
   test("events loader normalizes ts to TimestampType for every known encoding") {
     import org.apache.spark.sql.functions._
     val t = Tables(spark, sf)
