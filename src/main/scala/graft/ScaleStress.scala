@@ -38,6 +38,7 @@ object ScaleStress {
     "q139_jaccard_join",
     "q81_ngram_decontaminate",
     "q155_jaro_winkler_block",
+    "q164_er_prefix_blocked", // the q155 scale path — expect ~linear where q155 is quadratic
     "q101_top_ngrams",
     "q158_span_dedup",
     "q68_winnow_fingerprints",

@@ -113,6 +113,32 @@ object Fuzzy {
         |WHERE ROUND(jaro_winkler_similarity(a.p_name, b.p_name), 6) >= 0.9
         |ORDER BY key_a, key_b""".stripMargin,
     ) { (s, dir) => sortedNeighborhood(Tables(s, dir).part, w = 5, minJw = 0.9) },
+
+    // q164 — PREFIX-blocked Jaro–Winkler ER: q155 with the blocking
+    // key extended by the name's first token. q155's brand-only blocks
+    // have FIXED cardinality, so candidate pairs grow quadratically as
+    // the catalog grows (measured: exponent 1.87 over a 10× blowup,
+    // SCALE_STRESS.json) — the declared 100 TB scale path adds a block
+    // key whose cardinality grows WITH the data (name vocabulary),
+    // bounding block sizes; the standard ER trade is the documented
+    // recall scope (a pair whose names differ in their first token is
+    // not a candidate — acceptable for JW, which weights shared
+    // prefixes). Same scoring, ranking, and output contract as q155.
+    QueryEntry.sql(
+      "q164_er_prefix_blocked",
+      """WITH p AS (SELECT p_partkey, p_brand, p_name,
+        |                  split_part(p_name, ' ', 1) AS p_head FROM part),
+        |pairs AS (
+        |  SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+        |         ROUND(jaro_winkler_similarity(a.p_name, b.p_name), 6) AS jw
+        |  FROM p a JOIN p b
+        |    ON a.p_brand = b.p_brand AND a.p_head = b.p_head
+        |   AND a.p_partkey < b.p_partkey
+        |  WHERE abs(len(a.p_name) - len(b.p_name)) <= 4
+        |)
+        |SELECT key_a, key_b, jw FROM pairs
+        |ORDER BY jw DESC, key_a, key_b LIMIT 20""".stripMargin,
+    ) { (s, dir) => jaroWinklerPrefixBlocked(Tables(s, dir).part, k = 20) },
   )
 
   /** Sorted-neighborhood entity resolution (Hernández & Stolfo,
@@ -180,6 +206,34 @@ object Fuzzy {
       .repartition(parallelism, col("key_a"))
     val b = p.select(col("p_brand"), col("p_partkey").as("key_b"), col("p_name").as("name_b"))
     a.join(b, Seq("p_brand"))
+      .filter(col("key_a") < col("key_b") &&
+        abs(length(col("name_a")) - length(col("name_b"))) <= 4)
+      .select(col("key_a"), col("key_b"),
+        round(graft.functions.GraftFunctions.jaroWinkler(col("name_a"), col("name_b")), 6)
+          .as("jw"))
+      .orderBy(desc("jw"), col("key_a"), col("key_b"))
+      .limit(k)
+  }
+
+  /** q155 with the blocking key extended by the name's FIRST TOKEN —
+    * block-key cardinality then grows with the name vocabulary, so
+    * block sizes (and the Σ block² candidate count) stay bounded as
+    * the catalog grows; brand-only blocking is quadratic under growth
+    * because its key cardinality is fixed (exponent 1.87 measured over
+    * a 10× blowup — see PERF_NOTES round 7). The recall scope is the
+    * declared ER trade: cross-first-token matches are not candidates.
+    */
+  def jaroWinklerPrefixBlocked(part: org.apache.spark.sql.DataFrame, k: Int)
+      : org.apache.spark.sql.DataFrame = {
+    val p = part.select(col("p_partkey"), col("p_brand"),
+      substring_index(col("p_name"), " ", 1).as("p_head"), col("p_name"))
+    val parallelism = part.sparkSession.sessionState.conf.numShufflePartitions
+    val a = p.select(col("p_brand"), col("p_head"),
+        col("p_partkey").as("key_a"), col("p_name").as("name_a"))
+      .repartition(parallelism, col("key_a"))
+    val b = p.select(col("p_brand"), col("p_head"),
+      col("p_partkey").as("key_b"), col("p_name").as("name_b"))
+    a.join(b, Seq("p_brand", "p_head"))
       .filter(col("key_a") < col("key_b") &&
         abs(length(col("name_a")) - length(col("name_b"))) <= 4)
       .select(col("key_a"), col("key_b"),
