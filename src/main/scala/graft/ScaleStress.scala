@@ -41,6 +41,7 @@ object ScaleStress {
     "q164_er_prefix_blocked", // the q155 scale path — expect ~linear where q155 is quadratic
     "q101_top_ngrams",
     "q158_span_dedup",
+    "q163_gopher_repetition",
     "q68_winnow_fingerprints",
     "q151_triangle_count",
     "q98_bm25",

@@ -212,17 +212,29 @@ object Curation {
     */
   def gopherRepetition(tokens: DataFrame): DataFrame = {
     val byDoc = Window.partitionBy("doc_id").orderBy("pos")
-    def grams(n: Int): DataFrame = {
-      val parts = col("term") +: (1 until n).map(i => lead("term", i).over(byDoc))
+    // ONE windowed pass supplies every consumer: lead(1) and lead(2)
+    // share the same partitioning+sort, so Catalyst runs a single
+    // Window operator; the persisted frame is then read by the word
+    // count and both gram aggregations (unpersisted via
+    // TransientCaches like the Fuzzy variants frame — without it each
+    // of the three subtrees would re-shuffle and re-sort the full
+    // token table). Corpus-sized at (doc_id, 3 terms) width;
+    // MEMORY_AND_DISK spills rather than OOMs at scale.
+    val leads = graft.TransientCaches.register(
       tokens
-        .select(col("doc_id"), concat_ws(" ", parts: _*).as("g"),
-          lead("term", n - 1).over(byDoc).isNotNull.as("full"))
-        .filter(col("full"))
-    }
-    val nWords = tokens.groupBy("doc_id").agg(count(lit(1)).as("n_words"))
-    val top2 = grams(2).groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+        .select(col("doc_id"), col("term"),
+          lead("term", 1).over(byDoc).as("t1"),
+          lead("term", 2).over(byDoc).as("t2"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val nWords = leads.groupBy("doc_id").agg(count(lit(1)).as("n_words"))
+    val top2 = leads.filter(col("t1").isNotNull)
+      .groupBy(col("doc_id"), concat_ws(" ", col("term"), col("t1")).as("g"))
+      .agg(count(lit(1)).as("c"))
       .groupBy("doc_id").agg(max("c").as("mx"))
-    val dup3 = grams(3).groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+    val dup3 = leads.filter(col("t2").isNotNull)
+      .groupBy(col("doc_id"),
+        concat_ws(" ", col("term"), col("t1"), col("t2")).as("g"))
+      .agg(count(lit(1)).as("c"))
       .groupBy("doc_id").agg(
         sum(when(col("c") > 1, col("c")).otherwise(0L)).as("dup"),
         sum("c").as("tot"))
