@@ -295,5 +295,46 @@ object Winnow {
         )
         .orderBy("split")
     },
+
+    // q165 — LEAKAGE-SAFE corpus split: q69 assigns splits per doc, so
+    // two byte-identical documents can land one in train and one in
+    // test — the classic train/test leakage that inflates every eval
+    // downstream. Here the split is assigned per exact-dup GROUP
+    // (content hash), keyed by the group's min doc_id through the same
+    // splitmix64 bucket rule as q69: duplicates cannot straddle splits
+    // BY CONSTRUCTION (one group key → one split), which the per-split
+    // group counts under the oracle certify. Production pipelines do
+    // the same one level up on near-dup cluster ids (q38's labels) —
+    // exact-dup grouping is the form with an independently replayable
+    // oracle.
+    //
+    // Scale shape: one content-hash groupBy (the q11 exact-dedup
+    // shuffle), then a group-sized aggregation — no global sort, no
+    // count-dependent assignment; stable under corpus growth like
+    // every hash-of-key split.
+    QueryEntry.sql(
+      "q165_leakage_safe_split",
+      s"""WITH g AS (
+         |  SELECT md5(text) AS h, MIN(doc_id) AS gmin, COUNT(*) AS n
+         |  FROM documents GROUP BY md5(text)
+         |), s AS (
+         |  SELECT CASE WHEN b < $SplitTrainLt THEN 'train'
+         |              WHEN b < $SplitValLt THEN 'val'
+         |              ELSE 'test' END AS split, n
+         |  FROM (SELECT (${Hll.splitmixSqlFor("gmin")}) >> 54 AS b, n FROM g)
+         |)
+         |SELECT split, CAST(SUM(n) AS BIGINT) AS n_docs,
+         |       CAST(COUNT(*) AS BIGINT) AS n_groups
+         |FROM s GROUP BY split ORDER BY split""".stripMargin,
+    ) { (s, dir) =>
+      Tables(s, dir).documentsRebalanced
+        .select(col("doc_id"), md5(col("text")).as("h"))
+        .groupBy("h")
+        .agg(min("doc_id").as("gmin"), count(lit(1)).as("n"))
+        .withColumn("split", splitColumn(col("gmin")))
+        .groupBy("split")
+        .agg(sum("n").as("n_docs"), count(lit(1)).as("n_groups"))
+        .orderBy("split")
+    },
   )
 }
