@@ -394,6 +394,70 @@ object Dedup {
          |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
     ) { (s, dir) => nearDupGroups(Tables(s, dir).documents) },
 
+    // q166 — cluster-level leakage-safe split: the production form of
+    // q165. Exact-dup grouping misses near-duplicates, which leak
+    // train→test just as hard; here every doc inherits the q38
+    // near-dup cluster label (its own doc_id when unclustered) and the
+    // whole CLUSTER routes through the q69 splitmix64 bucket rule —
+    // near-dups cannot straddle train/test by construction. The oracle
+    // replays the full chain independently: brute-force all-pairs
+    // Jaccard, recursive-CTE connected components, label coalesce,
+    // bucket split. Scale shape: the LSH cluster pass (q38) plus one
+    // label join and a split-keyed aggregation — nothing new beyond
+    // the parts already certified. Like q38, the ORACLE (not the
+    // engine) is quadratic: brute-force all-pairs is feasible at the
+    // t2 gate scale (500 docs) and by design infeasible past it — the
+    // quadratic cost living in the differential check is exactly the
+    // point of the LSH formulation.
+    QueryEntry.sql(
+      "q166_cluster_safe_split",
+      s"""WITH RECURSIVE sh AS (
+         |  SELECT doc_id, $shinglesSql AS shingles
+         |  FROM (SELECT doc_id,
+         |               regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+         |        FROM documents) t
+         |), pairs AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |  WHERE 5 * len(list_intersect(a.shingles, b.shingles))
+         |        >= 4 * (len(a.shingles) + len(b.shingles)
+         |                - len(list_intersect(a.shingles, b.shingles)))
+         |), edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  UNION ALL SELECT doc_b, doc_a FROM pairs
+         |), reach(id, l) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.src, r.l FROM edges e JOIN reach r ON e.dst = r.id
+         |), lab AS (
+         |  SELECT id AS doc_id, CAST(MIN(l) AS BIGINT) AS label
+         |  FROM reach GROUP BY id
+         |), alldocs AS (
+         |  SELECT d.doc_id, COALESCE(lab.label, d.doc_id) AS label
+         |  FROM documents d LEFT JOIN lab ON d.doc_id = lab.doc_id
+         |), s AS (
+         |  SELECT CASE WHEN b < ${Winnow.SplitTrainLt} THEN 'train'
+         |              WHEN b < ${Winnow.SplitValLt} THEN 'val'
+         |              ELSE 'test' END AS split, label
+         |  FROM (SELECT (${Hll.splitmixSqlFor("label")}) >> 54 AS b, label
+         |        FROM alldocs)
+         |)
+         |SELECT split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |       CAST(COUNT(DISTINCT label) AS BIGINT) AS n_clusters
+         |FROM s GROUP BY split ORDER BY split""".stripMargin,
+    ) { (s, dir) =>
+      val docs = Tables(s, dir).documents
+      val labels = nearDupGroups(docs)
+        .withColumnRenamed("group_id", "label")
+      docs.select(col("doc_id"))
+        .join(labels, Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("label"))
+        .withColumn("split", Winnow.splitColumn(col("label")))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"), countDistinct("label").as("n_clusters"))
+        .orderBy("split")
+    },
+
     // Decontamination: drop training docs whose normalized-text
     // fingerprint appears in the eval set (here: a deterministic
     // doc_id-slice standing in for a benchmark) — the train/test
