@@ -353,6 +353,13 @@ object Bench {
     println(line)
     // file artifact in case the wrapper's stdout scrape misses the line
     java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_LAST.json"), line + "\n")
+    // append-only history: BENCH_LAST is overwritten per run and the
+    // driver's round artifact has truncated mid-JSON before (r6) — the
+    // JSONL log is the durable record either can be recovered from
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("BENCH_HISTORY.jsonl"), line + "\n",
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.APPEND)
     spark.stop()
   }
 }
