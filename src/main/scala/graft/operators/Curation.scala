@@ -260,10 +260,15 @@ object Curation {
   def contaminationScore(tokens: DataFrame, n: Int, evalMod: Int): DataFrame = {
     val byDoc = Window.partitionBy("doc_id").orderBy("pos")
     val parts = col("term") +: (1 until n).map(i => lead("term", i).over(byDoc))
-    val grams = tokens
-      .select(col("doc_id"), concat_ws(" ", parts: _*).as("g"),
-        lead("term", n - 1).over(byDoc).isNotNull.as("full"))
-      .filter(col("full"))
+    // persisted: the eval and train sides both read this frame — without
+    // it each subtree re-runs the scan + window sort (the q163 lesson);
+    // TransientCaches-registered, MEMORY_AND_DISK spills at scale.
+    val grams = graft.TransientCaches.register(
+      tokens
+        .select(col("doc_id"), concat_ws(" ", parts: _*).as("g"),
+          lead("term", n - 1).over(byDoc).isNotNull.as("full"))
+        .filter(col("full"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val evalGrams = grams.filter(col("doc_id") % evalMod === 0)
       .select(col("doc_id"), col("g")).distinct()
     val trainGrams = grams.filter(col("doc_id") % evalMod =!= 0)
@@ -300,10 +305,14 @@ object Curation {
   def spanDedup(tokens: DataFrame, n: Int): DataFrame = {
     val byDoc = Window.partitionBy("doc_id").orderBy("pos")
     val parts = col("term") +: (1 until n).map(i => lead("term", i).over(byDoc))
-    val withGram = tokens
-      .select(col("doc_id"), col("pos"), col("term"),
-        concat_ws(" ", parts: _*).as("g"),
-        lead("term", n - 1).over(byDoc).isNotNull.as("full"))
+    // persisted: read by the dup-gram count AND the membership join —
+    // without it the scan + window sort run twice (the q163 lesson).
+    val withGram = graft.TransientCaches.register(
+      tokens
+        .select(col("doc_id"), col("pos"), col("term"),
+          concat_ws(" ", parts: _*).as("g"),
+          lead("term", n - 1).over(byDoc).isNotNull.as("full"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val dupGrams = withGram.filter(col("full"))
       .groupBy("g").agg(count(lit(1)).as("c"))
       .filter(col("c") > 1)
