@@ -48,10 +48,16 @@ object Colloc {
     val byDoc = Window.partitionBy("doc_id").orderBy("pos")
     val uni = tokens.groupBy(col("term")).agg(count(lit(1)).as("c"))
     val nTok = uni.agg(sum("c").as("n_tok"))
-    val bigc = tokens
-      .select(col("term").as("x"), lead("term", 1).over(byDoc).as("y"))
-      .filter(col("y").isNotNull)
-      .groupBy("x", "y").agg(count(lit(1)).as("n_xy"))
+    // persisted: the total-count scalar and the main pipeline both read
+    // this frame — without the persist the corpus window pass runs
+    // twice (the q163 lesson). Bigram-TYPE-sized (observed vocab
+    // pairs), far below corpus scale.
+    val bigc = graft.TransientCaches.register(
+      tokens
+        .select(col("term").as("x"), lead("term", 1).over(byDoc).as("y"))
+        .filter(col("y").isNotNull)
+        .groupBy("x", "y").agg(count(lit(1)).as("n_xy"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val nBig = bigc.agg(sum("n_xy").as("n_big"))
     bigc
       .filter(col("n_xy") >= minCount)
