@@ -47,10 +47,11 @@ class OrcInstantSpec extends SparkSpec {
       Option(e.getCause).exists(_.toString.contains("PARSE_SYNTAX_ERROR")))
   }
 
-  /** A tiny uniontype ORC file written with the core API — the one ORC
-    * type with no engine coverage, formally documented as rejected:
-    * preflight names it, and the built-in scan fails rather than
-    * miscarrying data.
+  /** A tiny uniontype ORC file written with the core API. The ENGINE
+    * path for the type is `q168_orc_uniontype` (OrcUnionType, core
+    * reader); this spec pins that Spark's BUILT-IN scan still rejects
+    * union files — the preflight names it, and the rejection is why
+    * the core-reader path is load-bearing.
     */
   private lazy val unionFile: String = {
     val p = s"${sys.props("java.io.tmpdir")}/graft_union_test/union.orc"
