@@ -60,7 +60,12 @@ object Tables {
     *    because the session timezone is pinned UTC
     *    (`EngineSession`), and keeps every downstream consumer
     *    (windows, watermarks, `unix_micros`) on the one type they were
-    *    written against.
+    *    written against. Scan pruning survives the cast: a time-range
+    *    filter on the decoded column reaches the parquet scan as
+    *    `PushedFilters: [GreaterThanOrEqual(ts, …)]` (verified on this
+    *    build — Catalyst unwraps the NTZ↔LTZ cast under the UTC
+    *    session), so timeline queries keep row-group skipping at
+    *    100 TB.
     *  - `TimestampType`: already the target type.
     */
   def eventsTs(dt: DataType): Column = dt match {
