@@ -46,6 +46,15 @@ object ScaleStress {
     "q151_triangle_count",
     "q98_bm25",
     "q93_pagerank",
+    // the rest of the slow list (r7 bench), plus the two documented
+    // quadratic-with-gates operators — their exponents confirm the
+    // documented complexity rather than assuming it
+    "q149_contamination_score",
+    "q160_dsir_weights",
+    "q88_semantic_dedup",
+    "q87_tfidf_topterms",
+    "q22_embed_neardup",
+    "q102_column_profile",
   )
 
   /** Per-table key-shift rules: every synthetic surrogate key column
@@ -92,14 +101,23 @@ object ScaleStress {
         regexp_replace(col("text"), "(\\S+)", s"r${i}x$$1"))
     else if (table == "part" && i > 0)
       shifted.withColumn("p_name", concat(lit(s"r${i}x "), col("p_name")))
+    else if (table == "embeddings" && i > 0)
+      // per-replica deterministic sign-flip diagonal D_i: within-replica
+      // cosine/dot structure is preserved EXACTLY ((D_i a)·(D_i b) =
+      // a·b), cross-replica pairs decorrelate (a·D_iD_j b with a
+      // pseudo-random ± pattern) — verbatim copies made every vector
+      // arrive with N exact duplicates, so q22 measured manufactured
+      // clique explosion (exp 1.51 before this fix), not input scaling
+      shifted.withColumn("embedding",
+        expr(s"transform(embedding, (x, j) -> IF(pmod(hash(j, $i), 2) = 1, -x, x))"))
     else shifted
   }
 
   def stageBlowup(spark: SparkSession, srcDir: String, n: Int): String = {
     val tag = srcDir.replaceAll("[^A-Za-z0-9.]", "_")
-    // v2: per-token replica prefix (see replica()) — new path so a v1
-    // staging is never reused
-    val dest = s"${sys.props("java.io.tmpdir")}/graft_scale/${tag}_x${n}_v2"
+    // v3: per-token replica prefix + embedding sign-flip (see
+    // replica()) — new path so an older staging is never reused
+    val dest = s"${sys.props("java.io.tmpdir")}/graft_scale/${tag}_x${n}_v3"
     sources.Staging.ensureStaged(dest) {
       keyCols.keys.toSeq.sorted.foreach { table =>
         val src = Tables.load(spark, srcDir, table)
