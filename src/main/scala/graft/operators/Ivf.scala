@@ -368,6 +368,91 @@ object Ivf {
        |WHERE rank <= $k ORDER BY q_id, rank""".stripMargin
   }
 
+  /** Recall@k of the IVF search against exact brute force — the
+    * quality metric every ANN benchmark reports, as a first-class
+    * oracled operator: the approximation an index buys is only usable
+    * if its recall is MEASURED, and measuring it distributed (brute
+    * force = 10 fixed probes × corpus, broadcast probe side, one
+    * window pass) is itself a pipeline operation. Both sides score
+    * with the same 6dp-rounded cosine and (score DESC, vec_id)
+    * tiebreak, so the k-boundary is deterministic in both engines;
+    * probes with zero overlap still appear via the probe-list left
+    * join.
+    */
+  def annRecall(spark: org.apache.spark.sql.SparkSession, dir: String,
+      nprobe: Int, k: Int): DataFrame = {
+    val emb = Tables(spark, dir).embeddings
+    val probes = emb.filter(col("vec_id") < 10)
+    val ivf = annSearchStaged(spark, dir, probes, nprobe, k)
+      .select(col("q_id"), col("vec_id"))
+    val p = probes.select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(desc("score"), col("vec_id"))
+    val brute = broadcast(p)
+      .join(emb.select(col("vec_id"), col("embedding").as("ce")),
+        col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        round(GraftFunctions.cosineF32(col("qe"), col("ce")), 6).as("score"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("q_id"), col("vec_id"))
+    val overlap = ivf.join(brute, Seq("q_id", "vec_id"))
+      .groupBy("q_id").agg(count(lit(1)).as("n"))
+    p.select(col("q_id")).distinct()
+      .join(overlap, Seq("q_id"), "left")
+      .select(col("q_id"),
+        coalesce(col("n"), lit(0L)).as("n_overlap"),
+        round(coalesce(col("n"), lit(0L)).cast(DoubleType) / k, 6).as("recall"))
+      .orderBy("q_id")
+  }
+
+  /** Generated DuckDB mirror of [[annRecall]]: the fitted quantizer is
+    * inlined and DuckDB independently re-executes BOTH searches — the
+    * IVF chain (assignment, probe ranking, cluster-filtered scoring,
+    * top-k) and the exact brute force — then the overlap count.
+    */
+  def annRecallOracleSql(spark: org.apache.spark.sql.SparkSession, dir: String,
+      nprobe: Int = 3, k: Int = 5, nClusters: Int = 16, iters: Int = 3): String = {
+    val cents = fittedCentroids(Tables(spark, dir).embeddings, nClusters, iters)
+    val dim = cents.head.length
+    s"""WITH ${coarseCtes(spark, dir, nprobe, nClusters, iters)}, cand AS (
+       |  SELECT p.q_id, co.vec_id,
+       |         ROUND((${dotChain2("p.q_emb", "co.embedding", dim)})
+       |               / sqrt(p.nq * co.ne), 6) AS score
+       |  FROM probes p JOIN corpus co ON co.cluster = p.pcluster
+       |  WHERE co.vec_id <> p.q_id
+       |), ivfk AS (
+       |  SELECT q_id, vec_id FROM (
+       |    SELECT q_id, vec_id,
+       |           row_number() OVER (PARTITION BY q_id
+       |                              ORDER BY score DESC, vec_id) AS rank
+       |    FROM cand) WHERE rank <= $k
+       |), bprobes AS (
+       |  SELECT vec_id AS q_id, embedding AS q_emb, na AS nq
+       |  FROM ranked_c WHERE rn = 1 AND vec_id < 10
+       |), bcand AS (
+       |  SELECT p.q_id, co.vec_id,
+       |         ROUND((${dotChain2("p.q_emb", "co.embedding", dim)})
+       |               / sqrt(p.nq * co.ne), 6) AS score
+       |  FROM bprobes p JOIN corpus co ON co.vec_id <> p.q_id
+       |), btopk AS (
+       |  SELECT q_id, vec_id FROM (
+       |    SELECT q_id, vec_id,
+       |           row_number() OVER (PARTITION BY q_id
+       |                              ORDER BY score DESC, vec_id) AS rank
+       |    FROM bcand) WHERE rank <= $k
+       |), ov AS (
+       |  SELECT i.q_id, COUNT(*) AS n
+       |  FROM ivfk i JOIN btopk b ON b.q_id = i.q_id AND b.vec_id = i.vec_id
+       |  GROUP BY i.q_id
+       |)
+       |SELECT pr.q_id, CAST(COALESCE(ov.n, 0) AS BIGINT) AS n_overlap,
+       |       ROUND(COALESCE(ov.n, 0) / CAST($k AS DOUBLE), 6) AS recall
+       |FROM (SELECT DISTINCT q_id FROM bprobes) pr
+       |LEFT JOIN ov ON ov.q_id = pr.q_id
+       |ORDER BY pr.q_id""".stripMargin
+  }
+
   /** SemDeDup-style semantic deduplication: cluster with the coarse
     * quantizer, then drop every vector that has an EARLIER (smaller
     * vec_id) same-cluster neighbor at rounded cosine ≥ `threshold` —
@@ -469,6 +554,17 @@ object Ivf {
       semanticDedupOracleSql(s, dir, threshold = 0.45)
     } { (s, dir) =>
       semanticDedup(Tables(s, dir).embeddings, threshold = 0.45)
+    },
+
+    // q169 — recall@k of the IVF index vs exact brute force, fully
+    // differential: DuckDB re-executes both searches from the inlined
+    // quantizer and recomputes the overlap. The IvfSpec recall pin is
+    // a spec assertion; this is the same property as a FIRST-CLASS
+    // oracled operator, which is what an ANN benchmark report needs.
+    QueryEntry.dynamicSql("q169_ann_recall") { (s, dir) =>
+      annRecallOracleSql(s, dir, nprobe = 3, k = 5)
+    } { (s, dir) =>
+      annRecall(s, dir, nprobe = 3, k = 5)
     },
   )
 }
