@@ -55,6 +55,14 @@ object ScaleStress {
     "q87_tfidf_topterms",
     "q22_embed_neardup",
     "q102_column_profile",
+    // round-8 additions: the remaining bench queries >1 s (r7 VERDICT
+    // item 5) — exponents must confirm their documented complexity
+    "q79_bigram_familiarity",
+    "q166_cluster_safe_split",
+    "q99_fuzzy_join",
+    "q156_sorted_neighborhood",
+    "q84_neardup_graph",
+    "q115_khop",
   )
 
   /** Per-table key-shift rules: every synthetic surrogate key column
@@ -72,6 +80,38 @@ object ScaleStress {
     "documents" -> Seq("doc_id"),
     "embeddings" -> Seq("vec_id"),
   )
+
+  /** Key DOMAIN of each shifted column: columns sharing a domain (e.g.
+    * customer.c_custkey and orders.o_custkey) MUST shift by the same
+    * stride, or replica i>0 foreign keys misalign — TPC-H customers
+    * without orders make max(o_custkey) < max(c_custkey), and a
+    * per-table stride would then shrink every stressed join's
+    * cardinality at N×, skewing the measured exponent.
+    */
+  private val keyDomain: Map[String, String] = Map(
+    "c_custkey" -> "custkey", "o_custkey" -> "custkey",
+    "o_orderkey" -> "orderkey", "l_orderkey" -> "orderkey",
+    "p_partkey" -> "partkey", "l_partkey" -> "partkey",
+    "s_suppkey" -> "suppkey", "l_suppkey" -> "suppkey",
+    "event_id" -> "event_id", "user_id" -> "user_id",
+    "doc_id" -> "doc_id", "vec_id" -> "vec_id",
+  )
+
+  /** One stride per key DOMAIN: max over every column referencing the
+    * domain across all tables, +1 — every replica shift in that domain
+    * then uses the same offset, preserving referential alignment.
+    */
+  private def domainStrides(spark: SparkSession, srcDir: String): Map[String, Long] = {
+    val maxes = for {
+      (table, cols) <- keyCols.toSeq
+      c <- cols
+    } yield {
+      val m = Tables.load(spark, srcDir, table)
+        .agg(max(col(c)).cast("long")).head.getLong(0)
+      keyDomain(c) -> m
+    }
+    maxes.groupMapReduce(_._1)(_._2)(math.max) map { case (d, m) => d -> (m + 1L) }
+  }
 
   /** One replica: keys shifted by i·stride (per column, stride =
     * max+1 of the SOURCE so replicas never collide), text re-lexed.
@@ -94,11 +134,15 @@ object ScaleStress {
   private def replica(src: DataFrame, table: String, i: Int,
       strides: Map[String, Long]): DataFrame = {
     val shifted = keyCols(table).foldLeft(src) { (df, k) =>
-      df.withColumn(k, col(k) + lit(i * strides(k)))
+      df.withColumn(k, col(k) + lit(i * strides(keyDomain(k))))
     }
     if (table == "documents" && i > 0)
       shifted.withColumn("text",
         regexp_replace(col("text"), "(\\S+)", s"r${i}x$$1"))
+        // the per-token prefix lengthens the text; keep the derived
+        // n_chars consistent or stressed queries mixing n_chars with
+        // text-derived stats run on self-inconsistent data at N×
+        .withColumn("n_chars", length(col("text")).cast("long"))
     else if (table == "part" && i > 0)
       shifted.withColumn("p_name", concat(lit(s"r${i}x "), col("p_name")))
     else if (table == "embeddings" && i > 0)
@@ -117,13 +161,14 @@ object ScaleStress {
     val tag = srcDir.replaceAll("[^A-Za-z0-9.]", "_")
     // v3: per-token replica prefix + embedding sign-flip (see
     // replica()) — new path so an older staging is never reused
-    val dest = s"${sys.props("java.io.tmpdir")}/graft_scale/${tag}_x${n}_v3"
+    // v4: domain-consistent strides + n_chars recompute (see
+    // domainStrides / replica()) — new path so an older staging is
+    // never reused
+    val dest = s"${sys.props("java.io.tmpdir")}/graft_scale/${tag}_x${n}_v4"
     sources.Staging.ensureStaged(dest) {
+      val strides = domainStrides(spark, srcDir)
       keyCols.keys.toSeq.sorted.foreach { table =>
         val src = Tables.load(spark, srcDir, table)
-        val strides = keyCols(table).map { k =>
-          k -> (src.agg(max(col(k)).cast("long")).head.getLong(0) + 1L)
-        }.toMap
         val out =
           if (keyCols(table).isEmpty) src // fixed-cardinality dim: 1×
           else (0 until n).map(i => replica(src, table, i, strides))

@@ -96,6 +96,13 @@ object AvroRoundTrip {
           new java.io.File(f), new GenericDatumReader[GenericRecord]())
         val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Double, String)]
         try {
+          // schema gate (mirror of the ORC readers' require): a
+          // schema-evolved or foreign .avro file in the staging dir
+          // would otherwise surface as an opaque ClassCastException
+          // from the asInstanceOf casts below
+          val expected = new Schema.Parser().parse(SchemaJson)
+          require(reader.getSchema == expected,
+            s"$f: schema drift — found ${reader.getSchema}, expected $expected")
           while (reader.hasNext) {
             val rec = reader.next()
             out += ((rec.get("l_orderkey").asInstanceOf[Long],

@@ -116,9 +116,22 @@ object OrcUnionType {
           .empty[(Long, Int, Option[Long], Option[String])]
         try {
           while (rowsIt.nextBatch(batch)) {
+            // decode guards: the schema require() limits this reader to
+            // the staged layout, but a foreign file matching the schema
+            // could still carry nulls or run-length (isRepeating)
+            // batches this dense decode would silently misread as
+            // garbage tags/values — fail loudly instead
+            require(idv.noNulls && !idv.isRepeating && uv.noNulls && !uv.isRepeating,
+              s"${s.file}: nulls or repeating batches in union column — unsupported")
+            require(!ints.isRepeating && !strs.isRepeating,
+              s"${s.file}: repeating union branch vectors — unsupported")
             var i = 0
             while (i < batch.size) {
               val tag = uv.tags(i)
+              require(
+                if (tag == 0) ints.noNulls || !ints.isNull(i)
+                else strs.noNulls || !strs.isNull(i),
+                s"${s.file}: null in selected union branch at row $i — unsupported")
               out += ((idv.vector(i), tag,
                 if (tag == 0) Some(ints.vector(i)) else None,
                 if (tag == 1) Some(strs.toString(i)) else None))

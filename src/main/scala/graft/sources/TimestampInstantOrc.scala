@@ -123,6 +123,11 @@ object TimestampInstantOrc {
         val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
         try {
           while (rowsIt.nextBatch(batch)) {
+            // decode guards (mirror of OrcUnionType.readUnion): a
+            // foreign schema-matching file with nulls or run-length
+            // batches would be silently misdecoded by this dense loop
+            require(idv.noNulls && !idv.isRepeating && tsv.noNulls && !tsv.isRepeating,
+              s"${s.file}: nulls or repeating batches in instant file — unsupported")
             var i = 0
             while (i < batch.size) {
               // millis + nanos-of-second -> micros (nanos INCLUDES the
