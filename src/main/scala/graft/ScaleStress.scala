@@ -63,6 +63,7 @@ object ScaleStress {
     "q156_sorted_neighborhood",
     "q84_neardup_graph",
     "q115_khop",
+    "q170_embed_neardup_ann", // the q22 escape path — expect sub-quadratic (n^1.5 design)
   )
 
   /** Per-table key-shift rules: every synthetic surrogate key column

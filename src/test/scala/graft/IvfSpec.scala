@@ -35,6 +35,20 @@ class IvfSpec extends SparkSpec {
     assert(ivf.size == 10 && ivf.values.forall(_.size == 5))
   }
 
+  test("q170 ANN near-dup pairs: strict subset of q22's exact pairs, recall pinned") {
+    val emb = Tables(spark, sf).embeddings
+    val exact = operators.Similarity.exactCosinePairs(emb, threshold = 0.45)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    val ann = Ivf.annNearDupPairs(emb, threshold = 0.45)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+    // soundness: candidate generation can MISS pairs but never invent
+    // one — every ANN pair passed the same exact-score filter
+    assert(ann.subsetOf(exact), s"ANN pairs not in exact set: ${ann.diff(exact)}")
+    val recall = if (exact.isEmpty) 1.0 else ann.size.toDouble / exact.size
+    info(f"pair recall = $recall%.3f (${ann.size}/${exact.size})")
+    assert(recall >= 0.8, s"pair recall collapsed: $recall") // observed 0.929 at sf0.01
+  }
+
   test("index memo contract: rewrite detection via plan hash, invalidateIndex() for held plans") {
     // The memo keys the semantic hash of the READ PLAN, which includes
     // the file listing: a FRESH spark.read after a same-path rewrite
