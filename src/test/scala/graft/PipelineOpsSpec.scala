@@ -42,6 +42,18 @@ class PipelineOpsSpec extends SparkSpec {
     ))
   }
 
+  test("q172 ER blocking recall: prefix blocks are a subset of brand blocks, recall pinned") {
+    val row = run("q172_er_blocking_recall").collect().head
+    val (nFull, nPrefix, nOverlap, recall) =
+      (row.getLong(0), row.getLong(1), row.getLong(2), row.getDouble(3))
+    // refinement soundness: every prefix-blocked match is a brand-
+    // blocked match — the refinement can lose pairs, never invent them
+    assert(nOverlap == nPrefix, s"prefix matches escaped brand blocks: $row")
+    assert(nFull >= nPrefix)
+    info(f"ER blocking recall = $recall%.3f ($nPrefix/$nFull)")
+    assert(recall >= 0.6, s"blocking recall collapsed: $recall") // observed 0.75 at sf0.001
+  }
+
   test("within_edit1 agrees with levenshtein <= 1 across a generated pair grid") {
     // alphabet {a,b}, lengths 0..4: 31 strings, all 961 ordered pairs —
     // covers equality, substitution, insert/delete, distance ≥ 2, and
