@@ -131,8 +131,21 @@ object Dedup {
     // Materialize (the verified pair set is tiny) so the cached
     // signature frame can be released before returning; note the
     // executed plan first so its metrics stay visible to the runtime
-    // breakdown (the checkpoint-backed frame has none).
-    val out = graft.metrics.RuntimeBreakdown.noteExecuted(pre).localCheckpoint(true)
+    // breakdown (the checkpoint-backed frame has none). MEMORY_ONLY
+    // storage, not the default MEMORY_AND_DISK: the default routes
+    // every partition through the local disk, and q20's
+    // driver-recorded sequence time inflated 10x two rounds running
+    // while iso/fresh always measured ~0.7 s with steal ~0 — the
+    // signature of transient host IO, which a disk write in the timed
+    // region is exposed to and a memory pin is not. The pair set is
+    // KB-sized, so memory-only is safe at any corpus scale (it is the
+    // VERIFIED pair set, already LSH-filtered). A persist-based
+    // materialization was rejected: CacheManager would serve the
+    // semantically-equal plan from cache on every later run, turning
+    // repeated bench runs into cache hits; localCheckpoint makes a
+    // fresh RDD per call, so each run pays the honest pipeline cost.
+    val out = graft.metrics.RuntimeBreakdown.noteExecuted(pre)
+      .localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
     sigs.unpersist()
     out
   }
@@ -211,7 +224,10 @@ object Dedup {
         s"nearDupGroups did not converge in $maxRounds rounds")
     val pre = labels.select(col("id").as("doc_id"), col("label").as("group_id"))
       .orderBy("doc_id")
-    val out = graft.metrics.RuntimeBreakdown.noteExecuted(pre).localCheckpoint(true)
+    // MEMORY_ONLY: clustered-docs-only frame (see nearDupPairs — same
+    // keep-disk-out-of-the-timed-region rationale)
+    val out = graft.metrics.RuntimeBreakdown.noteExecuted(pre)
+      .localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
     labels.unpersist()
     edges.unpersist()
     out
@@ -635,7 +651,10 @@ object Dedup {
         (size(col("se")) + size(col("st")) - inter).cast(LongType).as("uni"))
       .filter(col("inter") * den >= col("uni") * num)
       .orderBy("eval_id", "train_id")
-    val out = graft.metrics.RuntimeBreakdown.noteExecuted(pre).localCheckpoint(true)
+    // MEMORY_ONLY: verified cross-corpus pair set, LSH-filtered small
+    // (see nearDupPairs — same disk-free-timed-region rationale)
+    val out = graft.metrics.RuntimeBreakdown.noteExecuted(pre)
+      .localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
     sigC.unpersist()
     sigP.unpersist()
     out
