@@ -115,37 +115,69 @@ object ScaleStress {
   }
 
   /** One replica: keys shifted by i·stride (per column, stride =
-    * max+1 of the SOURCE so replicas never collide), text re-lexed.
+    * max+1 over the key's DOMAIN so replicas never collide and foreign
+    * keys stay aligned), text re-lexed by a length-preserving
+    * per-replica letter rotation.
     *
-    * Replica i's text gets a PER-TOKEN prefix (`r3xword`), not an
-    * appended suffix: a suffix salt leaves replicas ~identical, so
-    * every doc arrives with N near-copies and the similarity joins
-    * (q20/q139/q155) measure manufactured N-clique explosion instead
-    * of input scaling — the first x10 run read q139 at exponent 1.60
-    * for exactly this reason. A per-token prefix preserves the
-    * WITHIN-replica dup/similarity structure verbatim (every gram
-    * count, length, and rank is unchanged) while making cross-replica
-    * token sets disjoint — a 10x corpus of NEW content, which is what
-    * data growth means. `p_name` gets a replica prefix for the same
-    * reason (Jaro–Winkler weights prefixes, so prefixed names are
-    * genuinely new entities); brand keys stay 1x — fixed-cardinality
-    * blocking under 10x data is real blocking pressure the ER join
-    * must answer for, not an artifact.
+    * Why not leave text verbatim? Identical replicas hand every doc N
+    * exact near-copies, so the similarity joins (q20/q139/q155)
+    * measure manufactured N-clique explosion instead of input scaling
+    * — the first x10 run read q139 at exponent 1.60 for exactly this
+    * reason. Why not a per-token salt prefix (the v2–v4 scheme)? See
+    * the documents branch below: it biased chars-linear exponents by
+    * ~+0.17 and collapsed first-token blocking keys. The rotation
+    * preserves the WITHIN-replica dup/similarity structure verbatim
+    * (every gram count, length, and rank is unchanged) while making
+    * cross-replica token sets disjoint. Brand keys stay 1x —
+    * fixed-cardinality blocking under 10x data is real blocking
+    * pressure the ER join must answer for, not an artifact.
     */
+  /** Bijective per-replica char map: rotate a-z (and A-Z) by i. Token
+    * lengths, counts, and within-replica equality are preserved
+    * exactly; replica vocabularies are pairwise disjoint for i < 26.
+    */
+  private def rotateLetters(c: org.apache.spark.sql.Column, i: Int): org.apache.spark.sql.Column = {
+    val lower = "abcdefghijklmnopqrstuvwxyz"
+    val rot = lower.drop(i % 26) + lower.take(i % 26)
+    translate(c, lower + lower.toUpperCase, rot + rot.toUpperCase)
+  }
+
   private def replica(src: DataFrame, table: String, i: Int,
       strides: Map[String, Long]): DataFrame = {
     val shifted = keyCols(table).foldLeft(src) { (df, k) =>
       df.withColumn(k, col(k) + lit(i * strides(keyDomain(k))))
     }
     if (table == "documents" && i > 0)
-      shifted.withColumn("text",
-        regexp_replace(col("text"), "(\\S+)", s"r${i}x$$1"))
-        // the per-token prefix lengthens the text; keep the derived
-        // n_chars consistent or stressed queries mixing n_chars with
-        // text-derived stats run on self-inconsistent data at N×
-        .withColumn("n_chars", length(col("text")).cast("long"))
+      // length-preserving per-replica letter rotation (v5): earlier
+      // stagings salted with a per-token "r3x" prefix, which (a)
+      // inflated every token and total chars ~1.5x, biasing the
+      // measured exponent of any chars-linear text operator by
+      // +log10(1.5)≈0.17, and (b) for p_name, a prepended SEPARATE
+      // token gave every replica-i part the same first name token,
+      // collapsing q164's brand×first-token block key to 25 giant
+      // blocks per replica (measured on the v4 staging: 72.0M of
+      // 73.0M candidate pairs came from the 9 replica heads — the
+      // 2.19 exponent was the salt's artifact, not the operator's).
+      // A bijective char map preserves within-replica text byte-for-
+      // byte in LENGTH and structure (every dup group, gram count,
+      // and rank is unchanged; n_chars stays consistent by
+      // construction) while making cross-replica vocabulary disjoint
+      // — a 10x corpus of NEW content, which is what growth means.
+      shifted.withColumn("text", rotateLetters(col("text"), i))
+    else if (table == "customer" && i > 0)
+      // c_name embeds the customer key ("Customer#%09d"); left verbatim
+      // the distinct-name set would NOT grow with the blowup and q99's
+      // edit-distance join would measure a constant-input no-op
+      // (first v4 reading: exponent -0.13). Rebuilding the name from
+      // the SHIFTED key is exactly what customer growth means.
+      shifted.withColumn("c_name",
+        format_string("Customer#%09d", col("c_custkey")))
     else if (table == "part" && i > 0)
-      shifted.withColumn("p_name", concat(lit(s"r${i}x "), col("p_name")))
+      // same rotation for p_name: first-token cardinality grows xN
+      // with the data (what catalog growth means), block sizes stay
+      // bounded, and the length-band prefilters see EXACTLY the
+      // original length distribution.
+      shifted.withColumn("p_name", rotateLetters(col("p_name"), i))
     else if (table == "embeddings" && i > 0)
       // per-replica deterministic sign-flip diagonal D_i: within-replica
       // cosine/dot structure is preserved EXACTLY ((D_i a)·(D_i b) =
@@ -159,13 +191,15 @@ object ScaleStress {
   }
 
   def stageBlowup(spark: SparkSession, srcDir: String, n: Int): String = {
+    require(n <= 26, s"letter-rotation salt supports at most 26 replicas, got $n")
     val tag = srcDir.replaceAll("[^A-Za-z0-9.]", "_")
     // v3: per-token replica prefix + embedding sign-flip (see
     // replica()) — new path so an older staging is never reused
-    // v4: domain-consistent strides + n_chars recompute (see
-    // domainStrides / replica()) — new path so an older staging is
-    // never reused
-    val dest = s"${sys.props("java.io.tmpdir")}/graft_scale/${tag}_x${n}_v4"
+    // v4: domain-consistent strides + n_chars recompute; v5: length-
+    // preserving letter-rotation salt; v6: c_name rebuilt from the
+    // shifted key (see domainStrides / replica()) — new path per
+    // revision so an older staging is never reused
+    val dest = s"${sys.props("java.io.tmpdir")}/graft_scale/${tag}_x${n}_v6"
     sources.Staging.ensureStaged(dest) {
       val strides = domainStrides(spark, srcDir)
       keyCols.keys.toSeq.sorted.foreach { table =>
@@ -227,13 +261,29 @@ object ScaleStress {
       (e.name, t1, tN, exp)
     }
 
-    val json = rows.map { case (name, t1, tN, exp) =>
-      f""""$name":{"t1":$t1%.3f,"tn":$tN%.3f,"exponent":$exp%.3f}"""
-    }.mkString(s"""{"metric":"scale_exponent","scale":$n,"sf":"$srcDir","queries":{""",
+    // Merge into the existing SCALE_STRESS.json (latest reading per
+    // query) instead of overwriting: the sweep is meant to run in
+    // SMALL fresh-JVM batches (SPARK_GRAFT_ONLY subsets) — a single
+    // 25-query × 2-scale JVM accumulates enough codegen/broadcast/GC
+    // state that late queries' t1 readings inflate 5–15x over their
+    // bench times, poisoning the exponent table wholesale.
+    val fresh = rows.map { case (name, t1, tN, exp) =>
+      name -> f""""$name":{"t1":$t1%.3f,"tn":$tN%.3f,"exponent":$exp%.3f}"""
+    }.toMap
+    val outPath = java.nio.file.Paths.get("SCALE_STRESS.json")
+    val existing =
+      if (java.nio.file.Files.exists(outPath)) {
+        val s = java.nio.file.Files.readString(outPath)
+        """"(q[0-9]+[a-z0-9_]*)":\{"t1":[^}]*\}""".r
+          .findAllMatchIn(s).map(m => m.group(1) -> m.matched).toMap
+      } else Map.empty[String, String]
+    val merged = (existing ++ fresh).toSeq.sortBy(_._1).map(_._2)
+    val json = merged.mkString(
+      s"""{"metric":"scale_exponent","scale":$n,"sf":"$srcDir",""" +
+        s""""note":"v6 blowup (letter-rotation salt, domain strides, key-derived c_name); merged latest reading per query from fresh-JVM batch runs","queries":{""",
       ",", "}}")
     println(json)
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("SCALE_STRESS.json"), json + "\n")
+    java.nio.file.Files.writeString(outPath, json + "\n")
     spark.stop()
   }
 }
