@@ -94,6 +94,49 @@ object Winnow {
         round(col("s").cast(DoubleType) / col("n_bigrams"), 6).as("familiarity"))
   }
 
+  /** True log-probability bigram-LM scoring (q79's companion): the
+    * CCNet-style perplexity gate computed for real, not via the
+    * integer-frequency analogue. Model = add-one-smoothed token-bigram
+    * conditional log-probs fitted on the corpus itself
+    * (`ln((c12+1)/(c1+V))`, V = corpus vocabulary); each document is
+    * scored by the sum and mean of its bigram log-probs. Determinism
+    * across engines follows the q160 DSIR precedent exactly: each
+    * DISTINCT bigram's log-prob is rounded once to 6dp and carried as
+    * DECIMAL(18,6), so per-doc sums are exact integer arithmetic —
+    * summation order cannot move the result; the only float op is one
+    * `ln` per distinct bigram, identically shaped in both engines.
+    *
+    * Scale shape: one partition-local `lead` window per doc (tokens
+    * are already doc-partitioned), two grouped counts for the model,
+    * then a bigram-keyed shuffle equi-join — the model is
+    * distinct-bigram-sized, so it is NOT forced broadcast (at 100 TB
+    * the bigram vocabulary outgrows any driver); AQE picks broadcast
+    * when it fits. No cross-document state anywhere.
+    */
+  def bigramLogProb(tokens: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byDoc = Window.partitionBy("doc_id").orderBy("pos")
+    val bg = tokens
+      .select(col("doc_id"), col("term").as("w1"),
+        lead("term", 1).over(byDoc).as("w2"))
+      .filter(col("w2").isNotNull)
+    val c12 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val ctx = bg.groupBy("w1").agg(count(lit(1)).as("c1"))
+    val vocab = tokens.select("term").distinct()
+      .agg(count(lit(1)).as("v"))
+    val model = c12.join(ctx, "w1").crossJoin(broadcast(vocab))
+      .select(col("w1"), col("w2"),
+        round(log((col("c12") + lit(1.0)) / (col("c1") + col("v"))), 6)
+          .cast(DecimalType(18, 6)).as("lp"))
+    bg.join(model, Seq("w1", "w2"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("lp")).cast(DoubleType).as("log_prob"))
+      .select(col("doc_id"), col("n_bigrams"), col("log_prob"),
+        (col("log_prob") / col("n_bigrams")).as("avg_logprob"))
+      .orderBy("doc_id")
+  }
+
   /** N-gram-level decontamination (the GPT-3 appendix-C method, public
     * — word-gram overlap against the eval set, not whole-document
     * fingerprints like q42): a train document is contaminated if it
@@ -264,6 +307,37 @@ object Winnow {
         |GROUP BY b.doc_id ORDER BY b.doc_id""".stripMargin,
     ) { (s, dir) =>
       bigramFamiliarity(Tables(s, dir).documentsRebalanced).orderBy("doc_id")
+    },
+
+    // q173 — true log-prob bigram-LM perplexity gate (q79's companion;
+    // the q160 determinism pattern): DuckDB refits the whole smoothed
+    // model independently — bigram counts, context counts, vocabulary
+    // size, 6dp-DECIMAL log-probs — and re-scores every document.
+    QueryEntry.sql(
+      "q173_bigram_logprob",
+      """WITH tok AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+        |  FROM documents
+        |), bg AS (
+        |  SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+        |  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i
+        |        FROM tok)
+        |), c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY w1, w2),
+        |ctx AS (SELECT w1, COUNT(*) AS c1 FROM bg GROUP BY w1),
+        |vv AS (SELECT COUNT(DISTINCT tt) AS v
+        |       FROM (SELECT unnest(t) AS tt FROM tok)),
+        |model AS (
+        |  SELECT c12.w1, c12.w2,
+        |         CAST(ROUND(ln((c12 + 1.0) / (c1 + v)), 6) AS DECIMAL(18,6)) AS lp
+        |  FROM c12 JOIN ctx USING (w1), vv
+        |)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+        |       CAST(SUM(lp) AS DOUBLE) AS log_prob,
+        |       CAST(SUM(lp) AS DOUBLE) / COUNT(*) AS avg_logprob
+        |FROM bg JOIN model USING (w1, w2)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    ) { (s, dir) =>
+      bigramLogProb(graft.sources.TokenizedCorpus.tokens(s, dir))
     },
 
     // Deterministic train/val/test split (~80/10/10): bucket = the top

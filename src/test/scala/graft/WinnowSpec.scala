@@ -50,6 +50,28 @@ class WinnowSpec extends SparkSpec {
     assert(f(1L) > f(2L), s"common-bigram doc must score higher: $f")
   }
 
+  test("bigram log-prob: hand-computed smoothed model on a 2-doc corpus") {
+    // doc1 = "a b a b", doc2 = "a b c": c12(a,b)=3, c12(b,a)=1,
+    // c12(b,c)=1; ctx(a)=3, ctx(b)=2; V=3.
+    // lp(a,b)=round(ln(4/6),6)=-0.405465; lp(b,a)=lp(b,c)=round(ln(2/5),6)=-0.916291
+    val toks = Seq(
+      (1L, 0, "a"), (1L, 1, "b"), (1L, 2, "a"), (1L, 3, "b"),
+      (2L, 0, "a"), (2L, 1, "b"), (2L, 2, "c"),
+    ).toDF("doc_id", "pos", "term")
+    val out = Winnow.bigramLogProb(toks).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3))))
+      .toMap
+    val (n1, s1, a1) = out(1L)
+    assert(n1 == 3L)
+    assert(math.abs(s1 - (2 * -0.405465 + -0.916291)) < 1e-9, s"doc1 sum $s1")
+    assert(math.abs(a1 - s1 / 3) < 1e-12)
+    val (n2, s2, _) = out(2L)
+    assert(n2 == 2L)
+    assert(math.abs(s2 - (-0.405465 + -0.916291)) < 1e-9, s"doc2 sum $s2")
+    // the common bigram scores above the rare ones: doc1's mean beats doc2's
+    assert(a1 > out(2L)._3)
+  }
+
   test("hot-key report: counts, shares, and deterministic tie order") {
     import graft.operators.Skew
     val df = (Seq.fill(6)(7L) ++ Seq.fill(3)(1L) ++ Seq.fill(3)(2L) ++ Seq(9L))
