@@ -237,7 +237,155 @@ object CorpusOps {
     ) { (s, dir) =>
       lengthHistogram(Tables(s, dir).documentsRebalanced)
     },
+
+    // q174 — cross-source word-3-gram overlap matrix (the corpus-
+    // mixture redundancy diagnostic: which provenance pairs share
+    // content, and how much). The oracle re-derives every distinct
+    // gram set, pair intersection, and Jaccard independently.
+    QueryEntry.sql(
+      "q174_source_overlap",
+      """WITH tok AS (
+        |  SELECT source, regexp_split_to_array(trim(lower(text)), '\s+') AS t
+        |  FROM documents
+        |), g AS (
+        |  SELECT DISTINCT source, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS gram
+        |  FROM (SELECT source, t, unnest(generate_series(1, len(t) - 2)) AS i
+        |        FROM tok)
+        |), sz AS (SELECT source, COUNT(*) AS sz FROM g GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.source AS src_a, b.source AS src_b, a.sz AS sza, b.sz AS szb
+        |  FROM sz a JOIN sz b ON a.source < b.source
+        |), inter AS (
+        |  SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS shared
+        |  FROM g a JOIN g b ON a.gram = b.gram AND a.source < b.source
+        |  GROUP BY 1, 2
+        |)
+        |SELECT p.src_a, p.src_b,
+        |       CAST(COALESCE(i.shared, 0) AS BIGINT) AS n_shared,
+        |       ROUND(CAST(COALESCE(i.shared, 0) AS DOUBLE)
+        |             / (p.sza + p.szb - COALESCE(i.shared, 0)), 6) AS jaccard
+        |FROM pairs p LEFT JOIN inter i USING (src_a, src_b)
+        |ORDER BY src_a, src_b""".stripMargin,
+    ) { (s, dir) =>
+      sourceOverlap(Tables(s, dir).documentsRebalanced, n = 3)
+    },
+
+    // q175 — per-language Zipf rank-frequency slope over the top-100
+    // terms (corpus-health fingerprint: natural text reads ≈ −1;
+    // template/duplicated corpora drift shallow). The q124 exact-
+    // decimal-sufficient-stats OLS over 6dp-rounded ln(rank)/ln(count);
+    // DuckDB refits the ranks and the regression independently.
+    QueryEntry.sql(
+      "q175_zipf_slope",
+      """WITH tok AS (
+        |  SELECT lang, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+        |  FROM documents
+        |), tc AS (SELECT lang, term, COUNT(*) AS n FROM tok GROUP BY 1, 2),
+        |rk AS (
+        |  SELECT lang, n,
+        |         row_number() OVER (PARTITION BY lang ORDER BY n DESC, term) AS rank
+        |  FROM tc
+        |), b AS (
+        |  SELECT lang,
+        |         CAST(ROUND(ln(CAST(rank AS DOUBLE)), 6) AS DECIMAL(18,6)) AS x,
+        |         CAST(ROUND(ln(CAST(n AS DOUBLE)), 6) AS DECIMAL(18,6)) AS y
+        |  FROM rk WHERE rank <= 100
+        |), s AS (
+        |  SELECT lang, COUNT(*) AS nt, SUM(x) AS sx, SUM(y) AS sy,
+        |         SUM(CAST(x * y AS DECIMAL(38,12))) AS sxy,
+        |         SUM(CAST(x * x AS DECIMAL(38,12))) AS sxx
+        |  FROM b GROUP BY 1
+        |), g AS (
+        |  SELECT lang, nt, sx, sy, sxy, sxx,
+        |         nt * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS den
+        |  FROM s
+        |)
+        |SELECT lang, CAST(nt AS BIGINT) AS n_terms,
+        |       ROUND(CASE WHEN den > 0 THEN
+        |               (nt * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / den
+        |             END, 6) AS zipf_slope,
+        |       ROUND((CAST(sy AS DOUBLE) -
+        |              CASE WHEN den > 0 THEN
+        |                (nt * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / den
+        |              END * CAST(sx AS DOUBLE)) / nt, 6) AS intercept
+        |FROM g ORDER BY lang""".stripMargin,
+    ) { (s, dir) =>
+      zipfSlope(Tables(s, dir).documentsRebalanced, k = 100)
+    },
   )
+
+  /** Cross-source n-gram overlap: for every provenance pair, the count
+    * and Jaccard of shared distinct word n-grams — the "are these two
+    * sources the same content" report a mixture designer reads before
+    * weighting them. Scale shape: one explode + (source, gram) distinct
+    * (shuffle, map-side combinable), sizes by grouped count, and the
+    * pair intersection as a gram-keyed self-join — never source×source
+    * over raw rows. The output and the `sizes` frame are
+    * |sources|²/2-bounded; provenance counts are platform-bounded
+    * (dozens), not data-bounded, which is what makes the matrix shape
+    * safe at 100 TB. A gram present in s sources emits s(s-1)/2 pair
+    * rows into the count — bounded by the same |sources| argument.
+    */
+  def sourceOverlap(docs: DataFrame, n: Int): DataFrame = {
+    val gramExpr =
+      (0 until n).map(j => s"toks[i + $j]").mkString("concat_ws(' ', ", ", ", ")")
+    val grams = docs
+      .select(col("source"), TextAnalysis.tokens(col("text")).as("toks"))
+      .select(col("source"), explode(expr(
+        s"CASE WHEN size(toks) >= $n THEN " +
+          s"transform(sequence(0, size(toks) - $n), i -> $gramExpr) " +
+          "ELSE array() END")).as("gram"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.TransientCaches.register(grams)
+    val sizes = grams.groupBy("source").agg(count(lit(1)).as("sz"))
+    val pairs = sizes.select(col("source").as("src_a"), col("sz").as("sza"))
+      .join(sizes.select(col("source").as("src_b"), col("sz").as("szb")),
+        col("src_a") < col("src_b"))
+    val inter = grams.select(col("source").as("src_a"), col("gram"))
+      .join(grams.select(col("source").as("src_b"), col("gram")), "gram")
+      .filter(col("src_a") < col("src_b"))
+      .groupBy("src_a", "src_b").agg(count(lit(1)).as("shared"))
+    pairs.join(inter, Seq("src_a", "src_b"), "left")
+      .select(col("src_a"), col("src_b"),
+        coalesce(col("shared"), lit(0L)).cast(LongType).as("n_shared"),
+        round(coalesce(col("shared"), lit(0L)).cast(DoubleType) /
+          (col("sza") + col("szb") - coalesce(col("shared"), lit(0L))), 6)
+          .as("jaccard"))
+      .orderBy("src_a", "src_b")
+  }
+
+  /** Zipf rank-frequency slope per language: OLS of ln(count) on
+    * ln(rank) over the top-`k` terms. Ranks come from the k-bounded
+    * string heap ([[topTermsPerGroup]]) — no vocabulary-wide rank
+    * window — and the regression follows the q124 oracle-parity
+    * pattern: 6dp-rounded ln values carried as DECIMAL(18,6), exact
+    * decimal sufficient statistics (order-independent sums), and only
+    * the final normal-equation arithmetic in IEEE double.
+    */
+  def zipfSlope(docs: DataFrame, k: Int): DataFrame = {
+    val ranked = topTermsPerGroup(docs, "lang", k)
+    val s = ranked
+      .select(col("grp").as("lang"),
+        round(log(col("rank").cast(DoubleType)), 6)
+          .cast(DecimalType(18, 6)).as("x"),
+        round(log(col("n").cast(DoubleType)), 6)
+          .cast(DecimalType(18, 6)).as("y"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("nt"),
+        sum("x").as("sx"), sum("y").as("sy"),
+        sum((col("x") * col("y")).cast(DecimalType(38, 12))).as("sxy"),
+        sum((col("x") * col("x")).cast(DecimalType(38, 12))).as("sxx"))
+    val nD = col("nt").cast(DoubleType)
+    val sxD = col("sx").cast(DoubleType)
+    val syD = col("sy").cast(DoubleType)
+    val den = nD * col("sxx").cast(DoubleType) - sxD * sxD
+    val slope = when(den > 0, (nD * col("sxy").cast(DoubleType) - sxD * syD) / den)
+    s.select(col("lang"), col("nt").as("n_terms"),
+        round(slope, 6).as("zipf_slope"),
+        round((syD - slope * sxD) / nD, 6).as("intercept"))
+      .orderBy("lang")
+  }
 
   /** Coverage of the top-k vocabulary per k: one term-count pass, then
     * a k-bounded heap per requested k (no global rank window — the

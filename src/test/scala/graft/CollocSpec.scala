@@ -135,6 +135,35 @@ class CollocSpec extends SparkSpec {
       (2L, 4L, 2L, 4L, 7L), (3L, 8L, 1L, 8L, 8L)))
   }
 
+  // -- source overlap / Zipf slope ------------------------------------
+
+  test("sourceOverlap: known gram sets, shared and disjoint pairs, zero rows kept") {
+    val docs = Seq(
+      (1L, "srcA", "a b c d"), // trigrams {a b c, b c d}
+      (2L, "srcB", "a b c"),   // {a b c}
+      (3L, "srcC", "x y z"),   // {x y z}
+    ).toDF("doc_id", "source", "text")
+    val rows = operators.CorpusOps.sourceOverlap(docs, n = 3).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(rows.size == 3, "all pairs present, including zero-overlap ones")
+    assert(rows(("srcA", "srcB")) == ((1L, 0.5))) // 1 / (2 + 1 - 1)
+    assert(rows(("srcA", "srcC")) == ((0L, 0.0)))
+    assert(rows(("srcB", "srcC")) == ((0L, 0.0)))
+  }
+
+  test("zipfSlope: an exact C/rank corpus fits slope -1, intercept ln C") {
+    // counts 12, 6, 4, 3 = 12/rank for ranks 1..4 → ln-ln slope = -1
+    val words = Seq.fill(12)("a") ++ Seq.fill(6)("b") ++ Seq.fill(4)("c") ++
+      Seq.fill(3)("d")
+    val docs = Seq((1L, "en", words.mkString(" "))).toDF("doc_id", "lang", "text")
+    val r = operators.CorpusOps.zipfSlope(docs, k = 100).collect()
+    assert(r.length == 1)
+    assert(r(0).getLong(1) == 4L)
+    assert(math.abs(r(0).getDouble(2) - -1.0) < 1e-4, s"slope ${r(0).getDouble(2)}")
+    assert(math.abs(r(0).getDouble(3) - math.log(12.0)) < 1e-4)
+  }
+
   // -- Mixture sampling ----------------------------------------------
 
   test("temperatureSample: deterministic across reruns; rare strata keep higher rates") {
