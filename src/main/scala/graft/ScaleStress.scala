@@ -64,6 +64,9 @@ object ScaleStress {
     "q84_neardup_graph",
     "q115_khop",
     "q170_embed_neardup_ann", // the q22 escape path — expect sub-quadratic (n^1.5 design)
+    // round-8 operators that bench >1 s at sf0.1 (same invariant)
+    "q173_bigram_logprob",
+    "q174_source_overlap",
   )
 
   /** Per-table key-shift rules: every synthetic surrogate key column

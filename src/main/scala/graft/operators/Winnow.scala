@@ -116,10 +116,14 @@ object Winnow {
   def bigramLogProb(tokens: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val byDoc = Window.partitionBy("doc_id").orderBy("pos")
+    // the bigram frame feeds three consumers (scoring join + both
+    // model counts) — persist it once (the q134/q149/q158 lesson)
     val bg = tokens
       .select(col("doc_id"), col("term").as("w1"),
         lead("term", 1).over(byDoc).as("w2"))
       .filter(col("w2").isNotNull)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.TransientCaches.register(bg)
     val c12 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
     val ctx = bg.groupBy("w1").agg(count(lit(1)).as("c1"))
     val vocab = tokens.select("term").distinct()
