@@ -330,6 +330,65 @@ object Pq {
        |FROM adc QUALIFY rank <= $k ORDER BY q_id, rank""".stripMargin
   }
 
+  /** Per-label PQ reconstruction distortion: mean over vectors of
+    * Σ_m min_k ‖sub_m − book_m[k]‖² — the compression-quality number
+    * next to q169's search-quality recall (how much geometry the
+    * 4-byte codes give up, and whether any label's region quantizes
+    * worse). Exactness follows the ADC rule: each subspace's min
+    * distance is the same left-associated chain in both engines,
+    * rounded once to 7dp and carried as DECIMAL, so per-vector and
+    * per-label sums are order-independent exact. Scale shape: one
+    * per-row map over the corpus + a label-grouped sum — no joins, no
+    * index needed; the model is M×K×8 doubles broadcast as literals.
+    */
+  def pqDistortion(emb: DataFrame,
+      books: IndexedSeq[IndexedSeq[Array[Double]]]): DataFrame = {
+    val err = (0 until M).map { m =>
+      val sub = slice(col("embedding"), m * SubDim + 1, SubDim)
+      // struct-min orders by (d, code) exactly like the oracle's
+      // row_number; the d of the argmin IS the subspace error
+      val d = array_min(array(books(m).indices.map(k =>
+        struct(l2(sub, books(m)(k)).as("d"), lit(k).as("c"))): _*))
+        .getField("d")
+      round(d, 7).cast(DecimalType(18, 7))
+    }.reduce(_ + _)
+    emb.select(col("label"), err.as("e"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_vecs"), sum("e").as("se"))
+      .select(col("label"), col("n_vecs"),
+        round(col("se").cast(DoubleType) / col("n_vecs"), 6).as("mse"))
+      .orderBy("label")
+  }
+
+  /** Generated DuckDB SQL: re-encodes every vector against the inlined
+    * codebooks and re-derives the per-label distortion means.
+    */
+  def pqDistortionOracleSql(spark: org.apache.spark.sql.SparkSession,
+      dir: String): String = {
+    val books = fittedCodebooks(Tables(spark, dir).embeddings)
+    s"""WITH codebook(m, code, cents) AS (
+       |  VALUES
+       |    ${codebookValues(books)}
+       |), enc_d AS (
+       |  SELECT e.vec_id, e.label, cb.m, cb.code,
+       |         (${l2Chain("e.embedding", "cb.cents")}) AS d
+       |  FROM embeddings e, codebook cb
+       |), enc AS (
+       |  SELECT vec_id, label, m, d FROM (
+       |    SELECT vec_id, label, m, d,
+       |           row_number() OVER (PARTITION BY vec_id, m
+       |                              ORDER BY d ASC, code ASC) AS rn
+       |    FROM enc_d) WHERE rn = 1
+       |), verr AS (
+       |  SELECT vec_id, label,
+       |         SUM(CAST(ROUND(d, 7) AS DECIMAL(18,7))) AS e
+       |  FROM enc GROUP BY vec_id, label
+       |)
+       |SELECT label, COUNT(*) AS n_vecs,
+       |       ROUND(CAST(SUM(e) AS DOUBLE) / COUNT(*), 6) AS mse
+       |FROM verr GROUP BY label ORDER BY label""".stripMargin
+  }
+
   val entries: Seq[QueryEntry] = Seq(
     // IVF-PQ search for the first 10 vec_ids. The fit is deterministic
     // end-to-end (coarse quantizer AND the 8 codebooks), so the whole
@@ -343,6 +402,17 @@ object Pq {
       // deterministically, so reload ≡ refit sits under the gate
       val emb = Tables(s, dir).embeddings
       annSearchPqStaged(s, dir, emb.filter(col("vec_id") < 10), nprobe = 3, k = 5)
+    },
+
+    // q176 — PQ reconstruction distortion per label (the q169-pattern
+    // quality metric for the compression side: recall measures what
+    // search loses, distortion measures what encoding loses). DuckDB
+    // re-encodes the whole corpus against the inlined codebooks.
+    QueryEntry.dynamicSql("q176_pq_distortion") { (s, dir) =>
+      pqDistortionOracleSql(s, dir)
+    } { (s, dir) =>
+      val emb = Tables(s, dir).embeddings
+      pqDistortion(emb, fittedCodebooks(emb))
     },
   )
 }

@@ -167,6 +167,26 @@ class IvfSpec extends SparkSpec {
     assert(pq.size == 10 && pq.values.forall(_.size == 5))
   }
 
+  test("q176 PQ distortion: zero when the codebook contains every vector; positive on the fixture") {
+    import graft.operators.Pq
+    // 16 vectors = the codebook init set exactly → every subspace has
+    // each vector's own sub-vector as an entry → distortion must be 0
+    val emb16 = Tables(spark, sf).embeddings.orderBy("vec_id").limit(16)
+      .localCheckpoint(true)
+    val zero = Pq.pqDistortion(emb16, Pq.fittedCodebooks(emb16)).collect()
+    assert(zero.nonEmpty)
+    zero.foreach(r => assert(r.getDouble(2) == 0.0,
+      s"label ${r.get(0)} distortion ${r.getDouble(2)} != 0"))
+
+    val emb = Tables(spark, sf).embeddings
+    val full = Pq.pqDistortion(emb, Pq.fittedCodebooks(emb)).collect()
+    val labels = emb.select("label").distinct().count()
+    assert(full.length == labels, "one row per label")
+    full.foreach { r =>
+      assert(r.getDouble(2) > 0.0 && java.lang.Double.isFinite(r.getDouble(2)))
+    }
+  }
+
   test("centroid UDAF equals the posexplode/avg computation") {
     val emb = Tables(spark, sf).embeddings
     val udaf = run("q32_label_centroids").as[(Int, Int, Double)].collect().toSet
