@@ -67,6 +67,9 @@ object ScaleStress {
     // round-8 operators that bench >1 s at sf0.1 (same invariant)
     "q173_bigram_logprob",
     "q174_source_overlap",
+    "q172_er_blocking_recall",
+    "q176_pq_distortion",
+    "q177_er_recall_bucketed", // q172's sampled scale path — expect ≈ linear
   )
 
   /** Per-table key-shift rules: every synthetic surrogate key column

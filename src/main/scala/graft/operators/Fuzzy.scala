@@ -147,6 +147,17 @@ object Fuzzy {
         |       END AS pair_recall""".stripMargin,
     ) { (s, dir) => erBlockingRecall(Tables(s, dir).part, minJw = 0.9) },
 
+    // q177 — q172's own scale path: the same recall, estimated on a
+    // hash-bucket pair sample whose bucket count grows with the data
+    // (md5₆₀(key) mod ⌈n/64⌉ joins both blockings), so the estimator
+    // stays input-linear where the exact measurement inherits the
+    // reference's quadratic (q172 measured exp 1.24). Dynamic oracle:
+    // the data-derived bucket count is inlined and DuckDB replays both
+    // sampled blockings end-to-end.
+    QueryEntry.dynamicSql("q177_er_recall_bucketed") { (s, dir) =>
+      erBlockingRecallBucketedOracleSql(s, dir, minJw = 0.9)
+    } { (s, dir) => erBlockingRecallBucketed(Tables(s, dir).part, minJw = 0.9) },
+
     // q164 — PREFIX-blocked Jaro–Winkler ER: q155 with the blocking
     // key extended by the name's first token. q155's brand-only blocks
     // have FIXED cardinality, so candidate pairs grow quadratically as
@@ -255,18 +266,24 @@ object Fuzzy {
     * generator for [[erBlockingRecall]].
     */
   private def blockedMatches(part: org.apache.spark.sql.DataFrame,
-      withHead: Boolean, minJw: Double): org.apache.spark.sql.DataFrame = {
-    val p = part.select(col("p_partkey"), col("p_brand"),
-      substring_index(col("p_name"), " ", 1).as("p_head"), col("p_name"))
+      withHead: Boolean, minJw: Double): org.apache.spark.sql.DataFrame =
+    blockedMatchesOn(part,
+      if (withHead) Seq("p_brand", "p_head") else Seq("p_brand"), minJw)
+
+  /** Blocked JW matches over an arbitrary block-key list; `p_head` is
+    * derived here, any other key (e.g. q177's sampling bucket) must
+    * already be a column of `part`.
+    */
+  private def blockedMatchesOn(part: org.apache.spark.sql.DataFrame,
+      keys: Seq[String], minJw: Double): org.apache.spark.sql.DataFrame = {
+    val p = part
+      .withColumn("p_head", substring_index(col("p_name"), " ", 1))
     val parallelism = part.sparkSession.sessionState.conf.numShufflePartitions
-    val keys = if (withHead) Seq("p_brand", "p_head") else Seq("p_brand")
-    val a = p.select(col("p_brand"), col("p_head"),
-        col("p_partkey").as("key_a"), col("p_name").as("name_a"))
+    val a = p.select(keys.map(col) :+ col("p_partkey").as("key_a") :+
+        col("p_name").as("name_a"): _*)
       .repartition(parallelism, col("key_a"))
-    val b = p.select(col("p_brand"), col("p_head"),
-      col("p_partkey").as("key_b"), col("p_name").as("name_b"))
-    // p_head rides along unreferenced on both sides of the brand-only
-    // join; only the USING keys and key/name columns are selected
+    val b = p.select(keys.map(col) :+ col("p_partkey").as("key_b") :+
+      col("p_name").as("name_b"): _*)
     a.join(b, keys)
       .filter(col("key_a") < col("key_b") &&
         abs(length(col("name_a")) - length(col("name_b"))) <= 4)
@@ -284,6 +301,80 @@ object Fuzzy {
     * (0.831 at sf0.01), not a documented hope. One row: (n_full,
     * n_prefix, n_overlap, pair_recall).
     */
+  /** The recall measurement's own 100 TB path (q172 measures against
+    * the FULL brand-blocked reference, so it inherits the reference's
+    * quadratic — measured exp 1.24 over the ×10 blowup): hash-bucket
+    * PAIR sampling with bucket count ∝ corpus size. Every part gets
+    * bucket = md5₆₀(key) mod ⌈n/64⌉, and only same-(brand, bucket)
+    * pairs enter either side — a uniform pair thinning applied
+    * IDENTICALLY to reference and refinement, so the recall ratio is
+    * preserved in expectation while expected sampled pairs per block
+    * stay Σm²/nb = O(1)·m as the corpus grows: the estimator's cost is
+    * input-linear where the exact measurement is quadratic. Bucket
+    * count is data-derived, so the oracle is dynamic (the fitted-model
+    * inlining precedent).
+    */
+  def erBlockingRecallBucketed(part: org.apache.spark.sql.DataFrame,
+      minJw: Double): org.apache.spark.sql.DataFrame = {
+    val nb = bucketCount(part)
+    val bkt = graft.functions.GraftFunctions
+      .md5Long(col("p_partkey").cast(org.apache.spark.sql.types.StringType)
+        .cast(org.apache.spark.sql.types.BinaryType)) % nb
+    val sampled = part.withColumn("p_bkt", bkt)
+    val full = blockedMatchesOn(sampled, Seq("p_brand", "p_bkt"), minJw)
+    val pre = blockedMatchesOn(sampled, Seq("p_brand", "p_head", "p_bkt"), minJw)
+    val nf = full.agg(count(lit(1)).as("n_full"))
+    val np = pre.agg(count(lit(1)).as("n_prefix"))
+    val ov = pre.join(full, Seq("key_a", "key_b"))
+      .agg(count(lit(1)).as("n_overlap"))
+    nf.crossJoin(np).crossJoin(ov)
+      .select(lit(nb).as("n_buckets"), col("n_full"), col("n_prefix"),
+        col("n_overlap"),
+        when(col("n_full") === 0, lit(1.0))
+          .otherwise(round(col("n_overlap").cast("double") /
+            col("n_full").cast("double"), 6)).as("pair_recall"))
+  }
+
+  /** Buckets ∝ corpus size: ⌈n/64⌉ keeps ~64 parts per (brand·bucket
+    * stratum)·|brands| overall — expected same-bucket pairs per block
+    * bounded as n grows.
+    */
+  def bucketCount(part: org.apache.spark.sql.DataFrame): Long =
+    math.max(1L, part.count() / 64L)
+
+  def erBlockingRecallBucketedOracleSql(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      minJw: Double): String = {
+    val nb = bucketCount(graft.Tables(spark, dir).part)
+    s"""WITH p AS (SELECT p_partkey, p_brand, p_name,
+       |                  split_part(p_name, ' ', 1) AS p_head,
+       |                  CAST('0x' || substr(md5(CAST(p_partkey AS VARCHAR)), 1, 15)
+       |                       AS BIGINT) % $nb AS p_bkt FROM part),
+       |full_m AS (
+       |  SELECT a.p_partkey AS key_a, b.p_partkey AS key_b
+       |  FROM p a JOIN p b
+       |    ON a.p_brand = b.p_brand AND a.p_bkt = b.p_bkt
+       |   AND a.p_partkey < b.p_partkey
+       |  WHERE abs(len(a.p_name) - len(b.p_name)) <= 4
+       |    AND ROUND(jaro_winkler_similarity(a.p_name, b.p_name), 6) >= $minJw
+       |), pre_m AS (
+       |  SELECT a.p_partkey AS key_a, b.p_partkey AS key_b
+       |  FROM p a JOIN p b
+       |    ON a.p_brand = b.p_brand AND a.p_head = b.p_head
+       |   AND a.p_bkt = b.p_bkt AND a.p_partkey < b.p_partkey
+       |  WHERE abs(len(a.p_name) - len(b.p_name)) <= 4
+       |    AND ROUND(jaro_winkler_similarity(a.p_name, b.p_name), 6) >= $minJw
+       |)
+       |SELECT CAST($nb AS BIGINT) AS n_buckets,
+       |       (SELECT COUNT(*) FROM full_m) AS n_full,
+       |       (SELECT COUNT(*) FROM pre_m) AS n_prefix,
+       |       (SELECT COUNT(*) FROM pre_m JOIN full_m USING (key_a, key_b)) AS n_overlap,
+       |       CASE WHEN (SELECT COUNT(*) FROM full_m) = 0 THEN 1.0
+       |            ELSE ROUND((SELECT COUNT(*) FROM pre_m JOIN full_m USING (key_a, key_b))
+       |                       / CAST((SELECT COUNT(*) FROM full_m) AS DOUBLE), 6)
+       |       END AS pair_recall""".stripMargin
+  }
+
   def erBlockingRecall(part: org.apache.spark.sql.DataFrame,
       minJw: Double): org.apache.spark.sql.DataFrame = {
     val full = blockedMatches(part, withHead = false, minJw)

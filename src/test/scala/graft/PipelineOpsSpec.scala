@@ -54,6 +54,23 @@ class PipelineOpsSpec extends SparkSpec {
     assert(recall >= 0.6, s"blocking recall collapsed: $recall") // observed 0.75 at sf0.001
   }
 
+  test("q177 bucketed ER recall: subset properties and agreement with the exact measurement") {
+    val row = run("q177_er_recall_bucketed").collect().head
+    val (nb, nFull, nPrefix, nOverlap, recall) =
+      (row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3),
+        row.getDouble(4))
+    assert(nb >= 1)
+    // same refinement soundness as q172, under the identical sampling
+    assert(nOverlap == nPrefix, s"sampled prefix matches escaped brand blocks: $row")
+    assert(nFull >= nPrefix)
+    assert(recall >= 0.0 && recall <= 1.0)
+    // sampling is pair-thinning: the sampled reference is a subset of
+    // the exact reference measured by q172
+    val exact = run("q172_er_blocking_recall").collect().head
+    assert(nFull <= exact.getLong(0), "sampled full pairs exceed exact full pairs")
+    info(f"bucketed recall = $recall%.3f (exact ${exact.getDouble(3)}%.3f, $nb buckets)")
+  }
+
   test("within_edit1 agrees with levenshtein <= 1 across a generated pair grid") {
     // alphabet {a,b}, lengths 0..4: 31 strings, all 961 ordered pairs —
     // covers equality, substitution, insert/delete, distance ≥ 2, and
