@@ -148,22 +148,46 @@ object Winnow {
     * distinct-hashed and broadcast (eval sets are small by nature);
     * train side is one explode + hash join — no quadratic path.
     */
+  /** (doc_id, gh) word n-gram hashes — the shared primitive of the
+    * decontamination family (q81 flagging, q178 attribution).
+    */
+  private def wordGramHashes(df: DataFrame, n: Int): DataFrame = df
+    .select(col("doc_id"),
+      split(regexp_replace(lower(col("text")), "\\s+", " "), " ").as("toks"))
+    .filter(size(col("toks")) >= n)
+    .select(col("doc_id"),
+      explode(expr(s"sequence(1, size(toks) - ${n - 1})")).as("p"),
+      col("toks"))
+    .select(col("doc_id"),
+      graft.functions.GraftFunctions.md5Long(
+        array_join(slice(col("toks"), col("p"), lit(n)), " ")
+          .cast(org.apache.spark.sql.types.BinaryType)).as("gh"))
+
   def ngramContaminated(train: DataFrame, eval: DataFrame, n: Int): DataFrame = {
-    def grams(df: DataFrame): DataFrame = df
-      .select(col("doc_id"),
-        split(regexp_replace(lower(col("text")), "\\s+", " "), " ").as("toks"))
-      .filter(size(col("toks")) >= n)
-      .select(col("doc_id"),
-        explode(expr(s"sequence(1, size(toks) - ${n - 1})")).as("p"),
-        col("toks"))
-      .select(col("doc_id"),
-        graft.functions.GraftFunctions.md5Long(
-          array_join(slice(col("toks"), col("p"), lit(n)), " ")
-            .cast(org.apache.spark.sql.types.BinaryType)).as("gh"))
-    val evalGrams = grams(eval).select("gh").distinct()
-    grams(train)
+    val evalGrams = wordGramHashes(eval, n).select("gh").distinct()
+    wordGramHashes(train, n)
       .join(broadcast(evalGrams), Seq("gh"))
       .select("doc_id").distinct()
+  }
+
+  /** Contamination ATTRIBUTION (q81's provenance companion): not just
+    * "this train doc is contaminated" but BY WHICH eval doc and by how
+    * many distinct shared n-grams — the trace a leakage audit actually
+    * needs before deciding whether a match is boilerplate or a leaked
+    * answer. Scale shape identical to q81: eval grams are small by
+    * nature and broadcast; the train side is one explode + hash join;
+    * output is bounded by actually-contaminated pairs, never
+    * train×eval.
+    */
+  def contaminationAttribution(train: DataFrame, eval: DataFrame,
+      n: Int): DataFrame = {
+    val tg = wordGramHashes(train, n).distinct()
+    val eg = wordGramHashes(eval, n).distinct()
+      .select(col("doc_id").as("eval_doc"), col("gh"))
+    tg.join(broadcast(eg), Seq("gh"))
+      .groupBy(col("doc_id").as("train_doc"), col("eval_doc"))
+      .agg(count(lit(1)).as("n_shared"))
+      .orderBy("train_doc", "eval_doc")
   }
 
   /** Within-document repetition ratio (the Gopher-style quality rule):
@@ -227,6 +251,35 @@ object Winnow {
           count(lit(1)).as("n_train"),
         )
         .orderBy("lang")
+    },
+
+    // q178 — contamination attribution: (train_doc, eval_doc,
+    // n_shared distinct 5-grams) for every contaminated pair, same
+    // gram definition and eval split as q81; the oracle re-derives
+    // the full pair table.
+    QueryEntry.sql(
+      "q178_contamination_attribution",
+      """WITH d AS (
+        |  SELECT doc_id,
+        |         string_split(regexp_replace(lower(text), '\s+', ' ', 'g'), ' ') AS toks
+        |  FROM documents
+        |), g AS (
+        |  SELECT DISTINCT doc_id,
+        |         CAST('0x' || substr(md5(array_to_string(toks[CAST(p AS BIGINT):CAST(p+4 AS BIGINT)], ' ')), 1, 15)
+        |              AS BIGINT) AS gh
+        |  FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 3)) AS p
+        |        FROM d WHERE len(toks) >= 5) x
+        |), tg AS (SELECT doc_id, gh FROM g WHERE doc_id % 97 <> 0),
+        |eg AS (SELECT doc_id AS eval_doc, gh FROM g WHERE doc_id % 97 = 0)
+        |SELECT tg.doc_id AS train_doc, eg.eval_doc,
+        |       CAST(COUNT(*) AS BIGINT) AS n_shared
+        |FROM tg JOIN eg USING (gh)
+        |GROUP BY 1, 2 ORDER BY train_doc, eval_doc""".stripMargin,
+    ) { (s, dir) =>
+      val docs = Tables(s, dir).documentsRebalanced
+      contaminationAttribution(
+        docs.filter(col("doc_id") % 97 =!= 0),
+        docs.filter(col("doc_id") % 97 === 0), n = 5)
     },
 
     // Per-document repetition ratios (q82): Gopher-style duplicate

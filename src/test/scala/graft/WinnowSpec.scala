@@ -50,6 +50,21 @@ class WinnowSpec extends SparkSpec {
     assert(f(1L) > f(2L), s"common-bigram doc must score higher: $f")
   }
 
+  test("contamination attribution: names the eval doc and counts shared grams") {
+    val phrase = "the quick brown fox jumps" // one 5-gram
+    val eval = Seq((100L, s"question about $phrase here maybe")).toDF("doc_id", "text")
+    val train = Seq(
+      (1L, s"some training row with $phrase inside of it"),
+      (2L, "completely different words with no overlap whatsoever at all"),
+      (3L, s"another one also containing $phrase and $phrase again"),
+    ).toDF("doc_id", "text")
+    val rows = Winnow.contaminationAttribution(train, eval, n = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(rows.keySet == Set((1L, 100L), (3L, 100L)), s"got $rows")
+    assert(rows((1L, 100L)) == 1L) // exactly the one shared 5-gram
+    assert(rows((3L, 100L)) == 1L) // repeats in doc 3 count once (distinct)
+  }
+
   test("bigram log-prob: hand-computed smoothed model on a 2-doc corpus") {
     // doc1 = "a b a b", doc2 = "a b c": c12(a,b)=3, c12(b,a)=1,
     // c12(b,c)=1; ctx(a)=3, ctx(b)=2; V=3.
