@@ -209,6 +209,40 @@ object Winnow {
         round((col("n_grams") - col("n_distinct")).cast("double")
           / col("n_grams"), 6).as("rep_ratio"))
 
+  /** Per-source quality scorecard (q179): n_docs, exact-dup rate,
+    * mean tokens, mean q79 familiarity, mean q82 repetition — the
+    * per-provenance row a mixture designer reads before weighting
+    * sources. Scope: docs long enough for every signal (≥ 8 normalized
+    * chars — inner joins). Means are order-free: per-doc signals are
+    * already 6dp-rounded, summed as DECIMAL, divided once in double.
+    * Scale shape: the two signal passes are per-doc (q79's broadcast
+    * model join, q82's per-doc grams), then doc-keyed joins and one
+    * source-grouped aggregate — nothing wider than the corpus.
+    */
+  def sourceScorecard(docs: DataFrame): DataFrame = {
+    val fam = bigramFamiliarity(docs).select(col("doc_id"), col("familiarity"))
+    val rep = repetitionRatio(docs).select(col("doc_id"), col("rep_ratio"))
+    val base = docs.select(col("doc_id"), col("source"), col("text"),
+      size(TextAnalysis.tokens(col("text"))).cast(LongType).as("n_tok"))
+    base.join(fam, "doc_id").join(rep, "doc_id")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("text")).as("n_distinct_text"),
+        sum("n_tok").as("sum_tok"),
+        sum(col("familiarity").cast(DecimalType(18, 6))).as("sum_fam"),
+        sum(col("rep_ratio").cast(DecimalType(18, 6))).as("sum_rep"))
+      .select(col("source"), col("n_docs"),
+        round((col("n_docs") - col("n_distinct_text")).cast(DoubleType)
+          / col("n_docs"), 6).as("dup_rate"),
+        round(col("sum_tok").cast(DoubleType) / col("n_docs"), 6)
+          .as("mean_tokens"),
+        round(col("sum_fam").cast(DoubleType) / col("n_docs"), 6)
+          .as("mean_familiarity"),
+        round(col("sum_rep").cast(DoubleType) / col("n_docs"), 6)
+          .as("mean_rep_ratio"))
+      .orderBy("source")
+  }
+
   val entries: Seq[QueryEntry] = Seq(
     // N-gram decontamination summarized per language: train docs (not
     // in the eval set) flagged iff they share any word 5-gram with the
@@ -302,6 +336,59 @@ object Winnow {
     ) { (s, dir) =>
       repetitionRatio(Tables(s, dir).documentsRebalanced).orderBy("doc_id")
     },
+    // q179 — per-source quality SCORECARD: the curation dashboard row
+    // a mixture designer reads per provenance — doc count, exact-dup
+    // rate, mean tokens, mean bigram familiarity (q79), mean
+    // repetition ratio (q82) — composed from the house signal
+    // definitions over docs long enough for every signal (inner joins:
+    // length ≥ 8 chars). Means are sums of the 6dp-rounded per-doc
+    // values carried as DECIMAL (order-free), divided once in double.
+    QueryEntry.sql(
+      "q179_source_scorecard",
+      """WITH d AS (
+        |  SELECT doc_id, source, text,
+        |         regexp_replace(lower(text), '\s+', ' ', 'g') AS t
+        |  FROM documents
+        |), fb AS (
+        |  SELECT doc_id, substr(t, CAST(p AS BIGINT), 2) AS bg
+        |  FROM (SELECT doc_id, t, unnest(range(1, length(t))) AS p
+        |        FROM d WHERE length(t) >= 2) x
+        |), m AS (SELECT bg, COUNT(*) AS cnt FROM fb GROUP BY bg),
+        |fam AS (
+        |  SELECT fb.doc_id,
+        |         ROUND(CAST(CAST(SUM(m.cnt) AS BIGINT) AS DOUBLE) / COUNT(*), 6)
+        |           AS familiarity
+        |  FROM fb JOIN m ON m.bg = fb.bg GROUP BY fb.doc_id
+        |), rg AS (
+        |  SELECT doc_id, substr(t, CAST(p AS BIGINT), 8) AS g
+        |  FROM (SELECT doc_id, t, unnest(range(1, length(t) - 6)) AS p
+        |        FROM d WHERE length(t) >= 8) x
+        |), rep AS (
+        |  SELECT doc_id,
+        |         ROUND(CAST(COUNT(*) - COUNT(DISTINCT g) AS DOUBLE) / COUNT(*), 6)
+        |           AS rep_ratio
+        |  FROM rg GROUP BY doc_id
+        |), tok AS (
+        |  SELECT doc_id,
+        |         CAST(len(regexp_split_to_array(trim(lower(text)), '\s+')) AS BIGINT)
+        |           AS n_tok
+        |  FROM documents
+        |)
+        |SELECT d.source, COUNT(*) AS n_docs,
+        |       ROUND(CAST(COUNT(*) - COUNT(DISTINCT d.text) AS DOUBLE)
+        |             / COUNT(*), 6) AS dup_rate,
+        |       ROUND(CAST(SUM(tok.n_tok) AS DOUBLE) / COUNT(*), 6) AS mean_tokens,
+        |       ROUND(CAST(SUM(CAST(fam.familiarity AS DECIMAL(18,6))) AS DOUBLE)
+        |             / COUNT(*), 6) AS mean_familiarity,
+        |       ROUND(CAST(SUM(CAST(rep.rep_ratio AS DECIMAL(18,6))) AS DOUBLE)
+        |             / COUNT(*), 6) AS mean_rep_ratio
+        |FROM d JOIN fam USING (doc_id) JOIN rep USING (doc_id)
+        |       JOIN tok USING (doc_id)
+        |GROUP BY d.source ORDER BY d.source""".stripMargin,
+    ) { (s, dir) =>
+      sourceScorecard(Tables(s, dir).documentsRebalanced)
+    },
+
     // Winnowed fingerprint profile per document: how many distinct
     // fingerprints the (K=8, W=4) scheme keeps, with min/max as exact
     // integer witnesses of the selected set.

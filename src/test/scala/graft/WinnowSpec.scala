@@ -50,6 +50,28 @@ class WinnowSpec extends SparkSpec {
     assert(f(1L) > f(2L), s"common-bigram doc must score higher: $f")
   }
 
+  test("source scorecard: dup rate and mean tokens on a known mini-corpus") {
+    val docs = Seq(
+      (1L, "srcA", "the quick brown fox jumps over it"),
+      (2L, "srcA", "the quick brown fox jumps over it"), // exact dup of 1
+      (3L, "srcA", "completely different content here today"),
+      (4L, "srcB", "one single document for this source"),
+    ).toDF("doc_id", "source", "text")
+    val rows = Winnow.sourceScorecard(docs).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val a = rows("srcA")
+    assert(a.getLong(1) == 3L)
+    assert(math.abs(a.getDouble(2) - 1.0 / 3) < 1e-6, s"dup_rate ${a.getDouble(2)}")
+    assert(math.abs(a.getDouble(3) - (7 + 7 + 5) / 3.0) < 1e-6) // mean tokens
+    val b = rows("srcB")
+    assert(b.getLong(1) == 1L && b.getDouble(2) == 0.0 && b.getDouble(3) == 6.0)
+    // signal means exist and are in range
+    rows.values.foreach { r =>
+      assert(r.getDouble(4) > 0.0)              // familiarity ≥ 1 by definition
+      assert(r.getDouble(5) >= 0.0 && r.getDouble(5) <= 1.0)
+    }
+  }
+
   test("contamination attribution: names the eval doc and counts shared grams") {
     val phrase = "the quick brown fox jumps" // one 5-gram
     val eval = Seq((100L, s"question about $phrase here maybe")).toDF("doc_id", "text")
