@@ -410,6 +410,41 @@ object Dedup {
          |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
     ) { (s, dir) => nearDupGroups(Tables(s, dir).documents) },
 
+    // q180 — the DISTRIBUTED connected-components regime certified
+    // under the gate: q38's past-the-1M-gate min-label-propagation
+    // fixpoint, forced (smallGraphMax = 0) so the oracle checks the
+    // iterative distributed algorithm itself, not the driver
+    // union-find that fronts it at fixture scale. Same recursive-CTE
+    // oracle as q38: the min-label fixpoint and union-by-min roots are
+    // the same function of the edge set, so both entries must land on
+    // identical groups.
+    QueryEntry.sql(
+      "q180_cc_distributed",
+      s"""WITH RECURSIVE sh AS (
+         |  SELECT doc_id, $shinglesSql AS shingles
+         |  FROM (SELECT doc_id,
+         |               regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+         |        FROM documents) t
+         |), pairs AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |  WHERE 5 * len(list_intersect(a.shingles, b.shingles))
+         |        >= 4 * (len(a.shingles) + len(b.shingles)
+         |                - len(list_intersect(a.shingles, b.shingles)))
+         |), edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  UNION ALL SELECT doc_b, doc_a FROM pairs
+         |), reach(id, l) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.src, r.l FROM edges e JOIN reach r ON e.dst = r.id
+         |)
+         |SELECT id AS doc_id, CAST(MIN(l) AS BIGINT) AS group_id
+         |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+    ) { (s, dir) =>
+      nearDupGroups(Tables(s, dir).documents, smallGraphMax = 0L)
+    },
+
     // q166 — cluster-level leakage-safe split: the production form of
     // q165. Exact-dup grouping misses near-duplicates, which leak
     // train→test just as hard; here every doc inherits the q38
