@@ -70,6 +70,8 @@ object ScaleStress {
     "q172_er_blocking_recall",
     "q176_pq_distortion",
     "q177_er_recall_bucketed", // q172's sampled scale path — expect ≈ linear
+    "q179_source_scorecard",
+    "q180_cc_distributed",
   )
 
   /** Per-table key-shift rules: every synthetic surrogate key column

@@ -195,10 +195,13 @@ object Dedup {
       .unionAll(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
       .toDF("src", "dst")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var labels = edges.select(col("src").as("id")).distinct()
+    // `cached` is the frame actually pinned each round; `labels` is
+    // its (id, label) view — unpersist must target the pinned plan
+    var cached = edges.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    labels.count() // materialize so each round reads the cache, not lineage
+    var labels = cached
+    cached.count() // materialize so each round reads the cache, not lineage
     var converged = false
     var rounds = 0
     val maxRounds = 64 // one round per hop of component diameter; near-dup clusters are shallow
@@ -207,14 +210,16 @@ object Dedup {
         .join(labels.withColumnRenamed("id", "dst2"), col("dst") === col("dst2"))
         .groupBy(col("src").as("id"))
         .agg(min("label").as("nl"))
-      val next = labels.join(neighborMin, Seq("id"), "left")
-        .select(col("id"),
+      // carry the previous label through the round so convergence is
+      // read off the same materialized frame — one join per round
+      val stepped = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"), col("label").as("old"),
           least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val changed = next.join(labels.withColumnRenamed("label", "old"), "id")
-        .filter(col("label") =!= col("old")).count() // also materializes next
-      labels.unpersist()
-      labels = next
+      val changed = stepped.filter(col("label") =!= col("old")).count() // materializes
+      cached.unpersist()
+      cached = stepped
+      labels = stepped.select("id", "label")
       converged = changed == 0
       rounds += 1
     }
@@ -228,7 +233,7 @@ object Dedup {
     // keep-disk-out-of-the-timed-region rationale)
     val out = graft.metrics.RuntimeBreakdown.noteExecuted(pre)
       .localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
-    labels.unpersist()
+    cached.unpersist()
     edges.unpersist()
     out
   }

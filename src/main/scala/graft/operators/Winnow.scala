@@ -181,12 +181,15 @@ object Winnow {
     */
   def contaminationAttribution(train: DataFrame, eval: DataFrame,
       n: Int): DataFrame = {
-    val tg = wordGramHashes(train, n).distinct()
+    // no corpus-wide (doc_id, gh) distinct on the train side — the
+    // broadcast-join output is contamination-bounded, so the distinct
+    // gram count per pair is taken THERE (measured 4.1→1.3 s at sf0.1)
+    val tg = wordGramHashes(train, n)
     val eg = wordGramHashes(eval, n).distinct()
       .select(col("doc_id").as("eval_doc"), col("gh"))
     tg.join(broadcast(eg), Seq("gh"))
       .groupBy(col("doc_id").as("train_doc"), col("eval_doc"))
-      .agg(count(lit(1)).as("n_shared"))
+      .agg(countDistinct(col("gh")).as("n_shared"))
       .orderBy("train_doc", "eval_doc")
   }
 
