@@ -149,9 +149,11 @@ object Winnow {
     * train side is one explode + hash join — no quadratic path.
     */
   /** (doc_id, gh) word n-gram hashes — the shared primitive of the
-    * decontamination family (q81 flagging, q178 attribution).
+    * decontamination family (q81 flagging, q178 attribution, and the
+    * q181 streaming ingest guard). Stateless per row, so it applies
+    * unchanged to a streaming frame.
     */
-  private def wordGramHashes(df: DataFrame, n: Int): DataFrame = df
+  private[graft] def wordGramHashes(df: DataFrame, n: Int): DataFrame = df
     .select(col("doc_id"),
       split(regexp_replace(lower(col("text")), "\\s+", " "), " ").as("toks"))
     .filter(size(col("toks")) >= n)
@@ -288,6 +290,36 @@ object Winnow {
           count(lit(1)).as("n_train"),
         )
         .orderBy("lang")
+    },
+
+    // q181 — the decontamination guard EXECUTED AS A STREAM under the
+    // oracle (first streaming path in the differential gate, not just
+    // spec-proven): a 4-file docs feed, per-row gram derivation,
+    // stream-static join against the eval gram frame, and
+    // contamination-bounded dropDuplicates state; run to completion
+    // with AvailableNow. The oracle recomputes the flagged set from
+    // scratch — if any micro-batch boundary dropped or duplicated a
+    // flag, the hash would not match.
+    QueryEntry.sql(
+      "q181_stream_decontaminate",
+      """WITH d AS (
+        |  SELECT doc_id,
+        |         string_split(regexp_replace(lower(text), '\s+', ' ', 'g'), ' ') AS toks
+        |  FROM documents
+        |), g AS (
+        |  SELECT doc_id,
+        |         CAST('0x' || substr(md5(array_to_string(toks[CAST(p AS BIGINT):CAST(p+4 AS BIGINT)], ' ')), 1, 15)
+        |              AS BIGINT) AS gh
+        |  FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 3)) AS p
+        |        FROM d WHERE len(toks) >= 5) x
+        |), eg AS (
+        |  SELECT DISTINCT gh FROM g WHERE doc_id % 97 = 0
+        |)
+        |SELECT DISTINCT g.doc_id FROM g JOIN eg ON eg.gh = g.gh
+        |WHERE g.doc_id % 97 <> 0
+        |ORDER BY doc_id""".stripMargin,
+    ) { (s, dir) =>
+      graft.streaming.StreamingDocs.runDecontaminateToCompletion(s, dir)
     },
 
     // q178 — contamination attribution: (train_doc, eval_doc,

@@ -1,0 +1,78 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Streaming twins over the DOCUMENTS table — the ingest-time form of
+  * the corpus-curation operators, where a training-data pipeline
+  * filters documents as they arrive rather than in a nightly batch.
+  */
+object StreamingDocs {
+
+  /** Streaming n-gram decontamination guard (q81/q178's ingest twin):
+    * documents arrive as a bounded 4-file stream (maxFilesPerTrigger=1
+    * forces real multi-batch execution), each row's word 5-grams are
+    * derived STATELESSLY ([[graft.operators.Winnow.wordGramHashes]] is
+    * per-row, so the same expression runs on the stream unchanged),
+    * and a stream-static inner join against the batch-derived eval
+    * gram frame flags contaminated docs at ingest. The only streaming
+    * state is `dropDuplicates("doc_id")` AFTER the join — one row per
+    * FLAGGED doc, so state is contamination-bounded, not
+    * corpus-bounded: exactly what an unbounded ingest guard needs.
+    * Eval grams are small by nature (the q81 broadcast argument) and
+    * static per deployment.
+    */
+  def decontaminateStream(spark: SparkSession, dir: String): DataFrame = {
+    val feed = stagedDocsFeed(spark, dir)
+    val schema = spark.read.parquet(feed).schema
+    val evalGrams = graft.operators.Winnow
+      .wordGramHashes(
+        graft.Tables(spark, dir).documents.filter(col("doc_id") % 97 === 0),
+        n = 5)
+      .select("gh").distinct()
+    val train = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(feed)
+      .filter(col("doc_id") % 97 =!= 0)
+    graft.operators.Winnow.wordGramHashes(train, n = 5)
+      .join(evalGrams, Seq("gh")) // stream-static inner join: stateless
+      .select("doc_id")
+      .dropDuplicates("doc_id")
+  }
+
+  /** Run [[decontaminateStream]] to completion over the bounded
+    * fixture (AvailableNow, memory sink) — the batch-equivalence and
+    * oracle surface.
+    */
+  private val runSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  def runDecontaminateToCompletion(spark: SparkSession, dir: String): DataFrame = {
+    // unique sink name per invocation: this helper is an ORACLED entry
+    // (q181), so bench/verify re-runs in one session must never reuse
+    // a memory-sink table
+    val name = s"graft_decon_${runSeq.incrementAndGet()}"
+    val q = decontaminateStream(spark, dir).writeStream
+      .format("memory").queryName(name)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name).orderBy("doc_id")
+  }
+
+  /** 4-file docs feed staged under scratch (the events
+    * stagedStreamSource pattern, but repartitioned so AvailableNow +
+    * maxFilesPerTrigger=1 exercises multiple micro-batches).
+    */
+  private def stagedDocsFeed(spark: SparkSession, dir: String): String = {
+    val feedDir = graft.sources.Staging.fingerprintPath(
+      "graft_docs_feed", dir, "documents.parquet", "docs4")
+    graft.sources.Staging.ensureStaged(feedDir) {
+      graft.Tables(spark, dir).documents
+        .repartition(4)
+        .write.mode("overwrite").parquet(feedDir)
+    }
+    feedDir
+  }
+}

@@ -16,6 +16,20 @@ class StreamingSpec extends SparkSpec {
     assert(batch.nonEmpty)
   }
 
+  test("streaming decontamination guard ≡ batch ngramContaminated (q181)") {
+    import org.apache.spark.sql.functions._
+    val streamed = graft.streaming.StreamingDocs
+      .runDecontaminateToCompletion(spark, sf)
+      .collect().map(_.getLong(0)).toSet
+    val docs = Tables(spark, sf).documents
+    val batch = graft.operators.Winnow.ngramContaminated(
+        docs.filter(col("doc_id") % 97 =!= 0),
+        docs.filter(col("doc_id") % 97 === 0), n = 5)
+      .collect().map(_.getLong(0)).toSet
+    assert(streamed == batch)
+    assert(batch.nonEmpty, "fixture must plant at least one contaminated doc")
+  }
+
   test("streaming session_window sessions ≡ batch session_window") {
     import org.apache.spark.sql.functions._
     val streamed = StreamingEvents.runSessionsToCompletion(spark, sf)
