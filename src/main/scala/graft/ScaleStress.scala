@@ -72,6 +72,7 @@ object ScaleStress {
     "q177_er_recall_bucketed", // q172's sampled scale path — expect ≈ linear
     "q179_source_scorecard",
     "q180_cc_distributed",
+    "q181_stream_decontaminate", // streaming overhead is constant; data path linear
   )
 
   /** Per-table key-shift rules: every synthetic surrogate key column
