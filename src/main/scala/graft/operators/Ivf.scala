@@ -657,7 +657,49 @@ object Ivf {
        |       END AS pair_recall""".stripMargin
   }
 
+  /** IVF list-size imbalance (q182): the index-health number that
+    * governs QUERY-COST VARIANCE at scale — imbalance = K·Σs²/(Σs)²
+    * over the inverted-list sizes (1.0 = perfectly balanced; a probe
+    * of an over-full list costs proportionally more). Completes the
+    * index-quality family: q169 measures what search loses, q176 what
+    * encoding loses, q182 what the partitioning costs. Σs² is carried
+    * as DECIMAL (list sizes square past bigint at corpus scale); one
+    * grouped count + one scalar aggregate.
+    */
+  def ivfImbalance(emb: DataFrame, k: Int = 16, iters: Int = 3): DataFrame = {
+    val sizes = withCluster(emb, fittedCentroids(emb, k, iters))
+      .groupBy("cluster").agg(count(lit(1)).as("s"))
+    val ssD = sum((col("s").cast(DecimalType(19, 0)) *
+        col("s").cast(DecimalType(19, 0))).cast(DecimalType(38, 0)))
+      .cast(DoubleType)
+    val nD = sum("s").cast(DoubleType)
+    sizes.agg(count(lit(1)).as("n_lists"),
+        sum("s").cast(LongType).as("n_vecs"),
+        min("s").as("min_list"), max("s").as("max_list"),
+        round(lit(k) * ssD / (nD * nD), 6).as("imbalance"))
+  }
+
+  def ivfImbalanceOracleSql(spark: org.apache.spark.sql.SparkSession,
+      dir: String): String =
+    s"""WITH ${coarseCtes(spark, dir, nprobe = 1)},
+       |sizes AS (SELECT cluster, COUNT(*) AS s FROM corpus GROUP BY cluster)
+       |SELECT CAST(COUNT(*) AS BIGINT) AS n_lists,
+       |       CAST(SUM(s) AS BIGINT) AS n_vecs,
+       |       CAST(MIN(s) AS BIGINT) AS min_list,
+       |       CAST(MAX(s) AS BIGINT) AS max_list,
+       |       ROUND(16 * CAST(SUM(CAST(CAST(s AS DECIMAL(19,0)) * CAST(s AS DECIMAL(19,0))
+       |                                AS DECIMAL(38,0))) AS DOUBLE)
+       |             / (CAST(SUM(s) AS DOUBLE) * CAST(SUM(s) AS DOUBLE)), 6)
+       |         AS imbalance
+       |FROM sizes""".stripMargin
+
   val entries: Seq[QueryEntry] = Seq(
+    // q182 — IVF list imbalance: DuckDB refits the coarse quantizer
+    // and re-derives every list size and the imbalance factor.
+    QueryEntry.dynamicSql("q182_ivf_imbalance") { (s, dir) =>
+      ivfImbalanceOracleSql(s, dir)
+    } { (s, dir) => ivfImbalance(Tables(s, dir).embeddings) },
+
     // Centroid computation itself is oracle-able: explode the UDAF's
     // vector output to (label, d, v) and DuckDB recomputes per-dim
     // means by list indexing.

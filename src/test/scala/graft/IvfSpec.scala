@@ -187,6 +187,15 @@ class IvfSpec extends SparkSpec {
     }
   }
 
+  test("q182 IVF imbalance: >= 1 by Cauchy-Schwarz, sizes account for every vector") {
+    val emb = Tables(spark, sf).embeddings
+    val r = operators.Ivf.ivfImbalance(emb).collect().head
+    assert(r.getLong(1) == emb.count(), "every vector lands in exactly one list")
+    assert(r.getLong(0) <= 16)
+    assert(r.getLong(2) >= 1 && r.getLong(2) <= r.getLong(3))
+    assert(r.getDouble(4) >= 1.0 - 1e-9, s"imbalance ${r.getDouble(4)} < 1")
+  }
+
   test("centroid UDAF equals the posexplode/avg computation") {
     val emb = Tables(spark, sf).embeddings
     val udaf = run("q32_label_centroids").as[(Int, Int, Double)].collect().toSet
