@@ -398,6 +398,51 @@ object TextAnalysis {
         .orderBy("pack_id")
     },
 
+    // q183 — packing EFFICIENCY report over q58's packs: the
+    // training-batch utilization numbers (mean/min/max pack fill,
+    // overflow count — q58's greedy start-assignment lets a doc
+    // extend its pack past budget). One grouped sum + one scalar
+    // aggregate downstream of the q58 machinery.
+    QueryEntry.sql(
+      "q183_packing_efficiency",
+      """WITH ordered AS (
+        |  SELECT doc_id,
+        |         md5('shuf' || CAST(doc_id AS VARCHAR)) AS sk,
+        |         CAST(len(regexp_split_to_array(trim(lower(text)), '\s+')) AS BIGINT)
+        |           AS n_tok
+        |  FROM documents
+        |), packed AS (
+        |  SELECT doc_id, n_tok,
+        |         CAST((SUM(n_tok) OVER (ORDER BY sk, doc_id
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok)
+        |              // 512 AS BIGINT) AS pack_id
+        |  FROM ordered
+        |), packs AS (
+        |  SELECT pack_id, COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS tok
+        |  FROM packed GROUP BY pack_id
+        |)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_packs,
+        |       CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+        |       CAST(SUM(tok) AS BIGINT) AS total_tok,
+        |       CAST(MIN(tok) AS BIGINT) AS min_pack_tok,
+        |       CAST(MAX(tok) AS BIGINT) AS max_pack_tok,
+        |       ROUND(CAST(SUM(tok) AS DOUBLE) / COUNT(*), 6) AS mean_pack_tok,
+        |       CAST(SUM(CASE WHEN tok > 512 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_overflow
+        |FROM packs""".stripMargin,
+    ) { (s, dir) =>
+      val packs = sequencePack(Tables(s, dir).documents, budget = 512)
+        .groupBy("pack_id")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("tok"))
+      packs.agg(count(lit(1)).as("n_packs"),
+        sum("n_docs").cast(LongType).as("n_docs"),
+        sum("tok").cast(LongType).as("total_tok"),
+        min("tok").as("min_pack_tok"), max("tok").as("max_pack_tok"),
+        round(sum("tok").cast(DoubleType) / count(lit(1)), 6)
+          .as("mean_pack_tok"),
+        sum(when(col("tok") > 512, 1L).otherwise(0L)).as("n_overflow"))
+    },
+
     // Deterministic stratified sampling — the training-data staple that
     // must be reproducible across reruns and engines: membership is a
     // pure function of the row key (md5-derived 60-bit hash threshold),

@@ -322,6 +322,24 @@ object Winnow {
       graft.streaming.StreamingDocs.runDecontaminateToCompletion(s, dir)
     },
 
+    // q184 — COMPLETE-mode streaming aggregation under the oracle
+    // (q181 proved the append/dedup shape; this proves grouped
+    // aggregation state across micro-batches): q16's per-lang token
+    // counts computed by the stream, hash-matched against the same
+    // batch oracle.
+    QueryEntry.sql(
+      "q184_stream_token_counts",
+      """SELECT lang,
+        |       CAST(SUM(len(regexp_split_to_array(trim(lower(text)), '\s+'))) AS BIGINT)
+        |         AS sum_tokens,
+        |       CAST(SUM(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS BIGINT)
+        |         AS sum_subtokens,
+        |       COUNT(*) AS cnt
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    ) { (s, dir) =>
+      graft.streaming.StreamingDocs.runTokenCountsToCompletion(s, dir)
+    },
+
     // q178 — contamination attribution: (train_doc, eval_doc,
     // n_shared distinct 5-grams) for every contaminated pair, same
     // gram definition and eval split as q81; the oracle re-derives

@@ -67,6 +67,39 @@ object StreamingDocs {
     spark.table(name).orderBy("doc_id")
   }
 
+  /** Streaming per-language token counts (q16's ingest twin, and the
+    * COMPLETE-mode counterpart of q181's append-mode guard): the
+    * grouped aggregation state carries per-lang partial sums across
+    * micro-batches — lang-bounded state, the streaming shape of a
+    * map-side-combined batch aggregate.
+    */
+  def tokenCountsStream(spark: SparkSession, dir: String): DataFrame = {
+    val feed = stagedDocsFeed(spark, dir)
+    val schema = spark.read.parquet(feed).schema
+    val docs = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(feed)
+    docs.groupBy("lang")
+      .agg(
+        sum(size(graft.operators.TextAnalysis.tokens(col("text"))))
+          .as("sum_tokens"),
+        sum(size(regexp_extract_all(lower(col("text")),
+          lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)))).as("sum_subtokens"),
+        count(lit(1)).as("cnt"))
+  }
+
+  /** Run [[tokenCountsStream]] to completion (complete mode). */
+  def runTokenCountsToCompletion(spark: SparkSession, dir: String): DataFrame = {
+    val name = s"graft_tokc_${runSeq.incrementAndGet()}"
+    val q = tokenCountsStream(spark, dir).writeStream
+      .format("memory").queryName(name)
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name).orderBy("lang")
+  }
+
   /** 4-file docs feed staged under scratch (the events
     * stagedStreamSource pattern, but repartitioned so AvailableNow +
     * maxFilesPerTrigger=1 exercises multiple micro-batches).

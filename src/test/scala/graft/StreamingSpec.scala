@@ -30,6 +30,15 @@ class StreamingSpec extends SparkSpec {
     assert(batch.nonEmpty, "fixture must plant at least one contaminated doc")
   }
 
+  test("streaming complete-mode token counts ≡ batch q16 (q184)") {
+    val streamed = graft.streaming.StreamingDocs
+      .runTokenCountsToCompletion(spark, sf)
+      .collect().map(_.toSeq).toSet
+    val batch = run("q16_token_counts").collect().map(_.toSeq).toSet
+    assert(streamed == batch)
+    assert(batch.nonEmpty)
+  }
+
   test("streaming session_window sessions ≡ batch session_window") {
     import org.apache.spark.sql.functions._
     val streamed = StreamingEvents.runSessionsToCompletion(spark, sf)

@@ -33,6 +33,20 @@ class TextAnalysisSpec extends SparkSpec {
     assert(plan.toLowerCase.contains("hashpartitioning(bkt"), plan.take(2000))
   }
 
+  test("q183 packing efficiency conserves docs and tokens; overflow only past budget") {
+    import org.apache.spark.sql.functions._
+    val r = run("q183_packing_efficiency").collect().head
+    val docs = Tables(spark, sf).documents
+    val nDocs = docs.count()
+    val totTok = docs
+      .select(sum(size(TextAnalysis.tokens(col("text")))).cast("long"))
+      .head().getLong(0)
+    assert(r.getLong(1) == nDocs, "every doc lands in exactly one pack")
+    assert(r.getLong(2) == totTok, "token conservation across packs")
+    assert(r.getLong(3) >= 1 && r.getLong(3) <= r.getLong(4))
+    assert(r.getLong(6) <= r.getLong(0), "overflow packs bounded by pack count")
+  }
+
   test("lang-ID falls back to stopword evidence, then the en prior") {
     val df = Seq(
       "der und ist das die ein",   // German stopwords, no markers
