@@ -73,6 +73,7 @@ object ScaleStress {
     "q179_source_scorecard",
     "q180_cc_distributed",
     "q181_stream_decontaminate", // streaming overhead is constant; data path linear
+    "q184_stream_token_counts", // same class: complete-mode stream machinery
   )
 
   /** Per-table key-shift rules: every synthetic surrogate key column
