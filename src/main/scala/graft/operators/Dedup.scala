@@ -150,6 +150,64 @@ object Dedup {
     out
   }
 
+  /** Incremental near-dup detection (q185): the INDEX-PROBE form of
+    * q20 that a growing corpus actually runs — historical docs'
+    * minhash bands and shingle sets are staged ONCE as a durable
+    * parquet index (the q33/TokenizedCorpus pay-once pattern; bands
+    * range-partitioned and sorted by band_sig so a probe's band join
+    * reads skipping row groups), and each new batch only computes ITS
+    * OWN signatures, joins the staged bands for candidates, and
+    * exact-verifies against the staged shingles. Per-increment cost is
+    * probe-side work + index lookups — never a recompute over history,
+    * which is the entire point at a 100 TB corpus that grows daily.
+    * Split: new batch = doc_id % 5 == 0, history = the rest
+    * (deterministic, oracle-mirrorable).
+    */
+  def incrementalNearDups(spark: org.apache.spark.sql.SparkSession,
+      dir: String, num: Int = 4, den: Int = 5): DataFrame = {
+    val docs = graft.Tables(spark, dir).documents
+    val par = spark.sessionState.conf.numShufflePartitions
+    val idx = graft.sources.Staging.fingerprintPath(
+      "graft_dedup_index", dir, "documents.parquet", "hist_mod5_v1")
+    graft.sources.Staging.ensureStaged(idx) {
+      val hist = minhashSignatures(
+          docs.filter(col("doc_id") % 5 =!= 0).repartition(par, col("doc_id")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      bandSignatures(hist)
+        .repartitionByRange(par, col("band_sig"))
+        .sortWithinPartitions("band_sig")
+        .write.mode("overwrite").parquet(s"$idx/bands.parquet")
+      hist.select("doc_id", "shingles")
+        .write.mode("overwrite").parquet(s"$idx/shingles.parquet")
+      hist.unpersist()
+      java.nio.file.Files.createFile(java.nio.file.Paths.get(idx, "_SUCCESS"))
+    }
+    val newSigs = minhashSignatures(
+        docs.filter(col("doc_id") % 5 === 0).repartition(par, col("doc_id")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cand = bandSignatures(newSigs).as("x")
+      .join(spark.read.parquet(s"$idx/bands.parquet").as("y"),
+        col("x.band_sig") === col("y.band_sig"))
+      .select(col("x.doc_id").as("new_doc"), col("y.doc_id").as("hist_doc"))
+      .distinct()
+    val newSh = newSigs.select(col("doc_id").as("ida"), col("shingles").as("sa"))
+    val histSh = spark.read.parquet(s"$idx/shingles.parquet")
+      .select(col("doc_id").as("idb"), col("shingles").as("sb"))
+    val inter = size(array_intersect(col("sa"), col("sb")))
+    val pre = cand
+      .join(newSh, col("new_doc") === col("ida"))
+      .join(histSh, col("hist_doc") === col("idb"))
+      .select(col("new_doc"), col("hist_doc"),
+        inter.cast(LongType).as("inter"),
+        (size(col("sa")) + size(col("sb")) - inter).cast(LongType).as("uni"))
+      .filter(col("inter") * den >= col("uni") * num)
+      .orderBy("new_doc", "hist_doc")
+    val out = graft.metrics.RuntimeBreakdown.noteExecuted(pre)
+      .localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+    newSigs.unpersist()
+    out
+  }
+
   /** Connected components over the verified near-dup pairs: each
     * involved doc labeled with the min doc_id of its component — the
     * survivor-per-cluster step real corpus dedup needs beyond pairs.
@@ -449,6 +507,31 @@ object Dedup {
     ) { (s, dir) =>
       nearDupGroups(Tables(s, dir).documents, smallGraphMax = 0L)
     },
+
+    // q185 — incremental dedup (index-probe): new-batch docs
+    // (doc_id % 5 = 0) near-dup-matched against the staged historical
+    // index; the oracle brute-forces the cross-half pair space, so a
+    // stale index, a missed band, or a wrong staged shingle all break
+    // the hash.
+    QueryEntry.sql(
+      "q185_incremental_dedup",
+      s"""WITH sh AS (
+         |  SELECT doc_id, $shinglesSql AS shingles
+         |  FROM (SELECT doc_id,
+         |               regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+         |        FROM documents) t
+         |)
+         |SELECT a.doc_id AS new_doc, b.doc_id AS hist_doc,
+         |       CAST(len(list_intersect(a.shingles, b.shingles)) AS BIGINT) AS inter,
+         |       CAST(len(a.shingles) + len(b.shingles)
+         |            - len(list_intersect(a.shingles, b.shingles)) AS BIGINT) AS uni
+         |FROM sh a JOIN sh b
+         |  ON a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0
+         |WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS BIGINT) * 5
+         |      >= CAST(len(a.shingles) + len(b.shingles)
+         |              - len(list_intersect(a.shingles, b.shingles)) AS BIGINT) * 4
+         |ORDER BY new_doc, hist_doc""".stripMargin,
+    ) { (s, dir) => incrementalNearDups(s, dir) },
 
     // q166 — cluster-level leakage-safe split: the production form of
     // q165. Exact-dup grouping misses near-duplicates, which leak

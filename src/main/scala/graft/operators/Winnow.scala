@@ -248,6 +248,40 @@ object Winnow {
       .orderBy("source")
   }
 
+  /** Quality-filter survival funnel (q186): the gate-by-gate
+    * per-language survival report every curation pipeline publishes —
+    * length gate (≥ 25 tokens), then repetition gate (q82 ratio
+    * ≤ 0.08), then familiarity gate (q79 score ≥ 1750) — thresholds
+    * chosen to split the fixture's observed distributions (median
+    * rep 0.059, fam 1810, ntok 56) so every gate demonstrably drops
+    * documents — cumulative, so
+    * each count is "survived every gate so far". Gates read the
+    * 6dp-rounded house signals, so boundary docs land identically in
+    * both engines; docs too short for a signal fail that gate (left
+    * joins, null = fail). One pass per signal + doc-keyed joins + one
+    * lang-grouped aggregate.
+    */
+  def filterFunnel(docs: DataFrame): DataFrame = {
+    val fam = bigramFamiliarity(docs).select(col("doc_id"), col("familiarity"))
+    val rep = repetitionRatio(docs).select(col("doc_id"), col("rep_ratio"))
+    val base = docs.select(col("doc_id"), col("lang"),
+      size(TextAnalysis.tokens(col("text"))).cast(LongType).as("n_tok"))
+    val passLen = col("n_tok") >= 25
+    val passRep = passLen && col("rep_ratio").isNotNull && col("rep_ratio") <= 0.08
+    val passFam = passRep && col("familiarity").isNotNull && col("familiarity") >= 1750.0
+    base.join(rep, Seq("doc_id"), "left").join(fam, Seq("doc_id"), "left")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(passLen, 1L).otherwise(0L)).as("n_pass_len"),
+        sum(when(passRep, 1L).otherwise(0L)).as("n_pass_rep"),
+        sum(when(passFam, 1L).otherwise(0L)).as("n_pass_fam"))
+      .select(col("lang"), col("n_docs"), col("n_pass_len"),
+        col("n_pass_rep"), col("n_pass_fam"),
+        round(col("n_pass_fam").cast(DoubleType) / col("n_docs"), 6)
+          .as("survival_rate"))
+      .orderBy("lang")
+  }
+
   val entries: Seq[QueryEntry] = Seq(
     // N-gram decontamination summarized per language: train docs (not
     // in the eval set) flagged iff they share any word 5-gram with the
@@ -320,6 +354,56 @@ object Winnow {
         |ORDER BY doc_id""".stripMargin,
     ) { (s, dir) =>
       graft.streaming.StreamingDocs.runDecontaminateToCompletion(s, dir)
+    },
+
+    // q186 — the quality-filter survival funnel per language
+    // (cumulative gates: length ≥ 25 tokens → repetition ≤ 0.08 →
+    // familiarity ≥ 1750); the oracle re-derives every signal and
+    // every gate independently.
+    QueryEntry.sql(
+      "q186_filter_funnel",
+      """WITH d AS (
+        |  SELECT doc_id, lang, text,
+        |         regexp_replace(lower(text), '\s+', ' ', 'g') AS t
+        |  FROM documents
+        |), fb AS (
+        |  SELECT doc_id, substr(t, CAST(p AS BIGINT), 2) AS bg
+        |  FROM (SELECT doc_id, t, unnest(range(1, length(t))) AS p
+        |        FROM d WHERE length(t) >= 2) x
+        |), m AS (SELECT bg, COUNT(*) AS cnt FROM fb GROUP BY bg),
+        |fam AS (
+        |  SELECT fb.doc_id,
+        |         ROUND(CAST(CAST(SUM(m.cnt) AS BIGINT) AS DOUBLE) / COUNT(*), 6)
+        |           AS familiarity
+        |  FROM fb JOIN m ON m.bg = fb.bg GROUP BY fb.doc_id
+        |), rg AS (
+        |  SELECT doc_id, substr(t, CAST(p AS BIGINT), 8) AS g
+        |  FROM (SELECT doc_id, t, unnest(range(1, length(t) - 6)) AS p
+        |        FROM d WHERE length(t) >= 8) x
+        |), rep AS (
+        |  SELECT doc_id,
+        |         ROUND(CAST(COUNT(*) - COUNT(DISTINCT g) AS DOUBLE) / COUNT(*), 6)
+        |           AS rep_ratio
+        |  FROM rg GROUP BY doc_id
+        |), flags AS (
+        |  SELECT d.lang,
+        |         (len(regexp_split_to_array(trim(lower(d.text)), '\s+')) >= 25)
+        |           AS p_len,
+        |         (rep.rep_ratio IS NOT NULL AND rep.rep_ratio <= 0.08) AS p_rep,
+        |         (fam.familiarity IS NOT NULL AND fam.familiarity >= 1750) AS p_fam
+        |  FROM d LEFT JOIN rep USING (doc_id) LEFT JOIN fam USING (doc_id)
+        |)
+        |SELECT lang, COUNT(*) AS n_docs,
+        |       CAST(SUM(CASE WHEN p_len THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_len,
+        |       CAST(SUM(CASE WHEN p_len AND p_rep THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_pass_rep,
+        |       CAST(SUM(CASE WHEN p_len AND p_rep AND p_fam THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_pass_fam,
+        |       ROUND(CAST(SUM(CASE WHEN p_len AND p_rep AND p_fam THEN 1 ELSE 0 END)
+        |                  AS DOUBLE) / COUNT(*), 6) AS survival_rate
+        |FROM flags GROUP BY lang ORDER BY lang""".stripMargin,
+    ) { (s, dir) =>
+      filterFunnel(Tables(s, dir).documentsRebalanced)
     },
 
     // q184 — COMPLETE-mode streaming aggregation under the oracle

@@ -50,6 +50,21 @@ class WinnowSpec extends SparkSpec {
     assert(f(1L) > f(2L), s"common-bigram doc must score higher: $f")
   }
 
+  test("filter funnel: gates are cumulative and each drops documents on the fixture") {
+    val rows = run("q186_filter_funnel").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, l, rp, f) = (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(n >= l && l >= rp && rp >= f, s"funnel must be monotone: $r")
+      assert(f > 0, s"thresholds must not annihilate a language: $r")
+    }
+    // across the corpus, every gate must actually discriminate
+    val tot = rows.map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .reduce((a, b) => (a._1 + b._1, a._2 + b._2, a._3 + b._3, a._4 + b._4))
+    assert(tot._2 < tot._1 && tot._3 < tot._2 && tot._4 < tot._3,
+      s"some gate dropped nothing: $tot")
+  }
+
   test("source scorecard: dup rate and mean tokens on a known mini-corpus") {
     val docs = Seq(
       (1L, "srcA", "the quick brown fox jumps over it"),
