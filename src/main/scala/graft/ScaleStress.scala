@@ -74,6 +74,8 @@ object ScaleStress {
     "q180_cc_distributed",
     "q181_stream_decontaminate", // streaming overhead is constant; data path linear
     "q184_stream_token_counts", // same class: complete-mode stream machinery
+    "q185_incremental_dedup", // index-probe dedup: probe-side work only
+    "q186_filter_funnel",
   )
 
   /** Per-table key-shift rules: every synthetic surrogate key column
