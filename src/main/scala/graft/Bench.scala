@@ -423,9 +423,16 @@ object Bench {
     // ALWAYS contains a complete record: totals, the vs-r1 grade, the
     // worst per-query ratios, and a verdict for every witnessed query.
     // Verdicts ("cleared" vs "confirmed") use the protocol trust order
-    // fresh > min(seq, iso): a >2x-vs-r1 sequence reading whose best
-    // witness measurement lands back under 2x is sequence/host noise,
-    // adjudicated in the record itself.
+    // fresh > min(seq, iso): a >2x-vs-r1 sequence reading whose
+    // TRUSTED witness measurement lands back under 2x is sequence/host
+    // noise, adjudicated in the record itself. When a fresh-JVM
+    // reading exists it IS the verdict basis — r8's record labeled
+    // q179 "seq_noise" off min(seq,iso) while its own fresh reading
+    // (5.81 s, the highest of the three) confirmed the cost; deriving
+    // from fresh makes that contradiction impossible by construction.
+    // New queries (no r1 baseline) whose witness CONFIRMS the sequence
+    // reading get "cost_confirmed", a distinct label from the
+    // cleared-as-noise case.
     def r3(x: Double): Double = math.round(x * 1000.0) / 1000.0
     val sharedR1 = results.collect {
       case (k, v) if v > 0 && r1.get(k).exists(_ > 0) => (k, v, r1(k))
@@ -441,14 +448,21 @@ object Bench {
       }
     val verdicts = witness.map { case (n, iso, _, _) =>
       val seq = byName(n)
-      val best = (Seq(seq, iso) ++ freshByName.get(n).toSeq).filter(_ > 0).min
+      val fresh = freshByName.get(n).filter(_ > 0)
+      // trust order fresh > min(seq, iso): a fresh-JVM reading, when
+      // taken, overrides the in-JVM pair entirely
+      val trusted = fresh.getOrElse((Seq(seq, iso).filter(_ > 0) :+ seq).min)
       val v = r1.get(n).filter(_ > 0) match {
         case Some(b) =>
           if (seq / b <= WitnessVsR1Ratio) "ok"
-          else if (best / b <= WitnessVsR1Ratio) "cleared"
+          else if (trusted / b <= WitnessVsR1Ratio) "cleared"
           else "confirmed"
         case None =>
-          if (iso > 0 && seq / iso > FreshDisagreeRatio) "seq_noise" else "stable"
+          // no r1 baseline (new query): the witness adjudicates only
+          // whether the sequence number reflects the query's real cost
+          if (trusted > 0 && seq / trusted > FreshDisagreeRatio) "seq_noise"
+          else if (fresh.isDefined) "cost_confirmed"
+          else "stable"
       }
       s""""$n":"$v""""
     }.mkString("{", ",", "}")

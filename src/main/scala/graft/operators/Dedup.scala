@@ -228,7 +228,10 @@ object Dedup {
       smallGraphMax: Long = 1000000L): DataFrame = {
     val spark = docs.sparkSession
     val pairs = nearDupPairs(docs, num, den).select("doc_a", "doc_b")
-    if (pairs.count() <= smallGraphMax) {
+    // strict <: smallGraphMax = 0 (q180's forced-distributed mode) must
+    // route even an EMPTY edge set through the distributed fixpoint, or
+    // a pair-free corpus would silently certify the driver union-find
+    if (pairs.count() < smallGraphMax) {
       import spark.implicits._
       val es = pairs.as[(Long, Long)].collect()
       // union-find, union-by-min + path compression: the root of every

@@ -149,7 +149,7 @@ object Fuzzy {
 
     // q177 — q172's own scale path: the same recall, estimated on a
     // hash-bucket pair sample whose bucket count grows with the data
-    // (md5₆₀(key) mod ⌈n/64⌉ joins both blockings), so the estimator
+    // (md5₆₀(key) mod max(1, ⌊n/64⌋) joins both blockings), so the estimator
     // stays input-linear where the exact measurement inherits the
     // reference's quadratic (q172 measured exp 1.24). Dynamic oracle:
     // the data-derived bucket count is inlined and DuckDB replays both
@@ -305,7 +305,7 @@ object Fuzzy {
     * the FULL brand-blocked reference, so it inherits the reference's
     * quadratic — measured exp 1.24 over the ×10 blowup): hash-bucket
     * PAIR sampling with bucket count ∝ corpus size. Every part gets
-    * bucket = md5₆₀(key) mod ⌈n/64⌉, and only same-(brand, bucket)
+    * bucket = md5₆₀(key) mod max(1, ⌊n/64⌋), and only same-(brand, bucket)
     * pairs enter either side — a uniform pair thinning applied
     * IDENTICALLY to reference and refinement, so the recall ratio is
     * preserved in expectation while expected sampled pairs per block
@@ -335,9 +335,10 @@ object Fuzzy {
             col("n_full").cast("double"), 6)).as("pair_recall"))
   }
 
-  /** Buckets ∝ corpus size: ⌈n/64⌉ keeps ~64 parts per (brand·bucket
-    * stratum)·|brands| overall — expected same-bucket pairs per block
-    * bounded as n grows.
+  /** Buckets ∝ corpus size: max(1, ⌊n/64⌋) keeps ~64 parts per
+    * (brand·bucket stratum)·|brands| overall — expected same-bucket
+    * pairs per block bounded as n grows (floor, not ceil: at least 64
+    * parts per bucket, never fewer).
     */
   def bucketCount(part: org.apache.spark.sql.DataFrame): Long =
     math.max(1L, part.count() / 64L)

@@ -679,15 +679,21 @@ object Ivf {
         round(lit(k) * ssD / (nD * nD), 6).as("imbalance"))
   }
 
+  /** Oracle twin of [[ivfImbalance]]: `k` parameterizes BOTH the
+    * quantizer fit and the imbalance numerator, so engine and oracle
+    * derive from one value at any list count (an earlier revision
+    * hardcoded 16 here while the engine took a k argument — a k != 16
+    * caller would have silently diverged from the oracle).
+    */
   def ivfImbalanceOracleSql(spark: org.apache.spark.sql.SparkSession,
-      dir: String): String =
-    s"""WITH ${coarseCtes(spark, dir, nprobe = 1)},
+      dir: String, k: Int = 16, iters: Int = 3): String =
+    s"""WITH ${coarseCtes(spark, dir, nprobe = 1, nClusters = k, iters = iters)},
        |sizes AS (SELECT cluster, COUNT(*) AS s FROM corpus GROUP BY cluster)
        |SELECT CAST(COUNT(*) AS BIGINT) AS n_lists,
        |       CAST(SUM(s) AS BIGINT) AS n_vecs,
        |       CAST(MIN(s) AS BIGINT) AS min_list,
        |       CAST(MAX(s) AS BIGINT) AS max_list,
-       |       ROUND(16 * CAST(SUM(CAST(CAST(s AS DECIMAL(19,0)) * CAST(s AS DECIMAL(19,0))
+       |       ROUND($k * CAST(SUM(CAST(CAST(s AS DECIMAL(19,0)) * CAST(s AS DECIMAL(19,0))
        |                                AS DECIMAL(38,0))) AS DOUBLE)
        |             / (CAST(SUM(s) AS DOUBLE) * CAST(SUM(s) AS DOUBLE)), 6)
        |         AS imbalance
