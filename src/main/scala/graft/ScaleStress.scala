@@ -222,7 +222,7 @@ object ScaleStress {
             .reduce(_ unionAll _)
         out.write.mode("overwrite").parquet(s"$dest/$table.parquet")
       }
-      java.nio.file.Files.createFile(java.nio.file.Paths.get(dest, "_SUCCESS"))
+      sources.Staging.touch(dest)
     }
     dest
   }

@@ -24,7 +24,7 @@ object Sweep {
 
     val tag = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
     for (codec <- Seq("snappy", "zstd", "none")) {
-      val dest = s"${sys.props("java.io.tmpdir")}/graft_sweep/$tag/${codec}_lineitem"
+      val dest = s"${sources.Staging.stagingRoot()}/graft_sweep/$tag/${codec}_lineitem"
       if (!new java.io.File(dest, "_SUCCESS").exists())
         src.write.mode("overwrite").option("compression", codec).orc(dest)
       val bytes = new java.io.File(dest).listFiles()

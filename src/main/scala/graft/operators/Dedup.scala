@@ -180,7 +180,7 @@ object Dedup {
       hist.select("doc_id", "shingles")
         .write.mode("overwrite").parquet(s"$idx/shingles.parquet")
       hist.unpersist()
-      java.nio.file.Files.createFile(java.nio.file.Paths.get(idx, "_SUCCESS"))
+      graft.sources.Staging.touch(idx)
     }
     val newSigs = minhashSignatures(
         docs.filter(col("doc_id") % 5 === 0).repartition(par, col("doc_id")))

@@ -47,7 +47,7 @@ object AvroRoundTrip {
       "graft_avro", dir, "lineitem.parquet", "lineitem_slim")
     Staging.ensureStaged(dest) {
       import spark.implicits._
-      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dest))
+      Staging.mkdirs(dest)
       val written = graft.Tables(spark, dir).lineitem
         .select(col("l_orderkey"), col("l_quantity"), col("l_returnflag"))
         .as[(Long, Double, String)]
@@ -76,7 +76,7 @@ object AvroRoundTrip {
         }
         .reduce(_ + _)
       require(written > 0, s"avro staging wrote no rows to $dest")
-      java.nio.file.Files.createFile(java.nio.file.Paths.get(dest, "_SUCCESS"))
+      Staging.touch(dest)
     }
     dest
   }

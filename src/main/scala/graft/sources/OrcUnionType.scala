@@ -41,7 +41,7 @@ object OrcUnionType {
       "graft_orc_union", dir, "lineitem.parquet", "lineitem_union")
     Staging.ensureStaged(dest) {
       import spark.implicits._
-      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dest))
+      Staging.mkdirs(dest)
       val hconf = org.apache.spark.sql.graft.Shims.broadcastHadoopConf(spark)
       val written = graft.Tables(spark, dir).lineitem
         .select(
@@ -84,7 +84,7 @@ object OrcUnionType {
         }
         .reduce(_ + _)
       require(written > 0, s"union staging wrote no rows to $dest")
-      java.nio.file.Files.createFile(java.nio.file.Paths.get(dest, "_SUCCESS"))
+      Staging.touch(dest)
     }
     dest
   }

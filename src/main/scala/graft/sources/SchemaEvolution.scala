@@ -36,8 +36,7 @@ object SchemaEvolution {
 
   def evolvedOrders(spark: SparkSession, dir: String): DataFrame = {
     val dest = evolvedPath(dir)
-    Staging.ensureStaged(dest,
-        d => new java.io.File(s"$d/generation=2/_SUCCESS")) {
+    Staging.ensureStaged(dest, marker = "generation=2/_SUCCESS") {
       val orders = Tables.load(spark, dir, "orders")
       val v1 = orders.filter(col("o_orderkey") % 2 === 0)
         .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))

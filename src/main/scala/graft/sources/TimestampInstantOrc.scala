@@ -55,7 +55,7 @@ object TimestampInstantOrc {
       "graft_orc_instant", dir, "events.parquet", "events_instant")
     Staging.ensureStaged(dest) {
       import spark.implicits._
-      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dest))
+      Staging.mkdirs(dest)
       val hconf = org.apache.spark.sql.graft.Shims.broadcastHadoopConf(spark)
       val written = graft.Tables(spark, dir).events
         .select(col("event_id"), unix_micros(col("ts")).as("tus"))
@@ -95,7 +95,7 @@ object TimestampInstantOrc {
         }
         .reduce(_ + _)
       require(written > 0, s"instant staging wrote no rows to $dest")
-      java.nio.file.Files.createFile(java.nio.file.Paths.get(dest, "_SUCCESS"))
+      Staging.touch(dest)
     }
     dest
   }

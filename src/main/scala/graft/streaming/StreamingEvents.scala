@@ -415,18 +415,12 @@ object StreamingEvents {
     val streamDir = graft.sources.Staging.fingerprintPath(
       "graft_stream_src", dir, "events.parquet", "events")
     graft.sources.Staging.ensureStaged(streamDir,
-      d => new java.io.File(d, "events.parquet")) {
-      // copy-then-atomic-move: the marker is the data file itself, so
-      // a crashed copy must never leave a truncated file that a later
-      // JVM accepts as staged
-      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(streamDir))
-      val tmp = java.nio.file.Paths.get(streamDir, "events.parquet.tmp")
-      java.nio.file.Files.copy(
-        java.nio.file.Paths.get(s"$dir/events.parquet"), tmp,
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      java.nio.file.Files.move(tmp,
-        java.nio.file.Paths.get(streamDir, "events.parquet"),
-        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        marker = "events.parquet") {
+      // copy-then-atomic-rename (Staging.copyInto): the marker is the
+      // data file itself, so a crashed copy must never leave a
+      // truncated file that a later JVM accepts as staged
+      graft.sources.Staging.copyInto(
+        s"$dir/events.parquet", streamDir, "events.parquet")
     }
     streamDir
   }
