@@ -40,6 +40,65 @@ object Dedup {
       |    range(1, greatest(2, len(toks) - 1)),
       |    i -> array_to_string(toks[i:i+2], ' ')))""".stripMargin
 
+  /** The standard `sh(doc_id, shingles)` oracle CTE body over the
+    * documents table — shared by every dedup oracle below.
+    */
+  val shCteSql: String =
+    s"""sh AS (
+       |  SELECT doc_id, $shinglesSql AS shingles
+       |  FROM (SELECT doc_id,
+       |               regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+       |        FROM documents) t
+       |)""".stripMargin
+
+  /** Oracle pair generation in INVERTED-INDEX form: candidates come
+    * from a shingle-posting self-join + group-count (the per-pair
+    * count over DISTINCT shingles IS the intersection size), then the
+    * integer Jaccard threshold. EXACT — any pair at Jaccard ≥ num/den
+    * shares at least one shingle (shingle lists are never empty: a
+    * short doc still yields one window), so no qualifying pair can be
+    * missed — and bounded by posting-list sizes instead of |docs|²:
+    * the same oracle finishes in seconds at the ×10 blowup of sf0.1
+    * where the all-pairs cross join exceeded the sf1 sweep's 1800 s
+    * timeout (round-9 VERDICT item 5). Expects a prior CTE
+    * `sh(doc_id, shingles)`; yields `pairs(doc_a, doc_b, inter, uni)`
+    * already filtered to Jaccard ≥ num/den.
+    */
+  def invertedPairsSql(num: Int, den: Int): String =
+    s"""ex AS (SELECT doc_id, unnest(shingles) AS g FROM sh),
+       |cand AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |         CAST(COUNT(*) AS BIGINT) AS inter
+       |  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2
+       |), ln AS (SELECT doc_id, len(shingles) AS n FROM sh),
+       |pairs AS (
+       |  SELECT doc_a, doc_b, inter,
+       |         CAST(la.n + lb.n - inter AS BIGINT) AS uni
+       |  FROM cand JOIN ln la ON la.doc_id = cand.doc_a
+       |            JOIN ln lb ON lb.doc_id = cand.doc_b
+       |  WHERE $den * inter >= $num * (la.n + lb.n - inter)
+       |)""".stripMargin
+
+  /** Shared q38/q180 oracle: connected components over the exact pair
+    * set as a recursive reachability CTE — min-label fixpoint and
+    * union-by-min roots are the same function of the edge set, so both
+    * the driver union-find and the distributed propagation must land
+    * on identical groups.
+    */
+  def ccOracleSql: String =
+    s"""WITH RECURSIVE $shCteSql, ${invertedPairsSql(4, 5)},
+       |edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |  UNION ALL SELECT doc_b, doc_a FROM pairs
+       |), reach(id, l) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT e.src, r.l FROM edges e JOIN reach r ON e.dst = r.id
+       |)
+       |SELECT id AS doc_id, CAST(MIN(l) AS BIGINT) AS group_id
+       |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
+
   // ---- MinHash -----------------------------------------------------------
 
   /** 32 permutations → 16 bands × 2 rows. At the planted-duplicate
@@ -150,18 +209,79 @@ object Dedup {
     out
   }
 
+  // ---- incremental index-probe dedup (q185/q187/q188/q189) ---------------
+
+  /** Three-way batch split for the incremental-dedup family, a
+    * deterministic function of doc_id both engines mirror: history =
+    * batch 0 (doc_id % 5 in 2..4), first increment = batch 1 (% 5 =
+    * 1), second increment = batch 2 (% 5 = 0). q185/q188 use the
+    * two-way collapse (batch != 0 vs 0); q187/q189 the full split.
+    */
+  private def batchNo(id: Column): Column =
+    when(id % 5 === 1, lit(1)).when(id % 5 === 0, lit(2)).otherwise(lit(0))
+
+  /** SQL mirror of [[batchNo]]. */
+  private def batchNoSql(c: String): String =
+    s"CASE $c % 5 WHEN 1 THEN 1 WHEN 0 THEN 2 ELSE 0 END"
+
+  /** Write one sorted RUN of the band/shingle index under `runDir`:
+    * bands range-partitioned and sorted by band_sig (a probe's band
+    * join skips row groups via min/max stats), shingle sets keyed by
+    * doc_id. The index is a COLLECTION of such runs — an LSM layout:
+    * base + one delta per folded increment — so a fold-in writes only
+    * the new batch's rows and per-increment cost stays flat as history
+    * grows; merging runs is [[compactedIncrementalProbe]]'s job.
+    */
+  private def writeIndexRun(sigs: DataFrame, runDir: String, par: Int): Unit = {
+    bandSignatures(sigs)
+      .repartitionByRange(par, col("band_sig"))
+      .sortWithinPartitions("band_sig")
+      .write.mode("overwrite").parquet(s"$runDir/bands.parquet")
+    sigs.select("doc_id", "shingles")
+      .write.mode("overwrite").parquet(s"$runDir/shingles.parquet")
+  }
+
+  /** Probe a batch's signatures against the index runs: band-bucket
+    * join for candidates (each run is band_sig-sorted, so the scan
+    * skips), then exact shingle verification at Jaccard >= num/den.
+    * Cost is probe-side work + index lookups — never a recompute over
+    * history. Output: (new_doc, hist_doc, inter, uni), unordered.
+    */
+  private def probeIndexRuns(spark: SparkSession, newSigs: DataFrame,
+      runs: Seq[String], num: Int, den: Int): DataFrame = {
+    val bands = spark.read.parquet(runs.map(r => s"$r/bands.parquet"): _*)
+    val cand = bandSignatures(newSigs).as("x")
+      .join(bands.as("y"), col("x.band_sig") === col("y.band_sig"))
+      .select(col("x.doc_id").as("new_doc"), col("y.doc_id").as("hist_doc"))
+      .distinct()
+    val newSh = newSigs.select(col("doc_id").as("ida"), col("shingles").as("sa"))
+    val histSh = spark.read.parquet(runs.map(r => s"$r/shingles.parquet"): _*)
+      .select(col("doc_id").as("idb"), col("shingles").as("sb"))
+    val inter = size(array_intersect(col("sa"), col("sb")))
+    cand
+      .join(newSh, col("new_doc") === col("ida"))
+      .join(histSh, col("hist_doc") === col("idb"))
+      .select(col("new_doc"), col("hist_doc"),
+        inter.cast(LongType).as("inter"),
+        (size(col("sa")) + size(col("sb")) - inter).cast(LongType).as("uni"))
+      .filter(col("inter") * den >= col("uni") * num)
+  }
+
+  /** Signatures of the docs in one batch, spread across the cluster. */
+  private def batchSignatures(docs: DataFrame, pred: Column,
+      par: Int): DataFrame =
+    minhashSignatures(docs.filter(pred).repartition(par, col("doc_id")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
   /** Incremental near-dup detection (q185): the INDEX-PROBE form of
     * q20 that a growing corpus actually runs — historical docs'
     * minhash bands and shingle sets are staged ONCE as a durable
-    * parquet index (the q33/TokenizedCorpus pay-once pattern; bands
-    * range-partitioned and sorted by band_sig so a probe's band join
-    * reads skipping row groups), and each new batch only computes ITS
-    * OWN signatures, joins the staged bands for candidates, and
-    * exact-verifies against the staged shingles. Per-increment cost is
-    * probe-side work + index lookups — never a recompute over history,
-    * which is the entire point at a 100 TB corpus that grows daily.
-    * Split: new batch = doc_id % 5 == 0, history = the rest
-    * (deterministic, oracle-mirrorable).
+    * parquet index (the q33/TokenizedCorpus pay-once pattern), and
+    * each new batch only computes ITS OWN signatures and probes the
+    * staged runs ([[probeIndexRuns]]). Split: new batch = doc_id % 5
+    * == 0, history = the rest. The num/den threshold threads into the
+    * oracle through [[incrementalOracleSql]], so engine and oracle
+    * derive from the same constants at any threshold.
     */
   def incrementalNearDups(spark: org.apache.spark.sql.SparkSession,
       dir: String, num: Int = 4, den: Int = 5): DataFrame = {
@@ -170,43 +290,156 @@ object Dedup {
     val idx = graft.sources.Staging.fingerprintPath(
       "graft_dedup_index", dir, "documents.parquet", "hist_mod5_v1")
     graft.sources.Staging.ensureStaged(idx) {
-      val hist = minhashSignatures(
-          docs.filter(col("doc_id") % 5 =!= 0).repartition(par, col("doc_id")))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      bandSignatures(hist)
-        .repartitionByRange(par, col("band_sig"))
-        .sortWithinPartitions("band_sig")
-        .write.mode("overwrite").parquet(s"$idx/bands.parquet")
-      hist.select("doc_id", "shingles")
-        .write.mode("overwrite").parquet(s"$idx/shingles.parquet")
+      val hist = batchSignatures(docs, col("doc_id") % 5 =!= 0, par)
+      writeIndexRun(hist, idx, par)
       hist.unpersist()
       graft.sources.Staging.touch(idx)
     }
-    val newSigs = minhashSignatures(
-        docs.filter(col("doc_id") % 5 === 0).repartition(par, col("doc_id")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cand = bandSignatures(newSigs).as("x")
-      .join(spark.read.parquet(s"$idx/bands.parquet").as("y"),
-        col("x.band_sig") === col("y.band_sig"))
-      .select(col("x.doc_id").as("new_doc"), col("y.doc_id").as("hist_doc"))
-      .distinct()
-    val newSh = newSigs.select(col("doc_id").as("ida"), col("shingles").as("sa"))
-    val histSh = spark.read.parquet(s"$idx/shingles.parquet")
-      .select(col("doc_id").as("idb"), col("shingles").as("sb"))
-    val inter = size(array_intersect(col("sa"), col("sb")))
-    val pre = cand
-      .join(newSh, col("new_doc") === col("ida"))
-      .join(histSh, col("hist_doc") === col("idb"))
-      .select(col("new_doc"), col("hist_doc"),
-        inter.cast(LongType).as("inter"),
-        (size(col("sa")) + size(col("sb")) - inter).cast(LongType).as("uni"))
-      .filter(col("inter") * den >= col("uni") * num)
+    val newSigs = batchSignatures(docs, col("doc_id") % 5 === 0, par)
+    val pre = probeIndexRuns(spark, newSigs, Seq(idx), num, den)
       .orderBy("new_doc", "hist_doc")
+    // localCheckpoint materialization, MEMORY_ONLY — see nearDupPairs
     val out = graft.metrics.RuntimeBreakdown.noteExecuted(pre)
       .localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
     newSigs.unpersist()
     out
   }
+
+  /** q187 — the FOLD-IN that makes q185 actually incremental (round-9
+    * VERDICT item 1): after each increment's probe, the batch's bands
+    * and shingles are APPENDED to the index as a new sorted run
+    * (band_sig range layout preserved per run), so the next increment
+    * probes history + every previously folded batch. Two successive
+    * increments run here: batch 1 probes the base index, is folded in,
+    * then batch 2 probes base+delta1 — a missed or wrong fold-in
+    * removes every batch-2-vs-batch-1 pair and breaks the oracle hash.
+    * Fold-in cost is proportional to the BATCH (one delta write),
+    * never to history — the flat per-increment cost a daily-growing
+    * 100 TB corpus needs; run-merging is amortized maintenance
+    * ([[compactedIncrementalProbe]]).
+    */
+  def foldingIncrementalNearDups(spark: org.apache.spark.sql.SparkSession,
+      dir: String, num: Int = 4, den: Int = 5): DataFrame = {
+    val docs = graft.Tables(spark, dir).documents
+    val par = spark.sessionState.conf.numShufflePartitions
+    val idx = graft.sources.Staging.fingerprintPath(
+      "graft_dedup_index", dir, "documents.parquet", "fold_mod5_v1")
+    graft.sources.Staging.ensureStaged(s"$idx/base") {
+      val hist = batchSignatures(docs, batchNo(col("doc_id")) === 0, par)
+      writeIndexRun(hist, s"$idx/base", par)
+      hist.unpersist()
+      graft.sources.Staging.touch(s"$idx/base")
+    }
+    val increments = (1 to 2).map { b =>
+      val batch = batchSignatures(docs, batchNo(col("doc_id")) === b, par)
+      val runs = s"$idx/base" +: (1 until b).map(i => s"$idx/delta$i")
+      val pre = probeIndexRuns(spark, batch, runs, num, den)
+        .select(lit(b).as("batch"), col("new_doc"), col("hist_doc"),
+          col("inter"), col("uni"))
+      // materialize THIS increment's pairs before the fold-in below
+      // mutates the delta the next run of this query will overwrite
+      val out = graft.metrics.RuntimeBreakdown.noteExecuted(pre)
+        .localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+      // the FOLD-IN: one delta run per increment, deterministic and
+      // idempotent (overwrite), re-paid per call so bench cost stays
+      // honest
+      writeIndexRun(batch, s"$idx/delta$b", par)
+      batch.unpersist()
+      out
+    }
+    increments.reduce(_ unionAll _).orderBy("batch", "new_doc", "hist_doc")
+  }
+
+  /** q189 — index COMPACTION with probe-equivalence under the oracle:
+    * base + delta1 are merged into a single band_sig-range-sorted run
+    * (the LSM maintenance step that bounds the run count a probe must
+    * touch), and batch 2 probes the COMPACTED run only. The result
+    * must equal probing the uncompacted runs — a compaction that
+    * loses, duplicates, or mis-sorts rows changes the pair set or its
+    * multiplicity and breaks the hash. Compaction cost is O(index),
+    * which is the nature of the operation — it is amortized
+    * maintenance (run occasionally, e.g. when the delta count passes a
+    * threshold), not per-increment cost.
+    */
+  def compactedIncrementalProbe(spark: org.apache.spark.sql.SparkSession,
+      dir: String, num: Int = 4, den: Int = 5): DataFrame = {
+    val docs = graft.Tables(spark, dir).documents
+    val par = spark.sessionState.conf.numShufflePartitions
+    val idx = graft.sources.Staging.fingerprintPath(
+      "graft_dedup_index", dir, "documents.parquet", "fold_mod5_v1")
+    graft.sources.Staging.ensureStaged(s"$idx/base") {
+      val hist = batchSignatures(docs, batchNo(col("doc_id")) === 0, par)
+      writeIndexRun(hist, s"$idx/base", par)
+      hist.unpersist()
+      graft.sources.Staging.touch(s"$idx/base")
+    }
+    // delta1 rewritten deterministically (idempotent) so this entry is
+    // self-contained whether or not q187 ran first in this JVM
+    val b1 = batchSignatures(docs, batchNo(col("doc_id")) === 1, par)
+    writeIndexRun(b1, s"$idx/delta1", par)
+    b1.unpersist()
+    // COMPACT: merge the two runs into one, restoring the single
+    // range-sorted layout (a full shuffle-sort of the INDEX, not the
+    // corpus — bands+shingles are far smaller than the documents)
+    val compacted = s"$idx/compact_b1"
+    val runs = Seq(s"$idx/base", s"$idx/delta1")
+    spark.read.parquet(runs.map(r => s"$r/bands.parquet"): _*)
+      .repartitionByRange(par, col("band_sig"))
+      .sortWithinPartitions("band_sig")
+      .write.mode("overwrite").parquet(s"$compacted/bands.parquet")
+    spark.read.parquet(runs.map(r => s"$r/shingles.parquet"): _*)
+      .write.mode("overwrite").parquet(s"$compacted/shingles.parquet")
+    val b2 = batchSignatures(docs, batchNo(col("doc_id")) === 2, par)
+    val pre = probeIndexRuns(spark, b2, Seq(compacted), num, den)
+      .orderBy("new_doc", "hist_doc")
+    val out = graft.metrics.RuntimeBreakdown.noteExecuted(pre)
+      .localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+    b2.unpersist()
+    out
+  }
+
+  /** q185/q188 oracle (two-way split), threaded from the same num/den
+    * the engine uses. */
+  def incrementalOracleSql(num: Int, den: Int): String =
+    s"""WITH $shCteSql, ${invertedPairsSql(num, den)}
+       |SELECT CASE WHEN doc_a % 5 = 0 THEN doc_a ELSE doc_b END AS new_doc,
+       |       CASE WHEN doc_a % 5 = 0 THEN doc_b ELSE doc_a END AS hist_doc,
+       |       inter, uni
+       |FROM pairs
+       |WHERE (doc_a % 5 = 0) <> (doc_b % 5 = 0)
+       |ORDER BY new_doc, hist_doc""".stripMargin
+
+  /** q187 oracle: every pair whose endpoints sit in DIFFERENT batches,
+    * attributed to the LATER endpoint's increment — exactly the union
+    * of "increment b vs everything folded before it". */
+  def foldingOracleSql(num: Int, den: Int): String =
+    s"""WITH $shCteSql, ${invertedPairsSql(num, den)},
+       |bp AS (
+       |  SELECT ${batchNoSql("doc_a")} AS ba, ${batchNoSql("doc_b")} AS bb,
+       |         doc_a, doc_b, inter, uni
+       |  FROM pairs
+       |)
+       |SELECT CAST(CASE WHEN ba > bb THEN ba ELSE bb END AS INT) AS batch,
+       |       CASE WHEN ba > bb THEN doc_a ELSE doc_b END AS new_doc,
+       |       CASE WHEN ba > bb THEN doc_b ELSE doc_a END AS hist_doc,
+       |       inter, uni
+       |FROM bp WHERE ba <> bb
+       |ORDER BY batch, new_doc, hist_doc""".stripMargin
+
+  /** q189 oracle: the batch-2 increment only (one side batch 2, the
+    * other earlier) — what the compacted-run probe must reproduce. */
+  def compactedProbeOracleSql(num: Int, den: Int): String =
+    s"""WITH $shCteSql, ${invertedPairsSql(num, den)},
+       |bp AS (
+       |  SELECT ${batchNoSql("doc_a")} AS ba, ${batchNoSql("doc_b")} AS bb,
+       |         doc_a, doc_b, inter, uni
+       |  FROM pairs
+       |)
+       |SELECT CASE WHEN ba = 2 THEN doc_a ELSE doc_b END AS new_doc,
+       |       CASE WHEN ba = 2 THEN doc_b ELSE doc_a END AS hist_doc,
+       |       inter, uni
+       |FROM bp WHERE ba <> bb AND (ba = 2 OR bb = 2)
+       |ORDER BY new_doc, hist_doc""".stripMargin
 
   /** Connected components over the verified near-dup pairs: each
     * involved doc labeled with the min doc_id of its component — the
@@ -362,45 +595,26 @@ object Dedup {
         .orderBy("keeper_id")
     },
 
-    // MinHash-LSH near-dup at Jaccard ≥ 4/5, exact-verified. The oracle
-    // is the brute-force all-pairs computation — feasible at t2 scale,
-    // while the engine path stays band-bucketed for 100 TB.
+    // MinHash-LSH near-dup at Jaccard ≥ 4/5, exact-verified. The
+    // oracle recomputes the exact pair set independently of the LSH
+    // (inverted-index form, see invertedPairsSql — same result as the
+    // all-pairs cross join it replaced, bounded cost at any sf).
     QueryEntry.sql(
       "q20_minhash_neardup",
-      s"""WITH sh AS (
-         |  SELECT doc_id, $shinglesSql AS shingles
-         |  FROM (SELECT doc_id,
-         |               regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
-         |        FROM documents) t
-         |), pairs AS (
-         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         |         CAST(len(list_intersect(a.shingles, b.shingles)) AS BIGINT) AS inter,
-         |         CAST(len(a.shingles) + len(b.shingles)
-         |              - len(list_intersect(a.shingles, b.shingles)) AS BIGINT) AS uni
-         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-         |)
+      s"""WITH $shCteSql, ${invertedPairsSql(4, 5)}
          |SELECT doc_a, doc_b, inter, uni FROM pairs
-         |WHERE inter * 5 >= uni * 4
          |ORDER BY doc_a, doc_b""".stripMargin,
     ) { (s, dir) => nearDupPairs(Tables(s, dir).documents) },
 
     // Near-dup graph structure (q84): vertex/edge/triangle counts and
     // max degree over the verified pair set — the oracle re-derives
-    // the edge set brute-force (the q20 equivalence) and counts
-    // triangles by the same ordered two-join expansion.
+    // the edge set exactly (inverted-index form, the q20 equivalence)
+    // and counts triangles by the same ordered two-join expansion.
     QueryEntry.sql(
       "q84_neardup_graph",
-      s"""WITH sh AS (
-         |  SELECT doc_id, $shinglesSql AS shingles
-         |  FROM (SELECT doc_id,
-         |               regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
-         |        FROM documents) t
-         |), e AS (
-         |  SELECT a.doc_id AS a, b.doc_id AS b
-         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-         |  WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS BIGINT) * 5
-         |        >= CAST(len(a.shingles) + len(b.shingles)
-         |                - len(list_intersect(a.shingles, b.shingles)) AS BIGINT) * 4
+      s"""WITH $shCteSql, ${invertedPairsSql(4, 5)},
+         |e AS (
+         |  SELECT doc_a AS a, doc_b AS b FROM pairs
          |), deg AS (
          |  SELECT v, COUNT(*) AS d
          |  FROM (SELECT a AS v FROM e UNION ALL SELECT b AS v FROM e) vv
@@ -453,27 +667,7 @@ object Dedup {
     // oracle is a recursive CTE computing the same reachability.
     QueryEntry.sql(
       "q38_neardup_groups",
-      s"""WITH RECURSIVE sh AS (
-         |  SELECT doc_id, $shinglesSql AS shingles
-         |  FROM (SELECT doc_id,
-         |               regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
-         |        FROM documents) t
-         |), pairs AS (
-         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-         |  WHERE 5 * len(list_intersect(a.shingles, b.shingles))
-         |        >= 4 * (len(a.shingles) + len(b.shingles)
-         |                - len(list_intersect(a.shingles, b.shingles)))
-         |), edges AS (
-         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
-         |  UNION ALL SELECT doc_b, doc_a FROM pairs
-         |), reach(id, l) AS (
-         |  SELECT src, src FROM edges
-         |  UNION
-         |  SELECT e.src, r.l FROM edges e JOIN reach r ON e.dst = r.id
-         |)
-         |SELECT id AS doc_id, CAST(MIN(l) AS BIGINT) AS group_id
-         |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+      ccOracleSql,
     ) { (s, dir) => nearDupGroups(Tables(s, dir).documents) },
 
     // q180 — the DISTRIBUTED connected-components regime certified
@@ -486,27 +680,7 @@ object Dedup {
     // identical groups.
     QueryEntry.sql(
       "q180_cc_distributed",
-      s"""WITH RECURSIVE sh AS (
-         |  SELECT doc_id, $shinglesSql AS shingles
-         |  FROM (SELECT doc_id,
-         |               regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
-         |        FROM documents) t
-         |), pairs AS (
-         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-         |  WHERE 5 * len(list_intersect(a.shingles, b.shingles))
-         |        >= 4 * (len(a.shingles) + len(b.shingles)
-         |                - len(list_intersect(a.shingles, b.shingles)))
-         |), edges AS (
-         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
-         |  UNION ALL SELECT doc_b, doc_a FROM pairs
-         |), reach(id, l) AS (
-         |  SELECT src, src FROM edges
-         |  UNION
-         |  SELECT e.src, r.l FROM edges e JOIN reach r ON e.dst = r.id
-         |)
-         |SELECT id AS doc_id, CAST(MIN(l) AS BIGINT) AS group_id
-         |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin,
+      ccOracleSql,
     ) { (s, dir) =>
       nearDupGroups(Tables(s, dir).documents, smallGraphMax = 0L)
     },
@@ -518,23 +692,30 @@ object Dedup {
     // the hash.
     QueryEntry.sql(
       "q185_incremental_dedup",
-      s"""WITH sh AS (
-         |  SELECT doc_id, $shinglesSql AS shingles
-         |  FROM (SELECT doc_id,
-         |               regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
-         |        FROM documents) t
-         |)
-         |SELECT a.doc_id AS new_doc, b.doc_id AS hist_doc,
-         |       CAST(len(list_intersect(a.shingles, b.shingles)) AS BIGINT) AS inter,
-         |       CAST(len(a.shingles) + len(b.shingles)
-         |            - len(list_intersect(a.shingles, b.shingles)) AS BIGINT) AS uni
-         |FROM sh a JOIN sh b
-         |  ON a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0
-         |WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS BIGINT) * 5
-         |      >= CAST(len(a.shingles) + len(b.shingles)
-         |              - len(list_intersect(a.shingles, b.shingles)) AS BIGINT) * 4
-         |ORDER BY new_doc, hist_doc""".stripMargin,
+      incrementalOracleSql(4, 5),
     ) { (s, dir) => incrementalNearDups(s, dir) },
+
+    // q187 — fold-in incremental dedup (round-9 VERDICT item 1): two
+    // successive increments, each probed against the index THEN folded
+    // into it as a new sorted run, so increment 2's pairs include
+    // batch-2-vs-batch-1 matches that exist only if the fold-in
+    // happened. The oracle brute-forces the full cross-batch pair
+    // space (inverted-index form) — a missed fold-in, a stale run, or
+    // a wrong delta layout all break the hash.
+    QueryEntry.sql(
+      "q187_incremental_fold",
+      foldingOracleSql(4, 5),
+    ) { (s, dir) => foldingIncrementalNearDups(s, dir) },
+
+    // q189 — index compaction under the oracle: base+delta1 merged
+    // into one range-sorted run, batch 2 probed against the COMPACTED
+    // run only; the result must equal the uncompacted probe (the
+    // oracle recomputes it from scratch), so a compaction that loses
+    // or duplicates index rows breaks the hash.
+    QueryEntry.sql(
+      "q189_dedup_index_compaction",
+      compactedProbeOracleSql(4, 5),
+    ) { (s, dir) => compactedIncrementalProbe(s, dir) },
 
     // q166 — cluster-level leakage-safe split: the production form of
     // q165. Exact-dup grouping misses near-duplicates, which leak
@@ -553,18 +734,8 @@ object Dedup {
     // point of the LSH formulation.
     QueryEntry.sql(
       "q166_cluster_safe_split",
-      s"""WITH RECURSIVE sh AS (
-         |  SELECT doc_id, $shinglesSql AS shingles
-         |  FROM (SELECT doc_id,
-         |               regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
-         |        FROM documents) t
-         |), pairs AS (
-         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-         |  WHERE 5 * len(list_intersect(a.shingles, b.shingles))
-         |        >= 4 * (len(a.shingles) + len(b.shingles)
-         |                - len(list_intersect(a.shingles, b.shingles)))
-         |), edges AS (
+      s"""WITH RECURSIVE $shCteSql, ${invertedPairsSql(4, 5)},
+         |edges AS (
          |  SELECT doc_a AS src, doc_b AS dst FROM pairs
          |  UNION ALL SELECT doc_b, doc_a FROM pairs
          |), reach(id, l) AS (

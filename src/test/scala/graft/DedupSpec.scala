@@ -106,6 +106,28 @@ class DedupSpec extends SparkSpec {
     assert(ids1.toSet.size == ids1.size)
   }
 
+  test("fold-in incremental dedup: increment 2 matches batch-1 history only via the fold-in") {
+    val out = Dedup.foldingIncrementalNearDups(spark, sf).collect()
+    assert(out.nonEmpty)
+    assert(out.map(_.getInt(0)).toSet.subsetOf(Set(1, 2)))
+    // the property q187 exists to certify: a batch-2 probe finding a
+    // batch-1 historical doc (doc_id % 5 == 1) can only happen if
+    // increment 1 was folded into the index before increment 2 probed
+    assert(out.exists(r => r.getInt(0) == 2 && r.getLong(2) % 5 == 1),
+      "no batch-2-vs-batch-1 pair: the fold-in did not take effect")
+  }
+
+  test("compacted probe reproduces the uncompacted increment exactly (q189 ≡ q187 batch 2)") {
+    val folded = Dedup.foldingIncrementalNearDups(spark, sf)
+      .filter(col("batch") === 2)
+      .select("new_doc", "hist_doc", "inter", "uni")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val compacted = Dedup.compactedIncrementalProbe(spark, sf)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(folded == compacted)
+    assert(compacted.nonEmpty)
+  }
+
   test("graphMetrics counts a planted triangle exactly once") {
     // K3 on {1,2,3} plus a pendant edge (3,4): 4 nodes, 4 edges,
     // 1 triangle, max degree 3
