@@ -287,14 +287,7 @@ object Dedup {
       dir: String, num: Int = 4, den: Int = 5): DataFrame = {
     val docs = graft.Tables(spark, dir).documents
     val par = spark.sessionState.conf.numShufflePartitions
-    val idx = graft.sources.Staging.fingerprintPath(
-      "graft_dedup_index", dir, "documents.parquet", "hist_mod5_v1")
-    graft.sources.Staging.ensureStaged(idx) {
-      val hist = batchSignatures(docs, col("doc_id") % 5 =!= 0, par)
-      writeIndexRun(hist, idx, par)
-      hist.unpersist()
-      graft.sources.Staging.touch(idx)
-    }
+    val idx = ensureHistoricalIndex(spark, dir)
     val newSigs = batchSignatures(docs, col("doc_id") % 5 === 0, par)
     val pre = probeIndexRuns(spark, newSigs, Seq(idx), num, den)
       .orderBy("new_doc", "hist_doc")
@@ -303,6 +296,40 @@ object Dedup {
       .localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
     newSigs.unpersist()
     out
+  }
+
+  /** Stage (once per fixture fingerprint) and return the q185/q188
+    * historical index dir: one sorted run holding the bands + shingles
+    * of every history doc (doc_id % 5 != 0).
+    */
+  def ensureHistoricalIndex(spark: org.apache.spark.sql.SparkSession,
+      dir: String): String = {
+    val docs = graft.Tables(spark, dir).documents
+    val par = spark.sessionState.conf.numShufflePartitions
+    val idx = graft.sources.Staging.fingerprintPath(
+      "graft_dedup_index", dir, "documents.parquet", "hist_mod5_v1")
+    graft.sources.Staging.ensureStaged(idx) {
+      val hist = batchSignatures(docs, col("doc_id") % 5 =!= 0, par)
+      writeIndexRun(hist, idx, par)
+      hist.unpersist()
+      graft.sources.Staging.touch(idx)
+    }
+    idx
+  }
+
+  /** q188's per-micro-batch body: probe an ARRIVING docs frame
+    * (doc_id, text) against the staged historical index — public so
+    * the streaming ingest twin runs the same probe code path the batch
+    * q185 certifies. No caching: a micro-batch is small and the caller
+    * runs exactly one action over the result, so pinning state across
+    * batches would only grow the streaming job's footprint.
+    */
+  def probeDocsAgainstIndex(docs: DataFrame, idx: String,
+      num: Int = 4, den: Int = 5): DataFrame = {
+    val spark = docs.sparkSession
+    val par = spark.sessionState.conf.numShufflePartitions
+    val sigs = minhashSignatures(docs.repartition(par, col("doc_id")))
+    probeIndexRuns(spark, sigs, Seq(idx), num, den)
   }
 
   /** q187 — the FOLD-IN that makes q185 actually incremental (round-9
@@ -706,6 +733,20 @@ object Dedup {
       "q187_incremental_fold",
       foldingOracleSql(4, 5),
     ) { (s, dir) => foldingIncrementalNearDups(s, dir) },
+
+    // q188 — streaming ingest-dedup twin (round-9 VERDICT item 7):
+    // the q185 index-probe run as a real AvailableNow stream, each
+    // micro-batch probing the staged historical index inside
+    // foreachBatch and appending verified pairs to a parquet sink.
+    // Same oracle as q185: the final sink content must hash-match the
+    // from-scratch batch computation — lost/duplicated micro-batches
+    // or stale index reads break the hash.
+    QueryEntry.sql(
+      "q188_stream_ingest_dedup",
+      incrementalOracleSql(4, 5),
+    ) { (s, dir) =>
+      graft.streaming.StreamingDocs.runIngestDedupToCompletion(s, dir)
+    },
 
     // q189 — index compaction under the oracle: base+delta1 merged
     // into one range-sorted run, batch 2 probed against the COMPACTED

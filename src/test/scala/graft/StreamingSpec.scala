@@ -30,6 +30,16 @@ class StreamingSpec extends SparkSpec {
     assert(batch.nonEmpty, "fixture must plant at least one contaminated doc")
   }
 
+  test("streaming ingest-dedup ≡ batch incremental probe (q188 ≡ q185)") {
+    val streamed = graft.streaming.StreamingDocs
+      .runIngestDedupToCompletion(spark, sf)
+      .collect().map(_.toSeq).toSet
+    val batch = graft.operators.Dedup.incrementalNearDups(spark, sf)
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch)
+    assert(batch.nonEmpty, "fixture must plant at least one cross-half near-dup")
+  }
+
   test("streaming complete-mode token counts ≡ batch q16 (q184)") {
     val streamed = graft.streaming.StreamingDocs
       .runTokenCountsToCompletion(spark, sf)
