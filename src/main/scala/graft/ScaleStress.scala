@@ -80,6 +80,8 @@ object ScaleStress {
     "q187_incremental_fold", // probe + batch-proportional delta writes
     "q188_stream_ingest_dedup", // stream machinery constant; probes linear
     "q189_dedup_index_compaction", // compaction is O(index) by design
+    "q191_incremental_ann", // probe-side work + visited lists only
+    "q192_cluster_survivors", // q38 clustering + one grouped argmax
   )
 
   /** Per-table key-shift rules: every synthetic surrogate key column

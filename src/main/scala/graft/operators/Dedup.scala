@@ -571,6 +571,119 @@ object Dedup {
     out
   }
 
+
+  /** q192 — survivor SELECTION per near-dup cluster: production dedup
+    * keeps the best member of each cluster, not an arbitrary one; here
+    * "best" = longest text (n_chars), min doc_id as the deterministic
+    * tiebreak. Distributed shape: cluster labels (q38) joined to the
+    * doc metadata, then ONE grouped aggregation whose argmax is a
+    * struct max — max(struct(n_chars, -doc_id)) compares
+    * lexicographically, so no per-group window or secondary shuffle.
+    */
+  def clusterSurvivors(docs: DataFrame): DataFrame = {
+    val labels = nearDupGroups(docs)
+    labels.join(docs.select(col("doc_id"), col("n_chars")), Seq("doc_id"))
+      .groupBy("group_id")
+      .agg(
+        max(struct(col("n_chars").as("nc"), (-col("doc_id")).as("negid")))
+          .as("best"),
+        count(lit(1)).as("n_members"))
+      .select(col("group_id"),
+        (-col("best.negid")).as("survivor_id"),
+        col("n_members"),
+        col("best.nc").as("survivor_chars"))
+      .orderBy("group_id")
+  }
+
+  /** q192 oracle: the q38 reachability CTE + a per-cluster argmax
+    * (ROW_NUMBER over n_chars DESC, doc_id — the cluster count is
+    * near-dup-bounded, so the oracle window is tiny). */
+  def clusterSurvivorsOracleSql: String =
+    s"""WITH RECURSIVE $shCteSql, ${invertedPairsSql(4, 5)},
+       |edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |  UNION ALL SELECT doc_b, doc_a FROM pairs
+       |), reach(id, l) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT e.src, r.l FROM edges e JOIN reach r ON e.dst = r.id
+       |), lab AS (
+       |  SELECT id AS doc_id, CAST(MIN(l) AS BIGINT) AS group_id
+       |  FROM reach GROUP BY id
+       |), m AS (
+       |  SELECT lab.group_id, d.doc_id, d.n_chars
+       |  FROM lab JOIN documents d USING (doc_id)
+       |), ranked AS (
+       |  SELECT group_id, doc_id, n_chars,
+       |         ROW_NUMBER() OVER (PARTITION BY group_id
+       |                            ORDER BY n_chars DESC, doc_id) AS rn,
+       |         COUNT(*) OVER (PARTITION BY group_id) AS n_members
+       |  FROM m
+       |)
+       |SELECT group_id, doc_id AS survivor_id,
+       |       CAST(n_members AS BIGINT) AS n_members,
+       |       CAST(n_chars AS BIGINT) AS survivor_chars
+       |FROM ranked WHERE rn = 1 ORDER BY group_id""".stripMargin
+
+
+  /** q194 — per-source dedup scorecard: per source, how many docs, how
+    * many sit in a near-dup cluster, how many survive cluster-level
+    * dedup (survivor = the cluster's min doc_id, kept by the SOURCE it
+    * belongs to; unclustered docs survive trivially), and the dup
+    * rate. The per-source dup rate is the number a curation pipeline
+    * watches to decide which feeds need upstream dedup. One clustering
+    * pass + one left join + one grouped rollup — nothing beyond the
+    * certified q38 parts.
+    */
+  def sourceDedupScorecard(docs: DataFrame): DataFrame = {
+    val labels = nearDupGroups(docs) // (doc_id, group_id) — clustered docs only
+    docs.select(col("doc_id"), col("source"))
+      .join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("source"),
+        col("group_id").isNotNull.as("clustered"),
+        // survivor: unclustered, or the cluster's min-id representative
+        (col("group_id").isNull || col("group_id") === col("doc_id"))
+          .as("survives"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("clustered"), 1L).otherwise(0L)).as("n_clustered"),
+        sum(when(col("survives"), 1L).otherwise(0L)).as("n_survivors"),
+        round(sum(when(col("survives"), lit(0.0)).otherwise(lit(1.0)))
+          / count(lit(1)), 6).as("dup_rate"))
+      .orderBy("source")
+  }
+
+  /** q194 oracle: the q38 reachability CTE + label coalesce + the
+    * same rollup. */
+  def sourceDedupScorecardOracleSql: String =
+    s"""WITH RECURSIVE $shCteSql, ${invertedPairsSql(4, 5)},
+       |edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |  UNION ALL SELECT doc_b, doc_a FROM pairs
+       |), reach(id, l) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT e.src, r.l FROM edges e JOIN reach r ON e.dst = r.id
+       |), lab AS (
+       |  SELECT id AS doc_id, CAST(MIN(l) AS BIGINT) AS group_id
+       |  FROM reach GROUP BY id
+       |), j AS (
+       |  SELECT d.doc_id, d.source,
+       |         lab.group_id IS NOT NULL AS clustered,
+       |         (lab.group_id IS NULL OR lab.group_id = d.doc_id) AS survives
+       |  FROM documents d LEFT JOIN lab ON d.doc_id = lab.doc_id
+       |)
+       |SELECT source,
+       |       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |       CAST(SUM(CASE WHEN clustered THEN 1 ELSE 0 END) AS BIGINT)
+       |         AS n_clustered,
+       |       CAST(SUM(CASE WHEN survives THEN 1 ELSE 0 END) AS BIGINT)
+       |         AS n_survivors,
+       |       ROUND(SUM(CASE WHEN survives THEN 0.0 ELSE 1.0 END)
+       |             / COUNT(*), 6) AS dup_rate
+       |FROM j GROUP BY source ORDER BY source""".stripMargin
+
   /** Full-corpus reproducible shuffle: every row keyed by a
     * deterministic hash and globally sorted. Catalyst plans the total
     * order as a range-partitioned sort (sampled split points, one
@@ -733,6 +846,22 @@ object Dedup {
       "q185_incremental_dedup",
       incrementalOracleSql(4, 5),
     ) { (s, dir) => incrementalNearDups(s, dir) },
+
+    // q192 — survivor selection per near-dup cluster (keep-longest,
+    // min-id tiebreak): DuckDB replays clustering AND the argmax — a
+    // wrong tiebreak or member count breaks the hash.
+    QueryEntry.sql(
+      "q192_cluster_survivors",
+      clusterSurvivorsOracleSql,
+    ) { (s, dir) => clusterSurvivors(Tables(s, dir).documents) },
+
+    // q194 — per-source dedup scorecard: dup rate per feed after
+    // cluster-level dedup; DuckDB replays clustering, the survivor
+    // rule, and the rollup.
+    QueryEntry.sql(
+      "q194_source_dedup_rate",
+      sourceDedupScorecardOracleSql,
+    ) { (s, dir) => sourceDedupScorecard(Tables(s, dir).documents) },
 
     // q187 — fold-in incremental dedup (round-9 VERDICT item 1): two
     // successive increments, each probed against the index THEN folded

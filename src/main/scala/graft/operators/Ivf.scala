@@ -316,8 +316,14 @@ object Ivf {
     * text BETWEEN `WITH` and the consumer's own CTEs.
     */
   def coarseCtes(spark: org.apache.spark.sql.SparkSession, dir: String,
-      nprobe: Int, nClusters: Int = 16, iters: Int = 3): String = {
-    val cents = fittedCentroids(Tables(spark, dir).embeddings, nClusters, iters)
+      nprobe: Int, nClusters: Int = 16, iters: Int = 3,
+      fitFilter: Option[org.apache.spark.sql.Column] = None): String = {
+    // fitFilter restricts the QUANTIZER FIT (e.g. q191 fits on history
+    // only — the index-build snapshot); assignments in ranked_c still
+    // cover every vector, which is what the incremental probe needs
+    val embAll = Tables(spark, dir).embeddings
+    val cents = fittedCentroids(
+      fitFilter.map(embAll.filter).getOrElse(embAll), nClusters, iters)
     val dim = cents.head.length
     val sCols = cents.indices.map { c =>
       s"(${dotChain("embedding", cents(c))}) / sqrt(na * ${d2s(centNormSq(cents(c)))}) AS s$c"
@@ -699,6 +705,150 @@ object Ivf {
        |         AS imbalance
        |FROM sizes""".stripMargin
 
+
+  /** q191 — INCREMENTAL ANN near-dup (the q185 index-probe pattern for
+    * embeddings): the quantizer is fitted on HISTORY only (vec_id % 5
+    * != 0 — the index-build snapshot), history vectors sit
+    * single-assigned in their inverted lists, and each NEW vector
+    * (vec_id % 5 == 0) multi-assigns to its top-`nAssign` lists and is
+    * exact-scored against only those lists' members — per-increment
+    * cost is probe-side work + visited-list lookups, never a recompute
+    * over history (the durable staged form of the lists is q33's
+    * machinery; the probe plan is identical either way). Approximation
+    * contract matches q170: a cross-list pair is missed iff the new
+    * vector's nAssign nearest lists all miss the neighbor's list.
+    */
+  def incrementalAnnNearDups(spark: org.apache.spark.sql.SparkSession,
+      dir: String, threshold: Double, nAssign: Int = 4,
+      iters: Int = 3): DataFrame = {
+    val emb = Tables(spark, dir).embeddings
+    val hist = emb.filter(col("vec_id") % 5 =!= 0)
+    val k = adaptiveClusters(hist.count())
+    val cents = fittedCentroids(hist, k, iters)
+    val lists = withCluster(hist, cents)
+      .select(col("cluster"), col("vec_id").as("hist_vec"),
+        col("embedding").as("eh"))
+    val probe = multiAssigned(emb.filter(col("vec_id") % 5 === 0), cents, nAssign)
+      .select(col("cluster"), col("vec_id").as("new_vec"),
+        col("embedding").as("ep"))
+    probe.join(lists, Seq("cluster"))
+      .select(col("new_vec"), col("hist_vec"),
+        round(GraftFunctions.cosineF32(col("ep"), col("eh")), 6).as("score"))
+      .filter(col("score") >= threshold)
+      // a pair sharing several visited lists is generated once per
+      // shared list; identical rounded score each time -> distinct
+      .distinct()
+      .orderBy("new_vec", "hist_vec")
+  }
+
+  /** Generated DuckDB mirror of [[incrementalAnnNearDups]]: the
+    * history-fitted quantizer is inlined, and DuckDB re-executes
+    * history assignment (rn = 1), probe multi-assignment (rn <=
+    * nAssign), the list join, exact scoring, and dedup.
+    */
+  def incrementalAnnOracleSql(spark: org.apache.spark.sql.SparkSession,
+      dir: String, threshold: Double, nAssign: Int = 4,
+      iters: Int = 3): String = {
+    val hist = Tables(spark, dir).embeddings.filter(col("vec_id") % 5 =!= 0)
+    val k = adaptiveClusters(hist.count())
+    val dim = fittedCentroids(hist, k, iters).head.length
+    s"""WITH ${coarseCtes(spark, dir, nprobe = 1, k, iters,
+          fitFilter = Some(col("vec_id") % 5 =!= 0))},
+       |hist AS (
+       |  SELECT vec_id, embedding, na FROM ranked_c
+       |  WHERE rn = 1 AND vec_id % 5 <> 0
+       |), histc AS (
+       |  SELECT vec_id, embedding, na, c AS cluster FROM ranked_c
+       |  WHERE rn = 1 AND vec_id % 5 <> 0
+       |), probec AS (
+       |  SELECT vec_id, embedding, na, c AS cluster FROM ranked_c
+       |  WHERE rn <= $nAssign AND vec_id % 5 = 0
+       |), scored AS (
+       |  SELECT p.vec_id AS new_vec, h.vec_id AS hist_vec,
+       |         ROUND((${dotChain2("p.embedding", "h.embedding", dim)})
+       |               / sqrt(p.na * h.na), 6) AS score
+       |  FROM probec p JOIN histc h ON h.cluster = p.cluster
+       |)
+       |SELECT DISTINCT new_vec, hist_vec, score FROM scored
+       |WHERE score >= CAST('$threshold' AS DOUBLE)
+       |ORDER BY new_vec, hist_vec""".stripMargin
+  }
+
+
+  /** q193 — the FOLD-IN that makes q191 a growing index (q187's
+    * two-increment protocol for embeddings): the quantizer is fitted
+    * on the base history ONLY (vec_id % 5 in 2..4) and FROZEN — the
+    * production IVF posture: re-fitting per increment would re-assign
+    * history and rewrite every list — then increment 1 (vec_id % 5 ==
+    * 1) probes the base lists and is folded in (assigned under the
+    * frozen quantizer), and increment 2 (vec_id % 5 == 0) probes
+    * base+delta lists — its pairs include batch-2-vs-batch-1 matches
+    * that exist only if the fold-in happened. Output (batch, new_vec,
+    * hist_vec, score).
+    */
+  def foldingIncrementalAnn(spark: org.apache.spark.sql.SparkSession,
+      dir: String, threshold: Double, nAssign: Int = 4,
+      iters: Int = 3): DataFrame = {
+    val emb = Tables(spark, dir).embeddings
+    def batchNo(id: Column): Column =
+      when(id % 5 === 1, lit(1)).when(id % 5 === 0, lit(2)).otherwise(lit(0))
+    val hist0 = emb.filter(batchNo(col("vec_id")) === 0)
+    val k = adaptiveClusters(hist0.count())
+    val cents = fittedCentroids(hist0, k, iters) // frozen at index build
+    val increments = (1 to 2).map { b =>
+      val lists = withCluster(emb.filter(batchNo(col("vec_id")) < b), cents)
+        .select(col("cluster"), col("vec_id").as("hist_vec"),
+          col("embedding").as("eh"))
+      val probe = multiAssigned(emb.filter(batchNo(col("vec_id")) === b),
+          cents, nAssign)
+        .select(col("cluster"), col("vec_id").as("new_vec"),
+          col("embedding").as("ep"))
+      probe.join(lists, Seq("cluster"))
+        .select(lit(b).as("batch"), col("new_vec"), col("hist_vec"),
+          round(GraftFunctions.cosineF32(col("ep"), col("eh")), 6).as("score"))
+        .filter(col("score") >= threshold)
+        .distinct()
+    }
+    increments.reduce(_ unionAll _)
+      .orderBy("batch", "new_vec", "hist_vec")
+  }
+
+  /** Generated DuckDB mirror of [[foldingIncrementalAnn]]: batch-0-
+    * fitted centroids inlined; every cross-batch pair where the
+    * history side's rn=1 list is among the new side's top-nAssign.
+    */
+  def foldingIncrementalAnnOracleSql(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      threshold: Double, nAssign: Int = 4, iters: Int = 3): String = {
+    val hist0 = Tables(spark, dir).embeddings
+      .filter(col("vec_id") % 5 =!= 0 && col("vec_id") % 5 =!= 1)
+    val k = adaptiveClusters(hist0.count())
+    val dim = fittedCentroids(hist0, k, iters).head.length
+    val bNo = (c: String) => s"CASE $c % 5 WHEN 1 THEN 1 WHEN 0 THEN 2 ELSE 0 END"
+    s"""WITH ${coarseCtes(spark, dir, nprobe = 1, k, iters,
+          fitFilter = Some(col("vec_id") % 5 =!= 0 && col("vec_id") % 5 =!= 1))},
+       |assigned AS (
+       |  SELECT vec_id, embedding, na, c AS cluster,
+       |         ${bNo("vec_id")} AS bn
+       |  FROM ranked_c WHERE rn = 1
+       |), probes_m AS (
+       |  SELECT vec_id, embedding, na, c AS cluster,
+       |         ${bNo("vec_id")} AS bn
+       |  FROM ranked_c WHERE rn <= $nAssign
+       |), scored AS (
+       |  SELECT p.bn AS batch, p.vec_id AS new_vec, h.vec_id AS hist_vec,
+       |         ROUND((${dotChain2("p.embedding", "h.embedding", dim)})
+       |               / sqrt(p.na * h.na), 6) AS score
+       |  FROM probes_m p JOIN assigned h
+       |    ON h.cluster = p.cluster AND h.bn < p.bn
+       |  WHERE p.bn > 0
+       |)
+       |SELECT DISTINCT CAST(batch AS INT) AS batch, new_vec, hist_vec, score
+       |FROM scored
+       |WHERE score >= CAST('$threshold' AS DOUBLE)
+       |ORDER BY batch, new_vec, hist_vec""".stripMargin
+  }
+
   val entries: Seq[QueryEntry] = Seq(
     // q182 — IVF list imbalance: DuckDB refits the coarse quantizer
     // and re-derives every list size and the imbalance factor.
@@ -767,6 +917,27 @@ object Ivf {
       annNearDupOracleSql(s, dir, threshold = 0.45)
     } { (s, dir) =>
       annNearDupPairs(Tables(s, dir).embeddings, threshold = 0.45)
+    },
+
+    // q191 — incremental ANN near-dup: new vectors probe the
+    // history-fitted inverted lists for near-dups at cosine >= 0.45;
+    // DuckDB re-derives the history-fitted quantizer, both
+    // assignments, the list join, and the scoring end-to-end.
+    QueryEntry.dynamicSql("q191_incremental_ann") { (s, dir) =>
+      incrementalAnnOracleSql(s, dir, threshold = 0.45)
+    } { (s, dir) =>
+      incrementalAnnNearDups(s, dir, threshold = 0.45)
+    },
+
+    // q193 — incremental ANN with FOLD-IN (two increments under a
+    // frozen base-fitted quantizer): increment 2's pairs include
+    // batch-2-vs-batch-1 matches only if increment 1 was folded into
+    // the lists — DuckDB replays the frozen fit, both increments'
+    // assignments, and every cross-batch pair.
+    QueryEntry.dynamicSql("q193_incremental_ann_fold") { (s, dir) =>
+      foldingIncrementalAnnOracleSql(s, dir, threshold = 0.45)
+    } { (s, dir) =>
+      foldingIncrementalAnn(s, dir, threshold = 0.45)
     },
 
     // q171 — measured pair-recall of q170 vs q22's exact pairs (the

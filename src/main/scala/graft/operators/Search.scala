@@ -300,6 +300,50 @@ object Search {
       .orderBy("doc_id")
   }
 
+
+  /** Hybrid retrieval via Reciprocal Rank Fusion (Cormack et al.,
+    * SIGIR'09): fuse a SPARSE ranking (BM25 over the staged token
+    * table) with a DENSE ranking (cosine top-k against a probe
+    * embedding, vec_id aligned 1:1 with doc_id in the fixture) as
+    * sum over retrievers of 1/(60 + rank) — the standard production
+    * hybrid for training-data retrieval, robust to the two scorers'
+    * incomparable scales because only RANKS cross the fusion boundary.
+    *
+    * Scale shape: each retriever is an independent k-bounded top-k
+    * (TakeOrderedAndProject — no global sort), the rank windows run
+    * over <= k rows (k-bounded frames, the documented exception to the
+    * no-unpartitioned-window rule), and the fusion is a k-row outer
+    * join. Ranks use the ROUNDED scores with doc_id tiebreak so both
+    * engines order identically. Absent-from-a-list docs contribute 0
+    * (rank columns report 0 for "not retrieved" — never a nullable
+    * int, which would canon-format differently across engines).
+    */
+  def rrfFusion(spark: org.apache.spark.sql.SparkSession, dir: String,
+      terms: Seq[String], queryVecId: Long, k: Int, kFuse: Int): DataFrame = {
+    val sparse = bm25Pairs(graft.sources.TokenizedCorpus.tokens(spark, dir),
+        terms, k)
+      .select(col("doc_id"), col("score"))
+    val dense = Similarity.topKCosine(Tables(spark, dir).embeddings,
+        queryVecId, k)
+      .select(col("vec_id").as("doc_id"), col("score"))
+    val rs = sparse.select(col("doc_id"), row_number()
+        .over(Window.orderBy(col("score").desc, col("doc_id")))
+        .as("r_sparse"))
+    val rd = dense.select(col("doc_id"), row_number()
+        .over(Window.orderBy(col("score").desc, col("doc_id")))
+        .as("r_dense"))
+    rs.join(rd, Seq("doc_id"), "outer")
+      .select(col("doc_id"),
+        coalesce(col("r_sparse"), lit(0)).cast(IntegerType).as("r_sparse"),
+        coalesce(col("r_dense"), lit(0)).cast(IntegerType).as("r_dense"),
+        round(
+          coalesce(lit(1.0) / (lit(60) + col("r_sparse")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(60) + col("r_dense")), lit(0.0)),
+          6).as("rrf"))
+      .orderBy(col("rrf").desc, col("doc_id"))
+      .limit(kFuse)
+  }
+
   val entries: Seq[QueryEntry] = Seq(
     // Inverted-index build under the differential gate: DuckDB
     // re-derives every postings chunk (ordered, distinct), re-digests
@@ -492,6 +536,70 @@ object Search {
     ) { (s, dir) =>
       proximitySearchPos(graft.sources.TokenizedCorpus.tokens(s, dir),
         "hash", "join", w = 3)
+    },
+
+    // q190 — hybrid sparse+dense retrieval fused by RRF: DuckDB
+    // re-executes BOTH retrievers end-to-end (the q98 BM25 chain and
+    // the q13 cosine top-k), re-ranks, and re-fuses — a rank
+    // off-by-one, a tiebreak mismatch, or a wrong absent-doc
+    // contribution all break the hash.
+    QueryEntry.sql(
+      "q190_rrf_fusion",
+      """WITH tok AS (
+        |  SELECT doc_id,
+        |         unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS t
+        |  FROM documents
+        |), dl AS (
+        |  SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY 1
+        |), stats AS (
+        |  SELECT COUNT(*) AS n, AVG(dl) AS avgdl FROM dl
+        |), tf AS (
+        |  SELECT doc_id, t, COUNT(*) AS tf FROM tok
+        |  WHERE t IN ('join', 'vector', 'dup') GROUP BY 1, 2
+        |), df AS (
+        |  SELECT t, COUNT(*) AS df FROM tf GROUP BY 1
+        |), contrib AS (
+        |  SELECT tf.doc_id,
+        |         ln(1 + (stats.n - df.df + 0.5) / (df.df + 0.5))
+        |           * tf.tf * 2.2
+        |           / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl))
+        |           AS c
+        |  FROM tf JOIN df USING (t) JOIN dl USING (doc_id), stats
+        |), bm AS (
+        |  SELECT doc_id, ROUND(SUM(c), 6) AS score
+        |  FROM contrib GROUP BY doc_id
+        |  ORDER BY score DESC, doc_id LIMIT 20
+        |), sr AS (
+        |  SELECT doc_id,
+        |         CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS INT)
+        |           AS r_sparse
+        |  FROM bm
+        |), qv AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 42),
+        |dn AS (
+        |  SELECT vec_id AS doc_id,
+        |         ROUND(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+        |                                      CAST(qvec AS DOUBLE[])), 6) AS score
+        |  FROM embeddings, qv
+        |  WHERE vec_id <> 42
+        |  ORDER BY score DESC, doc_id LIMIT 20
+        |), dr AS (
+        |  SELECT doc_id,
+        |         CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS INT)
+        |           AS r_dense
+        |  FROM dn
+        |), u AS (
+        |  SELECT COALESCE(sr.doc_id, dr.doc_id) AS doc_id, r_sparse, r_dense
+        |  FROM sr FULL JOIN dr ON sr.doc_id = dr.doc_id
+        |)
+        |SELECT doc_id,
+        |       CAST(COALESCE(r_sparse, 0) AS INT) AS r_sparse,
+        |       CAST(COALESCE(r_dense, 0) AS INT) AS r_dense,
+        |       ROUND(COALESCE(CAST(1 AS DOUBLE) / (60 + r_sparse), 0)
+        |             + COALESCE(CAST(1 AS DOUBLE) / (60 + r_dense), 0), 6) AS rrf
+        |FROM u ORDER BY rrf DESC, doc_id LIMIT 10""".stripMargin,
+    ) { (s, dir) =>
+      rrfFusion(s, dir, terms = Seq("join", "vector", "dup"),
+        queryVecId = 42, k = 20, kFuse = 10)
     },
   )
 }

@@ -128,6 +128,20 @@ class DedupSpec extends SparkSpec {
     assert(compacted.nonEmpty)
   }
 
+  test("clusterSurvivors keeps the longest member, min-id tiebreak") {
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val docs = Seq(
+      (10L, base + " longer tail here", 300L), // near-dup of 11, longest
+      (11L, base, 250L),
+      (12L, base + " tail", 300L),             // same length as 10 -> min id wins
+      (99L, "unrelated words entirely different corner", 50L),
+    ).toDF("doc_id", "text", "n_chars")
+    val out = Dedup.clusterSurvivors(docs)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    // one cluster {10,11,12}; survivor = max n_chars (300), tie -> min id = 10
+    assert(out == Seq((10L, 10L, 3L, 300L)))
+  }
+
   test("graphMetrics counts a planted triangle exactly once") {
     // K3 on {1,2,3} plus a pendant edge (3,4): 4 nodes, 4 edges,
     // 1 triangle, max degree 3

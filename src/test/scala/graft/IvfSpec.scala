@@ -206,4 +206,16 @@ class IvfSpec extends SparkSpec {
       .select("label", "d", "v").as[(Int, Int, Double)].collect().toSet
     assert(udaf == explode)
   }
+  test("incremental ANN pairs are true cross-split near-dups (q191 ⊆ exact)") {
+    import org.apache.spark.sql.functions._
+    val ann = graft.operators.Ivf.incrementalAnnNearDups(spark, sf, threshold = 0.45)
+      .select("new_vec", "hist_vec").as[(Long, Long)].collect().toSet
+    val exact = graft.operators.Similarity
+      .exactCosinePairs(Tables(spark, sf).embeddings, threshold = 0.45)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet[(Long, Long)]
+      .flatMap(p => Set(p, p.swap))
+      .filter(p => p._1 % 5 == 0 && p._2 % 5 != 0)
+    assert(ann.nonEmpty, "fixture must plant cross-split embed near-dups")
+    assert(ann.subsetOf(exact), s"false positives: ${ann.diff(exact)}")
+  }
 }
