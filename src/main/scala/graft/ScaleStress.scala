@@ -82,6 +82,8 @@ object ScaleStress {
     "q189_dedup_index_compaction", // compaction is O(index) by design
     "q191_incremental_ann", // probe-side work + visited lists only
     "q192_cluster_survivors", // q38 clustering + one grouped argmax
+    "q193_incremental_ann_fold", // frozen quantizer; probes + list lookups
+    "q194_source_dedup_rate", // q38 clustering + one rollup
   )
 
   /** Per-table key-shift rules: every synthetic surrogate key column

@@ -206,6 +206,22 @@ class IvfSpec extends SparkSpec {
       .select("label", "d", "v").as[(Int, Int, Double)].collect().toSet
     assert(udaf == explode)
   }
+  test("folding incremental ANN pairs are true cross-batch near-dups (q193 ⊆ exact)") {
+    // fold-in correctness is hash-certified by the q193 oracle at
+    // sf0.01, where a batch-2-vs-batch-1 pair exists; here: every
+    // emitted pair is a true pair and batches are well-formed
+    val out = graft.operators.Ivf.foldingIncrementalAnn(spark, sf, threshold = 0.45)
+      .collect().toSeq
+    assert(out.nonEmpty)
+    assert(out.map(_.getInt(0)).toSet.subsetOf(Set(1, 2)))
+    val ann = out.map(r => (r.getLong(1), r.getLong(2))).toSet
+    val exact = graft.operators.Similarity
+      .exactCosinePairs(Tables(spark, sf).embeddings, threshold = 0.45)
+      .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet[(Long, Long)]
+      .flatMap(p => Set(p, p.swap))
+    assert(ann.subsetOf(exact), s"false positives: ${ann.diff(exact)}")
+  }
+
   test("incremental ANN pairs are true cross-split near-dups (q191 ⊆ exact)") {
     import org.apache.spark.sql.functions._
     val ann = graft.operators.Ivf.incrementalAnnNearDups(spark, sf, threshold = 0.45)
