@@ -84,6 +84,7 @@ object ScaleStress {
     "q192_cluster_survivors", // q38 clustering + one grouped argmax
     "q193_incremental_ann_fold", // frozen quantizer; probes + list lookups
     "q194_source_dedup_rate", // q38 clustering + one rollup
+    "q196_stream_ann_ingest", // stream machinery constant; probes linear
   )
 
   /** Per-table key-shift rules: every synthetic surrogate key column

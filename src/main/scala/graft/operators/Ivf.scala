@@ -722,13 +722,36 @@ object Ivf {
       dir: String, threshold: Double, nAssign: Int = 4,
       iters: Int = 3): DataFrame = {
     val emb = Tables(spark, dir).embeddings
-    val hist = emb.filter(col("vec_id") % 5 =!= 0)
+    val (cents, lists) = historyAnnIndex(spark, dir, iters)
+    probeAnnLists(emb.filter(col("vec_id") % 5 === 0), cents, lists,
+        threshold, nAssign)
+      .orderBy("new_vec", "hist_vec")
+  }
+
+  /** The q191/q196 historical ANN index: quantizer fitted on history
+    * (vec_id % 5 != 0) and the history's single-assigned inverted
+    * lists. Both are memo-backed ([[fittedCentroids]]); the durable
+    * parquet form of the same layout is the q33 staging machinery.
+    */
+  def historyAnnIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
+      iters: Int = 3): (IndexedSeq[Array[Float]], DataFrame) = {
+    val hist = Tables(spark, dir).embeddings.filter(col("vec_id") % 5 =!= 0)
     val k = adaptiveClusters(hist.count())
     val cents = fittedCentroids(hist, k, iters)
     val lists = withCluster(hist, cents)
       .select(col("cluster"), col("vec_id").as("hist_vec"),
         col("embedding").as("eh"))
-    val probe = multiAssigned(emb.filter(col("vec_id") % 5 === 0), cents, nAssign)
+    (cents, lists)
+  }
+
+  /** Probe an ARRIVING vector frame against the inverted lists — the
+    * per-micro-batch body of q196 and the batch body of q191: new
+    * vectors multi-assign to their top-`nAssign` lists, exact-score
+    * only those lists' members, keep rounded cosine >= threshold.
+    */
+  def probeAnnLists(newVecs: DataFrame, cents: IndexedSeq[Array[Float]],
+      lists: DataFrame, threshold: Double, nAssign: Int): DataFrame = {
+    val probe = multiAssigned(newVecs, cents, nAssign)
       .select(col("cluster"), col("vec_id").as("new_vec"),
         col("embedding").as("ep"))
     probe.join(lists, Seq("cluster"))
@@ -738,7 +761,6 @@ object Ivf {
       // a pair sharing several visited lists is generated once per
       // shared list; identical rounded score each time -> distinct
       .distinct()
-      .orderBy("new_vec", "hist_vec")
   }
 
   /** Generated DuckDB mirror of [[incrementalAnnNearDups]]: the
@@ -927,6 +949,15 @@ object Ivf {
       incrementalAnnOracleSql(s, dir, threshold = 0.45)
     } { (s, dir) =>
       incrementalAnnNearDups(s, dir, threshold = 0.45)
+    },
+
+    // q196 — streaming ANN ingest: q191's probe inside foreachBatch
+    // over a 4-file AvailableNow stream of arriving vectors, the
+    // history index built once at stream start. Same oracle as q191.
+    QueryEntry.dynamicSql("q196_stream_ann_ingest") { (s, dir) =>
+      incrementalAnnOracleSql(s, dir, threshold = 0.45)
+    } { (s, dir) =>
+      graft.streaming.StreamingDocs.runAnnIngestToCompletion(s, dir)
     },
 
     // q193 — incremental ANN with FOLD-IN (two increments under a

@@ -149,7 +149,63 @@ object Similarity {
        |GROUP BY bucket ORDER BY bucket""".stripMargin
   }
 
+
+  /** q195 — SEMANTIC decontamination (the dense-modality form of
+    * q81's n-gram guard): flag every train vector whose nearest EVAL
+    * vector sits at rounded cosine >= `threshold`, reporting the best
+    * match. Eval sets are small by nature (the q81 broadcast
+    * argument), so the scalable shape is broadcast(eval) x one scan of
+    * train with a map-side-combinable per-train argmax (struct max:
+    * rounded score, then min eval id as tiebreak) — no shuffle wider
+    * than the flagged set, no train x train pair ever forms.
+    */
+  def semanticDecontaminate(emb: DataFrame, threshold: Double): DataFrame = {
+    val ev = emb.filter(col("vec_id") % 97 === 0)
+      .select(col("vec_id").as("eval_vec"), col("embedding").as("ee"))
+    val tr = emb.filter(col("vec_id") % 97 =!= 0)
+      .select(col("vec_id").as("train_vec"), col("embedding").as("te"))
+    tr.crossJoin(broadcast(ev))
+      .select(col("train_vec"), col("eval_vec"),
+        round(GraftFunctions.cosineF32(col("te"), col("ee")), 6).as("score"))
+      .groupBy("train_vec")
+      .agg(max(struct(col("score").as("s"), (-col("eval_vec")).as("negid")))
+        .as("best"))
+      .select(col("train_vec"), (-col("best.negid")).as("eval_vec"),
+        col("best.s").as("score"))
+      .filter(col("score") >= threshold)
+      .orderBy("train_vec")
+  }
+
   val entries: Seq[QueryEntry] = Seq(
+    // q195 — semantic decontamination: DuckDB replays the full
+    // eval x train scoring, the per-train argmax (score DESC, eval_vec
+    // tiebreak), and the threshold — a wrong tiebreak or a missed
+    // eval member breaks the hash.
+    QueryEntry.sql(
+      "q195_semantic_decontaminate",
+      """WITH ev AS (
+        |  SELECT vec_id AS eval_vec, embedding AS ee FROM embeddings
+        |  WHERE vec_id % 97 = 0
+        |), tr AS (
+        |  SELECT vec_id AS train_vec, embedding AS te FROM embeddings
+        |  WHERE vec_id % 97 <> 0
+        |), scored AS (
+        |  SELECT train_vec, eval_vec,
+        |         ROUND(list_cosine_similarity(CAST(te AS DOUBLE[]),
+        |                                      CAST(ee AS DOUBLE[])), 6) AS score
+        |  FROM tr, ev
+        |), best AS (
+        |  SELECT train_vec, eval_vec, score,
+        |         ROW_NUMBER() OVER (PARTITION BY train_vec
+        |                            ORDER BY score DESC, eval_vec) AS rn
+        |  FROM scored
+        |)
+        |SELECT train_vec, eval_vec, score FROM best
+        |WHERE rn = 1 AND score >= 0.35
+        |ORDER BY train_vec""".stripMargin,
+    ) { (s, dir) =>
+      semanticDecontaminate(Tables(s, dir).embeddings, threshold = 0.35)
+    },
     // Q13 — top-20 by cosine against the seed-42 fixture vector
     // (the embedding of vec_id 42; vectors are pre-unit-normalized).
     QueryEntry.sql(

@@ -170,6 +170,60 @@ object StreamingDocs {
     spark.read.parquet(outDir).orderBy("new_doc", "hist_doc")
   }
 
+  /** Streaming ANN ingest (q191's ingest twin — the dense-modality
+    * q188): new vectors (vec_id % 5 == 0) arrive as a bounded 4-file
+    * stream; the history-fitted quantizer and inverted lists are
+    * built ONCE before the stream starts (an ingest pipeline loads
+    * its index at startup, not per batch; the lists frame is pinned
+    * for the run), and each micro-batch multi-assigns its vectors and
+    * exact-scores only the visited lists inside foreachBatch,
+    * appending flagged pairs to a parquet sink. Same oracle as q191:
+    * probes are against static history only, so micro-batch
+    * boundaries cannot change the result — lost batches, stale lists,
+    * or sink bugs break the hash.
+    */
+  def runAnnIngestToCompletion(spark: SparkSession, dir: String): DataFrame = {
+    val feed = stagedVecsFeed(spark, dir)
+    val schema = spark.read.parquet(feed).schema
+    val (cents, lists0) = graft.operators.Ivf.historyAnnIndex(spark, dir)
+    val lists = lists0
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.TransientCaches.register(lists)
+    lists.count()
+    val outDir = s"${graft.sources.Staging.stagingRoot()}/graft_ingest_ann/" +
+      s"run_${java.util.UUID.randomUUID().toString.take(8)}"
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(feed)
+      .filter(col("vec_id") % 5 === 0)
+    val q = stream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.operators.Ivf
+          .probeAnnLists(batch.toDF(), cents, lists, threshold = 0.45, nAssign = 4)
+          .write.mode("append").parquet(outDir)
+        ()
+      }
+      .option("checkpointLocation", s"$outDir.ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    noteProgress("q196_stream_ann_ingest", q)
+    spark.read.parquet(outDir).orderBy("new_vec", "hist_vec")
+  }
+
+  /** 4-file embeddings feed staged under scratch (the docs4 pattern
+    * for the vectors table). */
+  private def stagedVecsFeed(spark: SparkSession, dir: String): String = {
+    val feedDir = graft.sources.Staging.fingerprintPath(
+      "graft_vecs_feed", dir, "embeddings.parquet", "vecs4")
+    graft.sources.Staging.ensureStaged(feedDir) {
+      graft.Tables(spark, dir).embeddings
+        .repartition(4)
+        .write.mode("overwrite").parquet(feedDir)
+    }
+    feedDir
+  }
+
   /** 4-file docs feed staged under scratch (the events
     * stagedStreamSource pattern, but repartitioned so AvailableNow +
     * maxFilesPerTrigger=1 exercises multiple micro-batches).

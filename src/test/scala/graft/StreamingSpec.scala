@@ -40,6 +40,16 @@ class StreamingSpec extends SparkSpec {
     assert(batch.nonEmpty, "fixture must plant at least one cross-half near-dup")
   }
 
+  test("streaming ANN ingest ≡ batch incremental ANN probe (q196 ≡ q191)") {
+    val streamed = graft.streaming.StreamingDocs
+      .runAnnIngestToCompletion(spark, sf)
+      .collect().map(_.toSeq).toSet
+    val batch = graft.operators.Ivf.incrementalAnnNearDups(spark, sf, threshold = 0.45)
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch)
+    assert(batch.nonEmpty, "fixture must plant cross-split embed near-dups")
+  }
+
   test("streaming complete-mode token counts ≡ batch q16 (q184)") {
     val streamed = graft.streaming.StreamingDocs
       .runTokenCountsToCompletion(spark, sf)
