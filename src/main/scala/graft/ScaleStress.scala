@@ -85,6 +85,7 @@ object ScaleStress {
     "q193_incremental_ann_fold", // frozen quantizer; probes + list lookups
     "q194_source_dedup_rate", // q38 clustering + one rollup
     "q196_stream_ann_ingest", // stream machinery constant; probes linear
+    "q190_rrf_fusion", // two k-bounded top-k retrievals + k-row join
   )
 
   /** Per-table key-shift rules: every synthetic surrogate key column
