@@ -95,7 +95,58 @@ object CorpusOps {
         col("col.key").as("term"), col("col.score").cast(LongType).as("n"))
       .orderBy("grp", "rank")
 
+
+  /** q199 — lang × source chi-square independence: is language
+    * distribution uniform across feeds, or do some sources skew
+    * heavily (the signal for per-source language filters)? One
+    * contingency pass (grouped counts) + broadcast row/col totals;
+    * per-cell contributions (n−e)²/e are rounded once to 6 dp and
+    * summed as DECIMAL (order-free — the q160 float-determinism
+    * pattern); cells are |langs|·|sources|, model-sized.
+    */
+  def langSourceChi2(docs: DataFrame): DataFrame = {
+    val cells = docs.groupBy("lang", "source").agg(count(lit(1)).as("n"))
+    val rows = docs.groupBy("lang").agg(count(lit(1)).as("rl"))
+    val cols = docs.groupBy("source").agg(count(lit(1)).as("cs"))
+    val tot = docs.agg(count(lit(1)).as("tot"),
+      ((countDistinct("lang") - 1) * (countDistinct("source") - 1)).as("dof"))
+    val e = col("rl").cast(DoubleType) * col("cs") / col("tot")
+    cells
+      .join(broadcast(rows), Seq("lang"))
+      .join(broadcast(cols), Seq("source"))
+      .crossJoin(broadcast(tot))
+      .select(col("dof"),
+        round((col("n") - e) * (col("n") - e) / e, 6)
+          .cast(DecimalType(18, 6)).as("contrib"))
+      .groupBy("dof")
+      .agg(count(lit(1)).as("n_cells"),
+        sum("contrib").cast(DoubleType).as("chi2"))
+      .select(col("n_cells"), col("dof").cast(LongType).as("dof"), col("chi2"))
+  }
+
   val entries: Seq[QueryEntry] = Seq(
+    // q199 — lang x source chi-square: DuckDB replays the contingency
+    // table, expected counts, per-cell contributions (6dp DECIMAL
+    // sum), and the dof arithmetic.
+    QueryEntry.sql(
+      "q199_lang_source_chi2",
+      """WITH cells AS (
+        |  SELECT lang, source, COUNT(*) AS n FROM documents GROUP BY 1, 2
+        |), r AS (SELECT lang, COUNT(*) AS rl FROM documents GROUP BY 1),
+        |c AS (SELECT source, COUNT(*) AS cs FROM documents GROUP BY 1),
+        |t AS (SELECT COUNT(*) AS tot FROM documents),
+        |x AS (
+        |  SELECT cells.n, CAST(r.rl AS DOUBLE) * c.cs / t.tot AS e
+        |  FROM cells JOIN r USING (lang) JOIN c USING (source), t
+        |)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+        |       CAST((SELECT (COUNT(DISTINCT lang) - 1)
+        |                    * (COUNT(DISTINCT source) - 1)
+        |             FROM documents) AS BIGINT) AS dof,
+        |       CAST(SUM(CAST(ROUND((n - e) * (n - e) / e, 6)
+        |                     AS DECIMAL(18,6))) AS DOUBLE) AS chi2
+        |FROM x""".stripMargin,
+    ) { (s, dir) => langSourceChi2(Tables(s, dir).documents) },
     // q100 — 80-char windows with 20-char overlap; DuckDB re-derives
     // every offset, length, and chunk digest.
     QueryEntry.sql(

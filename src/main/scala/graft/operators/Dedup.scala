@@ -684,6 +684,39 @@ object Dedup {
        |             / COUNT(*), 6) AS dup_rate
        |FROM j GROUP BY source ORDER BY source""".stripMargin
 
+
+  /** q198 — dup-cluster SIZE DISTRIBUTION: how many clusters of each
+    * size the near-dup graph contains — the shape report that tells a
+    * curation team whether duplication is pairwise noise (sizes ~2) or
+    * template/boilerplate mass (heavy tail). Two grouped counts over
+    * the q38 labels; nothing wider than the clustered-doc set.
+    */
+  def clusterSizeHistogram(docs: DataFrame): DataFrame =
+    nearDupGroups(docs)
+      .groupBy("group_id").agg(count(lit(1)).as("size"))
+      .groupBy("size").agg(count(lit(1)).as("n_clusters"))
+      .orderBy("size")
+
+  /** q198 oracle: the q38 reachability CTE + the same double rollup. */
+  def clusterSizeHistogramOracleSql: String =
+    s"""WITH RECURSIVE $shCteSql, ${invertedPairsSql(4, 5)},
+       |edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |  UNION ALL SELECT doc_b, doc_a FROM pairs
+       |), reach(id, l) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT e.src, r.l FROM edges e JOIN reach r ON e.dst = r.id
+       |), lab AS (
+       |  SELECT id AS doc_id, CAST(MIN(l) AS BIGINT) AS group_id
+       |  FROM reach GROUP BY id
+       |), sizes AS (
+       |  SELECT group_id, CAST(COUNT(*) AS BIGINT) AS size
+       |  FROM lab GROUP BY group_id
+       |)
+       |SELECT size, CAST(COUNT(*) AS BIGINT) AS n_clusters
+       |FROM sizes GROUP BY size ORDER BY size""".stripMargin
+
   /** Full-corpus reproducible shuffle: every row keyed by a
     * deterministic hash and globally sorted. Catalyst plans the total
     * order as a range-partitioned sort (sampled split points, one
@@ -854,6 +887,13 @@ object Dedup {
       "q192_cluster_survivors",
       clusterSurvivorsOracleSql,
     ) { (s, dir) => clusterSurvivors(Tables(s, dir).documents) },
+
+    // q198 — dup-cluster size histogram: DuckDB replays clustering
+    // and both rollups.
+    QueryEntry.sql(
+      "q198_cluster_size_histogram",
+      clusterSizeHistogramOracleSql,
+    ) { (s, dir) => clusterSizeHistogram(Tables(s, dir).documents) },
 
     // q194 — per-source dedup scorecard: dup rate per feed after
     // cluster-level dedup; DuckDB replays clustering, the survivor

@@ -301,6 +301,44 @@ object Search {
   }
 
 
+
+  /** q197 — INCREMENTAL inverted-index maintenance (the q187 fold-in
+    * protocol for the postings table): history docs' (term, doc_id,
+    * cnt) postings are staged ONCE as a term-range-sorted parquet run
+    * (term filters push down and skip row groups), each new batch
+    * appends its own postings as a delta run (cost ∝ batch, never the
+    * index), and a term lookup reads base+delta — the result must
+    * equal recomputing postings from the whole corpus, which is
+    * exactly what the oracle does: a missed delta append drops every
+    * new-batch doc from the lookup and breaks the hash.
+    */
+  def incrementalPostingsLookup(spark: org.apache.spark.sql.SparkSession,
+      dir: String, terms: Seq[String]): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    val par = spark.sessionState.conf.numShufflePartitions
+    def postings(part: DataFrame): DataFrame =
+      tokenPairs(part)
+        .groupBy(col("term"), col("doc_id"))
+        .agg(count(lit(1)).as("cnt"))
+    def writeRun(part: DataFrame, runDir: String): Unit =
+      postings(part)
+        .repartitionByRange(par, col("term"))
+        .sortWithinPartitions("term")
+        .write.mode("overwrite").parquet(runDir)
+    val idx = graft.sources.Staging.fingerprintPath(
+      "graft_postings", dir, "documents.parquet", "hist_mod5_v1")
+    graft.sources.Staging.ensureStaged(idx) {
+      writeRun(docs.filter(col("doc_id") % 5 =!= 0), s"$idx/base")
+      graft.sources.Staging.touch(idx)
+    }
+    // the fold-in: new batch's postings as a delta run, idempotent
+    writeRun(docs.filter(col("doc_id") % 5 === 0), s"$idx/delta1")
+    spark.read.parquet(s"$idx/base", s"$idx/delta1")
+      .filter(col("term").isInCollection(terms))
+      .select(col("term"), col("doc_id"), col("cnt"))
+      .orderBy("term", "doc_id")
+  }
+
   /** Hybrid retrieval via Reciprocal Rank Fusion (Cormack et al.,
     * SIGIR'09): fuse a SPARSE ranking (BM25 over the staged token
     * table) with a DENSE ranking (cosine top-k against a probe
@@ -536,6 +574,25 @@ object Search {
     ) { (s, dir) =>
       proximitySearchPos(graft.sources.TokenizedCorpus.tokens(s, dir),
         "hash", "join", w = 3)
+    },
+
+    // q197 — incremental postings maintenance: term lookup over the
+    // staged base+delta postings runs must equal a from-scratch
+    // recompute over the whole corpus (the oracle) — a missed delta
+    // append or a stale base run breaks the hash.
+    QueryEntry.sql(
+      "q197_incremental_postings",
+      """SELECT t AS term, doc_id, CAST(COUNT(*) AS BIGINT) AS cnt
+        |FROM (
+        |  SELECT doc_id,
+        |         unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS t
+        |  FROM documents
+        |) x
+        |WHERE t IN ('join', 'vector', 'dup')
+        |GROUP BY t, doc_id
+        |ORDER BY term, doc_id""".stripMargin,
+    ) { (s, dir) =>
+      incrementalPostingsLookup(s, dir, terms = Seq("join", "vector", "dup"))
     },
 
     // q190 — hybrid sparse+dense retrieval fused by RRF: DuckDB
