@@ -282,7 +282,77 @@ object Winnow {
       .orderBy("lang")
   }
 
+
+  /** q200 — per-doc n-gram NOVELTY of the new batch against history:
+    * the fraction of each arriving doc's distinct word 5-grams never
+    * seen in the historical corpus — the freshness/repetition metric a
+    * curation pipeline tracks per feed (novelty ~0 means the batch is
+    * re-crawled or boilerplate; ~1 means genuinely new content).
+    * Incremental shape: history's distinct gram hashes are staged ONCE
+    * as a gh-range-sorted parquet run (the q197 postings pattern);
+    * each new batch pays one hash join against it — probe-side cost
+    * only, never a history regram.
+    */
+  def noveltyRate(spark: org.apache.spark.sql.SparkSession, dir: String,
+      n: Int = 5): DataFrame = {
+    val docs = Tables(spark, dir).documents
+    val par = spark.sessionState.conf.numShufflePartitions
+    val idx = graft.sources.Staging.fingerprintPath(
+      "graft_grams", dir, "documents.parquet", s"hist_mod5_grams${n}_v1")
+    graft.sources.Staging.ensureStaged(idx) {
+      wordGramHashes(docs.filter(col("doc_id") % 5 =!= 0), n)
+        .select("gh").distinct()
+        .repartitionByRange(par, col("gh"))
+        .sortWithinPartitions("gh")
+        .write.mode("overwrite").parquet(s"$idx/grams.parquet")
+      graft.sources.Staging.touch(idx)
+    }
+    val hist = spark.read.parquet(s"$idx/grams.parquet")
+      .withColumn("seen", lit(1))
+    wordGramHashes(docs.filter(col("doc_id") % 5 === 0), n)
+      .distinct() // novelty counts DISTINCT grams per doc
+      .join(hist, Seq("gh"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("seen").isNull, 1L).otherwise(0L)).as("n_novel"))
+      .select(col("doc_id"), col("n_grams"), col("n_novel"),
+        round(col("n_novel").cast(org.apache.spark.sql.types.DoubleType)
+          / col("n_grams"), 6).as("novelty"))
+      .orderBy("doc_id")
+  }
+
   val entries: Seq[QueryEntry] = Seq(
+    // q200 — n-gram novelty of the new batch vs the staged history
+    // gram set: DuckDB re-derives every gram hash, the history set,
+    // the per-doc distinct-gram counts, and the ratio — a stale gram
+    // run or a missed doc breaks the hash.
+    QueryEntry.sql(
+      "q200_novelty_rate",
+      """WITH d AS (
+        |  SELECT doc_id,
+        |         string_split(regexp_replace(lower(text), '\s+', ' ', 'g'), ' ')
+        |           AS toks
+        |  FROM documents
+        |), g AS (
+        |  SELECT DISTINCT doc_id,
+        |         CAST('0x' || substr(md5(array_to_string(
+        |                toks[CAST(p AS BIGINT):CAST(p+4 AS BIGINT)], ' ')), 1, 15)
+        |              AS BIGINT) AS gh
+        |  FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 3)) AS p
+        |        FROM d WHERE len(toks) >= 5) x
+        |), hg AS (
+        |  SELECT DISTINCT gh FROM g WHERE doc_id % 5 <> 0
+        |)
+        |SELECT g.doc_id,
+        |       CAST(COUNT(*) AS BIGINT) AS n_grams,
+        |       CAST(SUM(CASE WHEN hg.gh IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_novel,
+        |       ROUND(SUM(CASE WHEN hg.gh IS NULL THEN 1 ELSE 0 END)
+        |             / CAST(COUNT(*) AS DOUBLE), 6) AS novelty
+        |FROM g LEFT JOIN hg ON hg.gh = g.gh
+        |WHERE g.doc_id % 5 = 0
+        |GROUP BY g.doc_id ORDER BY doc_id""".stripMargin,
+    ) { (s, dir) => noveltyRate(s, dir) },
     // N-gram decontamination summarized per language: train docs (not
     // in the eval set) flagged iff they share any word 5-gram with the
     // doc_id % 97 eval set.
