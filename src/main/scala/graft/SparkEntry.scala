@@ -18,6 +18,8 @@ object SparkEntry {
       operators.TextAnalysis.entries ++
       operators.CorpusOps.entries ++
       operators.Redact.entries ++
+      operators.Normalize.entries ++
+      operators.Shard.entries ++
       operators.Search.entries ++
       operators.Dedup.entries ++
       operators.Fuzzy.entries ++

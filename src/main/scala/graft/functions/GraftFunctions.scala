@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.expressions.{Expression, XxHash64}
-import org.apache.spark.sql.graft.{CosineSimF32, DotProductF32, FreqSketch, JaroWinklerSim, KmvSketch, Md5Long, MinHashSignature, Shims, SimHash64, SplitMix64, TopKScoreId, TopKScoreStr, WithinEdit1}
+import org.apache.spark.sql.graft.{CosineSimF32, DotProductF32, FreqSketch, JaroWinklerSim, KmvSketch, Md5Long, MinHashSignature, NfcNormalize, Shims, SimHash64, SplitMix64, TopKScoreId, TopKScoreStr, WithinEdit1}
 import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
 
 /** Column-level API + SQL registration for the graft expressions.
@@ -43,6 +43,11 @@ object GraftFunctions {
     * hex-string round-trip (codegen; see [[Md5Long]]).
     */
   def md5Long(c: Column): Column = col(Md5Long(expr(c)))
+
+  /** nfc_normalize(string) → string: Unicode canonical composition
+    * (NFC) with an ASCII fast path (codegen; see [[NfcNormalize]]).
+    */
+  def nfcNormalize(c: Column): Column = col(NfcNormalize(expr(c)))
 
   /** xxhash64 with an explicit seed (the built-in `xxhash64` function
     * pins seed=42; per-permutation MinHash needs distinct seeds).
@@ -101,6 +106,7 @@ object GraftFunctions {
     "simhash64" -> (es => { arity("simhash64", 1)(es); SimHash64(es(0)) }),
     "splitmix64" -> (es => { arity("splitmix64", 1)(es); SplitMix64(es(0)) }),
     "md5_long" -> (es => { arity("md5_long", 1)(es); Md5Long(es(0)) }),
+    "nfc_normalize" -> (es => { arity("nfc_normalize", 1)(es); NfcNormalize(es(0)) }),
     "within_edit1" -> (es => { arity("within_edit1", 2)(es); WithinEdit1(es(0), es(1)) }),
     "jaro_winkler" -> (es => { arity("jaro_winkler", 2)(es); JaroWinklerSim(es(0), es(1)) }),
     // k must be a positive integer literal (it sizes the agg buffer)
