@@ -20,6 +20,8 @@ object SparkEntry {
       operators.Redact.entries ++
       operators.Normalize.entries ++
       operators.Shard.entries ++
+      operators.Correlate.entries ++
+      operators.Covariance.entries ++
       operators.Search.entries ++
       operators.Dedup.entries ++
       operators.Fuzzy.entries ++

@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Correlate, Covariance}
+
+/** Signal-diagnostics coverage beyond the q204–q206 oracle gate: the
+  * exact-decimal statistics must agree with Spark's own float
+  * implementations to well under the 6 dp the queries round at, and
+  * the structural invariants (bounds, matrix shape, PSD diagonal)
+  * must hold.
+  */
+class CorrelateSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("q204 pearson matches Spark's corr() to 1e-6 and stays in [-1, 1]") {
+    val docs = Tables(spark, sf).documents
+    val toks = graft.operators.TextAnalysis.tokens(col("text"))
+    val ours = run("q204_signal_correlation").collect()
+      .map(r => r.getString(0) -> r.getAs[Double]("pearson_r")).toMap
+    val ref = docs.select(col("lang"),
+        size(toks).cast("double").as("x"),
+        size(array_distinct(toks)).cast("double").as("y"))
+      .groupBy("lang").agg(corr(col("x"), col("y")).as("c"))
+      .collect().map(r => r.getString(0) -> r.getAs[Double]("c")).toMap
+    assert(ours.nonEmpty && ours.keySet === ref.keySet)
+    ours.foreach { case (lang, r) =>
+      assert(r >= -1.0 && r <= 1.0, s"$lang: $r")
+      assert(math.abs(r - ref(lang)) < 1e-6, s"$lang: $r vs ${ref(lang)}")
+    }
+  }
+
+  test("q205 kappa agrees with a driver-side confusion-matrix recompute") {
+    val row = run("q205_label_agreement").collect()(0)
+    val (n, agree) = (row.getAs[Long]("n"), row.getAs[Long]("agree"))
+    val pairs = Tables(spark, sf).documents
+      .select(col("lang").as("gold"),
+        graft.operators.TextAnalysis.langPredicted(col("text")).as("pred"))
+      .as[(String, String)].collect()
+    assert(n === pairs.length.toLong)
+    assert(agree === pairs.count { case (g, p) => g == p }.toLong)
+    val po = agree.toDouble / n
+    val gold = pairs.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val pred = pairs.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val pe = (gold.keySet ++ pred.keySet).toSeq
+      .map(k => gold.getOrElse(k, 0L) * pred.getOrElse(k, 0L)).sum
+      .toDouble / (n.toDouble * n.toDouble)
+    val kappa = (po - pe) / (1.0 - pe)
+    assert(math.abs(row.getAs[Double]("po") - po) < 1e-6)
+    assert(math.abs(row.getAs[Double]("pe") - pe) < 1e-6)
+    assert(math.abs(row.getAs[Double]("kappa") - kappa) < 1e-6)
+    assert(kappa <= 1.0 && kappa >= -1.0)
+  }
+
+  test("q206 covariance: full upper triangle, non-negative diagonal, matches covar_pop") {
+    val emb = Tables(spark, sf).embeddings
+    val d = emb.select(size(col("embedding"))).as[Int].head()
+    val rows = run("q206_embed_covariance").collect()
+    assert(rows.length === d * (d + 1) / 2)
+    val byIj = rows.map(r =>
+      (r.getAs[Int]("i"), r.getAs[Int]("j")) -> r.getAs[Double]("cov")).toMap
+    (0 until d).foreach(i => assert(byIj((i, i)) >= 0.0, s"var($i) < 0"))
+    // spot-check a few cells against Spark's float covar_pop
+    val ref = emb.select(posexplode(col("embedding")).as(Seq("i", "x")),
+        col("vec_id"))
+      .filter(col("i") < 3)
+      .groupBy("vec_id").pivot("i", Seq(0, 1, 2)).agg(first(col("x")))
+      .agg(covar_pop(col("0"), col("1")).as("c01"),
+        covar_pop(col("0"), col("2")).as("c02"),
+        covar_pop(col("1"), col("2")).as("c12"))
+      .head()
+    assert(math.abs(byIj((0, 1)) - ref.getAs[Double]("c01")) < 1e-5)
+    assert(math.abs(byIj((0, 2)) - ref.getAs[Double]("c02")) < 1e-5)
+    assert(math.abs(byIj((1, 2)) - ref.getAs[Double]("c12")) < 1e-5)
+  }
+}
