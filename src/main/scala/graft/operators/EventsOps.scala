@@ -421,5 +421,40 @@ object EventsOps {
         .agg(count(lit(1)).as("cnt"))
         .orderBy("w", "event_type")
     },
+
+    // Session windows EXECUTED BY A STREAM under the gate (q181 proved
+    // append-mode dedup state, q184 complete-mode grouped sums; this
+    // proves MERGING state — sessions opened in one micro-batch absorb
+    // later batches' events). The oracle is the from-scratch
+    // gaps-and-islands reconstruction with the session_window boundary
+    // convention (gap >= 30 min opens a session: windows merge only
+    // when they OVERLAP, so an exact-gap event starts a new one).
+    QueryEntry.sql(
+      "q207_stream_sessions",
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS tus
+        |  FROM events WHERE user_id < 20
+        |), flagged AS (
+        |  SELECT user_id, tus,
+        |         CASE WHEN LAG(tus) OVER w IS NULL
+        |                OR tus - LAG(tus) OVER w >= 1800000000 THEN 1
+        |              ELSE 0 END AS new_s
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus)
+        |), sess AS (
+        |  SELECT user_id, tus,
+        |         CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY tus
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |              AS BIGINT) AS sid
+        |  FROM flagged
+        |)
+        |SELECT user_id, CAST(MIN(tus) AS BIGINT) AS w_start,
+        |       ROUND((MAX(tus) - MIN(tus)) / CAST(1000000.0 AS DOUBLE), 6)
+        |         AS dur_sec,
+        |       COUNT(*) AS n_events
+        |FROM sess GROUP BY user_id, sid
+        |ORDER BY user_id, w_start""".stripMargin,
+    ) { (s, dir) =>
+      graft.streaming.StreamingEvents.runSessionFeedToCompletion(s, dir)
+    },
   )
 }

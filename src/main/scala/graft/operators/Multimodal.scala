@@ -193,6 +193,70 @@ object Multimodal {
     }
   }
 
+  /** 64-bit average hash (aHash) of a binary payload — the classic
+    * perceptual-hash recipe (pool to a fixed grid, threshold each cell
+    * against the global mean), applied to the payload's byte stream:
+    * segment s of byte i is `i·64 div n` (the same integer pooling
+    * grid as [[PoolCodec]]), and bit s is set iff segment s's mean
+    * exceeds the global mean — decided by the exact integer
+    * cross-multiplication `sum_s·n > tot·cnt_s`, so the hash is
+    * bit-reproducible in any engine with no division anywhere. A real
+    * image deployment swaps the byte stream for decoded luma at the
+    * same seam ([[MediaCodec]]); the hash, banding, and verify
+    * pipeline are payload-agnostic.
+    *
+    * Products stay in range while `255·n² < 2⁶³` (n < ~190 MB/payload)
+    * — chunk larger payloads upstream.
+    */
+  def aHash64(payload: Array[Byte]): Long = {
+    val n = payload.length
+    val sums = new Array[Long](64)
+    val cnts = new Array[Long](64)
+    var tot = 0L
+    var i = 0
+    while (i < n) {
+      val s = ((i.toLong * 64) / n).toInt
+      val v = payload(i) & 0xff
+      sums(s) += v; cnts(s) += 1; tot += v
+      i += 1
+    }
+    var h = 0L
+    var s = 0
+    while (s < 64) {
+      if (sums(s) * n > tot * cnts(s)) h |= (1L << s)
+      s += 1
+    }
+    h
+  }
+
+  /** The planted re-encode corpus for q208: every doc's payload, plus
+    * — for doc_id % 5 == 0 — a "re-encoded" variant (same length,
+    * first 4 bytes +1 mod 256, id offset +100000): the length-
+    * preserving perturbation a lossy re-encode approximates, which
+    * moves the aHash 0–2 bits while unrelated fixture payloads sit
+    * ≥ 10 bits apart (measured) — so the t ≤ 3 join finds exactly the
+    * planted pairs.
+    */
+  def mediaHashFrame(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        it.flatMap { case (d, t) =>
+          val b = t.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val orig = (d, aHash64(b))
+          if (d % 5 == 0) {
+            val v = b.clone()
+            var p = 0
+            while (p < 4 && p < v.length) {
+              v(p) = ((v(p) + 1) & 0xff).toByte; p += 1
+            }
+            Seq(orig, (d + 100000L, aHash64(v)))
+          } else Seq(orig)
+        }
+      }.toDF("doc_id", "sh")
+  }
+
   val entries: Seq[QueryEntry] = Seq(
     // Binary-column metadata — oracle-checkable plumbing: byte length
     // and hex prefix of the payload agree across engines.
@@ -303,6 +367,56 @@ object Multimodal {
         |ORDER BY f.doc_id""".stripMargin,
     ) { (s, dir) =>
       sampleFrames(s, dir).toDF().orderBy("doc_id")
+    },
+
+    // Perceptual-hash near-dup over the media corpus (the re-encoded-
+    // image dedup a multimodal pipeline runs where text dedup runs
+    // md5): aHash per payload, q138's banded pigeonhole join for
+    // candidates, exact bit_count(xor) ≤ 3 verify. The oracle
+    // re-derives every hash from hex pairs (grid, perturbation,
+    // cross-multiplied threshold — all integer) and brute-forces the
+    // full pair space, so a missed candidate OR a hash-bit divergence
+    // breaks the gate.
+    QueryEntry.sql(
+      "q208_media_phash",
+      """WITH raw AS (
+        |  SELECT doc_id, octet_length(encode(text)) AS n, hex(encode(text)) AS h
+        |  FROM documents
+        |), media AS (
+        |  SELECT doc_id AS media_id, n, h, 0 AS pert FROM raw
+        |  UNION ALL
+        |  SELECT doc_id + 100000, n, h, 1 FROM raw WHERE doc_id % 5 = 0
+        |), bytes AS (
+        |  SELECT media_id, n,
+        |         CASE WHEN pert = 1 AND i < 4 THEN (b0 + 1) % 256 ELSE b0 END AS b,
+        |         (i * 64) // n AS seg
+        |  FROM (SELECT media_id, n, pert, i,
+        |               CAST('0x' || substr(h, CAST(2*i+1 AS BIGINT), 2) AS BIGINT)
+        |                 AS b0
+        |        FROM (SELECT media_id, n, h, pert, unnest(range(0, n)) AS i
+        |              FROM media) t) u
+        |), segs AS (
+        |  SELECT media_id, n, seg, SUM(b) AS ss, COUNT(*) AS sc
+        |  FROM bytes GROUP BY 1, 2, 3
+        |), tots AS (SELECT media_id, SUM(ss) AS tot FROM segs GROUP BY 1),
+        |hash AS (
+        |  SELECT s.media_id,
+        |         CAST(SUM(CASE WHEN s.ss * s.n > t.tot * s.sc
+        |                  THEN CAST(1 AS UBIGINT) << CAST(s.seg AS INTEGER)
+        |                  ELSE CAST(0 AS UBIGINT) END) AS UBIGINT) AS ah
+        |  FROM segs s JOIN tots t USING (media_id) GROUP BY 1
+        |)
+        |SELECT a.media_id AS id_a, b.media_id AS id_b,
+        |       CAST(bit_count(xor(a.ah, b.ah)) AS INTEGER) AS hamming
+        |FROM hash a JOIN hash b ON a.media_id < b.media_id
+        |WHERE bit_count(xor(a.ah, b.ah)) <= 3
+        |ORDER BY id_a, id_b""".stripMargin,
+    ) { (s, dir) =>
+      Dedup.simhashNearDup(
+        mediaHashFrame(Tables(s, dir).documentsRebalanced), maxHamming = 3)
+        .select(col("doc_a").as("id_a"), col("doc_b").as("id_b"),
+          col("hamming"))
+        .orderBy("id_a", "id_b")
     },
   )
 }

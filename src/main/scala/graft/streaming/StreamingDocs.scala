@@ -63,7 +63,8 @@ object StreamingDocs {
   val lastProgress =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-  private def noteProgress(tag: String,
+  /** Public: StreamingEvents' oracled entries record here too. */
+  def noteProgress(tag: String,
       q: org.apache.spark.sql.streaming.StreamingQuery): Unit = {
     val ps = q.recentProgress.toSeq
     val batches = ps.count(_.numInputRows >= 0)

@@ -411,6 +411,98 @@ object StreamingEvents {
     * single parquet file — stage a copy under scratch, fingerprint-
     * keyed and write-once via [[graft.sources.Staging]].
     */
+  private val runSeq = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  /** Session windows under the differential gate (q207) — the third
+    * stateful streaming shape to execute inside the oracle, after
+    * q181's append-mode dedup state and q184's complete-mode grouped
+    * sums: SESSION state, which (unlike both) MERGES entries across
+    * micro-batches — a user's session opened in batch 1 must absorb
+    * its batch-3 events and extend its window. Events arrive as a
+    * bounded 4-file, TIME-QUARTILE feed (maxFilesPerTrigger=1): the
+    * quartile files are staged with ascending mtimes, and the file
+    * source processes oldest-first, so the watermark only advances and
+    * never drops a later file's rows — but any session-merge bug at a
+    * micro-batch boundary (a quartile boundary splits sessions mid-
+    * gap by construction) breaks the hash against the from-scratch
+    * gaps-and-islands oracle.
+    */
+  def sessionFeedCounts(spark: SparkSession, dir: String): DataFrame = {
+    val feed = stagedTimeOrderedFeed(spark, dir)
+    val schema = spark.read.parquet(feed).schema
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(feed)
+      .withColumn("ts", graft.Tables.eventsTs(schema("ts").dataType))
+      .filter(col("user_id") < 20)
+      .withWatermark("ts", "1 hour")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("win"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        unix_micros(col("win.start")).as("w_start"),
+        round(((unix_micros(col("win.end")) - unix_micros(col("win.start"))
+          - lit(1800000000L)).cast("double") / lit(1000000.0)), 6).as("dur_sec"),
+        col("n_events"))
+  }
+
+  /** Run [[sessionFeedCounts]] to completion (complete mode — session
+    * state never evicted over the bounded feed). Fresh memory-sink
+    * name per invocation: this is an ORACLED entry, re-run by bench.
+    */
+  def runSessionFeedToCompletion(spark: SparkSession, dir: String): DataFrame = {
+    val name = s"graft_sessfeed_${runSeq.incrementAndGet()}"
+    val q = sessionFeedCounts(spark, dir).writeStream
+      .format("memory").queryName(name)
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    StreamingDocs.noteProgress("q207_stream_sessions", q)
+    spark.table(name).orderBy("user_id", "w_start")
+  }
+
+  /** 4-file TIME-QUARTILE events feed with ascending file mtimes —
+    * the multi-batch feed for event-time streaming entries, where
+    * batch order must follow event time so the watermark never drops
+    * a later batch (the docs4 feed has no event time and can split
+    * arbitrarily; this one cannot). Files land via copyInto (temp +
+    * atomic rename) and the marker is written LAST.
+    */
+  private def stagedTimeOrderedFeed(spark: SparkSession, dir: String): String = {
+    val feedDir = graft.sources.Staging.fingerprintPath(
+      "graft_events_feed", dir, "events.parquet", "events4t")
+    graft.sources.Staging.ensureStaged(feedDir) {
+      val e = graft.Tables(spark, dir).events
+        .withColumn("tu", unix_micros(col("ts")))
+      val Array(mn, mx) = e.agg(min(col("tu")), max(col("tu")))
+        .collect()(0).toSeq.map(_.asInstanceOf[Long]).toArray
+      val span = mx - mn + 1
+      val scratch = s"$feedDir.build"
+      (0 until 4).foreach { k =>
+        val lo = mn + span * k / 4
+        val hi = mn + span * (k + 1) / 4
+        val part = s"$scratch/q$k"
+        e.filter(col("tu") >= lo && col("tu") < hi).drop("tu")
+          .coalesce(1).write.mode("overwrite").parquet(part)
+        // locate the one part file through the Hadoop FS API (the
+        // staging layer is storage-agnostic — no java.io here)
+        val partPath = new org.apache.hadoop.fs.Path(part)
+        val fs = partPath.getFileSystem(graft.sources.Staging.hadoopConf())
+        val file = fs.globStatus(new org.apache.hadoop.fs.Path(part, "part-*.parquet"))
+          .head.getPath
+        graft.sources.Staging.copyInto(file.toString, feedDir,
+          f"quartile_$k%02d.parquet")
+        Thread.sleep(80) // distinct mtimes: oldest-first = time order
+      }
+      graft.sources.Staging.touch(feedDir)
+      val scratchPath = new org.apache.hadoop.fs.Path(scratch)
+      scratchPath.getFileSystem(graft.sources.Staging.hadoopConf())
+        .delete(scratchPath, true)
+    }
+    feedDir
+  }
+
   private def stagedStreamSource(spark: SparkSession, dir: String): String = {
     val streamDir = graft.sources.Staging.fingerprintPath(
       "graft_stream_src", dir, "events.parquet", "events")

@@ -124,4 +124,40 @@ class MultimodalSpec extends SparkSpec {
       }
     }
   }
+
+  test("aHash64: grid math on a crafted payload; equal payloads collide") {
+    import graft.operators.Multimodal.aHash64
+    // 128 bytes: first half 0x00, second half 0xFF → segments 0..31
+    // below the global mean (bit 0), 32..63 above (bit 1)
+    val crafted = Array.fill[Byte](64)(0) ++ Array.fill[Byte](64)(-1)
+    val h = aHash64(crafted)
+    (0 until 32).foreach(s => assert(((h >> s) & 1L) === 0L, s"low seg $s"))
+    (32 until 64).foreach(s => assert(((h >> s) & 1L) === 1L, s"high seg $s"))
+    // determinism + collision on identical bytes
+    assert(aHash64(crafted) === h)
+    assert(aHash64("same text".getBytes) === aHash64("same text".getBytes))
+    // a uniform payload sets no bits (no segment exceeds the mean)
+    assert(aHash64(Array.fill[Byte](100)(42)) === 0L)
+  }
+
+  test("q208 banded join finds exactly the brute-force pair set") {
+    import org.apache.spark.sql.functions._
+    val hashed = graft.operators.Multimodal
+      .mediaHashFrame(Tables(spark, sf).documents)
+    val banded = run("q208_media_phash").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val a = hashed.select(col("doc_id").as("ia"), col("sh").as("ha"))
+    val b = hashed.select(col("doc_id").as("ib"), col("sh").as("hb"))
+    val brute = a.join(b, col("ia") < col("ib"))
+      .select(col("ia"), col("ib"),
+        bit_count(col("ha").bitwiseXOR(col("hb"))).as("d"))
+      .filter(col("d") <= 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(banded === brute)
+    assert(banded.nonEmpty, "the planted variants must produce pairs")
+    // every planted (doc, doc+100000) pair for doc_id % 5 == 0 found
+    banded.foreach { case (x, y, d) =>
+      assert(y === x + 100000L && x % 5 === 0L && d <= 3, s"($x,$y,$d)")
+    }
+  }
 }

@@ -157,6 +157,36 @@ class StreamingSpec extends SparkSpec {
     assert(batch.nonEmpty)
   }
 
+  test("q207 multi-batch session feed: 4 micro-batches, merges, re-run safe") {
+    import org.apache.spark.sql.functions._
+    val first = StreamingEvents.runSessionFeedToCompletion(spark, sf).collect()
+    // the feed must actually execute multiple micro-batches — one per
+    // time-quartile file — or the session-MERGE state is never crossed
+    val progress = graft.streaming.StreamingDocs.lastProgress
+      .getOrDefault("q207_stream_sessions", "")
+    assert(progress.contains("batches=4") || progress.contains("batches=5"),
+      s"expected a 4-file multi-batch run, got: $progress")
+    // sessions must equal the batch session_window groupBy (merge
+    // correctness: same function, no stream in the loop)
+    val events = Tables(spark, sf).events.filter(col("user_id") < 20)
+    val batch = events
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("win"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), unix_micros(col("win.start")).as("w_start"),
+        col("n_events"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val streamed = first.map(r =>
+      (r.getLong(0), r.getLong(1)) -> r.getAs[Long]("n_events")).toMap
+    assert(streamed === batch)
+    // at least one session must span multiple events (the merge path
+    // is exercised, not vacuous)
+    assert(first.exists(_.getAs[Long]("n_events") > 1L))
+    // oracled entries are re-run by bench inside one JVM: a second run
+    // must not collide with the first's memory sink
+    val second = StreamingEvents.runSessionFeedToCompletion(spark, sf).collect()
+    assert(second.length === first.length)
+  }
+
   test("streaming EWMA recurrence ≡ batch q114 closed form (6 dp)") {
     val streamed = StreamingEvents.runEwmaToCompletion(spark, sf)
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
