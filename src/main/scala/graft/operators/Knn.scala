@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.functions.GraftFunctions
 import graft.{QueryEntry, Tables}
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Batch k-NN join: every probe vector gets its k nearest corpus
@@ -118,7 +118,103 @@ object Knn {
           col("label").as("plabel"))
       hardNegatives(emb, probes, k = 3)
     },
+
+    // q209 — margin-based pair mining (the bitext-mining scorer:
+    // Artetxe & Schwenk's ratio margin): raw cosine over-selects hubs —
+    // vectors near everything — so each candidate pair is scored by
+    // cos(x,y) normalized by the mean of both sides' top-k neighbor
+    // cosines. DuckDB replays the full cross-side scoring, both top-4
+    // neighborhoods (window rank), the parenthesis-pinned 4-term sums,
+    // and the margin arithmetic.
+    QueryEntry.sql(
+      "q209_margin_mining",
+      """WITH a AS (
+        |  SELECT vec_id AS qid, embedding AS qv FROM embeddings
+        |  WHERE label % 2 = 0
+        |), b AS (
+        |  SELECT vec_id AS cid, embedding AS cv FROM embeddings
+        |  WHERE label % 2 = 1
+        |), scored AS (
+        |  SELECT qid, cid,
+        |         ROUND(list_cosine_similarity(CAST(qv AS DOUBLE[]),
+        |                                      CAST(cv AS DOUBLE[])), 6) AS s
+        |  FROM a, b
+        |), ra AS (
+        |  SELECT qid, cid, s, row_number() OVER (PARTITION BY qid
+        |           ORDER BY s DESC, cid) AS r FROM scored
+        |), rb AS (
+        |  SELECT cid, qid, s, row_number() OVER (PARTITION BY cid
+        |           ORDER BY s DESC, qid) AS r FROM scored
+        |), ta AS (
+        |  SELECT qid,
+        |         MAX(CASE WHEN r = 1 THEN cid END) AS cid,
+        |         MAX(CASE WHEN r = 1 THEN s END) AS cos_top1,
+        |         ((MAX(CASE WHEN r = 1 THEN s END)
+        |           + MAX(CASE WHEN r = 2 THEN s END))
+        |           + MAX(CASE WHEN r = 3 THEN s END))
+        |           + MAX(CASE WHEN r = 4 THEN s END) AS suma
+        |  FROM ra WHERE r <= 4 GROUP BY qid
+        |), tb AS (
+        |  SELECT cid,
+        |         ((MAX(CASE WHEN r = 1 THEN s END)
+        |           + MAX(CASE WHEN r = 2 THEN s END))
+        |           + MAX(CASE WHEN r = 3 THEN s END))
+        |           + MAX(CASE WHEN r = 4 THEN s END) AS sumb
+        |  FROM rb WHERE r <= 4 GROUP BY cid
+        |)
+        |SELECT ta.qid, ta.cid, ta.cos_top1,
+        |       ROUND(ta.cos_top1 /
+        |             ((ta.suma / 4.0 + tb.sumb / 4.0) / 2.0), 6) AS margin
+        |FROM ta JOIN tb ON tb.cid = ta.cid
+        |ORDER BY margin DESC, qid LIMIT 20""".stripMargin,
+    ) { (s, dir) => marginMining(Tables(s, dir).embeddings, k = 4, topN = 20) },
   )
+
+  /** Margin-based cross-side pair mining (q209): sides = even vs odd
+    * labels (standing in for two languages), each side-A vector's
+    * top-1 side-B neighbor scored by the RATIO margin
+    * `cos(x,y) / ((avgTop4(x→B) + avgTop4(y→A)) / 2)` — the hubness
+    * correction bitext mining runs instead of raw cosine. Top-4 sums
+    * are built from the heap's rank-ordered elements with PINNED
+    * parenthesization (((s1+s2)+s3)+s4), so both engines add the same
+    * rounded doubles in the same order; k must not exceed either
+    * side's size.
+    *
+    * Scale shape: one cross-side scoring pass feeds BOTH k-bounded
+    * heap aggregations (persisted, so it is computed once); shuffle
+    * volume after scoring is |side|·k per direction — the scoring
+    * itself is the quadratic exact baseline, with the IVF multi-assign
+    * path (q170/q191) as the declared swap at corpus scale.
+    */
+  def marginMining(emb: DataFrame, k: Int, topN: Int): DataFrame = {
+    val a = emb.filter(pmod(col("label"), lit(2)) === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val b = emb.filter(pmod(col("label"), lit(2)) === 1)
+      .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+    val scored = a.crossJoin(b)
+      .select(col("qid"), col("cid"),
+        round(GraftFunctions.cosineF32(col("qv"), col("cv")), 6).as("s"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.TransientCaches.register(scored)
+    def top4Sum(nn: Column): Column =
+      ((nn(0).getField("score") + nn(1).getField("score")) +
+        nn(2).getField("score")) + nn(3).getField("score")
+    val ta = scored.groupBy("qid")
+      .agg(GraftFunctions.topkScoreId(col("s"), col("cid"), k).as("nn"))
+      .select(col("qid"), col("nn")(0).getField("id").as("cid"),
+        col("nn")(0).getField("score").as("cos_top1"),
+        top4Sum(col("nn")).as("suma"))
+    val tb = scored.groupBy("cid")
+      .agg(GraftFunctions.topkScoreId(col("s"), col("qid"), k).as("nn"))
+      .select(col("cid"), top4Sum(col("nn")).as("sumb"))
+    ta.join(tb, "cid")
+      .select(col("qid"), col("cid"), col("cos_top1"),
+        round(col("cos_top1") /
+          ((col("suma") / lit(4.0) + col("sumb") / lit(4.0)) / lit(2.0)), 6)
+          .as("margin"))
+      .orderBy(col("margin").desc, col("qid"))
+      .limit(topN)
+  }
 
   /** Top-k cross-label neighbors per probe (hard negatives). The probe
     * frame carries (probe_id, pvec, plabel); negatives exclude the

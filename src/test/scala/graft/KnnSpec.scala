@@ -94,4 +94,28 @@ class KnnSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("maxProbes"))
   }
+
+  test("q209 margin mining: top-1 is the true cross-side max; margins ordered") {
+    import graft.functions.GraftFunctions
+    val emb = Tables(spark, sf).embeddings
+    val rows = run("q209_margin_mining").collect()
+    assert(rows.length === 20)
+    // margins arrive sorted descending with qid tiebreak
+    val margins = rows.map(_.getAs[Double]("margin"))
+    assert(margins.zip(margins.tail).forall { case (x, y) => x >= y })
+    assert(margins.forall(m => m > 0.0))
+    // cos_top1 must be the exact brute-force max over the other side
+    val a = emb.filter(pmod(col("label"), lit(2)) === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val b = emb.filter(pmod(col("label"), lit(2)) === 1)
+      .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+    val best = a.crossJoin(b)
+      .select(col("qid"),
+        round(GraftFunctions.cosineF32(col("qv"), col("cv")), 6).as("s"))
+      .groupBy("qid").agg(max(col("s")).as("mx"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    rows.foreach { r =>
+      assert(r.getAs[Double]("cos_top1") === best(r.getAs[Long]("qid")))
+    }
+  }
 }
