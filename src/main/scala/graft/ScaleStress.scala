@@ -86,6 +86,9 @@ object ScaleStress {
     "q194_source_dedup_rate", // q38 clustering + one rollup
     "q196_stream_ann_ingest", // stream machinery constant; probes linear
     "q190_rrf_fusion", // two k-bounded top-k retrievals + k-row join
+    // round-9 widening: the two new queries benching >1 s at sf0.1
+    "q206_embed_covariance", // n·d²/2 scaled-long products, d² keys — expect linear in n
+    "q207_stream_sessions", // stream machinery constant; session data path linear
   )
 
   /** Per-table key-shift rules: every synthetic surrogate key column
