@@ -22,6 +22,7 @@ object SparkEntry {
       operators.Shard.entries ++
       operators.Correlate.entries ++
       operators.Covariance.entries ++
+      operators.Privacy.entries ++
       operators.Search.entries ++
       operators.Dedup.entries ++
       operators.Fuzzy.entries ++

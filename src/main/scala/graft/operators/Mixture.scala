@@ -79,5 +79,59 @@ object Mixture {
     ) { (s, dir) =>
       temperatureSample(Tables(s, dir).documentsRebalanced, "lang", c = 6.0)
     },
+
+    // q211 — deterministic weighted sampling without replacement
+    // (Efraimidis–Spirakis A-ES): key = ln(u)/w with u an EXACT dyadic
+    // uniform from the pinned SplitMix64 of doc_id (53 high bits /
+    // 2⁵³) and the one ln rounded at 6 dp — so "take the top-k keys"
+    // is a reproducible, engine-independent weighted sample, where
+    // ORDER BY rand() LIMIT k is neither reproducible nor weighted.
+    // Per-language top-5 by n_chars weight through the k-bounded heap
+    // (≤k rows per group per map task — no global sort, no window over
+    // the corpus). DuckDB replays hash, uniform, rounded ln, division,
+    // and the (key DESC, doc_id) rank.
+    QueryEntry.sql(
+      "q211_weighted_sample",
+      s"""WITH u AS (
+         |  SELECT lang, doc_id, n_chars,
+         |         CAST(${graft.operators.Hll.splitmixSqlFor("doc_id")} >> 11
+         |              AS DOUBLE) / 9007199254740992.0 AS uu
+         |  FROM documents
+         |), keyed AS (
+         |  SELECT lang, doc_id,
+         |         ROUND(ln(uu), 6) / n_chars AS k
+         |  FROM u
+         |), ranked AS (
+         |  SELECT lang, doc_id, k,
+         |         CAST(row_number() OVER (PARTITION BY lang
+         |                ORDER BY k DESC, doc_id) AS INT) AS rank
+         |  FROM keyed
+         |)
+         |SELECT lang, rank, doc_id, ROUND(k, 6) + 0.0 AS skey
+         |FROM ranked WHERE rank <= 5 ORDER BY lang, rank""".stripMargin,
+    ) { (s, dir) =>
+      weightedSample(Tables(s, dir).documentsRebalanced, k = 5)
+    },
   )
+
+  /** A-ES weighted reservoir: per-language top-k docs by
+    * `round(ln(u),6) / weight` (weight = n_chars) through
+    * [[graft.functions.GraftFunctions.topkScoreId]].
+    */
+  def weightedSample(docs: org.apache.spark.sql.DataFrame, k: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val u = shiftrightunsigned(
+      graft.functions.GraftFunctions.splitmix64(col("doc_id")), 11)
+      .cast("double") / lit(9007199254740992.0)
+    docs.select(col("lang"), col("doc_id"),
+        (round(log(u), 6) / col("n_chars")).as("k"))
+      .groupBy("lang")
+      .agg(graft.functions.GraftFunctions.topkScoreId(col("k"), col("doc_id"), k)
+        .as("nn"))
+      .select(col("lang"), posexplode(col("nn")))
+      .select(col("lang"), (col("pos") + 1).cast("int").as("rank"),
+        col("col.id").as("doc_id"),
+        (round(col("col.score"), 6) + lit(0.0)).as("skey"))
+      .orderBy("lang", "rank")
+  }
 }

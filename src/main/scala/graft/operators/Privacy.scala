@@ -1,0 +1,81 @@
+package graft.operators
+
+import graft.{QueryEntry, Tables}
+import graft.functions.GraftFunctions
+import graft.operators.{Hll => HllOps}
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Differentially-private release of per-group counts — the report a
+  * corpus owner publishes when the grouping itself is sensitive
+  * (per-source contribution counts, per-language member counts):
+  * ε-DP Laplace noise on each count. The noise here is PINNED, not
+  * sampled at runtime: u ← SplitMix64(group fingerprint) as an EXACT
+  * dyadic rational (53 high bits / 2⁵³ — no float rounding anywhere in
+  * the uniform), then the inverse-CDF Laplace transform with the one
+  * `ln` rounded once at 6 dp (the q173 determinism pattern). A pinned
+  * per-release seed is exactly how a production DP pipeline makes a
+  * release auditable/reproducible; re-keying the seed per release
+  * period restores fresh noise. Sensitivity 1 (each doc contributes to
+  * one group), scale b = 1/ε.
+  *
+  * Scale shape: one grouped count (map-side combined) + per-GROUP
+  * constant-cost noise — nothing beyond the rollup touches data.
+  */
+object Privacy {
+
+  /** Exact dyadic uniform in [0,1) from the pinned hash of a string
+    * group key (md5 leading 60 bits → SplitMix64 → top 53 bits).
+    */
+  private def uniform(key: Column): Column =
+    shiftrightunsigned(
+      GraftFunctions.splitmix64(GraftFunctions.md5Long(key.cast("binary"))),
+      11).cast("double") / lit(9007199254740992.0)
+
+  /** Laplace(b) inverse-CDF noise on the pinned uniform: the single
+    * transcendental is rounded ONCE at 6 dp.
+    */
+  private def laplaceNoise(u: Column, b: Double): Column = {
+    val centered = u - lit(0.5)
+    val lnTerm = round(log(lit(1.0) - lit(2.0) * abs(centered)), 6)
+    when(centered >= 0, lit(-b) * lnTerm).otherwise(lit(b) * lnTerm)
+  }
+
+  /** ε-DP noised per-language doc counts (ε = 1). */
+  def dpLangCounts(docs: org.apache.spark.sql.DataFrame, epsilon: Double = 1.0): org.apache.spark.sql.DataFrame =
+    docs.groupBy("lang")
+      .agg(count(lit(1)).as("n"))
+      .select(col("lang"), col("n"),
+        round(col("n") + laplaceNoise(uniform(col("lang")), 1.0 / epsilon), 6)
+          .as("n_dp"))
+      .orderBy("lang")
+
+  val entries: Seq[QueryEntry] = Seq(
+    // DuckDB replays the md5-60bit fingerprint, the SplitMix64 mirror,
+    // the exact dyadic uniform, and the rounded inverse-CDF transform
+    // — a single bit of drift anywhere in the noise chain moves n_dp.
+    QueryEntry.sql(
+      "q210_dp_counts",
+      s"""WITH g AS (
+         |  SELECT lang, COUNT(*) AS n FROM documents GROUP BY 1
+         |), h AS (
+         |  SELECT lang, n,
+         |         ${HllOps.splitmixSqlFor(
+              "CAST('0x' || substr(md5(lang), 1, 15) AS BIGINT)")} AS z
+         |  FROM g
+         |), u AS (
+         |  SELECT lang, n,
+         |         CAST(z >> 11 AS DOUBLE) / 9007199254740992.0 AS uu
+         |  FROM h
+         |)
+         |SELECT lang, n,
+         |       ROUND(n + CASE WHEN uu - 0.5 >= 0
+         |                 THEN -1.0 * ROUND(ln(1.0 - 2.0 * abs(uu - 0.5)), 6)
+         |                 ELSE 1.0 * ROUND(ln(1.0 - 2.0 * abs(uu - 0.5)), 6)
+         |                 END, 6) AS n_dp
+         |FROM u ORDER BY lang""".stripMargin,
+    ) { (s, dir) =>
+      dpLangCounts(Tables(s, dir).documents)
+    },
+  )
+}
