@@ -456,5 +456,24 @@ object EventsOps {
     ) { (s, dir) =>
       graft.streaming.StreamingEvents.runSessionFeedToCompletion(s, dir)
     },
+
+    // Stream-STREAM interval join executed under the gate (q212): both
+    // sides stream from the 4-file time feed, pairs buffer across
+    // micro-batch boundaries; the oracle is the from-scratch range
+    // join over all pairs (q50's semantics at row grain).
+    QueryEntry.sql(
+      "q212_stream_stream_join",
+      """WITH e AS (
+        |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS t
+        |  FROM events
+        |)
+        |SELECT a.user_id AS user_id, a.event_id AS pid, b.event_id AS fid
+        |FROM (SELECT * FROM e WHERE event_id % 10 = 0) a
+        |JOIN e b ON b.user_id = a.user_id
+        |        AND b.t > a.t AND b.t <= a.t + 86400000000
+        |ORDER BY a.user_id, pid, fid""".stripMargin,
+    ) { (s, dir) =>
+      graft.streaming.StreamingEvents.runStreamFeedJoinToCompletion(s, dir)
+    },
   )
 }

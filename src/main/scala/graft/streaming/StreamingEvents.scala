@@ -158,6 +158,62 @@ object StreamingEvents {
     spark.table(name).orderBy("user_id", "pid", "fid")
   }
 
+  /** Stream-STREAM interval join under the differential gate (q212):
+    * q181/q184/q207 proved stream-static joins and three aggregation
+    * state shapes; this is the fourth state family — BOTH sides are
+    * streams, and the join buffers each side's rows until the other
+    * side's watermark passes the range bound. Over the 4-file
+    * time-quartile feed a probe near a quartile's end must meet
+    * followers that arrive only in the NEXT micro-batch, so the
+    * cross-batch buffered state is exercised by construction; because
+    * the feed is time-ordered, watermark eviction (25 h delay vs the
+    * 24 h join window) provably never drops a pending match — an inner
+    * stream-stream join emits eagerly and the oracle recomputes every
+    * pair from scratch, so lost buffer state or premature eviction
+    * breaks the hash.
+    */
+  def streamStreamFeedJoin(spark: SparkSession, dir: String): DataFrame = {
+    // 24 h window (vs q50's 1 h): wide enough that time-quartile
+    // boundaries split real pairs - 6 cross-batch pairs at sf0.001,
+    // 106 at sf0.01 - so the buffered-state path is provably exercised
+    val feed = stagedTimeOrderedFeed(spark, dir)
+    val schema = spark.read.parquet(feed).schema
+    def stream() = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(feed)
+      .withColumn("ts", graft.Tables.eventsTs(schema("ts").dataType))
+    val probes = stream()
+      .filter(col("event_id") % 10 === 0)
+      .select(col("user_id").as("pu"), col("event_id").as("pid"),
+        col("ts").as("pt"))
+      .withWatermark("pt", "25 hours")
+    val followers = stream()
+      .select(col("user_id").as("fu"), col("event_id").as("fid"),
+        col("ts").as("ft"))
+      .withWatermark("ft", "25 hours")
+    probes.join(followers,
+      col("pu") === col("fu") &&
+        col("ft") > col("pt") &&
+        col("ft") <= col("pt") + expr("INTERVAL 24 HOURS"))
+      .select(col("pu").as("user_id"), col("pid"), col("fid"))
+  }
+
+  /** Run [[streamStreamFeedJoin]] to completion (append — inner
+    * stream-stream joins emit matches eagerly). Fresh sink name per
+    * invocation: oracled entry, re-run by bench.
+    */
+  def runStreamFeedJoinToCompletion(spark: SparkSession, dir: String): DataFrame = {
+    val name = s"graft_ssfeed_${runSeq.incrementAndGet()}"
+    val q = streamStreamFeedJoin(spark, dir).writeStream
+      .format("memory").queryName(name)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    StreamingDocs.noteProgress("q212_stream_stream_join", q)
+    spark.table(name).orderBy("user_id", "pid", "fid")
+  }
+
   /** flatMapGroupsWithState: the q78 threshold-crossing alert emitter
     * as explicit streaming state emitting 0..n rows per group per
     * batch — the variable-output sibling of mapGroupsWithState. State

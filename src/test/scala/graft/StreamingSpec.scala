@@ -187,6 +187,36 @@ class StreamingSpec extends SparkSpec {
     assert(second.length === first.length)
   }
 
+  test("q212 stream-stream join: multi-batch, cross-quartile pairs survive") {
+    import org.apache.spark.sql.functions._
+    val rows = StreamingEvents.runStreamFeedJoinToCompletion(spark, sf).collect()
+    val progress = graft.streaming.StreamingDocs.lastProgress
+      .getOrDefault("q212_stream_stream_join", "")
+    assert(progress.contains("batches="), s"no progress recorded: $progress")
+    // batch recompute of the same 24h interval join
+    val e = Tables(spark, sf).events
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("t"))
+    val a = e.filter(col("event_id") % 10 === 0)
+      .select(col("user_id").as("pu"), col("event_id").as("pid"), col("t").as("pt"))
+    val batch = a.join(e, col("pu") === col("user_id") &&
+        col("t") > col("pt") && col("t") <= col("pt") + lit(86400000000L))
+      .select(col("pu"), col("pid"), col("event_id").as("fid"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val streamed = rows.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed === batch)
+    // the time-quartile boundaries must split at least one pair — the
+    // cross-batch buffered state is exercised, not vacuous
+    val Array(mn, mx) = e.agg(min(col("t")), max(col("t"))).collect()(0)
+      .toSeq.map(_.asInstanceOf[Long]).toArray
+    val span = mx - mn + 1
+    def quart(t: Long): Long = (t - mn) * 4 / span
+    val ts = e.collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    val crossing = streamed.count { case (_, pid, fid) =>
+      quart(ts(pid)) != quart(ts(fid))
+    }
+    assert(crossing > 0, "no pair spans a micro-batch boundary")
+  }
+
   test("streaming EWMA recurrence ≡ batch q114 closed form (6 dp)") {
     val streamed = StreamingEvents.runEwmaToCompletion(spark, sf)
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
