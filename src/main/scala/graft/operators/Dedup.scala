@@ -157,6 +157,38 @@ object Dedup {
     * LSH band-bucket join for candidates, then exact shingle-set
     * verification. Output: (doc_a, doc_b, inter, uni).
     */
+  /** Per-source modularity contribution over the near-dup graph
+    * (q213): edges from [[nearDupPairs]], communities = `source`.
+    * Exact integer intra-edge and degree rollups (|sources|-bounded),
+    * one pinned double formula per source at the end — the whole
+    * computation beyond pair generation is two grouped counts.
+    */
+  def sourceModularity(docs: DataFrame): DataFrame = {
+    val srcs = docs.select(col("doc_id"), col("source"))
+    val e = nearDupPairs(docs)
+      .join(srcs.select(col("doc_id").as("doc_a"), col("source").as("sa")), "doc_a")
+      .join(srcs.select(col("doc_id").as("doc_b"), col("source").as("sb")), "doc_b")
+      .select(col("sa"), col("sb"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+    graft.TransientCaches.register(e)
+    val m = e.agg(count(lit(1)).as("m"))
+    val intra = e.filter(col("sa") === col("sb"))
+      .groupBy(col("sa").as("source")).agg(count(lit(1)).as("ie"))
+    val degs = e.select(col("sa").as("source"))
+      .union(e.select(col("sb").as("source")))
+      .groupBy("source").agg(count(lit(1)).as("degree_sum"))
+    degs.join(intra, Seq("source"), "left_outer")
+      .crossJoin(m)
+      .select(col("source"),
+        coalesce(col("ie"), lit(0L)).as("intra_edges"),
+        col("degree_sum"),
+        (round(coalesce(col("ie"), lit(0L)).cast("double") / col("m") -
+          (col("degree_sum").cast("double") / (lit(2.0) * col("m"))) *
+            (col("degree_sum").cast("double") / (lit(2.0) * col("m"))), 6)
+          + lit(0.0)).as("contribution"))
+      .orderBy("source")
+  }
+
   def nearDupPairs(docs: DataFrame, num: Int = 4, den: Int = 5): DataFrame = {
     // Spread shingling/minhashing across the cluster regardless of the
     // source's split count (small fixture = 1 split = 1 core otherwise),
@@ -790,6 +822,40 @@ object Dedup {
          |SELECT doc_a, doc_b, inter, uni FROM pairs
          |ORDER BY doc_a, doc_b""".stripMargin,
     ) { (s, dir) => nearDupPairs(Tables(s, dir).documents) },
+
+    // q213 — modularity of the SOURCE partition over the near-dup
+    // graph: are duplicates mostly intra-feed (fix upstream, one feed
+    // at a time) or cross-feed (global dedup is load-bearing)? Q's
+    // per-source contribution L_s/m − (d_s/2m)² from exact integer
+    // edge/degree counts; the oracle re-derives the edge set in
+    // inverted-index form (the q20 equivalence) plus both rollups.
+    QueryEntry.sql(
+      "q213_graph_modularity",
+      s"""WITH $shCteSql, ${invertedPairsSql(4, 5)},
+         |e AS (
+         |  SELECT da.source AS sa, db.source AS sb
+         |  FROM pairs p
+         |  JOIN documents da ON da.doc_id = p.doc_a
+         |  JOIN documents db ON db.doc_id = p.doc_b
+         |), m AS (SELECT COUNT(*) AS m FROM e),
+         |intra AS (
+         |  SELECT sa AS source, COUNT(*) AS ie FROM e WHERE sa = sb GROUP BY 1
+         |), degs AS (
+         |  SELECT source, COUNT(*) AS degree_sum
+         |  FROM (SELECT sa AS source FROM e
+         |        UNION ALL SELECT sb AS source FROM e) u
+         |  GROUP BY 1
+         |)
+         |SELECT d.source,
+         |       CAST(COALESCE(i.ie, 0) AS BIGINT) AS intra_edges,
+         |       d.degree_sum,
+         |       ROUND(CAST(COALESCE(i.ie, 0) AS DOUBLE) / m.m
+         |             - (CAST(d.degree_sum AS DOUBLE) / (2.0 * m.m))
+         |               * (CAST(d.degree_sum AS DOUBLE) / (2.0 * m.m)), 6)
+         |         + 0.0 AS contribution
+         |FROM degs d LEFT JOIN intra i ON i.source = d.source, m
+         |ORDER BY d.source""".stripMargin,
+    ) { (s, dir) => sourceModularity(Tables(s, dir).documents) },
 
     // Near-dup graph structure (q84): vertex/edge/triangle counts and
     // max degree over the verified pair set — the oracle re-derives

@@ -156,4 +156,21 @@ class DedupSpec extends SparkSpec {
     assert((r2.getLong(0), r2.getLong(1), r2.getLong(2), r2.getLong(3))
       == ((4L, 2L, 0L, 1L)))
   }
+
+  test("q213 modularity: degrees sum to 2m, Q in [-1, 1], matches recompute") {
+    val rows = run("q213_graph_modularity").collect()
+    assert(rows.nonEmpty)
+    val m = Dedup.nearDupPairs(Tables(spark, sf).documents).count()
+    val intraTotal = rows.map(_.getAs[Long]("intra_edges")).sum
+    val degTotal = rows.map(_.getAs[Long]("degree_sum")).sum
+    assert(degTotal === 2 * m, s"degree sum $degTotal vs 2m=${2 * m}")
+    assert(intraTotal <= m)
+    val q = rows.map(_.getAs[Double]("contribution")).sum
+    assert(q >= -1.0 && q <= 1.0, s"Q=$q")
+    rows.foreach { r =>
+      val expected = r.getAs[Long]("intra_edges").toDouble / m -
+        math.pow(r.getAs[Long]("degree_sum").toDouble / (2.0 * m), 2)
+      assert(math.abs(r.getAs[Double]("contribution") - expected) < 1e-6)
+    }
+  }
 }
