@@ -313,5 +313,87 @@ object Drift {
     ) { (s, dir) =>
       daviesBouldin(Tables(s, dir).embeddings)
     },
+
+    // q214 — two-sample Kolmogorov–Smirnov drift per source vs the
+    // whole corpus over the doc-length distribution: PSI (q126) needs
+    // a bucket choice; KS is bucket-free — the max CDF gap. Exact to
+    // the last bit: the max of |F_s − F| is taken over the INTEGER
+    // cross-multiplied numerators |cum_s·n − cum·n_s| (denominators
+    // n_s·n are per-source constants), so the argmax needs no float
+    // comparison anywhere; one division at the end. Cumulative sums
+    // run over the VALUE DOMAIN (distinct n_chars — hundreds), never
+    // the corpus: the grid is |sources|·|values|.
+    QueryEntry.sql(
+      "q214_ks_drift",
+      """WITH vc AS (
+        |  SELECT source, n_chars AS v, COUNT(*) AS c
+        |  FROM documents GROUP BY 1, 2
+        |), vals AS (SELECT DISTINCT n_chars AS v FROM documents),
+        |srcs AS (SELECT source, COUNT(*) AS ns FROM documents GROUP BY 1),
+        |tot AS (SELECT COUNT(*) AS n FROM documents),
+        |gc AS (
+        |  SELECT v, SUM(c) OVER (ORDER BY v
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumg
+        |  FROM (SELECT n_chars AS v, COUNT(*) AS c FROM documents GROUP BY 1) g
+        |), cells AS (
+        |  SELECT s.source, s.ns, va.v, COALESCE(vc.c, 0) AS c
+        |  FROM srcs s CROSS JOIN vals va
+        |  LEFT JOIN vc ON vc.source = s.source AND vc.v = va.v
+        |), cum AS (
+        |  SELECT source, ns, v,
+        |         SUM(c) OVER (PARTITION BY source ORDER BY v
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cums
+        |  FROM cells
+        |), diffs AS (
+        |  SELECT c.source, c.ns, c.v,
+        |         abs(c.cums * t.n - g.cumg * c.ns) AS dn
+        |  FROM cum c JOIN gc g ON g.v = c.v CROSS JOIN tot t
+        |), ranked AS (
+        |  SELECT source, ns, v, dn,
+        |         row_number() OVER (PARTITION BY source
+        |           ORDER BY dn DESC, v ASC) AS rk
+        |  FROM diffs
+        |)
+        |SELECT r.source, r.ns AS n_docs, r.v AS ks_at,
+        |       ROUND(CAST(r.dn AS DOUBLE) /
+        |             (CAST(r.ns AS DOUBLE) * CAST(t.n AS DOUBLE)), 6) AS ks
+        |FROM ranked r CROSS JOIN tot t
+        |WHERE r.rk = 1 ORDER BY r.source""".stripMargin,
+    ) { (s, dir) =>
+      ksDrift(Tables(s, dir).documents)
+    },
   )
+
+  /** Per-source two-sample KS vs the corpus over `n_chars` (q214). */
+  def ksDrift(docs: DataFrame): DataFrame = {
+    val vc = docs.groupBy(col("source"), col("n_chars").as("v"))
+      .agg(count(lit(1)).as("c"))
+    val vals = docs.select(col("n_chars").as("v")).distinct()
+    val srcs = docs.groupBy("source").agg(count(lit(1)).as("ns"))
+    val tot = docs.agg(count(lit(1)).as("n"))
+    val wg = Window.orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // value-domain frame (hundreds of rows): the one unpartitioned
+    // window in the operator runs over it, not the corpus
+    val gc = docs.groupBy(col("n_chars").as("v")).agg(count(lit(1)).as("c"))
+      .withColumn("cumg", sum("c").over(wg)).drop("c")
+    val ws = Window.partitionBy("source").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cells = srcs.crossJoin(vals)
+      .join(vc, Seq("source", "v"), "left_outer")
+      .na.fill(0L, Seq("c"))
+      .withColumn("cums", sum("c").over(ws))
+    val diffs = cells.join(gc, "v").crossJoin(tot)
+      .select(col("source"), col("ns"), col("v"),
+        abs(col("cums") * col("n") - col("cumg") * col("ns")).as("dn"),
+        col("n"))
+    diffs.groupBy("source")
+      .agg(first(col("ns")).as("n_docs"), first(col("n")).as("n"),
+        max(struct(col("dn"), (-col("v")).as("negv"))).as("m"))
+      .select(col("source"), col("n_docs"),
+        (-col("m.negv")).as("ks_at"),
+        round(col("m.dn").cast("double") /
+          (col("n_docs").cast("double") * col("n").cast("double")), 6).as("ks"))
+      .orderBy("source")
+  }
 }

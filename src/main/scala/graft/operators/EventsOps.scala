@@ -475,5 +475,19 @@ object EventsOps {
     ) { (s, dir) =>
       graft.streaming.StreamingEvents.runStreamFeedJoinToCompletion(s, dir)
     },
+
+    // Explicit mapGroupsWithState under the gate (q215): per-user
+    // (count, micros-scaled sum) folded by user code across the
+    // 4-file feed's batches — exact integer state, so the from-scratch
+    // oracle must hash-match whatever path the batches took.
+    QueryEntry.sql(
+      "q215_stream_user_state",
+      """SELECT user_id, COUNT(*) AS cnt,
+        |       ROUND(SUM(CAST(ROUND(value * 1000000.0, 0) AS BIGINT))
+        |             / 1000000.0, 6) + 0.0 AS sum_v
+        |FROM events GROUP BY 1 ORDER BY user_id""".stripMargin,
+    ) { (s, dir) =>
+      graft.streaming.StreamingEvents.runExactUserStateToCompletion(s, dir)
+    },
   )
 }

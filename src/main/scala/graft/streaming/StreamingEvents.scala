@@ -214,6 +214,75 @@ object StreamingEvents {
     spark.table(name).orderBy("user_id", "pid", "fid")
   }
 
+  final case class UserAggExact(user_id: Long, cnt: Long, sum_micros: Long)
+
+  /** `mapGroupsWithState` under the differential gate (q215) — the
+    * fifth streaming state family to execute inside the oracle, and
+    * the first EXPLICIT-state one (q181/q184/q207/q212 all use
+    * built-in state): per-user running (count, scaled sum) maintained
+    * by user code across the 4-file feed's micro-batches. The state
+    * carries the value sum as MICROS-SCALED LONGS (half-away-from-zero
+    * per row, matching both engines' ROUND), so the fold is exact and
+    * order-free — a double accumulator would make the result depend on
+    * batch arrival order and be unoracleable. Update-mode emissions
+    * are reduced to the final state per key (monotone count ⇒ struct
+    * max); the oracle recomputes from scratch, so lost or re-applied
+    * state at any batch boundary breaks the hash.
+    */
+  def exactUserState(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    import spark.implicits._
+    val feed = stagedTimeOrderedFeed(spark, dir)
+    val schema = spark.read.parquet(feed).schema
+    val events = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(feed)
+      .select(col("user_id"), col("value"))
+      .as[(Long, Double)]
+    events.groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, Double)],
+            state: GroupState[(Long, Long)]) =>
+          var (c, s) = state.getOption.getOrElse((0L, 0L))
+          rows.foreach { r =>
+            c += 1
+            s += StreamingEvents.halfAwayMicros(r._2)
+          }
+          state.update((c, s))
+          UserAggExact(user, c, s)
+      }.toDF()
+  }
+
+  /** Half-away-from-zero micro-scaling — the SQL ROUND(x·1e6, 0)
+    * semantic both engines implement (math.rint would be half-even).
+    */
+  def halfAwayMicros(v: Double): Long = {
+    val x = v * 1000000.0
+    (if (x >= 0) math.floor(x + 0.5) else math.ceil(x - 0.5)).toLong
+  }
+
+  /** Run [[exactUserState]] to completion (update mode; latest state
+    * per key wins via monotone-count struct max).
+    */
+  def runExactUserStateToCompletion(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.OutputMode
+    val name = s"graft_ustate_${runSeq.incrementAndGet()}"
+    val q = exactUserState(spark, dir).writeStream
+      .format("memory").queryName(name)
+      .outputMode(OutputMode.Update())
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    StreamingDocs.noteProgress("q215_stream_user_state", q)
+    spark.table(name)
+      .groupBy("user_id")
+      .agg(max(struct(col("cnt"), col("sum_micros"))).as("m"))
+      .select(col("user_id"), col("m.cnt").as("cnt"),
+        (round(col("m.sum_micros").cast("double") / lit(1000000.0), 6)
+          + lit(0.0)).as("sum_v"))
+      .orderBy("user_id")
+  }
+
   /** flatMapGroupsWithState: the q78 threshold-crossing alert emitter
     * as explicit streaming state emitting 0..n rows per group per
     * batch — the variable-output sibling of mapGroupsWithState. State

@@ -108,4 +108,32 @@ class DriftSpec extends SparkSpec {
     assert(a == b && a.nonEmpty)
     assert(a.forall(_.getAs[Double]("drift") >= 0.0))
   }
+
+  test("q214 KS: bounds, and one source matches a driver-side recompute") {
+    import org.apache.spark.sql.functions._
+    val rows = run("q214_ks_drift").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val ks = r.getAs[Double]("ks")
+      assert(ks >= 0.0 && ks <= 1.0, r.toString)
+    }
+    // exact recompute for the first source
+    import spark.implicits._
+    val all = Tables(spark, sf).documents
+      .select(col("source"), col("n_chars")).as[(String, Long)].collect()
+    val src0 = rows.head.getString(0)
+    val mine = all.filter(_._1 == src0).map(_._2)
+    val n = all.length.toLong
+    val ns = mine.length.toLong
+    val vals = all.map(_._2).distinct.sorted
+    val best = vals.map { v =>
+      val cums = mine.count(_ <= v).toLong
+      val cumg = all.count(_._2 <= v).toLong
+      (math.abs(cums * n - cumg * ns), v)
+    }.sortBy { case (dn, v) => (-dn, v) }.head
+    val expected = BigDecimal(best._1.toDouble / (ns.toDouble * n.toDouble))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(rows.head.getAs[Long]("ks_at") === best._2)
+    assert(math.abs(rows.head.getAs[Double]("ks") - expected) < 1e-9)
+  }
 }

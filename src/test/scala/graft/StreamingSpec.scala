@@ -217,6 +217,32 @@ class StreamingSpec extends SparkSpec {
     assert(crossing > 0, "no pair spans a micro-batch boundary")
   }
 
+  test("q215 explicit state: multi-batch fold equals batch scaled sums") {
+    import org.apache.spark.sql.functions._
+    val rows = StreamingEvents.runExactUserStateToCompletion(spark, sf).collect()
+    val progress = graft.streaming.StreamingDocs.lastProgress
+      .getOrDefault("q215_stream_user_state", "")
+    assert(progress.contains("batches=4") || progress.contains("batches=5"),
+      s"expected a multi-batch run, got: $progress")
+    import spark.implicits._
+    val batch = Tables(spark, sf).events
+      .select(col("user_id"), col("value")).as[(Long, Double)].collect()
+      .groupBy(_._1).map { case (u, vs) =>
+        u -> (vs.length.toLong,
+          vs.map(v => StreamingEvents.halfAwayMicros(v._2)).sum)
+      }
+    val streamed = rows.map(r =>
+      r.getLong(0) -> (r.getAs[Long]("cnt"), r.getAs[Double]("sum_v"))).toMap
+    assert(streamed.keySet === batch.keySet)
+    batch.foreach { case (u, (c, micros)) =>
+      val (sc, sv) = streamed(u)
+      assert(sc === c, s"user $u count")
+      val expect = BigDecimal(micros.toDouble / 1000000.0)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(sv - expect) < 1e-9, s"user $u: $sv vs $expect")
+    }
+  }
+
   test("streaming EWMA recurrence ≡ batch q114 closed form (6 dp)") {
     val streamed = StreamingEvents.runEwmaToCompletion(spark, sf)
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
