@@ -363,7 +363,56 @@ object CorpusOps {
     ) { (s, dir) =>
       zipfSlope(Tables(s, dir).documentsRebalanced, k = 100)
     },
+
+    // q217 — per-source token entropy (lexical diversity): the
+    // low-diversity feed a template farm produces scores visibly
+    // below natural text. H = ln T − (Σ c·ln c)/T with the one ln per
+    // DISTINCT count rounded at 6 dp and carried through exact DECIMAL
+    // sums (the q173 pattern) — reads the term-clustered staged token
+    // table (the q87 pay-once staging) joined back to sources.
+    QueryEntry.sql(
+      "q217_token_entropy",
+      """WITH tok AS (
+        |  SELECT d.source,
+        |         unnest(regexp_split_to_array(trim(lower(d.text)), '\s+')) AS term
+        |  FROM documents d
+        |), counts AS (
+        |  SELECT source, term, COUNT(*) AS c FROM tok GROUP BY 1, 2
+        |), s AS (
+        |  SELECT source, CAST(SUM(c) AS BIGINT) AS t,
+        |         CAST(COUNT(*) AS BIGINT) AS d,
+        |         SUM(CAST(CAST(c AS DECIMAL(18,0)) *
+        |                  CAST(ROUND(ln(CAST(c AS DOUBLE)), 6) AS DECIMAL(18,6))
+        |                  AS DECIMAL(38,6))) AS sclnc
+        |  FROM counts GROUP BY 1
+        |)
+        |SELECT source, t AS n_tokens, d AS n_distinct,
+        |       ROUND(ROUND(ln(CAST(t AS DOUBLE)), 6)
+        |             - CAST(sclnc AS DOUBLE) / CAST(t AS DOUBLE), 6) + 0.0
+        |         AS entropy
+        |FROM s ORDER BY source""".stripMargin,
+    ) { (s, dir) =>
+      tokenEntropy(s, dir)
+    },
   )
+
+  /** Per-source Shannon entropy of the token distribution (q217). */
+  def tokenEntropy(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val toks = graft.sources.TokenizedCorpus.tokens(spark, dir)
+    val srcs = Tables(spark, dir).documents.select(col("doc_id"), col("source"))
+    val counts = toks.join(srcs, "doc_id")
+      .groupBy("source", "term").agg(count(lit(1)).as("c"))
+    counts.groupBy("source")
+      .agg(sum(col("c")).as("t"), count(lit(1)).as("d"),
+        sum((col("c").cast("decimal(18,0)") *
+          round(log(col("c").cast(DoubleType)), 6).cast("decimal(18,6)"))
+          .cast("decimal(38,6)")).as("sclnc"))
+      .select(col("source"), col("t").as("n_tokens"), col("d").as("n_distinct"),
+        (round(round(log(col("t").cast(DoubleType)), 6) -
+          col("sclnc").cast("double") / col("t").cast("double"), 6) + lit(0.0))
+          .as("entropy"))
+      .orderBy("source")
+  }
 
   /** Cross-source n-gram overlap: for every provenance pair, the count
     * and Jaccard of shared distinct word n-grams — the "are these two

@@ -157,6 +157,59 @@ object Dedup {
     * LSH band-bucket join for candidates, then exact shingle-set
     * verification. Output: (doc_a, doc_b, inter, uni).
     */
+  /** The planted-excerpt corpus for q218: every doc, plus — for
+    * doc_id % 7 == 0 — its first-half-tokens excerpt at id + 200000
+    * (the quote/chunk-inclusion shape Jaccard dedup systematically
+    * misses: an excerpt's Jaccard vs its source is ≈ 0.5, far under
+    * any near-dup threshold, while its CONTAINMENT is ≈ 1).
+    */
+  def docsWithExcerpts(docs: DataFrame): DataFrame = {
+    val toks = TextAnalysis.tokens(col("text"))
+    val kk = greatest(lit(2), (size(toks) / lit(2)).cast("int"))
+    docs.select(col("doc_id"), col("text"))
+      .union(docs.filter(pmod(col("doc_id"), lit(7)) === 0)
+        .select((col("doc_id") + lit(200000L)).as("doc_id"),
+          concat_ws(" ", slice(toks, lit(1), kk)).as("text")))
+  }
+
+  /** Containment join (q218): pairs where the SMALLER shingle set is
+    * ≥ num/den contained in the larger — the asymmetric complement of
+    * the Jaccard join. Candidates come from the exact inverted shingle
+    * index (shared-shingle self-join — banded MinHash estimates
+    * JACCARD and would probabilistically miss high-containment/low-
+    * Jaccard pairs, which are this operator's whole point), so recall
+    * is exact by construction; cost is bounded by shingle posting
+    * lists, the q20 oracle's own shape.
+    */
+  def containmentPairs(docs: DataFrame, num: Int = 4, den: Int = 5): DataFrame = {
+    val par = docs.sparkSession.sessionState.conf.numShufflePartitions
+    val sh = docsWithExcerpts(docs)
+      .select(col("doc_id"), shingles(col("text")).as("shingles"))
+      .repartition(par, col("doc_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.TransientCaches.register(sh)
+    val ex = sh.select(col("doc_id"), explode(col("shingles")).as("g"))
+    val cand = ex.as("a")
+      .join(ex.as("b"),
+        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("ia"), col("b.doc_id").as("ib"))
+      .agg(count(lit(1)).as("inter"))
+    val ln = sh.select(col("doc_id"), size(col("shingles")).as("n"))
+    cand
+      .join(ln.select(col("doc_id").as("ia"), col("n").as("na")), "ia")
+      .join(ln.select(col("doc_id").as("ib"), col("n").as("nb")), "ib")
+      .filter(col("inter") * den >= least(col("na"), col("nb")) * num)
+      .select(
+        when(col("na") <= col("nb"), col("ia")).otherwise(col("ib"))
+          .as("contained"),
+        when(col("na") <= col("nb"), col("ib")).otherwise(col("ia"))
+          .as("container"),
+        col("inter").cast(LongType).as("inter"),
+        least(col("na"), col("nb")).cast(LongType).as("n_small"),
+        greatest(col("na"), col("nb")).cast(LongType).as("n_big"))
+      .orderBy("contained", "container")
+  }
+
   /** Per-source modularity contribution over the near-dup graph
     * (q213): edges from [[nearDupPairs]], communities = `source`.
     * Exact integer intra-edge and degree rollups (|sources|-bounded),
@@ -856,6 +909,45 @@ object Dedup {
          |FROM degs d LEFT JOIN intra i ON i.source = d.source, m
          |ORDER BY d.source""".stripMargin,
     ) { (s, dir) => sourceModularity(Tables(s, dir).documents) },
+
+    // q218 — containment join over the planted-excerpt corpus: the
+    // dedup pass that catches quote/chunk inclusion where Jaccard
+    // (≈0.5 for a half-doc excerpt) never fires. Exact inverted-index
+    // candidates on both sides; the oracle rebuilds the derived
+    // corpus, the shingle sets, and the asymmetric threshold.
+    QueryEntry.sql(
+      "q218_containment_pairs",
+      s"""WITH d2 AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 200000,
+         |         array_to_string(toks[1:greatest(2, len(toks) // 2)], ' ')
+         |  FROM (SELECT doc_id,
+         |               regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+         |        FROM documents) t
+         |  WHERE doc_id % 7 = 0
+         |), sh AS (
+         |  SELECT doc_id, $shinglesSql AS shingles
+         |  FROM (SELECT doc_id,
+         |               regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+         |        FROM d2) t
+         |), ex AS (SELECT doc_id, unnest(shingles) AS g FROM sh),
+         |cand AS (
+         |  SELECT a.doc_id AS ia, b.doc_id AS ib,
+         |         CAST(COUNT(*) AS BIGINT) AS inter
+         |  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2
+         |), ln AS (SELECT doc_id, len(shingles) AS n FROM sh)
+         |SELECT CASE WHEN la.n <= lb.n THEN c.ia ELSE c.ib END AS contained,
+         |       CASE WHEN la.n <= lb.n THEN c.ib ELSE c.ia END AS container,
+         |       c.inter,
+         |       CAST(least(la.n, lb.n) AS BIGINT) AS n_small,
+         |       CAST(greatest(la.n, lb.n) AS BIGINT) AS n_big
+         |FROM cand c JOIN ln la ON la.doc_id = c.ia
+         |            JOIN ln lb ON lb.doc_id = c.ib
+         |WHERE c.inter * 5 >= least(la.n, lb.n) * 4
+         |ORDER BY contained, container""".stripMargin,
+    ) { (s, dir) => containmentPairs(Tables(s, dir).documents) },
 
     // Near-dup graph structure (q84): vertex/edge/triangle counts and
     // max degree over the verified pair set — the oracle re-derives

@@ -489,5 +489,60 @@ object EventsOps {
     ) { (s, dir) =>
       graft.streaming.StreamingEvents.runExactUserStateToCompletion(s, dir)
     },
+
+    // q216 — two-proportion z-test (the experiment readout): users
+    // split A/B by id parity, outcome = error-event rate per arm.
+    // All four counts are exact integers; p̂_A, p̂_B, the pooled p̂,
+    // and z are pinned double arithmetic rounded at 6 dp — the
+    // analyst-facing number a feature launch gates on, computed
+    // entirely in one grouped pass (no per-user state).
+    QueryEntry.sql(
+      "q216_ab_ztest",
+      """WITH arms AS (
+        |  SELECT CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS arm,
+        |         CASE WHEN event_type = 'error' THEN 1 ELSE 0 END AS is_err
+        |  FROM events
+        |), agg AS (
+        |  SELECT
+        |    CAST(SUM(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |    CAST(SUM(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+        |    CAST(SUM(CASE WHEN arm = 'A' THEN is_err ELSE 0 END) AS BIGINT)
+        |      AS err_a,
+        |    CAST(SUM(CASE WHEN arm = 'B' THEN is_err ELSE 0 END) AS BIGINT)
+        |      AS err_b
+        |  FROM arms
+        |)
+        |SELECT n_a, n_b, err_a, err_b,
+        |       ROUND(CAST(err_a AS DOUBLE) / n_a, 6) AS p_a,
+        |       ROUND(CAST(err_b AS DOUBLE) / n_b, 6) AS p_b,
+        |       ROUND((CAST(err_a AS DOUBLE) / n_a - CAST(err_b AS DOUBLE) / n_b)
+        |             / sqrt((CAST(err_a + err_b AS DOUBLE) / (n_a + n_b))
+        |                    * (1.0 - CAST(err_a + err_b AS DOUBLE) / (n_a + n_b))
+        |                    * (1.0 / n_a + 1.0 / n_b)), 6) + 0.0 AS z
+        |FROM agg""".stripMargin,
+    ) { (s, dir) =>
+      abZTest(Tables(s, dir).events)
+    },
   )
+
+  /** Two-proportion z-test over id-parity arms (q216). */
+  def abZTest(events: DataFrame): DataFrame = {
+    val isA = (col("user_id") % 2 === 0).cast("long")
+    val isErr = (col("event_type") === "error").cast("long")
+    val agg = events.agg(
+      sum(isA).as("n_a"),
+      sum(lit(1L) - isA).as("n_b"),
+      sum(isA * isErr).as("err_a"),
+      sum((lit(1L) - isA) * isErr).as("err_b"))
+    val pa = col("err_a").cast("double") / col("n_a")
+    val pb = col("err_b").cast("double") / col("n_b")
+    val pp = (col("err_a") + col("err_b")).cast("double") /
+      (col("n_a") + col("n_b"))
+    agg.select(col("n_a"), col("n_b"), col("err_a"), col("err_b"),
+      round(pa, 6).as("p_a"), round(pb, 6).as("p_b"),
+      (round((pa - pb) /
+        sqrt(pp * (lit(1.0) - pp) *
+          (lit(1.0) / col("n_a") + lit(1.0) / col("n_b"))), 6) + lit(0.0))
+        .as("z"))
+  }
 }
