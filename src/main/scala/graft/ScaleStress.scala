@@ -89,6 +89,11 @@ object ScaleStress {
     // round-9 widening: the two new queries benching >1 s at sf0.1
     "q206_embed_covariance", // n·d²/2 scaled-long products, d² keys — expect linear in n
     "q207_stream_sessions", // stream machinery constant; session data path linear
+    "q212_stream_stream_join", // join-state commits constant; data path linear
+    "q213_graph_modularity", // q20 pair machinery + |sources|-bounded rollups
+    "q215_stream_user_state", // explicit-state machinery constant
+    "q217_token_entropy", // one grouped count over (source, term)
+    "q218_containment_pairs", // shingle-posting self-join, list-bounded
   )
 
   /** Per-table key-shift rules: every synthetic surrogate key column

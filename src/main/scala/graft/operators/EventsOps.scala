@@ -465,7 +465,7 @@ object EventsOps {
       "q212_stream_stream_join",
       """WITH e AS (
         |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS t
-        |  FROM events
+        |  FROM events WHERE user_id < 50
         |)
         |SELECT a.user_id AS user_id, a.event_id AS pid, b.event_id AS fid
         |FROM (SELECT * FROM e WHERE event_id % 10 = 0) a
