@@ -420,5 +420,125 @@ object Relational {
             .cast(DoubleType) / 7.0), 2).as("avg_yearly"),
           count(lit(1)).as("n_lines"))
     },
+
+    // q219 — TPC-H Q3 shape (shipping-priority candidates): segment-
+    // filtered customers × open orders × future-shipping lineitems,
+    // top-10 orders by discounted revenue. Plan shape: the c/o join
+    // broadcasts the FILTERED customer projection (segment cuts it
+    // 5×), the o/l join shuffles on orderkey (both fact-sized at
+    // 100 TB), revenue in exact DECIMAL, TakeOrdered for the top-10.
+    QueryEntry.sql(
+      "q219_tpch_q3",
+      """SELECT o_orderkey,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |                * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+        |         AS revenue,
+        |       strftime(CAST(o_orderdate AS TIMESTAMP), '%Y-%m-%d')
+        |         AS order_date
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-06-01 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1998-06-01 00:00:00'
+        |GROUP BY o_orderkey, o_orderdate
+        |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
+    ) { (s, dir) =>
+      val t = Tables(s, dir)
+      val cut = lit("1998-06-01 00:00:00").cast(TimestampType)
+      t.lineitem.filter(col("l_shipdate") > cut)
+        .join(t.orders.filter(col("o_orderdate") < cut),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t.customer.filter(col("c_mktsegment") === "BUILDING")
+          .select("c_custkey")), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("o_orderkey"), col("o_orderdate"))
+        .agg(sum(col("l_extendedprice").cast(DecimalType(18, 2)) *
+          (lit(1) - col("l_discount").cast(DecimalType(18, 2))))
+          .cast(DoubleType).as("revenue"))
+        .select(col("o_orderkey"), col("revenue"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("order_date"))
+        .orderBy(col("revenue").desc, col("o_orderkey"))
+        .limit(10)
+    },
+
+    // q220 — TPC-H Q5 shape (local-supplier revenue by nation): the
+    // six-table join with the customer-and-supplier-same-nation
+    // constraint. nation/region broadcast (dim-sized at any scale);
+    // customer, orders, lineitem, supplier shuffle on their keys —
+    // the supplier equi-nation condition rides the l/s join.
+    QueryEntry.sql(
+      "q220_tpch_q5",
+      """SELECT n_name,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |                * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+        |         AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |               AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin,
+    ) { (s, dir) =>
+      val t = Tables(s, dir)
+      val asiaNations = broadcast(
+        t.nation.join(broadcast(t.region.filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+          .select(col("n_nationkey"), col("n_name")))
+      t.customer
+        .join(t.orders
+          .filter(col("o_orderdate") >= lit("1996-01-01 00:00:00").cast(TimestampType) &&
+            col("o_orderdate") < lit("1997-01-01 00:00:00").cast(TimestampType)),
+          col("c_custkey") === col("o_custkey"))
+        .join(t.lineitem, col("l_orderkey") === col("o_orderkey"))
+        .join(t.supplier, col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(asiaNations, col("s_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(sum(col("l_extendedprice").cast(DecimalType(18, 2)) *
+          (lit(1) - col("l_discount").cast(DecimalType(18, 2))))
+          .cast(DoubleType).as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    },
+
+    // q221 — TPC-H Q10 shape (returned-item reporting): top-20
+    // customers by revenue lost to returns in a quarter. The heavy
+    // side (orders⋈lineitem filtered to returns) reduces before the
+    // customer join; nation broadcast; TakeOrdered top-20.
+    QueryEntry.sql(
+      "q221_tpch_q10",
+      """SELECT c_custkey, c_name, n_name,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |                * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+        |         AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+        |GROUP BY c_custkey, c_name, n_name
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
+    ) { (s, dir) =>
+      val t = Tables(s, dir)
+      t.lineitem.filter(col("l_returnflag") === "R")
+        .join(t.orders
+          .filter(col("o_orderdate") >= lit("1996-01-01 00:00:00").cast(TimestampType) &&
+            col("o_orderdate") < lit("1996-04-01 00:00:00").cast(TimestampType)),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(t.customer, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t.nation), col("c_nationkey") === col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(sum(col("l_extendedprice").cast(DecimalType(18, 2)) *
+          (lit(1) - col("l_discount").cast(DecimalType(18, 2))))
+          .cast(DoubleType).as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    },
   )
 }

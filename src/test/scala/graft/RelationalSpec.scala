@@ -55,4 +55,17 @@ class RelationalSpec extends SparkSpec {
     val plan = run("q03_filter_revenue").queryExecution.executedPlan.toString
     assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate), LessThan(l_shipdate"), plan.take(2000))
   }
+
+  test("TPC-H shapes: filters pushed, dims broadcast, top-k via TakeOrdered") {
+    val p3 = run("q219_tpch_q3").queryExecution.executedPlan.toString
+    assert(p3.contains("BroadcastHashJoin"), "q3: filtered customers must broadcast")
+    assert(p3.contains("TakeOrderedAndProject"), "q3: top-10 must not global-sort")
+    assert(p3.contains("EqualTo(c_mktsegment,BUILDING)"), "q3: segment filter must push")
+    val p5 = run("q220_tpch_q5").queryExecution.executedPlan.toString
+    assert(p5.contains("BroadcastHashJoin"), "q5: nation/region must broadcast")
+    assert(p5.contains("GreaterThanOrEqual(o_orderdate"), "q5: date filter must push")
+    val p10 = run("q221_tpch_q10").queryExecution.executedPlan.toString
+    assert(p10.contains("EqualTo(l_returnflag,R)"), "q10: returnflag must push")
+    assert(p10.contains("TakeOrderedAndProject"), "q10: top-20 must not global-sort")
+  }
 }
