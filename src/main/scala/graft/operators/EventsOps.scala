@@ -523,6 +523,47 @@ object EventsOps {
     ) { (s, dir) =>
       abZTest(Tables(s, dir).events)
     },
+
+    // q222 — RECURSIVE CTE executed BY SPARK (the SQL-surface
+    // recursion Spark 4 added): every user's activity rolled up the
+    // binary-tree reporting chain parent(u) = u DIV 2 — each node sees
+    // its whole subtree's user count and event total. Spark's
+    // recursion is UNION ALL-only (UNION-dedup unsupported, so cyclic
+    // reachability cannot terminate — that regime stays on q180's
+    // min-label propagation); an ACYCLIC ancestor chain terminates in
+    // ⌈log₂ maxUser⌉ iterations. DuckDB replays the identical
+    // recursion (its `//` spelling of integer division).
+    QueryEntry.sql(
+      "q222_recursive_rollup",
+      """WITH RECURSIVE users AS (
+        |  SELECT DISTINCT user_id AS u FROM events
+        |), anc(u, a) AS (
+        |  SELECT u, u FROM users
+        |  UNION ALL
+        |  SELECT u, a // 2 FROM anc WHERE a > 0
+        |), uc AS (
+        |  SELECT user_id AS u, COUNT(*) AS c FROM events GROUP BY 1
+        |)
+        |SELECT anc.a AS node, COUNT(*) AS n_desc,
+        |       CAST(SUM(uc.c) AS BIGINT) AS events_rollup
+        |FROM anc JOIN uc ON uc.u = anc.u
+        |GROUP BY 1 ORDER BY node""".stripMargin,
+    ) { (s, dir) =>
+      Tables(s, dir).events.createOrReplaceTempView("graft_events_rec")
+      s.sql("""WITH RECURSIVE users AS (
+        |  SELECT DISTINCT user_id AS u FROM graft_events_rec
+        |), anc(u, a) AS (
+        |  SELECT u, u FROM users
+        |  UNION ALL
+        |  SELECT u, a DIV 2 FROM anc WHERE a > 0
+        |), uc AS (
+        |  SELECT user_id AS u, COUNT(*) AS c FROM graft_events_rec GROUP BY 1
+        |)
+        |SELECT anc.a AS node, COUNT(*) AS n_desc,
+        |       CAST(SUM(uc.c) AS BIGINT) AS events_rollup
+        |FROM anc JOIN uc ON uc.u = anc.u
+        |GROUP BY 1 ORDER BY node""".stripMargin)
+    },
   )
 
   /** Two-proportion z-test over id-parity arms (q216). */

@@ -112,4 +112,35 @@ class EventsOpsSpec extends SparkSpec {
     assert(got.forall(r => !r.getDouble(1).isNaN && !r.getDouble(1).isInfinite))
     assert(got.map(_.getString(0)).toSet == Set("live"))
   }
+
+  test("q222 recursive rollup: root sees everything, chain depth correct") {
+    val rows = run("q222_recursive_rollup").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val events = Tables(spark, sf).events
+    val total = events.count()
+    val users = events.select("user_id").distinct().count()
+    // node 0 is every chain's terminus: it must see every user once
+    // and the full event count
+    assert(rows(0L) === ((users, total)))
+    // a leaf user with no other user in its subtree reports only
+    // itself; its rollup equals its own event count
+    import spark.implicits._
+    val perUser = events.groupBy("user_id").count()
+      .as[(Long, Long)].collect().toMap
+    val maxU = perUser.keys.max
+    if (!perUser.keySet.exists(u => u != maxU && chainOf(u).contains(maxU)))
+      assert(rows(maxU) === ((1L, perUser(maxU))))
+    def chainOf(u: Long): Seq[Long] = {
+      val b = scala.collection.mutable.ArrayBuffer(u)
+      var x = u
+      while (x > 0) { x = x / 2; b += x }
+      b.toSeq
+    }
+    // every node's (n_desc, rollup) equals the brute-force chain sum
+    val brute = perUser.toSeq.flatMap { case (u, c) =>
+      chainOf(u).distinct.map(a => a -> (1L, c))
+    }.groupBy(_._1).view.mapValues(vs =>
+      (vs.map(_._2._1).sum, vs.map(_._2._2).sum)).toMap
+    assert(rows === brute)
+  }
 }
