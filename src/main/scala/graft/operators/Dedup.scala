@@ -582,9 +582,19 @@ object Dedup {
     * driver) stays well inside a default driver heap.
     */
   def nearDupGroups(docs: DataFrame, num: Int = 4, den: Int = 5,
+      smallGraphMax: Long = 1000000L): DataFrame =
+    groupsFromPairs(nearDupPairs(docs, num, den).select("doc_a", "doc_b"),
+      smallGraphMax)
+
+  /** Connected components over ANY (doc_a, doc_b) pair frame — the
+    * q38 machinery factored out so other pair generators (SimHash
+    * q138 for q223's agreement measure) reuse the identical size-gated
+    * union-find / distributed min-label fixpoint.
+    */
+  def groupsFromPairs(pairsIn: DataFrame,
       smallGraphMax: Long = 1000000L): DataFrame = {
-    val spark = docs.sparkSession
-    val pairs = nearDupPairs(docs, num, den).select("doc_a", "doc_b")
+    val spark = pairsIn.sparkSession
+    val pairs = pairsIn.select("doc_a", "doc_b")
     // strict <: smallGraphMax = 0 (q180's forced-distributed mode) must
     // route even an EMPTY edge set through the distributed fixpoint, or
     // a pair-free corpus would silently certify the driver union-find
@@ -656,6 +666,118 @@ object Dedup {
     out
   }
 
+
+  /** Clustering agreement between the two cheap near-dup methods
+    * (q223): MinHash-Jaccard clusters (q38) vs SimHash-Hamming
+    * clusters (q138 pairs through the same CC), compared as
+    * partitions of the corpus by Rand / Adjusted-Rand index — the
+    * "can we run only the cheaper method" decision number. Pair
+    * counting runs on the CONTINGENCY TABLE (Σ C(n_ij,2) over
+    * cluster-size cells), never on n² doc pairs; unclustered docs are
+    * their own singleton cluster. All counts exact integers; the two
+    * indices are pinned double formulas at the end.
+    */
+  def clusteringAgreement(t: Tables): DataFrame = {
+    val dbl = "double"
+    val docs = t.documents.select("doc_id")
+    val g1 = nearDupGroups(t.documents).withColumnRenamed("group_id", "l1")
+    val g2 = groupsFromPairs(
+      simhashNearDup(docsWithSimhash(t), maxHamming = 3)
+        .select("doc_a", "doc_b"))
+      .withColumnRenamed("group_id", "l2")
+    val lab = docs
+      .join(g1, Seq("doc_id"), "left_outer")
+      .join(g2, Seq("doc_id"), "left_outer")
+      .select(coalesce(col("l1"), col("doc_id")).as("l1"),
+        coalesce(col("l2"), col("doc_id")).as("l2"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.TransientCaches.register(lab)
+    def c2(c: Column): Column = ((c * (c - 1)) / 2).cast(LongType)
+    val i2 = lab.groupBy("l1", "l2").agg(count(lit(1)).as("c"))
+      .agg(sum(c2(col("c"))).as("pairs_both"))
+    val a2 = lab.groupBy("l1").agg(count(lit(1)).as("c"))
+      .agg(sum(c2(col("c"))).as("pairs_1"))
+    val b2 = lab.groupBy("l2").agg(count(lit(1)).as("c"))
+      .agg(sum(c2(col("c"))).as("pairs_2"))
+    val n = lab.agg(count(lit(1)).as("n"))
+    val nPairs = col("n").cast(dbl) * (col("n") - 1) / lit(2.0)
+    val expI = col("pairs_1").cast(dbl) * col("pairs_2").cast(dbl) / nPairs
+    n.crossJoin(i2).crossJoin(a2).crossJoin(b2)
+      .select(col("n"), col("pairs_both"), col("pairs_1"), col("pairs_2"),
+        round(lit(1.0) -
+          (col("pairs_1") + col("pairs_2") - lit(2L) * col("pairs_both"))
+            .cast(dbl) / nPairs, 6).as("rand_index"),
+        round((col("pairs_both").cast(dbl) - expI) /
+          ((col("pairs_1").cast(dbl) + col("pairs_2").cast(dbl)) / lit(2.0)
+            - expI), 6).as("ari"))
+  }
+
+  /** q223's oracle: both clusterings re-derived from scratch — the
+    * MinHash inverted-index pairs and the SimHash integer-SQL rebuild,
+    * each through its own recursive min-label reachability — then the
+    * contingency pair counts and both indices.
+    */
+  def agreementOracleSql: String =
+    s"""WITH RECURSIVE $shCteSql, ${invertedPairsSql(4, 5)},
+       |edges1 AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |  UNION ALL SELECT doc_b, doc_a FROM pairs
+       |), reach1(id, l) AS (
+       |  SELECT src, src FROM edges1
+       |  UNION
+       |  SELECT e.src, r.l FROM edges1 e JOIN reach1 r ON e.dst = r.id
+       |), g1 AS (SELECT id, MIN(l) AS l FROM reach1 GROUP BY id),
+       |tok AS (
+       |  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS t
+       |  FROM documents
+       |), th AS (
+       |  SELECT doc_id, CAST('0x' || substr(md5(t), 1, 15) AS BIGINT) AS h FROM tok
+       |), bits AS (
+       |  SELECT doc_id, b.b AS b,
+       |         SUM(CASE WHEN ((h >> b.b) & 1) = 1 THEN 1 ELSE -1 END) AS cnt
+       |  FROM th, (SELECT unnest(range(0, 60)) AS b) b
+       |  GROUP BY doc_id, b.b
+       |), sig AS (
+       |  SELECT doc_id,
+       |         CAST(SUM(CASE WHEN cnt > 0 THEN CAST(1 AS BIGINT) << b ELSE 0 END) AS BIGINT) AS sh
+       |  FROM bits GROUP BY doc_id
+       |), spairs AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+       |  WHERE bit_count(xor(a.sh, b.sh)) <= 3
+       |), edges2 AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM spairs
+       |  UNION ALL SELECT doc_b, doc_a FROM spairs
+       |), reach2(id, l) AS (
+       |  SELECT src, src FROM edges2
+       |  UNION
+       |  SELECT e.src, r.l FROM edges2 e JOIN reach2 r ON e.dst = r.id
+       |), g2 AS (SELECT id, MIN(l) AS l FROM reach2 GROUP BY id),
+       |lab AS (
+       |  SELECT COALESCE(g1.l, d.doc_id) AS l1, COALESCE(g2.l, d.doc_id) AS l2
+       |  FROM documents d
+       |  LEFT JOIN g1 ON g1.id = d.doc_id
+       |  LEFT JOIN g2 ON g2.id = d.doc_id
+       |), st AS (
+       |  SELECT (SELECT COUNT(*) FROM lab) AS n,
+       |         (SELECT CAST(SUM(c * (c - 1) // 2) AS BIGINT)
+       |          FROM (SELECT COUNT(*) AS c FROM lab GROUP BY l1, l2) x)
+       |           AS pairs_both,
+       |         (SELECT CAST(SUM(c * (c - 1) // 2) AS BIGINT)
+       |          FROM (SELECT COUNT(*) AS c FROM lab GROUP BY l1) x) AS pairs_1,
+       |         (SELECT CAST(SUM(c * (c - 1) // 2) AS BIGINT)
+       |          FROM (SELECT COUNT(*) AS c FROM lab GROUP BY l2) x) AS pairs_2
+       |)
+       |SELECT n, pairs_both, pairs_1, pairs_2,
+       |       ROUND(1.0 - CAST(pairs_1 + pairs_2 - 2 * pairs_both AS DOUBLE)
+       |             / (CAST(n AS DOUBLE) * (n - 1) / 2.0), 6) AS rand_index,
+       |       ROUND((CAST(pairs_both AS DOUBLE)
+       |              - CAST(pairs_1 AS DOUBLE) * CAST(pairs_2 AS DOUBLE)
+       |                / (CAST(n AS DOUBLE) * (n - 1) / 2.0)) /
+       |             ((CAST(pairs_1 AS DOUBLE) + CAST(pairs_2 AS DOUBLE)) / 2.0
+       |              - CAST(pairs_1 AS DOUBLE) * CAST(pairs_2 AS DOUBLE)
+       |                / (CAST(n AS DOUBLE) * (n - 1) / 2.0)), 6) AS ari
+       |FROM st""".stripMargin
 
   /** q192 — survivor SELECTION per near-dup cluster: production dedup
     * keeps the best member of each cluster, not an arbitrary one; here
@@ -1037,6 +1159,16 @@ object Dedup {
       "q185_incremental_dedup",
       incrementalOracleSql(4, 5),
     ) { (s, dir) => incrementalNearDups(s, dir) },
+
+    // q223 — do MinHash and SimHash dedup AGREE? Rand/ARI between the
+    // two clusterings from contingency-table pair counts (never n²
+    // doc pairs); the oracle re-derives BOTH clusterings from scratch
+    // (inverted-index pairs + integer-SQL SimHash, two recursive
+    // reachability fixpoints) and both indices.
+    QueryEntry.sql(
+      "q223_clustering_agreement",
+      agreementOracleSql,
+    ) { (s, dir) => clusteringAgreement(Tables(s, dir)) },
 
     // q192 — survivor selection per near-dup cluster (keep-longest,
     // min-id tiebreak): DuckDB replays clustering AND the argmax — a

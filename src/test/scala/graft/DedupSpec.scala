@@ -157,6 +157,35 @@ class DedupSpec extends SparkSpec {
       == ((4L, 2L, 0L, 1L)))
   }
 
+  test("q223 agreement indices match a driver-side contingency recompute") {
+    val r = run("q223_clustering_agreement").collect()(0)
+    val t = Tables(spark, sf)
+    import spark.implicits._
+    val g1 = Dedup.nearDupGroups(t.documents)
+      .as[(Long, Long)].collect().toMap
+    val g2 = Dedup.groupsFromPairs(
+        Dedup.simhashNearDup(Dedup.docsWithSimhash(t), 3)
+          .select("doc_a", "doc_b"))
+      .as[(Long, Long)].collect().toMap
+    val ids = t.documents.select("doc_id").as[Long].collect()
+    val lab = ids.map(d => (g1.getOrElse(d, d), g2.getOrElse(d, d)))
+    def c2(x: Long) = x * (x - 1) / 2
+    val i2 = lab.groupBy(identity).values.map(v => c2(v.size.toLong)).sum
+    val a2 = lab.groupBy(_._1).values.map(v => c2(v.size.toLong)).sum
+    val b2 = lab.groupBy(_._2).values.map(v => c2(v.size.toLong)).sum
+    assert(r.getAs[Long]("n") === ids.length.toLong)
+    assert(r.getAs[Long]("pairs_both") === i2)
+    assert(r.getAs[Long]("pairs_1") === a2)
+    assert(r.getAs[Long]("pairs_2") === b2)
+    val np = ids.length.toDouble * (ids.length - 1) / 2.0
+    val rand = 1.0 - (a2 + b2 - 2 * i2).toDouble / np
+    val exp = a2.toDouble * b2 / np
+    val ari = (i2 - exp) / ((a2 + b2) / 2.0 - exp)
+    assert(math.abs(r.getAs[Double]("rand_index") - rand) < 1e-6)
+    assert(math.abs(r.getAs[Double]("ari") - ari) < 1e-6)
+    assert(r.getAs[Double]("ari") <= 1.0 && r.getAs[Double]("rand_index") <= 1.0)
+  }
+
   test("q213 modularity: degrees sum to 2m, Q in [-1, 1], matches recompute") {
     val rows = run("q213_graph_modularity").collect()
     assert(rows.nonEmpty)
