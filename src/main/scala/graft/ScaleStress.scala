@@ -94,6 +94,8 @@ object ScaleStress {
     "q215_stream_user_state", // explicit-state machinery constant
     "q217_token_entropy", // one grouped count over (source, term)
     "q218_containment_pairs", // shingle-posting self-join, list-bounded
+    "q222_recursive_rollup", // log-depth recursion over the user domain
+    "q223_clustering_agreement", // two pair generations + CC + rollups
   )
 
   /** Per-table key-shift rules: every synthetic surrogate key column
