@@ -73,7 +73,8 @@ object SparkEntry {
       sources.ZOrderLayout.entries ++
       sources.TimestampInstantOrc.entries ++
       sources.AvroRoundTrip.entries ++
-      sources.OrcUnionType.entries
+      sources.OrcUnionType.entries ++
+      sources.FileProvenance.entries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The 3-way broadcast-join revenue rollup (Q6) — the widest slice of

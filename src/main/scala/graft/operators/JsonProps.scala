@@ -50,5 +50,40 @@ object JsonProps {
     ) { (s, dir) =>
       propsBuckets(Tables(s, dir).events)
     },
+
+    // q225 — the VARIANT path (Spark 4's typed semi-structured
+    // surface): props parsed ONCE into a variant, fields extracted
+    // with variant_get — the shredding-friendly encoding that replaces
+    // per-access get_json_object string re-parsing. Missing paths via
+    // try_variant_get come back NULL, not an error; the rollup proves
+    // parse + typed extract + null semantics against DuckDB's JSON
+    // reading of the identical column.
+    QueryEntry.sql(
+      "q225_variant_extract",
+      """SELECT event_type,
+        |       COUNT(*) AS n,
+        |       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+        |            AS BIGINT) AS sum_k,
+        |       CAST(MIN(CAST(json_extract_string(props, '$.k') AS BIGINT))
+        |            AS BIGINT) AS min_k,
+        |       CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT))
+        |            AS BIGINT) AS max_k,
+        |       CAST(COUNT(json_extract_string(props, '$.missing')) AS BIGINT)
+        |         AS n_missing_field
+        |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
+    ) { (s, dir) =>
+      Tables(s, dir).events
+        .select(col("event_type"),
+          expr("variant_get(parse_json(props), '$.k', 'long')").as("k"),
+          expr("try_variant_get(parse_json(props), '$.missing', 'string')")
+            .as("miss"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(col("k")).as("sum_k"),
+          min(col("k")).as("min_k"),
+          max(col("k")).as("max_k"),
+          count(col("miss")).as("n_missing_field"))
+        .orderBy("event_type")
+    },
   )
 }

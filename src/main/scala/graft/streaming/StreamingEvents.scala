@@ -605,7 +605,7 @@ object StreamingEvents {
     * arbitrarily; this one cannot). Files land via copyInto (temp +
     * atomic rename) and the marker is written LAST.
     */
-  private def stagedTimeOrderedFeed(spark: SparkSession, dir: String): String = {
+  private[graft] def stagedTimeOrderedFeed(spark: SparkSession, dir: String): String = {
     val feedDir = graft.sources.Staging.fingerprintPath(
       "graft_events_feed", dir, "events.parquet", "events4t")
     graft.sources.Staging.ensureStaged(feedDir) {
