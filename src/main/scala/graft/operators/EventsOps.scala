@@ -524,6 +524,58 @@ object EventsOps {
       abZTest(Tables(s, dir).events)
     },
 
+    // q227 — checkpoint restart (exactly-once across a stop/start):
+    // two stream lifetimes share one checkpoint; the second must admit
+    // exactly the files that arrived in between. The oracle recomputes
+    // from scratch, so replayed or skipped files break the hash.
+    QueryEntry.sql(
+      "q227_stream_restart",
+      """SELECT event_type, COUNT(*) AS n,
+        |       ROUND(SUM(CAST(ROUND(value * 1000000.0, 0) AS BIGINT))
+        |             / 1000000.0, 6) + 0.0 AS sum_v
+        |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
+    ) { (s, dir) =>
+      graft.streaming.StreamingEvents.runRestartIngestToCompletion(s, dir)
+    },
+
+    // q226 — interval UNION per user (activity coverage): each event
+    // opens a 10-minute presence interval; overlaps merge, and the
+    // report is merged-interval count + covered seconds — the
+    // "actually active time" number sessionization (q49, gap-based)
+    // does not give. Islands via the running max of interval ends
+    // (windows partitioned by user — state never leaves the key
+    // partition); all microsecond integers until one final division.
+    QueryEntry.sql(
+      "q226_interval_union",
+      """WITH iv AS (
+        |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS s,
+        |         epoch_us(CAST(ts AS TIMESTAMP)) + 600000000 AS e
+        |  FROM events WHERE user_id < 20
+        |), flagged AS (
+        |  SELECT user_id, s, e,
+        |         CASE WHEN MAX(e) OVER (PARTITION BY user_id ORDER BY s, e
+        |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |                >= s THEN 0 ELSE 1 END AS new_i
+        |  FROM iv
+        |), isl AS (
+        |  SELECT user_id, s, e,
+        |         CAST(SUM(new_i) OVER (PARTITION BY user_id ORDER BY s, e
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |              AS BIGINT) AS island
+        |  FROM flagged
+        |), spans AS (
+        |  SELECT user_id, island, MIN(s) AS lo, MAX(e) AS hi
+        |  FROM isl GROUP BY 1, 2
+        |)
+        |SELECT user_id, COUNT(*) AS n_intervals,
+        |       ROUND(CAST(SUM(hi - lo) AS DOUBLE) / 1000000.0, 6)
+        |         AS covered_sec
+        |FROM spans GROUP BY 1 ORDER BY user_id""".stripMargin,
+    ) { (s, dir) =>
+      intervalUnion(Tables(s, dir).events.filter(col("user_id") < 20),
+        lengthUs = 600000000L)
+    },
+
     // q222 — RECURSIVE CTE executed BY SPARK (the SQL-surface
     // recursion Spark 4 added): every user's activity rolled up the
     // binary-tree reporting chain parent(u) = u DIV 2 — each node sees
@@ -565,6 +617,30 @@ object EventsOps {
         |GROUP BY 1 ORDER BY node""".stripMargin)
     },
   )
+
+  /** Per-user union of fixed-length presence intervals (q226):
+    * merged-interval count and covered time from the running-max-end
+    * island construction. Windows are user-partitioned; everything is
+    * integer microseconds until the single output division.
+    */
+  def intervalUnion(events: DataFrame, lengthUs: Long): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("s", "e")
+    val wPrev = w.rowsBetween(Window.unboundedPreceding, -1)
+    val wCum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events
+      .select(col("user_id"), unix_micros(col("ts")).as("s"),
+        (unix_micros(col("ts")) + lengthUs).as("e"))
+      .withColumn("new_i",
+        when(max("e").over(wPrev) >= col("s"), 0).otherwise(1))
+      .withColumn("island", sum("new_i").over(wCum).cast(LongType))
+      .groupBy("user_id", "island")
+      .agg(min("s").as("lo"), max("e").as("hi"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_intervals"),
+        round(sum(col("hi") - col("lo")).cast("double") / lit(1000000.0), 6)
+          .as("covered_sec"))
+      .orderBy("user_id")
+  }
 
   /** Two-proportion z-test over id-parity arms (q216). */
   def abZTest(events: DataFrame): DataFrame = {

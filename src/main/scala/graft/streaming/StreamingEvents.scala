@@ -294,6 +294,57 @@ object StreamingEvents {
       .orderBy("user_id")
   }
 
+  /** Checkpoint RESTART under the differential gate (q227) — the
+    * operational property every production stream depends on and none
+    * of q181–q215 exercise: a stream is run to completion over the
+    * first half of the feed, STOPPED, and a SECOND stream (new query,
+    * same checkpoint) resumes after more files arrive. The file
+    * source's checkpoint must replay nothing and skip nothing — a
+    * re-processed file doubles counts, a missed one drops them, and
+    * either breaks the hash against the from-scratch batch oracle.
+    * Sink appends happen inside foreachBatch (the q188 pattern);
+    * per-run UUID root so bench re-runs never resume a finished
+    * checkpoint.
+    */
+  def runRestartIngestToCompletion(spark: SparkSession, dir: String): DataFrame = {
+    val src = stagedTimeOrderedFeed(spark, dir)
+    val root = s"${graft.sources.Staging.stagingRoot()}/graft_restart/" +
+      s"run_${java.util.UUID.randomUUID().toString.take(8)}"
+    val feed = s"$root/feed"
+    val sink = s"$root/sink"
+    val ckpt = s"$root/ckpt"
+    val schema = spark.read.parquet(src).schema
+    def copyIn(k: Int): Unit =
+      graft.sources.Staging.copyInto(f"$src/quartile_$k%02d.parquet", feed,
+        f"quartile_$k%02d.parquet")
+    def phase(): Unit = {
+      val q = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(feed)
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          batch.toDF().select(col("event_id"), col("event_type"), col("value"))
+            .write.mode("append").parquet(sink)
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      StreamingDocs.noteProgress("q227_stream_restart", q)
+    }
+    copyIn(0); copyIn(1)
+    phase() // first life of the pipeline: two quartiles
+    copyIn(2); copyIn(3)
+    phase() // restart: the checkpoint must admit exactly the new files
+    spark.read.parquet(sink)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        (round(sum(round(col("value") * lit(1000000.0), 0).cast("long"))
+          .cast("double") / lit(1000000.0), 6) + lit(0.0)).as("sum_v"))
+      .orderBy("event_type")
+  }
+
   /** flatMapGroupsWithState: the q78 threshold-crossing alert emitter
     * as explicit streaming state emitting 0..n rows per group per
     * batch — the variable-output sibling of mapGroupsWithState. State

@@ -113,6 +113,36 @@ class EventsOpsSpec extends SparkSpec {
     assert(got.map(_.getString(0)).toSet == Set("live"))
   }
 
+  test("q226 interval union: coverage bounded, brute-force sweep agrees") {
+    import spark.implicits._
+    val rows = run("q226_interval_union").collect()
+      .map(r => r.getLong(0) -> (r.getAs[Long]("n_intervals"),
+        r.getAs[Double]("covered_sec"))).toMap
+    assert(rows.nonEmpty)
+    val evs = Tables(spark, sf).events.filter(col("user_id") < 20)
+      .select(col("user_id"), unix_micros(col("ts")).as("s"))
+      .as[(Long, Long)].collect()
+    val L = 600000000L
+    evs.groupBy(_._1).foreach { case (u, es) =>
+      // driver-side sweep-line union
+      val sorted = es.map(_._2).sorted
+      var islands = 0L; var covered = 0L
+      var lo = -1L; var hi = -1L
+      sorted.foreach { s =>
+        if (s > hi) {
+          if (hi >= 0) covered += hi - lo
+          islands += 1; lo = s; hi = s + L
+        } else hi = math.max(hi, s + L)
+      }
+      if (hi >= 0) covered += hi - lo
+      val (gi, gc) = rows(u)
+      assert(gi === islands, s"user $u islands")
+      assert(math.abs(gc - covered / 1e6) < 1e-6, s"user $u coverage")
+      // bounds: coverage within [L, n·L] seconds
+      assert(gc >= L / 1e6 - 1e-9 && gc <= es.length * L / 1e6 + 1e-9)
+    }
+  }
+
   test("q222 recursive rollup: root sees everything, chain depth correct") {
     val rows = run("q222_recursive_rollup").collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap

@@ -243,6 +243,22 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("q227 restart: second life admits exactly the new files, nothing twice") {
+    import org.apache.spark.sql.functions._
+    val rows = StreamingEvents.runRestartIngestToCompletion(spark, sf).collect()
+    // lastProgress holds the SECOND life's record: 2 new quartiles
+    val progress = graft.streaming.StreamingDocs.lastProgress
+      .getOrDefault("q227_stream_restart", "")
+    assert(progress.contains("batches=2"),
+      s"restart should process exactly the 2 new files: $progress")
+    val batch = Tables(spark, sf).events
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val streamed = rows.map(r => r.getString(0) -> r.getAs[Long]("n")).toMap
+    assert(streamed === batch, "replayed or skipped files change counts")
+  }
+
   test("streaming EWMA recurrence ≡ batch q114 closed form (6 dp)") {
     val streamed = StreamingEvents.runEwmaToCompletion(spark, sf)
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
