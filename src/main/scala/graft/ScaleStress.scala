@@ -96,6 +96,7 @@ object ScaleStress {
     "q218_containment_pairs", // shingle-posting self-join, list-bounded
     "q222_recursive_rollup", // log-depth recursion over the user domain
     "q223_clustering_agreement", // two pair generations + CC + rollups
+    "q227_stream_restart", // two stream lifetimes: machinery constant
   )
 
   /** Per-table key-shift rules: every synthetic surrogate key column
