@@ -58,11 +58,18 @@ object Bench {
       // throw in toDouble and lose the whole run's vs_prev
       val pair = "\"([^\"]+)\":(-?\\d+(?:\\.\\d+)?(?:[eE][+-]?\\d+)?)".r
       val start = text.indexOf("\"queries\":{")
+      // NO whole-text fallback: a driver record whose tail truncated
+      // away the queries object still contains witness fragments
+      // ("iso_steal":0.001 next to qNN keys), and scraping those
+      // manufactured 50-70x vs_prev ratios in the r9 full run — an
+      // absent baseline must degrade to "no baseline", never to a
+      // garbage one (the witness pass then re-measured 10 innocent
+      // queries to clear labels that should never have existed)
       val scope =
         if (start >= 0) {
           val body = text.substring(start + "\"queries\":{".length)
           body.substring(0, math.max(0, body.indexOf('}')))
-        } else text // truncated driver tail: fall back to the whole text
+        } else ""
       // keys are qNN_*: immune to the wrapper's own numeric fields
       pair.findAllMatchIn(scope)
         .filter(_.group(1).matches("q\\d+\\w*"))

@@ -83,4 +83,28 @@ class EdgeCaseSpec extends SparkSpec {
     assert(kmv.getAs[Long]("kept") == 0L)
     assert(kmv.getAs[Double]("estimate") == 0.0)
   }
+
+  test("bench baseline parser: truncated driver tail yields NO baseline, not garbage") {
+    def parse(content: String): Map[String, Double] = {
+      val f = java.io.File.createTempFile("bench_parse", ".json")
+      f.deleteOnExit()
+      java.nio.file.Files.writeString(f.toPath, content)
+      graft.Bench.queryTimesFrom(f)
+    }
+    // a driver record whose tail truncated away the queries object but
+    // kept witness fragments: scraping those manufactured 50-70x
+    // vs_prev ratios in the r9 full run — must parse to EMPTY
+    val truncated =
+      """{"n":1,"tail":"steal\":0.001},\"q101_top_ngrams\":{\"seq\":0.714,\"iso\":0.73"}"""
+    assert(parse(truncated).isEmpty)
+    // a healthy record still parses per-query seconds
+    val healthy =
+      """{"metric":"x","queries":{"q01_sum":1.25,"q02_count":0.5},"sf":"y"}"""
+    val m = parse(healthy)
+    assert(m == Map("q01_sum" -> 1.25, "q02_count" -> 0.5))
+    // the driver-wrapped (string-escaped) form parses too
+    val wrapped =
+      """{"tail":"{\"queries\":{\"q03_filter\":2.5},\"sf\":\"z\"}"}"""
+    assert(parse(wrapped) == Map("q03_filter" -> 2.5))
+  }
 }
