@@ -33,11 +33,13 @@ import org.apache.spark.sql.functions._
   */
 object Shard {
 
-  private val P = 1000003L // shard-slot stride inside the hash input
-
-  /** Signed SplitMix64 score of (doc, shard) — the HRW weight. */
+  /** Signed SplitMix64 score of (doc, shard) — the HRW weight. The
+    * hash input packs (doc, shard) injectively: doc_id·16 + s is
+    * unique for s < 16 and doc_id < 2⁵⁹ (an additive stride would
+    * collide once ids exceed it, correlating two docs' weights).
+    */
   private def weight(docId: Column, s: Int): Column =
-    GraftFunctions.splitmix64(docId + lit(P * s))
+    GraftFunctions.splitmix64(docId * lit(16L) + lit(s.toLong))
 
   /** HRW owner of a doc among shards 0..n-1: argmax by (weight, shard)
     * via one array_max over per-row structs — no explode, no shuffle.
@@ -72,8 +74,7 @@ object Shard {
       s"THEN CAST($u AS HUGEINT) - 18446744073709551616 " +
       s"ELSE CAST($u AS HUGEINT) END AS BIGINT)"
 
-  private def weightSql(s: String): String =
-    signedSql(HllOps.splitmixSqlFor(s"(doc_id + $P * $s)"))
+
 
   // ---- Feistel ------------------------------------------------------------
 
@@ -125,7 +126,7 @@ object Shard {
       "q202_rendezvous_shard",
       s"""WITH w AS (
          |  SELECT doc_id, s,
-         |         ${signedSql(HllOps.splitmixSqlFor(s"(doc_id + $P * s)"))} AS h
+         |         ${signedSql(HllOps.splitmixSqlFor("(doc_id * 16 + s)"))} AS h
          |  FROM documents CROSS JOIN (SELECT unnest(range(9)) AS s)
          |), o AS (
          |  -- (h, s) packed into one HUGEINT so arg_max ranks exactly
