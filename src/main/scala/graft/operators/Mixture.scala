@@ -112,7 +112,90 @@ object Mixture {
     ) { (s, dir) =>
       weightedSample(Tables(s, dir).documentsRebalanced, k = 5)
     },
+
+    // q229 — water-filling quota: max-min-fair source allocation under
+    // a 60% budget (small feeds keep everything, big feeds share a
+    // common cap; Σ alloc = B exactly). The oracle re-solves the
+    // boundary search and the remainder hand-out on its own
+    // |sources|-row frame — an off-by-one anywhere in the integer
+    // solve breaks the per-source allocations.
+    QueryEntry.sql(
+      "q229_water_fill",
+      """WITH counts AS (
+        |  SELECT source, COUNT(*) AS n FROM documents GROUP BY 1
+        |), ranked AS (
+        |  SELECT source, n,
+        |         row_number() OVER (ORDER BY n, source) AS idx,
+        |         COALESCE(SUM(n) OVER (ORDER BY n, source
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |           AS pre
+        |  FROM counts
+        |), tot AS (
+        |  SELECT CAST(SUM(n) AS BIGINT) AS nn, COUNT(*) AS s FROM counts
+        |), cand AS (
+        |  SELECT r.source, r.n, r.idx, r.pre,
+        |         (t.nn * 3) // 5 AS b, t.s - r.idx + 1 AS m
+        |  FROM ranked r CROSS JOIN tot t
+        |), cand2 AS (
+        |  SELECT *, (b - pre) // m AS theta, (b - pre) % m AS rem
+        |  FROM cand
+        |), boundary AS (
+        |  SELECT MIN(idx) AS bidx, arg_min(theta, idx) AS btheta,
+        |         arg_min(rem, idx) AS brem
+        |  FROM cand2 WHERE theta < n
+        |)
+        |SELECT c.source, c.n AS n_docs,
+        |       CAST(CASE WHEN b.bidx IS NULL OR c.idx < b.bidx THEN c.n
+        |            ELSE b.btheta +
+        |                 CASE WHEN c.idx - b.bidx < b.brem THEN 1 ELSE 0 END
+        |            END AS BIGINT) AS alloc
+        |FROM cand2 c CROSS JOIN boundary b
+        |ORDER BY c.source""".stripMargin,
+    ) { (s, dir) =>
+      waterFill(Tables(s, dir).documents)
+    },
   )
+
+  /** Water-filling quota allocation (q229): given per-source doc
+    * counts and a total budget B, find the cap θ with
+    * Σ min(n_s, θ) = B — small feeds keep everything, large feeds are
+    * capped at a COMMON level (the max-min-fair allocation a balanced
+    * training mixture uses; a proportional cut would shrink small
+    * feeds that are already under-represented). Exact integer solve
+    * on the |sources|-row counts frame: for each candidate boundary
+    * idx (sources sorted by (n, source)), θ = (B − prefix)/m floor
+    * with the mod-m remainder handed to the first `rem` capped
+    * sources in sort order; the boundary is the FIRST idx whose θ
+    * falls below its own count. Σ alloc = B exactly, by construction.
+    */
+  def waterFill(docs: org.apache.spark.sql.DataFrame, budgetNum: Long = 3L,
+      budgetDen: Long = 5L): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val counts = docs.groupBy("source").agg(count(lit(1)).as("n"))
+    val w = Window.orderBy("n", "source") // |sources|-row frame
+    val ranked = counts
+      .withColumn("idx", row_number().over(w))
+      .withColumn("pre", coalesce(sum("n")
+        .over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+    val tot = counts.agg(sum("n").as("nn"), count(lit(1)).as("s"))
+    val cand = ranked.crossJoin(tot)
+      .withColumn("b", expr(s"(nn * $budgetNum) DIV $budgetDen"))
+      .withColumn("m", col("s") - col("idx") + 1)
+      .withColumn("theta", expr("(b - pre) DIV m"))
+      .withColumn("rem", expr("(b - pre) % m"))
+    val boundary = cand.filter(col("theta") < col("n"))
+      .agg(min(struct(col("idx"), col("theta"), col("rem"))).as("mb"))
+      .select(col("mb.idx").as("bidx"), col("mb.theta").as("btheta"),
+        col("mb.rem").as("brem"))
+    cand.crossJoin(broadcast(boundary))
+      .select(col("source"), col("n").as("n_docs"),
+        when(col("bidx").isNull || col("idx") < col("bidx"), col("n"))
+          .otherwise(col("btheta") +
+            when(col("idx") - col("bidx") < col("brem"), 1L).otherwise(0L))
+          .as("alloc"))
+      .orderBy("source")
+  }
 
   /** A-ES weighted reservoir: per-language top-k docs by
     * `round(ln(u),6) / weight` (weight = n_chars) through

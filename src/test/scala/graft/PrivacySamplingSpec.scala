@@ -45,6 +45,36 @@ class PrivacySamplingSpec extends SparkSpec {
     assert(rows.map(_.toString).toSeq === again.map(_.toString).toSeq)
   }
 
+  test("q229 water-fill: skewed sources hit the boundary search; budget exact") {
+    import graft.operators.Mixture
+    // fixture sources are uniform (boundary at idx 1 — everything
+    // capped); a skewed synthetic frame exercises the real search:
+    // counts 5/10/40/100, budget 60% of 155 = 93
+    //   keep 5 and 10 fully (15), remaining 78 over 2 sources →
+    //   θ = 39, rem 0 → alloc 5, 10, 39, 39; Σ = 93 ✓
+    val docs = Seq.tabulate(5)(i => ("a", i)) ++
+      Seq.tabulate(10)(i => ("b", 100 + i)) ++
+      Seq.tabulate(40)(i => ("c", 200 + i)) ++
+      Seq.tabulate(100)(i => ("d", 300 + i))
+    val df = docs.toDF("source", "doc_id")
+    val got = Mixture.waterFill(df).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("alloc")).toMap
+    assert(got === Map("a" -> 5L, "b" -> 10L, "c" -> 39L, "d" -> 39L))
+    // a larger budget moves the boundary: 3/4 of 155 = 116 → candidate
+    // θ = (116-15)/2 = 50 ≥ n_c = 40, so c is ALSO fully kept and d
+    // alone absorbs the rest: 116 − 55 = 61
+    val got2 = Mixture.waterFill(df, budgetNum = 3L, budgetDen = 4L)
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("alloc")).toMap
+    assert(got2 === Map("a" -> 5L, "b" -> 10L, "c" -> 40L, "d" -> 61L))
+    assert(got2.values.sum === (155L * 3) / 4)
+    // fixture run: exact budget conservation + never over-allocated
+    val fix = run("q229_water_fill").collect()
+    val (allocs, ns) = (fix.map(_.getAs[Long]("alloc")),
+      fix.map(_.getAs[Long]("n_docs")))
+    assert(allocs.sum === (ns.sum * 3) / 5)
+    fix.foreach(r => assert(r.getAs[Long]("alloc") <= r.getAs[Long]("n_docs")))
+  }
+
   test("q211 equals the brute-force A-ES top-5 per language") {
     val rows = run("q211_weighted_sample").collect()
       .map(r => (r.getString(0), r.getInt(1)) ->
