@@ -63,6 +63,8 @@ object SparkEntry {
       operators.HeavyHitters.entries ++
       operators.Mixture.entries ++
       operators.SetJoin.entries ++
+      operators.Lines.entries ++
+      operators.Eval.entries ++
       sources.OrcRoundTrip.entries ++
       sources.SchemaEvolution.entries ++
       sources.CorruptJsonl.entries ++

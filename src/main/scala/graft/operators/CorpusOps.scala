@@ -364,6 +364,57 @@ object CorpusOps {
       zipfSlope(Tables(s, dir).documentsRebalanced, k = 100)
     },
 
+    // q231 — Heaps'-law vocabulary-growth exponent (Zipf's companion,
+    // q175): V(n) ≈ K·n^β fitted over 10 doc-id-ordered corpus
+    // prefixes. Natural text reads β ≈ 0.4–0.6; a template-farm corpus
+    // saturates early (β → 0) and a PII/noise-ridden one grows
+    // super-vocabularily (β → 1) — the one-number "is new data adding
+    // new language?" gauge a mixture designer reads before adding a
+    // source. DuckDB re-derives the prefix memberships, both
+    // cumulative curves, and the log-log OLS.
+    QueryEntry.sql(
+      "q231_heaps_law",
+      """WITH nn AS (SELECT MAX(doc_id) + 1 AS n FROM documents),
+        |tok AS (
+        |  SELECT doc_id,
+        |         unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS term
+        |  FROM documents
+        |), dk AS (
+        |  SELECT (doc_id * 10 // n) + 1 AS d, term FROM tok, nn
+        |), tc AS (SELECT d, COUNT(*) AS c FROM dk GROUP BY 1),
+        |fv AS (SELECT MIN(d) AS fd FROM dk GROUP BY term),
+        |vc AS (SELECT fd AS d, COUNT(*) AS v FROM fv GROUP BY 1),
+        |ks AS (SELECT unnest(generate_series(1, 10)) AS k),
+        |nk AS (SELECT k, SUM(c) AS nk FROM ks JOIN tc ON tc.d <= ks.k GROUP BY 1),
+        |vk AS (SELECT k, SUM(v) AS vk FROM ks JOIN vc ON vc.d <= ks.k GROUP BY 1),
+        |b AS (
+        |  SELECT CAST(ROUND(ln(CAST(nk AS DOUBLE)), 6) AS DECIMAL(18,6)) AS x,
+        |         CAST(ROUND(ln(CAST(vk AS DOUBLE)), 6) AS DECIMAL(18,6)) AS y
+        |  FROM nk JOIN vk USING (k)
+        |  WHERE nk > 0 AND vk > 0
+        |), s AS (
+        |  SELECT COUNT(*) AS nt, SUM(x) AS sx, SUM(y) AS sy,
+        |         SUM(CAST(x * y AS DECIMAL(38,12))) AS sxy,
+        |         SUM(CAST(x * x AS DECIMAL(38,12))) AS sxx
+        |  FROM b
+        |), g AS (
+        |  SELECT nt, sx, sy, sxy, sxx,
+        |         nt * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS den
+        |  FROM s
+        |)
+        |SELECT CAST(nt AS BIGINT) AS points,
+        |       ROUND(CASE WHEN den > 0 THEN
+        |               (nt * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / den
+        |             END, 6) AS beta,
+        |       ROUND((CAST(sy AS DOUBLE) -
+        |              CASE WHEN den > 0 THEN
+        |                (nt * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)) / den
+        |              END * CAST(sx AS DOUBLE)) / nt, 6) AS lnk
+        |FROM g""".stripMargin,
+    ) { (s, dir) =>
+      heapsLaw(s, dir)
+    },
+
     // q217 — per-source token entropy (lexical diversity): the
     // low-diversity feed a template farm produces scores visibly
     // below natural text. H = ln T − (Σ c·ln c)/T with the one ln per
@@ -485,6 +536,51 @@ object CorpusOps {
         round(slope, 6).as("zipf_slope"),
         round((syD - slope * sxD) / nD, 6).as("intercept"))
       .orderBy("lang")
+  }
+
+  /** Heaps'-law fit (q231): cumulative (total tokens, distinct vocab)
+    * at 10 doc-id-ordered prefix cutoffs, OLS slope in log-log space.
+    *
+    * Scale shape: prefix membership is pure integer arithmetic per
+    * row (`doc_id·10 div N` — exact at any id range, no double
+    * division), the vocabulary curve comes from ONE first-occurrence
+    * pass (min prefix per term — the classic alternative to 10
+    * cumulative count-distincts, which would rescan the corpus per
+    * point), and everything after the two grouped passes is 10-row
+    * model-sized frames. The float fit is the q175 pattern: one
+    * 6dp-rounded ln per point, DECIMAL sufficient statistics.
+    */
+  def heapsLaw(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val toks = graft.sources.TokenizedCorpus.tokens(spark, dir)
+    val n = Tables(spark, dir).documents
+      .agg(max("doc_id")).head().getLong(0) + 1 // model-sized scalar
+    val dk = (expr(s"doc_id * 10 div $n") + 1).cast(LongType)
+    val tc = toks.select(dk.as("d")).groupBy("d").agg(count(lit(1)).as("c"))
+    val vc = toks.select(dk.as("d"), col("term"))
+      .groupBy("term").agg(min("d").as("fd"))
+      .groupBy("fd").agg(count(lit(1)).as("v"))
+    val ks = spark.range(1, 11).select(col("id").as("k"))
+    val nk = ks.join(broadcast(tc), col("d") <= col("k"))
+      .groupBy("k").agg(sum("c").as("nk"))
+    val vk = ks.join(broadcast(vc), col("fd") <= col("k"))
+      .groupBy("k").agg(sum("v").as("vk"))
+    val b = nk.join(vk, "k")
+      .filter(col("nk") > 0 && col("vk") > 0)
+      .select(
+        round(log(col("nk").cast(DoubleType)), 6).cast(DecimalType(18, 6)).as("x"),
+        round(log(col("vk").cast(DoubleType)), 6).cast(DecimalType(18, 6)).as("y"))
+    val s = b.agg(count(lit(1)).as("nt"),
+      sum("x").as("sx"), sum("y").as("sy"),
+      sum((col("x") * col("y")).cast(DecimalType(38, 12))).as("sxy"),
+      sum((col("x") * col("x")).cast(DecimalType(38, 12))).as("sxx"))
+    val nD = col("nt").cast(DoubleType)
+    val sxD = col("sx").cast(DoubleType)
+    val syD = col("sy").cast(DoubleType)
+    val den = nD * col("sxx").cast(DoubleType) - sxD * sxD
+    val slope = when(den > 0, (nD * col("sxy").cast(DoubleType) - sxD * syD) / den)
+    s.select(col("nt").cast(LongType).as("points"),
+      round(slope, 6).as("beta"),
+      round((syD - slope * sxD) / nD, 6).as("lnk"))
   }
 
   /** Coverage of the top-k vocabulary per k: one term-count pass, then

@@ -119,6 +119,19 @@ object Covariance {
     ) { (s, dir) =>
       powerIteration(Tables(s, dir).embeddings, iters = 12)
     },
+
+    // q236 — per-label statistics of the projection onto q228's
+    // dominant eigenvector: the 1-D "does the top PC separate the
+    // labels?" diagnostic (class-mean spread along the principal axis
+    // vs within-class variance) read before trusting PCA-reduced
+    // embeddings for retrieval or clustering. DuckDB re-runs the whole
+    // 12-iteration trajectory AND the projection/moment pass.
+    QueryEntry.sql(
+      "q236_pca_project",
+      pcaProjectOracleSql(12),
+    ) { (s, dir) =>
+      pcaProject(Tables(s, dir).embeddings, iters = 12)
+    },
   )
 
   /** Half-away-from-zero rounding to long — the SQL ROUND(x, 0)
@@ -164,7 +177,21 @@ object Covariance {
     * scaled-integer full matrix → `iters` matvec/normalize rounds →
     * loadings + Rayleigh eigenvalue.
     */
-  def powerIterationOracleSql(iters: Int): String = {
+  def powerIterationOracleSql(iters: Int): String =
+    s"""${powerIterationCtes(iters)}
+       |SELECT v$iters.j AS i,
+       |       CAST(v$iters.v AS DOUBLE) / 1000000.0 + 0.0 AS loading,
+       |       ROUND(sqrt(CAST(n$iters.n2w AS DOUBLE))
+       |             / sqrt(CAST(n$iters.n2v AS DOUBLE)) / 1000000.0, 6)
+       |         AS lambda
+       |FROM v$iters, n$iters ORDER BY i""".stripMargin
+
+  /** The WITH-chain shared by q228 and q236: covariance → scaled
+    * matrix → `iters` matvec/normalize rounds; exposes `x` (unnested
+    * embeddings) and `v$iters` (final grid loadings) to the caller's
+    * final SELECT.
+    */
+  def powerIterationCtes(iters: Int): String = {
     val base =
       """WITH x AS MATERIALIZED (
         |  SELECT vec_id,
@@ -220,12 +247,72 @@ object Covariance {
          |)""".stripMargin
     }.mkString(",\n")
     s"""$base,
-       |$its
-       |SELECT v$iters.j AS i,
-       |       CAST(v$iters.v AS DOUBLE) / 1000000.0 + 0.0 AS loading,
-       |       ROUND(sqrt(CAST(n$iters.n2w AS DOUBLE))
-       |             / sqrt(CAST(n$iters.n2v AS DOUBLE)) / 1000000.0, 6)
-       |         AS lambda
-       |FROM v$iters, n$iters ORDER BY i""".stripMargin
+       |$its""".stripMargin
   }
+
+  /** Per-label projection moments onto the dominant eigenvector
+    * (q236). Exactness: the fitted loadings are 1e6-grid doubles
+    * (identical in both engines by q228's construction); each
+    * component product is rounded ONCE to the 1e7 grid and summed as
+    * LONG per vector (the q206 carrier), so per-vector projections are
+    * exact integers and the label moments reduce to integer sums.
+    *
+    * Scale shape: the eigenpair fit is q228 (one covariance pass +
+    * model-sized iteration); the projection is one codegen
+    * `zip_with`/`aggregate` pass with a broadcast-literal loading
+    * array; moments are one grouped aggregation over |labels| keys.
+    */
+  def pcaProject(emb: DataFrame, iters: Int): DataFrame = {
+    val loadings = powerIteration(emb, iters).collect() // d rows, model-sized
+      .map(r => (r.getAs[Int]("i"), r.getAs[Double]("loading")))
+      .sortBy(_._1).map(_._2)
+    val vCol = array(loadings.map(lit(_)): _*)
+    val p = aggregate(
+      zip_with(col("embedding"), vCol, (x, v) =>
+        round(x.cast("double") * v * lit(S), 0).cast("long")),
+      lit(0L), (acc, y) => acc + y)
+    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    emb.select(col("label"), p.as("p"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n"),
+        sum(col("p").cast(dec)).as("sp"),
+        sum(col("p").cast(dec) * col("p")).as("spp"))
+      .select(col("label"), col("n").cast("long").as("n"),
+        (round(col("sp").cast("double") / (lit(S) * col("n")), 6) + lit(0.0))
+          .as("mean_proj"),
+        (round((col("spp").cast("double") / lit(S * S) -
+          (col("sp").cast("double") / lit(S)) *
+            (col("sp").cast("double") / lit(S)) / col("n")) / col("n"), 6)
+          + lit(0.0)).as("var_proj"))
+      .orderBy("label")
+  }
+
+  /** DuckDB mirror of [[pcaProject]]: the q228 CTE chain + the
+    * projection and per-label moment pass.
+    */
+  def pcaProjectOracleSql(iters: Int): String =
+    s"""${powerIterationCtes(iters)},
+       |proj AS (
+       |  SELECT x.vec_id,
+       |         SUM(CAST(ROUND(CAST(x.v AS DOUBLE)
+       |                        * (CAST(vv.v AS DOUBLE) / 1000000.0)
+       |                        * 10000000.0, 0) AS BIGINT)) AS p
+       |  FROM x JOIN v$iters vv ON vv.j = x.i
+       |  GROUP BY 1
+       |), lab AS (SELECT vec_id, label FROM embeddings),
+       |per AS (
+       |  SELECT l.label, COUNT(*) AS n,
+       |         SUM(CAST(p AS HUGEINT)) AS sp,
+       |         SUM(CAST(p AS HUGEINT) * p) AS spp
+       |  FROM proj pr JOIN lab l ON l.vec_id = pr.vec_id
+       |  GROUP BY 1
+       |)
+       |SELECT label, CAST(n AS BIGINT) AS n,
+       |       ROUND(CAST(sp AS DOUBLE) / (10000000.0 * n), 6) + 0.0
+       |         AS mean_proj,
+       |       ROUND((CAST(spp AS DOUBLE) / 100000000000000.0 -
+       |              (CAST(sp AS DOUBLE) / 10000000.0) *
+       |              (CAST(sp AS DOUBLE) / 10000000.0) / n) / n, 6) + 0.0
+       |         AS var_proj
+       |FROM per ORDER BY label""".stripMargin
 }

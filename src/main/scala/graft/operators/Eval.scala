@@ -1,0 +1,272 @@
+package graft.operators
+
+import graft.{QueryEntry, Tables}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType, IntegerType, LongType}
+
+/** Classifier-evaluation operators — the metrics a pipeline computes
+  * about its OWN filter models before trusting them at 100 TB: ROC AUC
+  * (does the quality score rank the target class above the rest at
+  * all?), calibration/ECE (can its value be read as a probability?),
+  * and Fleiss' kappa (do independent heuristic annotators agree enough
+  * that their consensus is a usable label?). All three reduce to
+  * integer/decimal-exact sufficient statistics with one rounded double
+  * division at the end, so the DuckDB differential oracle re-derives
+  * every count and the hash pins the full computation.
+  *
+  * The "model" under evaluation is the q18 quality score used as a
+  * detector of gold `lang = 'en'` (scores are discretized ONCE to a
+  * 1e6 grid — `si = round(score·1e6)` — in both engines; every
+  * downstream rank/bin/mean derives from `si`, never from the raw
+  * double, so cross-engine float drift cannot reorder anything).
+  *
+  * Scale shape: one per-doc scoring pass each (codegen), one grouped
+  * aggregation keyed by distinct grid score (≤ 1e6+1 keys — GRID-
+  * bounded, not data-bounded) or by bin/category (≤ 10/5 keys), then
+  * scalar rollups. The one `Window.orderBy` (q232's cumulative
+  * negatives) runs over the distinct-score frame, bounded by the grid,
+  * never by the corpus (the Fuzzy.scala:211 bounded-frame precedent).
+  */
+object Eval {
+
+  private val S = 1000000L // score grid: 6 fractional digits
+
+  /** (si, pos) per document: grid-rounded quality score + binary gold
+    * label (lang = 'en').
+    */
+  private def scoredDocs(docs: DataFrame): DataFrame =
+    docs.select(
+      round(TextAnalysis.qualityScore(
+        TextAnalysis.tokens(col("text")), col("n_chars")) * S, 0)
+        .cast(LongType).as("si"),
+      when(col("lang") === "en", 1L).otherwise(0L).as("pos"))
+
+  /** DuckDB twin of [[scoredDocs]]: yields (si, pos). */
+  private val scoredDocsSql: String =
+    s"""SELECT CAST(ROUND((${TextAnalysis.qualityScoreSql}
+       |         ) * ${S}.0, 0) AS BIGINT) AS si,
+       |       CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+       |FROM (SELECT lang, n_chars,
+       |             regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+       |      FROM documents) t""".stripMargin
+
+  /** ROC AUC of the quality score as an en-detector (q232): exact
+    * Mann–Whitney with tie handling, computed from per-distinct-score
+    * (positives, negatives) counts — AUC = (2·concordant + ties) /
+    * (2·n1·n0), all sums carried as DECIMAL(38,0) (HUGEINT in the
+    * oracle) so the statistic is exact at any corpus size.
+    */
+  def scoreAuc(docs: DataFrame): DataFrame = {
+    val per = scoredDocs(docs).groupBy("si")
+      .agg(sum("pos").as("p"), (count(lit(1)) - sum("pos")).as("g"))
+    // cumulative negatives strictly below each score: frame = distinct
+    // grid scores (≤ 1e6+1 rows), model-sized — see class doc.
+    val cum = per.withColumn("cumg",
+      sum("g").over(Window.orderBy("si")) - col("g"))
+    val dec = DecimalType(38, 0)
+    val agg = cum.agg(
+      sum(col("p").cast(dec) * col("cumg")).as("conc"),
+      sum(col("p").cast(dec) * col("g")).as("ties"),
+      sum("p").as("n1"), sum("g").as("n0"))
+    agg.select(
+      col("n1").cast(LongType).as("n_pos"),
+      col("n0").cast(LongType).as("n_neg"),
+      round((col("conc") * 2 + col("ties")).cast(DoubleType) /
+        (lit(2.0) * col("n1") * col("n0")), 6).as("auc"))
+  }
+
+  /** Calibration report + expected calibration error (q233): the score
+    * read as P(lang = 'en'), 10 equal-width bins over the grid score.
+    * Per bin: count, mean confidence, empirical accuracy, |gap|; the
+    * ECE column repeats the corpus-level Σ n_b/N·|acc−conf| on every
+    * row. The gap numerator |1e6·pos_b − Σ si| is pure integer, so ECE
+    * is exact before its one final rounded division.
+    */
+  def calibrationEce(docs: DataFrame): DataFrame = {
+    val bin = least(floor(col("si").cast(DoubleType) / lit(100000.0))
+      .cast(IntegerType), lit(9))
+    val dec = DecimalType(38, 0)
+    val per = scoredDocs(docs).groupBy(bin.as("bin"))
+      .agg(count(lit(1)).as("n"), sum("pos").as("posb"),
+        sum(col("si").cast(dec)).as("ssum"))
+      .withColumn("gapnum",
+        abs(col("posb").cast(dec) * S - col("ssum")))
+    val tot = per.agg(sum("n").as("nn"), sum("gapnum").as("gaptot"))
+    per.crossJoin(broadcast(tot))
+      .select(col("bin"), col("n").cast(LongType).as("n"),
+        round(col("ssum").cast(DoubleType) / (lit(1.0) * S * col("n")), 6)
+          .as("conf"),
+        round(col("posb").cast(DoubleType) / col("n"), 6).as("acc"),
+        round(col("gapnum").cast(DoubleType) / (lit(1.0) * S * col("n")), 6)
+          .as("gap"),
+        round(col("gaptot").cast(DoubleType) / (lit(1.0) * S * col("nn")), 6)
+          .as("ece"))
+      .orderBy("bin")
+  }
+
+  /** One native-orthography sentence per language (first of the q63
+    * planted pair) — the decoration that gives the three raters real
+    * multilingual signal; the raw fixture is ASCII word-salad on which
+    * all raters collapse to 'en' and Fleiss' Pe degenerates to 1.
+    */
+  val raterSentences: Map[String, String] = {
+    val first = scala.collection.mutable.LinkedHashMap[String, String]()
+    TextAnalysis.plantedSentences.foreach { case (l, t) =>
+      if (!first.contains(l)) first += (l -> t)
+    }
+    first.toMap
+  }
+
+  private def decorated(docs: DataFrame): DataFrame = {
+    val sent = raterSentences.foldLeft(lit("")) { case (acc, (l, t)) =>
+      when(col("lang") === l, lit(t)).otherwise(acc)
+    }
+    docs.select(col("doc_id"),
+      concat(col("text"), lit(" "), sent).as("text"))
+  }
+
+  private val decoratedSql: String = {
+    val cases = raterSentences.map { case (l, t) =>
+      s"WHEN '$l' THEN '${t.replace("'", "''")}'"
+    }.mkString(" ")
+    s"""SELECT doc_id,
+       |       text || ' ' || CASE lang $cases ELSE '' END AS text
+       |FROM documents""".stripMargin
+  }
+
+  /** Fleiss' kappa across three heuristic lang-ID raters (q234): the
+    * full marker+stopword classifier, the stopword-only rater, and the
+    * marker-only rater, each labeling the lang-decorated corpus.
+    * Po = Σ_i(Σ_k n_ik² − r)/(N·r·(r−1)) with r = 3 raters,
+    * Pe = Σ_k (c_k/(rN))² — both from exact integer sums.
+    */
+  def fleissKappa(docs: DataFrame): DataFrame = {
+    val deco = decorated(docs)
+    val preds = deco.select(col("doc_id"), explode(array(
+      TextAnalysis.langPredicted(col("text")),
+      TextAnalysis.langPredictedStops(col("text")),
+      TextAnalysis.langPredictedMarkers(col("text")))).as("cat"))
+    val cnt = preds.groupBy("doc_id", "cat").agg(count(lit(1)).as("c"))
+    val dec = DecimalType(38, 0)
+    val pd = cnt.groupBy("doc_id").agg(sum(col("c") * col("c")).as("s2"))
+    val t = pd.agg(count(lit(1)).as("n"),
+      sum((col("s2") - 3).cast(dec)).as("ponum"))
+    val pe = cnt.groupBy("cat").agg(sum("c").as("ck"))
+      .agg(sum(col("ck").cast(dec) * col("ck")).as("penum"))
+    val nD = col("n").cast(DoubleType)
+    val po = col("ponum").cast(DoubleType) / (lit(6.0) * nD)
+    val peD = col("penum").cast(DoubleType) / (lit(9.0) * nD * nD)
+    t.crossJoin(pe).select(
+      col("n").cast(LongType).as("n_docs"),
+      round(po, 6).as("po"),
+      round(peD, 6).as("pe"),
+      round((po - peD) / (lit(1.0) - peD), 6).as("kappa"))
+  }
+
+  val entries: Seq[QueryEntry] = Seq(
+    // q232 — exact tie-aware Mann–Whitney AUC; DuckDB re-derives the
+    // grid scores, the per-score (pos, neg) split, the cumulative
+    // concordance, and the final ratio.
+    QueryEntry.sql(
+      "q232_score_auc",
+      s"""WITH s AS ($scoredDocsSql
+         |), per AS (
+         |  SELECT si, SUM(pos) AS p, COUNT(*) - SUM(pos) AS g
+         |  FROM s GROUP BY 1
+         |), cum AS (
+         |  SELECT p, g, SUM(g) OVER (ORDER BY si) - g AS cumg FROM per
+         |), agg AS (
+         |  SELECT SUM(CAST(p AS HUGEINT) * cumg) AS conc,
+         |         SUM(CAST(p AS HUGEINT) * g) AS ties,
+         |         SUM(p) AS n1, SUM(g) AS n0
+         |  FROM cum
+         |)
+         |SELECT CAST(n1 AS BIGINT) AS n_pos, CAST(n0 AS BIGINT) AS n_neg,
+         |       ROUND(CAST(2 * conc + ties AS DOUBLE)
+         |             / (2.0 * n1 * n0), 6) AS auc
+         |FROM agg""".stripMargin,
+    ) { (s, dir) =>
+      scoreAuc(Tables(s, dir).documentsRebalanced)
+    },
+
+    // q233 — 10-bin reliability diagram + ECE from integer gap sums.
+    QueryEntry.sql(
+      "q233_calibration_ece",
+      s"""WITH s AS ($scoredDocsSql
+         |), b AS (
+         |  SELECT LEAST(CAST(FLOOR(CAST(si AS DOUBLE) / 100000.0) AS INT), 9)
+         |           AS bin,
+         |         pos, si
+         |  FROM s
+         |), per AS (
+         |  SELECT bin, COUNT(*) AS n, SUM(pos) AS posb,
+         |         SUM(CAST(si AS HUGEINT)) AS ssum,
+         |         ABS($S * CAST(SUM(pos) AS HUGEINT)
+         |             - SUM(CAST(si AS HUGEINT))) AS gapnum
+         |  FROM b GROUP BY 1
+         |), tot AS (
+         |  SELECT SUM(n) AS nn, SUM(gapnum) AS gaptot FROM per
+         |)
+         |SELECT bin, CAST(n AS BIGINT) AS n,
+         |       ROUND(CAST(ssum AS DOUBLE) / (1.0 * $S * n), 6) AS conf,
+         |       ROUND(CAST(posb AS DOUBLE) / n, 6) AS acc,
+         |       ROUND(CAST(gapnum AS DOUBLE) / (1.0 * $S * n), 6) AS gap,
+         |       ROUND(CAST(gaptot AS DOUBLE) / (1.0 * $S * nn), 6) AS ece
+         |FROM per, tot ORDER BY bin""".stripMargin,
+    ) { (s, dir) =>
+      calibrationEce(Tables(s, dir).documentsRebalanced)
+    },
+
+    // q234 — Fleiss' kappa over the three raters on the decorated
+    // corpus; DuckDB re-runs all three classifiers, the per-doc
+    // category counts, and both agreement terms.
+    QueryEntry.sql(
+      "q234_fleiss_kappa",
+      s"""WITH deco AS ($decoratedSql
+         |), base AS (
+         |  SELECT doc_id, text,
+         |         regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+         |  FROM deco
+         |), p1 AS (
+         |  SELECT doc_id, ${TextAnalysis.langPredictedSql.linesIterator
+                    .mkString(" ")} AS cat
+         |  FROM (SELECT doc_id, text, toks,
+         |               ${TextAnalysis.langScoresSql}
+         |        FROM base) t
+         |), p2 AS (
+         |  SELECT doc_id, ${TextAnalysis.langStopsPredictedSql.linesIterator
+                    .mkString(" ")} AS cat
+         |  FROM base
+         |), p3 AS (
+         |  SELECT doc_id, ${TextAnalysis.langMarkersPredictedSql.linesIterator
+                    .mkString(" ")} AS cat
+         |  FROM base
+         |), allp AS (
+         |  SELECT * FROM p1 UNION ALL SELECT * FROM p2
+         |  UNION ALL SELECT * FROM p3
+         |), cnt AS (
+         |  SELECT doc_id, cat, COUNT(*) AS c FROM allp GROUP BY 1, 2
+         |), pd AS (
+         |  SELECT doc_id, SUM(c * c) AS s2 FROM cnt GROUP BY 1
+         |), t AS (
+         |  SELECT COUNT(*) AS n, CAST(SUM(s2 - 3) AS HUGEINT) AS ponum
+         |  FROM pd
+         |), pe AS (
+         |  SELECT SUM(CAST(ck AS HUGEINT) * ck) AS penum
+         |  FROM (SELECT cat, SUM(c) AS ck FROM cnt GROUP BY 1) ct
+         |)
+         |SELECT CAST(n AS BIGINT) AS n_docs,
+         |       ROUND(CAST(ponum AS DOUBLE) / (6.0 * n), 6) AS po,
+         |       ROUND(CAST(penum AS DOUBLE) / (9.0 * n * n), 6) AS pe,
+         |       ROUND((CAST(ponum AS DOUBLE) / (6.0 * n)
+         |              - CAST(penum AS DOUBLE) / (9.0 * n * n))
+         |             / (1.0 - CAST(penum AS DOUBLE) / (9.0 * n * n)), 6)
+         |         AS kappa
+         |FROM t, pe""".stripMargin,
+    ) { (s, dir) =>
+      fleissKappa(Tables(s, dir).documentsRebalanced)
+    },
+  )
+}

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{QueryEntry, Tables}
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -658,5 +658,171 @@ object Search {
       rrfFusion(s, dir, terms = Seq("join", "vector", "dup"),
         queryVecId = 42, k = 20, kFuse = 10)
     },
+
+    // q235 — nDCG@10 retrieval-quality eval: BM25 rankings for a fixed
+    // 5-query set graded against term-overlap relevance. Completes the
+    // eval triad (recall@k q169, fusion q190): is the RANKER any good,
+    // position-weighted? DuckDB re-derives every BM25 factor, both
+    // rankings (actual by rounded score, ideal by relevance), and the
+    // discounted sums.
+    QueryEntry.sql(
+      "q235_ndcg",
+      ndcgOracleSql,
+    ) { (s, dir) =>
+      ndcgAt10(s, dir)
+    },
   )
+
+  /** The fixed q235 query set: 5 queries × 3 fixture-vocabulary terms.
+    * (lazy: referenced during `entries` initialization, which textually
+    * precedes this definition.)
+    */
+  lazy val ndcgQueries: Seq[(Int, Seq[String])] = Seq(
+    1 -> Seq("join", "vector", "dup"),
+    2 -> Seq("hash", "merge", "sort"),
+    3 -> Seq("scan", "slow", "fast"),
+    4 -> Seq("table", "row", "key"),
+    5 -> Seq("spark", "batch", "window"))
+
+  /** Position discount 1/log2(p+1) on the exactness grid: both lns
+    * rounded at 7 dp BEFORE the division, the ratio re-rounded at 7 dp
+    * and carried as DECIMAL(18,7) so the discounted sums are order-free
+    * exact (the q173 ln-rounding pattern applied to a constant table).
+    */
+  private def discount(p: Column): Column =
+    round(round(log(lit(2.0)), 7) / round(log(p.cast(DoubleType) + 1), 7), 7)
+      .cast(DecimalType(18, 7))
+
+  /** nDCG@10 of BM25 vs graded term-overlap relevance (q235).
+    *
+    * Relevance rel(q,d) = #query terms present in d (0–3): crude, but
+    * DETERMINISTIC and integer — the point is oracling the ranking
+    * metric, not the judgment. Every doc with rel > 0 has BM25 > 0, so
+    * the actual and ideal pools coincide and nDCG = 1 iff the ranker
+    * orders by relevance.
+    *
+    * Scale shape: the q98 one-pass (doc, term) count frame feeds tf /
+    * df / dl; query terms and per-term dfs are broadcast (model-sized);
+    * both rankings come from k-bounded heaps per query (`topkScoreId` —
+    * ≤10 rows per map task per query, never a corpus-wide window); the
+    * discounted sums run over ≤10-row exploded heaps.
+    */
+  def ndcgAt10(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val toks = graft.sources.TokenizedCorpus.tokens(spark, dir)
+    val allTerms = ndcgQueries.flatMap(_._2).distinct
+    val counts = graft.TransientCaches.register(toks
+      .select(col("doc_id"), col("term").as("t"))
+      .groupBy("doc_id", "t").agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val dl = counts.groupBy("doc_id").agg(sum("c").as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n"), avg("dl").as("avgdl"))
+    val tf = counts.filter(col("t").isInCollection(allTerms))
+      .select(col("doc_id"), col("t"), col("c").as("tf"))
+    val df = tf.groupBy("t").agg(count(lit(1)).as("df"))
+    val qterms = ndcgQueries.flatMap { case (q, ts) => ts.map((q, _)) }
+      .toDF("qid", "t")
+    val scored = graft.TransientCaches.register(tf
+      .join(broadcast(qterms), "t")
+      .join(broadcast(df), "t")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log(lit(1) + (col("n") - col("df") + 0.5) / (col("df") + 0.5)))
+      .withColumn("contrib",
+        col("idf") * col("tf") * 2.2 /
+          (col("tf") + lit(1.2) * (lit(1) - 0.75 + lit(0.75) * col("dl") / col("avgdl"))))
+      // the RANKING key must be order-free: one 7dp rounding per
+      // (query, doc, term) contribution, then an exact DECIMAL sum —
+      // a raw double sum ranks differently between engines whenever
+      // addition order flips a low bit at a rank boundary (bit us at
+      // sf0.01; q98 only reports scores, q235 ranks on them).
+      .groupBy("qid", "doc_id")
+      .agg(sum(round(col("contrib"), 7).cast(DecimalType(18, 7))).as("sdec"),
+        count(lit(1)).cast(IntegerType).as("rel"))
+      .withColumn("score", col("sdec").cast(DoubleType))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    def top10(by: Column): DataFrame = scored.groupBy("qid")
+      .agg(graft.functions.GraftFunctions.topkScoreId(by, col("doc_id"), 10).as("top"))
+      .select(col("qid"), posexplode(col("top")))
+      .select(col("qid"), (col("pos") + 1).as("p"), col("col.id").as("doc_id"))
+    // gain must be a NARROW decimal: long × DECIMAL(18,7) exceeds
+    // precision 38 in Spark's product rule and silently drops the
+    // scale to 6, re-rounding every product; DECIMAL(10,0) × (18,7)
+    // fits at (29,7) and stays exact.
+    val gain = (pow(lit(2.0), col("rel")).cast(LongType) - 1)
+      .cast(DecimalType(10, 0))
+    val dcg = top10(col("score"))
+      .join(scored.select(col("qid"), col("doc_id"), col("rel")), Seq("qid", "doc_id"))
+      .groupBy("qid")
+      .agg(count(lit(1)).as("n_ranked"), sum(gain * discount(col("p"))).as("dcg"))
+    val idcg = top10(col("rel").cast(DoubleType))
+      .join(scored.select(col("qid"), col("doc_id"), col("rel")), Seq("qid", "doc_id"))
+      .groupBy("qid")
+      .agg(sum(gain * discount(col("p"))).as("idcg"))
+    // the discounted sums are EXACT decimals: round them at decimal
+    // precision (order- and repr-free in both engines), never after a
+    // double cast — ROUND(double) disagrees between the engines on
+    // half-way shortest-representation values.
+    dcg.join(idcg, "qid")
+      .select(col("qid"), col("n_ranked").cast(LongType).as("n_ranked"),
+        round(col("dcg"), 6).cast(DoubleType).as("dcg"),
+        round(col("idcg"), 6).cast(DoubleType).as("idcg"),
+        round(col("dcg").cast(DoubleType) / col("idcg").cast(DoubleType), 6)
+          .as("ndcg"))
+      .orderBy("qid")
+  }
+
+  /** DuckDB mirror of [[ndcgAt10]] — full BM25 + both rankings. */
+  private def ndcgOracleSql: String = {
+    val qvals = ndcgQueries.flatMap { case (q, ts) =>
+      ts.map(t => s"($q, '$t')")
+    }.mkString(", ")
+    val inList = ndcgQueries.flatMap(_._2).distinct
+      .map(t => s"'$t'").mkString(", ")
+    val disc = "CAST(ROUND(ROUND(ln(2), 7) / ROUND(ln(CAST(p + 1 AS DOUBLE)), 7), 7) AS DECIMAL(18,7))"
+    s"""WITH q(qid, t) AS (VALUES $qvals),
+       |tok AS (
+       |  SELECT doc_id,
+       |         unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS t
+       |  FROM documents
+       |), dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY 1),
+       |stats AS (SELECT COUNT(*) AS n, AVG(dl) AS avgdl FROM dl),
+       |tf AS (
+       |  SELECT doc_id, t, COUNT(*) AS tf FROM tok
+       |  WHERE t IN ($inList) GROUP BY 1, 2
+       |), df AS (SELECT t, COUNT(*) AS df FROM tf GROUP BY 1),
+       |scored AS (
+       |  SELECT q.qid, tf.doc_id,
+       |         SUM(CAST(ROUND(ln(1 + (stats.n - df.df + 0.5) / (df.df + 0.5))
+       |                        * tf.tf * 2.2
+       |                        / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / stats.avgdl)),
+       |                        7) AS DECIMAL(18,7))) AS score,
+       |         CAST(COUNT(*) AS INT) AS rel
+       |  FROM q JOIN tf USING (t) JOIN df USING (t) JOIN dl USING (doc_id), stats
+       |  GROUP BY 1, 2
+       |), ranked AS (
+       |  SELECT qid, doc_id, rel,
+       |         row_number() OVER (PARTITION BY qid
+       |                            ORDER BY score DESC, doc_id) AS p
+       |  FROM scored
+       |), dcg AS (
+       |  SELECT qid, COUNT(*) AS n_ranked,
+       |         SUM((CAST(POW(2, rel) AS BIGINT) - 1) * $disc) AS dcg
+       |  FROM ranked WHERE p <= 10 GROUP BY 1
+       |), ideal AS (
+       |  SELECT qid, doc_id, rel,
+       |         row_number() OVER (PARTITION BY qid
+       |                            ORDER BY rel DESC, doc_id) AS p
+       |  FROM scored
+       |), idcg AS (
+       |  SELECT qid, SUM((CAST(POW(2, rel) AS BIGINT) - 1) * $disc) AS idcg
+       |  FROM ideal WHERE p <= 10 GROUP BY 1
+       |)
+       |SELECT d.qid, CAST(d.n_ranked AS BIGINT) AS n_ranked,
+       |       CAST(ROUND(d.dcg, 6) AS DOUBLE) AS dcg,
+       |       CAST(ROUND(i.idcg, 6) AS DOUBLE) AS idcg,
+       |       ROUND(CAST(d.dcg AS DOUBLE) / CAST(i.idcg AS DOUBLE), 6) AS ndcg
+       |FROM dcg d JOIN idcg i USING (qid) ORDER BY qid""".stripMargin
+  }
 }

@@ -91,6 +91,71 @@ object TextAnalysis {
        |         ${sqlMarkerCount(markerFr)} * 3 + ${sqlStopCount(stopFr)} AS s_fr,
        |         ${sqlMarkerCount(markerZh)} * 3 + ${sqlStopCount(stopZh)} AS s_zh""".stripMargin
 
+  /** Stopword-evidence-only rater (q234's second annotator): the same
+    * argmax cascade as [[langPredicted]] with the orthographic-marker
+    * term dropped — what the classifier would say on ASCII-folded
+    * text. Shares [[langPredicted]]'s tie priority.
+    */
+  def langPredictedStops(text: Column): Column = {
+    val toks = tokens(text)
+    val sEn = stopCount(toks, stopEn)
+    val sEs = stopCount(toks, stopEs)
+    val sDe = stopCount(toks, stopDe)
+    val sFr = stopCount(toks, stopFr)
+    val sZh = stopCount(toks, stopZh)
+    when(sEn >= sEs && sEn >= sDe && sEn >= sFr && sEn >= sZh, "en")
+      .when(sEs >= sDe && sEs >= sFr && sEs >= sZh, "es")
+      .when(sDe >= sFr && sDe >= sZh, "de")
+      .when(sFr >= sZh, "fr")
+      .otherwise("zh")
+  }
+
+  /** Marker-evidence-only rater (q234's third annotator): orthography
+    * alone, no stopword fallback — en has no marker class, so it wins
+    * only through the tie priority when no marker fires at all.
+    */
+  def langPredictedMarkers(text: Column): Column = {
+    val sEs = markerCount(text, markerEs)
+    val sDe = markerCount(text, markerDe)
+    val sFr = markerCount(text, markerFr)
+    val sZh = markerCount(text, markerZh)
+    val zero = lit(0)
+    when(zero >= sEs && zero >= sDe && zero >= sFr && zero >= sZh, "en")
+      .when(sEs >= sDe && sEs >= sFr && sEs >= sZh, "es")
+      .when(sDe >= sFr && sDe >= sZh, "de")
+      .when(sFr >= sZh, "fr")
+      .otherwise("zh")
+  }
+
+  /** DuckDB mirror of [[langPredictedStops]] over columns `text`,
+    * `toks` — a self-contained CASE (no aliased score columns needed).
+    */
+  val langStopsPredictedSql: String = {
+    val en = sqlStopCount(stopEn); val es = sqlStopCount(stopEs)
+    val de = sqlStopCount(stopDe); val fr = sqlStopCount(stopFr)
+    val zh = sqlStopCount(stopZh)
+    s"""CASE
+       |  WHEN $en >= $es AND $en >= $de AND $en >= $fr AND $en >= $zh THEN 'en'
+       |  WHEN $es >= $de AND $es >= $fr AND $es >= $zh THEN 'es'
+       |  WHEN $de >= $fr AND $de >= $zh THEN 'de'
+       |  WHEN $fr >= $zh THEN 'fr'
+       |  ELSE 'zh'
+       |END""".stripMargin
+  }
+
+  /** DuckDB mirror of [[langPredictedMarkers]] over column `text`. */
+  val langMarkersPredictedSql: String = {
+    val es = sqlMarkerCount(markerEs); val de = sqlMarkerCount(markerDe)
+    val fr = sqlMarkerCount(markerFr); val zh = sqlMarkerCount(markerZh)
+    s"""CASE
+       |  WHEN 0 >= $es AND 0 >= $de AND 0 >= $fr AND 0 >= $zh THEN 'en'
+       |  WHEN $es >= $de AND $es >= $fr AND $es >= $zh THEN 'es'
+       |  WHEN $de >= $fr AND $de >= $zh THEN 'de'
+       |  WHEN $fr >= $zh THEN 'fr'
+       |  ELSE 'zh'
+       |END""".stripMargin
+  }
+
   /** Canonical text normalization — the cleanup pass that runs before
     * any dedup/fingerprint stage in a training pipeline: lowercase,
     * strip non-alphanumerics to spaces, collapse runs of spaces, trim.
