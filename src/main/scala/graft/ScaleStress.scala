@@ -97,6 +97,10 @@ object ScaleStress {
     "q222_recursive_rollup", // log-depth recursion over the user domain
     "q223_clustering_agreement", // two pair generations + CC + rollups
     "q227_stream_restart", // two stream lifetimes: machinery constant
+    // round-9 session-3 widening: new queries benching >1 s at sf0.1
+    "q230_line_dedup", // line frame + one freq join — expect linear
+    "q235_ndcg", // q98 count frame + broadcast terms + k-heaps — linear
+    "q236_pca_project", // q206 covariance pass dominates — linear in n
   )
 
   /** Per-table key-shift rules: every synthetic surrogate key column
