@@ -101,6 +101,7 @@ object ScaleStress {
     "q230_line_dedup", // line frame + one freq join — expect linear
     "q235_ndcg", // q98 count frame + broadcast terms + k-heaps — linear
     "q236_pca_project", // q206 covariance pass dominates — linear in n
+    "q240_robust_median_mad", // two histogram passes — linear, windows model-sized
   )
 
   /** Per-table key-shift rules: every synthetic surrogate key column

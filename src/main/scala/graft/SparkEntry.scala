@@ -76,6 +76,7 @@ object SparkEntry {
       sources.TimestampInstantOrc.entries ++
       sources.AvroRoundTrip.entries ++
       sources.OrcUnionType.entries ++
+      sources.ParquetBloom.entries ++
       sources.FileProvenance.entries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.

@@ -3,6 +3,7 @@ package graft.operators
 import graft.{QueryEntry, Tables}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.types.LongType
 
 /** Join-cardinality preflight — compute a prospective equi-join's
   * output size and skew profile WITHOUT executing the join: per-key
@@ -66,5 +67,77 @@ object Preflight {
       val li = Tables(s, dir).lineitem
       joinSize(li, "l_partkey", li, "l_partkey")
     },
+
+    // q239 — referential-integrity audit: per FK relation, child rows,
+    // null keys, and orphans (children whose key misses the parent) —
+    // the ingest-preflight a star-schema pipeline runs before trusting
+    // joins (an orphan silently DROPS rows from every inner join
+    // downstream; this measures the loss before it happens). DuckDB
+    // re-derives every count with NOT EXISTS semantics.
+    QueryEntry.sql(
+      "q239_fk_orphans",
+      """SELECT relation, CAST(child_rows AS BIGINT) AS child_rows,
+        |       CAST(null_keys AS BIGINT) AS null_keys,
+        |       CAST(orphans AS BIGINT) AS orphans
+        |FROM (
+        |  SELECT 'lineitem.l_orderkey->orders' AS relation,
+        |         (SELECT COUNT(*) FROM lineitem) AS child_rows,
+        |         (SELECT COUNT(*) FROM lineitem WHERE l_orderkey IS NULL) AS null_keys,
+        |         (SELECT COUNT(*) FROM lineitem l WHERE l.l_orderkey IS NOT NULL
+        |            AND NOT EXISTS (SELECT 1 FROM orders o
+        |                            WHERE o.o_orderkey = l.l_orderkey)) AS orphans
+        |  UNION ALL
+        |  SELECT 'lineitem.l_partkey->part',
+        |         (SELECT COUNT(*) FROM lineitem),
+        |         (SELECT COUNT(*) FROM lineitem WHERE l_partkey IS NULL),
+        |         (SELECT COUNT(*) FROM lineitem l WHERE l.l_partkey IS NOT NULL
+        |            AND NOT EXISTS (SELECT 1 FROM part p
+        |                            WHERE p.p_partkey = l.l_partkey))
+        |  UNION ALL
+        |  SELECT 'lineitem.l_suppkey->supplier',
+        |         (SELECT COUNT(*) FROM lineitem),
+        |         (SELECT COUNT(*) FROM lineitem WHERE l_suppkey IS NULL),
+        |         (SELECT COUNT(*) FROM lineitem l WHERE l.l_suppkey IS NOT NULL
+        |            AND NOT EXISTS (SELECT 1 FROM supplier s
+        |                            WHERE s.s_suppkey = l.l_suppkey))
+        |  UNION ALL
+        |  SELECT 'orders.o_custkey->customer',
+        |         (SELECT COUNT(*) FROM orders),
+        |         (SELECT COUNT(*) FROM orders WHERE o_custkey IS NULL),
+        |         (SELECT COUNT(*) FROM orders o WHERE o.o_custkey IS NOT NULL
+        |            AND NOT EXISTS (SELECT 1 FROM customer c
+        |                            WHERE c.c_custkey = o.o_custkey))
+        |) t ORDER BY relation""".stripMargin,
+    ) { (s, dir) =>
+      val t = Tables(s, dir)
+      fkAudit(Seq(
+        ("lineitem.l_orderkey->orders", t.lineitem, "l_orderkey", t.orders, "o_orderkey"),
+        ("lineitem.l_partkey->part", t.lineitem, "l_partkey", t.part, "p_partkey"),
+        ("lineitem.l_suppkey->supplier", t.lineitem, "l_suppkey", t.supplier, "s_suppkey"),
+        ("orders.o_custkey->customer", t.orders, "o_custkey", t.customer, "c_custkey")))
+    },
   )
+
+  /** Referential-integrity audit (q239): one row per FK relation.
+    *
+    * Scale shape: per relation, one column-pruned child scan feeding a
+    * count/null rollup and one LEFT ANTI join against the (distinct)
+    * parent key — Spark broadcasts the parent side when it's small
+    * (dims here) and falls back to a shuffled anti join at 100 TB
+    * parent sizes; nothing wider than the key column moves.
+    */
+  def fkAudit(rels: Seq[(String, DataFrame, String, DataFrame, String)]): DataFrame =
+    rels.map { case (name, child, key, parent, pkey) =>
+      val ck = child.select(col(key).as("k"))
+      val base = ck.agg(count(lit(1)).as("child_rows"),
+        sum(when(col("k").isNull, 1L).otherwise(0L)).as("null_keys"))
+      val orph = ck.filter(col("k").isNotNull)
+        .join(parent.select(col(pkey).as("k")), Seq("k"), "left_anti")
+        .agg(count(lit(1)).as("orphans"))
+      base.crossJoin(orph)
+        .select(lit(name).as("relation"),
+          col("child_rows").cast(LongType).as("child_rows"),
+          col("null_keys").cast(LongType).as("null_keys"),
+          col("orphans").cast(LongType).as("orphans"))
+    }.reduce(_ union _).orderBy("relation")
 }

@@ -76,5 +76,52 @@ object Redact {
         )
         .orderBy("doc_id")
     },
+
+    // q238 — multi-pattern substring scan (blocklist density): the
+    // content-policy filter that runs beside PII redaction — count
+    // non-overlapping occurrences of every blocklist pattern per doc
+    // (plain substrings, not word-bounded: policy terms cross token
+    // boundaries), flag docs whose hit density crosses 1 hit / 100
+    // chars, roll up per source. Pure integer arithmetic end to end:
+    // occurrences via the length-difference identity, the density
+    // threshold cross-multiplied (hits·100 ≥ n_chars), so both
+    // engines agree exactly at any scale. Scale shape: per-row codegen
+    // string work + one source-grouped aggregate.
+    QueryEntry.sql(
+      "q238_blocklist_density",
+      s"""WITH scored AS (
+         |  SELECT source, n_chars,
+         |         ${Redact.blocklist.map(p =>
+               s"(length(lower(text)) - length(replace(lower(text), '$p', ''))) // ${p.length}")
+               .mkString("\n         |         + ")} AS hits
+         |  FROM documents
+         |)
+         |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |       CAST(SUM(CASE WHEN hits * 100 >= n_chars THEN 1 ELSE 0 END)
+         |            AS BIGINT) AS flagged,
+         |       CAST(SUM(hits) AS BIGINT) AS total_hits
+         |FROM scored GROUP BY 1 ORDER BY source""".stripMargin,
+    ) { (s, dir) =>
+      val hits = blocklist.map(p =>
+        ((length(lower(col("text"))) -
+          length(expr(s"replace(lower(text), '$p', '')"))) / p.length)
+          .cast(LongType))
+        .reduce(_ + _)
+      Tables(s, dir).documentsRebalanced
+        .select(col("source"), col("n_chars"), hits.as("hits"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("hits") * 100 >= col("n_chars"), 1L).otherwise(0L))
+            .as("flagged"),
+          sum("hits").as("total_hits"))
+        .orderBy("source")
+    },
   )
+
+  /** The q238 blocklist: plain substrings over the fixture vocabulary
+    * (policy terms would be a config input at 100 TB — the mechanism,
+    * one scan for ALL patterns, is what's under test). Lazy: referenced
+    * during `entries` initialization, which textually precedes this.
+    */
+  lazy val blocklist: Seq[String] = Seq("agg", "spill", "slow", "dup")
 }

@@ -61,5 +61,98 @@ object Robust {
     ) { (s, dir) =>
       winsorizedStats(Tables(s, dir).events, 0.05, 0.95)
     },
+
+    // q240 — exact per-source median + MAD of document token counts:
+    // the robust center/spread pair outlier gates should use instead
+    // of mean/stddev (one 10M-token spam doc moves a mean, not a
+    // median). EXACT at any scale and cross-engine: medians come from
+    // rank arithmetic over the (source, token-count) HISTOGRAM — the
+    // cumulative walk runs over distinct count VALUES (bounded by max
+    // doc length, model-sized), never a per-doc sort — and every
+    // median is carried doubled (lo+hi order stats) so even-n halves
+    // stay integers until the final /2 and /4. DuckDB re-derives both
+    // histograms and all four order statistics.
+    QueryEntry.sql(
+      "q240_robust_median_mad",
+      """WITH per AS (
+        |  SELECT source,
+        |         CAST(len(regexp_split_to_array(trim(lower(text)), '\s+'))
+        |              AS BIGINT) AS n
+        |  FROM documents
+        |), h AS (
+        |  SELECT source, n, COUNT(*) AS c FROM per GROUP BY 1, 2
+        |), cum AS (
+        |  SELECT source, n, SUM(c) OVER (PARTITION BY source ORDER BY n) AS cum
+        |  FROM h
+        |), tot AS (SELECT source, COUNT(*) AS nt FROM per GROUP BY 1),
+        |m2 AS (
+        |  SELECT t.source,
+        |         (SELECT MIN(n) FROM cum WHERE cum.source = t.source
+        |            AND cum.cum >= (t.nt + 1) // 2)
+        |         + (SELECT MIN(n) FROM cum WHERE cum.source = t.source
+        |            AND cum.cum >= (t.nt + 2) // 2) AS m2
+        |  FROM tot t
+        |), dev AS (
+        |  SELECT p.source, ABS(2 * p.n - m2.m2) AS d
+        |  FROM per p JOIN m2 ON m2.source = p.source
+        |), dh AS (
+        |  SELECT source, d, COUNT(*) AS c FROM dev GROUP BY 1, 2
+        |), dcum AS (
+        |  SELECT source, d, SUM(c) OVER (PARTITION BY source ORDER BY d) AS cum
+        |  FROM dh
+        |), m4 AS (
+        |  SELECT t.source,
+        |         (SELECT MIN(d) FROM dcum WHERE dcum.source = t.source
+        |            AND dcum.cum >= (t.nt + 1) // 2)
+        |         + (SELECT MIN(d) FROM dcum WHERE dcum.source = t.source
+        |            AND dcum.cum >= (t.nt + 2) // 2) AS m4
+        |  FROM tot t
+        |)
+        |SELECT t.source, CAST(t.nt AS BIGINT) AS n_docs,
+        |       CAST(m2.m2 AS DOUBLE) / 2.0 AS median_tokens,
+        |       CAST(m4.m4 AS DOUBLE) / 4.0 AS mad_tokens
+        |FROM tot t JOIN m2 ON m2.source = t.source
+        |JOIN m4 ON m4.source = t.source
+        |ORDER BY t.source""".stripMargin,
+    ) { (s, dir) =>
+      robustMedianMad(Tables(s, dir).documentsRebalanced)
+    },
   )
+
+  /** Exact per-source median + MAD of token counts (q240) — see the
+    * entry comment for the doubled-order-stat histogram design.
+    */
+  def robustMedianMad(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val per = docs.select(col("source"),
+      size(TextAnalysis.tokens(col("text"))).cast("long").as("n"))
+    val tot = per.groupBy("source").agg(count(lit(1)).as("nt"))
+    val lo = (col("nt") + 1) / 2 // integer halves via floor on longs
+    val hi = (col("nt") + 2) / 2
+
+    // doubled median of `v` over frame f(source, v): histogram +
+    // cumulative walk over DISTINCT values (model-sized per source)
+    def doubledMedian(f: DataFrame, v: String, out: String): DataFrame = {
+      val h = f.groupBy("source", v).agg(count(lit(1)).as("c"))
+      val cum = h.withColumn("cum",
+        sum("c").over(Window.partitionBy("source").orderBy(v)))
+        .join(tot, "source")
+      val mLo = cum.filter(col("cum") >= floor(lo))
+        .groupBy("source").agg(min(v).as("mlo"))
+      val mHi = cum.filter(col("cum") >= floor(hi))
+        .groupBy("source").agg(min(v).as("mhi"))
+      mLo.join(mHi, "source")
+        .select(col("source"), (col("mlo") + col("mhi")).as(out))
+    }
+
+    val m2 = doubledMedian(per, "n", "m2")
+    val dev = per.join(m2, "source")
+      .select(col("source"), abs(lit(2) * col("n") - col("m2")).as("d"))
+    val m4 = doubledMedian(dev, "d", "m4")
+    tot.join(m2, "source").join(m4, "source")
+      .select(col("source"), col("nt").cast("long").as("n_docs"),
+        (col("m2").cast("double") / 2.0).as("median_tokens"),
+        (col("m4").cast("double") / 4.0).as("mad_tokens"))
+      .orderBy("source")
+  }
 }
