@@ -102,6 +102,7 @@ object ScaleStress {
     "q235_ndcg", // q98 count frame + broadcast terms + k-heaps — linear
     "q236_pca_project", // q206 covariance pass dominates — linear in n
     "q240_robust_median_mad", // two histogram passes — linear, windows model-sized
+    "q243_silhouette", // n·L·d scaled-long products, broadcast centroids — linear
   )
 
   /** Per-table key-shift rules: every synthetic surrogate key column

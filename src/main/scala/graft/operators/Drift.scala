@@ -362,7 +362,91 @@ object Drift {
     ) { (s, dir) =>
       ksDrift(Tables(s, dir).documents)
     },
+
+    // q243 — simplified (centroid-based) silhouette per label: the
+    // third leg of the cluster-quality triad (q159 drift, q161
+    // Davies–Bouldin) and the LINEAR silhouette variant — distance to
+    // own centroid vs nearest other centroid, never the O(n²)
+    // all-pairs form. Exactness: centroids from exact 1e7-grid integer
+    // sums (not float AVG), per-(vec, label) squared distances as
+    // order-free scaled-long sums, per-vec scores rounded once into
+    // DECIMAL for the label mean. DuckDB re-derives centroids, all
+    // n·|labels| distances, and every score.
+    QueryEntry.sql(
+      "q243_silhouette",
+      """WITH x AS (
+        |  SELECT vec_id, label,
+        |         generate_subscripts(embedding, 1) AS d,
+        |         unnest(embedding) AS v
+        |  FROM embeddings
+        |), cents AS (
+        |  SELECT label, d,
+        |         CAST(SUM(CAST(ROUND(CAST(v AS DOUBLE) * 10000000.0, 0)
+        |                       AS BIGINT)) AS DOUBLE)
+        |           / (10000000.0 * COUNT(*)) AS c
+        |  FROM x GROUP BY 1, 2
+        |), d2 AS (
+        |  SELECT x.vec_id, x.label AS own, cents.label AS l,
+        |         SUM(CAST(ROUND((CAST(x.v AS DOUBLE) - cents.c)
+        |                        * (CAST(x.v AS DOUBLE) - cents.c)
+        |                        * 10000000.0, 0) AS BIGINT)) AS d2
+        |  FROM x JOIN cents ON cents.d = x.d
+        |  GROUP BY 1, 2, 3
+        |), ab AS (
+        |  SELECT vec_id, own,
+        |         MAX(CASE WHEN l = own THEN d2 END) AS a,
+        |         MIN(CASE WHEN l <> own THEN d2 END) AS b
+        |  FROM d2 GROUP BY 1, 2
+        |), s AS (
+        |  SELECT own AS label,
+        |         CAST(ROUND(CAST(b - a AS DOUBLE)
+        |                    / CAST(GREATEST(a, b) AS DOUBLE), 6)
+        |              AS DECIMAL(18,6)) AS s
+        |  FROM ab
+        |)
+        |SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+        |       ROUND(CAST(SUM(s) AS DOUBLE) / COUNT(*), 6) + 0.0 AS mean_sil
+        |FROM s GROUP BY 1 ORDER BY label""".stripMargin,
+    ) { (s, dir) =>
+      silhouette(Tables(s, dir).embeddings)
+    },
   )
+
+  /** Simplified per-label silhouette (q243) — see the entry comment.
+    *
+    * Scale shape: one posexplode, one (label, dim)-grouped centroid
+    * pass, one broadcast join of the model-sized centroid table
+    * (|labels|·d rows) against the component stream (n·d·|labels|
+    * scaled-long products through map-side combine), then per-vec
+    * min/max over |labels| rows and one label-grouped mean. Linear in
+    * n — the all-pairs silhouette this replaces is O(n²).
+    */
+  def silhouette(emb: DataFrame): DataFrame = {
+    val S = 1e7
+    val x = emb.select(col("vec_id"), col("label").as("own"),
+      posexplode(col("embedding")).as(Seq("d", "v")))
+    val cents = x.groupBy(col("own").as("l"), col("d"))
+      .agg((sum(round(col("v").cast(DoubleType) * S, 0).cast(LongType))
+        .cast(DoubleType) / (lit(S) * count(lit(1)))).as("c"))
+    val diff = col("v").cast(DoubleType) - col("c")
+    val d2 = x.join(broadcast(cents), Seq("d"))
+      .groupBy("vec_id", "own", "l")
+      .agg(sum(round(diff * diff * S, 0).cast(LongType)).as("d2"))
+    val ab = d2.groupBy("vec_id", "own")
+      .agg(max(when(col("l") === col("own"), col("d2"))).as("a"),
+        min(when(col("l") =!= col("own"), col("d2"))).as("b"))
+    val sc = round((col("b") - col("a")).cast(DoubleType) /
+      greatest(col("a"), col("b")).cast(DoubleType), 6)
+      .cast(DecimalType(18, 6))
+    ab.select(col("own").as("label"), sc.as("s"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_vecs"),
+        (round(sum("s").cast(DoubleType) / count(lit(1)), 6) + lit(0.0))
+          .as("mean_sil"))
+      .select(col("label"), col("n_vecs").cast(LongType).as("n_vecs"),
+        col("mean_sil"))
+      .orderBy("label")
+  }
 
   /** Per-source two-sample KS vs the corpus over `n_chars` (q214). */
   def ksDrift(docs: DataFrame): DataFrame = {

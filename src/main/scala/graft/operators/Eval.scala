@@ -165,6 +165,88 @@ object Eval {
       round((po - peD) / (lit(1.0) - peD), 6).as("kappa"))
   }
 
+  /** Poisson(1) CDF thresholds on the 2^53 uniform grid (q241):
+    * P(≤k)·2^53 rounded once at codegen time — both engines compare
+    * the same integers, so every bootstrap weight is exact.
+    */
+  val poissonThresholds: Seq[Long] = Seq(
+    3313563428353948L, 6627126856707896L, 8283908570884870L,
+    8836169142277195L, 8974234285125276L, 9001847313694892L)
+
+  /** Bootstrap replica count (q241). */
+  val bootstrapB = 64
+
+  /** One-pass Poisson bootstrap CI for the corpus mean token count
+    * (q241): every (doc, replica) pair draws a deterministic
+    * Poisson(1) weight from the pinned SplitMix64 hash (inverse-CDF on
+    * the 53-bit uniform — the q211 grid), so all B replica sums
+    * accumulate in ONE scan with map-side combine to B keys; replica
+    * means sort on a B-row frame for the nearest-rank 2.5/97.5%
+    * interval. This is the production-shaped bootstrap: resampling by
+    * per-row weights, never by materializing B copies of the corpus
+    * (Poisson bootstrap à la Chamandy et al., 2012).
+    */
+  def bootstrapCi(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import org.apache.spark.sql.expressions.Window
+    val per = docs.select(col("doc_id"),
+      size(TextAnalysis.tokens(col("text"))).cast(LongType).as("x"))
+    val u53 = shiftrightunsigned(
+      graft.functions.GraftFunctions.splitmix64(
+        col("doc_id") * bootstrapB + col("b")), 11)
+    val w = poissonThresholds.map(t => when(u53 >= t, 1L).otherwise(0L))
+      .reduce(_ + _)
+    val reps = per.select(col("doc_id"), col("x"),
+        explode(sequence(lit(0), lit(bootstrapB - 1))).as("b"))
+      .select(col("b"), col("x"), w.as("w"))
+      .groupBy("b")
+      .agg(sum(col("w") * col("x")).as("sx"), sum("w").as("nw"))
+      .select(col("b"),
+        round(col("sx").cast(DoubleType) / col("nw"), 6).as("m"))
+    // nearest-rank percentile over the B-row replica frame (model-sized)
+    val ranked = reps.withColumn("r",
+      row_number().over(Window.orderBy(col("m"), col("b"))))
+    val lo = ranked.filter(col("r") === 2).select(col("m").as("ci_lo"))
+    val hi = ranked.filter(col("r") === bootstrapB - 1).select(col("m").as("ci_hi"))
+    val full = per.agg(count(lit(1)).as("n"),
+      round(sum("x").cast(DoubleType) / count(lit(1)), 6).as("mean_tokens"))
+    full.crossJoin(broadcast(lo)).crossJoin(broadcast(hi))
+      .select(col("n").cast(LongType).as("n"), lit(bootstrapB).as("b_replicas"),
+        col("mean_tokens"), col("ci_lo"), col("ci_hi"))
+  }
+
+  /** Wilson score intervals (q242): per-source low-quality rate
+    * (grid score < 0.5) with the 95% Wilson CI — the uncertainty a
+    * scorecard should carry before anyone compares two sources whose
+    * doc counts differ by 100×. All inputs are exact integers; the
+    * closed form is evaluated in identical term order in both engines.
+    */
+  def wilsonCi(docs: DataFrame): DataFrame = {
+    // z² pinned as the LITERAL 3.8416, not the double product
+    // 1.96*1.96 — the product differs from the decimal literal by an
+    // ulp and DuckDB would parse its side as exact DECIMAL.
+    val z2 = lit(3.8416)
+    val scored = docs.select(col("source"),
+      round(TextAnalysis.qualityScore(
+        TextAnalysis.tokens(col("text")), col("n_chars")) * S, 0)
+        .cast(LongType).as("si"))
+    val per = scored.groupBy("source")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("si") < S / 2, 1L).otherwise(0L)).as("k"))
+    val nD = col("n").cast(DoubleType)
+    val p = col("k").cast(DoubleType) / nD
+    val denom = lit(1.0) + z2 / nD
+    val center = (p + z2 / (lit(2.0) * nD)) / denom
+    val half = lit(1.96) * sqrt(p * (lit(1.0) - p) / nD +
+      z2 / (lit(4.0) * nD * nD)) / denom
+    per.select(col("source"), col("n").cast(LongType).as("n"),
+        col("k").cast(LongType).as("k"),
+        round(p, 6).as("rate"),
+        round(center - half, 6).as("ci_lo"),
+        round(center + half, 6).as("ci_hi"))
+      .orderBy("source")
+  }
+
   val entries: Seq[QueryEntry] = Seq(
     // q232 — exact tie-aware Mann–Whitney AUC; DuckDB re-derives the
     // grid scores, the per-score (pos, neg) split, the cumulative
@@ -267,6 +349,83 @@ object Eval {
          |FROM t, pe""".stripMargin,
     ) { (s, dir) =>
       fleissKappa(Tables(s, dir).documentsRebalanced)
+    },
+
+    // q241 — one-pass Poisson bootstrap CI; DuckDB replays every
+    // (doc, replica) hash, weight draw, replica mean, and the
+    // nearest-rank interval.
+    QueryEntry.sql(
+      "q241_bootstrap_ci",
+      s"""WITH per AS (
+         |  SELECT doc_id,
+         |         CAST(len(regexp_split_to_array(trim(lower(text)), '\\s+'))
+         |              AS BIGINT) AS x
+         |  FROM documents
+         |), u AS (
+         |  SELECT b, x,
+         |         ${graft.operators.Hll.splitmixSqlFor(s"(doc_id * $bootstrapB + b)")} >> 11
+         |           AS u53
+         |  FROM per, (SELECT unnest(range($bootstrapB)) AS b)
+         |), reps AS (
+         |  SELECT b, x,
+         |         ${poissonThresholds.map(t =>
+               s"(CASE WHEN u53 >= $t THEN 1 ELSE 0 END)").mkString("\n         |         + ")}
+         |           AS w
+         |  FROM u
+         |), m AS (
+         |  SELECT b, ROUND(CAST(SUM(w * x) AS DOUBLE) / SUM(w), 6) AS m
+         |  FROM reps GROUP BY 1
+         |), ranked AS (
+         |  SELECT m, row_number() OVER (ORDER BY m, b) AS r FROM m
+         |), f AS (
+         |  SELECT COUNT(*) AS n,
+         |         ROUND(CAST(SUM(x) AS DOUBLE) / COUNT(*), 6) AS mean_tokens
+         |  FROM per
+         |)
+         |SELECT CAST(n AS BIGINT) AS n, $bootstrapB AS b_replicas, mean_tokens,
+         |       (SELECT m FROM ranked WHERE r = 2) AS ci_lo,
+         |       (SELECT m FROM ranked WHERE r = ${bootstrapB - 1}) AS ci_hi
+         |FROM f""".stripMargin,
+    ) { (s, dir) =>
+      bootstrapCi(Tables(s, dir).documentsRebalanced)
+    },
+
+    // q242 — Wilson 95% intervals for per-source low-quality rates;
+    // DuckDB re-derives the grid scores, the counts, and the closed
+    // form in the identical term order.
+    QueryEntry.sql(
+      "q242_wilson_ci",
+      s"""WITH tok AS (
+         |  SELECT source, n_chars,
+         |         regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+         |  FROM documents
+         |), sc AS (
+         |  SELECT source,
+         |         CAST(ROUND((${TextAnalysis.qualityScoreSql}
+         |           ) * ${S}.0, 0) AS BIGINT) AS si
+         |  FROM tok
+         |), per AS (
+         |  SELECT source, COUNT(*) AS n,
+         |         SUM(CASE WHEN si < ${S / 2} THEN 1 ELSE 0 END) AS k
+         |  FROM sc GROUP BY 1
+         |)
+         |SELECT source, CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS k,
+         |       ROUND(CAST(k AS DOUBLE) / n, 6) AS rate,
+         |       ROUND((CAST(k AS DOUBLE) / n + 3.8416 / (2.0 * n))
+         |               / (1.0 + 3.8416 / n)
+         |             - 1.96 * sqrt(CAST(k AS DOUBLE) / n
+         |                           * (1.0 - CAST(k AS DOUBLE) / n) / n
+         |                           + 3.8416 / (4.0 * n * n))
+         |               / (1.0 + 3.8416 / n), 6) AS ci_lo,
+         |       ROUND((CAST(k AS DOUBLE) / n + 3.8416 / (2.0 * n))
+         |               / (1.0 + 3.8416 / n)
+         |             + 1.96 * sqrt(CAST(k AS DOUBLE) / n
+         |                           * (1.0 - CAST(k AS DOUBLE) / n) / n
+         |                           + 3.8416 / (4.0 * n * n))
+         |               / (1.0 + 3.8416 / n), 6) AS ci_hi
+         |FROM per ORDER BY source""".stripMargin,
+    ) { (s, dir) =>
+      wilsonCi(Tables(s, dir).documentsRebalanced)
     },
   )
 }

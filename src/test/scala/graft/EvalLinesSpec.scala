@@ -167,6 +167,72 @@ class EvalLinesSpec extends SparkSpec {
     }
   }
 
+  test("q241 bootstrap CI brackets the point estimate; weights are Poisson(1)-shaped") {
+    val r = run("q241_bootstrap_ci").head()
+    val mean = r.getAs[Double]("mean_tokens")
+    assert(r.getAs[Double]("ci_lo") <= mean && mean <= r.getAs[Double]("ci_hi"))
+    assert(r.getAs[Int]("b_replicas") == 64)
+    // weight distribution sanity: mean weight over all (doc, replica)
+    // pairs ≈ 1 (Poisson(1)), within 5%
+    val n = r.getAs[Long]("n")
+    val docs = Tables(spark, sf).documents
+    val u53 = shiftrightunsigned(graft.functions.GraftFunctions.splitmix64(
+      col("doc_id") * 64 + col("b")), 11)
+    val w = graft.operators.Eval.poissonThresholds
+      .map(t => when(u53 >= t, 1L).otherwise(0L)).reduce(_ + _)
+    val meanW = docs.select(col("doc_id"),
+        explode(sequence(lit(0), lit(63))).as("b"))
+      .select(w.as("w")).agg(avg("w")).head().getDouble(0)
+    assert(math.abs(meanW - 1.0) < 0.05, s"mean weight $meanW over ${n * 64} draws")
+  }
+
+  test("q242 Wilson intervals contain the rate and behave at the extremes") {
+    val rows = run("q242_wilson_ci").collect()
+    rows.foreach { r =>
+      val (lo, hi) = (r.getAs[Double]("ci_lo"), r.getAs[Double]("ci_hi"))
+      val rate = r.getAs[Double]("rate")
+      assert(lo >= 0.0 - 1e-9 && hi <= 1.0 + 1e-9, r.toString)
+      assert(lo <= rate && rate <= hi, r.toString)
+      // Wilson is never degenerate: hi > lo even at k = 0 or k = n
+      assert(hi > lo, r.toString)
+    }
+  }
+
+  test("q243 silhouette stays in [-1, 1] and matches a driver brute force") {
+    val rows = run("q243_silhouette").collect()
+    rows.foreach(r => {
+      val s = r.getAs[Double]("mean_sil")
+      assert(s >= -1.0 && s <= 1.0, r.toString)
+    })
+    // brute force on the collected fixture (500 × 64 at sf0.001)
+    val emb = Tables(spark, sf).embeddings
+      .select(col("label"), col("embedding")).as[(Int, Array[Float])].collect()
+    val byLabel = emb.groupBy(_._1)
+    val cents = byLabel.map { case (l, vs) =>
+      val d = vs.head._2.length
+      l -> Array.tabulate(d) { j =>
+        vs.map(v => math.rint(v._2(j).toDouble * 1e7)).sum / 1e7 / vs.length
+      }
+    }
+    def d2(v: Array[Float], c: Array[Double]): Long =
+      v.zip(c).map { case (x, m) =>
+        math.rint((x.toDouble - m) * (x.toDouble - m) * 1e7).toLong
+      }.sum
+    val want = emb.map { case (l, v) =>
+      val a = d2(v, cents(l))
+      val b = cents.filter(_._1 != l).map(c => d2(v, c._2)).min
+      val s = BigDecimal((b - a).toDouble / math.max(a, b).toDouble)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      (l, s)
+    }.groupBy(_._1).map { case (l, ss) =>
+      l -> (ss.map(_._2).sum / ss.length).toDouble
+    }
+    rows.foreach { r =>
+      val w = want(r.getAs[Int]("label"))
+      assert(math.abs(r.getAs[Double]("mean_sil") - w) < 1e-5, s"${r.toString} vs $w")
+    }
+  }
+
   /** Priority argmax: first lang in list order reaching the max wins —
     * the cascade semantics of the engine's CASE chains.
     */
