@@ -615,5 +615,76 @@ object Curation {
     ) { (s, dir) =>
       gopherRepetition(TokenizedCorpus.tokens(s, dir))
     },
+
+    // q244 — T5-style span corruption preparation: deterministic
+    // ~15% masking in 3-token blocks, adjacent masked blocks merged
+    // into spans, each span replaced by ONE sentinel in the corrupted
+    // text (the denoising-objective transform a pretraining pipeline
+    // applies to every document). Mask decisions come from the pinned
+    // SplitMix64 of (doc_id, block) — span structure needs no window:
+    // a block's span-start flag just re-hashes its LEFT NEIGHBOR.
+    // DuckDB replays every hash, block decision, span merge, and the
+    // order-preserving reconstruction md5.
+    QueryEntry.sql(
+      "q244_span_corruption",
+      s"""WITH tok AS (
+         |  SELECT doc_id, pos - 1 AS p, t FROM (
+         |    SELECT doc_id, generate_subscripts(arr, 1) AS pos,
+         |           unnest(arr) AS t
+         |    FROM (SELECT doc_id,
+         |                 regexp_split_to_array(trim(lower(text)), '\\s+') AS arr
+         |          FROM documents) a)
+         |), fl AS (
+         |  SELECT doc_id, p, t,
+         |         (${graft.operators.Hll.splitmixSqlFor(
+                      "(doc_id * 1048576 + (p // 3))")} >> 11) % 100 < 15 AS m,
+         |         CASE WHEN p // 3 = 0 THEN TRUE
+         |              ELSE NOT ((${graft.operators.Hll.splitmixSqlFor(
+                      "(doc_id * 1048576 + (p // 3) - 1)")} >> 11) % 100 < 15)
+         |         END AS prev_un
+         |  FROM tok
+         |)
+         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         |       CAST(SUM(CASE WHEN m THEN 1 ELSE 0 END) AS BIGINT) AS n_masked,
+         |       CAST(SUM(CASE WHEN m AND prev_un AND p % 3 = 0
+         |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_spans,
+         |       md5(string_agg(
+         |             CASE WHEN NOT m THEN t
+         |                  WHEN prev_un AND p % 3 = 0 THEN '<x>' END,
+         |             ' ' ORDER BY p)) AS corrupted_md5
+         |FROM fl GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    ) { (s, dir) =>
+      spanCorruption(Tables(s, dir).documentsRebalanced)
+    },
   )
+
+  /** T5-style span corruption report (q244) — see the entry comment.
+    *
+    * Scale shape: one posexplode, pure per-token codegen hash work
+    * (TWO SplitMix evaluations per token — self and left-neighbor
+    * block — instead of any lag window), one doc-grouped rebuild
+    * bounded by document length. (doc_id·2^20 + block) is injective
+    * while blocks < 2^20 ≈ 3M-token docs — the q202 packing rule.
+    */
+  def spanCorruption(docs: DataFrame): DataFrame = {
+    def masked(block: org.apache.spark.sql.Column) =
+      shiftrightunsigned(GraftFunctions.splitmix64(
+        col("doc_id") * 1048576L + block), 11) % 100 < 15
+    val b = expr("p div 3")
+    val tok = docs.select(col("doc_id"),
+      posexplode(TextAnalysis.tokens(col("text"))).as(Seq("p", "t")))
+    val fl = tok.select(col("doc_id"), col("p"), col("t"),
+      masked(b).as("m"),
+      when(b === 0, lit(true)).otherwise(!masked(b - 1)).as("prev_un"))
+    val spanStart = col("m") && col("prev_un") && col("p") % 3 === 0
+    fl.groupBy("doc_id")
+      .agg(count(lit(1)).cast(LongType).as("n_tokens"),
+        sum(when(col("m"), 1L).otherwise(0L)).cast(LongType).as("n_masked"),
+        sum(when(spanStart, 1L).otherwise(0L)).cast(LongType).as("n_spans"),
+        md5(concat_ws(" ", transform(
+          array_sort(collect_list(when(!col("m"), struct(col("p"), col("t")))
+            .when(spanStart, struct(col("p"), lit("<x>").as("t"))))),
+          r => r.getField("t")))).as("corrupted_md5"))
+      .orderBy("doc_id")
+  }
 }

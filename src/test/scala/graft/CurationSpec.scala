@@ -301,4 +301,49 @@ class CurationSpec extends SparkSpec {
     assert(mean(en) > mean(rest),
       s"DSIR should rank the target slice higher: ${mean(en)} vs ${mean(rest)}")
   }
+
+  // -- span corruption (q244) ----------------------------------------
+
+  test("q244 mask rate is ~15% corpus-wide and spans merge adjacent blocks") {
+    val rows = run("q244_span_corruption").collect()
+    val nTok = rows.map(_.getAs[Long]("n_tokens")).sum
+    val nMask = rows.map(_.getAs[Long]("n_masked")).sum
+    val rate = nMask.toDouble / nTok
+    assert(rate > 0.10 && rate < 0.20, s"mask rate $rate")
+    rows.foreach { r =>
+      val (m, sp, t) = (r.getAs[Long]("n_masked"), r.getAs[Long]("n_spans"),
+        r.getAs[Long]("n_tokens"))
+      assert(m <= t && sp <= (m + 2) / 3 + 1, r.toString)
+      assert((m == 0) == (sp == 0), r.toString)
+      assert(r.getAs[String]("corrupted_md5") != null)
+    }
+  }
+
+  test("q244 reconstruction matches a driver-side replay for every doc") {
+    val rows = run("q244_span_corruption").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("corrupted_md5")).toMap
+    val docs = Tables(spark, sf).documents
+      .select(col("doc_id"), col("text")).as[(Long, String)].collect()
+    def mix(x: Long): Long = {
+      var z = x + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    def masked(doc: Long, b: Long): Boolean =
+      java.lang.Long.remainderUnsigned(mix(doc * 1048576L + b) >>> 11, 100) < 15
+    docs.foreach { case (id, text) =>
+      val toks = text.trim.toLowerCase.split("\\s+")
+      val parts = toks.zipWithIndex.flatMap { case (t, p) =>
+        val b = p / 3
+        if (!masked(id, b)) Some(t)
+        else if (p % 3 == 0 && (b == 0 || !masked(id, b - 1))) Some("<x>")
+        else None
+      }
+      val md5 = java.security.MessageDigest.getInstance("MD5")
+        .digest(parts.mkString(" ").getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      assert(rows(id) == md5, s"doc $id")
+    }
+  }
 }
