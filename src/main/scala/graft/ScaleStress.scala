@@ -103,6 +103,8 @@ object ScaleStress {
     "q236_pca_project", // q206 covariance pass dominates — linear in n
     "q240_robust_median_mad", // two histogram passes — linear, windows model-sized
     "q243_silhouette", // n·L·d scaled-long products, broadcast centroids — linear
+    "q245_stream_late_data", // stream machinery constant; windowed data path linear
+    "q247_nprobe_sweep", // 3x q169: broadcast probes x corpus — linear
   )
 
   /** Per-table key-shift rules: every synthetic surrogate key column

@@ -65,6 +65,7 @@ object SparkEntry {
       operators.SetJoin.entries ++
       operators.Lines.entries ++
       operators.Eval.entries ++
+      operators.Folds.entries ++
       sources.OrcRoundTrip.entries ++
       sources.SchemaEvolution.entries ++
       sources.CorruptJsonl.entries ++

@@ -457,6 +457,35 @@ object EventsOps {
       graft.streaming.StreamingEvents.runSessionFeedToCompletion(s, dir)
     },
 
+    // q245 — late-data accounting EXECUTED BY A STREAM under the gate:
+    // the 5-file feed replays quartile 0 as its LAST file, so every
+    // replayed row arrives weeks below the 90-minute watermark and
+    // must be dropped, and append mode must emit exactly the windows
+    // the final watermark finalized. The oracle recomputes both
+    // effects from scratch: hourly counts over the ORIGINAL events
+    // only (a leaked late row inflates a count), restricted to windows
+    // whose end ≤ the final watermark ((max_ms − 90 min) in Spark's
+    // millisecond watermark arithmetic — micros floor-divided, then
+    // re-scaled). Either semantic drifting breaks the hash.
+    QueryEntry.sql(
+      "q245_stream_late_data",
+      """WITH wm AS (
+        |  SELECT ((MAX(epoch_us(CAST(ts AS TIMESTAMP))) // 1000) - 5400000)
+        |           * 1000 AS wm_us
+        |  FROM events
+        |)
+        |SELECT strftime(date_trunc('hour', CAST(ts AS TIMESTAMP)),
+        |                '%Y-%m-%d %H:%M') AS w,
+        |       event_type, COUNT(*) AS cnt
+        |FROM events, wm
+        |WHERE epoch_us(date_trunc('hour', CAST(ts AS TIMESTAMP)))
+        |      + 3600000000 <= wm.wm_us
+        |GROUP BY 1, 2, wm.wm_us
+        |ORDER BY w, event_type""".stripMargin,
+    ) { (s, dir) =>
+      graft.streaming.StreamingEvents.runLateDataToCompletion(s, dir)
+    },
+
     // Stream-STREAM interval join executed under the gate (q212): both
     // sides stream from the 4-file time feed, pairs buffer across
     // micro-batch boundaries; the oracle is the from-scratch range

@@ -459,6 +459,107 @@ object Ivf {
        |ORDER BY pr.q_id""".stripMargin
   }
 
+  /** nprobe cost–recall sweep (q247): the index-tuning curve an ANN
+    * deployment reads before pinning nprobe — per probed-list count,
+    * MEAN recall@k against exact brute force and the fraction of the
+    * corpus actually scored. One row per nprobe level; recall rises
+    * with candidate cost, and the sweep quantifies the trade the
+    * single-point q169 cannot.
+    *
+    * Scale shape: three reuses of the q169 machinery (staged index,
+    * broadcast 10-probe side, windowed brute force) plus one COUNT of
+    * each candidate join — nothing new materializes; the brute-force
+    * leg is shared semantics with q169 and stays a broadcast × corpus
+    * scan.
+    */
+  def nprobeSweep(spark: org.apache.spark.sql.SparkSession, dir: String,
+      nps: Seq[Int] = Seq(1, 3, 8), k: Int = 5): DataFrame = {
+    val emb = Tables(spark, dir).embeddings
+    val lists = stagedLists(spark, dir)
+    val cents = stagedCentroids(spark, dir)
+    val probes = emb.filter(col("vec_id") < 10)
+    val total = emb.count() // model-sized scalar: the corpus row count
+    val per = nps.map { np =>
+      val rec = annRecall(spark, dir, np, k)
+        .agg(count(lit(1)).as("nq"), sum("n_overlap").as("ov"))
+      val pl = probeRanked(probes, cents, np)
+        .withColumn("cluster", explode(col("pc")))
+        .select("q_id", "cluster")
+      val cand = broadcast(pl)
+        .join(lists.select("vec_id", "cluster"), Seq("cluster"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .agg(count(lit(1)).as("nc"))
+      rec.crossJoin(cand).select(
+        lit(np).as("nprobe"),
+        col("nq").cast(LongType).as("n_queries"),
+        col("ov").cast(LongType).as("sum_overlap"),
+        round(col("ov").cast(DoubleType) / (lit(k) * col("nq")), 6)
+          .as("mean_recall"),
+        round(col("nc").cast(DoubleType) /
+          (col("nq") * lit((total - 1).toDouble)), 6).as("cand_frac"))
+    }
+    per.reduce(_ union _).orderBy("nprobe")
+  }
+
+  /** DuckDB mirror of [[nprobeSweep]]: one full q169-style block per
+    * nprobe level (quantizer inlined, both searches re-executed, the
+    * candidate join counted), UNION ALL'd.
+    */
+  def nprobeSweepOracleSql(spark: org.apache.spark.sql.SparkSession,
+      dir: String, nps: Seq[Int] = Seq(1, 3, 8), k: Int = 5,
+      nClusters: Int = 16, iters: Int = 3): String = {
+    val cents = fittedCentroids(Tables(spark, dir).embeddings, nClusters, iters)
+    val dim = cents.head.length
+    val blocks = nps.map { np =>
+      s"""SELECT * FROM (
+         |WITH ${coarseCtes(spark, dir, np, nClusters, iters)}, cand AS (
+         |  SELECT p.q_id, co.vec_id,
+         |         ROUND((${dotChain2("p.q_emb", "co.embedding", dim)})
+         |               / sqrt(p.nq * co.ne), 6) AS score
+         |  FROM probes p JOIN corpus co ON co.cluster = p.pcluster
+         |  WHERE co.vec_id <> p.q_id
+         |), ivfk AS (
+         |  SELECT q_id, vec_id FROM (
+         |    SELECT q_id, vec_id,
+         |           row_number() OVER (PARTITION BY q_id
+         |                              ORDER BY score DESC, vec_id) AS rank
+         |    FROM cand) WHERE rank <= $k
+         |), bprobes AS (
+         |  SELECT vec_id AS q_id, embedding AS q_emb, na AS nq
+         |  FROM ranked_c WHERE rn = 1 AND vec_id < 10
+         |), bcand AS (
+         |  SELECT p.q_id, co.vec_id,
+         |         ROUND((${dotChain2("p.q_emb", "co.embedding", dim)})
+         |               / sqrt(p.nq * co.ne), 6) AS score
+         |  FROM bprobes p JOIN corpus co ON co.vec_id <> p.q_id
+         |), btopk AS (
+         |  SELECT q_id, vec_id FROM (
+         |    SELECT q_id, vec_id,
+         |           row_number() OVER (PARTITION BY q_id
+         |                              ORDER BY score DESC, vec_id) AS rank
+         |    FROM bcand) WHERE rank <= $k
+         |), ov AS (
+         |  SELECT i.q_id, COUNT(*) AS n
+         |  FROM ivfk i JOIN btopk b ON b.q_id = i.q_id AND b.vec_id = i.vec_id
+         |  GROUP BY i.q_id
+         |), rec AS (
+         |  SELECT COUNT(*) AS nq,
+         |         CAST(SUM(COALESCE(ov.n, 0)) AS BIGINT) AS ov
+         |  FROM (SELECT DISTINCT q_id FROM bprobes) pr
+         |  LEFT JOIN ov ON ov.q_id = pr.q_id
+         |), nc AS (SELECT COUNT(*) AS nc FROM cand)
+         |SELECT $np AS nprobe, CAST(nq AS BIGINT) AS n_queries,
+         |       ov AS sum_overlap,
+         |       ROUND(CAST(ov AS DOUBLE) / ($k * nq), 6) AS mean_recall,
+         |       ROUND(CAST(nc AS DOUBLE) /
+         |             (nq * CAST((SELECT COUNT(*) - 1 FROM embeddings)
+         |                        AS DOUBLE)), 6) AS cand_frac
+         |FROM rec, nc
+         |)""".stripMargin
+    }
+    blocks.mkString("\nUNION ALL\n") + "\nORDER BY nprobe"
+  }
+
   /** Adaptive cluster count for corpus-wide pair generation: K = ⌈√n⌉
     * (floored at the fixture's 16) is the published SemDeDup operating
     * point — with K ∝ √n and a bounded assignment fan-out, both the
@@ -929,6 +1030,16 @@ object Ivf {
       annRecallOracleSql(s, dir, nprobe = 3, k = 5)
     } { (s, dir) =>
       annRecall(s, dir, nprobe = 3, k = 5)
+    },
+
+    // q247 — the nprobe cost–recall SWEEP over {1, 3, 8}: q169 is one
+    // operating point; this is the tuning curve (mean recall AND the
+    // scored-candidate fraction per level). DuckDB re-executes all
+    // three IVF searches, the brute force, and each candidate count.
+    QueryEntry.dynamicSql("q247_nprobe_sweep") { (s, dir) =>
+      nprobeSweepOracleSql(s, dir)
+    } { (s, dir) =>
+      nprobeSweep(s, dir)
     },
 
     // q170 — ANN-backed embed near-dup: q22's output contract through

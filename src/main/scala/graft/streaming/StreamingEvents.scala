@@ -690,6 +690,67 @@ object StreamingEvents {
     feedDir
   }
 
+  /** 5-file feed for the late-data entry (q245): the 4 time-quartiles
+    * in mtime order PLUS a LATE file — a verbatim replay of quartile 0
+    * staged with the NEWEST mtime, so it arrives after the watermark
+    * has advanced ~3 weeks past its event times. Every replayed row
+    * must be dropped by the watermark; a single leaked row inflates a
+    * count and breaks the oracle hash.
+    */
+  private[graft] def stagedLateFeed(spark: SparkSession, dir: String): String = {
+    val feedDir = graft.sources.Staging.fingerprintPath(
+      "graft_events_feed", dir, "events.parquet", "events5late")
+    graft.sources.Staging.ensureStaged(feedDir) {
+      val ordered = stagedTimeOrderedFeed(spark, dir)
+      (0 until 4).foreach { k =>
+        graft.sources.Staging.copyInto(
+          f"$ordered/quartile_$k%02d.parquet", feedDir, f"quartile_$k%02d.parquet")
+        Thread.sleep(80) // distinct mtimes: oldest-first = time order
+      }
+      graft.sources.Staging.copyInto(
+        f"$ordered/quartile_00.parquet", feedDir, "late_replay.parquet")
+      graft.sources.Staging.touch(feedDir)
+    }
+    feedDir
+  }
+
+  /** Append-mode hourly counts over the late feed (q245): 90-minute
+    * watermark; the replayed quartile-0 rows arrive last and their
+    * windows sit far below the watermark — real Spark late-data DROP
+    * semantics, executed and then hash-checked. Append mode also
+    * gates EMISSION: windows ending inside the final 90 minutes never
+    * finalize, and the oracle must exclude exactly those.
+    */
+  def lateDataCounts(spark: SparkSession, dir: String): DataFrame = {
+    val feed = stagedLateFeed(spark, dir)
+    val schema = spark.read.parquet(s"$feed/quartile_00.parquet").schema
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(feed)
+      .withColumn("ts", graft.Tables.eventsTs(schema("ts").dataType))
+      .withWatermark("ts", "90 minutes")
+      .groupBy(window(col("ts"), "1 hour").as("win"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(date_format(col("win.start"), "yyyy-MM-dd HH:mm").as("w"),
+        col("event_type"), col("cnt"))
+  }
+
+  /** Run [[lateDataCounts]] to completion in APPEND mode (the mode
+    * where watermark drop/emission semantics actually bind).
+    */
+  def runLateDataToCompletion(spark: SparkSession, dir: String): DataFrame = {
+    val name = s"graft_latefeed_${runSeq.incrementAndGet()}"
+    val q = lateDataCounts(spark, dir).writeStream
+      .format("memory").queryName(name)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    StreamingDocs.noteProgress("q245_stream_late_data", q)
+    spark.table(name).orderBy("w", "event_type")
+  }
+
   private def stagedStreamSource(spark: SparkSession, dir: String): String = {
     val streamDir = graft.sources.Staging.fingerprintPath(
       "graft_stream_src", dir, "events.parquet", "events")
