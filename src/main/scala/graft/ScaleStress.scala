@@ -105,6 +105,8 @@ object ScaleStress {
     "q243_silhouette", // n·L·d scaled-long products, broadcast centroids — linear
     "q245_stream_late_data", // stream machinery constant; windowed data path linear
     "q247_nprobe_sweep", // 3x q169: broadcast probes x corpus — linear
+    "q248_split_leakage", // one pair set + CC + three pair-frame joins
+    "q249_dedup_threshold_sweep", // 3x prefix-filtered set join — q139's class
   )
 
   /** Per-table key-shift rules: every synthetic surrogate key column

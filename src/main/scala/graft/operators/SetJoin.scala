@@ -112,5 +112,52 @@ object SetJoin {
     ) { (s, dir) =>
       jaccardSelfJoin(Tables(s, dir).documentsRebalanced, num = 4, den = 5)
     },
+
+    // q249 — dedup THRESHOLD sweep over τ ∈ {0.8, 0.96, 0.98}: pair
+    // volume and touched-document count per threshold — the tuning
+    // curve a dedup deployment reads before pinning τ (too low eats
+    // real content, too high leaves templates; the curve's knee is the
+    // evidence). Three exact prefix-filtered self-joins; DuckDB
+    // re-derives each pair set in inverted-index form and must match
+    // every count.
+    QueryEntry.sql(
+      "q249_dedup_threshold_sweep",
+      Seq((4, 5), (24, 25), (49, 50)).map { case (num, den) =>
+        s"""SELECT * FROM (
+           |WITH ${Dedup.shCteSql}, ${Dedup.invertedPairsSql(num, den)},
+           |d AS (
+           |  SELECT COUNT(DISTINCT d) AS nd FROM (
+           |    SELECT doc_a AS d FROM pairs
+           |    UNION ALL SELECT doc_b FROM pairs) t
+           |)
+           |SELECT ROUND($num * 1.0 / $den, 2) AS tau,
+           |       (SELECT CAST(COUNT(*) AS BIGINT) FROM pairs) AS n_pairs,
+           |       CAST(d.nd AS BIGINT) AS n_docs_in_pairs
+           |FROM d
+           |)""".stripMargin
+      }.mkString("\nUNION ALL\n") + "\nORDER BY tau",
+    ) { (s, dir) =>
+      thresholdSweep(Tables(s, dir).documentsRebalanced,
+        Seq((4, 5), (24, 25), (49, 50)))
+    },
   )
+
+  /** Dedup threshold sweep (q249): one exact prefix-filtered set join
+    * per τ, each reporting pair volume + distinct documents touched.
+    */
+  def thresholdSweep(docs: DataFrame,
+      taus: Seq[(Int, Int)]): DataFrame =
+    taus.map { case (num, den) =>
+      val p = jaccardSelfJoin(docs, num, den).select("doc_a", "doc_b")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      graft.TransientCaches.register(p)
+      val np = p.agg(count(lit(1)).as("n_pairs"))
+      val nd = p.select(col("doc_a").as("d"))
+        .union(p.select(col("doc_b").as("d")))
+        .agg(countDistinct("d").as("nd"))
+      np.crossJoin(nd).select(
+        round(lit(num) * lit(1.0) / den, 2).as("tau"),
+        col("n_pairs").cast(LongType).as("n_pairs"),
+        col("nd").cast(LongType).as("n_docs_in_pairs"))
+    }.reduce(_ union _).orderBy("tau")
 }

@@ -761,5 +761,108 @@ object Winnow {
         .agg(sum("n").as("n_docs"), count(lit(1)).as("n_groups"))
         .orderBy("split")
     },
+
+    // q248 — split-leakage audit: for each splitting STRATEGY, how
+    // many near-dup pairs (exact Jaccard ≥ 0.8) straddle a split
+    // boundary — the number that quantifies WHY leakage-safe splitting
+    // exists. Three strategies over the same pair set: per-doc hash
+    // (the naive baseline — leaks), exact-dup-group hash (q165 — stops
+    // byte-dup leakage only), and near-dup-CLUSTER hash (q166 — zero
+    // by construction, and the oracle proves the zero rather than
+    // assuming it). DuckDB re-derives the pair set, the connected
+    // components, both group keys, and all three straddle counts.
+    QueryEntry.sql(
+      "q248_split_leakage",
+      s"""WITH RECURSIVE ${Dedup.shCteSql}, ${Dedup.invertedPairsSql(4, 5)},
+         |edges AS (
+         |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |  UNION ALL SELECT doc_b, doc_a FROM pairs
+         |), reach(id, l) AS (
+         |  SELECT src, src FROM edges
+         |  UNION
+         |  SELECT e.src, r.l FROM edges e JOIN reach r ON e.dst = r.id
+         |), grp AS (
+         |  SELECT id AS doc_id, MIN(l) AS g FROM reach GROUP BY id
+         |), gm AS (
+         |  SELECT h, MIN(doc_id) AS gmin
+         |  FROM (SELECT doc_id, md5(text) AS h FROM documents) t GROUP BY h
+         |), dg AS (
+         |  SELECT d.doc_id, gm.gmin
+         |  FROM (SELECT doc_id, md5(text) AS h FROM documents) d
+         |  JOIN gm USING (h)
+         |), tot AS (SELECT COUNT(*) AS tp FROM pairs),
+         |rows_ AS (
+         |  SELECT 'hash_by_doc' AS method,
+         |         (SELECT COUNT(*) FROM pairs
+         |          WHERE ${splitCaseSql("doc_a")} <> ${splitCaseSql("doc_b")})
+         |           AS cross_pairs
+         |  UNION ALL
+         |  SELECT 'group_exact',
+         |         (SELECT COUNT(*) FROM pairs p
+         |          JOIN dg a ON a.doc_id = p.doc_a
+         |          JOIN dg b ON b.doc_id = p.doc_b
+         |          WHERE ${splitCaseSql("a.gmin")} <> ${splitCaseSql("b.gmin")})
+         |  UNION ALL
+         |  SELECT 'group_cluster',
+         |         (SELECT COUNT(*) FROM pairs p
+         |          JOIN grp a ON a.doc_id = p.doc_a
+         |          JOIN grp b ON b.doc_id = p.doc_b
+         |          WHERE ${splitCaseSql("a.g")} <> ${splitCaseSql("b.g")})
+         |)
+         |SELECT method, CAST(tot.tp AS BIGINT) AS total_pairs,
+         |       CAST(cross_pairs AS BIGINT) AS cross_pairs
+         |FROM rows_, tot ORDER BY method""".stripMargin,
+    ) { (s, dir) =>
+      splitLeakage(Tables(s, dir).documentsRebalanced)
+    },
   )
+
+  /** DuckDB split CASE over a bucket-of-splitmix expression — the
+    * exact q69/q165 assignment inlined for any id expression.
+    */
+  private def splitCaseSql(idExpr: String): String =
+    s"""(CASE WHEN (${Hll.splitmixSqlFor(idExpr)}) >> 54 < $SplitTrainLt THEN 'train'
+       |      WHEN (${Hll.splitmixSqlFor(idExpr)}) >> 54 < $SplitValLt THEN 'val'
+       |      ELSE 'test' END)""".stripMargin.linesIterator.mkString(" ")
+
+  /** Split-leakage audit (q248) — see the entry comment.
+    *
+    * Scale shape: ONE exact pair generation (the q139 prefix-filtered
+    * set join), one connected-components pass over those pairs, one
+    * md5-group map, then three pair-frame joins + counts — everything
+    * is bounded by the pair set and the corpus, never pairs × corpus.
+    */
+  def splitLeakage(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val pairs = graft.TransientCaches.register(
+      SetJoin.jaccardSelfJoin(docs, 4, 5).select("doc_a", "doc_b")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val tot = pairs.agg(count(lit(1)).as("tp"))
+    val dg = docs.select(col("doc_id"), md5(col("text")).as("h"))
+    val gm = dg.groupBy("h").agg(min("doc_id").as("gmin"))
+    val docGroup = dg.join(gm, "h").select(col("doc_id"), col("gmin"))
+    val cc = Dedup.groupsFromPairs(pairs)
+    def crossCount(assign: DataFrame, keyCol: String, method: String) = {
+      val a = assign.select(col("doc_id").as("doc_a"),
+        splitColumn(col(keyCol)).as("sa"))
+      val b = assign.select(col("doc_id").as("doc_b"),
+        splitColumn(col(keyCol)).as("sb"))
+      pairs.join(a, "doc_a").join(b, "doc_b")
+        .filter(col("sa") =!= col("sb"))
+        .agg(count(lit(1)).as("cross_pairs"))
+        .select(lit(method).as("method"), col("cross_pairs"))
+    }
+    val naive = docs.select(col("doc_id"), col("doc_id").as("self"))
+    Seq(
+      crossCount(naive, "self", "hash_by_doc"),
+      crossCount(docGroup, "gmin", "group_exact"),
+      crossCount(cc.select(col("doc_id"), col("group_id")), "group_id",
+        "group_cluster"),
+    ).reduce(_ union _)
+      .crossJoin(broadcast(tot))
+      .select(col("method"), col("tp").cast(LongType).as("total_pairs"),
+        col("cross_pairs").cast(LongType).as("cross_pairs"))
+      .orderBy("method")
+  }
 }

@@ -57,6 +57,28 @@ class FoldsSweepSpec extends SparkSpec {
     assert(total == Tables(spark, sf).documents.count())
   }
 
+  test("q248 cluster-safe split leaks zero near-dup pairs; the naive split leaks") {
+    val rows = run("q248_split_leakage").collect()
+      .map(r => r.getString(0) ->
+        (r.getAs[Long]("total_pairs"), r.getAs[Long]("cross_pairs"))).toMap
+    assert(rows.keySet == Set("hash_by_doc", "group_exact", "group_cluster"))
+    val total = rows.values.map(_._1).toSet
+    assert(total.size == 1 && total.head > 0, rows.toString)
+    assert(rows("group_cluster")._2 == 0L, "cluster-safe must never leak")
+    assert(rows("hash_by_doc")._2 > 0L, "fixture must exhibit naive leakage")
+    assert(rows("group_exact")._2 <= rows("hash_by_doc")._2)
+  }
+
+  test("q249 pair and doc counts decrease as tau rises; tau=0.8 matches q139") {
+    val rows = run("q249_dedup_threshold_sweep").collect()
+    assert(rows.map(_.getAs[Double]("tau")).toSeq == Seq(0.8, 0.96, 0.98))
+    val ps = rows.map(_.getAs[Long]("n_pairs"))
+    val ds = rows.map(_.getAs[Long]("n_docs_in_pairs"))
+    assert(ps.zip(ps.tail).forall { case (a, b) => a >= b }, ps.toSeq)
+    assert(ds.zip(ds.tail).forall { case (a, b) => a >= b }, ds.toSeq)
+    assert(ps.head == run("q139_jaccard_join").count())
+  }
+
   test("q247 recall and candidate fraction are monotone in nprobe") {
     val rows = run("q247_nprobe_sweep").collect()
     assert(rows.map(_.getAs[Int]("nprobe")).toSeq == Seq(1, 3, 8))
