@@ -25,10 +25,17 @@ object Sweep {
     val tag = sfDir.replaceAll("[^A-Za-z0-9.]", "_")
     for (codec <- Seq("snappy", "zstd", "none")) {
       val dest = s"${sources.Staging.stagingRoot()}/graft_sweep/$tag/${codec}_lineitem"
-      if (!new java.io.File(dest, "_SUCCESS").exists())
+      // marker check + size listing through the Hadoop FS API, like the
+      // rest of the staging layer: with a remote staging root
+      // (hdfs:/s3a:) a java.io.File marker check is always false
+      // (restage every run) and listFiles() NPEs.
+      sources.Staging.ensureStaged(dest) {
         src.write.mode("overwrite").option("compression", codec).orc(dest)
-      val bytes = new java.io.File(dest).listFiles()
-        .filter(_.getName.endsWith(".orc")).map(_.length()).sum
+      }
+      val destPath = new org.apache.hadoop.fs.Path(dest)
+      val bytes = destPath.getFileSystem(sources.Staging.hadoopConf())
+        .listStatus(destPath)
+        .filter(_.getPath.getName.endsWith(".orc")).map(_.getLen).sum
       for (batch <- Seq(1024, 4096, 10000)) {
         spark.conf.set("spark.sql.orc.columnarReaderBatchSize", batch.toString)
         def once(): Unit =

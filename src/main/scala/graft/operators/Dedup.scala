@@ -158,17 +158,21 @@ object Dedup {
     * verification. Output: (doc_a, doc_b, inter, uni).
     */
   /** The planted-excerpt corpus for q218: every doc, plus — for
-    * doc_id % 7 == 0 — its first-half-tokens excerpt at id + 200000
+    * doc_id % 7 == 0 — its first-half-tokens excerpt at id `-doc_id-1`
     * (the quote/chunk-inclusion shape Jaccard dedup systematically
     * misses: an excerpt's Jaccard vs its source is ≈ 0.5, far under
-    * any near-dup threshold, while its CONTAINMENT is ≈ 1).
+    * any near-dup threshold, while its CONTAINMENT is ≈ 1). Planted
+    * ids live in the NEGATIVE id space — disjoint from real ids at any
+    * scale factor (an additive offset aliases real doc_ids once the
+    * corpus outgrows it, and since the oracle mirrors the
+    * construction, the differential gate could never see it).
     */
   def docsWithExcerpts(docs: DataFrame): DataFrame = {
     val toks = TextAnalysis.tokens(col("text"))
     val kk = greatest(lit(2), (size(toks) / lit(2)).cast("int"))
     docs.select(col("doc_id"), col("text"))
       .union(docs.filter(pmod(col("doc_id"), lit(7)) === 0)
-        .select((col("doc_id") + lit(200000L)).as("doc_id"),
+        .select((-col("doc_id") - lit(1L)).as("doc_id"),
           concat_ws(" ", slice(toks, lit(1), kk)).as("text")))
   }
 
@@ -1042,7 +1046,7 @@ object Dedup {
       s"""WITH d2 AS (
          |  SELECT doc_id, text FROM documents
          |  UNION ALL
-         |  SELECT doc_id + 200000,
+         |  SELECT -doc_id - 1,
          |         array_to_string(toks[1:greatest(2, len(toks) // 2)], ' ')
          |  FROM (SELECT doc_id,
          |               regexp_split_to_array(trim(lower(text)), '\\s+') AS toks

@@ -231,7 +231,9 @@ object Multimodal {
 
   /** The planted re-encode corpus for q208: every doc's payload, plus
     * — for doc_id % 5 == 0 — a "re-encoded" variant (same length,
-    * first 4 bytes +1 mod 256, id offset +100000): the length-
+    * first 4 bytes +1 mod 256, id `-doc_id-1` — the negative id space
+    * is disjoint from real ids at ANY scale factor, unlike an additive
+    * offset the corpus can outgrow): the length-
     * preserving perturbation a lossy re-encode approximates, which
     * moves the aHash 0–2 bits while unrelated fixture payloads sit
     * ≥ 10 bits apart (measured) — so the t ≤ 3 join finds exactly the
@@ -251,7 +253,7 @@ object Multimodal {
             while (p < 4 && p < v.length) {
               v(p) = ((v(p) + 1) & 0xff).toByte; p += 1
             }
-            Seq(orig, (d + 100000L, aHash64(v)))
+            Seq(orig, (-d - 1L, aHash64(v)))
           } else Seq(orig)
         }
       }.toDF("doc_id", "sh")
@@ -385,7 +387,7 @@ object Multimodal {
         |), media AS (
         |  SELECT doc_id AS media_id, n, h, 0 AS pert FROM raw
         |  UNION ALL
-        |  SELECT doc_id + 100000, n, h, 1 FROM raw WHERE doc_id % 5 = 0
+        |  SELECT -doc_id - 1, n, h, 1 FROM raw WHERE doc_id % 5 = 0
         |), bytes AS (
         |  SELECT media_id, n,
         |         CASE WHEN pert = 1 AND i < 4 THEN (b0 + 1) % 256 ELSE b0 END AS b,

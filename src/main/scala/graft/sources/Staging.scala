@@ -114,8 +114,36 @@ object Staging {
     org.apache.hadoop.fs.FileUtil.copy(
       srcPath.getFileSystem(conf), srcPath, fs, tmp, false, true, conf)
     val fin = new Path(destDir, destName)
-    if (fs.exists(fin)) fs.delete(fin, false)
-    if (!fs.rename(tmp, fin))
-      throw new java.io.IOException(s"rename $tmp -> $fin failed")
+    // rename FIRST: when the target doesn't exist (the common case)
+    // the final name appears atomically and is never briefly missing.
+    // Only on failure — an existing target, on FSs without
+    // rename-with-overwrite — delete and retry once; a concurrent
+    // reader sharing the staging root can then observe at worst the
+    // pre-existing (complete) file or the tiny delete+retry window of
+    // an explicit overwrite, never a truncated copy.
+    if (!fs.rename(tmp, fin)) {
+      if (fs.exists(fin)) fs.delete(fin, false)
+      if (!fs.rename(tmp, fin))
+        throw new java.io.IOException(s"rename $tmp -> $fin failed")
+    }
+  }
+
+  /** Pin an explicit modification time on `destDir/name` — for staged
+    * multi-file stream feeds whose processing ORDER is the file
+    * source's mtime order: explicit strictly-increasing stamps make
+    * the order independent of filesystem mtime granularity (object
+    * stores round to ≥1 s; a Thread.sleep spacing can still tie).
+    */
+  def setMtime(destDir: String, name: String, mtimeMs: Long): Unit =
+    fsFor(destDir).setTimes(new Path(destDir, name), mtimeMs, -1)
+
+  /** Register a scratch path for deletion when the JVM's Hadoop
+    * filesystems close (shutdown) — for per-run UUID sink/checkpoint
+    * dirs that are fully consumed within the run but would otherwise
+    * accumulate across bench/verify invocations.
+    */
+  def deleteOnExit(path: String): Unit = {
+    fsFor(path).deleteOnExit(new Path(path))
+    ()
   }
 }

@@ -153,6 +153,10 @@ object StreamingDocs {
     // other fixture's feed (observed as a Wrong basePath failure).
     val outDir = s"${graft.sources.Staging.stagingRoot()}/graft_ingest_dedup/" +
       s"run_${java.util.UUID.randomUUID().toString.take(8)}"
+    // per-run scratch (sink + .ckpt) is fully consumed within this
+    // JVM — reclaim at exit so repeated runs don't accumulate.
+    graft.sources.Staging.deleteOnExit(outDir)
+    graft.sources.Staging.deleteOnExit(s"$outDir.ckpt")
     val stream = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1")
       .parquet(feed)
@@ -193,6 +197,8 @@ object StreamingDocs {
     lists.count()
     val outDir = s"${graft.sources.Staging.stagingRoot()}/graft_ingest_ann/" +
       s"run_${java.util.UUID.randomUUID().toString.take(8)}"
+    graft.sources.Staging.deleteOnExit(outDir)
+    graft.sources.Staging.deleteOnExit(s"$outDir.ckpt")
     val stream = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1")
       .parquet(feed)

@@ -310,6 +310,10 @@ object StreamingEvents {
     val src = stagedTimeOrderedFeed(spark, dir)
     val root = s"${graft.sources.Staging.stagingRoot()}/graft_restart/" +
       s"run_${java.util.UUID.randomUUID().toString.take(8)}"
+    // per-run scratch is fully consumed within this JVM — reclaim at
+    // exit so repeated bench/verify runs don't grow without bound
+    // (the fingerprint-keyed staged dirs, by contrast, are reused).
+    graft.sources.Staging.deleteOnExit(root)
     val feed = s"$root/feed"
     val sink = s"$root/sink"
     val ckpt = s"$root/ckpt"
@@ -666,6 +670,7 @@ object StreamingEvents {
         .collect()(0).toSeq.map(_.asInstanceOf[Long]).toArray
       val span = mx - mn + 1
       val scratch = s"$feedDir.build"
+      val mtimeBase = System.currentTimeMillis()
       (0 until 4).foreach { k =>
         val lo = mn + span * k / 4
         val hi = mn + span * (k + 1) / 4
@@ -680,7 +685,13 @@ object StreamingEvents {
           .head.getPath
         graft.sources.Staging.copyInto(file.toString, feedDir,
           f"quartile_$k%02d.parquet")
-        Thread.sleep(80) // distinct mtimes: oldest-first = time order
+        // explicit strictly-increasing mtimes (oldest-first = time
+        // order): the file source processes in mtime order, and a
+        // sleep-based spacing can tie on coarse-granularity (>=1 s)
+        // filesystems — the object-store targets of the configurable
+        // staging root.
+        graft.sources.Staging.setMtime(feedDir,
+          f"quartile_$k%02d.parquet", mtimeBase + k * 2000L)
       }
       graft.sources.Staging.touch(feedDir)
       val scratchPath = new org.apache.hadoop.fs.Path(scratch)
@@ -702,13 +713,20 @@ object StreamingEvents {
       "graft_events_feed", dir, "events.parquet", "events5late")
     graft.sources.Staging.ensureStaged(feedDir) {
       val ordered = stagedTimeOrderedFeed(spark, dir)
+      val mtimeBase = System.currentTimeMillis()
       (0 until 4).foreach { k =>
         graft.sources.Staging.copyInto(
           f"$ordered/quartile_$k%02d.parquet", feedDir, f"quartile_$k%02d.parquet")
-        Thread.sleep(80) // distinct mtimes: oldest-first = time order
+        // explicit mtimes (see stagedTimeOrderedFeed): the late file
+        // below must sort strictly NEWEST or replayed rows leak past
+        // the watermark gate and flake the q245 hash.
+        graft.sources.Staging.setMtime(feedDir,
+          f"quartile_$k%02d.parquet", mtimeBase + k * 2000L)
       }
       graft.sources.Staging.copyInto(
         f"$ordered/quartile_00.parquet", feedDir, "late_replay.parquet")
+      graft.sources.Staging.setMtime(feedDir, "late_replay.parquet",
+        mtimeBase + 8 * 2000L)
       graft.sources.Staging.touch(feedDir)
     }
     feedDir

@@ -54,7 +54,7 @@ class AbEntropyContainSpec extends SparkSpec {
       .filter(pmod(col("doc_id"), lit(7)) === 0)
       .select("doc_id").as[Long].collect()
     planted.foreach { d =>
-      assert(rows.contains((d + 200000L, d)),
+      assert(rows.contains((-d - 1L, d)),
         s"excerpt of doc $d not recovered as contained")
     }
     // the same excerpt pairs are invisible to the Jaccard near-dup
@@ -62,7 +62,8 @@ class AbEntropyContainSpec extends SparkSpec {
     val jac = Dedup.nearDupPairs(Dedup.docsWithExcerpts(
         Tables(spark, sf).documents))
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
-    val excerptPairsInJaccard = planted.count(d => jac.contains((d, d + 200000L)))
+    val excerptPairsInJaccard = planted.count(d =>
+      jac.contains((-d - 1L, d)) || jac.contains((d, -d - 1L)))
     assert(excerptPairsInJaccard === 0,
       s"$excerptPairsInJaccard excerpt pairs unexpectedly pass Jaccard 4/5")
   }

@@ -155,9 +155,10 @@ class MultimodalSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
     assert(banded === brute)
     assert(banded.nonEmpty, "the planted variants must produce pairs")
-    // every planted (doc, doc+100000) pair for doc_id % 5 == 0 found
+    // every planted (-doc-1, doc) pair for doc_id % 5 == 0 found (the
+    // negative-id variant always sorts first)
     banded.foreach { case (x, y, d) =>
-      assert(y === x + 100000L && x % 5 === 0L && d <= 3, s"($x,$y,$d)")
+      assert(x === -y - 1L && y % 5 === 0L && d <= 3, s"($x,$y,$d)")
     }
   }
 }
