@@ -66,6 +66,7 @@ object SparkEntry {
       operators.Lines.entries ++
       operators.Eval.entries ++
       operators.Folds.entries ++
+      operators.Classify.entries ++
       sources.OrcRoundTrip.entries ++
       sources.SchemaEvolution.entries ++
       sources.CorruptJsonl.entries ++

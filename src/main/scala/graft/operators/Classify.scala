@@ -1,0 +1,383 @@
+package graft.operators
+
+import graft.{QueryEntry, Tables}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Trained classifiers over the document corpus — the model-FITTING
+  * complement of the heuristic gates (q17 char-class lang-ID, q18
+  * quality score): a full-batch gradient-descent logistic regression
+  * (the fasttext/CCNet-style learned quality filter: positives = the
+  * curated corpus, negatives = deterministic corruptions of it) and an
+  * add-one-smoothed naive-Bayes character-bigram language classifier
+  * (fit + resubstitution scoring). Both are differential-tested end to
+  * end: the DuckDB oracle independently re-runs the ENTIRE training
+  * loop — corpus construction, feature extraction, every gradient
+  * step, the final scoring pass — so a divergence anywhere in the fit
+  * breaks the hash, not just in the final prediction.
+  *
+  * The fixture corpus draws every lang label from one shared
+  * English-like vocabulary with no punctuation (the q17 note), so both
+  * tasks use the PLANTED-INPUT pattern (q63/q201/q218/q234 precedent),
+  * planting identically in both engines: q250 trains against
+  * whitespace-stripped "wall of text" twins (a classic Gopher-rule
+  * low-quality signature), q251 classifies the orthography-augmented
+  * corpus ([[augmentedDocs]] — each doc carries its language's native
+  * marker tail, so char bigrams have real signal).
+  *
+  * Determinism follows the repo's decimal protocol (q160/q173/q206
+  * precedents): per-item lossy values are rounded ONCE to a fixed
+  * scale (1e7-scaled BIGINT for gradient contributions, 6dp DECIMAL
+  * for per-distinct-bigram log-probs) and summed in exact integer /
+  * decimal arithmetic, so partition order can never move a sum; the
+  * only float ops are one sigmoid per (doc, iteration) and one `ln`
+  * per distinct (lang, bigram), identically shaped in both engines.
+  *
+  * Scale shape (100 TB): logreg iterations are one map pass + one
+  * 4-column exact aggregate each — the collected model is 4 doubles
+  * (model-sized driver state, the IVF-centroid precedent); NB's model
+  * is |langs| x |char-bigrams| (charset-bounded, broadcastable), all
+  * per-doc work is doc-keyed, and no doc x doc pair ever forms.
+  */
+object Classify {
+
+  private val lrStop = Seq("the", "a", "of", "and", "to", "is")
+  private val LrIters = 3
+  private val LrRate = 2.0
+
+  /** Training corpus for the quality filter: every doc as a clean
+    * positive, plus — for doc_id % 3 == 0 — a whitespace-stripped
+    * negative twin at id `-doc_id-1` (the collision-free negative id
+    * space): one unbroken token, zero stopword hits — the surface
+    * signature of extraction garbage.
+    */
+  def corpusWithCorruptions(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), lit(1.0).as("y"), col("text"))
+      .union(docs.filter(pmod(col("doc_id"), lit(3)) === 0)
+        .select((-col("doc_id") - lit(1L)).as("doc_id"), lit(0.0).as("y"),
+          regexp_replace(col("text"), " ", "").as("text")))
+
+  /** Per-doc features, each rounded once to 6dp so both engines carry
+    * identical doubles: x1 = stopword ratio, x2 = mean token length /
+    * 10, x3 = non-[a-z0-9 ] char ratio. Expects (y, text).
+    */
+  def logregFeatures(corpus: DataFrame): DataFrame = {
+    val tl = trim(lower(col("text")))
+    val toks = split(tl, "\\s+")
+    val n = size(toks).cast(DoubleType)
+    val chars = length(regexp_replace(tl, "\\s+", "")).cast(DoubleType)
+    corpus.select(
+      col("y"),
+      round(size(filter(toks, t => t.isin(lrStop: _*))).cast(DoubleType) / n, 6)
+        .as("x1"),
+      round(chars / n / lit(10.0), 6).as("x2"),
+      round(size(regexp_extract_all(tl, lit("[^a-z0-9 ]"), lit(0)))
+        .cast(DoubleType) / length(tl), 6).as("x3"),
+    )
+  }
+
+  private def sigmoid(z: Column): Column = lit(1.0) / (lit(1.0) + exp(-z))
+
+  /** z spelled in the SAME left-associated order as the oracle SQL —
+    * FP addition order is part of the cross-engine contract.
+    */
+  private def zOf(w: Array[Double]): Column =
+    lit(w(0)) + lit(w(1)) * col("x1") + lit(w(2)) * col("x2") +
+      lit(w(3)) * col("x3")
+
+  /** Full-batch GD: w_j += lr * sum_i round7((y_i - s_i) * x_ij) / n,
+    * gradient contributions carried as 1e7-scaled BIGINTs (exact,
+    * order-free, overflow-safe to ~6e10 docs even at |r·x| ~ 15).
+    * Returns the fitted weights after [[LrIters]] steps from w = 0.
+    */
+  def logregFit(feats: DataFrame): Array[Double] = {
+    val n = feats.count().toDouble
+    val w = Array(0.0, 0.0, 0.0, 0.0)
+    val xs = Seq(lit(1.0), col("x1"), col("x2"), col("x3"))
+    for (_ <- 1 to LrIters) {
+      val r = col("y") - sigmoid(zOf(w))
+      val g = feats.select(xs.map(x =>
+        sum(round(r * x * lit(1e7), 0).cast(LongType))): _*).head()
+      for (j <- 0 to 3)
+        w(j) = BigDecimal(w(j) + LrRate * (g.getLong(j).toDouble / 1e7 / n))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    w
+  }
+
+  /** Fit on clean + corrupted twins, then score both classes: per
+    * label, the mean predicted keep-probability and the count the 0.5
+    * gate would keep (scores 1e6-scaled once so the mean and the
+    * threshold are integer-exact).
+    */
+  def logregScorecard(docs: DataFrame): DataFrame = {
+    val feats = logregFeatures(corpusWithCorruptions(docs))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.TransientCaches.register(feats)
+    val w = logregFit(feats)
+    feats
+      .select(col("y").cast(IntegerType).as("label"),
+        round(sigmoid(zOf(w)) * lit(1e6), 0).cast(LongType).as("s6"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_docs"),
+        round(sum(col("s6")).cast(DoubleType) / lit(1e6) / count(lit(1)), 6)
+          .as("mean_score"),
+        sum(when(col("s6") >= 500000L, 1L).otherwise(0L)).as("n_kept"))
+      .orderBy("label")
+  }
+
+  // -------------------------------------------------------------------
+  // q251 — naive-Bayes char-bigram lang-ID
+  // -------------------------------------------------------------------
+
+  /** The orthography-augmented corpus: text || ' ' || tail(lang) (the
+    * per-lang native tails live in [[TextAnalysis.langTails]] — a
+    * ONE-WAY dependency; a back-reference from TextAnalysis's entries
+    * into this object would race object init, the q235 NPE lesson).
+    */
+  def augmentedDocs(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val tails = spark.createDataset(TextAnalysis.langTails).toDF("lang", "tail")
+    docs.join(broadcast(tails), "lang")
+      .select(col("doc_id"), col("lang"),
+        concat(col("text"), lit(" "), col("tail")).as("text"))
+  }
+
+  private def tailValuesSql: String = TextAnalysis.tailValuesSql
+
+  /** Char bigrams of the whitespace-normalized lowered text (the q79
+    * normalization), one row per OCCURRENCE.
+    */
+  private def charBigrams(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), col("lang"),
+        regexp_replace(lower(col("text")), "\\s+", " ").as("t"))
+      .filter(length(col("t")) >= 2)
+      .select(col("doc_id"), col("lang"), col("t"),
+        explode(expr("sequence(1, length(t) - 1)")).as("p"))
+      .select(col("doc_id"), col("lang"), expr("substr(t, p, 2)").as("bg"))
+
+  /** Fit an add-one-smoothed NB bigram model on the labeled corpus and
+    * re-classify every document (resubstitution): score(doc, lang) =
+    * ln-prior + sum over the doc's bigram occurrences of the per-lang
+    * smoothed log-prob, unseen bigrams falling back to the per-lang
+    * floor ln(1/(tot_l + V)). All log-probs are 6dp DECIMALs rounded
+    * once per distinct (lang, bigram); doc scores are exact decimal
+    * sums (counts cast to NARROW DECIMAL(10,0) first — the q235
+    * precision-cap lesson). Output: the confusion matrix.
+    */
+  def nbLangIdConfusion(docs: DataFrame): DataFrame = {
+    val bg = charBigrams(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.TransientCaches.register(bg)
+
+    val dec6 = DataTypes.createDecimalType(18, 6)
+    val nDocs = docs.count()
+    val priors = docs.groupBy(col("lang").as("m_lang"))
+      .agg(count(lit(1)).as("nl"))
+      .select(col("m_lang"),
+        round(log(col("nl").cast(DoubleType) / lit(nDocs.toDouble)), 6)
+          .cast(dec6).as("prior"))
+    val v = bg.select(countDistinct(col("bg"))).head().getLong(0)
+    val tots = bg.groupBy(col("lang").as("m_lang"))
+      .agg(count(lit(1)).as("tot"))
+    // per-lang unseen-bigram floor: ln(1 / (tot_l + V))
+    val floors = tots
+      .select(col("m_lang"),
+        round(log(lit(1.0) / (col("tot") + lit(v)).cast(DoubleType)), 6)
+          .cast(dec6).as("lp0"))
+    val model = bg.groupBy(col("lang").as("m_lang"), col("bg"))
+      .agg(count(lit(1)).as("c"))
+      .join(tots, "m_lang")
+      .select(col("m_lang"), col("bg"),
+        round(log((col("c") + lit(1)).cast(DoubleType) /
+          (col("tot") + lit(v)).cast(DoubleType)), 6).cast(dec6).as("lp"))
+
+    val db = bg.groupBy(col("doc_id"), col("lang"), col("bg"))
+      .agg(count(lit(1)).as("c"))
+    val docTot = bg.groupBy(col("doc_id")).agg(count(lit(1)).as("nb"))
+    // matched-term partial per (doc, lang): the model is charset²-
+    // bounded — broadcast it; the join stays doc-keyed.
+    val matched = db
+      .join(broadcast(model), Seq("bg"))
+      .groupBy(col("doc_id"), col("m_lang"))
+      .agg(sum(col("c").cast(DataTypes.createDecimalType(10, 0)) * col("lp"))
+        .as("sm"),
+        sum(col("c")).as("mc"))
+    val langs = broadcast(priors.join(floors, "m_lang"))
+    val scored = docTot
+      .join(bg.select(col("doc_id"), col("lang")).distinct(), "doc_id")
+      .crossJoin(langs)
+      .join(matched, Seq("doc_id", "m_lang"), "left")
+      .select(col("doc_id"), col("lang"), col("m_lang"),
+        (col("prior") + coalesce(col("sm"), lit(0).cast(dec6)) +
+          (col("nb") - coalesce(col("mc"), lit(0L)))
+            .cast(DataTypes.createDecimalType(10, 0)) * col("lp0"))
+          .as("score"))
+    // argmax with (score DESC, lang ASC) tiebreak: min over
+    // (-score, lang) — exact decimal comparison, mirrored by the
+    // oracle's ROW_NUMBER.
+    scored
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(min(struct((-col("score")).as("ns"), col("m_lang").as("l")))
+        .as("best"))
+      .groupBy(col("lang"), col("best.l").as("pred"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("lang", "pred")
+  }
+
+  private val lrStopSqlList = lrStop.map(w => s"'$w'").mkString(", ")
+
+  lazy val entries: Seq[QueryEntry] = Seq(
+    // q250 — learned quality filter: 3 full-batch GD steps of logistic
+    // regression on 3 surface features (stopword ratio, mean token
+    // length, non-alnum ratio); positives = the corpus, negatives =
+    // whitespace-stripped twins. The oracle unrolls the ENTIRE
+    // training loop — identical corpus construction, feature rounding,
+    // 1e7-scaled gradient sums, left-associated dot products — then
+    // re-scores both classes; a drifted weight at any step breaks
+    // every downstream row.
+    QueryEntry.sql(
+      "q250_quality_logreg",
+      s"""WITH corpus AS (
+         |  SELECT 1.0 AS y, text FROM documents
+         |  UNION ALL
+         |  SELECT 0.0 AS y, replace(text, ' ', '') FROM documents
+         |  WHERE doc_id % 3 = 0
+         |), feats AS MATERIALIZED (
+         |  SELECT y,
+         |         ROUND(len(list_filter(toks, t -> t IN ($lrStopSqlList)))
+         |               * 1.0 / len(toks), 6) AS x1,
+         |         ROUND(length(regexp_replace(tl, '\\s+', '', 'g'))
+         |               * 1.0 / len(toks) / 10.0, 6) AS x2,
+         |         ROUND(len(regexp_extract_all(tl, '[^a-z0-9 ]'))
+         |               * 1.0 / length(tl), 6) AS x3
+         |  FROM (SELECT y, trim(lower(text)) AS tl,
+         |               regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+         |        FROM corpus) t
+         |), nn AS (SELECT COUNT(*) AS n FROM feats),
+         |g1 AS (
+         |  SELECT SUM(CAST(ROUND((y - 1.0/(1.0 + exp(-(0.0 + 0.0*x1 + 0.0*x2 + 0.0*x3)))) * 1.0 * 10000000.0, 0) AS BIGINT)) AS g0,
+         |         SUM(CAST(ROUND((y - 1.0/(1.0 + exp(-(0.0 + 0.0*x1 + 0.0*x2 + 0.0*x3)))) * x1 * 10000000.0, 0) AS BIGINT)) AS g1,
+         |         SUM(CAST(ROUND((y - 1.0/(1.0 + exp(-(0.0 + 0.0*x1 + 0.0*x2 + 0.0*x3)))) * x2 * 10000000.0, 0) AS BIGINT)) AS g2,
+         |         SUM(CAST(ROUND((y - 1.0/(1.0 + exp(-(0.0 + 0.0*x1 + 0.0*x2 + 0.0*x3)))) * x3 * 10000000.0, 0) AS BIGINT)) AS g3
+         |  FROM feats
+         |), w1 AS (
+         |  SELECT ROUND(0.0 + 2.0 * (CAST(g0 AS DOUBLE) / 10000000.0 / n), 6) AS w0,
+         |         ROUND(0.0 + 2.0 * (CAST(g1 AS DOUBLE) / 10000000.0 / n), 6) AS w1,
+         |         ROUND(0.0 + 2.0 * (CAST(g2 AS DOUBLE) / 10000000.0 / n), 6) AS w2,
+         |         ROUND(0.0 + 2.0 * (CAST(g3 AS DOUBLE) / 10000000.0 / n), 6) AS w3
+         |  FROM g1, nn
+         |), g2s AS (
+         |  SELECT SUM(CAST(ROUND((y - 1.0/(1.0 + exp(-(w0 + w1*x1 + w2*x2 + w3*x3)))) * 1.0 * 10000000.0, 0) AS BIGINT)) AS g0,
+         |         SUM(CAST(ROUND((y - 1.0/(1.0 + exp(-(w0 + w1*x1 + w2*x2 + w3*x3)))) * x1 * 10000000.0, 0) AS BIGINT)) AS g1,
+         |         SUM(CAST(ROUND((y - 1.0/(1.0 + exp(-(w0 + w1*x1 + w2*x2 + w3*x3)))) * x2 * 10000000.0, 0) AS BIGINT)) AS g2,
+         |         SUM(CAST(ROUND((y - 1.0/(1.0 + exp(-(w0 + w1*x1 + w2*x2 + w3*x3)))) * x3 * 10000000.0, 0) AS BIGINT)) AS g3
+         |  FROM feats, w1
+         |), w2s AS (
+         |  SELECT ROUND(w1.w0 + 2.0 * (CAST(g0 AS DOUBLE) / 10000000.0 / n), 6) AS w0,
+         |         ROUND(w1.w1 + 2.0 * (CAST(g1 AS DOUBLE) / 10000000.0 / n), 6) AS w1,
+         |         ROUND(w1.w2 + 2.0 * (CAST(g2 AS DOUBLE) / 10000000.0 / n), 6) AS w2,
+         |         ROUND(w1.w3 + 2.0 * (CAST(g3 AS DOUBLE) / 10000000.0 / n), 6) AS w3
+         |  FROM g2s, w1, nn
+         |), g3s AS (
+         |  SELECT SUM(CAST(ROUND((y - 1.0/(1.0 + exp(-(w0 + w1*x1 + w2*x2 + w3*x3)))) * 1.0 * 10000000.0, 0) AS BIGINT)) AS g0,
+         |         SUM(CAST(ROUND((y - 1.0/(1.0 + exp(-(w0 + w1*x1 + w2*x2 + w3*x3)))) * x1 * 10000000.0, 0) AS BIGINT)) AS g1,
+         |         SUM(CAST(ROUND((y - 1.0/(1.0 + exp(-(w0 + w1*x1 + w2*x2 + w3*x3)))) * x2 * 10000000.0, 0) AS BIGINT)) AS g2,
+         |         SUM(CAST(ROUND((y - 1.0/(1.0 + exp(-(w0 + w1*x1 + w2*x2 + w3*x3)))) * x3 * 10000000.0, 0) AS BIGINT)) AS g3
+         |  FROM feats, w2s
+         |), w3s AS (
+         |  SELECT ROUND(w2s.w0 + 2.0 * (CAST(g0 AS DOUBLE) / 10000000.0 / n), 6) AS w0,
+         |         ROUND(w2s.w1 + 2.0 * (CAST(g1 AS DOUBLE) / 10000000.0 / n), 6) AS w1,
+         |         ROUND(w2s.w2 + 2.0 * (CAST(g2 AS DOUBLE) / 10000000.0 / n), 6) AS w2,
+         |         ROUND(w2s.w3 + 2.0 * (CAST(g3 AS DOUBLE) / 10000000.0 / n), 6) AS w3
+         |  FROM g3s, w2s, nn
+         |), scored AS (
+         |  SELECT CAST(y AS INTEGER) AS label,
+         |         CAST(ROUND(1.0/(1.0 + exp(-(w0 + w1*x1 + w2*x2 + w3*x3)))
+         |                    * 1000000.0, 0) AS BIGINT) AS s6
+         |  FROM feats, w3s
+         |)
+         |SELECT label, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |       ROUND(CAST(SUM(s6) AS DOUBLE) / 1000000.0 / COUNT(*), 6)
+         |         AS mean_score,
+         |       CAST(SUM(CASE WHEN s6 >= 500000 THEN 1 ELSE 0 END) AS BIGINT)
+         |         AS n_kept
+         |FROM scored GROUP BY label ORDER BY label""".stripMargin,
+    ) { (s, dir) => logregScorecard(Tables(s, dir).documentsRebalanced) },
+
+    // q251 — trained NB char-bigram lang-ID (q17's learned twin) over
+    // the orthography-augmented corpus: the oracle plants the same
+    // per-lang native tails, refits the whole smoothed model —
+    // per-(lang,bigram) counts, per-lang totals, vocabulary size,
+    // priors, unseen floors — and replays the per-doc argmax with the
+    // same tiebreak.
+    QueryEntry.sql(
+      "q251_nb_langid",
+      s"""WITH ptail(lang, tail) AS (VALUES
+        |  $tailValuesSql
+        |), d2 AS (
+        |  SELECT doc_id, d.lang, d.text || ' ' || tail AS text
+        |  FROM documents d JOIN ptail USING (lang)
+        |), bg AS MATERIALIZED (
+        |  SELECT doc_id, lang, substr(t, CAST(p AS BIGINT), 2) AS bg
+        |  FROM (SELECT doc_id, lang, t, unnest(range(1, length(t))) AS p
+        |        FROM (SELECT doc_id, lang,
+        |                     regexp_replace(lower(text), '\\s+', ' ', 'g') AS t
+        |              FROM d2) d
+        |        WHERE length(t) >= 2) x
+        |), nn AS (SELECT COUNT(*) AS n_docs
+        |          FROM (SELECT DISTINCT doc_id FROM bg)),
+        |priors AS (
+        |  SELECT lang AS m_lang,
+        |         CAST(ROUND(ln(COUNT(DISTINCT doc_id) * 1.0 / n_docs), 6)
+        |              AS DECIMAL(18,6)) AS prior
+        |  FROM bg, nn GROUP BY lang, n_docs
+        |), vv AS (SELECT COUNT(DISTINCT bg) AS v FROM bg),
+        |tots AS (SELECT lang AS m_lang, COUNT(*) AS tot FROM bg GROUP BY lang),
+        |floors AS (
+        |  SELECT m_lang,
+        |         CAST(ROUND(ln(1.0 / (tot + v)), 6) AS DECIMAL(18,6)) AS lp0
+        |  FROM tots, vv
+        |), model AS MATERIALIZED (
+        |  SELECT c.m_lang, c.bg,
+        |         CAST(ROUND(ln((c.c + 1) * 1.0 / (t.tot + vv.v)), 6)
+        |              AS DECIMAL(18,6)) AS lp
+        |  FROM (SELECT lang AS m_lang, bg, COUNT(*) AS c
+        |        FROM bg GROUP BY lang, bg) c
+        |  JOIN tots t USING (m_lang), vv
+        |), db AS MATERIALIZED (
+        |  SELECT doc_id, lang, bg, COUNT(*) AS c FROM bg GROUP BY 1, 2, 3
+        |), doc_tot AS (
+        |  SELECT doc_id, lang, CAST(SUM(c) AS BIGINT) AS nb
+        |  FROM db GROUP BY 1, 2
+        |), matched AS (
+        |  SELECT db.doc_id, m.m_lang,
+        |         SUM(CAST(db.c AS DECIMAL(10,0)) * m.lp) AS sm,
+        |         CAST(SUM(db.c) AS BIGINT) AS mc
+        |  FROM db JOIN model m USING (bg) GROUP BY 1, 2
+        |), scored AS (
+        |  SELECT d.doc_id, d.lang, p.m_lang,
+        |         p.prior + COALESCE(sm, 0) +
+        |           CAST(d.nb - COALESCE(mc, 0) AS DECIMAL(10,0)) * f.lp0
+        |           AS score
+        |  FROM doc_tot d
+        |  CROSS JOIN priors p
+        |  JOIN floors f USING (m_lang)
+        |  LEFT JOIN matched m ON m.doc_id = d.doc_id AND m.m_lang = p.m_lang
+        |), best AS (
+        |  SELECT doc_id, lang, m_lang AS pred,
+        |         ROW_NUMBER() OVER (PARTITION BY doc_id
+        |                            ORDER BY score DESC, m_lang) AS rn
+        |  FROM scored
+        |)
+        |SELECT lang, pred, CAST(COUNT(*) AS BIGINT) AS n
+        |FROM best WHERE rn = 1
+        |GROUP BY lang, pred ORDER BY lang, pred""".stripMargin,
+    ) { (s, dir) =>
+      nbLangIdConfusion(augmentedDocs(Tables(s, dir).documentsRebalanced))
+    },
+  )
+}

@@ -420,5 +420,63 @@ object Multimodal {
           col("hamming"))
         .orderBy("id_a", "id_b")
     },
+
+    // q255 — block-level binary dedup (content-addressable-storage
+    // accounting over opaque media payloads): each payload is cut into
+    // fixed 32-byte blocks, block identity is the exact byte content
+    // (carried as a 64-hex-char key — at 100 TB you'd md5 the block
+    // first; identity and therefore every count below is unchanged),
+    // and the per-source report gives total vs distinct blocks, blocks
+    // shared by >= 2 documents, and the storage dedup ratio. One
+    // corpus-linear explode + one (source, block)-keyed shuffle; no
+    // payload x payload pair ever forms.
+    QueryEntry.sql(
+      "q255_block_dedup",
+      """WITH b AS (
+        |  SELECT doc_id, source, substr(h, CAST(p * 64 + 1 AS BIGINT), 64) AS blk
+        |  FROM (SELECT doc_id, source, h,
+        |               unnest(range(0, (length(h) + 63) // 64)) AS p
+        |        FROM (SELECT doc_id, source, hex(encode(text)) AS h
+        |              FROM documents) x) y
+        |), per AS (
+        |  SELECT source, blk, COUNT(*) AS occ, COUNT(DISTINCT doc_id) AS nd
+        |  FROM b GROUP BY 1, 2
+        |), srcdocs AS (
+        |  SELECT source, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+        |  FROM b GROUP BY 1
+        |)
+        |SELECT source, n_docs,
+        |       CAST(SUM(occ) AS BIGINT) AS total_blocks,
+        |       CAST(COUNT(*) AS BIGINT) AS distinct_blocks,
+        |       CAST(SUM(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS shared_blocks,
+        |       ROUND(COUNT(*) * 1.0 / SUM(occ), 6) AS dedup_ratio
+        |FROM per JOIN srcdocs USING (source)
+        |GROUP BY source, n_docs ORDER BY source""".stripMargin,
+    ) { (s, dir) =>
+      val blocks = Tables(s, dir).documentsRebalanced
+        .select(col("doc_id"), col("source"),
+          hex(col("text").cast(BinaryType)).as("h"))
+        .select(col("doc_id"), col("source"),
+          explode(expr("sequence(0, (length(h) - 1) div 64)")).as("p"),
+          col("h"))
+        .select(col("doc_id"), col("source"),
+          expr("substr(h, p * 64 + 1, 64)").as("blk"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      graft.TransientCaches.register(blocks)
+      val per = blocks.groupBy("source", "blk")
+        .agg(count(lit(1)).as("occ"), countDistinct("doc_id").as("nd"))
+      val srcdocs = blocks.groupBy("source")
+        .agg(countDistinct("doc_id").as("n_docs"))
+      per.join(srcdocs, "source")
+        .groupBy("source", "n_docs")
+        .agg(sum("occ").as("total_blocks"),
+          count(lit(1)).as("distinct_blocks"),
+          sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("shared_blocks"),
+          round(count(lit(1)) * lit(1.0) / sum("occ"), 6).as("dedup_ratio"))
+        .select(col("source"), col("n_docs"), col("total_blocks"),
+          col("distinct_blocks"), col("shared_blocks"), col("dedup_ratio"))
+        .orderBy("source")
+    },
   )
 }

@@ -77,5 +77,55 @@ object Privacy {
     ) { (s, dir) =>
       dpLangCounts(Tables(s, dir).documents)
     },
+
+    // q256 — k-anonymity audit over the events table: quasi-identifier
+    // = (event_type, event date, user-id bucket). For each k in
+    // {2, 5, 10}: how many equivalence classes violate k, how many
+    // rows sit in violating classes (= rows a release would have to
+    // suppress or generalize), and the violating-row fraction. One
+    // grouped count over the QI (map-side combined), then a 3-way
+    // constant fan-out over the CLASS frame — nothing beyond the
+    // rollup touches data, so the audit is one-shuffle at any scale.
+    QueryEntry.sql(
+      "q256_k_anonymity",
+      """WITH classes AS (
+        |  SELECT event_type, strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS d,
+        |         user_id % 100 AS ub, COUNT(*) AS n
+        |  FROM events GROUP BY 1, 2, 3
+        |), tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total_rows,
+        |                  CAST(COUNT(*) AS BIGINT) AS total_classes
+        |           FROM classes)
+        |SELECT k, total_classes, total_rows,
+        |       CAST(SUM(CASE WHEN n < k THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS violating_classes,
+        |       CAST(SUM(CASE WHEN n < k THEN n ELSE 0 END) AS BIGINT)
+        |         AS violating_rows,
+        |       ROUND(SUM(CASE WHEN n < k THEN n ELSE 0 END) * 1.0
+        |             / total_rows, 6) AS violating_frac
+        |FROM classes, tot, (SELECT unnest([2, 5, 10]) AS k)
+        |GROUP BY k, total_classes, total_rows ORDER BY k""".stripMargin,
+    ) { (s, dir) =>
+      val classes = Tables(s, dir).events
+        .groupBy(col("event_type"),
+          date_format(col("ts"), "yyyy-MM-dd").as("d"),
+          pmod(col("user_id"), lit(100)).as("ub"))
+        .agg(count(lit(1)).as("n"))
+      val tot = classes.agg(sum("n").as("total_rows"),
+        count(lit(1)).as("total_classes"))
+      val ks = s.range(1).select(explode(typedlit(Seq(2, 5, 10))).as("k"))
+      classes.crossJoin(broadcast(tot)).crossJoin(broadcast(ks))
+        .groupBy("k", "total_classes", "total_rows")
+        .agg(
+          sum(when(col("n") < col("k"), 1L).otherwise(0L))
+            .as("violating_classes"),
+          sum(when(col("n") < col("k"), col("n")).otherwise(0L))
+            .as("violating_rows"),
+          round(sum(when(col("n") < col("k"), col("n")).otherwise(0L))
+            * lit(1.0) / col("total_rows"), 6).as("violating_frac"))
+        .select(col("k"), col("total_classes"), col("total_rows"),
+          col("violating_classes"), col("violating_rows"),
+          col("violating_frac"))
+        .orderBy("k")
+    },
   )
 }

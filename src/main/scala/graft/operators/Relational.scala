@@ -540,5 +540,48 @@ object Relational {
         .orderBy(col("revenue").desc, col("c_custkey"))
         .limit(20)
     },
+
+    // q254 — TPC-H Q18 shape (large-volume customers): orders whose
+    // total lineitem quantity exceeds 300. The HAVING subquery reduces
+    // lineitem to a handful of hot orderkeys FIRST (map-side partial
+    // sum, then the tiny key set broadcasts into both probe joins) —
+    // at 100 TB the big⋈big pitfall here is joining lineitem to orders
+    // before the quantity filter; this plan never does.
+    QueryEntry.sql(
+      "q254_tpch_q18",
+      """WITH hot AS (
+        |  SELECT l_orderkey,
+        |         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+        |           AS total_qty
+        |  FROM lineitem GROUP BY l_orderkey
+        |  HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 300
+        |)
+        |SELECT c_name, c_custkey, o_orderkey,
+        |       strftime(o_orderdate, '%Y-%m-%d') AS o_date,
+        |       CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE)
+        |         AS o_totalprice,
+        |       total_qty
+        |FROM hot
+        |JOIN orders ON o_orderkey = l_orderkey
+        |JOIN customer ON c_custkey = o_custkey
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin,
+    ) { (s, dir) =>
+      val t = Tables(s, dir)
+      val hot = t.lineitem
+        .groupBy(col("l_orderkey").as("o_orderkey"))
+        .agg(sum(col("l_quantity").cast(DecimalType(18, 2))).as("qty_dec"))
+        .filter(col("qty_dec") > lit(300))
+        .select(col("o_orderkey"), col("qty_dec").cast(DoubleType).as("total_qty"))
+      t.orders
+        .join(broadcast(hot), "o_orderkey")
+        .join(t.customer, col("o_custkey") === col("c_custkey"))
+        .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_date"),
+          col("o_totalprice").cast(DecimalType(18, 2)).cast(DoubleType)
+            .as("o_totalprice"),
+          col("total_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(100)
+    },
   )
 }

@@ -202,6 +202,23 @@ object TextAnalysis {
     ("zh", "今天天气很好我们一起去公园散步吧"),
   )
 
+  /** One native-orthography tail per language (both q63 planted
+    * sentences joined) — the deterministic signal injection the
+    * augmented-corpus entries (q251/q253) plant in BOTH engines.
+    */
+  val langTails: Seq[(String, String)] =
+    plantedSentences.groupBy(_._1).toSeq
+      .map { case (l, ss) => (l, ss.map(_._2).mkString(" ")) }
+      .sortBy(_._1)
+
+  /** The VALUES list the augmented-corpus oracles plant (quotes
+    * escaped; margin-continuation formatted for the callers'
+    * stripMargin blocks).
+    */
+  def tailValuesSql: String =
+    langTails.map { case (l, t) => s"('$l', '${t.replace("'", "''")}')" }
+      .mkString(",\n        |  ")
+
   /** Sequence packing: documents in deterministic shuffle order cut
     * into ≤`budget`-token packs via a two-phase distributed prefix
     * sum (see the q58 entry's comment for the shape). Returns one row
@@ -646,6 +663,58 @@ object TextAnalysis {
         .select(col("lang"), (col("pos") + 1).cast(IntegerType).as("rank"),
           col("col.id").as("doc_id"), round(col("col.score"), 6).as("u"))
         .orderBy("lang", "rank")
+    },
+
+    // q253 — tokenizer fertility per language: how many BPE-ish
+    // subtokens (the q184 regex) each whitespace token fragments into,
+    // and UTF-8 bytes per subtoken — the multilingual token-budget
+    // numbers (CJK fragments char-per-subtoken at 3 bytes each, Latin
+    // langs stay near 1) a mixture planner feeds on. Measured over the
+    // orthography-AUGMENTED corpus ([[Classify.augmentedDocs]] — the
+    // fixture's shared English-like vocabulary carries no script
+    // signal, the q17 note; both engines plant the same tails). All
+    // sums are exact integers; the two ratios are rounded once per
+    // lang row.
+    QueryEntry.sql(
+      "q253_tokenizer_fertility",
+      s"""WITH ptail(lang, tail) AS (VALUES
+        |  $tailValuesSql
+        |), d2 AS (
+        |  SELECT d.lang, d.text || ' ' || tail AS text
+        |  FROM documents d JOIN ptail USING (lang)
+        |)
+        |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |       CAST(SUM(len(regexp_split_to_array(trim(lower(text)), '\\s+')))
+        |            AS BIGINT) AS ws_tokens,
+        |       CAST(SUM(len(regexp_extract_all(lower(text),
+        |                    '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS BIGINT)
+        |         AS subtokens,
+        |       CAST(SUM(octet_length(encode(text))) AS BIGINT) AS n_bytes,
+        |       ROUND(SUM(len(regexp_extract_all(lower(text),
+        |                     '[a-z]+|[0-9]+|[^a-z0-9 ]'))) * 1.0 /
+        |             SUM(len(regexp_split_to_array(trim(lower(text)), '\\s+'))), 6)
+        |         AS fertility,
+        |       ROUND(SUM(octet_length(encode(text))) * 1.0 /
+        |             SUM(len(regexp_extract_all(lower(text),
+        |                     '[a-z]+|[0-9]+|[^a-z0-9 ]'))), 6)
+        |         AS bytes_per_subtoken
+        |FROM d2 GROUP BY lang ORDER BY lang""".stripMargin,
+    ) { (s, dir) =>
+      val subt = size(regexp_extract_all(lower(col("text")),
+        lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)))
+      Classify.augmentedDocs(Tables(s, dir).documentsRebalanced)
+        .select(col("lang"),
+          size(tokens(col("text"))).as("wt"), subt.as("st"),
+          octet_length(col("text")).as("by"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("wt")).as("ws_tokens"),
+          sum(col("st")).as("subtokens"),
+          sum(col("by")).as("n_bytes"),
+          round(sum(col("st")) * lit(1.0) / sum(col("wt")), 6).as("fertility"),
+          round(sum(col("by")) * lit(1.0) / sum(col("st")), 6)
+            .as("bytes_per_subtoken"))
+        .orderBy("lang")
     },
   )
 }

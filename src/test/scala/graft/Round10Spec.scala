@@ -1,0 +1,144 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** q250–q256 coverage beyond the oracle gate: the trained models
+  * actually LEARN (not just hash-match), the truncation sweep is
+  * monotone, fertility separates scripts, and the audits satisfy
+  * their structural invariants.
+  */
+class Round10Spec extends SparkSpec {
+
+  test("q250 logreg: training separates clean docs from corrupted twins") {
+    val rows = run("q250_quality_logreg").collect()
+      .map(r => r.getAs[Int]("label") ->
+        (r.getAs[Long]("n_docs"), r.getAs[Double]("mean_score"),
+          r.getAs[Long]("n_kept"))).toMap
+    assert(rows.keySet === Set(0, 1))
+    val (nClean, meanClean, keptClean) = rows(1)
+    val (nBad, meanBad, keptBad) = rows(0)
+    assert(nClean > nBad && nBad > 0)
+    // after 3 GD steps the corrupted class must score clearly lower
+    assert(meanClean > meanBad + 0.2,
+      s"clean mean $meanClean vs corrupted mean $meanBad")
+    // the 0.5 gate keeps most clean docs and drops most corrupted ones
+    assert(keptClean * 2 > nClean, s"kept $keptClean of $nClean clean")
+    assert(keptBad * 2 < nBad, s"kept $keptBad of $nBad corrupted")
+  }
+
+  test("q250 weights: engine fit matches a driver-side recompute") {
+    val feats = operators.Classify
+      .logregFeatures(operators.Classify.corpusWithCorruptions(
+        Tables(spark, sf).documents))
+      .select("y", "x1", "x2", "x3")
+      .collect().map(r => (r.getDouble(0), r.getDouble(1), r.getDouble(2),
+        r.getDouble(3)))
+    val n = feats.length.toDouble
+    val w = Array(0.0, 0.0, 0.0, 0.0)
+    for (_ <- 1 to 3) {
+      val g = Array(0L, 0L, 0L, 0L)
+      feats.foreach { case (y, x1, x2, x3) =>
+        val z = w(0) + w(1) * x1 + w(2) * x2 + w(3) * x3
+        val r = y - 1.0 / (1.0 + math.exp(-z))
+        Seq(1.0, x1, x2, x3).zipWithIndex.foreach { case (x, j) =>
+          g(j) += BigDecimal(r * x * 1e7)
+            .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+        }
+      }
+      for (j <- 0 to 3)
+        w(j) = BigDecimal(w(j) + 2.0 * (g(j).toDouble / 1e7 / n))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val engineW = operators.Classify.logregFit(
+      operators.Classify.logregFeatures(
+        operators.Classify.corpusWithCorruptions(Tables(spark, sf).documents)))
+    assert(engineW.toSeq === w.toSeq)
+  }
+
+  test("q251 NB lang-ID: diagonal dominates every row of the confusion matrix") {
+    val rows = run("q251_nb_langid").collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[String]("pred"),
+        r.getAs[Long]("n")))
+    val byLang = rows.groupBy(_._1)
+    byLang.foreach { case (lang, preds) =>
+      val diag = preds.collectFirst { case (_, p, n) if p == lang => n }
+        .getOrElse(0L)
+      val off = preds.collect { case (_, p, n) if p != lang => n }.sum
+      assert(diag > off,
+        s"$lang: diagonal $diag must beat off-diagonal $off " +
+          "(resubstitution NB on char bigrams)")
+    }
+  }
+
+  test("q252 MRL: agreement is monotone in dim and perfect at full dim") {
+    val rows = run("q252_mrl_truncation").collect()
+      .map(r => (r.getAs[Int]("dim"), r.getAs[Long]("n_probes"),
+        r.getAs[Long]("n_agree"), r.getAs[Double]("mean_best_cos")))
+      .sortBy(_._1)
+    assert(rows.map(_._1).toSeq === Seq(8, 16, 32, 64))
+    val probes = rows.head._2
+    assert(rows.forall(_._2 == probes))
+    // full dim agrees with itself by construction; truncation can only
+    // lose agreement (NOTE: mean best COS is *higher* at low dims —
+    // short random prefixes align more easily — so cos is not monotone,
+    // only agreement is meaningful)
+    assert(rows.last._3 === probes)
+    rows.foreach { case (dim, _, agree, cos) =>
+      assert(agree >= 0 && agree <= probes, s"dim $dim agree $agree")
+      assert(cos >= -1.0 - 1e-9 && cos <= 1.0 + 1e-9, s"dim $dim cos $cos")
+    }
+    assert(rows.head._3 < probes,
+      "8-dim truncation should lose at least one top-1 on this fixture")
+  }
+
+  test("q253 fertility: CJK fragments harder than Latin; sums positive") {
+    val rows = run("q253_tokenizer_fertility").collect()
+      .map(r => r.getAs[String]("lang") ->
+        (r.getAs[Double]("fertility"), r.getAs[Double]("bytes_per_subtoken")))
+      .toMap
+    rows.values.foreach { case (f, b) => assert(f > 0 && b > 0) }
+    assert(rows("zh")._1 > rows("en")._1,
+      s"zh fertility ${rows("zh")._1} must exceed en ${rows("en")._1}")
+  }
+
+  test("q254 TPC-H Q18: every order exceeds the quantity threshold") {
+    val rows = run("q254_tpch_q18").collect()
+    assert(rows.nonEmpty && rows.length <= 100)
+    rows.foreach(r => assert(r.getAs[Double]("total_qty") > 300.0))
+    val prices = rows.map(_.getAs[Double]("o_totalprice")).toSeq
+    assert(prices === prices.sortBy(-_), "descending by totalprice")
+  }
+
+  test("q255 block dedup: invariants and cross-check against raw sizes") {
+    val rows = run("q255_block_dedup").collect()
+    assert(rows.nonEmpty)
+    var total = 0L
+    rows.foreach { r =>
+      val (t, d, sh) = (r.getAs[Long]("total_blocks"),
+        r.getAs[Long]("distinct_blocks"), r.getAs[Long]("shared_blocks"))
+      assert(t >= d && d >= sh && sh >= 0)
+      val ratio = r.getAs[Double]("dedup_ratio")
+      assert(ratio > 0.0 && ratio <= 1.0)
+      total += t
+    }
+    // total block count == sum over docs of ceil(bytes/32)
+    val expect = Tables(spark, sf).documents
+      .select(sum(ceil(octet_length(col("text")) / lit(32.0))))
+      .collect()(0).getAs[Any](0).toString.toDouble.toLong
+    assert(total === expect, s"blocks $total vs ceil-sum $expect")
+  }
+
+  test("q256 k-anonymity: violations monotone in k, bounded by totals") {
+    val rows = run("q256_k_anonymity").collect()
+      .map(r => (r.getAs[Int]("k"), r.getAs[Long]("total_classes"),
+        r.getAs[Long]("total_rows"), r.getAs[Long]("violating_classes"),
+        r.getAs[Long]("violating_rows"))).sortBy(_._1)
+    assert(rows.map(_._1).toSeq === Seq(2, 5, 10))
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b._4 >= a._4 && b._5 >= a._5, "monotone in k")
+    }
+    rows.foreach { case (_, tc, tr, vc, vr) =>
+      assert(vc <= tc && vr <= tr)
+    }
+  }
+}
