@@ -107,6 +107,11 @@ object ScaleStress {
     "q247_nprobe_sweep", // 3x q169: broadcast probes x corpus — linear
     "q248_split_leakage", // one pair set + CC + three pair-frame joins
     "q249_dedup_threshold_sweep", // 3x prefix-filtered set join — q139's class
+    // round-10 widening: new queries benching >1 s at sf0.1
+    "q250_quality_logreg", // 3 GD passes + scoring, all map+4-scalar-agg — linear
+    "q251_nb_langid", // char-bigram explode + charset²-bounded model joins — linear
+    "q252_mrl_truncation", // FIXED 128-probe panel x corpus x 4 dims — linear
+    "q254_tpch_q18", // lineitem partial agg + tiny broadcast probes — linear
   )
 
   /** Per-table key-shift rules: every synthetic surrogate key column
