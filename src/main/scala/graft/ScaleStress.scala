@@ -112,6 +112,8 @@ object ScaleStress {
     "q251_nb_langid", // char-bigram explode + charset²-bounded model joins — linear
     "q252_mrl_truncation", // FIXED 128-probe panel x corpus x 4 dims — linear
     "q254_tpch_q18", // lineitem partial agg + tiny broadcast probes — linear
+    "q257_stream_quality_filter", // stream machinery + 3 fit passes constant-ish; scoring linear
+    "q258_model_calibration", // q250's fit + one binned rollup — linear
   )
 
   /** Per-table key-shift rules: every synthetic surrogate key column

@@ -58,17 +58,16 @@ object Classify {
         .select((-col("doc_id") - lit(1L)).as("doc_id"), lit(0.0).as("y"),
           regexp_replace(col("text"), " ", "").as("text")))
 
-  /** Per-doc features, each rounded once to 6dp so both engines carry
-    * identical doubles: x1 = stopword ratio, x2 = mean token length /
-    * 10, x3 = non-[a-z0-9 ] char ratio. Expects (y, text).
+  /** The three surface features, each rounded once to 6dp so both
+    * engines carry identical doubles: x1 = stopword ratio, x2 = mean
+    * token length / 10, x3 = non-[a-z0-9 ] char ratio.
     */
-  def logregFeatures(corpus: DataFrame): DataFrame = {
+  private def featureCols: Seq[Column] = {
     val tl = trim(lower(col("text")))
     val toks = split(tl, "\\s+")
     val n = size(toks).cast(DoubleType)
     val chars = length(regexp_replace(tl, "\\s+", "")).cast(DoubleType)
-    corpus.select(
-      col("y"),
+    Seq(
       round(size(filter(toks, t => t.isin(lrStop: _*))).cast(DoubleType) / n, 6)
         .as("x1"),
       round(chars / n / lit(10.0), 6).as("x2"),
@@ -76,6 +75,27 @@ object Classify {
         .cast(DoubleType) / length(tl), 6).as("x3"),
     )
   }
+
+  /** Training frame (y, x1..x3); expects (y, text). */
+  def logregFeatures(corpus: DataFrame): DataFrame =
+    corpus.select(col("y") +: featureCols: _*)
+
+  /** Fit the quality filter on a fixture dir (the model an ingest
+    * pipeline loads at startup — q257 calls this BEFORE its stream).
+    */
+  def fittedWeights(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Array[Double] =
+    logregFit(logregFeatures(corpusWithCorruptions(
+      Tables(spark, dir).documentsRebalanced)))
+
+  /** Score a doc frame under fitted weights: (doc_id, s6) with the
+    * 1e6-scaled score — shared by the batch calibration entry and the
+    * streaming ingest filter (identical arithmetic on both paths).
+    */
+  def scoreDocs(docs: DataFrame, w: Array[Double]): DataFrame =
+    docs.select(col("doc_id") +: featureCols: _*)
+      .select(col("doc_id"),
+        round(sigmoid(zOf(w)) * lit(1e6), 0).cast(LongType).as("s6"))
 
   private def sigmoid(z: Column): Column = lit(1.0) / (lit(1.0) + exp(-z))
 
@@ -230,6 +250,63 @@ object Classify {
 
   private val lrStopSqlList = lrStop.map(w => s"'$w'").mkString(", ")
 
+  /** The SQL feature triple over a relation exposing (tl, toks). */
+  private def featSql(indent: String): String = Seq(
+    s"ROUND(len(list_filter(toks, t -> t IN ($lrStopSqlList)))\n$indent      * 1.0 / len(toks), 6) AS x1",
+    s"ROUND(length(regexp_replace(tl, '\\s+', '', 'g'))\n$indent      * 1.0 / len(toks) / 10.0, 6) AS x2",
+    s"ROUND(len(regexp_extract_all(tl, '[^a-z0-9 ]'))\n$indent      * 1.0 / length(tl), 6) AS x3",
+  ).mkString(s",\n$indent")
+
+  private def gStepSql(z: String): String =
+    Seq("1.0", "x1", "x2", "x3").zipWithIndex.map { case (x, j) =>
+      s"SUM(CAST(ROUND((y - 1.0/(1.0 + exp(-($z)))) * $x * 10000000.0, 0) AS BIGINT)) AS g$j"
+    }.mkString(",\n       ")
+
+  private def wStepSql(prev: String): String =
+    (0 to 3).map { j =>
+      val base = if (prev.isEmpty) "0.0" else s"$prev.w$j"
+      s"ROUND($base + 2.0 * (CAST(g$j AS DOUBLE) / 10000000.0 / n), 6) AS w$j"
+    }.mkString(",\n       ")
+
+  /** The full unrolled training pipeline as a CTE chain (corpus →
+    * feats → 3 × (gradient, weights)), ending at `w3s` — shared by
+    * every oracle that needs the FITTED model (q250/q257/q258), so all
+    * three break together if any training step drifts.
+    */
+  private val zw = "w0 + w1*x1 + w2*x2 + w3*x3"
+  private def gdChainSql: String =
+    s"""corpus AS (
+       |  SELECT 1.0 AS y, text FROM documents
+       |  UNION ALL
+       |  SELECT 0.0 AS y, replace(text, ' ', '') FROM documents
+       |  WHERE doc_id % 3 = 0
+       |), feats AS MATERIALIZED (
+       |  SELECT y,
+       |       ${featSql("       ")}
+       |  FROM (SELECT y, trim(lower(text)) AS tl,
+       |               regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+       |        FROM corpus) t
+       |), nn AS (SELECT COUNT(*) AS n FROM feats),
+       |g1 AS (
+       |  SELECT ${gStepSql("0.0 + 0.0*x1 + 0.0*x2 + 0.0*x3")}
+       |  FROM feats
+       |), w1 AS (
+       |  SELECT ${wStepSql("")}
+       |  FROM g1, nn
+       |), g2s AS (
+       |  SELECT ${gStepSql(zw)}
+       |  FROM feats, w1
+       |), w2s AS (
+       |  SELECT ${wStepSql("w1")}
+       |  FROM g2s, w1, nn
+       |), g3s AS (
+       |  SELECT ${gStepSql(zw)}
+       |  FROM feats, w2s
+       |), w3s AS (
+       |  SELECT ${wStepSql("w2s")}
+       |  FROM g3s, w2s, nn
+       |)""".stripMargin
+
   lazy val entries: Seq[QueryEntry] = Seq(
     // q250 — learned quality filter: 3 full-batch GD steps of logistic
     // regression on 3 surface features (stopword ratio, mean token
@@ -241,62 +318,9 @@ object Classify {
     // every downstream row.
     QueryEntry.sql(
       "q250_quality_logreg",
-      s"""WITH corpus AS (
-         |  SELECT 1.0 AS y, text FROM documents
-         |  UNION ALL
-         |  SELECT 0.0 AS y, replace(text, ' ', '') FROM documents
-         |  WHERE doc_id % 3 = 0
-         |), feats AS MATERIALIZED (
-         |  SELECT y,
-         |         ROUND(len(list_filter(toks, t -> t IN ($lrStopSqlList)))
-         |               * 1.0 / len(toks), 6) AS x1,
-         |         ROUND(length(regexp_replace(tl, '\\s+', '', 'g'))
-         |               * 1.0 / len(toks) / 10.0, 6) AS x2,
-         |         ROUND(len(regexp_extract_all(tl, '[^a-z0-9 ]'))
-         |               * 1.0 / length(tl), 6) AS x3
-         |  FROM (SELECT y, trim(lower(text)) AS tl,
-         |               regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
-         |        FROM corpus) t
-         |), nn AS (SELECT COUNT(*) AS n FROM feats),
-         |g1 AS (
-         |  SELECT SUM(CAST(ROUND((y - 1.0/(1.0 + exp(-(0.0 + 0.0*x1 + 0.0*x2 + 0.0*x3)))) * 1.0 * 10000000.0, 0) AS BIGINT)) AS g0,
-         |         SUM(CAST(ROUND((y - 1.0/(1.0 + exp(-(0.0 + 0.0*x1 + 0.0*x2 + 0.0*x3)))) * x1 * 10000000.0, 0) AS BIGINT)) AS g1,
-         |         SUM(CAST(ROUND((y - 1.0/(1.0 + exp(-(0.0 + 0.0*x1 + 0.0*x2 + 0.0*x3)))) * x2 * 10000000.0, 0) AS BIGINT)) AS g2,
-         |         SUM(CAST(ROUND((y - 1.0/(1.0 + exp(-(0.0 + 0.0*x1 + 0.0*x2 + 0.0*x3)))) * x3 * 10000000.0, 0) AS BIGINT)) AS g3
-         |  FROM feats
-         |), w1 AS (
-         |  SELECT ROUND(0.0 + 2.0 * (CAST(g0 AS DOUBLE) / 10000000.0 / n), 6) AS w0,
-         |         ROUND(0.0 + 2.0 * (CAST(g1 AS DOUBLE) / 10000000.0 / n), 6) AS w1,
-         |         ROUND(0.0 + 2.0 * (CAST(g2 AS DOUBLE) / 10000000.0 / n), 6) AS w2,
-         |         ROUND(0.0 + 2.0 * (CAST(g3 AS DOUBLE) / 10000000.0 / n), 6) AS w3
-         |  FROM g1, nn
-         |), g2s AS (
-         |  SELECT SUM(CAST(ROUND((y - 1.0/(1.0 + exp(-(w0 + w1*x1 + w2*x2 + w3*x3)))) * 1.0 * 10000000.0, 0) AS BIGINT)) AS g0,
-         |         SUM(CAST(ROUND((y - 1.0/(1.0 + exp(-(w0 + w1*x1 + w2*x2 + w3*x3)))) * x1 * 10000000.0, 0) AS BIGINT)) AS g1,
-         |         SUM(CAST(ROUND((y - 1.0/(1.0 + exp(-(w0 + w1*x1 + w2*x2 + w3*x3)))) * x2 * 10000000.0, 0) AS BIGINT)) AS g2,
-         |         SUM(CAST(ROUND((y - 1.0/(1.0 + exp(-(w0 + w1*x1 + w2*x2 + w3*x3)))) * x3 * 10000000.0, 0) AS BIGINT)) AS g3
-         |  FROM feats, w1
-         |), w2s AS (
-         |  SELECT ROUND(w1.w0 + 2.0 * (CAST(g0 AS DOUBLE) / 10000000.0 / n), 6) AS w0,
-         |         ROUND(w1.w1 + 2.0 * (CAST(g1 AS DOUBLE) / 10000000.0 / n), 6) AS w1,
-         |         ROUND(w1.w2 + 2.0 * (CAST(g2 AS DOUBLE) / 10000000.0 / n), 6) AS w2,
-         |         ROUND(w1.w3 + 2.0 * (CAST(g3 AS DOUBLE) / 10000000.0 / n), 6) AS w3
-         |  FROM g2s, w1, nn
-         |), g3s AS (
-         |  SELECT SUM(CAST(ROUND((y - 1.0/(1.0 + exp(-(w0 + w1*x1 + w2*x2 + w3*x3)))) * 1.0 * 10000000.0, 0) AS BIGINT)) AS g0,
-         |         SUM(CAST(ROUND((y - 1.0/(1.0 + exp(-(w0 + w1*x1 + w2*x2 + w3*x3)))) * x1 * 10000000.0, 0) AS BIGINT)) AS g1,
-         |         SUM(CAST(ROUND((y - 1.0/(1.0 + exp(-(w0 + w1*x1 + w2*x2 + w3*x3)))) * x2 * 10000000.0, 0) AS BIGINT)) AS g2,
-         |         SUM(CAST(ROUND((y - 1.0/(1.0 + exp(-(w0 + w1*x1 + w2*x2 + w3*x3)))) * x3 * 10000000.0, 0) AS BIGINT)) AS g3
-         |  FROM feats, w2s
-         |), w3s AS (
-         |  SELECT ROUND(w2s.w0 + 2.0 * (CAST(g0 AS DOUBLE) / 10000000.0 / n), 6) AS w0,
-         |         ROUND(w2s.w1 + 2.0 * (CAST(g1 AS DOUBLE) / 10000000.0 / n), 6) AS w1,
-         |         ROUND(w2s.w2 + 2.0 * (CAST(g2 AS DOUBLE) / 10000000.0 / n), 6) AS w2,
-         |         ROUND(w2s.w3 + 2.0 * (CAST(g3 AS DOUBLE) / 10000000.0 / n), 6) AS w3
-         |  FROM g3s, w2s, nn
-         |), scored AS (
+      s"""WITH $gdChainSql, scored AS (
          |  SELECT CAST(y AS INTEGER) AS label,
-         |         CAST(ROUND(1.0/(1.0 + exp(-(w0 + w1*x1 + w2*x2 + w3*x3)))
+         |         CAST(ROUND(1.0/(1.0 + exp(-($zw)))
          |                    * 1000000.0, 0) AS BIGINT) AS s6
          |  FROM feats, w3s
          |)
@@ -378,6 +402,80 @@ object Classify {
         |GROUP BY lang, pred ORDER BY lang, pred""".stripMargin,
     ) { (s, dir) =>
       nbLangIdConfusion(augmentedDocs(Tables(s, dir).documentsRebalanced))
+    },
+
+    // q257 — streaming quality-filter ingest (the q188 pattern applied
+    // to the TRAINED model): the q250 filter is fitted ONCE before the
+    // stream starts (an ingest pipeline loads its model at startup),
+    // then each micro-batch of the 4-file docs feed derives its
+    // mixed-quality form (docs + whitespace-stripped twins, so the
+    // DROP path fires for real), scores it under the frozen weights,
+    // and appends the keepers to a parquet sink inside foreachBatch.
+    // The model is static and the twins are per-row-derivable, so
+    // micro-batch boundaries cannot change the result — but a
+    // lost/re-processed batch, drifted weights, or a sink bug all
+    // break the hash against the from-scratch oracle (which re-runs
+    // the whole training loop AND the scoring).
+    QueryEntry.sql(
+      "q257_stream_quality_filter",
+      s"""WITH $gdChainSql, real AS (
+         |  SELECT doc_id,
+         |       ${featSql("       ")}
+         |  FROM (SELECT doc_id, trim(lower(text)) AS tl,
+         |               regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+         |        FROM (SELECT doc_id, text FROM documents
+         |              UNION ALL
+         |              SELECT -doc_id - 1, replace(text, ' ', '')
+         |              FROM documents WHERE doc_id % 3 = 0) c) t
+         |), scored AS (
+         |  SELECT doc_id,
+         |         CAST(ROUND(1.0/(1.0 + exp(-($zw)))
+         |                    * 1000000.0, 0) AS BIGINT) AS s6
+         |  FROM real, w3s
+         |)
+         |SELECT doc_id, s6 FROM scored WHERE s6 >= 500000
+         |ORDER BY doc_id""".stripMargin,
+    ) { (s, dir) =>
+      graft.streaming.StreamingDocs.runQualityFilterToCompletion(s, dir)
+    },
+
+    // q258 — calibration of the TRAINED filter (q233's ECE machinery
+    // pointed at a model this engine itself fits): bucket the q250
+    // corpus by predicted-score decile and report per-bin volume, mean
+    // predicted score, and observed clean fraction — the reliability
+    // table a threshold decision reads. Bin edges are integer
+    // comparisons on the 1e6-scaled score, so binning is exact.
+    QueryEntry.sql(
+      "q258_model_calibration",
+      s"""WITH $gdChainSql, scored AS (
+         |  SELECT CAST(y AS INTEGER) AS label,
+         |         CAST(ROUND(1.0/(1.0 + exp(-($zw)))
+         |                    * 1000000.0, 0) AS BIGINT) AS s6
+         |  FROM feats, w3s
+         |)
+         |SELECT LEAST(CAST(s6 // 100000 AS INTEGER), 9) AS bin,
+         |       CAST(COUNT(*) AS BIGINT) AS n,
+         |       ROUND(CAST(SUM(s6) AS DOUBLE) / 1000000.0 / COUNT(*), 6)
+         |         AS mean_pred,
+         |       ROUND(SUM(label) * 1.0 / COUNT(*), 6) AS frac_clean
+         |FROM scored GROUP BY 1 ORDER BY bin""".stripMargin,
+    ) { (s, dir) =>
+      val feats = logregFeatures(
+        corpusWithCorruptions(Tables(s, dir).documentsRebalanced))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      graft.TransientCaches.register(feats)
+      val w = logregFit(feats)
+      feats
+        .select(col("y").cast(IntegerType).as("label"),
+          round(sigmoid(zOf(w)) * lit(1e6), 0).cast(LongType).as("s6"))
+        .groupBy(least(expr("s6 div 100000"), lit(9L)).cast(IntegerType)
+          .as("bin"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("s6")).cast(DoubleType) / lit(1e6) / count(lit(1)), 6)
+            .as("mean_pred"),
+          round(sum(col("label")) * lit(1.0) / count(lit(1)), 6)
+            .as("frac_clean"))
+        .orderBy("bin")
     },
   )
 }

@@ -218,6 +218,48 @@ object StreamingDocs {
     spark.read.parquet(outDir).orderBy("new_vec", "hist_vec")
   }
 
+  /** Streaming quality-filter ingest (q257): the q250 logistic filter
+    * is fitted ONCE before the stream starts (the q196 "load the model
+    * at startup" shape — the weights are 4 frozen doubles, not
+    * per-batch state); each micro-batch derives the MIXED-quality feed
+    * (its docs plus their whitespace-stripped twins — the fixture has
+    * no dirty docs, so the drop path is exercised via the same planted
+    * corruption the model trained on, per-batch-derivable so batching
+    * can't move a twin), scores it under the frozen model, and appends
+    * keepers (s6 >= 500000) to a parquet sink inside foreachBatch.
+    * Static model + per-row derivation ⇒ micro-batch boundaries cannot
+    * change the result; lost/re-processed batches, weight drift, or a
+    * never-firing drop gate all break the hash vs the from-scratch
+    * oracle.
+    */
+  def runQualityFilterToCompletion(spark: SparkSession, dir: String): DataFrame = {
+    val feed = stagedDocsFeed(spark, dir)
+    val schema = spark.read.parquet(feed).schema
+    val w = graft.operators.Classify.fittedWeights(spark, dir)
+    val outDir = s"${graft.sources.Staging.stagingRoot()}/graft_ingest_quality/" +
+      s"run_${java.util.UUID.randomUUID().toString.take(8)}"
+    graft.sources.Staging.deleteOnExit(outDir)
+    graft.sources.Staging.deleteOnExit(s"$outDir.ckpt")
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(feed)
+    val q = stream.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.operators.Classify
+          .scoreDocs(graft.operators.Classify
+            .corpusWithCorruptions(batch.toDF()).drop("y"), w)
+          .filter(col("s6") >= 500000L)
+          .write.mode("append").parquet(outDir)
+        ()
+      }
+      .option("checkpointLocation", s"$outDir.ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    noteProgress("q257_stream_quality_filter", q)
+    spark.read.parquet(outDir).orderBy("doc_id")
+  }
+
   /** 4-file embeddings feed staged under scratch (the docs4 pattern
     * for the vectors table). */
   private def stagedVecsFeed(spark: SparkSession, dir: String): String = {

@@ -128,6 +128,49 @@ class Round10Spec extends SparkSpec {
     assert(total === expect, s"blocks $total vs ceil-sum $expect")
   }
 
+  test("q257 streaming quality filter: stream ≡ batch; the drop gate fires") {
+    val streamed = run("q257_stream_quality_filter").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("s6"))).toSeq
+    assert(streamed.nonEmpty)
+    streamed.foreach { case (_, s6) => assert(s6 >= 500000L) }
+    val w = operators.Classify.fittedWeights(spark, sf)
+    val mixed = operators.Classify
+      .corpusWithCorruptions(Tables(spark, sf).documents).drop("y")
+    val batch = operators.Classify.scoreDocs(mixed, w)
+      .filter(col("s6") >= 500000L)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("s6"))).toSeq
+    assert(streamed === batch,
+      "micro-batched scoring must equal the one-shot batch scoring")
+    // the gate actually DROPS rows: fewer keepers than mixed-feed rows
+    assert(streamed.length < mixed.count(),
+      "some planted twins must be rejected by the 0.5 gate")
+  }
+
+  test("q258 calibration: bins bounded, volumes conserve, top bin cleanest") {
+    val rows = run("q258_model_calibration").collect()
+      .map(r => (r.getAs[Int]("bin"), r.getAs[Long]("n"),
+        r.getAs[Double]("mean_pred"), r.getAs[Double]("frac_clean")))
+      .sortBy(_._1)
+    assert(rows.nonEmpty)
+    rows.foreach { case (bin, n, mp, fc) =>
+      assert(bin >= 0 && bin <= 9 && n > 0)
+      assert(mp >= bin * 0.1 - 1e-6 && mp <= (bin + 1) * 0.1 + 1e-6 ||
+        bin == 9 && mp <= 1.0 + 1e-6, s"bin $bin mean_pred $mp")
+      assert(fc >= 0.0 && fc <= 1.0)
+    }
+    val total = rows.map(_._2).sum
+    val docs = Tables(spark, sf).documents.count()
+    val twins = Tables(spark, sf).documents
+      .filter(pmod(col("doc_id"), lit(3)) === 0).count()
+    assert(total === docs + twins,
+      s"bin volumes $total must conserve the corpus+twins size")
+    // the model is calibrated in direction: the top-scoring bin is
+    // cleaner than the bottom-scoring bin
+    assert(rows.last._4 > rows.head._4,
+      s"top bin frac_clean ${rows.last._4} vs bottom ${rows.head._4}")
+  }
+
   test("q256 k-anonymity: violations monotone in k, bounded by totals") {
     val rows = run("q256_k_anonymity").collect()
       .map(r => (r.getAs[Int]("k"), r.getAs[Long]("total_classes"),
