@@ -194,9 +194,13 @@ object Classify {
     graft.TransientCaches.register(bg)
 
     val dec6 = DataTypes.createDecimalType(18, 6)
-    val nDocs = docs.count()
-    val priors = docs.groupBy(col("lang").as("m_lang"))
-      .agg(count(lit(1)).as("nl"))
+    // priors over docs that PRODUCED bigrams (length >= 2 after
+    // normalization) — the same population the model is fitted on and
+    // the oracle counts; deriving from `docs` instead would silently
+    // disagree on any corpus with near-empty documents.
+    val nDocs = bg.select(countDistinct(col("doc_id"))).head().getLong(0)
+    val priors = bg.groupBy(col("lang").as("m_lang"))
+      .agg(countDistinct(col("doc_id")).as("nl"))
       .select(col("m_lang"),
         round(log(col("nl").cast(DoubleType) / lit(nDocs.toDouble)), 6)
           .cast(dec6).as("prior"))

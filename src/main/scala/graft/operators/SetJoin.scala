@@ -33,11 +33,6 @@ import org.apache.spark.sql.DataFrame
   */
 object SetJoin {
 
-  /** DuckDB mirror of the shingle-set unit (binds `toks` from the
-    * enclosing tokenized subquery — [[Dedup.shinglesSql]]).
-    */
-  private val shingleSetSql: String = Dedup.shinglesSql
-
   /** (doc_id, toks, len): distinct 3-gram shingle set per doc
     * ([[Dedup.shingles]] — the dedup family's set unit; raw token sets
     * barely discriminate, shingles carry order), ordered by ascending
@@ -90,24 +85,17 @@ object SetJoin {
 
   def entries: Seq[QueryEntry] = Seq(
     // q139 — exact Jaccard ≥ 0.8 self-join over distinct shingle sets;
-    // the oracle is the brute-force all-pairs join, so any pair the
-    // prefix filter wrongly prunes fails the differential gate.
+    // the oracle re-derives the pair set in INVERTED-INDEX form
+    // ([[Dedup.invertedPairsSql]] — exact and bounded by posting
+    // lists, the q166 timeout-retirement precedent: the former
+    // all-pairs cross join exceeded the sf1 sweep's 1800 s), so any
+    // pair the prefix filter wrongly prunes still fails the gate. A
+    // uni = 0 pair cannot arise in either form: shingle lists are
+    // never empty, so the old `uni > 0` guard is vacuous.
     QueryEntry.sql(
       "q139_jaccard_join",
-      s"""WITH sets AS (
-        |  SELECT doc_id, $shingleSetSql AS toks
-        |  FROM (SELECT doc_id,
-        |               regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
-        |        FROM documents) t
-        |)
-        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |       CAST(len(list_intersect(a.toks, b.toks)) AS BIGINT) AS inter,
-        |       CAST(len(a.toks) + len(b.toks)
-        |            - len(list_intersect(a.toks, b.toks)) AS BIGINT) AS uni
-        |FROM sets a JOIN sets b ON a.doc_id < b.doc_id
-        |WHERE 5 * len(list_intersect(a.toks, b.toks))
-        |      >= 4 * (len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)))
-        |  AND len(a.toks) + len(b.toks) - len(list_intersect(a.toks, b.toks)) > 0
+      s"""WITH ${Dedup.shCteSql}, ${Dedup.invertedPairsSql(4, 5)}
+        |SELECT doc_a, doc_b, inter, uni FROM pairs
         |ORDER BY doc_a, doc_b""".stripMargin,
     ) { (s, dir) =>
       jaccardSelfJoin(Tables(s, dir).documentsRebalanced, num = 4, den = 5)
