@@ -114,6 +114,7 @@ object ScaleStress {
     "q254_tpch_q18", // lineitem partial agg + tiny broadcast probes — linear
     "q257_stream_quality_filter", // stream machinery + 3 fit passes constant-ish; scoring linear
     "q258_model_calibration", // q250's fit + one binned rollup — linear
+    "q259_bbit_minhash", // 32-col MIN per doc + pair-bounded sketch compare — linear
   )
 
   /** Per-table key-shift rules: every synthetic surrogate key column

@@ -297,5 +297,75 @@ object Kmv {
         t.orders.filter(year(col("o_orderdate")) === 1995), "o_custkey",
         t.customer.filter(col("c_mktsegment") === "BUILDING"), "c_custkey")
     },
+
+    // q259 — b-bit minwise hashing (Li & König, CACM 2011): keep only
+    // the low b=4 bits of each of 32 MinHash permutations (8× sketch
+    // compression vs 32-bit values) and estimate Jaccard from the
+    // matched-bit rate with the collision bias correction
+    // Ê = (C − 2⁻ᵇ)/(1 − 2⁻ᵇ) — here the exact rational
+    // (matched − 2)/30. Permutation hashes are the PINNED md5₆₀ form
+    // (the q91/q110/q246 pattern), so DuckDB re-derives every
+    // signature, re-finds the exact pair set (inverted form, τ = 1/2),
+    // and must agree on every matched count and estimate — estimator
+    // QUALITY is the oracled output, next to the exact Jaccard it
+    // approximates. Scale shape: signatures are one explode + one
+    // map-side-combined 32-column MIN per doc (constant state/doc);
+    // pairs come from the prefix-filtered exact join; the sketch
+    // compare is a pair-bounded broadcast-free equi-join.
+    QueryEntry.sql(
+      "q259_bbit_minhash",
+      {
+        val perms = 0 until 32
+        val sigCols = perms.map(i =>
+          s"MIN(CAST('0x' || substr(md5('$i|' || g), 1, 15) AS BIGINT)) AS m$i")
+          .mkString(",\n        |       ")
+        val matchTerms = perms.map(i =>
+          s"(CASE WHEN (a.m$i & 15) = (b.m$i & 15) THEN 1 ELSE 0 END)")
+          .mkString("\n        |       + ")
+        s"""WITH ${Dedup.shCteSql}, ${Dedup.invertedPairsSql(1, 2)},
+        |exq AS (SELECT doc_id, unnest(shingles) AS g FROM sh),
+        |sigs AS (
+        |  SELECT doc_id,
+        |       $sigCols
+        |  FROM exq GROUP BY doc_id
+        |), scored AS (
+        |  SELECT doc_a, doc_b, inter, uni,
+        |       CAST($matchTerms AS INTEGER) AS matched
+        |  FROM pairs JOIN sigs a ON a.doc_id = doc_a
+        |             JOIN sigs b ON b.doc_id = doc_b
+        |)
+        |SELECT doc_a, doc_b,
+        |       ROUND(inter * 1.0 / uni, 6) AS exact_j,
+        |       matched,
+        |       ROUND((matched - 2.0) / 30.0, 6) AS est_j
+        |FROM scored ORDER BY doc_a, doc_b""".stripMargin
+      },
+    ) { (s, dir) =>
+      val docs = Tables(s, dir).documentsRebalanced
+      val perms = 0 until 32
+      val ex = docs.select(col("doc_id"),
+        explode(Dedup.shingles(col("text"))).as("g"))
+      val sigCols = perms.map { i =>
+        min(GraftFunctions.md5Long(
+          concat(lit(s"$i|"), col("g")).cast(BinaryType))).as(s"m$i")
+      }
+      val sigs = ex.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
+      val pairs = SetJoin.jaccardSelfJoin(docs, num = 1, den = 2)
+      val matched = perms.map { i =>
+        when(col(s"a.m$i").bitwiseAND(lit(15L)) ===
+          col(s"b.m$i").bitwiseAND(lit(15L)), 1).otherwise(0)
+      }.reduce(_ + _)
+      pairs
+        .join(sigs.as("a"), col("doc_a") === col("a.doc_id"))
+        .join(sigs.as("b"), col("doc_b") === col("b.doc_id"))
+        .select(col("doc_a"), col("doc_b"), col("inter"), col("uni"),
+          matched.cast(IntegerType).as("matched"))
+        .select(col("doc_a"), col("doc_b"),
+          round(col("inter") * lit(1.0) / col("uni"), 6).as("exact_j"),
+          col("matched"),
+          round((col("matched").cast(DoubleType) - lit(2.0)) / lit(30.0), 6)
+            .as("est_j"))
+        .orderBy("doc_a", "doc_b")
+    },
   )
 }

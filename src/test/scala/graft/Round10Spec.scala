@@ -171,6 +171,23 @@ class Round10Spec extends SparkSpec {
       s"top bin frac_clean ${rows.last._4} vs bottom ${rows.head._4}")
   }
 
+  test("q259 b-bit minhash: estimator tracks exact Jaccard on every pair") {
+    val rows = run("q259_bbit_minhash").collect()
+      .map(r => (r.getAs[Double]("exact_j"), r.getAs[Int]("matched"),
+        r.getAs[Double]("est_j")))
+    assert(rows.nonEmpty)
+    rows.foreach { case (ex, m, est) =>
+      assert(m >= 0 && m <= 32)
+      assert(math.abs(est - (m - 2.0) / 30.0) < 1e-6)
+      // 32 perms at b=4: sd(Ê) ≈ 0.09 ⇒ 4.5σ envelope per pair
+      assert(math.abs(est - ex) < 0.45,
+        s"estimate $est too far from exact $ex")
+      assert(ex >= 0.5 - 1e-9, "pair set is the τ ≥ 1/2 exact join")
+    }
+    val mae = rows.map(r => math.abs(r._3 - r._1)).sum / rows.length
+    assert(mae < 0.12, s"mean abs error $mae — sketch must track Jaccard")
+  }
+
   test("q256 k-anonymity: violations monotone in k, bounded by totals") {
     val rows = run("q256_k_anonymity").collect()
       .map(r => (r.getAs[Int]("k"), r.getAs[Long]("total_classes"),
