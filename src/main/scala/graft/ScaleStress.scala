@@ -115,6 +115,7 @@ object ScaleStress {
     "q257_stream_quality_filter", // stream machinery + 3 fit passes constant-ish; scoring linear
     "q258_model_calibration", // q250's fit + one binned rollup — linear
     "q259_bbit_minhash", // 32-col MIN per doc + pair-bounded sketch compare — linear
+    "q260_kcenter_coreset", // 8 rounds x (scan x <=8 broadcast vecs) — linear
   )
 
   /** Per-table key-shift rules: every synthetic surrogate key column

@@ -176,6 +176,40 @@ object Similarity {
       .orderBy("train_vec")
   }
 
+  /** Greedy k-center (farthest-point) coreset under cosine distance:
+    * seed = vec_id 0; each round picks argmin over unchosen vectors of
+    * their MAX 1e6-scaled cosine to the chosen set (ties → smaller
+    * vec_id, via an exact struct MIN). Per round: one corpus scan
+    * against ≤k broadcast chosen vectors, one map-side-combined
+    * grouped max, one 1-row collect — driver state is k (id, vector)
+    * pairs, model-sized by construction (the IVF-centroid precedent).
+    */
+  def kcenterCoreset(emb: DataFrame, k: Int): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    def vecOf(id: Long): Array[Float] =
+      emb.filter(col("vec_id") === id).select("embedding").head()
+        .getSeq[Float](0).toArray
+    var chosen = Vector((0L, vecOf(0L)))
+    val picks = scala.collection.mutable.ArrayBuffer[(Int, Long, Double)]()
+    for (r <- 1 to k) {
+      val chDF = broadcast(chosen.toDF("cid", "ce"))
+      val chosenIds = chosen.map(_._1)
+      val m = emb.filter(!col("vec_id").isin(chosenIds: _*))
+        .crossJoin(chDF)
+        .select(col("vec_id"),
+          round(GraftFunctions.cosineF32(col("embedding"), col("ce"))
+            * lit(1e6), 0).cast(LongType).as("s"))
+        .groupBy("vec_id").agg(max(col("s")).as("m"))
+      val best = m.select(min(struct(col("m"), col("vec_id"))).as("b"))
+        .select(col("b.m"), col("b.vec_id")).head()
+      val (mc, vid) = (best.getLong(0), best.getLong(1))
+      picks += ((r, vid, mc.toDouble / 1e6))
+      chosen = chosen :+ ((vid, vecOf(vid)))
+    }
+    picks.toSeq.toDF("rank", "vec_id", "max_cos")
+  }
+
   val entries: Seq[QueryEntry] = Seq(
     // q195 — semantic decontamination: DuckDB replays the full
     // eval x train scoring, the per-train argmax (score DESC, eval_vec
@@ -247,5 +281,59 @@ object Similarity {
         .agg(count(lit(1)).as("n_vecs"))
         .orderBy("bucket")
     },
+
+    // q260 — k-center coreset (greedy farthest-point / max-min
+    // diversity selection): starting from seed vec_id 0, each round
+    // picks the vector MINIMIZING its max cosine to the chosen set
+    // (= farthest point under cosine distance) — the diversity-first
+    // data-selection pass (labeling budgets, balanced finetuning
+    // subsets) that complements similarity-first dedup. 8 rounds; the
+    // output is the selection order plus each pick's coverage value.
+    // Determinism: scores are 1e6-scaled longs rounded once; the
+    // argmin is an exact integer MIN over a packed (score, vec_id)
+    // key, mirrored bit-for-bit by the oracle's unrolled 8 levels.
+    // Scale shape: one scan × ≤8 broadcast chosen vectors per round
+    // (map-side-combined grouped max + a 1-row collect — model-sized
+    // driver state, the IVF-centroid precedent); nothing pairwise.
+    QueryEntry.sql(
+      "q260_kcenter_coreset",
+      {
+        val levels = (1 to 8).map { k =>
+          val prevM = if (k == 1) "" else
+            s"""m$k AS MATERIALIZED (
+               |  SELECT t.vec_id,
+               |         GREATEST(t.m, CAST(ROUND(list_cosine_similarity(
+               |             CAST(e.embedding AS DOUBLE[]),
+               |             CAST(ch.embedding AS DOUBLE[])) * 1000000.0, 0)
+               |           AS BIGINT)) AS m
+               |  FROM m${k - 1} t
+               |  JOIN e ON e.vec_id = t.vec_id
+               |  JOIN s${k - 1} ON TRUE
+               |  JOIN e ch ON ch.vec_id = s${k - 1}.vid
+               |  WHERE t.vec_id <> s${k - 1}.vid
+               |), """.stripMargin
+          s"""$prevM
+             |p$k AS (SELECT MIN((m + 1000000) * 8589934592 + vec_id) AS k
+             |        FROM m$k),
+             |s$k AS (SELECT CAST(k % 8589934592 AS BIGINT) AS vid,
+             |               CAST(k // 8589934592 - 1000000 AS BIGINT) AS mc
+             |        FROM p$k)""".stripMargin
+        }.mkString(",\n")
+        val out = (1 to 8).map(k =>
+          s"SELECT $k AS rank, vid AS vec_id, CAST(mc AS DOUBLE) / 1000000.0 AS max_cos FROM s$k")
+          .mkString("\nUNION ALL\n")
+        s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+           |c0 AS (SELECT embedding AS ce FROM e WHERE vec_id = 0),
+           |m1 AS MATERIALIZED (
+           |  SELECT vec_id, CAST(ROUND(list_cosine_similarity(
+           |      CAST(embedding AS DOUBLE[]), CAST(ce AS DOUBLE[]))
+           |      * 1000000.0, 0) AS BIGINT) AS m
+           |  FROM e, c0 WHERE vec_id <> 0
+           |),
+           |$levels
+           |$out
+           |ORDER BY rank""".stripMargin
+      },
+    ) { (s, dir) => kcenterCoreset(Tables(s, dir).embeddings, k = 8) },
   )
 }

@@ -188,6 +188,44 @@ class Round10Spec extends SparkSpec {
     assert(mae < 0.12, s"mean abs error $mae — sketch must track Jaccard")
   }
 
+  test("q260 k-center coreset: matches a brute-force greedy recompute") {
+    val rows = run("q260_kcenter_coreset").collect()
+      .map(r => (r.getAs[Int]("rank"), r.getAs[Long]("vec_id"),
+        r.getAs[Double]("max_cos"))).sortBy(_._1)
+    assert(rows.map(_._1).toSeq === (1 to 8))
+    // coverage tightens monotonically: each pick's max-cos-to-chosen
+    // can only grow as the chosen set densifies
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b._3 >= a._3 - 1e-9, s"rank ${b._1} cos ${b._3} < ${a._3}")
+    }
+    assert(rows.map(_._2).distinct.length === 8, "picks must be distinct")
+    // driver-side greedy replay on the raw vectors
+    val vecs = Tables(spark, sf).embeddings
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def cos6(a: Array[Float], b: Array[Float]): Long = {
+      var i = 0; var dot = 0.0; var na = 0.0; var nb = 0.0
+      while (i < a.length) {
+        dot += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+        i += 1
+      }
+      // the exact CosineSimF32 arithmetic: dot / sqrt(na * nb)
+      BigDecimal(dot / math.sqrt(na * nb) * 1e6)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    }
+    var chosen = Vector(0L)
+    val replay = (1 to 8).map { r =>
+      val best = vecs.keys.filterNot(chosen.contains).toSeq
+        .map(v => (chosen.map(c => cos6(vecs(v), vecs(c))).max, v))
+        .minBy(identity)
+      chosen :+= best._2
+      (r, best._2, best._1.toDouble / 1e6)
+    }
+    assert(rows.toSeq === replay)
+  }
+
   test("q256 k-anonymity: violations monotone in k, bounded by totals") {
     val rows = run("q256_k_anonymity").collect()
       .map(r => (r.getAs[Int]("k"), r.getAs[Long]("total_classes"),
