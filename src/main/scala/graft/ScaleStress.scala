@@ -116,6 +116,7 @@ object ScaleStress {
     "q258_model_calibration", // q250's fit + one binned rollup — linear
     "q259_bbit_minhash", // 32-col MIN per doc + pair-bounded sketch compare — linear
     "q260_kcenter_coreset", // 8 rounds x (scan x <=8 broadcast vecs) — linear
+    "q261_kcore", // pair frame + peel-depth-bounded degree/join rounds — q139's class
   )
 
   /** Per-table key-shift rules: every synthetic surrogate key column

@@ -307,6 +307,89 @@ object PageRank {
           .as("global_clustering"))
   }
 
+  /** k-core report over an undirected pair frame: degree-peel rounds
+    * to fixpoint, failing loud if convergence needs more than
+    * `maxRounds` rounds (= the oracle's unroll depth; the k-core is
+    * unique, so converged ⇒ both engines hold the same set). Each
+    * round: one grouped degree count + two key joins on the
+    * surviving-node frame.
+    *
+    * Lineage discipline: round r's edge frame references round r−1's
+    * THREE times (the degree count plus both semi-join sides), so a
+    * persist-only loop grows the logical plan ~3^r — at 10 rounds that
+    * is a ~60k-node tree whose mere stringification (Spark renders the
+    * plan of every InMemoryRelation it caches) pinned a driver for
+    * minutes. Each round therefore ends in an EAGER `localCheckpoint`,
+    * which cuts the plan back to a flat scan-of-materialized-RDD:
+    * per-round plan cost is O(1) in r. `surv` is a shallow derivation
+    * of the checkpointed frame, so a plain persist is safe there. On a
+    * cluster the same call materializes to executor-local storage;
+    * rounds are bounded by peel depth, never corpus size.
+    */
+  def kcoreReport(edges0: DataFrame, ks: Seq[Int], maxRounds: Int): DataFrame = {
+    val spark = edges0.sparkSession
+    import spark.implicits._
+    val MemOnly = org.apache.spark.storage.StorageLevel.MEMORY_ONLY
+    // The report is a driver-built |ks|-row frame with NO lineage on
+    // the loop's checkpointed intermediates, so every block this call
+    // pins is freed before returning (snapshot-diff of persistent
+    // RDDs, the ScaleStress idiom) — without this, repeated bench runs
+    // accumulate per-round checkpoint RDDs until a 128 GiB heap
+    // finally GCs, and the pile-up inflated the first x10 reading 3x
+    // over its lone-JVM cost.
+    val sc = spark.sparkContext
+    val pinnedBefore = sc.getPersistentRDDs.keySet
+    // Two exact shortcuts vs the oracle's full 10-level unroll (both
+    // legal because the k-core is UNIQUE): (1) early exit — each round
+    // only removes edges, so an unchanged edge COUNT means an
+    // unchanged edge SET and every later peel level is a no-op;
+    // (2) ascending-k seeding — the k-core of G equals the k-core of
+    // any k′-core for k′ ≤ k, so k=3 peels the (much smaller)
+    // converged 2-core, not the raw pair frame.
+    var seed = edges0.localCheckpoint(true, MemOnly)
+    var seedEdges = seed.count()
+    val out = ks.sorted.map { k =>
+      var edges = seed
+      var nNodes = 0L
+      var nEdges = seedEdges
+      var converged = false
+      var r = 1
+      while (r <= maxRounds && !converged) {
+        val surv = graft.TransientCaches.register(
+          edges.select(col("doc_a").as("v"))
+            .union(edges.select(col("doc_b").as("v")))
+            .groupBy("v").agg(count(lit(1)).as("d"))
+            .filter(col("d") >= k).select("v")
+            .persist(MemOnly))
+        val next = edges.join(surv.select(col("v").as("doc_a")), "doc_a")
+          .join(surv.select(col("v").as("doc_b")), "doc_b")
+          .select("doc_a", "doc_b")
+          .localCheckpoint(true, MemOnly)
+        val t0 = System.nanoTime()
+        val ne = next.count()
+        if (ne == nEdges) { converged = true; nNodes = surv.count() }
+        if (sys.env.contains("SPARK_GRAFT_KCORE_DEBUG"))
+          println(f"kcore k=$k round=$r ne=$ne ${(System.nanoTime() - t0) / 1e9}%.2fs")
+        nEdges = ne
+        surv.unpersist()
+        edges = next // prior round's checkpointed RDD becomes
+        // unreachable here; the ContextCleaner reclaims its blocks
+        r += 1
+      }
+      require(converged,
+        s"k-core(k=$k) did not converge within $maxRounds peel rounds — " +
+          "raise the round count in BOTH the engine and the oracle")
+      seed = edges
+      seedEdges = nEdges
+      (k, nNodes, nEdges)
+    }
+    val result = out.toDF("k", "n_core_nodes", "n_core_edges")
+    sc.getPersistentRDDs.foreach { case (id, rdd) =>
+      if (!pinnedBefore.contains(id)) rdd.unpersist(blocking = false)
+    }
+    result
+  }
+
   val entries: Seq[QueryEntry] = Seq(
     // PageRank over the nation trade graph, 10 iterations; the oracle
     // unrolls the iterations as chained CTEs and must match rank-for-
@@ -428,6 +511,62 @@ object PageRank {
          |         AS global_clustering""".stripMargin,
     ) { (s, dir) =>
       triangleStats(tradeEdges(s, dir), HopEdgeMinFrac)
+    },
+
+    // q261 — k-core decomposition of the near-dup graph (τ ≥ 1/2
+    // pairs): the density backbone connected components can't see — a
+    // CC merges a template farm with every doc that brushes it, the
+    // k-core keeps only nodes with ≥ k surviving neighbors (the
+    // mutually-duplicating cluster itself). The k-core is UNIQUE
+    // (peel order can't change it), so the engine's loop-to-fixpoint
+    // and the oracle's 10 unrolled peel levels land on the same set;
+    // the engine FAILS LOUD if convergence needs more rounds than the
+    // oracle unrolls (never silently diverges). Per k ∈ {2, 3}:
+    // surviving nodes and induced edges.
+    // Scale shape: per round one degree count over the (already
+    // pair-bounded) edge frame + two semi-joins — no node ever sees
+    // more than its neighborhood, and rounds are bounded by the peel
+    // depth, not the corpus.
+    QueryEntry.sql(
+      "q261_kcore",
+      {
+        val rounds = 10
+        def levels(k: Int): String = (1 to rounds).map { r =>
+          val prev = if (r == 1) "edges" else s"e${k}_${r - 1}"
+          // every level MATERIALIZED: d is referenced twice and e by
+          // the next level twice more — inlined CTEs would re-expand
+          // the whole upstream chain per reference (exponential; the
+          // q228 lesson)
+          s"""d${k}_$r AS MATERIALIZED (
+             |  SELECT v, COUNT(*) AS d FROM (
+             |    SELECT doc_a AS v FROM $prev
+             |    UNION ALL SELECT doc_b FROM $prev) t
+             |  GROUP BY v HAVING COUNT(*) >= $k
+             |), e${k}_$r AS MATERIALIZED (
+             |  SELECT doc_a, doc_b FROM $prev
+             |  WHERE doc_a IN (SELECT v FROM d${k}_$r)
+             |    AND doc_b IN (SELECT v FROM d${k}_$r)
+             |)""".stripMargin
+        }.mkString(",\n")
+        val outs = Seq(2, 3).map { k =>
+          s"""SELECT $k AS k,
+             |       (SELECT CAST(COUNT(*) AS BIGINT) FROM d${k}_$rounds)
+             |         AS n_core_nodes,
+             |       (SELECT CAST(COUNT(*) AS BIGINT) FROM e${k}_$rounds)
+             |         AS n_core_edges""".stripMargin
+        }.mkString("\nUNION ALL\n")
+        s"""WITH ${graft.operators.Dedup.shCteSql},
+           |${graft.operators.Dedup.invertedPairsSql(1, 2)},
+           |edges AS MATERIALIZED (SELECT doc_a, doc_b FROM pairs),
+           |${levels(2)},
+           |${levels(3)}
+           |$outs
+           |ORDER BY k""".stripMargin
+      },
+    ) { (s, dir) =>
+      kcoreReport(SetJoin.jaccardSelfJoin(
+        Tables(s, dir).documentsRebalanced, num = 1, den = 2)
+        .select("doc_a", "doc_b"), ks = Seq(2, 3), maxRounds = 10)
     },
   )
 }
