@@ -47,6 +47,7 @@ object SparkEntry {
       operators.Retention.entries ++
       operators.Profile.entries ++
       operators.PageRank.entries ++
+      operators.Bpe.entries ++
       operators.Skew.entries ++
       operators.CountMin.entries ++
       operators.HistQuantile.entries ++
