@@ -127,5 +127,58 @@ object Privacy {
           col("violating_frac"))
         .orderBy("k")
     },
+
+    // q263 — (distinct) l-diversity audit, q256's sibling: k-anonymity
+    // bounds re-identification but a k-anonymous class whose rows all
+    // share ONE sensitive value still leaks it (homogeneity attack,
+    // Machanavajjhala et al. 2007). QI = (event date, user-id bucket);
+    // sensitive = event_type; for each l in {2, 3, 5}: classes with
+    // fewer than l DISTINCT sensitive values, rows inside them, and
+    // the violating-row fraction. Same scale shape as q256: one
+    // grouped exact count-distinct over the QI (two-phase hash agg,
+    // map-side combined), then a 3-way constant fan-out over the
+    // CLASS frame — one shuffle at any scale.
+    QueryEntry.sql(
+      "q263_l_diversity",
+      """WITH classes AS (
+        |  SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS d,
+        |         user_id % 100 AS ub,
+        |         COUNT(*) AS n, COUNT(DISTINCT event_type) AS ndist
+        |  FROM events GROUP BY 1, 2
+        |), tot AS (SELECT CAST(SUM(n) AS BIGINT) AS total_rows,
+        |                  CAST(COUNT(*) AS BIGINT) AS total_classes
+        |           FROM classes)
+        |SELECT l, total_classes, total_rows,
+        |       CAST(SUM(CASE WHEN ndist < l THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS violating_classes,
+        |       CAST(SUM(CASE WHEN ndist < l THEN n ELSE 0 END) AS BIGINT)
+        |         AS violating_rows,
+        |       ROUND(SUM(CASE WHEN ndist < l THEN n ELSE 0 END) * 1.0
+        |             / total_rows, 6) AS violating_frac
+        |FROM classes, tot, (SELECT unnest([2, 3, 5]) AS l)
+        |GROUP BY l, total_classes, total_rows ORDER BY l""".stripMargin,
+    ) { (s, dir) =>
+      val classes = Tables(s, dir).events
+        .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("d"),
+          pmod(col("user_id"), lit(100)).as("ub"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("event_type")).as("ndist"))
+      val tot = classes.agg(sum("n").as("total_rows"),
+        count(lit(1)).as("total_classes"))
+      val ls = s.range(1).select(explode(typedlit(Seq(2, 3, 5))).as("l"))
+      classes.crossJoin(broadcast(tot)).crossJoin(broadcast(ls))
+        .groupBy("l", "total_classes", "total_rows")
+        .agg(
+          sum(when(col("ndist") < col("l"), 1L).otherwise(0L))
+            .as("violating_classes"),
+          sum(when(col("ndist") < col("l"), col("n")).otherwise(0L))
+            .as("violating_rows"),
+          round(sum(when(col("ndist") < col("l"), col("n")).otherwise(0L))
+            * lit(1.0) / col("total_rows"), 6).as("violating_frac"))
+        .select(col("l"), col("total_classes"), col("total_rows"),
+          col("violating_classes"), col("violating_rows"),
+          col("violating_frac"))
+        .orderBy("l")
+    },
   )
 }

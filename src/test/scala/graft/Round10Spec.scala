@@ -226,6 +226,102 @@ class Round10Spec extends SparkSpec {
     assert(rows.toSeq === replay)
   }
 
+  test("q261 k-core: matches a driver-side peel replay; cores nest") {
+    val rows = run("q261_kcore").collect()
+      .map(r => (r.getAs[Int]("k"), r.getAs[Long]("n_core_nodes"),
+        r.getAs[Long]("n_core_edges"))).sortBy(_._1)
+    assert(rows.map(_._1).toSeq === Seq(2, 3))
+    // nesting: the 3-core is contained in the 2-core
+    assert(rows(1)._2 <= rows(0)._2 && rows(1)._3 <= rows(0)._3)
+    // driver-side peel to fixpoint on the exact pair set
+    val pairs = operators.SetJoin
+      .jaccardSelfJoin(Tables(spark, sf).documentsRebalanced, num = 1, den = 2)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    def core(k: Int): (Long, Long) = {
+      var edges = pairs.toSet
+      var changed = true
+      while (changed) {
+        val deg = edges.toSeq.flatMap(e => Seq(e._1, e._2))
+          .groupBy(identity).map { case (v, vs) => v -> vs.size }
+        val next = edges.filter(e =>
+          deg.getOrElse(e._1, 0) >= k && deg.getOrElse(e._2, 0) >= k)
+        changed = next != edges
+        edges = next
+      }
+      (edges.flatMap(e => Seq(e._1, e._2)).size.toLong, edges.size.toLong)
+    }
+    assert(rows.map(t => (t._2, t._3)).toSeq === Seq(core(2), core(3)))
+    // handshake bound: every core node has in-core degree >= k
+    rows.foreach { case (k, n, e) => assert(2 * e >= k * n, s"k=$k") }
+  }
+
+  test("q262 BPE merges: match a driver-side full-induction replay") {
+    val rows = run("q262_bpe_merges").collect()
+      .map(r => (r.getAs[Int]("rank"), r.getAs[String]("sym_a"),
+        r.getAs[String]("sym_b"), r.getAs[Long]("pair_count"),
+        r.getAs[Long]("total_symbols"))).sortBy(_._1)
+    assert(rows.map(_._1).toSeq === (1 to 6))
+    // the max pair count can only shrink as merges consume pairs
+    rows.sliding(2).foreach { case Array(a, b) => assert(b._4 <= a._4) }
+    // each merge application removes exactly one symbol, and there is
+    // at least one application and at most cnt of them
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b._5 < a._5 && a._5 - b._5 <= b._4,
+        s"rank ${b._1}: total ${b._5} vs ${a._5}, cnt ${b._4}")
+    }
+    // full driver replay: same vocab slice, same iterated-replace
+    // merge semantics (java String.replace is the identical
+    // non-overlapping left-to-right scan)
+    var v = operators.Bpe.vocab(sources.TokenizedCorpus.tokens(spark, sf))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .map { case (t, f) => (" " + t.map(c => s"$c ").mkString, f) }
+    val replay = (1 to 6).map { r =>
+      val counts = scala.collection.mutable.Map[(String, String), Long]()
+      v.foreach { case (s, f) =>
+        val ss = s.trim.split(" ")
+        ss.sliding(2).foreach {
+          case Array(a, b) =>
+            counts((a, b)) = counts.getOrElse((a, b), 0L) + f
+          case _ =>
+        }
+      }
+      val ((a, b), cnt) = counts.toSeq.minBy { case ((a, b), c) => (-c, a, b) }
+      v = v.map { case (s, f) =>
+        var cur = s
+        for (_ <- 1 to 12) cur = cur.replace(s" $a $b ", s" $a$b ")
+        (cur, f)
+      }
+      val total = v.map { case (s, f) => f * s.trim.split(" ").length }.sum
+      (r, a, b, cnt, total)
+    }
+    assert(rows.toSeq === replay)
+  }
+
+  test("q263 l-diversity: violations monotone in l, bounded; homogeneous classes exist") {
+    val rows = run("q263_l_diversity").collect()
+      .map(r => (r.getAs[Int]("l"), r.getAs[Long]("total_classes"),
+        r.getAs[Long]("total_rows"), r.getAs[Long]("violating_classes"),
+        r.getAs[Long]("violating_rows"))).sortBy(_._1)
+    assert(rows.map(_._1).toSeq === Seq(2, 3, 5))
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b._4 >= a._4 && b._5 >= a._5, "monotone in l")
+    }
+    rows.foreach { case (_, tc, tr, vc, vr) =>
+      assert(vc <= tc && vr <= tr)
+      assert(vr >= vc, "a violating class has at least one row")
+    }
+    // driver recompute of the l=2 row (homogeneity attack surface)
+    val classes = Tables(spark, sf).events
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd"),
+        pmod(col("user_id"), lit(100)))
+      .agg(count(lit(1)).as("n"), countDistinct(col("event_type")).as("nd"))
+      .collect().map(r => (r.getAs[Long]("n"), r.getAs[Long]("nd")))
+    val homog = classes.filter(_._2 < 2)
+    assert(rows(0)._4 === homog.length.toLong)
+    assert(rows(0)._5 === homog.map(_._1).sum)
+  }
+
   test("q256 k-anonymity: violations monotone in k, bounded by totals") {
     val rows = run("q256_k_anonymity").collect()
       .map(r => (r.getAs[Int]("k"), r.getAs[Long]("total_classes"),
