@@ -111,7 +111,7 @@ object Classify {
     * order-free, overflow-safe to ~6e10 docs even at |r·x| ~ 15).
     * Returns the fitted weights after [[LrIters]] steps from w = 0.
     */
-  def logregFit(feats: DataFrame): Array[Double] = {
+  def logregFit(feats: DataFrame, rate: Double = LrRate): Array[Double] = {
     val n = feats.count().toDouble
     val w = Array(0.0, 0.0, 0.0, 0.0)
     val xs = Seq(lit(1.0), col("x1"), col("x2"), col("x3"))
@@ -120,7 +120,7 @@ object Classify {
       val g = feats.select(xs.map(x =>
         sum(round(r * x * lit(1e7), 0).cast(LongType))): _*).head()
       for (j <- 0 to 3)
-        w(j) = BigDecimal(w(j) + LrRate * (g.getLong(j).toDouble / 1e7 / n))
+        w(j) = BigDecimal(w(j) + rate * (g.getLong(j).toDouble / 1e7 / n))
           .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     }
     w
@@ -266,10 +266,10 @@ object Classify {
       s"SUM(CAST(ROUND((y - 1.0/(1.0 + exp(-($z)))) * $x * 10000000.0, 0) AS BIGINT)) AS g$j"
     }.mkString(",\n       ")
 
-  private def wStepSql(prev: String): String =
+  private def wStepSql(prev: String, rate: String = "2.0"): String =
     (0 to 3).map { j =>
       val base = if (prev.isEmpty) "0.0" else s"$prev.w$j"
-      s"ROUND($base + 2.0 * (CAST(g$j AS DOUBLE) / 10000000.0 / n), 6) AS w$j"
+      s"ROUND($base + $rate * (CAST(g$j AS DOUBLE) / 10000000.0 / n), 6) AS w$j"
     }.mkString(",\n       ")
 
   /** The full unrolled training pipeline as a CTE chain (corpus →
@@ -481,5 +481,119 @@ object Classify {
             .as("frac_clean"))
         .orderBy("bin")
     },
+
+    // q264 — learning-rate sweep with held-out selection: the tuning
+    // loop around q250's trained filter. Split the corpus by SOURCE
+    // doc id (a corrupted twin always lands with its original — no
+    // twin leakage across the split), train the 3-step GD at each
+    // rate in {0.5, 2.0, 8.0} on the 4/5 train slice, and score the
+    // 1/5 held-out slice: per rate, the fitted weights and the exact
+    // held-out accuracy (integer ppm — no float division anywhere
+    // near the gate). The oracle re-runs ALL THREE trainings and the
+    // eval scoring from scratch; per-rate chains sit in isolated
+    // UNION ALL subqueries (the q247 CTE-scoping pattern) over shared
+    // MATERIALIZED train/eval feature frames.
+    // Scale shape: the train/eval feature frames are built once
+    // (persisted), each rate adds 3 gradient aggregates + 1 eval
+    // aggregate — map-side-combined scalar rollups, nothing joins.
+    QueryEntry.sql(
+      "q264_lr_sweep",
+      {
+        def chain(rate: String): String =
+          s"""SELECT * FROM (
+             |  WITH g1 AS (
+             |    SELECT ${gStepSql("0.0 + 0.0*x1 + 0.0*x2 + 0.0*x3")}
+             |    FROM feats_tr
+             |  ), w1c AS MATERIALIZED (
+             |    SELECT ${wStepSql("", rate)}
+             |    FROM g1, nn
+             |  ), g2s AS (
+             |    SELECT ${gStepSql(zw)}
+             |    FROM feats_tr, w1c
+             |  ), w2s AS MATERIALIZED (
+             |    SELECT ${wStepSql("w1c", rate)}
+             |    FROM g2s, w1c, nn
+             |  ), g3s AS (
+             |    SELECT ${gStepSql(zw)}
+             |    FROM feats_tr, w2s
+             |  ), w3s AS MATERIALIZED (
+             |    SELECT ${wStepSql("w2s", rate)}
+             |    FROM g3s, w2s, nn
+             |  ), ev AS MATERIALIZED (
+             |    SELECT y, CAST(ROUND(1.0/(1.0 + exp(-($zw)))
+             |                         * 1000000.0, 0) AS BIGINT) AS s6
+             |    FROM feats_ev, w3s
+             |  )
+             |  SELECT CAST($rate AS DOUBLE) AS rate,
+             |         w3s.w0 AS w0, w3s.w1 AS w1, w3s.w2 AS w2, w3s.w3 AS w3,
+             |         (SELECT CAST(COUNT(*) AS BIGINT) FROM ev) AS n_eval,
+             |         (SELECT CAST(SUM(CASE WHEN (s6 >= 500000) = (y = 1.0)
+             |                               THEN 1 ELSE 0 END) AS BIGINT)
+             |          FROM ev) AS n_correct,
+             |         (SELECT CAST(SUM(CASE WHEN (s6 >= 500000) = (y = 1.0)
+             |                               THEN 1 ELSE 0 END) * 1000000
+             |                 // COUNT(*) AS BIGINT)
+             |          FROM ev) AS accuracy_ppm
+             |  FROM w3s
+             |)""".stripMargin
+        s"""WITH corpus AS (
+           |  SELECT doc_id, 1.0 AS y, text FROM documents
+           |  UNION ALL
+           |  SELECT -doc_id - 1, 0.0 AS y, replace(text, ' ', '')
+           |  FROM documents WHERE doc_id % 3 = 0
+           |), keyed AS (
+           |  SELECT CASE WHEN doc_id < 0 THEN -doc_id - 1 ELSE doc_id END
+           |           AS src, y, text
+           |  FROM corpus
+           |), feats_tr AS MATERIALIZED (
+           |  SELECT y,
+           |       ${featSql("       ")}
+           |  FROM (SELECT y, trim(lower(text)) AS tl,
+           |               regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+           |        FROM keyed WHERE src % 5 <> 0) t
+           |), feats_ev AS MATERIALIZED (
+           |  SELECT y,
+           |       ${featSql("       ")}
+           |  FROM (SELECT y, trim(lower(text)) AS tl,
+           |               regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+           |        FROM keyed WHERE src % 5 = 0) t
+           |), nn AS (SELECT COUNT(*) AS n FROM feats_tr)
+           |${Seq("0.5", "2.0", "8.0").map(chain).mkString("\nUNION ALL\n")}
+           |ORDER BY rate""".stripMargin
+      },
+    ) { (s, dir) =>
+      lrSweepReport(Tables(s, dir).documentsRebalanced, Seq(0.5, 2.0, 8.0))
+    },
   )
+
+  /** The q264 engine path: shared persisted train/eval feature frames,
+    * one [[logregFit]] per rate, exact integer-ppm held-out accuracy.
+    */
+  def lrSweepReport(docs: DataFrame, rates: Seq[Double]): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val MemOnly = org.apache.spark.storage.StorageLevel.MEMORY_ONLY
+    val keyed = corpusWithCorruptions(docs).withColumn("src",
+      when(col("doc_id") < 0, -col("doc_id") - lit(1L)).otherwise(col("doc_id")))
+    val trF = logregFeatures(keyed.filter(pmod(col("src"), lit(5)) =!= 0))
+      .persist(MemOnly)
+    val evF = logregFeatures(keyed.filter(pmod(col("src"), lit(5)) === 0))
+      .persist(MemOnly)
+    val rows = rates.sorted.map { rate =>
+      val w = logregFit(trF, rate)
+      val correct = (col("s6") >= 500000L) === (col("y") === 1.0)
+      val ev = evF
+        .select(col("y"),
+          round(sigmoid(zOf(w)) * lit(1e6), 0).cast(LongType).as("s6"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(correct, 1L).otherwise(0L)).as("ok"))
+        .head()
+      (rate, w(0), w(1), w(2), w(3), ev.getLong(0), ev.getLong(1),
+        ev.getLong(1) * 1000000L / ev.getLong(0))
+    }
+    trF.unpersist()
+    evF.unpersist()
+    rows.toDF("rate", "w0", "w1", "w2", "w3", "n_eval", "n_correct",
+      "accuracy_ppm").orderBy("rate")
+  }
 }

@@ -298,6 +298,35 @@ class Round10Spec extends SparkSpec {
     assert(rows.toSeq === replay)
   }
 
+  test("q264 LR sweep: weights match a driver refit per rate; eval split is fixed") {
+    val rows = run("q264_lr_sweep").collect()
+      .map(r => (r.getAs[Double]("rate"),
+        Seq(r.getAs[Double]("w0"), r.getAs[Double]("w1"),
+          r.getAs[Double]("w2"), r.getAs[Double]("w3")),
+        r.getAs[Long]("n_eval"), r.getAs[Long]("n_correct"),
+        r.getAs[Long]("accuracy_ppm"))).sortBy(_._1)
+    assert(rows.map(_._1).toSeq === Seq(0.5, 2.0, 8.0))
+    // one fixed held-out slice: every rate scores the same frame
+    assert(rows.map(_._3).distinct.length === 1)
+    rows.foreach { case (_, _, n, ok, ppm) =>
+      assert(ok <= n && ppm === ok * 1000000L / n)
+    }
+    // per-rate engine weights equal a driver-side refit on the same
+    // train slice (the q250 replay, parameterized by rate)
+    val keyed = operators.Classify
+      .corpusWithCorruptions(Tables(spark, sf).documentsRebalanced)
+      .withColumn("src", when(col("doc_id") < 0, -col("doc_id") - lit(1L))
+        .otherwise(col("doc_id")))
+    val tr = operators.Classify
+      .logregFeatures(keyed.filter(pmod(col("src"), lit(5)) =!= 0))
+    rows.foreach { case (rate, ws, _, _, _) =>
+      assert(operators.Classify.logregFit(tr, rate).toSeq === ws,
+        s"rate $rate")
+    }
+    // the sweep is not degenerate: different rates land on different fits
+    assert(rows.map(_._2).distinct.length === 3)
+  }
+
   test("q263 l-diversity: violations monotone in l, bounded; homogeneous classes exist") {
     val rows = run("q263_l_diversity").collect()
       .map(r => (r.getAs[Int]("l"), r.getAs[Long]("total_classes"),
