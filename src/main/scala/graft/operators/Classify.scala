@@ -45,6 +45,7 @@ object Classify {
   private val lrStop = Seq("the", "a", "of", "and", "to", "is")
   private val LrIters = 3
   private val LrRate = 2.0
+  private val StudentRate = 8.0
 
   /** Training corpus for the quality filter: every doc as a clean
     * positive, plus — for doc_id % 3 == 0 — a whitespace-stripped
@@ -564,7 +565,144 @@ object Classify {
     ) { (s, dir) =>
       lrSweepReport(Tables(s, dir).documentsRebalanced, Seq(0.5, 2.0, 8.0))
     },
+
+    // q265 — model distillation under the oracle: the 3-feature
+    // teacher (q250's fit) hard-labels the corpus at the 0.5 gate and
+    // a 1-feature student (bias + stopword ratio) trains on those
+    // labels with the same exact-gradient GD — the cheap-filter
+    // distillation step a pipeline runs when the teacher is too
+    // expensive to score 100 TB. Report: student weights, teacher/
+    // student keep counts, and exact integer-ppm agreement. The
+    // oracle re-runs BOTH trainings (teacher chain shared with
+    // q250/q257/q258, student chain unrolled on top of it).
+    QueryEntry.sql(
+      "q265_distill",
+      {
+        val zs = "b0 + b1*x1"
+        // inverse-frequency class weight, derived from the same exact
+        // integer counts with the same double expression as the engine
+        val wc = "CASE WHEN y = 1.0 THEN CAST(n AS DOUBLE) / (2.0 * CAST(np AS DOUBLE)) ELSE CAST(n AS DOUBLE) / (2.0 * CAST(n - np AS DOUBLE)) END"
+        def sg(z: String): String =
+          Seq("1.0", "x1").zipWithIndex.map { case (x, j) =>
+            s"SUM(CAST(ROUND((y - 1.0/(1.0 + exp(-($z)))) * $x * ($wc) * 10000000.0, 0) AS BIGINT)) AS h$j"
+          }.mkString(",\n       ")
+        def sw(prev: String): String =
+          (0 to 1).map { j =>
+            val base = if (prev.isEmpty) "0.0" else s"$prev.b$j"
+            s"ROUND($base + $StudentRate * (CAST(h$j AS DOUBLE) / 10000000.0 / n), 6) AS b$j"
+          }.mkString(",\n       ")
+        val keepS =
+          s"CAST(ROUND(1.0/(1.0 + exp(-($zs))) * 1000000.0, 0) AS BIGINT) >= 500000"
+        s"""WITH $gdChainSql, labeled AS MATERIALIZED (
+           |  SELECT CASE WHEN CAST(ROUND(1.0/(1.0 + exp(-($zw)))
+           |                             * 1000000.0, 0) AS BIGINT) >= 500000
+           |              THEN 1.0 ELSE 0.0 END AS y,
+           |         x1
+           |  FROM feats, w3s
+           |), snn AS (SELECT COUNT(*) AS n,
+           |                  SUM(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) AS np
+           |           FROM labeled),
+           |sg1 AS (
+           |  SELECT ${sg("0.0 + 0.0*x1")}
+           |  FROM labeled, snn
+           |), sw1 AS MATERIALIZED (
+           |  SELECT ${sw("")}
+           |  FROM sg1, snn
+           |), sg2 AS (
+           |  SELECT ${sg(zs)}
+           |  FROM labeled, sw1, snn
+           |), sw2 AS MATERIALIZED (
+           |  SELECT ${sw("sw1")}
+           |  FROM sg2, sw1, snn
+           |), sg3 AS (
+           |  SELECT ${sg(zs)}
+           |  FROM labeled, sw2, snn
+           |), sw3 AS MATERIALIZED (
+           |  SELECT ${sw("sw2")}
+           |  FROM sg3, sw2, snn
+           |), agree AS MATERIALIZED (
+           |  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           |         CAST(SUM(CASE WHEN y = 1.0 THEN 1 ELSE 0 END) AS BIGINT)
+           |           AS n_teacher_keep,
+           |         CAST(SUM(CASE WHEN $keepS THEN 1 ELSE 0 END) AS BIGINT)
+           |           AS n_student_keep,
+           |         CAST(SUM(CASE WHEN (y = 1.0) = ($keepS)
+           |                       THEN 1 ELSE 0 END) AS BIGINT) AS n_agree
+           |  FROM labeled, sw3
+           |)
+           |SELECT sw3.b0 AS student_b, sw3.b1 AS student_w1,
+           |       n_docs, n_teacher_keep, n_student_keep, n_agree,
+           |       CAST(n_agree * 1000000 // n_docs AS BIGINT) AS agree_ppm
+           |FROM sw3, agree""".stripMargin
+      },
+    ) { (s, dir) =>
+      distillReport(Tables(s, dir).documentsRebalanced)
+    },
   )
+
+  /** The q265 student fit: 2-parameter (bias, x1) GD on TEACHER hard
+    * labels — same 1e7-scaled exact-gradient machinery as
+    * [[logregFit]], same step count and rate.
+    */
+  def distillFit(feats: DataFrame): Array[Double] = {
+    val cnt = feats.agg(count(lit(1)),
+      sum(when(col("y") === 1.0, 1L).otherwise(0L))).head()
+    val n = cnt.getLong(0).toDouble
+    // balanced logistic loss: teacher keeps are the large majority, so
+    // an unweighted fit sprints the bias positive and degenerates to
+    // keep-all; inverse-frequency class weights zero the initial bias
+    // gradient and let the x1 signal set the boundary. Both engines
+    // derive the weights from the same exact integer counts with the
+    // same double expression.
+    val wpos = n / (2.0 * cnt.getLong(1).toDouble)
+    val wneg = n / (2.0 * (cnt.getLong(0) - cnt.getLong(1)).toDouble)
+    val w = Array(0.0, 0.0)
+    val xs = Seq(lit(1.0), col("x1"))
+    val wc = when(col("y") === 1.0, lit(wpos)).otherwise(lit(wneg))
+    for (_ <- 1 to LrIters) {
+      val z = lit(w(0)) + lit(w(1)) * col("x1")
+      val r = col("y") - sigmoid(z)
+      val g = feats.select(xs.map(x =>
+        sum(round(r * x * wc * lit(1e7), 0).cast(LongType))): _*).head()
+      for (j <- 0 to 1)
+        w(j) = BigDecimal(w(j) + StudentRate * (g.getLong(j).toDouble / 1e7 / n))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    w
+  }
+
+  /** The q265 engine path: teacher fit → hard labels → student fit →
+    * one-row agreement report (all counts exact integers, weights 6dp).
+    */
+  def distillReport(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val MemOnly = org.apache.spark.storage.StorageLevel.MEMORY_ONLY
+    val feats = logregFeatures(corpusWithCorruptions(docs)).persist(MemOnly)
+    val tw = logregFit(feats)
+    // teacher hard label per row, carried WITH x1 so the student frame
+    // is one projection of the same persisted features
+    val labeled = feats.select(
+      when(round(sigmoid(zOf(tw)) * lit(1e6), 0).cast(LongType) >= 500000L,
+        lit(1.0)).otherwise(lit(0.0)).as("y"),
+      col("x1")).persist(MemOnly)
+    val sw = distillFit(labeled)
+    val sKeep = round((lit(1.0) / (lit(1.0) +
+      exp(-(lit(sw(0)) + lit(sw(1)) * col("x1"))))) * lit(1e6), 0)
+      .cast(LongType) >= 500000L
+    val rpt = labeled.agg(
+      count(lit(1)).as("n_docs"),
+      sum(when(col("y") === 1.0, 1L).otherwise(0L)).as("n_teacher_keep"),
+      sum(when(sKeep, 1L).otherwise(0L)).as("n_student_keep"),
+      sum(when((col("y") === 1.0) === sKeep, 1L).otherwise(0L)).as("n_agree"))
+      .head()
+    feats.unpersist()
+    labeled.unpersist()
+    Seq((sw(0), sw(1), rpt.getLong(0), rpt.getLong(1), rpt.getLong(2),
+      rpt.getLong(3), rpt.getLong(3) * 1000000L / rpt.getLong(0)))
+      .toDF("student_b", "student_w1", "n_docs", "n_teacher_keep",
+        "n_student_keep", "n_agree", "agree_ppm")
+  }
 
   /** The q264 engine path: shared persisted train/eval feature frames,
     * one [[logregFit]] per rate, exact integer-ppm held-out accuracy.

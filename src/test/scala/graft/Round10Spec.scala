@@ -327,6 +327,34 @@ class Round10Spec extends SparkSpec {
     assert(rows.map(_._2).distinct.length === 3)
   }
 
+  test("q265 distillation: student learns a real boundary and tracks the teacher") {
+    val r = run("q265_distill").collect()(0)
+    val (b, w1) = (r.getAs[Double]("student_b"), r.getAs[Double]("student_w1"))
+    val n = r.getAs[Long]("n_docs")
+    val tKeep = r.getAs[Long]("n_teacher_keep")
+    val sKeep = r.getAs[Long]("n_student_keep")
+    val agree = r.getAs[Long]("n_agree")
+    assert(r.getAs[Long]("agree_ppm") === agree * 1000000L / n)
+    // the balanced fit must NOT degenerate to keep-all / drop-all
+    assert(sKeep > 0 && sKeep < n, s"student kept $sKeep of $n")
+    // x1 carries the teacher's dominant signal: strong agreement
+    assert(agree * 1000000L / n > 800000L, s"agreement ${agree * 1e6 / n}")
+    assert(w1 > 0.0, "stopword ratio must push toward keep")
+    // driver replay of the student fit on the engine's teacher labels
+    val feats = operators.Classify.logregFeatures(
+      operators.Classify.corpusWithCorruptions(
+        Tables(spark, sf).documentsRebalanced))
+    val tw = operators.Classify.logregFit(feats)
+    val labeled = feats.select(
+      when(round(lit(1.0) / (lit(1.0) + exp(-(lit(tw(0)) +
+        lit(tw(1)) * col("x1") + lit(tw(2)) * col("x2") +
+        lit(tw(3)) * col("x3")))) * lit(1e6), 0) >= 500000L,
+        lit(1.0)).otherwise(lit(0.0)).as("y"), col("x1"))
+    val sw = operators.Classify.distillFit(labeled)
+    assert(sw.toSeq === Seq(b, w1))
+    assert(tKeep === labeled.filter(col("y") === 1.0).count())
+  }
+
   test("q263 l-diversity: violations monotone in l, bounded; homogeneous classes exist") {
     val rows = run("q263_l_diversity").collect()
       .map(r => (r.getAs[Int]("l"), r.getAs[Long]("total_classes"),
