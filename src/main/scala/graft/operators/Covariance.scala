@@ -132,7 +132,98 @@ object Covariance {
     ) { (s, dir) =>
       pcaProject(Tables(s, dir).embeddings, iters = 12)
     },
+
+    // q266 — per-label embedding-centroid drift between the two
+    // vec_id-parity halves: the encoder-health check a pipeline runs
+    // between corpus snapshots (a re-embedded or corrupted batch moves
+    // its class centroid; same-encoder halves should sit ~identical).
+    // Per label: both half sizes, squared L2 distance between the
+    // half centroids, and their cosine. Determinism: per-dim sums are
+    // 1e7-scaled exact longs (the q206 carrier), per-dim means rounded
+    // once at 7dp, the four per-dim second-order terms rounded once at
+    // 14dp into DECIMAL(38,14) sums (order-free), l2 emitted via
+    // DECIMAL scale-8 cast (never ROUND on a double), cosine one
+    // double chain rounded 6dp (q206 precedent).
+    // Scale shape: one posexplode + one (label, half, dim) grouped
+    // exact aggregate — dims-bounded output, corpus touched once, no
+    // vector pair ever forms.
+    QueryEntry.sql(
+      "q266_centroid_drift",
+      """WITH x AS (
+        |  SELECT label, vec_id % 2 AS h,
+        |         generate_subscripts(embedding, 1) - 1 AS i,
+        |         unnest(embedding) AS v
+        |  FROM embeddings
+        |), dims AS (
+        |  SELECT label, h, i, COUNT(*) AS n,
+        |         SUM(CAST(ROUND(CAST(v AS DOUBLE) * 10000000.0, 0)
+        |                  AS BIGINT)) AS sx
+        |  FROM x GROUP BY 1, 2, 3
+        |), m AS (
+        |  SELECT label, h, i, n,
+        |         ROUND(CAST(sx AS DOUBLE) / 10000000.0 / CAST(n AS DOUBLE), 7)
+        |           AS m
+        |  FROM dims
+        |), j AS (
+        |  SELECT a.label AS label, a.i AS i, a.n AS n_a, b.n AS n_b,
+        |         a.m AS ma, b.m AS mb
+        |  FROM m a JOIN m b ON a.label = b.label AND a.i = b.i
+        |  WHERE a.h = 0 AND b.h = 1
+        |)
+        |SELECT label, CAST(MAX(n_a) AS BIGINT) AS n_a,
+        |       CAST(MAX(n_b) AS BIGINT) AS n_b,
+        |       CAST(CAST(SUM(CAST(ROUND((ma - mb) * (ma - mb), 14)
+        |                          AS DECIMAL(38,14))) AS DECIMAL(38,8))
+        |            AS DOUBLE) + 0.0 AS l2_sq,
+        |       ROUND(CAST(SUM(CAST(ROUND(ma * mb, 14) AS DECIMAL(38,14)))
+        |                  AS DOUBLE)
+        |             / sqrt(CAST(SUM(CAST(ROUND(ma * ma, 14)
+        |                                  AS DECIMAL(38,14))) AS DOUBLE)
+        |                    * CAST(SUM(CAST(ROUND(mb * mb, 14)
+        |                                    AS DECIMAL(38,14))) AS DOUBLE)),
+        |             6) + 0.0 AS cos_centroids
+        |FROM j GROUP BY label ORDER BY label""".stripMargin,
+    ) { (s, dir) =>
+      centroidDrift(Tables(s, dir).embeddings)
+    },
   )
+
+  /** The q266 engine path — see the entry's scaladoc for the
+    * determinism protocol.
+    */
+  def centroidDrift(emb: DataFrame): DataFrame = {
+    val dims = emb
+      .select(col("label"), pmod(col("vec_id"), lit(2)).as("h"),
+        posexplode(col("embedding")).as(Seq("i", "x")))
+      .groupBy("label", "h", "i")
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("x").cast("double") * lit(S), 0).cast("long")).as("sx"))
+    val m = dims.select(col("label"), col("h"), col("i"), col("n"),
+      round(col("sx").cast("double") / lit(S) / col("n").cast("double"), 7)
+        .as("m"))
+    val a = m.filter(col("h") === 0)
+      .select(col("label"), col("i"), col("n").as("n_a"), col("m").as("ma"))
+    val b = m.filter(col("h") === 1)
+      .select(col("label"), col("i"), col("n").as("n_b"), col("m").as("mb"))
+    val dec = org.apache.spark.sql.types.DecimalType(38, 14)
+    a.join(b, Seq("label", "i"))
+      .groupBy("label")
+      .agg(
+        max(col("n_a")).as("n_a"),
+        max(col("n_b")).as("n_b"),
+        sum(round((col("ma") - col("mb")) * (col("ma") - col("mb")), 14)
+          .cast(dec)).as("dd"),
+        sum(round(col("ma") * col("mb"), 14).cast(dec)).as("dab"),
+        sum(round(col("ma") * col("ma"), 14).cast(dec)).as("daa"),
+        sum(round(col("mb") * col("mb"), 14).cast(dec)).as("dbb"))
+      .select(col("label"), col("n_a"), col("n_b"),
+        (col("dd").cast(org.apache.spark.sql.types.DecimalType(38, 8))
+          .cast("double") + lit(0.0)).as("l2_sq"),
+        (round(col("dab").cast("double") /
+          sqrt(col("daa").cast("double") * col("dbb").cast("double")), 6)
+          + lit(0.0)).as("cos_centroids"))
+      .orderBy("label")
+  }
 
   /** Half-away-from-zero rounding to long — the SQL ROUND(x, 0)
     * semantic (math.round would round toward +inf for negatives).

@@ -355,6 +355,44 @@ class Round10Spec extends SparkSpec {
     assert(tKeep === labeled.filter(col("y") === 1.0).count())
   }
 
+  test("q266 centroid drift: matches a driver-side recompute") {
+    val rows = run("q266_centroid_drift").collect()
+      .map(r => (r.getAs[Int]("label"), r.getAs[Long]("n_a"),
+        r.getAs[Long]("n_b"), r.getAs[Double]("l2_sq"),
+        r.getAs[Double]("cos_centroids"))).sortBy(_._1)
+    rows.foreach { case (_, na, nb, l2, c) =>
+      assert(na > 0 && nb > 0 && l2 >= 0.0 && math.abs(c) <= 1.0)
+    }
+    def r7(d: Double, s: Int): BigDecimal =
+      BigDecimal(d).setScale(s, BigDecimal.RoundingMode.HALF_UP)
+    val vecs = Tables(spark, sf).embeddings
+      .select("vec_id", "label", "embedding").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Float](2).toArray))
+    val replay = vecs.groupBy(_._2).toSeq.sortBy(_._1).map { case (lbl, vs) =>
+      val byH = vs.groupBy(v => (v._1 % 2).toInt)
+      val d = vs.head._3.length
+      def mean(h: Int): (Long, Array[Double]) = {
+        val g = byH(h)
+        val sums = Array.fill(d)(0L)
+        g.foreach(v => (0 until d).foreach(i =>
+          sums(i) += r7(v._3(i).toDouble * 1e7, 0).toLong))
+        (g.length.toLong,
+          sums.map(s => r7(s.toDouble / 1e7 / g.length.toDouble, 7).toDouble))
+      }
+      val (na, ma) = mean(0)
+      val (nb, mb) = mean(1)
+      def dsum(f: Int => Double): BigDecimal =
+        (0 until d).map(i => r7(f(i), 14)).sum
+      val dd = dsum(i => (ma(i) - mb(i)) * (ma(i) - mb(i)))
+      val dab = dsum(i => ma(i) * mb(i))
+      val daa = dsum(i => ma(i) * ma(i))
+      val dbb = dsum(i => mb(i) * mb(i))
+      (lbl, na, nb, dd.setScale(8, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        r7(dab.toDouble / math.sqrt(daa.toDouble * dbb.toDouble), 6).toDouble)
+    }
+    assert(rows.toSeq === replay)
+  }
+
   test("q263 l-diversity: violations monotone in l, bounded; homogeneous classes exist") {
     val rows = run("q263_l_diversity").collect()
       .map(r => (r.getAs[Int]("l"), r.getAs[Long]("total_classes"),
