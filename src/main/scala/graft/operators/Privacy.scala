@@ -180,5 +180,59 @@ object Privacy {
           col("violating_frac"))
         .orderBy("l")
     },
+
+    // q267 — DP release with BOUNDED per-user contribution: q210's
+    // noise is only ε-DP if each user moves the count by at most the
+    // claimed sensitivity, and raw event counts violate that (one
+    // user can dominate a day). Clamp each (user, day) to C = 3
+    // events — Σ min(c, 3), no row ranking needed — then add
+    // Laplace(C/ε) noise on the clamped count (pinned-seed chain,
+    // q210's md5→SplitMix64→inverse-CDF construction with b = 3).
+    // The release row also carries the audit columns a reviewer
+    // reads: raw count, clamped count, users actually clamped.
+    // Scale shape: one (user, day) grouped count + one day rollup —
+    // two keyed shuffles, per-day constant noise work.
+    QueryEntry.sql(
+      "q267_dp_bounded",
+      s"""WITH pu AS (
+         |  SELECT strftime(CAST(ts AS TIMESTAMP), '%Y-%m-%d') AS d,
+         |         user_id, COUNT(*) AS c
+         |  FROM events GROUP BY 1, 2
+         |), g AS (
+         |  SELECT d, CAST(SUM(c) AS BIGINT) AS n_raw,
+         |         CAST(SUM(LEAST(c, 3)) AS BIGINT) AS n_clamped,
+         |         CAST(SUM(CASE WHEN c > 3 THEN 1 ELSE 0 END) AS BIGINT)
+         |           AS n_users_clamped
+         |  FROM pu GROUP BY 1
+         |), h AS (
+         |  SELECT d, n_raw, n_clamped, n_users_clamped,
+         |         ${HllOps.splitmixSqlFor(
+              "CAST('0x' || substr(md5(d), 1, 15) AS BIGINT)")} AS z
+         |  FROM g
+         |), u AS (
+         |  SELECT d, n_raw, n_clamped, n_users_clamped,
+         |         CAST(z >> 11 AS DOUBLE) / 9007199254740992.0 AS uu
+         |  FROM h
+         |)
+         |SELECT d, n_raw, n_clamped, n_users_clamped,
+         |       ROUND(n_clamped + CASE WHEN uu - 0.5 >= 0
+         |                 THEN -3.0 * ROUND(ln(1.0 - 2.0 * abs(uu - 0.5)), 6)
+         |                 ELSE 3.0 * ROUND(ln(1.0 - 2.0 * abs(uu - 0.5)), 6)
+         |                 END, 6) AS n_dp
+         |FROM u ORDER BY d""".stripMargin,
+    ) { (s, dir) =>
+      Tables(s, dir).events
+        .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("d"), col("user_id"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy("d")
+        .agg(sum("c").as("n_raw"),
+          sum(least(col("c"), lit(3L))).as("n_clamped"),
+          sum(when(col("c") > 3L, 1L).otherwise(0L)).as("n_users_clamped"))
+        .select(col("d"), col("n_raw"), col("n_clamped"),
+          col("n_users_clamped"),
+          round(col("n_clamped") +
+            laplaceNoise(uniform(col("d")), 3.0), 6).as("n_dp"))
+        .orderBy("d")
+    },
   )
 }

@@ -393,6 +393,30 @@ class Round10Spec extends SparkSpec {
     assert(rows.toSeq === replay)
   }
 
+  test("q267 DP bounded contribution: clamp matches a driver recompute, noise bounded") {
+    val rows = run("q267_dp_bounded").collect()
+      .map(r => (r.getAs[String]("d"), r.getAs[Long]("n_raw"),
+        r.getAs[Long]("n_clamped"), r.getAs[Long]("n_users_clamped"),
+        r.getAs[Double]("n_dp"))).sortBy(_._1)
+    val perUserDay = Tables(spark, sf).events
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd").as("d"), col("user_id"))
+      .agg(count(lit(1)).as("c")).collect()
+      .map(r => (r.getString(0), r.getAs[Long]("c")))
+    val byDay = perUserDay.groupBy(_._1)
+    rows.foreach { case (d, raw, clamped, nUsers, dp) =>
+      val cs = byDay(d).map(_._2)
+      assert(raw === cs.sum)
+      assert(clamped === cs.map(math.min(_, 3L)).sum)
+      assert(nUsers === cs.count(_ > 3L).toLong)
+      // Laplace(3) noise on the 53-bit pinned uniform is bounded by
+      // 3·|ln(2^-53)| ≈ 110.2
+      assert(math.abs(dp - clamped) <= 111.0, s"$d noise ${dp - clamped}")
+    }
+    // the clamp must actually bite somewhere, or the operator is a
+    // no-op on this fixture
+    assert(rows.map(_._4).sum > 0L, "no user-day exceeded C=3")
+  }
+
   test("q263 l-diversity: violations monotone in l, bounded; homogeneous classes exist") {
     val rows = run("q263_l_diversity").collect()
       .map(r => (r.getAs[Int]("l"), r.getAs[Long]("total_classes"),
