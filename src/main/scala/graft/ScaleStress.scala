@@ -117,6 +117,9 @@ object ScaleStress {
     "q259_bbit_minhash", // 32-col MIN per doc + pair-bounded sketch compare — linear
     "q260_kcenter_coreset", // 8 rounds x (scan x <=8 broadcast vecs) — linear
     "q261_kcore", // pair frame + peel-depth-bounded degree/join rounds — q139's class
+    "q262_bpe_merges", // 6 rounds over the VOCAB reduction — sublinear in corpus
+    "q264_lr_sweep", // 3 trainings x (3 map-agg passes) + eval — linear
+    "q265_distill", // teacher + student chains, all map+scalar-agg — linear
   )
 
   /** Per-table key-shift rules: every synthetic surrogate key column
