@@ -806,6 +806,71 @@ object Dedup {
       .orderBy("group_id")
   }
 
+  /** q268 — MEDOID selection per near-dup cluster: q192 keeps the
+    * longest member; this keeps the most CENTRAL one — the member
+    * maximizing the sum of exact Jaccard similarities over the
+    * verified pair set inside its cluster (equivalently: minimizing
+    * total distance with absent pairs priced at 1, so no pair beyond
+    * the already-verified τ-set is ever needed — the pair frame is
+    * computed ONCE and feeds clustering and scoring). Per-pair J is
+    * an exact integer ratio rounded ONCE at 7dp into DECIMAL sums
+    * (order-free), and the argmax is a struct max — no per-group
+    * window, one grouped aggregation.
+    */
+  def clusterMedoids(docs: DataFrame): DataFrame = {
+    val pairs = nearDupPairs(docs) // checkpointed: CC + scores share it
+    val labels = groupsFromPairs(pairs.select("doc_a", "doc_b"))
+    val j7 = round(col("inter").cast("double") / col("uni").cast("double"), 7)
+      .cast(org.apache.spark.sql.types.DecimalType(20, 7)).as("j7")
+    val sided = pairs.select(col("doc_a").as("doc_id"), j7)
+      .unionAll(pairs.select(col("doc_b").as("doc_id"), j7))
+    val scores = sided.groupBy("doc_id").agg(sum(col("j7")).as("score"))
+    labels.join(scores, Seq("doc_id"))
+      .groupBy("group_id")
+      .agg(
+        max(struct(col("score").as("sc"), (-col("doc_id")).as("negid")))
+          .as("best"),
+        count(lit(1)).as("n_members"))
+      .select(col("group_id"), col("n_members"),
+        (-col("best.negid")).as("medoid"),
+        col("best.sc").cast("double").as("medoid_score"))
+      .orderBy("group_id")
+  }
+
+  /** q268 oracle: inverted-index pairs + reachability CC + the same
+    * 7dp-DECIMAL score sums, argmax via a tiny per-cluster window. */
+  def clusterMedoidsOracleSql: String =
+    s"""WITH RECURSIVE $shCteSql, ${invertedPairsSql(4, 5)},
+       |pj AS (
+       |  SELECT doc_a, doc_b,
+       |         CAST(ROUND(CAST(inter AS DOUBLE) / CAST(uni AS DOUBLE), 7)
+       |              AS DECIMAL(20,7)) AS j7
+       |  FROM pairs
+       |), edges AS (
+       |  SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |  UNION ALL SELECT doc_b, doc_a FROM pairs
+       |), reach(id, l) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT e.src, r.l FROM edges e JOIN reach r ON e.dst = r.id
+       |), lab AS (
+       |  SELECT id AS doc_id, CAST(MIN(l) AS BIGINT) AS group_id
+       |  FROM reach GROUP BY id
+       |), sided AS (
+       |  SELECT doc_a AS doc_id, j7 FROM pj
+       |  UNION ALL SELECT doc_b, j7 FROM pj
+       |), sc AS (SELECT doc_id, SUM(j7) AS score FROM sided GROUP BY 1),
+       |m AS (
+       |  SELECT lab.group_id, lab.doc_id, sc.score,
+       |         ROW_NUMBER() OVER (PARTITION BY lab.group_id
+       |                            ORDER BY sc.score DESC, lab.doc_id) AS rn,
+       |         COUNT(*) OVER (PARTITION BY lab.group_id) AS n_members
+       |  FROM lab JOIN sc USING (doc_id)
+       |)
+       |SELECT group_id, CAST(n_members AS BIGINT) AS n_members,
+       |       doc_id AS medoid, CAST(score AS DOUBLE) AS medoid_score
+       |FROM m WHERE rn = 1 ORDER BY group_id""".stripMargin
+
   /** q192 oracle: the q38 reachability CTE + a per-cluster argmax
     * (ROW_NUMBER over n_chars DESC, doc_id — the cluster count is
     * near-dup-bounded, so the oracle window is tiny). */
@@ -1181,6 +1246,14 @@ object Dedup {
       "q192_cluster_survivors",
       clusterSurvivorsOracleSql,
     ) { (s, dir) => clusterSurvivors(Tables(s, dir).documents) },
+
+    // q268 — medoid selection per near-dup cluster (keep the most
+    // central member): DuckDB replays clustering, the 7dp-DECIMAL
+    // centrality sums, and the argmax tiebreak.
+    QueryEntry.sql(
+      "q268_cluster_medoids",
+      clusterMedoidsOracleSql,
+    ) { (s, dir) => clusterMedoids(Tables(s, dir).documents) },
 
     // q198 — dup-cluster size histogram: DuckDB replays clustering
     // and both rollups.

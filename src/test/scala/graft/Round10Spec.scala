@@ -417,6 +417,46 @@ class Round10Spec extends SparkSpec {
     assert(rows.map(_._4).sum > 0L, "no user-day exceeded C=3")
   }
 
+  test("q268 cluster medoids: match a driver recompute; medoid lives in its cluster") {
+    val rows = run("q268_cluster_medoids").collect()
+      .map(r => (r.getAs[Long]("group_id"), r.getAs[Long]("n_members"),
+        r.getAs[Long]("medoid"), r.getAs[Double]("medoid_score")))
+      .sortBy(_._1)
+    val pairs = operators.Dedup.nearDupPairs(Tables(spark, sf).documents)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Long]("inter"), r.getAs[Long]("uni")))
+    // driver union-find (min-root)
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x; while (parent.getOrElse(r, r) != r) r = parent(r); r
+    }
+    pairs.foreach { case (a, b, _, _) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    def j7(i: Long, u: Long): BigDecimal =
+      BigDecimal(i.toDouble / u.toDouble)
+        .setScale(7, BigDecimal.RoundingMode.HALF_UP)
+    val score = scala.collection.mutable.Map[Long, BigDecimal]()
+    pairs.foreach { case (a, b, i, u) =>
+      score(a) = score.getOrElse(a, BigDecimal(0)) + j7(i, u)
+      score(b) = score.getOrElse(b, BigDecimal(0)) + j7(i, u)
+    }
+    val members = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+    val replay = members.groupBy(find).toSeq.sortBy(_._1).map {
+      case (g, ms) =>
+        val medoid = ms.map(m => (score(m), m))
+          .minBy { case (s, m) => (-s, m) }
+        (g, ms.length.toLong, medoid._2, medoid._1.toDouble)
+    }
+    assert(rows.toSeq === replay)
+    rows.foreach { case (g, n, m, s) =>
+      assert(n >= 2, "a cluster has at least two members")
+      assert(find(m) === g, "medoid must belong to its cluster")
+      assert(s > 0.0)
+    }
+  }
+
   test("q263 l-diversity: violations monotone in l, bounded; homogeneous classes exist") {
     val rows = run("q263_l_diversity").collect()
       .map(r => (r.getAs[Int]("l"), r.getAs[Long]("total_classes"),
