@@ -73,17 +73,45 @@ object Bpe {
     (1 to ReplacePasses).foldLeft(s)((c, _) =>
       replace(c, lit(pat(a, b)), lit(rep(a, b))))
 
-  /** Learn `numMerges` merge rules; one output row per round:
-    * (rank, sym_a, sym_b, pair_count, total_symbols-after-merge).
-    * total_symbols = Σ freq·|symbols(term)| witnesses that the merge
-    * was actually applied corpus-wide, not just chosen.
+  /** q269 — corpus-level effect of the learned merges: after the full
+    * induction, what did the tokenizer buy? Occurrence-weighted
+    * totals (terms, occurrences, chars, post-merge symbols), exact
+    * ppm mean symbols-per-occurrence, and the ppm fraction of
+    * occurrences fully merged to ≤ 2 symbols. All integers/ppm —
+    * nothing floats near the gate.
     */
-  def bpeMerges(tokens: DataFrame, numMerges: Int): DataFrame = {
+  def bpeCoverage(tokens: DataFrame, numMerges: Int): DataFrame = {
     val spark = tokens.sparkSession
     import spark.implicits._
-    val MemOnly = org.apache.spark.storage.StorageLevel.MEMORY_ONLY
     val sc = spark.sparkContext
     val pinnedBefore = sc.getPersistentRDDs.keySet
+    val fin = bpeLoop(tokens, numMerges)._2
+    val r = fin.agg(
+      count(lit(1)).as("terms"),
+      sum(col("freq")).as("occ"),
+      sum(col("freq") * length(col("term")).cast("long")).as("chars"),
+      sum(col("freq") * size(syms(col("s"))).cast("long")).as("symsTot"),
+      sum(when(size(syms(col("s"))) <= 2, col("freq")).otherwise(0L))
+        .as("merged")).head()
+    val (terms, occ, chars, symsTot, merged) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+    val out = Seq((terms, occ, chars, symsTot,
+      symsTot * 1000000L / occ, merged * 1000000L / occ))
+      .toDF("n_terms", "n_occurrences", "total_chars", "total_symbols",
+        "syms_per_occ_ppm", "fully_merged_ppm")
+    sc.getPersistentRDDs.foreach { case (id, rdd) =>
+      if (!pinnedBefore.contains(id)) rdd.unpersist(blocking = false)
+    }
+    out
+  }
+
+  /** The induction loop: per-round (rank, a, b, count, total_symbols)
+    * plus the final rewritten vocab frame (still persisted — callers
+    * release it via the snapshot-diff cleanup).
+    */
+  private def bpeLoop(tokens: DataFrame, numMerges: Int)
+      : (Seq[(Int, String, String, Long, Long)], DataFrame) = {
+    val MemOnly = org.apache.spark.storage.StorageLevel.MEMORY_ONLY
     var v = vocab(tokens)
       .select(col("term"), col("freq"), symInit(col("term")).as("s"))
       .persist(MemOnly)
@@ -108,7 +136,20 @@ object Bpe {
       v = next
       (r, a, b, cnt, chk.getLong(1))
     }
-    v.unpersist()
+    (learned, v)
+  }
+
+  /** Learn `numMerges` merge rules; one output row per round:
+    * (rank, sym_a, sym_b, pair_count, total_symbols-after-merge).
+    * total_symbols = Σ freq·|symbols(term)| witnesses that the merge
+    * was actually applied corpus-wide, not just chosen.
+    */
+  def bpeMerges(tokens: DataFrame, numMerges: Int): DataFrame = {
+    val spark = tokens.sparkSession
+    import spark.implicits._
+    val sc = spark.sparkContext
+    val pinnedBefore = sc.getPersistentRDDs.keySet
+    val (learned, _) = bpeLoop(tokens, numMerges)
     val result = learned
       .toDF("rank", "sym_a", "sym_b", "pair_count", "total_symbols")
       .orderBy("rank")
@@ -124,7 +165,7 @@ object Bpe {
     * (each is referenced by the next level AND the output row — the
     * q228 exponential-inlining lesson).
     */
-  private def oracleSql(numMerges: Int): String = {
+  private def chainSql(numMerges: Int): String = {
     def rep12(expr: String): String =
       (1 to ReplacePasses).foldLeft(expr)((e, _) =>
         s"replace($e, ' ' || m.a || ' ' || m.b || ' ', ' ' || m.a || m.b || ' ')")
@@ -143,13 +184,6 @@ object Bpe {
          |  FROM $prev CROSS JOIN m$r AS m
          |)""".stripMargin
     }.mkString(",\n")
-    val outs = (1 to numMerges).map { r =>
-      s"""SELECT $r AS rank, m$r.a AS sym_a, m$r.b AS sym_b,
-         |       m$r.cnt AS pair_count,
-         |       (SELECT CAST(SUM(freq * len(regexp_split_to_array(trim(s), ' ')))
-         |               AS BIGINT) FROM v$r) AS total_symbols
-         |FROM m$r""".stripMargin
-    }.mkString("\nUNION ALL\n")
     s"""WITH tok AS MATERIALIZED (
        |  SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
        |  FROM documents
@@ -161,10 +195,37 @@ object Bpe {
        |  SELECT term, freq, ' ' || regexp_replace(term, '(.)', '\\1 ', 'g') AS s
        |  FROM vocab
        |),
-       |$levels
+       |$levels""".stripMargin
+  }
+
+  private def oracleSql(numMerges: Int): String = {
+    val outs = (1 to numMerges).map { r =>
+      s"""SELECT $r AS rank, m$r.a AS sym_a, m$r.b AS sym_b,
+         |       m$r.cnt AS pair_count,
+         |       (SELECT CAST(SUM(freq * len(regexp_split_to_array(trim(s), ' ')))
+         |               AS BIGINT) FROM v$r) AS total_symbols
+         |FROM m$r""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""${chainSql(numMerges)}
        |$outs
        |ORDER BY rank""".stripMargin
   }
+
+  private def coverageOracleSql(numMerges: Int): String =
+    s"""${chainSql(numMerges)},
+       |fin AS MATERIALIZED (
+       |  SELECT term, freq, len(regexp_split_to_array(trim(s), ' ')) AS ns
+       |  FROM v$numMerges
+       |)
+       |SELECT CAST(COUNT(*) AS BIGINT) AS n_terms,
+       |       CAST(SUM(freq) AS BIGINT) AS n_occurrences,
+       |       CAST(SUM(freq * len(term)) AS BIGINT) AS total_chars,
+       |       CAST(SUM(freq * ns) AS BIGINT) AS total_symbols,
+       |       CAST(SUM(freq * ns) * 1000000 // SUM(freq) AS BIGINT)
+       |         AS syms_per_occ_ppm,
+       |       CAST(SUM(CASE WHEN ns <= 2 THEN freq ELSE 0 END) * 1000000
+       |            // SUM(freq) AS BIGINT) AS fully_merged_ppm
+       |FROM fin""".stripMargin
 
   val entries: Seq[QueryEntry] = Seq(
     // q262 — the first 6 BPE merges learned from the corpus, with the
@@ -173,6 +234,15 @@ object Bpe {
     // replace passes per round) from the raw documents table.
     QueryEntry.sql("q262_bpe_merges", oracleSql(NumMerges)) { (s, dir) =>
       bpeMerges(TokenizedCorpus.tokens(s, dir), NumMerges)
+    },
+
+    // q269 — tokenizer coverage after the learned merges: the
+    // occurrence-weighted compression the 6 rules buy, and the ppm of
+    // token occurrences fully merged to ≤ 2 symbols — the number a
+    // vocab-budget decision reads. Oracle re-runs the whole induction
+    // plus the final rollup; every output is an exact integer/ppm.
+    QueryEntry.sql("q269_bpe_coverage", coverageOracleSql(NumMerges)) {
+      (s, dir) => bpeCoverage(TokenizedCorpus.tokens(s, dir), NumMerges)
     },
   )
 }

@@ -457,6 +457,24 @@ class Round10Spec extends SparkSpec {
     }
   }
 
+  test("q269 BPE coverage: conserved against q262's final round") {
+    val c = run("q269_bpe_coverage").collect()(0)
+    val terms = c.getAs[Long]("n_terms")
+    val occ = c.getAs[Long]("n_occurrences")
+    val chars = c.getAs[Long]("total_chars")
+    val symsTot = c.getAs[Long]("total_symbols")
+    assert(occ >= terms && terms > 0)
+    // merging only shrinks the symbol count, floored at 1 per occurrence
+    assert(symsTot <= chars && symsTot >= occ)
+    assert(c.getAs[Long]("syms_per_occ_ppm") === symsTot * 1000000L / occ)
+    assert(c.getAs[Long]("fully_merged_ppm") <= 1000000L)
+    // the coverage rollup sees EXACTLY the vocab state q262's last
+    // round reported
+    val lastRound = run("q262_bpe_merges").collect()
+      .maxBy(_.getAs[Int]("rank")).getAs[Long]("total_symbols")
+    assert(symsTot === lastRound)
+  }
+
   test("q263 l-diversity: violations monotone in l, bounded; homogeneous classes exist") {
     val rows = run("q263_l_diversity").collect()
       .map(r => (r.getAs[Int]("l"), r.getAs[Long]("total_classes"),
