@@ -526,6 +526,73 @@ object Dedup {
     out
   }
 
+  /** q270 — index RETRACTION under the oracle: the forget pass a
+    * production index needs (takedowns, opt-outs, dedup survivors'
+    * losers). A deterministic tombstone set — history docs with
+    * doc_id % 7 == 0 — is written as its own run, then a PURGE
+    * compaction rewrites the index minus tombstoned docs (restoring
+    * the single band_sig-range-sorted layout), and the q185 batch
+    * probes the PURGED run only. The result must equal a from-scratch
+    * probe against history-minus-deleted — a purge that leaves a
+    * tombstoned doc's bands behind resurfaces its pairs and breaks
+    * the hash; one that drops too much loses pairs. The purge is
+    * O(index) amortized maintenance (q189's class); the physical
+    * removal itself is additionally guarded by an engine-side row
+    * count (index rows after purge = before − tombstoned), so
+    * probe-time filtering could not impersonate a purge.
+    */
+  def retractedIncrementalProbe(spark: org.apache.spark.sql.SparkSession,
+      dir: String, num: Int = 4, den: Int = 5): DataFrame = {
+    val docs = graft.Tables(spark, dir).documents
+    val par = spark.sessionState.conf.numShufflePartitions
+    val idx = ensureHistoricalIndex(spark, dir)
+    val tdir = graft.sources.Staging.fingerprintPath(
+      "graft_dedup_index", dir, "documents.parquet", "retract_mod7_v1")
+    // tombstones: rewritten deterministically (idempotent) per call so
+    // the entry is self-contained and the bench cost honest
+    val tombs = docs
+      .filter(col("doc_id") % 5 =!= 0 && col("doc_id") % 7 === 0)
+      .select("doc_id")
+    tombs.write.mode("overwrite").parquet(s"$tdir/tombstones.parquet")
+    val tomb = spark.read.parquet(s"$tdir/tombstones.parquet")
+    // PURGE: rewrite both index files minus the tombstoned docs
+    val bandsBefore = spark.read.parquet(s"$idx/bands.parquet")
+    val nBefore = bandsBefore.count()
+    bandsBefore.join(tomb, Seq("doc_id"), "left_anti")
+      .repartitionByRange(par, col("band_sig"))
+      .sortWithinPartitions("band_sig")
+      .write.mode("overwrite").parquet(s"$tdir/purged/bands.parquet")
+    spark.read.parquet(s"$idx/shingles.parquet")
+      .join(tomb, Seq("doc_id"), "left_anti")
+      .write.mode("overwrite").parquet(s"$tdir/purged/shingles.parquet")
+    // the purge must have physically removed EXACTLY the tombstoned
+    // docs' band rows — probe-time filtering cannot impersonate this
+    val nTombBandRows =
+      bandsBefore.join(tomb, Seq("doc_id"), "left_semi").count()
+    val nAfter = spark.read.parquet(s"$tdir/purged/bands.parquet").count()
+    require(nTombBandRows > 0 && nAfter == nBefore - nTombBandRows,
+      s"purge drift: $nBefore -> $nAfter, tombstoned rows $nTombBandRows")
+    val newSigs = batchSignatures(docs, col("doc_id") % 5 === 0, par)
+    val pre = probeIndexRuns(spark, newSigs, Seq(s"$tdir/purged"), num, den)
+      .orderBy("new_doc", "hist_doc")
+    val out = graft.metrics.RuntimeBreakdown.noteExecuted(pre)
+      .localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+    newSigs.unpersist()
+    out
+  }
+
+  /** q270 oracle: q185's cross-split pairs with the tombstoned history
+    * side removed. */
+  def retractedOracleSql(num: Int, den: Int): String =
+    s"""WITH $shCteSql, ${invertedPairsSql(num, den)}
+       |SELECT CASE WHEN doc_a % 5 = 0 THEN doc_a ELSE doc_b END AS new_doc,
+       |       CASE WHEN doc_a % 5 = 0 THEN doc_b ELSE doc_a END AS hist_doc,
+       |       inter, uni
+       |FROM pairs
+       |WHERE (doc_a % 5 = 0) <> (doc_b % 5 = 0)
+       |  AND (CASE WHEN doc_a % 5 = 0 THEN doc_b ELSE doc_a END) % 7 <> 0
+       |ORDER BY new_doc, hist_doc""".stripMargin
+
   /** q185/q188 oracle (two-way split), threaded from the same num/den
     * the engine uses. */
   def incrementalOracleSql(num: Int, den: Int): String =
@@ -1254,6 +1321,15 @@ object Dedup {
       "q268_cluster_medoids",
       clusterMedoidsOracleSql,
     ) { (s, dir) => clusterMedoids(Tables(s, dir).documents) },
+
+    // q270 — index retraction (tombstoned forget + purge): the
+    // compacted-minus-deleted probe must equal the from-scratch
+    // history-minus-deleted pair set; DuckDB derives that set
+    // independently.
+    QueryEntry.sql(
+      "q270_index_retraction",
+      retractedOracleSql(4, 5),
+    ) { (s, dir) => retractedIncrementalProbe(s, dir) },
 
     // q198 — dup-cluster size histogram: DuckDB replays clustering
     // and both rollups.

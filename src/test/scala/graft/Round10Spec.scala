@@ -475,6 +475,18 @@ class Round10Spec extends SparkSpec {
     assert(symsTot === lastRound)
   }
 
+  test("q270 retraction: equals q185 minus tombstoned-history pairs") {
+    def pairsOf(name: String) = run(name).collect()
+      .map(r => (r.getAs[Long]("new_doc"), r.getAs[Long]("hist_doc"),
+        r.getAs[Long]("inter"), r.getAs[Long]("uni"))).toSet
+    val retained = pairsOf("q270_index_retraction")
+    val full = pairsOf("q185_incremental_dedup")
+    assert(retained === full.filter(_._2 % 7 != 0))
+    assert(retained.forall(_._2 % 7 != 0), "no tombstoned doc may surface")
+    assert(full.exists(_._2 % 7 == 0),
+      "the tombstone set must remove at least one pair on this fixture")
+  }
+
   test("q263 l-diversity: violations monotone in l, bounded; homogeneous classes exist") {
     val rows = run("q263_l_diversity").collect()
       .map(r => (r.getAs[Int]("l"), r.getAs[Long]("total_classes"),
