@@ -120,6 +120,9 @@ object ScaleStress {
     "q262_bpe_merges", // 6 rounds over the VOCAB reduction — sublinear in corpus
     "q264_lr_sweep", // 3 trainings x (3 map-agg passes) + eval — linear
     "q265_distill", // teacher + student chains, all map+scalar-agg — linear
+    "q268_cluster_medoids", // q20 pair machinery + CC + one grouped argmax
+    "q269_bpe_coverage", // the q262 induction + one vocab rollup — sublinear
+    "q270_index_retraction", // purge O(index) + probe-side work — q189's class
   )
 
   /** Per-table key-shift rules: every synthetic surrogate key column
