@@ -898,6 +898,64 @@ object Ivf {
   }
 
 
+  /** q271 — ANN-index RETRACTION (q270's twin for embeddings): forget
+    * history vectors vec_id % 7 == 0. The quantizer stays FROZEN —
+    * the production posture: a retraction removes list entries, it
+    * never refits (refitting would re-assign history and rewrite
+    * every list) — the purged inverted lists drop exactly the
+    * tombstoned members (engine-guarded by an exact entry count), and
+    * the q191 batch probes the purged lists. A purge that leaves a
+    * tombstoned vector's list entry behind resurfaces its pairs and
+    * breaks the hash against the from-scratch minus-deleted oracle.
+    */
+  def retractedAnnProbe(spark: org.apache.spark.sql.SparkSession,
+      dir: String, threshold: Double, nAssign: Int = 4,
+      iters: Int = 3): DataFrame = {
+    val emb = Tables(spark, dir).embeddings
+    val (cents, lists) = historyAnnIndex(spark, dir, iters)
+    val pinned = lists
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+    val nBefore = pinned.count()
+    val nTomb = pinned.filter(col("hist_vec") % 7 === 0).count()
+    val purged = pinned.filter(col("hist_vec") % 7 =!= 0)
+      .localCheckpoint(true, org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+    require(nTomb > 0 && purged.count() == nBefore - nTomb,
+      s"ANN purge drift: $nBefore entries, $nTomb tombstoned")
+    pinned.unpersist()
+    probeAnnLists(emb.filter(col("vec_id") % 5 === 0), cents, purged,
+        threshold, nAssign)
+      .orderBy("new_vec", "hist_vec")
+  }
+
+  /** q271 oracle: [[incrementalAnnOracleSql]] with the tombstoned
+    * vectors excluded from the HISTORY side only — the quantizer CTEs
+    * still fit on the full history (frozen-quantizer semantics).
+    */
+  def retractedAnnOracleSql(spark: org.apache.spark.sql.SparkSession,
+      dir: String, threshold: Double, nAssign: Int = 4,
+      iters: Int = 3): String = {
+    val hist = Tables(spark, dir).embeddings.filter(col("vec_id") % 5 =!= 0)
+    val k = adaptiveClusters(hist.count())
+    val dim = fittedCentroids(hist, k, iters).head.length
+    s"""WITH ${coarseCtes(spark, dir, nprobe = 1, k, iters,
+          fitFilter = Some(col("vec_id") % 5 =!= 0))},
+       |histc AS (
+       |  SELECT vec_id, embedding, na, c AS cluster FROM ranked_c
+       |  WHERE rn = 1 AND vec_id % 5 <> 0 AND vec_id % 7 <> 0
+       |), probec AS (
+       |  SELECT vec_id, embedding, na, c AS cluster FROM ranked_c
+       |  WHERE rn <= $nAssign AND vec_id % 5 = 0
+       |), scored AS (
+       |  SELECT p.vec_id AS new_vec, h.vec_id AS hist_vec,
+       |         ROUND((${dotChain2("p.embedding", "h.embedding", dim)})
+       |               / sqrt(p.na * h.na), 6) AS score
+       |  FROM probec p JOIN histc h ON h.cluster = p.cluster
+       |)
+       |SELECT DISTINCT new_vec, hist_vec, score FROM scored
+       |WHERE score >= CAST('$threshold' AS DOUBLE)
+       |ORDER BY new_vec, hist_vec""".stripMargin
+  }
+
   /** q193 — the FOLD-IN that makes q191 a growing index (q187's
     * two-increment protocol for embeddings): the quantizer is fitted
     * on the base history ONLY (vec_id % 5 in 2..4) and FROZEN — the
@@ -1060,6 +1118,15 @@ object Ivf {
       incrementalAnnOracleSql(s, dir, threshold = 0.45)
     } { (s, dir) =>
       incrementalAnnNearDups(s, dir, threshold = 0.45)
+    },
+
+    // q271 — ANN-index retraction (q270's embedding twin): purged
+    // inverted lists under the frozen quantizer; DuckDB re-derives
+    // the history-minus-deleted probe from scratch.
+    QueryEntry.dynamicSql("q271_ann_retraction") { (s, dir) =>
+      retractedAnnOracleSql(s, dir, threshold = 0.45)
+    } { (s, dir) =>
+      retractedAnnProbe(s, dir, threshold = 0.45)
     },
 
     // q196 — streaming ANN ingest: q191's probe inside foreachBatch

@@ -487,6 +487,18 @@ class Round10Spec extends SparkSpec {
       "the tombstone set must remove at least one pair on this fixture")
   }
 
+  test("q271 ANN retraction: equals q191 minus tombstoned-history pairs") {
+    def pairsOf(name: String) = run(name).collect()
+      .map(r => (r.getAs[Long]("new_vec"), r.getAs[Long]("hist_vec"),
+        r.getAs[Double]("score"))).toSet
+    val retained = pairsOf("q271_ann_retraction")
+    val full = pairsOf("q191_incremental_ann")
+    assert(retained === full.filter(_._2 % 7 != 0))
+    assert(retained.forall(_._2 % 7 != 0), "no tombstoned vector may surface")
+    assert(full.exists(_._2 % 7 == 0),
+      "the tombstone set must remove at least one pair on this fixture")
+  }
+
   test("q263 l-diversity: violations monotone in l, bounded; homogeneous classes exist") {
     val rows = run("q263_l_diversity").collect()
       .map(r => (r.getAs[Int]("l"), r.getAs[Long]("total_classes"),
