@@ -123,6 +123,7 @@ object ScaleStress {
     "q268_cluster_medoids", // q20 pair machinery + CC + one grouped argmax
     "q269_bpe_coverage", // the q262 induction + one vocab rollup — sublinear
     "q270_index_retraction", // purge O(index) + probe-side work — q189's class
+    "q271_ann_retraction", // list filter + probe-side work — q191's class
   )
 
   /** Per-table key-shift rules: every synthetic surrogate key column
