@@ -66,6 +66,7 @@ object SparkEntry {
       operators.SetJoin.entries ++
       operators.Lines.entries ++
       operators.Eval.entries ++
+      operators.EvalGen.entries ++
       operators.Folds.entries ++
       operators.Classify.entries ++
       sources.OrcRoundTrip.entries ++
