@@ -67,6 +67,7 @@ object SparkEntry {
       operators.Lines.entries ++
       operators.Eval.entries ++
       operators.EvalGen.entries ++
+      operators.Lm.entries ++
       operators.Folds.entries ++
       operators.Classify.entries ++
       sources.OrcRoundTrip.entries ++

@@ -1,0 +1,250 @@
+package graft.operators
+
+import graft.{QueryEntry, Tables}
+import graft.functions.GraftFunctions
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
+
+/** Language-model quality gates beyond q173's add-one bigram LM: the
+  * interpolated Kneser–Ney estimator (the smoothing KenLM/CCNet
+  * actually ship) scored on a held-out split, and the CCNet
+  * head/middle/tail perplexity bucketing that decides which third of a
+  * crawl is worth keeping.
+  *
+  * Determinism follows the q160/q173 pattern: all sufficient
+  * statistics (bigram counts, continuation counts, vocabulary size)
+  * are exact integers; each DISTINCT scored bigram pays ONE `ln`
+  * rounded at 6 dp into DECIMAL(18,6), weighted sums multiply by a
+  * NARROW DECIMAL(10,0) count (the q235 precision-cap lesson), and
+  * per-doc averages are re-discretized to a 1e4 grid before any
+  * global ordering (the q232 grid precedent) so cross-engine float
+  * drift cannot move a document across a bucket boundary.
+  *
+  * Scale shape: model fitting is grouped counts over train bigrams
+  * (map-side combined, distinct-bigram-sized outputs); scoring is a
+  * bigram-keyed equi-join (AQE may broadcast the model when it fits —
+  * never forced, the vocabulary outgrows any driver at 100 TB); the
+  * q275 tercile cutoffs come from a cumulative window over the
+  * 1e4-GRID histogram — grid-bounded, never corpus-bounded.
+  */
+object Lm {
+
+  private val D = 0.75 // absolute discount
+  private val Lambda = 0.9 // floor interpolation weight
+  private val D6 = DecimalType(18, 6)
+  private val D7 = DecimalType(18, 7)
+
+  /** (doc_id, source, w1, w2) token bigrams with the q69 split bucket. */
+  private def bigramsWithSplit(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), col("source"),
+        TextAnalysis.tokens(col("text")).as("t"),
+        (shiftrightunsigned(GraftFunctions.splitmix64(col("doc_id")), 54)
+          < Winnow.SplitTrainLt).as("is_train"))
+      .filter(size(col("t")) >= 2)
+      .select(col("doc_id"), col("source"), col("is_train"), col("t"),
+        explode(sequence(lit(1), size(col("t")) - 1)).as("i"))
+      .select(col("doc_id"), col("source"), col("is_train"),
+        element_at(col("t"), col("i")).as("w1"),
+        element_at(col("t"), col("i") + 1).as("w2"))
+
+  /** Interpolated Kneser–Ney bigram scores of the held-out (val+test)
+    * split under the model fitted on the train split, rolled up per
+    * source: P_KN(w|v) = max(c(vw)−D,0)/c(v) + D·N1+(v·)/c(v)·Pcont(w)
+    * with Pcont(w) = N1+(·w)/|bigrams|, backoff to Pcont for unseen
+    * contexts, and a (1−λ)/(V+1) uniform floor so every held-out
+    * bigram has finite log-probability.
+    */
+  def knHeldOut(docs: DataFrame): DataFrame = {
+    val bg = bigramsWithSplit(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.TransientCaches.register(bg)
+    val c12 = bg.filter(col("is_train"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.TransientCaches.register(c12)
+    val ctx = c12.groupBy("w1")
+      .agg(sum("c12").as("c1"), count(lit(1)).as("n1f"))
+    val bwd = c12.groupBy("w2").agg(count(lit(1)).as("n1b"))
+    val scal = c12.agg(count(lit(1)).as("dtot")).crossJoin(
+      c12.select(col("w1").as("tok")).union(c12.select(col("w2")))
+        .distinct().agg(count(lit(1)).as("v")))
+    val evalPairs = bg.filter(!col("is_train"))
+      .groupBy("source", "w1", "w2").agg(count(lit(1)).as("ce"))
+    val pcont = coalesce(col("n1b"), lit(0L)).cast(DoubleType) / col("dtot")
+    val pkn = when(col("c1").isNotNull,
+      greatest(coalesce(col("c12"), lit(0L)) - lit(D), lit(0.0)) / col("c1")
+        + lit(D) * col("n1f") / col("c1") * pcont)
+      .otherwise(pcont)
+    val pfinal = lit(Lambda) * pkn + lit(1.0 - Lambda) / (col("v") + lit(1.0))
+    val dp = evalPairs.select("w1", "w2").distinct()
+      .join(c12, Seq("w1", "w2"), "left")
+      .join(ctx, Seq("w1"), "left")
+      .join(bwd, Seq("w2"), "left")
+      .crossJoin(broadcast(scal))
+      .select(col("w1"), col("w2"), col("c12").isNotNull.as("seen"),
+        round(log(pfinal), 6).cast(D6).as("lp"))
+    evalPairs.join(dp, Seq("w1", "w2"))
+      .groupBy("source")
+      .agg(sum("ce").as("n_bigrams"), count(lit(1)).as("n_pairs"),
+        sum(when(!col("seen"), 1L).otherwise(0L)).as("n_unseen_pairs"),
+        sum(col("ce").cast(DecimalType(10, 0)) * col("lp")).as("slp"))
+      .select(col("source"), col("n_bigrams").cast(LongType).as("n_bigrams"),
+        col("n_pairs").cast(LongType).as("n_pairs"),
+        col("n_unseen_pairs").cast(LongType).as("n_unseen_pairs"),
+        col("slp").cast(DoubleType).as("sum_logprob"),
+        (col("slp").cast(DoubleType) / col("n_bigrams")).as("avg_logprob"))
+      .orderBy("source")
+  }
+
+  private val knSql: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, source,
+       |         regexp_split_to_array(trim(lower(text)), '\\s+') AS t,
+       |         (${Hll.splitmixSqlFor("doc_id")}) >> 54 < ${Winnow.SplitTrainLt}
+       |           AS is_train
+       |  FROM documents
+       |  WHERE len(regexp_split_to_array(trim(lower(text)), '\\s+')) >= 2
+       |), bg AS (
+       |  SELECT doc_id, source, is_train, t[i] AS w1, t[i + 1] AS w2
+       |  FROM (SELECT doc_id, source, is_train, t,
+       |               unnest(generate_series(1, len(t) - 1)) AS i
+       |        FROM tok)
+       |), c12 AS MATERIALIZED (
+       |  SELECT w1, w2, COUNT(*) AS c12 FROM bg WHERE is_train GROUP BY 1, 2
+       |), ctx AS (
+       |  SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1, COUNT(*) AS n1f
+       |  FROM c12 GROUP BY 1
+       |), bwd AS (SELECT w2, COUNT(*) AS n1b FROM c12 GROUP BY 1),
+       |scal AS (
+       |  SELECT (SELECT COUNT(*) FROM c12) AS dtot,
+       |         (SELECT COUNT(*) FROM (SELECT w1 AS tok FROM c12
+       |                                UNION SELECT w2 FROM c12)) AS v
+       |), ep AS MATERIALIZED (
+       |  SELECT source, w1, w2, COUNT(*) AS ce
+       |  FROM bg WHERE NOT is_train GROUP BY 1, 2, 3
+       |), dp AS (
+       |  SELECT d.w1, d.w2, c12.c12 IS NOT NULL AS seen,
+       |         CAST(ROUND(ln(
+       |           $Lambda * (CASE WHEN ctx.c1 IS NOT NULL
+       |             THEN GREATEST(COALESCE(c12.c12, 0) - $D, 0.0) / ctx.c1
+       |                  + $D * ctx.n1f / ctx.c1
+       |                    * (CAST(COALESCE(bwd.n1b, 0) AS DOUBLE) / scal.dtot)
+       |             ELSE CAST(COALESCE(bwd.n1b, 0) AS DOUBLE) / scal.dtot END)
+       |           + ${1.0 - Lambda} / (scal.v + 1.0)), 6) AS DECIMAL(18,6)) AS lp
+       |  FROM (SELECT DISTINCT w1, w2 FROM ep) d
+       |  LEFT JOIN c12 ON c12.w1 = d.w1 AND c12.w2 = d.w2
+       |  LEFT JOIN ctx ON ctx.w1 = d.w1
+       |  LEFT JOIN bwd ON bwd.w2 = d.w2, scal
+       |)
+       |SELECT source, CAST(SUM(ce) AS BIGINT) AS n_bigrams,
+       |       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       |       CAST(SUM(CASE WHEN NOT seen THEN 1 ELSE 0 END) AS BIGINT)
+       |         AS n_unseen_pairs,
+       |       CAST(SUM(CAST(ce AS DECIMAL(10,0)) * lp) AS DOUBLE) AS sum_logprob,
+       |       CAST(SUM(CAST(ce AS DECIMAL(10,0)) * lp) AS DOUBLE) / SUM(ce)
+       |         AS avg_logprob
+       |FROM ep JOIN dp USING (w1, w2)
+       |GROUP BY source ORDER BY source""".stripMargin
+
+  private val Grid = 10000L // 1e4 per-doc score grid for bucketing
+
+  /** CCNet-style head/middle/tail bucketing (Wenzek et al. 2020): each
+    * document's q173 average bigram log-prob is discretized to the 1e4
+    * grid, tercile cutoffs are exact ranks over the grid HISTOGRAM
+    * (ceil(N/3), ceil(2N/3)), and the report is the per-(bucket,
+    * source) doc count and mean score — the table a curator reads to
+    * decide which sources fill the head.
+    */
+  def perplexityBuckets(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+    val per = Winnow.bigramLogProb(
+      graft.sources.TokenizedCorpus.tokens(spark, dir))
+    val src = Tables(spark, dir).documents.select("doc_id", "source")
+    val scored = per
+      .select(col("doc_id"),
+        round(col("avg_logprob") * Grid, 0).cast(LongType).as("si"),
+        round(col("avg_logprob"), 7).cast(D7).as("a7"))
+      .join(src, "doc_id")
+    val hist = scored.groupBy("si").agg(count(lit(1)).as("cnt"))
+    // cumulative over the GRID histogram (bounded frame — class doc)
+    val cum = hist.withColumn("cum", sum("cnt").over(Window.orderBy("si")))
+    val tot = scored.agg(count(lit(1)).as("nn"))
+    val cuts = cum.crossJoin(broadcast(tot))
+      .agg(min(when(col("cum") >= expr("(nn + 2) div 3"), col("si"))).as("cut1"),
+        min(when(col("cum") >= expr("(2 * nn + 2) div 3"), col("si"))).as("cut2"))
+    scored.crossJoin(broadcast(cuts))
+      .select(col("source"), col("a7"),
+        when(col("si") <= col("cut1"), "tail")
+          .when(col("si") <= col("cut2"), "middle")
+          .otherwise("head").as("bucket"))
+      .groupBy("bucket", "source")
+      .agg(count(lit(1)).as("n_docs"), sum("a7").as("sa"))
+      .select(col("bucket"), col("source"),
+        col("n_docs").cast(LongType).as("n_docs"),
+        round(col("sa").cast(DoubleType) / col("n_docs"), 6).as("mean_logprob"))
+      .orderBy("bucket", "source")
+  }
+
+  private val bucketsSql: String =
+    s"""WITH tok AS (
+       |  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS t
+       |  FROM documents
+       |), bg AS (
+       |  SELECT doc_id, t[i] AS w1, t[i + 1] AS w2
+       |  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i
+       |        FROM tok)
+       |), c12 AS (SELECT w1, w2, COUNT(*) AS c12 FROM bg GROUP BY w1, w2),
+       |ctx AS (SELECT w1, COUNT(*) AS c1 FROM bg GROUP BY w1),
+       |vv AS (SELECT COUNT(DISTINCT tt) AS v
+       |       FROM (SELECT unnest(t) AS tt FROM tok)),
+       |model AS (
+       |  SELECT c12.w1, c12.w2,
+       |         CAST(ROUND(ln((c12 + 1.0) / (c1 + v)), 6) AS DECIMAL(18,6)) AS lp
+       |  FROM c12 JOIN ctx USING (w1), vv
+       |), per AS MATERIALIZED (
+       |  SELECT doc_id,
+       |         CAST(ROUND((CAST(SUM(lp) AS DOUBLE) / COUNT(*)) * $Grid, 0)
+       |              AS BIGINT) AS si,
+       |         CAST(ROUND(CAST(SUM(lp) AS DOUBLE) / COUNT(*), 7)
+       |              AS DECIMAL(18,7)) AS a7
+       |  FROM bg JOIN model USING (w1, w2)
+       |  GROUP BY doc_id
+       |), hist AS (
+       |  SELECT si, COUNT(*) AS cnt FROM per GROUP BY 1
+       |), cum AS (
+       |  SELECT si, SUM(cnt) OVER (ORDER BY si) AS cum FROM hist
+       |), tot AS (SELECT COUNT(*) AS nn FROM per),
+       |cuts AS (
+       |  SELECT MIN(CASE WHEN cum >= (nn + 2) // 3 THEN si END) AS cut1,
+       |         MIN(CASE WHEN cum >= (2 * nn + 2) // 3 THEN si END) AS cut2
+       |  FROM cum, tot
+       |)
+       |SELECT CASE WHEN si <= cut1 THEN 'tail'
+       |            WHEN si <= cut2 THEN 'middle' ELSE 'head' END AS bucket,
+       |       source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |       ROUND(CAST(SUM(a7) AS DOUBLE) / COUNT(*), 6) AS mean_logprob
+       |FROM per
+       |JOIN (SELECT doc_id, source FROM documents) USING (doc_id), cuts
+       |GROUP BY 1, 2 ORDER BY bucket, source""".stripMargin
+
+  val entries: Seq[QueryEntry] = Seq(
+    // q274 — interpolated Kneser–Ney held-out scoring; DuckDB refits
+    // the full model independently (bigram/context/continuation
+    // counts, vocabulary, discount, floor) and re-scores every
+    // held-out bigram — a drifted count or a missed backoff branch
+    // breaks the hash.
+    QueryEntry.sql("q274_kneser_ney", knSql) { (s, dir) =>
+      knHeldOut(Tables(s, dir).documentsRebalanced)
+    },
+
+    // q275 — head/middle/tail perplexity terciles; DuckDB re-derives
+    // per-doc scores, the grid histogram, the exact rank cutoffs, and
+    // the bucket×source rollup.
+    QueryEntry.sql("q275_perplexity_buckets", bucketsSql) { (s, dir) =>
+      perplexityBuckets(s, dir)
+    },
+  )
+}
