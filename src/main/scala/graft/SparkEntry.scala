@@ -68,6 +68,7 @@ object SparkEntry {
       operators.Eval.entries ++
       operators.EvalGen.entries ++
       operators.Lm.entries ++
+      operators.Valuation.entries ++
       operators.Folds.entries ++
       operators.Classify.entries ++
       sources.OrcRoundTrip.entries ++
