@@ -478,5 +478,79 @@ object Multimodal {
           col("distinct_blocks"), col("shared_blocks"), col("dedup_ratio"))
         .orderBy("source")
     },
+
+    // q280 — CLIP-style image–text alignment gate (the LAION filtering
+    // recipe): each media payload decodes through the batched codec
+    // seam to its pooled feature vector, pairs with the first 4 dims
+    // of the document's embedding (the q254 MRL-truncation projection),
+    // and the pair is kept when the rounded cosine clears the
+    // threshold. Per-source report: pair count, kept count, kept
+    // fraction, and the order-free mean alignment — the table a
+    // multimodal curator reads before dropping a crawl source. DuckDB
+    // re-derives the pooled vector from raw hex bytes, re-slices the
+    // embedding, and re-evaluates every cosine — a codec drift of one
+    // byte breaks the hash. Scale: per-doc decode + two doc-keyed
+    // joins + one source rollup; no cross-doc work anywhere.
+    QueryEntry.sql(
+      "q280_alignment_filter",
+      """WITH raw AS (
+        |  SELECT doc_id, source, octet_length(encode(text)) AS n,
+        |         hex(encode(text)) AS h
+        |  FROM documents WHERE octet_length(encode(text)) >= 4
+        |), bytes AS (
+        |  SELECT doc_id, n, h, unnest(range(0, n)) AS i FROM raw
+        |), seg AS (
+        |  SELECT doc_id, CAST(i * 4 // n AS INT) AS s,
+        |         CAST('0x' || substr(h, CAST(2 * i + 1 AS BIGINT), 2) AS BIGINT)
+        |           AS b
+        |  FROM bytes
+        |), pool AS (
+        |  SELECT doc_id, s, SUM(b) AS sm, COUNT(*) AS cnt
+        |  FROM seg GROUP BY 1, 2
+        |), img AS (
+        |  SELECT doc_id, list(CAST(CAST(sm AS DOUBLE) / cnt AS FLOAT)
+        |                      ORDER BY s) AS iv
+        |  FROM pool GROUP BY doc_id
+        |), pair AS (
+        |  SELECT r.source,
+        |         ROUND(list_cosine_similarity(CAST(iv AS DOUBLE[]),
+        |                                      CAST(tv AS DOUBLE[])), 6) AS score
+        |  FROM img
+        |  JOIN (SELECT vec_id, embedding[1:4] AS tv FROM embeddings) e
+        |    ON e.vec_id = img.doc_id
+        |  JOIN raw r ON r.doc_id = img.doc_id
+        |)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |       CAST(SUM(CASE WHEN score >= 0.05 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_kept,
+        |       ROUND(SUM(CASE WHEN score >= 0.05 THEN 1 ELSE 0 END) * 1.0
+        |             / COUNT(*), 6) AS kept_frac,
+        |       ROUND(CAST(SUM(CAST(score AS DECIMAL(18,6))) AS DOUBLE)
+        |             / COUNT(*), 6) AS mean_score
+        |FROM pair GROUP BY source ORDER BY source""".stripMargin,
+    ) { (s, dir) =>
+      import s.implicits._
+      val img = featuresThroughSeam(
+        mediaTable(s, dir).select(col("doc_id"), col("payload")).as[MediaRow],
+        PoolCodec).toDF()
+        .filter(col("n_bytes") >= 4)
+        .select(col("doc_id"), col("features").as("iv"))
+      val txt = Tables(s, dir).embeddings
+        .select(col("vec_id").as("doc_id"),
+          slice(col("embedding"), 1, 4).as("tv"))
+      val src = Tables(s, dir).documents.select("doc_id", "source")
+      img.join(txt, "doc_id").join(src, "doc_id")
+        .select(col("source"),
+          round(graft.functions.GraftFunctions.cosineF32(
+            col("iv"), col("tv")), 6).as("score"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(when(col("score") >= 0.05, 1L).otherwise(0L)).as("n_kept"),
+          round(sum(when(col("score") >= 0.05, 1L).otherwise(0L)) * lit(1.0)
+            / count(lit(1)), 6).as("kept_frac"),
+          round(sum(col("score").cast(DecimalType(18, 6))).cast(DoubleType)
+            / count(lit(1)), 6).as("mean_score"))
+        .orderBy("source")
+    },
   )
 }
