@@ -1,0 +1,147 @@
+package graft
+
+/** q272–q280 coverage beyond the oracle gate: the estimators satisfy
+  * the structural laws their definitions promise (monotonicity,
+  * conservation, bucket separation), not just cross-engine equality.
+  */
+class Round10cSpec extends SparkSpec {
+
+  test("q272 ROUGE: unigram overlap dominates bigram, metrics in (0,1]") {
+    val rows = run("q272_rouge_overlap").collect()
+      .map(r => r.getAs[Int]("n") ->
+        (r.getAs[Double]("mean_precision"), r.getAs[Double]("mean_recall"),
+          r.getAs[Double]("mean_f1"))).toMap
+    assert(rows.keySet === Set(1, 2))
+    val (p1, r1, f1) = rows(1)
+    val (p2, r2, f2) = rows(2)
+    // dropping every other token wrecks bigrams far more than unigrams
+    assert(r1 > r2, s"rouge-1 recall $r1 should beat rouge-2 $r2")
+    assert(f1 > f2)
+    // the candidate keeps ~half the reference span
+    assert(r1 > 0.3 && r1 < 0.8, s"rouge-1 recall $r1")
+    Seq(p1, r1, f1, p2, r2, f2).foreach(m => assert(m > 0.0 && m <= 1.0))
+  }
+
+  test("q273 pass@k: estimator is monotone in k and anchored at the rate") {
+    val rows = run("q273_pass_at_k").collect()
+      .map(r => r.getAs[Int]("k") ->
+        (r.getAs[Long]("n_tasks"), r.getAs[Long]("sum_trials"),
+          r.getAs[Long]("sum_successes"), r.getAs[Double]("mean_pass_at_k")))
+      .toMap
+    assert(rows.keySet === Set(1, 5, 10))
+    val p1 = rows(1)._4; val p5 = rows(5)._4; val p10 = rows(10)._4
+    assert(p1 < p5 && p5 < p10, s"pass@k must grow: $p1 $p5 $p10")
+    // pass@1 is exactly the per-task mean success rate
+    val (n1, trials, succ, _) = rows(1)
+    assert(n1 > 0 && succ > 0 && succ < trials)
+    assert(math.abs(p1 - succ.toDouble / trials) < 0.15)
+  }
+
+  test("q274 Kneser-Ney: finite negative scores, real held-out OOV") {
+    val rows = run("q274_kneser_ney").collect()
+    assert(rows.length === 20)
+    rows.foreach { r =>
+      val avg = r.getAs[Double]("avg_logprob")
+      assert(avg < 0.0 && avg > -20.0, s"avg_logprob $avg out of range")
+      assert(r.getAs[Long]("n_pairs") <= r.getAs[Long]("n_bigrams"))
+    }
+    // the floor exists because held-out pairs ARE unseen sometimes
+    assert(rows.map(_.getAs[Long]("n_unseen_pairs")).sum > 0)
+  }
+
+  test("q275 buckets: terciles are separated and roughly balanced") {
+    val rows = run("q275_perplexity_buckets").collect()
+      .map(r => (r.getAs[String]("bucket"), r.getAs[Long]("n_docs"),
+        r.getAs[Double]("mean_logprob")))
+    val byBucket = rows.groupBy(_._1)
+    assert(byBucket.keySet === Set("head", "middle", "tail"))
+    val headMin = byBucket("head").map(_._3).min
+    val tailMax = byBucket("tail").map(_._3).max
+    assert(headMin > tailMax,
+      s"head per-source means ($headMin) must clear tail ($tailMax)")
+    val counts = byBucket.view.mapValues(_.map(_._2).sum).toMap
+    val n = counts.values.sum.toDouble
+    counts.values.foreach(c =>
+      assert(c > 0.2 * n && c < 0.5 * n, s"bucket sizes $counts"))
+  }
+
+  test("q276 t-closeness: violations shrink as the threshold loosens") {
+    val rows = run("q276_t_closeness").collect()
+      .map(r => r.getAs[Int]("t_permille") ->
+        (r.getAs[Long]("violating_classes"), r.getAs[Long]("violating_rows"),
+          r.getAs[Double]("max_t"))).toMap
+    assert(rows.keySet === Set(200, 300, 500))
+    assert(rows(200)._1 >= rows(300)._1 && rows(300)._1 >= rows(500)._1)
+    assert(rows(200)._2 >= rows(300)._2 && rows(300)._2 >= rows(500)._2)
+    val maxT = rows(200)._3
+    assert(maxT > 0.0 && maxT <= 1.0)
+    // a class at max_t above a threshold implies at least one violation
+    if (maxT > 0.2) assert(rows(200)._1 > 0)
+  }
+
+  test("q277 Bradley-Terry: wins conserve and strength tracks win rate") {
+    val rows = run("q277_bradley_terry").collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("games"),
+        r.getAs[Long]("wins"), r.getAs[Double]("strength")))
+    assert(rows.length === 20)
+    // every match contributes one win and two game slots
+    assert(2 * rows.map(_._3).sum === rows.map(_._2).sum)
+    rows.foreach { case (_, g, w, s) =>
+      assert(w <= g); assert(s >= 0.0)
+    }
+    // normalization: strengths average to ~1
+    assert(math.abs(rows.map(_._4).sum / rows.length - 1.0) < 0.01)
+    val best = rows.maxBy(r => r._3.toDouble / r._2)
+    val worst = rows.minBy(r => r._3.toDouble / r._2)
+    assert(best._4 > worst._4,
+      s"best win-rate ${best} must out-rank ${worst}")
+  }
+
+  test("q278 LOO: vocab partition is exact and deltas mirror quality") {
+    val rows = run("q278_loo_source_value").collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("n_docs_other"),
+        r.getAs[Double]("quality_delta"), r.getAs[Long]("loo_vocab"),
+        r.getAs[Long]("vocab_lost")))
+    assert(rows.length === 20)
+    // loo_vocab + vocab_lost = total vocabulary, for EVERY source
+    val totals = rows.map(r => r._4 + r._5).distinct
+    assert(totals.length === 1, s"vocab conservation broke: $totals")
+    // deltas are centered: removing every source cannot improve (or
+    // worsen) the mean everywhere at once
+    assert(rows.exists(_._3 >= 0.0) && rows.exists(_._3 <= 0.0))
+  }
+
+  test("q279 randomized response: estimates conserve mass and debias") {
+    val rows = run("q279_randomized_response").collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[Long]("n_true"),
+        r.getAs[Long]("n_obs"), r.getAs[Double]("n_est"),
+        r.getAs[Double]("abs_err")))
+    assert(rows.length === 5)
+    val n = rows.map(_._2).sum
+    assert(rows.map(_._3).sum === n)
+    // Σ estimates = n exactly (closed-form inversion conserves mass)
+    assert(math.abs(rows.map(_._4).sum - n) < 0.001)
+    // the mechanism shrinks the DOMINANT class toward uniform by a
+    // deterministic (1−p)(t_max − n/K) ≈ 23 docs here — debiasing must
+    // recover it better than the raw observed count (the aggregate
+    // comparison is NOT sound at this n: debiasing trades bias for
+    // variance, and near-uniform classes have almost no bias to fix)
+    val dom = rows.maxBy(_._2)
+    assert(dom._5 < math.abs(dom._3.toDouble - dom._2),
+      s"dominant class $dom: debiased error must beat raw shrinkage")
+  }
+
+  test("q280 alignment gate: sane fractions and full pairing") {
+    val rows = run("q280_alignment_filter").collect()
+      .map(r => (r.getAs[Long]("n_pairs"), r.getAs[Long]("n_kept"),
+        r.getAs[Double]("kept_frac"), r.getAs[Double]("mean_score")))
+    assert(rows.length === 20)
+    rows.foreach { case (np, nk, kf, ms) =>
+      assert(nk >= 0 && nk <= np)
+      assert(kf >= 0.0 && kf <= 1.0)
+      assert(ms >= -1.0 && ms <= 1.0)
+    }
+    // every doc with an embedding pairs exactly once
+    assert(rows.map(_._1).sum === 500)
+  }
+}
