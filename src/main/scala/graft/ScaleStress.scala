@@ -124,6 +124,12 @@ object ScaleStress {
     "q269_bpe_coverage", // the q262 induction + one vocab rollup — sublinear
     "q270_index_retraction", // purge O(index) + probe-side work — q189's class
     "q271_ann_retraction", // list filter + probe-side work — q191's class
+    // round-10 session-3 widening: new queries benching >1 s at sf0.1
+    "q274_kneser_ney", // grouped model counts + bigram-keyed scoring join — linear
+    "q275_perplexity_buckets", // q173 pass + GRID histogram cutoffs — linear
+    "q276_t_closeness", // one (QI, sensitive) count + |K| fan-out — linear
+    "q277_bradley_terry", // pid-keyed pairing + |sources|²-bounded MM — linear
+    "q278_loo_source_value", // two grouped passes + model-sized joins — linear
   )
 
   /** Per-table key-shift rules: every synthetic surrogate key column
