@@ -246,5 +246,124 @@ object Lm {
     QueryEntry.sql("q275_perplexity_buckets", bucketsSql) { (s, dir) =>
       perplexityBuckets(s, dir)
     },
+
+    // q282 — Good–Turing frequency smoothing readout (the other
+    // classic LM smoother, and the standard unseen-mass estimate a
+    // vocabulary-coverage report should carry): counts-of-counts N_r
+    // over word TRIGRAM frequencies (the fixture vocabulary is 31 high-
+    // frequency tokens, so unigram counts have no rare tail; trigrams
+    // carry the Zipf tail GT exists for), adjusted counts
+    // r* = (r+1)·N_{r+1}/N_r for r ≤ 5, each count class's share of
+    // the corpus, and the singleton-derived unseen mass P0 = N_1/N on
+    // every row. All sufficient statistics are exact integers from two
+    // grouped counts (term → r, r → N_r); the only floats are the two
+    // final divisions. Scale: token-keyed count + count-of-count
+    // rollup — one shuffle wide at any corpus size.
+    QueryEntry.sql(
+      "q282_good_turing",
+      """WITH tok AS (
+        |  SELECT regexp_split_to_array(trim(lower(text)), '\s+') AS t
+        |  FROM documents
+        |), tg AS (
+        |  SELECT t[i] || ' ' || t[i + 1] || ' ' || t[i + 2] AS g
+        |  FROM (SELECT t, unnest(generate_series(1, len(t) - 2)) AS i FROM tok)
+        |), tc AS (SELECT g, COUNT(*) AS r FROM tg GROUP BY 1),
+        |nn AS (SELECT CAST(SUM(r) AS BIGINT) AS n FROM tc),
+        |coc AS (SELECT r, COUNT(*) AS nr FROM tc GROUP BY 1)
+        |SELECT a.r, CAST(a.nr AS BIGINT) AS n_r,
+        |       ROUND((a.r + 1) * CAST(COALESCE(b.nr, 0) AS DOUBLE) / a.nr, 6)
+        |         AS r_star,
+        |       ROUND(a.r * CAST(a.nr AS DOUBLE) / n, 6) AS prob_mass,
+        |       ROUND((SELECT CAST(nr AS DOUBLE) FROM coc WHERE r = 1) / n, 6)
+        |         AS p0_unseen
+        |FROM coc a LEFT JOIN coc b ON b.r = a.r + 1, nn
+        |WHERE a.r <= 5 ORDER BY a.r""".stripMargin,
+    ) { (s, dir) =>
+      val tc = Tables(s, dir).documentsRebalanced
+        .select(TextAnalysis.tokens(col("text")).as("t"))
+        .filter(size(col("t")) >= 3)
+        .select(col("t"),
+          explode(sequence(lit(1), size(col("t")) - 2)).as("i"))
+        .select(concat(element_at(col("t"), col("i")), lit(" "),
+          element_at(col("t"), col("i") + 1), lit(" "),
+          element_at(col("t"), col("i") + 2)).as("g"))
+        .groupBy("g").agg(count(lit(1)).as("r"))
+      val nn = tc.agg(sum("r").cast(LongType).as("n"))
+      val coc = tc.groupBy("r").agg(count(lit(1)).as("nr"))
+      val n1 = coc.filter(col("r") === 1).select(col("nr").as("nr1"))
+      val b = coc.select((col("r") - 1).as("r"), col("nr").as("nr_next"))
+      coc.filter(col("r") <= 5)
+        .join(b, Seq("r"), "left")
+        .crossJoin(broadcast(nn)).crossJoin(broadcast(n1))
+        .select(col("r"), col("nr").cast(LongType).as("n_r"),
+          round((col("r") + 1) * coalesce(col("nr_next"), lit(0L))
+            .cast(DoubleType) / col("nr"), 6).as("r_star"),
+          round(col("r") * col("nr").cast(DoubleType) / col("n"), 6)
+            .as("prob_mass"),
+          round(col("nr1").cast(DoubleType) / col("n"), 6).as("p0_unseen"))
+        .orderBy("r")
+    },
+
+    // q283 — watermark detection (Kirchenbauer et al. 2023's green-list
+    // z-test, the screen a pipeline runs for synthetic-text
+    // contamination): a token is "green" iff the low bit of its
+    // md5-60bit fingerprint is 0; per doc z = (2g − n)/√n. The fixture
+    // has no watermarked text, so docs with doc_id % 17 = 0 are PLANTED
+    // as watermarked — their trial set is the green tokens only
+    // (exactly what a green-list sampler emits), giving z = √g by
+    // construction (the q63/q201 planted-input precedent, applied to
+    // counts so no text is materialized). Report per (source, planted):
+    // doc count, order-free mean z, and the fraction flagged at z > 2.
+    // Scale: one per-token map + doc rollup + source rollup.
+    QueryEntry.sql(
+      "q283_watermark_detect",
+      """WITH tok AS (
+        |  SELECT doc_id, source, doc_id % 17 = 0 AS planted,
+        |         unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS t
+        |  FROM documents
+        |), g AS (
+        |  SELECT doc_id, source, planted, COUNT(*) AS n,
+        |         SUM(CASE WHEN CAST('0x' || substr(md5(t), 1, 15) AS BIGINT)
+        |                       % 2 = 0
+        |                  THEN 1 ELSE 0 END) AS green
+        |  FROM tok GROUP BY 1, 2, 3
+        |), z AS (
+        |  SELECT source, planted,
+        |         CAST(ROUND((2.0 * green - (CASE WHEN planted THEN green
+        |                                         ELSE n END))
+        |               / sqrt(CASE WHEN planted THEN green ELSE n END), 7)
+        |              AS DECIMAL(18,7)) AS z
+        |  FROM g WHERE (CASE WHEN planted THEN green ELSE n END) > 0
+        |)
+        |SELECT source, planted, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |       ROUND(CAST(SUM(z) AS DOUBLE) / COUNT(*), 6) AS mean_z,
+        |       ROUND(SUM(CASE WHEN z > 2.0 THEN 1 ELSE 0 END) * 1.0
+        |             / COUNT(*), 6) AS flagged_frac
+        |FROM z GROUP BY 1, 2 ORDER BY source, planted""".stripMargin,
+    ) { (s, dir) =>
+      val tok = Tables(s, dir).documentsRebalanced
+        .select(col("doc_id"), col("source"),
+          (pmod(col("doc_id"), lit(17L)) === 0).as("planted"),
+          explode(TextAnalysis.tokens(col("text"))).as("t"))
+      val g = tok.groupBy("doc_id", "source", "planted")
+        .agg(count(lit(1)).as("n"),
+          sum(when(pmod(GraftFunctions.md5Long(
+            col("t").cast(org.apache.spark.sql.types.BinaryType)),
+            lit(2L)) === 0, 1L).otherwise(0L)).as("green"))
+      val nEff = when(col("planted"), col("green")).otherwise(col("n"))
+      val z = g.filter(nEff > 0)
+        .select(col("source"), col("planted"),
+          round((lit(2.0) * col("green") - nEff) / sqrt(nEff), 7)
+            .cast(D7).as("z"))
+      z.groupBy("source", "planted")
+        .agg(count(lit(1)).as("n_docs"),
+          round(sum("z").cast(DoubleType) / count(lit(1)), 6).as("mean_z"),
+          round(sum(when(col("z") > 2.0, 1L).otherwise(0L)) * lit(1.0)
+            / count(lit(1)), 6).as("flagged_frac"))
+        .select(col("source"), col("planted"),
+          col("n_docs").cast(LongType).as("n_docs"),
+          col("mean_z"), col("flagged_frac"))
+        .orderBy("source", "planted")
+    },
   )
 }
