@@ -427,5 +427,123 @@ object Eval {
     ) { (s, dir) =>
       wilsonCi(Tables(s, dir).documentsRebalanced)
     },
+
+    // q284 — rater reliability via one Dawid–Skene EM round (the
+    // consensus-labeling step a pipeline runs before trusting cheap
+    // annotators): majority label per doc (ties to the smallest
+    // category), per-rater reliability π_r = agreement with majority,
+    // then a reliability-WEIGHTED revote (weights = π_r on the
+    // DECIMAL(18,7) grid so per-(doc, cat) weight sums are exact) and
+    // the post-revote agreement. DuckDB replays both voting rounds —
+    // a drifted weight or tie-break breaks the hash. Scale: the rater
+    // frame is 3× corpus; all windows are per-doc (≤ 3-row frames);
+    // two grouped counts + model-sized (3-row) weight joins.
+    QueryEntry.sql(
+      "q284_rater_reliability",
+      s"""WITH deco AS ($decoratedSql
+         |), base AS (
+         |  SELECT doc_id, text,
+         |         regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+         |  FROM deco
+         |), p1 AS (
+         |  SELECT doc_id, ${TextAnalysis.langPredictedSql.linesIterator
+                    .mkString(" ")} AS cat
+         |  FROM (SELECT doc_id, text, toks,
+         |               ${TextAnalysis.langScoresSql}
+         |        FROM base) t
+         |), p2 AS (
+         |  SELECT doc_id, ${TextAnalysis.langStopsPredictedSql.linesIterator
+                    .mkString(" ")} AS cat
+         |  FROM base
+         |), p3 AS (
+         |  SELECT doc_id, ${TextAnalysis.langMarkersPredictedSql.linesIterator
+                    .mkString(" ")} AS cat
+         |  FROM base
+         |), allp AS MATERIALIZED (
+         |  SELECT doc_id, 1 AS rater, cat FROM p1
+         |  UNION ALL SELECT doc_id, 2, cat FROM p2
+         |  UNION ALL SELECT doc_id, 3, cat FROM p3
+         |), cnt AS (
+         |  SELECT doc_id, cat, COUNT(*) AS c FROM allp GROUP BY 1, 2
+         |), maj AS (
+         |  SELECT doc_id, cat AS mcat
+         |  FROM (SELECT doc_id, cat,
+         |               row_number() OVER (PARTITION BY doc_id
+         |                                  ORDER BY c DESC, cat) AS rn
+         |        FROM cnt)
+         |  WHERE rn = 1
+         |), nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM maj),
+         |pi AS MATERIALIZED (
+         |  SELECT rater,
+         |         SUM(CASE WHEN cat = mcat THEN 1 ELSE 0 END) AS agree1,
+         |         CAST(ROUND(CAST(SUM(CASE WHEN cat = mcat THEN 1 ELSE 0 END)
+         |                         AS DOUBLE) / n, 7) AS DECIMAL(18,7)) AS pi7
+         |  FROM allp JOIN maj USING (doc_id), nn GROUP BY rater, n
+         |), sw AS (
+         |  SELECT doc_id, cat, SUM(pi7) AS sw
+         |  FROM allp JOIN pi USING (rater) GROUP BY 1, 2
+         |), lab2 AS (
+         |  SELECT doc_id, cat AS wcat
+         |  FROM (SELECT doc_id, cat,
+         |               row_number() OVER (PARTITION BY doc_id
+         |                                  ORDER BY sw DESC, cat) AS rn
+         |        FROM sw)
+         |  WHERE rn = 1
+         |), a2 AS (
+         |  SELECT rater, SUM(CASE WHEN cat = wcat THEN 1 ELSE 0 END) AS agree2
+         |  FROM allp JOIN lab2 USING (doc_id) GROUP BY 1
+         |)
+         |SELECT pi.rater, n AS n_docs,
+         |       CAST(agree1 AS BIGINT) AS agree_majority,
+         |       ROUND(CAST(agree1 AS DOUBLE) / n, 6) AS pi_majority,
+         |       CAST(agree2 AS BIGINT) AS agree_weighted,
+         |       ROUND(CAST(agree2 AS DOUBLE) / n, 6) AS pi_weighted
+         |FROM pi JOIN a2 USING (rater), nn
+         |ORDER BY rater""".stripMargin,
+    ) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val preds = decorated(Tables(s, dir).documentsRebalanced)
+        .select(col("doc_id"), explode(array(
+          struct(lit(1).as("rater"),
+            TextAnalysis.langPredicted(col("text")).as("cat")),
+          struct(lit(2).as("rater"),
+            TextAnalysis.langPredictedStops(col("text")).as("cat")),
+          struct(lit(3).as("rater"),
+            TextAnalysis.langPredictedMarkers(col("text")).as("cat")))).as("p"))
+        .select(col("doc_id"), col("p.rater").as("rater"), col("p.cat").as("cat"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      graft.TransientCaches.register(preds)
+      val cnt = preds.groupBy("doc_id", "cat").agg(count(lit(1)).as("c"))
+      val wMaj = Window.partitionBy("doc_id")
+        .orderBy(col("c").desc, col("cat").asc)
+      val maj = cnt.withColumn("rn", row_number().over(wMaj))
+        .filter(col("rn") === 1).select(col("doc_id"), col("cat").as("mcat"))
+      val nn = maj.agg(count(lit(1)).cast(LongType).as("n"))
+      val pi = preds.join(maj, "doc_id")
+        .groupBy("rater")
+        .agg(sum(when(col("cat") === col("mcat"), 1L).otherwise(0L))
+          .as("agree1"))
+        .crossJoin(broadcast(nn))
+        .select(col("rater"), col("agree1"), col("n"),
+          round(col("agree1").cast(DoubleType) / col("n"), 7)
+            .cast(DecimalType(18, 7)).as("pi7"))
+      val sw = preds.join(broadcast(pi.select("rater", "pi7")), "rater")
+        .groupBy("doc_id", "cat").agg(sum("pi7").as("sw"))
+      val wW = Window.partitionBy("doc_id")
+        .orderBy(col("sw").desc, col("cat").asc)
+      val lab2 = sw.withColumn("rn", row_number().over(wW))
+        .filter(col("rn") === 1).select(col("doc_id"), col("cat").as("wcat"))
+      val a2 = preds.join(lab2, "doc_id")
+        .groupBy("rater")
+        .agg(sum(when(col("cat") === col("wcat"), 1L).otherwise(0L))
+          .as("agree2"))
+      pi.join(a2, "rater")
+        .select(col("rater"), col("n").as("n_docs"),
+          col("agree1").cast(LongType).as("agree_majority"),
+          round(col("agree1").cast(DoubleType) / col("n"), 6).as("pi_majority"),
+          col("agree2").cast(LongType).as("agree_weighted"),
+          round(col("agree2").cast(DoubleType) / col("n"), 6).as("pi_weighted"))
+        .orderBy("rater")
+    },
   )
 }
