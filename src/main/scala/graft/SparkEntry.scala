@@ -69,6 +69,7 @@ object SparkEntry {
       operators.EvalGen.entries ++
       operators.Lm.entries ++
       operators.Valuation.entries ++
+      operators.Schedule.entries ++
       operators.Folds.entries ++
       operators.Classify.entries ++
       sources.OrcRoundTrip.entries ++

@@ -131,6 +131,67 @@ class Round10cSpec extends SparkSpec {
       s"dominant class $dom: debiased error must beat raw shrinkage")
   }
 
+  test("q281 epoch schedule: caps bind, budget conserves") {
+    val rows = run("q281_epoch_schedule").collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("n_tokens"),
+        r.getAs[Boolean]("capped"), r.getAs[Double]("epochs"),
+        r.getAs[Long]("alloc_tokens")))
+    assert(rows.length === 20)
+    // the planted weight skew must make the cap REAL on both sides
+    assert(rows.exists(_._3) && rows.exists(!_._3))
+    rows.foreach { case (_, t, c, e, a) =>
+      assert(e > 0.0 && e <= 4.0)
+      if (c) { assert(e === 4.0); assert(a === 4 * t) }
+    }
+    // water-filling conserves the budget B = 3T (per-source rounding)
+    val b = 3 * rows.map(_._2).sum
+    assert(math.abs(rows.map(_._5).sum - b) <= rows.length,
+      s"sum alloc ${rows.map(_._5).sum} vs budget $b")
+  }
+
+  test("q282 Good-Turing: adjusted counts discount the rare tail") {
+    val rows = run("q282_good_turing").collect()
+      .map(r => (r.getAs[Long]("r"), r.getAs[Long]("n_r"),
+        r.getAs[Double]("r_star"), r.getAs[Double]("p0_unseen")))
+    assert(rows.map(_._1).toSeq === Seq(1L, 2L, 3L, 4L, 5L))
+    // Zipf tail: N_1 > N_2 > N_3
+    val nr = rows.map(_._2)
+    assert(nr(0) > nr(1) && nr(1) > nr(2), s"counts-of-counts $nr")
+    // GT discounts singletons: r*(1) < 1
+    assert(rows(0)._3 > 0.0 && rows(0)._3 < 1.0)
+    val p0 = rows(0)._4
+    assert(p0 > 0.0 && p0 < 0.5)
+  }
+
+  test("q283 watermark z-test: planted docs flag, natural docs do not") {
+    val rows = run("q283_watermark_detect").collect()
+      .map(r => (r.getAs[Boolean]("planted"), r.getAs[Long]("n_docs"),
+        r.getAs[Double]("mean_z"), r.getAs[Double]("flagged_frac")))
+    val planted = rows.filter(_._1)
+    val natural = rows.filterNot(_._1)
+    assert(planted.nonEmpty && natural.nonEmpty)
+    // planted: z = sqrt(g) with g ~ half of >=10 tokens → all flagged
+    assert(planted.forall(_._4 === 1.0), s"planted $planted")
+    assert(planted.map(_._3).min > 2.0)
+    // natural text hovers near zero
+    assert(math.abs(natural.map(r => r._3 * r._2).sum /
+      natural.map(_._2).sum) < 1.0)
+    assert(natural.map(r => r._4 * r._2).sum / natural.map(_._2).sum < 0.2)
+  }
+
+  test("q284 rater reliability: weighted revote never hurts the best rater") {
+    val rows = run("q284_rater_reliability").collect()
+      .map(r => (r.getAs[Int]("rater"), r.getAs[Long]("n_docs"),
+        r.getAs[Double]("pi_majority"), r.getAs[Double]("pi_weighted")))
+    assert(rows.map(_._1).sorted.toSeq === Seq(1, 2, 3))
+    rows.foreach { case (_, n, p1, p2) =>
+      assert(n > 0); assert(p1 > 0.0 && p1 <= 1.0); assert(p2 > 0.0 && p2 <= 1.0)
+    }
+    // rater 1 (full classifier) is the most reliable of the three
+    val byR = rows.map(r => r._1 -> r._3).toMap
+    assert(byR(1) >= byR(2) && byR(1) >= byR(3), s"pi by rater $byR")
+  }
+
   test("q280 alignment gate: sane fractions and full pairing") {
     val rows = run("q280_alignment_filter").collect()
       .map(r => (r.getAs[Long]("n_pairs"), r.getAs[Long]("n_kept"),
