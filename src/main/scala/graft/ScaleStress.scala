@@ -130,6 +130,7 @@ object ScaleStress {
     "q276_t_closeness", // one (QI, sensitive) count + |K| fan-out — linear
     "q277_bradley_terry", // pid-keyed pairing + |sources|²-bounded MM — linear
     "q278_loo_source_value", // two grouped passes + model-sized joins — linear
+    "q284_rater_reliability", // 3x-corpus rater frame + per-doc windows — linear
   )
 
   /** Per-table key-shift rules: every synthetic surrogate key column

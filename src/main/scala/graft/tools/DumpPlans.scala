@@ -74,7 +74,8 @@ object DumpPlans {
       "q272_rouge_overlap", "q273_pass_at_k", "q274_kneser_ney",
       "q275_perplexity_buckets", "q276_t_closeness", "q277_bradley_terry",
       "q278_loo_source_value", "q279_randomized_response",
-      "q280_alignment_filter")
+      "q280_alignment_filter", "q281_epoch_schedule", "q282_good_turing",
+      "q283_watermark_detect", "q284_rater_reliability")
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans (sf0.001, generated by tools/DumpPlans)\n\n")
     sb.append("Regenerate: `sbt \"runMain graft.tools.DumpPlans\"`. The shapes these show\n")
