@@ -552,5 +552,113 @@ object Multimodal {
             / count(lit(1)), 6).as("mean_score"))
         .orderBy("source")
     },
+
+    // q285 — InfoNCE retrieval eval over the q280 pairs (the
+    // contrastive-quality readout a CLIP-style filter is tuned
+    // against): each text embedding scores its own image vector
+    // (j = 0) against 8 DETERMINISTIC negatives (doc (i + 31·j) mod N
+    // — pinned stride, no RNG), loss = −ln(e_pos/Σe) at τ = 0.5 with
+    // every exp rounded once onto the DECIMAL(18,7) grid (the q250
+    // sigmoid precedent: exp IS cross-engine-stable at these
+    // magnitudes), and retrieval accuracy = positive outranks all
+    // negatives on the rounded-cosine grid. Per-source mean loss +
+    // acc@1. Scale: 9 rows per anchor (constant fan-out), two
+    // doc-keyed joins — one shuffle wide at any corpus size.
+    QueryEntry.sql(
+      "q285_infonce_eval",
+      """WITH raw AS (
+        |  SELECT doc_id, source, octet_length(encode(text)) AS n,
+        |         hex(encode(text)) AS h
+        |  FROM documents WHERE octet_length(encode(text)) >= 4
+        |), bytes AS (
+        |  SELECT doc_id, n, h, unnest(range(0, n)) AS i FROM raw
+        |), seg AS (
+        |  SELECT doc_id, CAST(i * 4 // n AS INT) AS s,
+        |         CAST('0x' || substr(h, CAST(2 * i + 1 AS BIGINT), 2) AS BIGINT)
+        |           AS b
+        |  FROM bytes
+        |), pool AS (
+        |  SELECT doc_id, s, SUM(b) AS sm, COUNT(*) AS cnt
+        |  FROM seg GROUP BY 1, 2
+        |), img AS MATERIALIZED (
+        |  SELECT doc_id, list(CAST(CAST(sm AS DOUBLE) / cnt AS FLOAT)
+        |                      ORDER BY s) AS iv
+        |  FROM pool GROUP BY doc_id
+        |), anch AS MATERIALIZED (
+        |  SELECT e.vec_id AS i, r.source, e.embedding[1:4] AS tv
+        |  FROM embeddings e JOIN raw r ON r.doc_id = e.vec_id
+        |  JOIN img ON img.doc_id = e.vec_id
+        |), nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM embeddings),
+        |pairs AS (
+        |  SELECT a.i, a.source, j,
+        |         ROUND(list_cosine_similarity(CAST(a.tv AS DOUBLE[]),
+        |                                      CAST(img.iv AS DOUBLE[])), 6)
+        |           AS sim
+        |  FROM anch a, nn, (SELECT unnest(range(0, 9)) AS j)
+        |  JOIN img ON img.doc_id = (a.i + 31 * j) % nn.n
+        |), per AS (
+        |  SELECT i, source,
+        |         SUM(CAST(ROUND(exp(sim / 0.5), 7) AS DECIMAL(18,7))) AS etot,
+        |         SUM(CASE WHEN j = 0
+        |             THEN CAST(ROUND(exp(sim / 0.5), 7) AS DECIMAL(18,7))
+        |             ELSE CAST(0 AS DECIMAL(18,7)) END) AS epos,
+        |         MAX(CASE WHEN j = 0 THEN sim END) AS spos,
+        |         MAX(CASE WHEN j > 0 THEN sim END) AS smaxneg
+        |  FROM pairs GROUP BY 1, 2
+        |), lo AS (
+        |  SELECT source,
+        |         CAST(ROUND(-ln(CAST(epos AS DOUBLE) / CAST(etot AS DOUBLE)), 7)
+        |              AS DECIMAL(18,7)) AS loss,
+        |         CASE WHEN spos > smaxneg THEN 1 ELSE 0 END AS hit
+        |  FROM per
+        |)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_anchors,
+        |       ROUND(CAST(SUM(loss) AS DOUBLE) / COUNT(*), 6) AS mean_loss,
+        |       ROUND(SUM(hit) * 1.0 / COUNT(*), 6) AS acc1
+        |FROM lo GROUP BY source ORDER BY source""".stripMargin,
+    ) { (s, dir) =>
+      import s.implicits._
+      val cosF = graft.functions.GraftFunctions.cosineF32 _
+      val img = featuresThroughSeam(
+        mediaTable(s, dir).select(col("doc_id"), col("payload")).as[MediaRow],
+        PoolCodec).toDF()
+        .filter(col("n_bytes") >= 4)
+        .select(col("doc_id"), col("features").as("iv"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      graft.TransientCaches.register(img)
+      val src = Tables(s, dir).documents.select("doc_id", "source")
+      val emb = Tables(s, dir).embeddings
+      val anch = emb.select(col("vec_id").as("i"),
+          slice(col("embedding"), 1, 4).as("tv"))
+        .join(src.withColumnRenamed("doc_id", "i"), "i")
+        .join(img.withColumnRenamed("doc_id", "i").select("i"), "i")
+      val nn = emb.agg(count(lit(1)).cast(LongType).as("n"))
+      val d7 = DecimalType(18, 7)
+      val pairs = anch.crossJoin(broadcast(nn))
+        .select(col("i"), col("source"), col("tv"),
+          explode(sequence(lit(0), lit(8))).as("j"), col("n"))
+        .select(col("i"), col("source"), col("tv"), col("j"),
+          pmod(col("i") + lit(31) * col("j"), col("n")).as("tgt"))
+        .join(img.withColumnRenamed("doc_id", "tgt"), "tgt")
+        .select(col("i"), col("source"), col("j"),
+          round(cosF(col("tv"), col("iv")), 6).as("sim"))
+      val e = round(exp(col("sim") / lit(0.5)), 7).cast(d7)
+      val per = pairs.groupBy("i", "source")
+        .agg(sum(e).as("etot"),
+          sum(when(col("j") === 0, e).otherwise(lit(0).cast(d7))).as("epos"),
+          max(when(col("j") === 0, col("sim"))).as("spos"),
+          max(when(col("j") > 0, col("sim"))).as("smaxneg"))
+      per.select(col("source"),
+          round(-log(col("epos").cast(DoubleType)
+            / col("etot").cast(DoubleType)), 7).cast(d7).as("loss"),
+          when(col("spos") > col("smaxneg"), 1L).otherwise(0L).as("hit"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_anchors"),
+          round(sum("loss").cast(DoubleType) / count(lit(1)), 6).as("mean_loss"),
+          round(sum("hit") * lit(1.0) / count(lit(1)), 6).as("acc1"))
+        .select(col("source"), col("n_anchors").cast(LongType).as("n_anchors"),
+          col("mean_loss"), col("acc1"))
+        .orderBy("source")
+    },
   )
 }
