@@ -445,6 +445,58 @@ object CorpusOps {
     ) { (s, dir) =>
       tokenEntropy(s, dir)
     },
+
+    // q287 — prefix-cache savings report (the inference-serving twin
+    // of exact dedup): documents sharing their first-16-token prefix
+    // hit a shared KV-cache entry; the canonical doc per prefix group
+    // (lowest doc_id) pays the prefill, every later doc saves 16
+    // tokens. Per-source: eligible docs, cached docs, tokens saved,
+    // cached fraction — the number a serving-cost model multiplies.
+    // Scale: one md5-keyed group (exact-dedup's shuffle shape); the
+    // row_number window is per prefix GROUP (dup-count-bounded).
+    QueryEntry.sql(
+      "q287_prefix_cache",
+      """WITH p AS (
+        |  SELECT doc_id, source,
+        |         md5(array_to_string(
+        |           (regexp_split_to_array(trim(lower(text)), '\s+'))[1:16],
+        |           ' ')) AS ph
+        |  FROM documents
+        |  WHERE len(regexp_split_to_array(trim(lower(text)), '\s+')) >= 16
+        |), r AS (
+        |  SELECT source,
+        |         row_number() OVER (PARTITION BY ph ORDER BY doc_id) AS rn
+        |  FROM p
+        |)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |       CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_cached,
+        |       CAST(16 * SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS tokens_saved,
+        |       ROUND(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) * 1.0
+        |             / COUNT(*), 6) AS cached_frac
+        |FROM r GROUP BY source ORDER BY source""".stripMargin,
+    ) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val p = Tables(s, dir).documentsRebalanced
+        .select(col("doc_id"), col("source"),
+          TextAnalysis.tokens(col("text")).as("t"))
+        .filter(size(col("t")) >= 16)
+        .select(col("doc_id"), col("source"),
+          md5(array_join(slice(col("t"), 1, 16), " ")).as("ph"))
+      p.withColumn("rn",
+          row_number().over(Window.partitionBy("ph").orderBy("doc_id")))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("rn") > 1, 1L).otherwise(0L)).as("n_cached"),
+          (sum(when(col("rn") > 1, 1L).otherwise(0L)) * 16)
+            .cast(LongType).as("tokens_saved"),
+          round(sum(when(col("rn") > 1, 1L).otherwise(0L)) * lit(1.0)
+            / count(lit(1)), 6).as("cached_frac"))
+        .select(col("source"), col("n_docs"), col("n_cached"),
+          col("tokens_saved"), col("cached_frac"))
+        .orderBy("source")
+    },
   )
 
   /** Per-source Shannon entropy of the token distribution (q217). */

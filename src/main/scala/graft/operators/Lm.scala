@@ -365,5 +365,112 @@ object Lm {
           col("mean_z"), col("flagged_frac"))
         .orderBy("source", "planted")
     },
+
+    // q286 — two-domain LM interpolation sweep (the DoReMi-motivated
+    // mixing-weight tune, in its classical Jelinek–Mercer form): fit
+    // one add-one bigram LM on domain A's train docs (sources 0–9)
+    // and one on domain B's (10–19), score the FULL held-out split
+    // under P_mix = α·P_A + (1−α)·P_B for α ∈ {0.25, 0.5, 0.75}, and
+    // report held-out log-prob per α — the curve whose argmax IS the
+    // mixing weight. α literals are exact binary fractions; both
+    // probabilities are exact-integer ratios; one 6dp-rounded ln per
+    // (distinct pair, α). Scale: two grouped model counts + one
+    // pair-keyed scoring join with ×3 constant fan-out.
+    QueryEntry.sql(
+      "q286_mix_interpolation",
+      s"""WITH tok AS (
+         |  SELECT doc_id, source,
+         |         CAST(substr(source, 4) AS INT) < 10 AS grp_a,
+         |         regexp_split_to_array(trim(lower(text)), '\\s+') AS t,
+         |         (${Hll.splitmixSqlFor("doc_id")}) >> 54 < ${Winnow.SplitTrainLt}
+         |           AS is_train
+         |  FROM documents
+         |  WHERE len(regexp_split_to_array(trim(lower(text)), '\\s+')) >= 2
+         |), bg AS (
+         |  SELECT doc_id, grp_a, is_train, t[i] AS w1, t[i + 1] AS w2
+         |  FROM (SELECT doc_id, grp_a, is_train, t,
+         |               unnest(generate_series(1, len(t) - 1)) AS i
+         |        FROM tok)
+         |), ca AS MATERIALIZED (
+         |  SELECT w1, w2, COUNT(*) AS c12a FROM bg
+         |  WHERE is_train AND grp_a GROUP BY 1, 2
+         |), cb AS MATERIALIZED (
+         |  SELECT w1, w2, COUNT(*) AS c12b FROM bg
+         |  WHERE is_train AND NOT grp_a GROUP BY 1, 2
+         |), xa AS (SELECT w1, CAST(SUM(c12a) AS BIGINT) AS c1a FROM ca GROUP BY 1),
+         |xb AS (SELECT w1, CAST(SUM(c12b) AS BIGINT) AS c1b FROM cb GROUP BY 1),
+         |va AS (SELECT COUNT(*) AS v FROM (SELECT w1 FROM ca
+         |                                  UNION SELECT w2 FROM ca)),
+         |vb AS (SELECT COUNT(*) AS v FROM (SELECT w1 FROM cb
+         |                                  UNION SELECT w2 FROM cb)),
+         |ep AS MATERIALIZED (
+         |  SELECT w1, w2, COUNT(*) AS ce FROM bg WHERE NOT is_train GROUP BY 1, 2
+         |), px AS MATERIALIZED (
+         |  SELECT ep.w1, ep.w2, ep.ce,
+         |         (COALESCE(ca.c12a, 0) + 1.0) / (COALESCE(xa.c1a, 0) + va.v)
+         |           AS pa,
+         |         (COALESCE(cb.c12b, 0) + 1.0) / (COALESCE(xb.c1b, 0) + vb.v)
+         |           AS pb
+         |  FROM ep
+         |  LEFT JOIN ca ON ca.w1 = ep.w1 AND ca.w2 = ep.w2
+         |  LEFT JOIN cb ON cb.w1 = ep.w1 AND cb.w2 = ep.w2
+         |  LEFT JOIN xa ON xa.w1 = ep.w1
+         |  LEFT JOIN xb ON xb.w1 = ep.w1, va, vb
+         |)
+         |SELECT alpha_pct, CAST(SUM(ce) AS BIGINT) AS n_eval_bigrams,
+         |       CAST(SUM(CAST(ce AS DECIMAL(10,0))
+         |                * CAST(ROUND(ln(alpha_pct / 100.0 * pa
+         |                                + (1.0 - alpha_pct / 100.0) * pb), 6)
+         |                       AS DECIMAL(18,6))) AS DOUBLE) AS sum_logprob,
+         |       CAST(SUM(CAST(ce AS DECIMAL(10,0))
+         |                * CAST(ROUND(ln(alpha_pct / 100.0 * pa
+         |                                + (1.0 - alpha_pct / 100.0) * pb), 6)
+         |                       AS DECIMAL(18,6))) AS DOUBLE) / SUM(ce)
+         |         AS avg_logprob
+         |FROM px, (SELECT unnest([25, 50, 75]) AS alpha_pct)
+         |GROUP BY alpha_pct ORDER BY alpha_pct""".stripMargin,
+    ) { (s, dir) =>
+      val bg = bigramsWithSplit(Tables(s, dir).documentsRebalanced)
+        .withColumn("grp_a", substring(col("source"), 4, 8).cast("int") < 10)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      graft.TransientCaches.register(bg)
+      def model(a: Boolean): (DataFrame, DataFrame, DataFrame) = {
+        val f = bg.filter(col("is_train") && (if (a) col("grp_a") else !col("grp_a")))
+        val c = f.groupBy("w1", "w2").agg(count(lit(1)).as(s"c12${if (a) "a" else "b"}"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        graft.TransientCaches.register(c)
+        val x = c.groupBy("w1")
+          .agg(sum(s"c12${if (a) "a" else "b"}").cast(LongType)
+            .as(s"c1${if (a) "a" else "b"}"))
+        val v = c.select(col("w1")).union(c.select(col("w2")))
+          .distinct().agg(count(lit(1)).as(s"v${if (a) "a" else "b"}"))
+        (c, x, v)
+      }
+      val (ca, xa, va) = model(true)
+      val (cb, xb, vb) = model(false)
+      val ep = bg.filter(!col("is_train"))
+        .groupBy("w1", "w2").agg(count(lit(1)).as("ce"))
+      val px = ep.join(ca, Seq("w1", "w2"), "left")
+        .join(cb, Seq("w1", "w2"), "left")
+        .join(xa, Seq("w1"), "left")
+        .join(xb, Seq("w1"), "left")
+        .crossJoin(broadcast(va)).crossJoin(broadcast(vb))
+        .select(col("ce"),
+          ((coalesce(col("c12a"), lit(0L)) + lit(1.0))
+            / (coalesce(col("c1a"), lit(0L)) + col("va"))).as("pa"),
+          ((coalesce(col("c12b"), lit(0L)) + lit(1.0))
+            / (coalesce(col("c1b"), lit(0L)) + col("vb"))).as("pb"))
+      val alphas = s.range(1).select(explode(typedlit(Seq(25, 50, 75))).as("alpha_pct"))
+      val lp = round(log(col("alpha_pct") / lit(100.0) * col("pa")
+        + (lit(1.0) - col("alpha_pct") / lit(100.0)) * col("pb")), 6).cast(D6)
+      px.crossJoin(broadcast(alphas))
+        .groupBy("alpha_pct")
+        .agg(sum("ce").cast(LongType).as("n_eval_bigrams"),
+          sum(col("ce").cast(DecimalType(10, 0)) * lp).as("slp"))
+        .select(col("alpha_pct"), col("n_eval_bigrams"),
+          col("slp").cast(DoubleType).as("sum_logprob"),
+          (col("slp").cast(DoubleType) / col("n_eval_bigrams")).as("avg_logprob"))
+        .orderBy("alpha_pct")
+    },
   )
 }
