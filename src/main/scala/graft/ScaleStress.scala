@@ -131,6 +131,7 @@ object ScaleStress {
     "q277_bradley_terry", // pid-keyed pairing + |sources|²-bounded MM — linear
     "q278_loo_source_value", // two grouped passes + model-sized joins — linear
     "q284_rater_reliability", // 3x-corpus rater frame + per-doc windows — linear
+    "q286_mix_interpolation", // two grouped model counts + pair-keyed scoring join — linear
   )
 
   /** Per-table key-shift rules: every synthetic surrogate key column

@@ -75,7 +75,8 @@ object DumpPlans {
       "q275_perplexity_buckets", "q276_t_closeness", "q277_bradley_terry",
       "q278_loo_source_value", "q279_randomized_response",
       "q280_alignment_filter", "q281_epoch_schedule", "q282_good_turing",
-      "q283_watermark_detect", "q284_rater_reliability")
+      "q283_watermark_detect", "q284_rater_reliability",
+      "q285_infonce_eval", "q286_mix_interpolation", "q287_prefix_cache")
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans (sf0.001, generated by tools/DumpPlans)\n\n")
     sb.append("Regenerate: `sbt \"runMain graft.tools.DumpPlans\"`. The shapes these show\n")

@@ -192,6 +192,44 @@ class Round10cSpec extends SparkSpec {
     assert(byR(1) >= byR(2) && byR(1) >= byR(3), s"pi by rater $byR")
   }
 
+  test("q285 InfoNCE: loss sits at the 9-way chance anchor") {
+    val rows = run("q285_infonce_eval").collect()
+      .map(r => (r.getAs[Long]("n_anchors"), r.getAs[Double]("mean_loss"),
+        r.getAs[Double]("acc1")))
+    assert(rows.length === 20)
+    val n = rows.map(_._1).sum.toDouble
+    val acc = rows.map(r => r._3 * r._1).sum / n
+    val loss = rows.map(r => r._2 * r._1).sum / n
+    // pooled byte vectors vs random embeddings: retrieval is chance
+    // (1/9) and loss is near ln(9) ≈ 2.197 — the calibration a real
+    // encoder must BEAT before the q280 gate means anything
+    assert(acc > 0.02 && acc < 0.4, s"acc1 $acc")
+    assert(loss > 1.0 && loss < 4.0, s"mean loss $loss")
+  }
+
+  test("q286 interpolation: held-out likelihood is concave in alpha") {
+    val rows = run("q286_mix_interpolation").collect()
+      .map(r => r.getAs[Int]("alpha_pct") -> r.getAs[Double]("avg_logprob"))
+      .toMap
+    assert(rows.keySet === Set(25, 50, 75))
+    // mixture log-likelihood is concave in alpha: midpoint beats chord
+    assert(rows(50) >= (rows(25) + rows(75)) / 2 - 1e-9,
+      s"concavity broke: $rows")
+    rows.values.foreach(v => assert(v < 0.0 && v > -20.0))
+  }
+
+  test("q287 prefix cache: savings are real and consistent") {
+    val rows = run("q287_prefix_cache").collect()
+      .map(r => (r.getAs[Long]("n_docs"), r.getAs[Long]("n_cached"),
+        r.getAs[Long]("tokens_saved")))
+    assert(rows.length === 20)
+    rows.foreach { case (nd, nc, ts) =>
+      assert(nc <= nd); assert(ts === 16 * nc)
+    }
+    // the fixture's exact-dup families guarantee shared prefixes exist
+    assert(rows.map(_._2).sum > 0)
+  }
+
   test("q280 alignment gate: sane fractions and full pairing") {
     val rows = run("q280_alignment_filter").collect()
       .map(r => (r.getAs[Long]("n_pairs"), r.getAs[Long]("n_kept"),
