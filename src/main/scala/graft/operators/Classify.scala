@@ -638,6 +638,71 @@ object Classify {
     ) { (s, dir) =>
       distillReport(Tables(s, dir).documentsRebalanced)
     },
+
+    // q291 — risk–coverage curve for the q250 filter (selective
+    // classification, El-Yaniv & Wiener 2010): at confidence
+    // thresholds τ ∈ {0.5 … 0.9}, the fraction of examples the model
+    // is confident enough to decide (coverage) and its accuracy on
+    // just those (selective accuracy) — the curve that sets the
+    // human-review budget when the filter is allowed to abstain.
+    // Confidence = max(s6, 1e6 − s6) on the integer score grid, so
+    // every threshold test is exact. The oracle re-runs the FULL
+    // unrolled training chain before sweeping. Scale: one scoring
+    // pass + ×5 constant fan-out.
+    QueryEntry.sql(
+      "q291_risk_coverage",
+      s"""WITH $gdChainSql, scored AS (
+         |  SELECT CAST(y AS INTEGER) AS label,
+         |         CAST(ROUND(1.0/(1.0 + exp(-($zw)))
+         |                    * 1000000.0, 0) AS BIGINT) AS s6
+         |  FROM feats, w3s
+         |), sx AS (
+         |  SELECT label, s6, GREATEST(s6, 1000000 - s6) AS conf,
+         |         CASE WHEN s6 >= 500000 THEN 1 ELSE 0 END AS pred
+         |  FROM scored
+         |), nn2 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_all FROM sx)
+         |SELECT tau_pct, n_all,
+         |       CAST(SUM(CASE WHEN conf >= tau_pct * 10000 THEN 1 ELSE 0 END)
+         |            AS BIGINT) AS n_covered,
+         |       ROUND(SUM(CASE WHEN conf >= tau_pct * 10000 THEN 1 ELSE 0 END)
+         |             * 1.0 / n_all, 6) AS coverage,
+         |       CAST(SUM(CASE WHEN conf >= tau_pct * 10000 AND pred = label
+         |                THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+         |       ROUND(SUM(CASE WHEN conf >= tau_pct * 10000 AND pred = label
+         |                  THEN 1 ELSE 0 END) * 1.0
+         |             / SUM(CASE WHEN conf >= tau_pct * 10000 THEN 1 ELSE 0 END),
+         |             6) AS sel_accuracy
+         |FROM sx, nn2, (SELECT unnest([50, 60, 70, 80, 90]) AS tau_pct)
+         |GROUP BY tau_pct, n_all ORDER BY tau_pct""".stripMargin,
+    ) { (s, dir) =>
+      val feats = logregFeatures(corpusWithCorruptions(
+        Tables(s, dir).documentsRebalanced))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      graft.TransientCaches.register(feats)
+      val w = logregFit(feats)
+      val sx = feats.select(col("y").cast(IntegerType).as("label"),
+          round(sigmoid(zOf(w)) * lit(1e6), 0).cast(LongType).as("s6"))
+        .select(col("label"), col("s6"),
+          greatest(col("s6"), lit(1000000L) - col("s6")).as("conf"),
+          when(col("s6") >= 500000L, 1).otherwise(0).as("pred"))
+      val nn2 = sx.agg(count(lit(1)).cast(LongType).as("n_all"))
+      val taus = s.range(1)
+        .select(explode(typedlit(Seq(50, 60, 70, 80, 90))).as("tau_pct"))
+      val cov = col("conf") >= col("tau_pct").cast(LongType) * 10000L
+      sx.crossJoin(broadcast(nn2)).crossJoin(broadcast(taus))
+        .groupBy("tau_pct", "n_all")
+        .agg(sum(when(cov, 1L).otherwise(0L)).as("n_covered"),
+          round(sum(when(cov, 1L).otherwise(0L)) * lit(1.0) / col("n_all"), 6)
+            .as("coverage"),
+          sum(when(cov && col("pred") === col("label"), 1L).otherwise(0L))
+            .as("n_correct"),
+          round(sum(when(cov && col("pred") === col("label"), 1L)
+            .otherwise(0L)) * lit(1.0)
+            / sum(when(cov, 1L).otherwise(0L)), 6).as("sel_accuracy"))
+        .select(col("tau_pct"), col("n_all"), col("n_covered"),
+          col("coverage"), col("n_correct"), col("sel_accuracy"))
+        .orderBy("tau_pct")
+    },
   )
 
   /** The q265 student fit: 2-parameter (bias, x1) GD on TEACHER hard

@@ -645,6 +645,74 @@ object EventsOps {
         |FROM anc JOIN uc ON uc.u = anc.u
         |GROUP BY 1 ORDER BY node""".stripMargin)
     },
+
+    // q290 — linear multi-touch attribution (the marketing-analytics
+    // rollup a conversion pipeline runs): each purchase's unit of
+    // credit splits equally over the user's view/click touches in the
+    // prior 7 days; per touch type: touches credited + total credit
+    // (per-touch 1/k rounded once onto the DECIMAL(18,7) grid — sums
+    // are order-free); the scalar columns carry purchases and the
+    // unattributed count (purchases with no touch in window). Scale:
+    // the purchase×touch join is USER-KEYED with a time-range filter —
+    // per-user event counts are bounded, so fan-out is per-user
+    // constant-ish, never events×events.
+    QueryEntry.sql(
+      "q290_attribution",
+      """WITH p AS (
+        |  SELECT event_id AS pid, user_id, CAST(ts AS TIMESTAMP) AS pts
+        |  FROM events WHERE event_type = 'purchase'
+        |), t AS (
+        |  SELECT event_id AS tid, user_id, event_type,
+        |         CAST(ts AS TIMESTAMP) AS tts
+        |  FROM events WHERE event_type IN ('view', 'click')
+        |), j AS (
+        |  SELECT p.pid, t.event_type
+        |  FROM p JOIN t ON t.user_id = p.user_id
+        |    AND t.tts <= p.pts AND t.tts > p.pts - INTERVAL 7 DAY
+        |), k AS (SELECT pid, COUNT(*) AS k FROM j GROUP BY 1),
+        |cr AS (
+        |  SELECT j.event_type,
+        |         CAST(ROUND(1.0 / k, 7) AS DECIMAL(18,7)) AS c
+        |  FROM j JOIN k USING (pid)
+        |), np AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_purchases FROM p),
+        |ua AS (
+        |  SELECT CAST(COUNT(*) AS BIGINT) AS n_unattributed
+        |  FROM p WHERE pid NOT IN (SELECT pid FROM k)
+        |)
+        |SELECT event_type AS touch_type,
+        |       CAST(COUNT(*) AS BIGINT) AS n_touches,
+        |       ROUND(CAST(SUM(c) AS DOUBLE), 6) AS total_credit,
+        |       n_purchases, n_unattributed
+        |FROM cr, np, ua
+        |GROUP BY 1, n_purchases, n_unattributed
+        |ORDER BY touch_type""".stripMargin,
+    ) { (s, dir) =>
+      val ev = Tables(s, dir).events
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("pid"), col("user_id"),
+          col("ts").as("pts"))
+      val t = ev.filter(col("event_type").isin("view", "click"))
+        .select(col("event_id").as("tid"), col("user_id"),
+          col("event_type"), col("ts").as("tts"))
+      val j = p.join(t, Seq("user_id"))
+        .filter(col("tts") <= col("pts") &&
+          col("tts") > col("pts") - expr("INTERVAL 7 DAY"))
+        .select(col("pid"), col("event_type"))
+      val k = j.groupBy("pid").agg(count(lit(1)).as("k"))
+      val cr = j.join(k, "pid")
+        .select(col("event_type"),
+          round(lit(1.0) / col("k"), 7).cast(DecimalType(18, 7)).as("c"))
+      val np = p.agg(count(lit(1)).cast(LongType).as("n_purchases"))
+      val ua = p.join(k, Seq("pid"), "left_anti")
+        .agg(count(lit(1)).cast(LongType).as("n_unattributed"))
+      cr.groupBy(col("event_type").as("touch_type"))
+        .agg(count(lit(1)).as("n_touches"),
+          round(sum("c").cast(DoubleType), 6).as("total_credit"))
+        .crossJoin(broadcast(np)).crossJoin(broadcast(ua))
+        .select(col("touch_type"), col("n_touches"), col("total_credit"),
+          col("n_purchases"), col("n_unattributed"))
+        .orderBy("touch_type")
+    },
   )
 
   /** Per-user union of fixed-length presence intervals (q226):

@@ -472,5 +472,82 @@ object Lm {
           (col("slp").cast(DoubleType) / col("n_eval_bigrams")).as("avg_logprob"))
         .orderBy("alpha_pct")
     },
+
+    // q289 — split-skew audit: Jensen–Shannon divergence between each
+    // source's TRAIN and HELD-OUT token distributions under the q69
+    // split — the check that a hash split did not accidentally skew a
+    // source's content (a biased split silently invalidates every
+    // held-out number downstream). Each distinct (source, term)'s JS
+    // contribution uses the exact-rational ratio p/m =
+    // 2aB_t/(aB_t + bA_t) inside the one rounded ln (zero-count terms
+    // drop their own side exactly), summed as DECIMAL — order-free.
+    // JS ∈ [0, ln 2]; bounds pinned in Round10cSpec. Scale: one
+    // (source, term, split) grouped count + source-grouped rollup.
+    QueryEntry.sql(
+      "q289_split_skew",
+      s"""WITH tok AS (
+         |  SELECT source,
+         |         (${Hll.splitmixSqlFor("doc_id")}) >> 54 < ${Winnow.SplitTrainLt}
+         |           AS is_train,
+         |         unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS t
+         |  FROM documents
+         |), c AS (
+         |  SELECT source, t,
+         |         SUM(CASE WHEN is_train THEN 1 ELSE 0 END) AS a,
+         |         SUM(CASE WHEN is_train THEN 0 ELSE 1 END) AS b
+         |  FROM tok GROUP BY 1, 2
+         |), st AS (
+         |  SELECT source, CAST(SUM(a) AS BIGINT) AS at,
+         |         CAST(SUM(b) AS BIGINT) AS bt, COUNT(*) AS n_terms
+         |  FROM c GROUP BY 1
+         |), contrib AS (
+         |  SELECT c.source,
+         |         CAST(ROUND(
+         |           0.5 * (CASE WHEN a > 0 THEN (CAST(a AS DOUBLE) / at)
+         |                    * ln(2.0 * a * bt
+         |                         / (CAST(a AS DOUBLE) * bt
+         |                            + CAST(b AS DOUBLE) * at))
+         |                  ELSE 0.0 END)
+         |           + 0.5 * (CASE WHEN b > 0 THEN (CAST(b AS DOUBLE) / bt)
+         |                      * ln(2.0 * b * at
+         |                           / (CAST(a AS DOUBLE) * bt
+         |                              + CAST(b AS DOUBLE) * at))
+         |                    ELSE 0.0 END), 7) AS DECIMAL(18,7)) AS j
+         |  FROM c JOIN st ON st.source = c.source
+         |)
+         |SELECT source, n_terms, at AS n_train_tokens, bt AS n_test_tokens,
+         |       ROUND(CAST(SUM(j) AS DOUBLE), 6) + 0.0 AS js
+         |FROM contrib JOIN st USING (source)
+         |GROUP BY source, n_terms, at, bt ORDER BY source""".stripMargin,
+    ) { (s, dir) =>
+      val tok = Tables(s, dir).documentsRebalanced
+        .select(col("source"),
+          (shiftrightunsigned(GraftFunctions.splitmix64(col("doc_id")), 54)
+            < Winnow.SplitTrainLt).as("is_train"),
+          explode(TextAnalysis.tokens(col("text"))).as("t"))
+      val c = tok.groupBy("source", "t")
+        .agg(sum(when(col("is_train"), 1L).otherwise(0L)).as("a"),
+          sum(when(col("is_train"), 0L).otherwise(1L)).as("b"))
+      val st = c.groupBy("source")
+        .agg(sum("a").cast(LongType).as("at"),
+          sum("b").cast(LongType).as("bt"), count(lit(1)).as("n_terms"))
+      val denom = col("a").cast(DoubleType) * col("bt") +
+        col("b").cast(DoubleType) * col("at")
+      val c1 = when(col("a") > 0,
+        (col("a").cast(DoubleType) / col("at"))
+          * log(lit(2.0) * col("a") * col("bt") / denom)).otherwise(lit(0.0))
+      val c2 = when(col("b") > 0,
+        (col("b").cast(DoubleType) / col("bt"))
+          * log(lit(2.0) * col("b") * col("at") / denom)).otherwise(lit(0.0))
+      c.join(st, "source")
+        .select(col("source"), col("n_terms"), col("at"), col("bt"),
+          round(lit(0.5) * c1 + lit(0.5) * c2, 7).cast(D7).as("j"))
+        .groupBy("source", "n_terms", "at", "bt")
+        .agg((round(sum("j").cast(DoubleType), 6) + 0.0).as("js"))
+        .select(col("source"), col("n_terms"),
+          col("at").as("n_train_tokens"), col("bt").as("n_test_tokens"),
+          col("js"))
+        .orderBy("source")
+    },
   )
 }

@@ -583,5 +583,61 @@ object Relational {
         .orderBy(col("o_totalprice").desc, col("o_orderkey"))
         .limit(100)
     },
+
+    // q288 — TPC-H Q21 shape (suppliers who kept waiting orders): for
+    // finished orders, suppliers whose lineitem shipped late (> 60
+    // days after the order date) where ANOTHER supplier participated
+    // in the order (EXISTS) but NO other supplier was late
+    // (NOT EXISTS). Both quantifiers fold into ONE grouped frame over
+    // (order, supplier, late) — n_suppliers ≥ 2 ∧ n_late_suppliers = 1
+    // — instead of two lineitem self-joins: the same answer, one
+    // shuffle instead of three, and no big⋈big join anywhere (the
+    // classic Q21 pitfall at 100 TB). Fixture adaptation: the schema
+    // carries no receipt/commit dates, so "late" is ship-date slack
+    // against the order date.
+    QueryEntry.sql(
+      "q288_tpch_q21",
+      """WITH lf AS (
+        |  SELECT l_orderkey, l_suppkey,
+        |         l_shipdate > o_orderdate + INTERVAL 60 DAY AS late
+        |  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+        |  WHERE o_orderstatus = 'F'
+        |), os AS (
+        |  SELECT l_orderkey, l_suppkey, MAX(late) AS supp_late
+        |  FROM lf GROUP BY 1, 2
+        |), ostats AS (
+        |  SELECT l_orderkey, COUNT(*) AS n_supp,
+        |         SUM(CASE WHEN supp_late THEN 1 ELSE 0 END) AS n_late
+        |  FROM os GROUP BY 1
+        |), wait AS (
+        |  SELECT os.l_suppkey
+        |  FROM os JOIN ostats USING (l_orderkey)
+        |  WHERE os.supp_late AND ostats.n_supp >= 2 AND ostats.n_late = 1
+        |)
+        |SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+        |FROM wait JOIN supplier ON s_suppkey = l_suppkey
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin,
+    ) { (s, dir) =>
+      val t = Tables(s, dir)
+      val lf = t.lineitem
+        .join(t.orders.filter(col("o_orderstatus") === "F"),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("l_orderkey"), col("l_suppkey"),
+          (col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAY"))
+            .as("late"))
+      val os = lf.groupBy("l_orderkey", "l_suppkey")
+        .agg(max("late").as("supp_late"))
+      val ostats = os.groupBy("l_orderkey")
+        .agg(count(lit(1)).as("n_supp"),
+          sum(when(col("supp_late"), 1L).otherwise(0L)).as("n_late"))
+      os.join(ostats, "l_orderkey")
+        .filter(col("supp_late") && col("n_supp") >= 2 && col("n_late") === 1)
+        .join(t.supplier, col("s_suppkey") === col("l_suppkey"))
+        .groupBy("s_name")
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
+        .limit(20)
+    },
   )
 }
