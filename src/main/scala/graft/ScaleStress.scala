@@ -132,6 +132,7 @@ object ScaleStress {
     "q278_loo_source_value", // two grouped passes + model-sized joins — linear
     "q284_rater_reliability", // 3x-corpus rater frame + per-doc windows — linear
     "q286_mix_interpolation", // two grouped model counts + pair-keyed scoring join — linear
+    "q291_risk_coverage", // q250 fit + one scoring pass x5 fan-out — linear
   )
 
   /** Per-table key-shift rules: every synthetic surrogate key column

@@ -76,7 +76,9 @@ object DumpPlans {
       "q278_loo_source_value", "q279_randomized_response",
       "q280_alignment_filter", "q281_epoch_schedule", "q282_good_turing",
       "q283_watermark_detect", "q284_rater_reliability",
-      "q285_infonce_eval", "q286_mix_interpolation", "q287_prefix_cache")
+      "q285_infonce_eval", "q286_mix_interpolation", "q287_prefix_cache",
+      "q288_tpch_q21", "q289_split_skew", "q290_attribution",
+      "q291_risk_coverage")
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans (sf0.001, generated by tools/DumpPlans)\n\n")
     sb.append("Regenerate: `sbt \"runMain graft.tools.DumpPlans\"`. The shapes these show\n")

@@ -230,6 +230,77 @@ class Round10cSpec extends SparkSpec {
     assert(rows.map(_._2).sum > 0)
   }
 
+  test("q288 TPC-H Q21: grouped quantifier form equals the semi/anti-join form") {
+    val rows = run("q288_tpch_q21").collect()
+      .map(r => (r.getAs[String]("s_name"), r.getAs[Long]("numwait")))
+    assert(rows.nonEmpty && rows.forall(_._2 > 0))
+    // the folded (n_supp >= 2 && n_late = 1) form must equal the
+    // textbook EXISTS/NOT EXISTS via explicit semi + anti joins
+    import org.apache.spark.sql.functions._
+    val t = Tables(spark, sf)
+    val lf = t.lineitem
+      .join(t.orders.filter(col("o_orderstatus") === "F"),
+        col("o_orderkey") === col("l_orderkey"))
+      .select(col("l_orderkey"), col("l_suppkey"),
+        (col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAY"))
+          .as("late"))
+    val os = lf.groupBy("l_orderkey", "l_suppkey").agg(max("late").as("sl"))
+    val lateS = os.filter(col("sl"))
+    val other = os.select(col("l_orderkey"), col("l_suppkey").as("o_supp"))
+    val withOther = lateS.join(other,
+      lateS("l_orderkey") === other("l_orderkey")
+        && col("l_suppkey") =!= col("o_supp"), "left_semi")
+    val otherLate = lateS.select(col("l_orderkey"), col("l_suppkey").as("o_supp"))
+    val alone = withOther.join(otherLate,
+      withOther("l_orderkey") === otherLate("l_orderkey")
+        && col("l_suppkey") =!= col("o_supp"), "left_anti")
+    val expected = alone
+      .join(t.supplier, col("s_suppkey") === col("l_suppkey"))
+      .groupBy("s_name").agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name")).limit(20)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(rows.toSeq === expected.toSeq)
+  }
+
+  test("q289 split skew: JS within [0, ln 2] and small for a hash split") {
+    val rows = run("q289_split_skew").collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Double]("js")))
+    assert(rows.length === 20)
+    rows.foreach { case (s, js) =>
+      assert(js >= 0.0 && js <= math.log(2.0) + 1e-9, s"$s js=$js")
+    }
+    // a hash split over same-distribution docs should sit well under
+    // the ln 2 ceiling — a source NEAR the ceiling is the alarm the
+    // audit exists to raise
+    assert(rows.map(_._2).max < 0.5)
+  }
+
+  test("q290 attribution: credit conserves against unattributed purchases") {
+    val rows = run("q290_attribution").collect()
+    assert(rows.map(_.getAs[String]("touch_type")).sorted.toSeq
+      === Seq("click", "view"))
+    val nP = rows.head.getAs[Long]("n_purchases")
+    val nU = rows.head.getAs[Long]("n_unattributed")
+    val credit = rows.map(_.getAs[Double]("total_credit")).sum
+    // every attributed purchase hands out exactly one unit of credit
+    assert(math.abs(credit - (nP - nU)) < 0.01,
+      s"credit $credit vs attributed ${nP - nU}")
+  }
+
+  test("q291 risk-coverage: coverage shrinks as the threshold rises") {
+    val rows = run("q291_risk_coverage").collect()
+      .map(r => (r.getAs[Int]("tau_pct"), r.getAs[Double]("coverage"),
+        r.getAs[Double]("sel_accuracy")))
+      .sortBy(_._1)
+    assert(rows.map(_._1) === Seq(50, 60, 70, 80, 90))
+    // τ = 0.5 covers everything (conf = max(p, 1−p) ≥ 0.5 always)
+    assert(rows.head._2 === 1.0)
+    rows.sliding(2).foreach { w =>
+      assert(w(0)._2 >= w(1)._2, s"coverage must shrink: ${w(0)} -> ${w(1)}")
+    }
+    rows.foreach(r => assert(r._3 > 0.5 && r._3 <= 1.0))
+  }
+
   test("q280 alignment gate: sane fractions and full pairing") {
     val rows = run("q280_alignment_filter").collect()
       .map(r => (r.getAs[Long]("n_pairs"), r.getAs[Long]("n_kept"),
