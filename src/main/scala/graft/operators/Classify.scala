@@ -703,6 +703,152 @@ object Classify {
           col("coverage"), col("n_correct"), col("sel_accuracy"))
         .orderBy("tau_pct")
     },
+
+    // q292 — effective sample size under inverse-propensity weights
+    // (the reweighting a pipeline applies AFTER a learned filter so
+    // kept documents stop over-representing what the filter likes):
+    // keepers get w = 1e6/s6 ∈ [1, 2], carried as 1e7-scaled LONGs
+    // (exact, order-free — the q206 hot-loop pattern; the square sums
+    // go through DECIMAL(38,0) since wl² × n outgrows a long); per
+    // source: Σw, ESS = (Σw)²/Σw² (scale-free in the 1e7 factor), and
+    // ESS/n — the design-effect number a statistician reads before
+    // trusting downstream estimates. One scoring pass + one rollup.
+    QueryEntry.sql(
+      "q292_ess_weights",
+      s"""WITH $gdChainSql, realsc AS (
+         |  SELECT doc_id, source,
+         |         CAST(ROUND(1.0/(1.0 + exp(-($zw)))
+         |                    * 1000000.0, 0) AS BIGINT) AS s6
+         |  FROM (SELECT doc_id, source,
+         |       ${featSql("       ")}
+         |        FROM (SELECT doc_id, source, trim(lower(text)) AS tl,
+         |                     regexp_split_to_array(trim(lower(text)), '\\s+')
+         |                       AS toks
+         |              FROM documents) t) f, w3s
+         |), kept AS (
+         |  SELECT source,
+         |         CAST(ROUND(10000000000000.0 / s6, 0) AS BIGINT) AS wl
+         |  FROM realsc WHERE s6 >= 500000
+         |)
+         |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_kept,
+         |       ROUND(CAST(SUM(wl) AS DOUBLE) / 10000000.0, 6) AS sum_w,
+         |       ROUND(CAST(SUM(wl) AS DOUBLE) * CAST(SUM(wl) AS DOUBLE)
+         |             / CAST(SUM(CAST(wl AS HUGEINT) * wl) AS DOUBLE), 6)
+         |         AS ess,
+         |       ROUND(CAST(SUM(wl) AS DOUBLE) * CAST(SUM(wl) AS DOUBLE)
+         |             / CAST(SUM(CAST(wl AS HUGEINT) * wl) AS DOUBLE)
+         |             / COUNT(*), 6) AS ess_ratio
+         |FROM kept GROUP BY source ORDER BY source""".stripMargin,
+    ) { (s, dir) =>
+      val docs = Tables(s, dir).documentsRebalanced
+      val w = fittedWeights(s, dir)
+      val sc = scoreDocs(docs, w)
+        .join(docs.select("doc_id", "source"), "doc_id")
+      val dec = DecimalType(38, 0)
+      val kept = sc.filter(col("s6") >= 500000L)
+        .select(col("source"),
+          round(lit(10000000000000.0) / col("s6"), 0).cast(LongType).as("wl"))
+      kept.groupBy("source")
+        .agg(count(lit(1)).as("n_kept"),
+          sum("wl").cast(LongType).as("swl"),
+          sum(col("wl").cast(dec) * col("wl")).as("sw2"))
+        .select(col("source"), col("n_kept"),
+          round(col("swl").cast(DoubleType) / lit(1e7), 6).as("sum_w"),
+          round(col("swl").cast(DoubleType) * col("swl").cast(DoubleType)
+            / col("sw2").cast(DoubleType), 6).as("ess"),
+          round(col("swl").cast(DoubleType) * col("swl").cast(DoubleType)
+            / col("sw2").cast(DoubleType) / col("n_kept"), 6).as("ess_ratio"))
+        .orderBy("source")
+    },
+
+    // q294 — group-fair acceptance thresholds (demographic-parity
+    // post-processing of the q250 filter): per language, the smallest
+    // score threshold whose acceptance rate does not exceed the
+    // corpus-wide rate — every gate test is the exact integer
+    // comparison cum·N ≤ K·n_l (no rate float ever decides), the
+    // per-lang cumulative runs over the lang's DISTINCT score grid
+    // (grid-bounded, never corpus-bounded). Report per lang: volume,
+    // acceptance before/after, the chosen τ, and the shared global
+    // rate — the table a fairness review signs off on.
+    QueryEntry.sql(
+      "q294_fair_thresholds",
+      s"""WITH $gdChainSql, realsc AS (
+         |  SELECT doc_id, lang,
+         |         CAST(ROUND(1.0/(1.0 + exp(-($zw)))
+         |                    * 1000000.0, 0) AS BIGINT) AS s6
+         |  FROM (SELECT doc_id, lang,
+         |       ${featSql("       ")}
+         |        FROM (SELECT doc_id, lang, trim(lower(text)) AS tl,
+         |                     regexp_split_to_array(trim(lower(text)), '\\s+')
+         |                       AS toks
+         |              FROM documents) t) f, w3s
+         |), gl AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS nn,
+         |         CAST(SUM(CASE WHEN s6 >= 500000 THEN 1 ELSE 0 END)
+         |              AS BIGINT) AS kk
+         |  FROM realsc
+         |), hist AS (
+         |  SELECT lang, s6, COUNT(*) AS c FROM realsc GROUP BY 1, 2
+         |), cum AS (
+         |  SELECT lang, s6,
+         |         SUM(c) OVER (PARTITION BY lang ORDER BY s6 DESC) AS cumtop,
+         |         SUM(c) OVER (PARTITION BY lang) AS n_l
+         |  FROM hist
+         |), tau AS (
+         |  SELECT lang, CAST(MAX(n_l) AS BIGINT) AS n_docs,
+         |         COALESCE(MIN(CASE WHEN cumtop * (SELECT nn FROM gl)
+         |                              <= (SELECT kk FROM gl) * n_l
+         |                      THEN s6 END), 1000001) AS tau
+         |  FROM cum GROUP BY lang
+         |)
+         |SELECT r.lang, t.n_docs,
+         |       CAST(SUM(CASE WHEN s6 >= 500000 THEN 1 ELSE 0 END) AS BIGINT)
+         |         AS n_before,
+         |       ROUND(SUM(CASE WHEN s6 >= 500000 THEN 1 ELSE 0 END) * 1.0
+         |             / t.n_docs, 6) AS rate_before,
+         |       t.tau,
+         |       CAST(SUM(CASE WHEN s6 >= t.tau THEN 1 ELSE 0 END) AS BIGINT)
+         |         AS n_after,
+         |       ROUND(SUM(CASE WHEN s6 >= t.tau THEN 1 ELSE 0 END) * 1.0
+         |             / t.n_docs, 6) AS rate_after,
+         |       ROUND((SELECT kk FROM gl) * 1.0 / (SELECT nn FROM gl), 6)
+         |         AS global_rate
+         |FROM realsc r JOIN tau t ON t.lang = r.lang
+         |GROUP BY r.lang, t.n_docs, t.tau ORDER BY r.lang""".stripMargin,
+    ) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables(s, dir).documentsRebalanced
+      val w = fittedWeights(s, dir)
+      val sc = scoreDocs(docs, w)
+        .join(docs.select("doc_id", "lang"), "doc_id")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      graft.TransientCaches.register(sc)
+      val gl = sc.agg(count(lit(1)).cast(LongType).as("nn"),
+        sum(when(col("s6") >= 500000L, 1L).otherwise(0L)).cast(LongType)
+          .as("kk"))
+      val hist = sc.groupBy("lang", "s6").agg(count(lit(1)).as("c"))
+      val cum = hist.select(col("lang"), col("s6"),
+        sum("c").over(Window.partitionBy("lang").orderBy(col("s6").desc))
+          .as("cumtop"),
+        sum("c").over(Window.partitionBy("lang")).as("n_l"))
+      val tau = cum.crossJoin(broadcast(gl))
+        .groupBy("lang")
+        .agg(max("n_l").cast(LongType).as("n_docs"),
+          coalesce(min(when(col("cumtop") * col("nn")
+            <= col("kk") * col("n_l"), col("s6"))), lit(1000001L)).as("tau"))
+      sc.join(tau, "lang").crossJoin(broadcast(gl))
+        .groupBy("lang", "n_docs", "tau", "nn", "kk")
+        .agg(sum(when(col("s6") >= 500000L, 1L).otherwise(0L)).as("n_before"),
+          round(sum(when(col("s6") >= 500000L, 1L).otherwise(0L)) * lit(1.0)
+            / col("n_docs"), 6).as("rate_before"),
+          sum(when(col("s6") >= col("tau"), 1L).otherwise(0L)).as("n_after"),
+          round(sum(when(col("s6") >= col("tau"), 1L).otherwise(0L)) * lit(1.0)
+            / col("n_docs"), 6).as("rate_after"))
+        .select(col("lang"), col("n_docs"), col("n_before"),
+          col("rate_before"), col("tau"), col("n_after"), col("rate_after"),
+          round(col("kk") * lit(1.0) / col("nn"), 6).as("global_rate"))
+        .orderBy("lang")
+    },
   )
 
   /** The q265 student fit: 2-parameter (bias, x1) GD on TEACHER hard

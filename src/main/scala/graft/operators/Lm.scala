@@ -549,5 +549,111 @@ object Lm {
           col("js"))
         .orderBy("source")
     },
+
+    // q293 — data-scaling curve (the scaling-law probe a data team
+    // runs before buying more data): the q69 train split is
+    // hash-subsampled to 25% / 50% / 100% (an INDEPENDENT SplitMix64
+    // sub-bucket, so subsets nest: 25 ⊂ 50 ⊂ 100), an add-one bigram
+    // LM is fitted on each, and all three are scored on the SAME
+    // held-out split — held-out log-prob vs train volume is the
+    // curve. More data must help (monotone law pinned in
+    // Round10cSpec). Scale: three grouped model counts over nested
+    // subsets + one scoring join each; the ×3 is a constant factor.
+    QueryEntry.sql(
+      "q293_scaling_curve",
+      {
+        val base =
+          s"""WITH tok AS (
+             |  SELECT doc_id,
+             |         regexp_split_to_array(trim(lower(text)), '\\s+') AS t,
+             |         (${Hll.splitmixSqlFor("doc_id")}) >> 54
+             |           < ${Winnow.SplitTrainLt} AS is_train,
+             |         (${Hll.splitmixSqlFor("(doc_id + 777)")}) >> 54 AS z2
+             |  FROM documents
+             |  WHERE len(regexp_split_to_array(trim(lower(text)), '\\s+')) >= 2
+             |), bg AS MATERIALIZED (
+             |  SELECT doc_id, is_train, z2, t[i] AS w1, t[i + 1] AS w2
+             |  FROM (SELECT doc_id, is_train, z2, t,
+             |               unnest(generate_series(1, len(t) - 1)) AS i
+             |        FROM tok)
+             |), ep AS MATERIALIZED (
+             |  SELECT w1, w2, COUNT(*) AS ce FROM bg WHERE NOT is_train
+             |  GROUP BY 1, 2
+             |)""".stripMargin
+        val frac = Seq(25 -> 256, 50 -> 512, 100 -> 1024).map { case (p, z) =>
+          s""", c$p AS MATERIALIZED (
+             |  SELECT w1, w2, COUNT(*) AS c12 FROM bg
+             |  WHERE is_train AND z2 < $z GROUP BY 1, 2
+             |), x$p AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1
+             |           FROM c$p GROUP BY 1),
+             |v$p AS (SELECT COUNT(*) AS v FROM (SELECT w1 FROM c$p
+             |                                   UNION SELECT w2 FROM c$p)),
+             |s$p AS (
+             |  SELECT $p AS fraction_pct,
+             |         (SELECT CAST(SUM(c12) AS BIGINT) FROM c$p)
+             |           AS n_train_bigrams,
+             |         (SELECT CAST(v AS BIGINT) FROM v$p) AS vocab,
+             |         CAST(SUM(ce) AS BIGINT) AS n_eval_bigrams,
+             |         CAST(SUM(CAST(ce AS DECIMAL(10,0))
+             |              * CAST(ROUND(ln((COALESCE(c12, 0) + 1.0)
+             |                              / (COALESCE(c1, 0) + v)), 6)
+             |                     AS DECIMAL(18,6))) AS DOUBLE)
+             |           / SUM(ce) AS avg_logprob
+             |  FROM ep
+             |  LEFT JOIN c$p USING (w1, w2)
+             |  LEFT JOIN x$p USING (w1), v$p
+             |)""".stripMargin
+        }.mkString
+        s"""$base$frac
+           |SELECT * FROM s25 UNION ALL SELECT * FROM s50
+           |UNION ALL SELECT * FROM s100 ORDER BY fraction_pct""".stripMargin
+      },
+    ) { (s, dir) =>
+      val tok = Tables(s, dir).documentsRebalanced
+        .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("t"),
+          (shiftrightunsigned(GraftFunctions.splitmix64(col("doc_id")), 54)
+            < Winnow.SplitTrainLt).as("is_train"),
+          shiftrightunsigned(
+            GraftFunctions.splitmix64(col("doc_id") + lit(777L)), 54).as("z2"))
+        .filter(size(col("t")) >= 2)
+      val bg = tok
+        .select(col("doc_id"), col("is_train"), col("z2"), col("t"),
+          explode(sequence(lit(1), size(col("t")) - 1)).as("i"))
+        .select(col("doc_id"), col("is_train"), col("z2"),
+          element_at(col("t"), col("i")).as("w1"),
+          element_at(col("t"), col("i") + 1).as("w2"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      graft.TransientCaches.register(bg)
+      val ep = bg.filter(!col("is_train"))
+        .groupBy("w1", "w2").agg(count(lit(1)).as("ce"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      graft.TransientCaches.register(ep)
+      val parts = Seq(25 -> 256L, 50 -> 512L, 100 -> 1024L).map { case (p, z) =>
+        val c = bg.filter(col("is_train") && col("z2") < z)
+          .groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        graft.TransientCaches.register(c)
+        val x = c.groupBy("w1").agg(sum("c12").cast(LongType).as("c1"))
+        val v = c.select(col("w1")).union(c.select(col("w2")))
+          .distinct().agg(count(lit(1)).as("v"))
+        val tb = c.agg(sum("c12").cast(LongType).as("ntb"))
+        val lp = round(log((coalesce(col("c12"), lit(0L)) + lit(1.0))
+          / (coalesce(col("c1"), lit(0L)) + col("v"))), 6).cast(D6)
+        ep.join(c, Seq("w1", "w2"), "left")
+          .join(x, Seq("w1"), "left")
+          .crossJoin(broadcast(v)).crossJoin(broadcast(tb))
+          .select(col("ce"), col("ntb"), col("v"),
+            (col("ce").cast(DecimalType(10, 0)) * lp).as("wlp"))
+          .groupBy("ntb", "v")
+          .agg(sum("ce").cast(LongType).as("n_eval_bigrams"),
+            sum("wlp").as("slp"))
+          .select(lit(p).as("fraction_pct"),
+            col("ntb").as("n_train_bigrams"),
+            col("v").cast(LongType).as("vocab"), col("n_eval_bigrams"),
+            (col("slp").cast(DoubleType) / col("n_eval_bigrams"))
+              .as("avg_logprob"))
+      }
+      parts.reduce(_ union _).orderBy("fraction_pct")
+    },
   )
 }
