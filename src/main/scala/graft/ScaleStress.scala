@@ -133,6 +133,9 @@ object ScaleStress {
     "q284_rater_reliability", // 3x-corpus rater frame + per-doc windows — linear
     "q286_mix_interpolation", // two grouped model counts + pair-keyed scoring join — linear
     "q291_risk_coverage", // q250 fit + one scoring pass x5 fan-out — linear
+    "q292_ess_weights", // q250 fit + one scoring pass + source rollup — linear
+    "q293_scaling_curve", // 3 nested model fits + scoring joins — linear x3
+    "q294_fair_thresholds", // scoring pass + per-lang GRID cumulative — linear
   )
 
   /** Per-table key-shift rules: every synthetic surrogate key column

@@ -78,7 +78,8 @@ object DumpPlans {
       "q283_watermark_detect", "q284_rater_reliability",
       "q285_infonce_eval", "q286_mix_interpolation", "q287_prefix_cache",
       "q288_tpch_q21", "q289_split_skew", "q290_attribution",
-      "q291_risk_coverage")
+      "q291_risk_coverage", "q292_ess_weights", "q293_scaling_curve",
+      "q294_fair_thresholds")
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans (sf0.001, generated by tools/DumpPlans)\n\n")
     sb.append("Regenerate: `sbt \"runMain graft.tools.DumpPlans\"`. The shapes these show\n")

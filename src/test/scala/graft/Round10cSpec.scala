@@ -301,6 +301,50 @@ class Round10cSpec extends SparkSpec {
     rows.foreach(r => assert(r._3 > 0.5 && r._3 <= 1.0))
   }
 
+  test("q292 ESS: weights >= 1, ESS bounded by n, design effect sane") {
+    val rows = run("q292_ess_weights").collect()
+      .map(r => (r.getAs[Long]("n_kept"), r.getAs[Double]("sum_w"),
+        r.getAs[Double]("ess"), r.getAs[Double]("ess_ratio")))
+    assert(rows.nonEmpty)
+    rows.foreach { case (n, sw, ess, ratio) =>
+      assert(sw >= n - 0.01, s"w = 1e6/s6 >= 1 ⇒ Σw >= n ($sw vs $n)")
+      assert(ess <= n + 0.01, s"ESS cannot exceed n ($ess vs $n)")
+      // weights live in [1, 2] ⇒ the design effect stays mild
+      assert(ratio > 0.8 && ratio <= 1.0, s"ess_ratio $ratio")
+    }
+  }
+
+  test("q293 scaling curve: more train data means better held-out log-prob") {
+    val rows = run("q293_scaling_curve").collect()
+      .map(r => (r.getAs[Int]("fraction_pct"), r.getAs[Long]("n_train_bigrams"),
+        r.getAs[Long]("n_eval_bigrams"), r.getAs[Double]("avg_logprob")))
+      .sortBy(_._1)
+    assert(rows.map(_._1) === Seq(25, 50, 100))
+    // nested subsets: train volume strictly grows
+    assert(rows(0)._2 < rows(1)._2 && rows(1)._2 < rows(2)._2)
+    // held-out set is FIXED across fractions
+    assert(rows.map(_._3).distinct.length === 1)
+    // the scaling law: held-out log-prob improves with volume
+    assert(rows(0)._4 < rows(1)._4 && rows(1)._4 < rows(2)._4,
+      s"curve not monotone: ${rows.map(_._4).toSeq}")
+  }
+
+  test("q294 fair thresholds: post-hoc rates never exceed the global rate") {
+    val rows = run("q294_fair_thresholds").collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[Double]("rate_before"),
+        r.getAs[Double]("rate_after"), r.getAs[Double]("global_rate")))
+    assert(rows.length === 5)
+    val g = rows.head._4
+    rows.foreach { case (l, _, after, _) =>
+      assert(after <= g + 1e-6, s"$l rate_after $after exceeds global $g")
+    }
+    // parity post-processing must shrink the cross-lang spread
+    val spreadBefore = rows.map(_._2).max - rows.map(_._2).min
+    val spreadAfter = rows.map(_._3).max - rows.map(_._3).min
+    assert(spreadAfter <= spreadBefore + 1e-6,
+      s"spread grew: $spreadBefore -> $spreadAfter")
+  }
+
   test("q280 alignment gate: sane fractions and full pairing") {
     val rows = run("q280_alignment_filter").collect()
       .map(r => (r.getAs[Long]("n_pairs"), r.getAs[Long]("n_kept"),
