@@ -46,6 +46,10 @@ object Classify {
   private val LrIters = 3
   private val LrRate = 2.0
   private val StudentRate = 8.0
+  // Platt recalibration (q296): 10 steps at rate 16 — measured ECE
+  // 0.281 → 0.058 at sf0.001; q250's (3, 2.0) barely moves the curve.
+  private val PlattIters = 10
+  private val PlattRate = 16.0
 
   /** Training corpus for the quality filter: every doc as a clean
     * positive, plus — for doc_id % 3 == 0 — a whitespace-stripped
@@ -848,6 +852,135 @@ object Classify {
           col("rate_before"), col("tau"), col("n_after"), col("rate_after"),
           round(col("kk") * lit(1.0) / col("nn"), 6).as("global_rate"))
         .orderBy("lang")
+    },
+
+    // q296 — Platt recalibration of the q250 filter (the standard
+    // post-hoc fix when a model's scores rank well but read badly as
+    // probabilities): fit σ(a·ŝ + b) on the 1e6-grid scores with the
+    // SAME exact-gradient machinery as q250 (10 GD steps at rate 16 —
+    // measured ECE 0.281 → 0.058 at sf0.001; 3 steps at q250's rate 2
+    // barely moved — 1e7-scaled
+    // long gradient sums, 6dp weight rounding — both engines walk the
+    // identical trajectory from a = 1, b = 0), then report the q258
+    // reliability table per ORIGINAL decile with before/after
+    // confidence and the two ECEs from integer gap sums (the q233
+    // pattern). Scale: 3 map+2-scalar-agg passes + one binned rollup.
+    QueryEntry.sql(
+      "q296_platt_scaling",
+      {
+        val shat = "(s6 / 1000000.0)"
+        def z(a: String, b: String) = s"$a * $shat + $b"
+        def pg(k: Int, zExpr: String) =
+          s""", pg$k AS (
+             |  SELECT SUM(CAST(ROUND((y - 1.0/(1.0 + exp(-($zExpr))))
+             |               * $shat * 10000000.0, 0) AS BIGINT)) AS ga,
+             |         SUM(CAST(ROUND((y - 1.0/(1.0 + exp(-($zExpr))))
+             |               * 10000000.0, 0) AS BIGINT)) AS gb
+             |  FROM scored2${if (k > 1) s", pw${k - 1}" else ""}
+             |)""".stripMargin
+        def pw(k: Int, pa: String, pb: String) =
+          s""", pw$k AS MATERIALIZED (
+             |  SELECT ROUND($pa + $PlattRate * (CAST(ga AS DOUBLE)
+             |                        / 10000000.0 / n), 6) AS a,
+             |         ROUND($pb + $PlattRate * (CAST(gb AS DOUBLE)
+             |                        / 10000000.0 / n), 6) AS b
+             |  FROM pg$k, n2${if (k > 1) s", pw${k - 1}" else ""}
+             |)""".stripMargin
+        val iters = (1 to PlattIters).map { k =>
+          val (pa, pb) = if (k == 1) ("1.0", "0.0")
+            else (s"pw${k - 1}.a", s"pw${k - 1}.b")
+          s"${pg(k, z(pa, pb))}${pw(k, pa, pb)}"
+        }.mkString("\n           |".stripMargin)
+        s"""WITH $gdChainSql, scored2 AS MATERIALIZED (
+           |  SELECT y, CAST(y AS INTEGER) AS label,
+           |         CAST(ROUND(1.0/(1.0 + exp(-($zw)))
+           |                    * 1000000.0, 0) AS BIGINT) AS s6
+           |  FROM feats, w3s
+           |), n2 AS (SELECT COUNT(*) AS n FROM scored2)
+           |$iters
+           |, recal AS (
+           |  SELECT label, s6,
+           |         CAST(ROUND(1000000.0
+           |             * (1.0/(1.0 + exp(-(pw$PlattIters.a * $shat
+           |                                 + pw$PlattIters.b)))), 0)
+           |              AS BIGINT) AS s6p
+           |  FROM scored2, pw$PlattIters
+           |), per AS (
+           |  SELECT LEAST(CAST(s6 // 100000 AS INTEGER), 9) AS bin,
+           |         COUNT(*) AS n, SUM(label) AS posb,
+           |         SUM(CAST(s6 AS HUGEINT)) AS ss,
+           |         SUM(CAST(s6p AS HUGEINT)) AS ssp,
+           |         ABS(1000000 * CAST(SUM(label) AS HUGEINT)
+           |             - SUM(CAST(s6 AS HUGEINT))) AS gapb,
+           |         ABS(1000000 * CAST(SUM(label) AS HUGEINT)
+           |             - SUM(CAST(s6p AS HUGEINT))) AS gapa
+           |  FROM recal GROUP BY 1
+           |), tot AS (
+           |  SELECT SUM(n) AS nn, SUM(gapb) AS gbt, SUM(gapa) AS gat FROM per
+           |)
+           |SELECT bin, CAST(n AS BIGINT) AS n,
+           |       ROUND(posb * 1.0 / n, 6) AS acc,
+           |       ROUND(CAST(ss AS DOUBLE) / 1000000.0 / n, 6) AS conf_before,
+           |       ROUND(CAST(ssp AS DOUBLE) / 1000000.0 / n, 6) AS conf_after,
+           |       ROUND(CAST(gbt AS DOUBLE) / (1000000.0 * nn), 6)
+           |         AS ece_before,
+           |       ROUND(CAST(gat AS DOUBLE) / (1000000.0 * nn), 6)
+           |         AS ece_after
+           |FROM per, tot ORDER BY bin""".stripMargin
+      },
+    ) { (s, dir) =>
+      val feats = logregFeatures(
+        corpusWithCorruptions(Tables(s, dir).documentsRebalanced))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      graft.TransientCaches.register(feats)
+      val w = logregFit(feats)
+      val scored = feats.select(col("y"),
+          col("y").cast(IntegerType).as("label"),
+          round(sigmoid(zOf(w)) * lit(1e6), 0).cast(LongType).as("s6"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      graft.TransientCaches.register(scored)
+      val n = scored.count().toDouble
+      val shat = col("s6") / lit(1000000.0)
+      var a = 1.0; var b = 0.0
+      for (_ <- 1 to PlattIters) {
+        val r = col("y") - sigmoid(lit(a) * shat + lit(b))
+        val g = scored.select(
+          sum(round(r * shat * lit(1e7), 0).cast(LongType)),
+          sum(round(r * lit(1e7), 0).cast(LongType))).head()
+        a = BigDecimal(a + PlattRate * (g.getLong(0).toDouble / 1e7 / n))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        b = BigDecimal(b + PlattRate * (g.getLong(1).toDouble / 1e7 / n))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }
+      val dec = DecimalType(38, 0)
+      val recal = scored.select(col("label"), col("s6"),
+        round(lit(1000000.0)
+          * (lit(1.0) / (lit(1.0) + exp(-(lit(a) * shat + lit(b))))), 0)
+          .cast(LongType).as("s6p"))
+      val per = recal
+        .groupBy(least(expr("s6 div 100000").cast(IntegerType), lit(9))
+          .as("bin"))
+        .agg(count(lit(1)).as("n"), sum("label").as("posb"),
+          sum(col("s6").cast(dec)).as("ss"),
+          sum(col("s6p").cast(dec)).as("ssp"))
+        .withColumn("gapb",
+          abs(col("posb").cast(dec) * 1000000 - col("ss")))
+        .withColumn("gapa",
+          abs(col("posb").cast(dec) * 1000000 - col("ssp")))
+      val tot = per.agg(sum("n").as("nn"), sum("gapb").as("gbt"),
+        sum("gapa").as("gat"))
+      per.crossJoin(broadcast(tot))
+        .select(col("bin"), col("n").cast(LongType).as("n"),
+          round(col("posb") * lit(1.0) / col("n"), 6).as("acc"),
+          round(col("ss").cast(DoubleType) / lit(1000000.0) / col("n"), 6)
+            .as("conf_before"),
+          round(col("ssp").cast(DoubleType) / lit(1000000.0) / col("n"), 6)
+            .as("conf_after"),
+          round(col("gbt").cast(DoubleType) / (lit(1000000.0) * col("nn")), 6)
+            .as("ece_before"),
+          round(col("gat").cast(DoubleType) / (lit(1000000.0) * col("nn")), 6)
+            .as("ece_after"))
+        .orderBy("bin")
     },
   )
 

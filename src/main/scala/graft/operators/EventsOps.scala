@@ -713,6 +713,82 @@ object EventsOps {
           col("n_purchases"), col("n_unattributed"))
         .orderBy("touch_type")
     },
+
+    // q295 — expected best-of-n reward (the BoN sampling readout an
+    // RLHF data team computes from the empirical reward distribution):
+    // per event type, E[max of n i.i.d. draws] for n ∈ {1, 2, 4, 8}
+    // by exact order statistics — Σ_v v·(F(v)ⁿ − F(v⁻)ⁿ) over the
+    // 2dp-gridded value histogram. F = k/N is an exact rational; the
+    // powers are built by REPEATED SQUARING (f², f⁴ = f²·f², f⁸) so
+    // both engines run identical IEEE multiplications — never pow(),
+    // whose libm rounding is not contractually identical. Per-value
+    // contributions round once onto the DECIMAL(18,7) grid. Scale: one
+    // grouped histogram + a cumulative over the per-type VALUE GRID
+    // (2dp-bounded), ×4 constant fan-out.
+    QueryEntry.sql(
+      "q295_best_of_n",
+      """WITH v AS (
+        |  SELECT event_type,
+        |         CAST(ROUND(value * 100.0, 0) AS BIGINT) AS v2
+        |  FROM events WHERE value IS NOT NULL
+        |), hist AS (
+        |  SELECT event_type, v2, COUNT(*) AS c FROM v GROUP BY 1, 2
+        |), cum AS (
+        |  SELECT event_type, v2, c,
+        |         SUM(c) OVER (PARTITION BY event_type ORDER BY v2) AS k,
+        |         SUM(c) OVER (PARTITION BY event_type) AS nt
+        |  FROM hist
+        |), f AS (
+        |  SELECT event_type, v2, nt,
+        |         CAST(k AS DOUBLE) / nt AS fc,
+        |         CAST(k - c AS DOUBLE) / nt AS fp
+        |  FROM cum
+        |), powed AS (
+        |  SELECT event_type, v2, nt, n,
+        |         CASE n WHEN 1 THEN fc WHEN 2 THEN fc * fc
+        |                WHEN 4 THEN (fc * fc) * (fc * fc)
+        |                ELSE ((fc * fc) * (fc * fc)) * ((fc * fc) * (fc * fc))
+        |         END AS fcn,
+        |         CASE n WHEN 1 THEN fp WHEN 2 THEN fp * fp
+        |                WHEN 4 THEN (fp * fp) * (fp * fp)
+        |                ELSE ((fp * fp) * (fp * fp)) * ((fp * fp) * (fp * fp))
+        |         END AS fpn
+        |  FROM f, (SELECT unnest([1, 2, 4, 8]) AS n)
+        |)
+        |SELECT event_type, n, CAST(MAX(nt) AS BIGINT) AS n_events,
+        |       ROUND(CAST(SUM(CAST(ROUND((v2 / 100.0) * (fcn - fpn), 7)
+        |                          AS DECIMAL(18,7))) AS DOUBLE), 6) AS e_max
+        |FROM powed GROUP BY 1, 2 ORDER BY event_type, n""".stripMargin,
+    ) { (s, dir) =>
+      val v = Tables(s, dir).events
+        .filter(col("value").isNotNull)
+        .select(col("event_type"),
+          round(col("value") * 100.0, 0).cast(LongType).as("v2"))
+      val hist = v.groupBy("event_type", "v2").agg(count(lit(1)).as("c"))
+      val wT = Window.partitionBy("event_type")
+      val cum = hist.select(col("event_type"), col("v2"), col("c"),
+        sum("c").over(wT.orderBy("v2")).as("k"),
+        sum("c").over(wT).as("nt"))
+      val fc = col("k").cast(DoubleType) / col("nt")
+      val fp = (col("k") - col("c")).cast(DoubleType) / col("nt")
+      val f = cum.select(col("event_type"), col("v2"), col("nt"),
+        fc.as("fc"), fp.as("fp"))
+      val ns = s.range(1).select(explode(typedlit(Seq(1, 2, 4, 8))).as("n"))
+      def p(x: org.apache.spark.sql.Column) = {
+        val x2 = x * x
+        when(col("n") === 1, x).when(col("n") === 2, x2)
+          .when(col("n") === 4, x2 * x2)
+          .otherwise((x2 * x2) * (x2 * x2))
+      }
+      f.crossJoin(broadcast(ns))
+        .select(col("event_type"), col("n"), col("nt"),
+          round((col("v2") / lit(100.0)) * (p(col("fc")) - p(col("fp"))), 7)
+            .cast(DecimalType(18, 7)).as("contrib"))
+        .groupBy("event_type", "n")
+        .agg(max("nt").cast(LongType).as("n_events"),
+          round(sum("contrib").cast(DoubleType), 6).as("e_max"))
+        .orderBy("event_type", "n")
+    },
   )
 
   /** Per-user union of fixed-length presence intervals (q226):
