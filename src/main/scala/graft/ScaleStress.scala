@@ -136,6 +136,8 @@ object ScaleStress {
     "q292_ess_weights", // q250 fit + one scoring pass + source rollup — linear
     "q293_scaling_curve", // 3 nested model fits + scoring joins — linear x3
     "q294_fair_thresholds", // scoring pass + per-lang GRID cumulative — linear
+    "q295_best_of_n", // histogram + per-type VALUE-GRID cumulative x4 — linear
+    "q296_platt_scaling", // q250 fit + 10 Platt map-agg passes + binned rollup — linear
   )
 
   /** Per-table key-shift rules: every synthetic surrogate key column

@@ -345,6 +345,37 @@ class Round10cSpec extends SparkSpec {
       s"spread grew: $spreadBefore -> $spreadAfter")
   }
 
+  test("q295 best-of-n: expected max grows with n toward the ceiling") {
+    val rows = run("q295_best_of_n").collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Int]("n"),
+        r.getAs[Double]("e_max")))
+    val byType = rows.groupBy(_._1)
+    assert(byType.size === 5)
+    byType.foreach { case (t, rs) =>
+      val curve = rs.sortBy(_._2).map(_._3)
+      curve.sliding(2).foreach { w =>
+        assert(w(0) < w(1), s"$t: E[max] must grow in n: ${curve.toSeq}")
+      }
+    }
+  }
+
+  test("q296 Platt: recalibration actually repairs the reliability table") {
+    val rows = run("q296_platt_scaling").collect()
+      .map(r => (r.getAs[Int]("bin"), r.getAs[Double]("acc"),
+        r.getAs[Double]("conf_before"), r.getAs[Double]("conf_after"),
+        r.getAs[Double]("ece_before"), r.getAs[Double]("ece_after")))
+    assert(rows.nonEmpty)
+    val (eb, ea) = (rows.head._5, rows.head._6)
+    assert(ea < eb - 0.05, s"ECE must drop materially: $eb -> $ea")
+    // badly-miscalibrated bins (gap > 0.2) must improve; near-perfect
+    // bins may give back a little (a sigmoid cannot hit exactly 0/1)
+    rows.foreach { case (bin, acc, cb, ca, _, _) =>
+      if (math.abs(cb - acc) > 0.2)
+        assert(math.abs(ca - acc) < math.abs(cb - acc),
+          s"bin $bin: conf moved away from acc ($cb -> $ca vs $acc)")
+    }
+  }
+
   test("q280 alignment gate: sane fractions and full pairing") {
     val rows = run("q280_alignment_filter").collect()
       .map(r => (r.getAs[Long]("n_pairs"), r.getAs[Long]("n_kept"),
