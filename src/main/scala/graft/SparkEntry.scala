@@ -70,6 +70,7 @@ object SparkEntry {
       operators.Lm.entries ++
       operators.Valuation.entries ++
       operators.Schedule.entries ++
+      operators.Balance.entries ++
       operators.Folds.entries ++
       operators.Classify.entries ++
       sources.OrcRoundTrip.entries ++
