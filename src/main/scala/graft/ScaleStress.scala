@@ -138,6 +138,8 @@ object ScaleStress {
     "q294_fair_thresholds", // scoring pass + per-lang GRID cumulative — linear
     "q295_best_of_n", // histogram + per-type VALUE-GRID cumulative x4 — linear
     "q296_platt_scaling", // q250 fit + 10 Platt map-agg passes + binned rollup — linear
+    "q297_temperature_sampling", // one grouped count + |sources|x|tau| constant work — linear
+    "q298_quality_length_bias", // two GRID histograms + rank joins + moment rollup — linear
   )
 
   /** Per-table key-shift rules: every synthetic surrogate key column

@@ -376,6 +376,40 @@ class Round10cSpec extends SparkSpec {
     }
   }
 
+  test("q297 temperature sampling: lower tau flattens the distribution") {
+    val rows = run("q297_temperature_sampling").collect()
+      .map(r => (r.getAs[Int]("tau_pct"), r.getAs[String]("source"),
+        r.getAs[Double]("share_before"), r.getAs[Double]("share_after")))
+    val byTau = rows.groupBy(_._1)
+    assert(byTau.keySet === Set(30, 70, 100))
+    byTau.foreach { case (_, rs) =>
+      assert(math.abs(rs.map(_._4).sum - 1.0) < 0.001)
+    }
+    // τ = 1 is the identity (up to rounding)
+    byTau(100).foreach { case (_, s, before, after) =>
+      assert(math.abs(after - before) < 0.001, s"$s: $before -> $after")
+    }
+    // flattening: the max share shrinks monotonically as τ drops
+    def maxShare(t: Int) = byTau(t).map(_._4).max
+    assert(maxShare(30) <= maxShare(70) + 1e-9)
+    assert(maxShare(70) <= maxShare(100) + 1e-9)
+  }
+
+  test("q298 quality-length bias: rho in [-1, 1] and strongly positive") {
+    val rows = run("q298_quality_length_bias").collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[Long]("n_docs"),
+        r.getAs[Double]("spearman_rho")))
+    assert(rows.length === 5)
+    rows.foreach { case (l, n, rho) =>
+      assert(n > 0)
+      assert(rho >= -1.0 && rho <= 1.0, s"$l rho $rho")
+    }
+    // the quality score HAS a length term (0.4·min(tokens,100)/100 and
+    // the n_chars window bonus) — the audit must expose that bias
+    assert(rows.map(_._3).min > 0.2,
+      s"expected a positive length bias: ${rows.toSeq}")
+  }
+
   test("q280 alignment gate: sane fractions and full pairing") {
     val rows = run("q280_alignment_filter").collect()
       .map(r => (r.getAs[Long]("n_pairs"), r.getAs[Long]("n_kept"),
