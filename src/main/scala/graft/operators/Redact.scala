@@ -116,6 +116,69 @@ object Redact {
           sum("hits").as("total_hits"))
         .orderBy("source")
     },
+
+    // q299 — canary extraction audit (the Carlini-style memorization
+    // screen a data owner runs on anything a model might regurgitate):
+    // unique canary tokens are PLANTED into every 101st document (in
+    // BOTH engines — the q63/q283 precedent), and a detector that does
+    // NOT know the plant rule scans the whole corpus for the canary
+    // pattern with a real regex pass. Per source: docs, planted,
+    // detected, cross-contaminated detections (detected but not
+    // planted — must be zero on a clean corpus; nonzero means canaries
+    // leaked across documents, the event the audit exists to catch),
+    // and the extraction rate. One regex map pass + one rollup.
+    QueryEntry.sql(
+      "q299_canary_extraction",
+      """WITH planted AS (
+        |  SELECT doc_id, source,
+        |         CASE WHEN doc_id % 101 = 0
+        |              THEN text || ' zq' ||
+        |                   CAST((doc_id * 2654435761) % 1000000 AS VARCHAR)
+        |              ELSE text END AS text,
+        |         doc_id % 101 = 0 AS is_planted
+        |  FROM documents
+        |), scanned AS (
+        |  SELECT source, is_planted,
+        |         len(regexp_extract_all(text, 'zq[0-9]+')) > 0 AS detected
+        |  FROM planted
+        |)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |       CAST(SUM(CASE WHEN is_planted THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_planted,
+        |       CAST(SUM(CASE WHEN detected THEN 1 ELSE 0 END) AS BIGINT)
+        |         AS n_detected,
+        |       CAST(SUM(CASE WHEN detected AND NOT is_planted
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS n_cross,
+        |       ROUND(SUM(CASE WHEN detected AND is_planted THEN 1 ELSE 0 END)
+        |             * 1.0 / GREATEST(SUM(CASE WHEN is_planted THEN 1
+        |                                  ELSE 0 END), 1), 6)
+        |         AS extraction_rate
+        |FROM scanned GROUP BY source ORDER BY source""".stripMargin,
+    ) { (s, dir) =>
+      val planted = Tables(s, dir).documentsRebalanced
+        .select(col("doc_id"), col("source"),
+          when(pmod(col("doc_id"), lit(101L)) === 0,
+            concat(col("text"), lit(" zq"),
+              pmod(col("doc_id") * lit(2654435761L), lit(1000000L))
+                .cast(StringType)))
+            .otherwise(col("text")).as("text"),
+          (pmod(col("doc_id"), lit(101L)) === 0).as("is_planted"))
+      planted
+        .select(col("source"), col("is_planted"),
+          (size(regexp_extract_all(col("text"), lit("zq[0-9]+"), lit(0))) > 0)
+            .as("detected"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("is_planted"), 1L).otherwise(0L)).as("n_planted"),
+          sum(when(col("detected"), 1L).otherwise(0L)).as("n_detected"),
+          sum(when(col("detected") && !col("is_planted"), 1L).otherwise(0L))
+            .as("n_cross"),
+          round(sum(when(col("detected") && col("is_planted"), 1L)
+            .otherwise(0L)) * lit(1.0)
+            / greatest(sum(when(col("is_planted"), 1L).otherwise(0L)),
+              lit(1L)), 6).as("extraction_rate"))
+        .orderBy("source")
+    },
   )
 
   /** The q238 blocklist: plain substrings over the fixture vocabulary
