@@ -80,7 +80,8 @@ object DumpPlans {
       "q288_tpch_q21", "q289_split_skew", "q290_attribution",
       "q291_risk_coverage", "q292_ess_weights", "q293_scaling_curve",
       "q294_fair_thresholds", "q295_best_of_n", "q296_platt_scaling",
-      "q297_temperature_sampling", "q298_quality_length_bias")
+      "q297_temperature_sampling", "q298_quality_length_bias",
+      "q299_canary_extraction")
     val sb = new StringBuilder
     sb.append("# PLANS — formatted physical plans (sf0.001, generated by tools/DumpPlans)\n\n")
     sb.append("Regenerate: `sbt \"runMain graft.tools.DumpPlans\"`. The shapes these show\n")

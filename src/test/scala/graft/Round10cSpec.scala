@@ -410,6 +410,20 @@ class Round10cSpec extends SparkSpec {
       s"expected a positive length bias: ${rows.toSeq}")
   }
 
+  test("q299 canary audit: full extraction, zero cross-contamination") {
+    val rows = run("q299_canary_extraction").collect()
+      .map(r => (r.getAs[Long]("n_docs"), r.getAs[Long]("n_planted"),
+        r.getAs[Long]("n_detected"), r.getAs[Long]("n_cross"),
+        r.getAs[Double]("extraction_rate")))
+    assert(rows.length === 20)
+    assert(rows.map(_._2).sum > 0, "some canaries must be planted")
+    rows.foreach { case (_, planted, detected, cross, rate) =>
+      assert(cross === 0L, "clean corpus must have no cross detections")
+      assert(detected === planted)
+      if (planted > 0) assert(rate === 1.0)
+    }
+  }
+
   test("q280 alignment gate: sane fractions and full pairing") {
     val rows = run("q280_alignment_filter").collect()
       .map(r => (r.getAs[Long]("n_pairs"), r.getAs[Long]("n_kept"),
