@@ -17,8 +17,9 @@ import org.apache.spark.sql.SparkSession
   * failed query is recorded as -1.0 there, EXCLUDED from the total,
   * and counted in `failed` so a smaller total can never silently mean
   * "a query crashed". `vs_prev` is this_run/prev_run per query against
-  * the newest BENCH_r*.json in the working directory (absent when no
-  * prior round exists). `witness` makes the record self-certifying
+  * the newest complete same-sf full run in BENCH_HISTORY.jsonl (falling
+  * back to the newest BENCH_r*.json wrapper; absent when no prior round
+  * exists). `witness` makes the record self-certifying
   * (BASELINE.md §2 protocol): the slowest queries and any >1.5x
   * vs_prev regression are re-measured ISOLATED after the sequence —
   * seq/iso ≈ 1 certifies the sequence number; a regression that
@@ -51,8 +52,18 @@ object Bench {
       // the driver may wrap our JSON line string-escaped (and
       // truncated) inside its own "tail" field — unescape
       // unconditionally; a clean bench line has no \" sequences
-      val text = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
-        .replace("\\\"", "\"")
+      queryTimesFromText(
+        new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+          .replace("\\\"", "\""))
+    } catch {
+      // a malformed prior-round file degrades to "no baseline", never
+      // to losing this run's results
+      case scala.util.control.NonFatal(_) => Map.empty
+    }
+
+  /** Core of [[queryTimesFrom]] on already-unescaped record text. */
+  def queryTimesFromText(text: String): Map[String, Double] =
+    try {
       // full float syntax: a bare [0-9.eE+]+ class cannot carry a
       // NEGATIVE exponent, so "4.9E-4" captured as "4.9E" would
       // throw in toDouble and lose the whole run's vs_prev
@@ -80,15 +91,58 @@ object Bench {
       case scala.util.control.NonFatal(_) => Map.empty
     }
 
-  /** Per-query seconds from the newest BENCH_r*.json in cwd. */
-  def previousQueryTimes(): (Option[String], Map[String, Double]) = {
-    val dirFiles = Option(new java.io.File(".").listFiles()).getOrElse(Array.empty)
-    // sort by round NUMBER — lexicographic name order misorders r9/r10
-    val benches = dirFiles.filter(_.getName.matches("BENCH_r\\d+\\.json"))
-      .sortBy(f => f.getName.replaceAll("\\D", "").toInt)
-    benches.lastOption match {
-      case None => (None, Map.empty)
-      case Some(f) => (Some(f.getName), queryTimesFrom(f))
+  /** Per-query seconds from the newest COMPLETE prior full run.
+    *
+    * Primary source: BENCH_HISTORY.jsonl — written by the bench itself,
+    * append-only, never driver-truncated. The r10 defect this exists
+    * for: the driver's BENCH_r09.json wrapper keeps only a ~2,000-char
+    * stdout TAIL, which cut away the `"queries":{` prefix of the r9
+    * record; [[queryTimesFromText]] correctly refused the whole-text
+    * fallback, vs_prev degraded to `{}`, and the >1.5x-vs-prev witness
+    * trigger was silently disarmed — six real regressions went
+    * unadjudicated. A history line qualifies as the baseline when its
+    * recorded sf matches this run's (cross-sf ratios are meaningless)
+    * AND its query map covers at least half the current inventory
+    * (SPARK_GRAFT_ONLY partials and fresh-JVM child lines never do).
+    * Newest qualifying line wins. Falls back to the newest
+    * BENCH_r*.json wrapper only when no history line qualifies.
+    */
+  def previousQueryTimes(
+      sfDir: String,
+      currentNames: Set[String],
+      dir: java.io.File = new java.io.File(".")): (Option[String], Map[String, Double]) = {
+    val fromHistory: Option[(String, Map[String, Double])] = {
+      val hist = new java.io.File(dir, "BENCH_HISTORY.jsonl")
+      if (!hist.exists()) None
+      else
+        try {
+          val lines = java.nio.file.Files.readAllLines(hist.toPath)
+          val sfRe = "\"sf\":\\s*\"([^\"]+)\"".r
+          val wantSf = new java.io.File(sfDir).getName
+          val minCover = math.max(1, currentNames.size / 2)
+          (lines.size to 1 by -1).iterator.map { i =>
+            val text = lines.get(i - 1)
+            val sfOk = sfRe.findFirstMatchIn(text).map(_.group(1))
+              .forall(s => new java.io.File(s).getName == wantSf)
+            val qs = if (sfOk) queryTimesFromText(text) else Map.empty[String, Double]
+            (i, qs)
+          }.collectFirst {
+            case (i, qs) if qs.keySet.intersect(currentNames).size >= minCover =>
+              (s"BENCH_HISTORY.jsonl#$i", qs)
+          }
+        } catch { case scala.util.control.NonFatal(_) => None }
+    }
+    fromHistory match {
+      case Some((label, qs)) => (Some(label), qs)
+      case None =>
+        val dirFiles = Option(dir.listFiles()).getOrElse(Array.empty)
+        // sort by round NUMBER — lexicographic name order misorders r9/r10
+        val benches = dirFiles.filter(_.getName.matches("BENCH_r\\d+\\.json"))
+          .sortBy(f => f.getName.replaceAll("\\D", "").toInt)
+        benches.lastOption match {
+          case None => (None, Map.empty)
+          case Some(f) => (Some(f.getName), queryTimesFrom(f))
+        }
     }
   }
 
@@ -330,7 +384,7 @@ object Bench {
       .mkString("{", ",", "}")
     val ok = results.collect { case (_, v) if v >= 0 => v }
     val failed = results.size - ok.size
-    val (prevFile, prev) = previousQueryTimes()
+    val (prevFile, prev) = previousQueryTimes(sfDir, entries.map(_.name).toSet)
     val vsPrev = results.collect {
       case (k, v) if v >= 0 && prev.get(k).exists(_ > 0) =>
         "\"" + k + "\":" + (math.round(1000.0 * v / prev(k)) / 1000.0)

@@ -290,7 +290,12 @@ object Lm {
         .groupBy("g").agg(count(lit(1)).as("r"))
       val nn = tc.agg(sum("r").cast(LongType).as("n"))
       val coc = tc.groupBy("r").agg(count(lit(1)).as("nr"))
-      val n1 = coc.filter(col("r") === 1).select(col("nr").as("nr1"))
+      // Global aggregate (not a filter) so n1 is ALWAYS one row: when the
+      // corpus has no singleton trigrams the sum is NULL and p0_unseen
+      // rounds to NULL — exactly what DuckDB's scalar subquery
+      // `(SELECT nr FROM coc WHERE r = 1)` yields, instead of the
+      // crossJoin-with-empty collapse to zero rows.
+      val n1 = coc.agg(sum(when(col("r") === 1, col("nr"))).as("nr1"))
       val b = coc.select((col("r") - 1).as("r"), col("nr").as("nr_next"))
       coc.filter(col("r") <= 5)
         .join(b, Seq("r"), "left")

@@ -437,7 +437,8 @@ object Multimodal {
         |  FROM (SELECT doc_id, source, h,
         |               unnest(range(0, (length(h) + 63) // 64)) AS p
         |        FROM (SELECT doc_id, source, hex(encode(text)) AS h
-        |              FROM documents) x) y
+        |              FROM documents
+        |              WHERE octet_length(encode(text)) > 0) x) y
         |), per AS (
         |  SELECT source, blk, COUNT(*) AS occ, COUNT(DISTINCT doc_id) AS nd
         |  FROM b GROUP BY 1, 2
@@ -454,9 +455,14 @@ object Multimodal {
         |FROM per JOIN srcdocs USING (source)
         |GROUP BY source, n_docs ORDER BY source""".stripMargin,
     ) { (s, dir) =>
+      // Empty payloads are filtered in BOTH engines: Spark's
+      // sequence(0, (len-1) div 64) would emit one empty block for a
+      // zero-length text ((-1) div 64 = 0) while DuckDB's
+      // range(0, ceil-div) emits none — a cross-engine divergence.
       val blocks = Tables(s, dir).documentsRebalanced
         .select(col("doc_id"), col("source"),
           hex(col("text").cast(BinaryType)).as("h"))
+        .filter(length(col("h")) > 0)
         .select(col("doc_id"), col("source"),
           explode(expr("sequence(0, (length(h) - 1) div 64)")).as("p"),
           col("h"))

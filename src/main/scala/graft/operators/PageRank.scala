@@ -531,8 +531,15 @@ object PageRank {
       "q261_kcore",
       {
         val rounds = 10
-        def levels(k: Int): String = (1 to rounds).map { r =>
-          val prev = if (r == 1) "edges" else s"e${k}_${r - 1}"
+        // Each k's unroll is SEEDED the same ascending-k way the engine
+        // loop is (k=3 peels from the converged 2-core e2_10, not the raw
+        // pair frame), so the engine's fail-loud "converged within
+        // maxRounds" guard bounds EXACTLY the computation the oracle
+        // unrolls — a raw-start k=3 peel could need more than 10 levels
+        // even when both seeded loops converge, and the oracle would have
+        // silently emitted a not-yet-converged core.
+        def levels(k: Int, seed: String): String = (1 to rounds).map { r =>
+          val prev = if (r == 1) seed else s"e${k}_${r - 1}"
           // every level MATERIALIZED: d is referenced twice and e by
           // the next level twice more — inlined CTEs would re-expand
           // the whole upstream chain per reference (exponential; the
@@ -558,8 +565,8 @@ object PageRank {
         s"""WITH ${graft.operators.Dedup.shCteSql},
            |${graft.operators.Dedup.invertedPairsSql(1, 2)},
            |edges AS MATERIALIZED (SELECT doc_a, doc_b FROM pairs),
-           |${levels(2)},
-           |${levels(3)}
+           |${levels(2, "edges")},
+           |${levels(3, s"e2_$rounds")}
            |$outs
            |ORDER BY k""".stripMargin
       },

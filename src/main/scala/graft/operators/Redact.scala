@@ -133,7 +133,8 @@ object Redact {
         |  SELECT doc_id, source,
         |         CASE WHEN doc_id % 101 = 0
         |              THEN text || ' zq' ||
-        |                   CAST((doc_id * 2654435761) % 1000000 AS VARCHAR)
+        |                   CAST(((doc_id % 1000000) * 435761) % 1000000
+        |                        AS VARCHAR)
         |              ELSE text END AS text,
         |         doc_id % 101 = 0 AS is_planted
         |  FROM documents
@@ -157,10 +158,14 @@ object Redact {
     ) { (s, dir) =>
       val planted = Tables(s, dir).documentsRebalanced
         .select(col("doc_id"), col("source"),
+          // Overflow-safe canary suffix: reduce doc_id mod 1e6 BEFORE the
+          // Knuth-constant multiply (435761 = 2654435761 % 1e6, same residue
+          // class) — doc_id * 2654435761 overflows BIGINT past doc_id≈3.47e9,
+          // where Spark (non-ANSI) wraps but DuckDB throws.
           when(pmod(col("doc_id"), lit(101L)) === 0,
             concat(col("text"), lit(" zq"),
-              pmod(col("doc_id") * lit(2654435761L), lit(1000000L))
-                .cast(StringType)))
+              pmod(pmod(col("doc_id"), lit(1000000L)) * lit(435761L),
+                lit(1000000L)).cast(StringType)))
             .otherwise(col("text")).as("text"),
           (pmod(col("doc_id"), lit(101L)) === 0).as("is_planted"))
       planted

@@ -107,4 +107,39 @@ class EdgeCaseSpec extends SparkSpec {
       """{"tail":"{\"queries\":{\"q03_filter\":2.5},\"sf\":\"z\"}"}"""
     assert(parse(wrapped) == Map("q03_filter" -> 2.5))
   }
+
+  test("vs_prev baseline: history beats truncated wrapper; partials/cross-sf skipped") {
+    // the exact r10 defect: the driver's BENCH_r09.json tail truncated
+    // away "queries":{, queryTimesFrom refused the fallback, vs_prev
+    // became {} and the regression witness was silently disarmed — the
+    // baseline must instead come from BENCH_HISTORY.jsonl (bench-written,
+    // never truncated)
+    val dir = java.nio.file.Files.createTempDirectory("bench_prev").toFile
+    dir.deleteOnExit()
+    def write(name: String, content: String): Unit =
+      java.nio.file.Files.writeString(new java.io.File(dir, name).toPath, content)
+    val current = Set("q01_a", "q02_b", "q03_c", "q04_d")
+    // truncated driver wrapper (queries object cut away, witness scraps kept)
+    write("BENCH_r09.json",
+      """{"n":1,"tail":"steal\":0.001},\"q01_a\":{\"seq\":0.714,\"iso\":0.73"}""")
+    // history: a full r9 run, then a SPARK_GRAFT_ONLY partial, then a
+    // cross-sf iteration run — the newest QUALIFYING line (the full
+    // same-sf run) must win over both
+    write("BENCH_HISTORY.jsonl", Seq(
+      """{"metric":"total_median_sec","queries":{"q01_a":1.0,"q02_b":2.0,"q03_c":3.0,"q04_d":4.0},"sf":"/root/testdata/sf0.1"}""",
+      """{"metric":"total_median_sec","queries":{"q01_a":0.1},"sf":"/root/testdata/sf0.1"}""",
+      """{"metric":"total_median_sec","queries":{"q01_a":9.0,"q02_b":9.0,"q03_c":9.0,"q04_d":9.0},"sf":"/root/testdata/sf0.01"}""",
+    ).mkString("\n") + "\n")
+    val (label, prev) = graft.Bench.previousQueryTimes("/root/testdata/sf0.1", current, dir)
+    assert(label.contains("BENCH_HISTORY.jsonl#1"))
+    assert(prev == Map("q01_a" -> 1.0, "q02_b" -> 2.0, "q03_c" -> 3.0, "q04_d" -> 4.0))
+    // with NO history file the wrapper fallback still degrades to
+    // "no baseline", never to garbage scraped from witness fragments
+    val dir2 = java.nio.file.Files.createTempDirectory("bench_prev2").toFile
+    dir2.deleteOnExit()
+    java.nio.file.Files.writeString(new java.io.File(dir2, "BENCH_r09.json").toPath,
+      """{"n":1,"tail":"steal\":0.001},\"q01_a\":{\"seq\":0.714,\"iso\":0.73"}""")
+    val (label2, prev2) = graft.Bench.previousQueryTimes("/root/testdata/sf0.1", current, dir2)
+    assert(label2.contains("BENCH_r09.json") && prev2.isEmpty)
+  }
 }
