@@ -39,6 +39,7 @@ object Sweep {
       for (batch <- Seq(1024, 4096, 10000)) {
         spark.conf.set("spark.sql.orc.columnarReaderBatchSize", batch.toString)
         def once(): Unit =
+          // model-sized: 1 row — global sum, timed for the sweep
           spark.read.orc(dest).agg(sum("l_orderkey")).collect()
         once() // warm
         val times = Seq.fill(5) {

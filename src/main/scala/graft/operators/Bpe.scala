@@ -128,6 +128,7 @@ object Bpe {
         sum(when(replace(col("s"), lit(pat(a, b)), lit(rep(a, b))) =!= col("s"),
           1L).otherwise(0L)).as("unconverged"),
         sum(col("freq") * size(syms(col("s"))).cast("long")).as("total"))
+        // model-sized: 1 row — global fixpoint-guard aggregate
         .collect()(0)
       require(chk.getLong(0) == 0L,
         s"BPE merge ($a, $b) did not reach its replace fixpoint in " +

@@ -671,6 +671,8 @@ object Dedup {
     // a pair-free corpus would silently certify the driver union-find
     if (pairs.count() < smallGraphMax) {
       import spark.implicits._
+      // model-sized: <smallGraphMax rows — size-gated above; the
+      // distributed min-label fixpoint (q180-forced) is the else path
       val es = pairs.as[(Long, Long)].collect()
       // union-find, union-by-min + path compression: the root of every
       // set is its minimum label, matching the distributed fixpoint

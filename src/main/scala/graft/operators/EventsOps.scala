@@ -20,6 +20,36 @@ object EventsOps {
     */
   private val HourUs = 3600L * 1000000L
 
+  /** From-scratch gaps-and-islands session reconstruction with the
+    * session_window boundary convention (gap >= 30 min opens a session:
+    * windows merge only when they OVERLAP, so an exact-gap event starts
+    * a new one). Shared VERBATIM by q207 (default state store) and q301
+    * (RocksDB) — one truth, two state backends.
+    */
+  private val sessionsOracleSql: String =
+    """WITH e AS (
+      |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS tus
+      |  FROM events WHERE user_id < 20
+      |), flagged AS (
+      |  SELECT user_id, tus,
+      |         CASE WHEN LAG(tus) OVER w IS NULL
+      |                OR tus - LAG(tus) OVER w >= 1800000000 THEN 1
+      |              ELSE 0 END AS new_s
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus)
+      |), sess AS (
+      |  SELECT user_id, tus,
+      |         CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY tus
+      |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |              AS BIGINT) AS sid
+      |  FROM flagged
+      |)
+      |SELECT user_id, CAST(MIN(tus) AS BIGINT) AS w_start,
+      |       ROUND((MAX(tus) - MIN(tus)) / CAST(1000000.0 AS DOUBLE), 6)
+      |         AS dur_sec,
+      |       COUNT(*) AS n_events
+      |FROM sess GROUP BY user_id, sid
+      |ORDER BY user_id, w_start""".stripMargin
+
   /** Interval (range) join decomposed into an equi-join — the operator
     * Spark would otherwise plan as a broadcast nested-loop. Probe
     * events (event_id % 10 = 0) open a (t, t+1h] follower window over
@@ -431,30 +461,25 @@ object EventsOps {
     // when they OVERLAP, so an exact-gap event starts a new one).
     QueryEntry.sql(
       "q207_stream_sessions",
-      """WITH e AS (
-        |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS tus
-        |  FROM events WHERE user_id < 20
-        |), flagged AS (
-        |  SELECT user_id, tus,
-        |         CASE WHEN LAG(tus) OVER w IS NULL
-        |                OR tus - LAG(tus) OVER w >= 1800000000 THEN 1
-        |              ELSE 0 END AS new_s
-        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus)
-        |), sess AS (
-        |  SELECT user_id, tus,
-        |         CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY tus
-        |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-        |              AS BIGINT) AS sid
-        |  FROM flagged
-        |)
-        |SELECT user_id, CAST(MIN(tus) AS BIGINT) AS w_start,
-        |       ROUND((MAX(tus) - MIN(tus)) / CAST(1000000.0 AS DOUBLE), 6)
-        |         AS dur_sec,
-        |       COUNT(*) AS n_events
-        |FROM sess GROUP BY user_id, sid
-        |ORDER BY user_id, w_start""".stripMargin,
+      sessionsOracleSql,
     ) { (s, dir) =>
       graft.streaming.StreamingEvents.runSessionFeedToCompletion(s, dir)
+    },
+
+    // q301 — the q207 session stream under the ROCKSDB state-store
+    // provider (the backend a 100 TB stream actually needs: keyed
+    // state off-heap in embedded RocksDB, checkpointed per batch,
+    // bounded only by disk — the default HDFSBackedStateStore holds
+    // every key in executor memory). Same feed, same micro-batch
+    // session merges, same from-scratch gaps-and-islands oracle; the
+    // runner fails loud if RocksDB did not engage. A hash match
+    // certifies lossless state round-trips through serialize → SST →
+    // merge → read-back across all four batches.
+    QueryEntry.sql(
+      "q301_stream_sessions_rocksdb",
+      sessionsOracleSql,
+    ) { (s, dir) =>
+      graft.streaming.StreamingEvents.runSessionFeedRocksDb(s, dir)
     },
 
     // q245 — late-data accounting EXECUTED BY A STREAM under the gate:

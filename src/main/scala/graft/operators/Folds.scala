@@ -38,7 +38,7 @@ object Folds {
       .withColumn("bkt", substring(col("sk"), 1, 1))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     graft.TransientCaches.register(keyed)
-    // model-sized: |strata| × 16 rows
+    // model-sized: ≤|strata|×16 rows — per-(stratum, hex-bucket) offsets
     val counts = keyed.groupBy("st", "bkt").agg(count(lit(1)).as("c"))
       .orderBy("st", "bkt").collect()
       .map(r => (r.getString(0), r.getString(1), r.getLong(2)))

@@ -37,6 +37,7 @@ object HistQuantile {
     // centroids) and the rank lookups are plain driver arithmetic —
     // re-deriving them as Spark jobs would re-scan the source once per
     // quantile.
+    // model-sized: ≤n_bins rows — the histogram, not the data
     val cells = df.filter(col(column).isNotNull)
       .select(bin.as("b"))
       .groupBy("b").agg(count(lit(1)).as("c"))

@@ -55,10 +55,12 @@ object Ivf {
   def fitCentroids(emb: DataFrame, k: Int = 16, iters: Int = 3): IndexedSeq[Array[Float]] = {
     val spark = emb.sparkSession
     import spark.implicits._
+    // model-sized: ≤k rows — centroid seeds
     var cents: IndexedSeq[Array[Float]] = emb
       .orderBy("vec_id").limit(k)
       .select("embedding").as[Array[Float]].collect().toIndexedSeq
     for (_ <- 1 to iters) {
+      // model-sized: ≤k rows — one centroid per cluster per iteration
       val next = withCluster(emb, cents)
         .groupBy("cluster")
         .agg(CentroidAggregator.centroid(col("embedding")).as("c"))
@@ -236,6 +238,7 @@ object Ivf {
           .toDF("cluster_id", "centroid")
           .coalesce(1).write.mode("overwrite").parquet(dest)
       }
+      // model-sized: ≤k rows — the staged centroid table
       spark.read.parquet(dest)
         .orderBy("cluster_id")
         .select("centroid").as[Array[Float]].collect().toIndexedSeq

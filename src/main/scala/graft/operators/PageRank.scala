@@ -111,10 +111,13 @@ object PageRank {
     val e = graft.metrics.RuntimeBreakdown.noteExecuted(edges).localCheckpoint(true)
     val base = (1.0 - damping) / nodeCount
     val nodeType = nodes.schema("node").dataType
+    // model-sized: ≤n_nodes rows — the rank-vector key set (call sites
+    // are nation-scale graphs or size-gated)
     val ids = nodes.select(col("node").cast(LongType))
       .collect().map(_.getLong(0)).toSeq
     var pr: Map[Long, Double] = ids.map(_ -> 1.0 / nodeCount).toMap
     if (e.count() <= edgeLocalLimit) {
+      // model-sized: ≤edgeLocalLimit rows — size-gated by the branch above
       val eArr = e.select(col("src").cast(LongType), col("dst").cast(LongType),
         col("frac").cast(DoubleType)).collect()
         .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
@@ -139,6 +142,7 @@ object PageRank {
               .cast(DecimalType(38, 18)).as("c"))
           .groupBy("dst")
           .agg(sum("c").cast(DoubleType).as("in_sum"))
+          // model-sized: ≤n_nodes rows — one in-sum per node
           .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
         pr = ids.map(j => j -> (base + damping * sums.getOrElse(j, 0.0))).toMap
       }
@@ -158,19 +162,26 @@ object PageRank {
     * past that the join shuffles both sides.
     */
   private[graft] def distributedLoop(edges: DataFrame, nodes: DataFrame,
-      damping: Double, iters: Int, nodeCount: Long): DataFrame = {
+      damping: Double, iters: Int, nodeCount: Long,
+      forceShuffle: Boolean = false): DataFrame = {
     val e = graft.metrics.RuntimeBreakdown.noteExecuted(edges).localCheckpoint(true)
     val base = (1.0 - damping) / nodeCount
-    val small = nodeCount <= BroadcastNodeLimit
+    val small = !forceShuffle && nodeCount <= BroadcastNodeLimit
+    // forceShuffle (q300's certification mode, the q180 forced-CC
+    // precedent): SHUFFLE_HASH hints pin BOTH joins to the
+    // shuffle-both-sides regime a billion-node graph would run —
+    // without them Catalyst would auto-broadcast the tiny fixture
+    // frames and the "distributed" run would certify nothing.
+    def rankHint(df: DataFrame) = if (forceShuffle) df.hint("shuffle_hash") else df
     var ranks = nodes.select(col("node"), lit(1.0 / nodeCount).as("pr"))
     for (_ <- 1 to iters) {
       val pinned = ranks.localCheckpoint(true)
-      val rankSide = if (small) broadcast(pinned) else pinned
+      val rankSide = if (small) broadcast(pinned) else rankHint(pinned)
       val contrib = e.join(rankSide, col("src") === col("node"))
         .select(col("dst"), (col("pr") * col("frac")).cast(DecimalType(38, 18)).as("c"))
         .groupBy("dst")
         .agg(sum("c").cast(DoubleType).as("in_sum"))
-      ranks = nodes.join(contrib, nodes("node") === contrib("dst"), "left")
+      ranks = nodes.join(rankHint(contrib), nodes("node") === contrib("dst"), "left")
         .select(col("node"),
           (lit(base) + lit(damping) * coalesce(col("in_sum"), lit(0.0))).as("pr"))
     }
@@ -192,6 +203,35 @@ object PageRank {
        |  LEFT JOIN r${k - 1} r ON r.node = e.src
        |  GROUP BY n.node
        |)""".stripMargin
+
+  /** The q93 oracle: 10 unrolled PageRank iterations over the nation
+    * trade graph, rank-for-rank to 12 decimals. Shared VERBATIM by
+    * q300's forced-distributed twin — one computation, two engine
+    * regimes, the same hash gate.
+    */
+  private def pagerankOracleSql: String =
+    s"""WITH raw AS (
+       |  SELECT c_nationkey AS src, s_nationkey AS dst,
+       |         SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+       |             * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS w
+       |  FROM lineitem
+       |  JOIN orders ON l_orderkey = o_orderkey
+       |  JOIN customer ON o_custkey = c_custkey
+       |  JOIN supplier ON l_suppkey = s_suppkey
+       |  GROUP BY 1, 2
+       |), edges AS (
+       |  SELECT src, dst,
+       |         CAST(w AS DOUBLE) / CAST(SUM(w) OVER (PARTITION BY src) AS DOUBLE)
+       |           AS frac
+       |  FROM raw
+       |), nodes AS (
+       |  SELECT n_nationkey AS node FROM nation
+       |), r0 AS (
+       |  SELECT node, CAST($Init AS DOUBLE) AS pr FROM nodes
+       |),
+       |${(1 to Iters).map(iterSql).mkString(",\n")}
+       |SELECT node, ROUND(pr, 12) AS pr
+       |FROM r$Iters ORDER BY pr DESC, node""".stripMargin
 
   /** Minimum trade-flow share that keeps an edge in the q115 BFS graph
     * — the dense N² nation grid sparsified to its dominant-partner
@@ -224,6 +264,7 @@ object PageRank {
     // a ≤2²⁰-row frame buys nothing (the q93 literal-carry argument;
     // the distributed loop below is the >limit path).
     if (e.count() <= edgeLocalLimit) {
+      // model-sized: ≤edgeLocalLimit rows — size-gated by the branch above
       val adj = e.collect().map(r => (r.getLong(0), r.getLong(1)))
         .groupBy(_._1).map { case (s, a) => s -> a.map(_._2) }
       val dist = collection.mutable.Map(source -> 0)
@@ -396,28 +437,7 @@ object PageRank {
     // rank to 12 decimals.
     QueryEntry.sql(
       "q93_pagerank",
-      s"""WITH raw AS (
-         |  SELECT c_nationkey AS src, s_nationkey AS dst,
-         |         SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-         |             * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS w
-         |  FROM lineitem
-         |  JOIN orders ON l_orderkey = o_orderkey
-         |  JOIN customer ON o_custkey = c_custkey
-         |  JOIN supplier ON l_suppkey = s_suppkey
-         |  GROUP BY 1, 2
-         |), edges AS (
-         |  SELECT src, dst,
-         |         CAST(w AS DOUBLE) / CAST(SUM(w) OVER (PARTITION BY src) AS DOUBLE)
-         |           AS frac
-         |  FROM raw
-         |), nodes AS (
-         |  SELECT n_nationkey AS node FROM nation
-         |), r0 AS (
-         |  SELECT node, CAST($Init AS DOUBLE) AS pr FROM nodes
-         |),
-         |${(1 to Iters).map(iterSql).mkString(",\n")}
-         |SELECT node, ROUND(pr, 12) AS pr
-         |FROM r$Iters ORDER BY pr DESC, node""".stripMargin,
+      pagerankOracleSql,
     ) { (s, dir) =>
       val nodes = Tables(s, dir).nation.select(col("n_nationkey").as("node"))
       require(nodes.count() == N, s"expected $N nations")
@@ -574,6 +594,28 @@ object PageRank {
       kcoreReport(SetJoin.jaccardSelfJoin(
         Tables(s, dir).documentsRebalanced, num = 1, den = 2)
         .select("doc_a", "doc_b"), ks = Seq(2, 3), maxRounds = 10)
+    },
+
+    // q300 — PageRank, FORCED-DISTRIBUTED regime (the q180 precedent
+    // applied to iterative mass propagation): the same trade graph and
+    // the same 10 iterations as q93, but executed through the
+    // rank-FRAME path a billion-node graph would run — per-iteration
+    // localCheckpoint-pinned rank frame, SHUFFLE_HASH-hinted joins so
+    // Catalyst cannot auto-broadcast the tiny fixture sides, decimal
+    // contribution sums shuffled by dst. The literal-carry fast path
+    // is spec-proven equal; this puts the distributed loop itself
+    // under the house DuckDB gate. Oracle: VERBATIM the q93 SQL.
+    QueryEntry.sql(
+      "q300_pagerank_distributed",
+      pagerankOracleSql,
+    ) { (s, dir) =>
+      val nodes = Tables(s, dir).nation.select(col("n_nationkey").as("node"))
+      val nc = nodes.count() // model-sized: 25 nations
+      require(nc == N, s"expected $N nations")
+      distributedLoop(tradeEdges(s, dir), nodes, Damping, Iters, nc,
+        forceShuffle = true)
+        .select(col("node"), round(col("pr"), 12).as("pr"))
+        .orderBy(col("pr").desc, col("node"))
     },
   )
 }

@@ -61,6 +61,7 @@ object Pq {
   def fitCodebooks(emb: DataFrame, iters: Int = 3): IndexedSeq[IndexedSeq[Array[Double]]] = {
     val spark = emb.sparkSession
     import spark.implicits._
+    // model-sized: ≤K rows — codebook seeds
     val init = emb.orderBy("vec_id").limit(K)
       .select("embedding").as[Array[Float]].collect()
     var books: IndexedSeq[IndexedSeq[Array[Double]]] =
@@ -84,6 +85,7 @@ object Pq {
           }: _*)).getField("c"))
         .groupBy("m", "code")
         .agg(CentroidAggregator.centroid(col("sub")).as("cent"))
+        // model-sized: ≤M×K rows — one sub-centroid per (subspace, code)
         .as[(Int, Int, Array[Double])].collect()
         .map { case (m, c, cent) => (m, c) -> cent }.toMap
       books = (0 until M).map(m => (0 until K).map(k =>
@@ -236,6 +238,7 @@ object Pq {
           .toDF("m", "code", "cents")
           .coalesce(1).write.mode("overwrite").parquet(dest)
       }
+      // model-sized: ≤M×K rows — the staged codebook table
       val rows = spark.read.parquet(dest)
         .select("m", "code", "cents").as[(Int, Int, Array[Double])].collect()
         .map { case (m, c, cents) => (m, c) -> cents }.toMap

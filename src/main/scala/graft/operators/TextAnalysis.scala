@@ -241,6 +241,7 @@ object TextAnalysis {
         size(tokens(col("text"))).cast(LongType).as("n_tok"))
       .withColumn("bkt", substring(col("sk"), 1, 1))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // model-sized: ≤16 rows — one per hex-prefix bucket
     val totals = keyed.groupBy("bkt").agg(sum("n_tok").as("t"))
       .orderBy("bkt").collect().map(r => (r.getString(0), r.getLong(1)))
     var acc = 0L

@@ -119,6 +119,9 @@ object Valuation {
       .select(col("s").as("source"), col("games"), col("wins"),
         col("p").cast(DoubleType).as("strength"))
       .orderBy("source")
+    // model-sized: ≤20 rows — one per source; the collect exists only to
+    // cut lineage onto a checkpoint-free frame before freeing the pinned
+    // RDDs. Never copy this pattern to a data-scale frame.
     val rows = out.collect().toSeq
     val materialized = spark.createDataFrame(
       spark.sparkContext.parallelize(rows, 1), out.schema)

@@ -65,6 +65,7 @@ object StatsManifest {
         .agg(
           date_format(min("l_shipdate"), "yyyy-MM-dd HH:mm:ss").as("lo"),
           date_format(max("l_shipdate"), "yyyy-MM-dd HH:mm:ss").as("hi"))
+        // model-sized: ≤n_files rows — one (lo, hi) bound per data file
         .collect()
         .map(r => (r.getString(0), r.getString(1), r.getString(2)))
     })

@@ -565,6 +565,7 @@ object StreamingEvents {
     val state = scala.collection.mutable.Map.empty[String, (Long, java.math.BigDecimal)]
     graft.operators.Ivm.orderRollup(orders)
       .select(col("month"), col("cnt"), col("total"))
+      // model-sized: ≤n_months rows — the grouped base view
       .as[(String, Long, java.math.BigDecimal)].collect()
       .foreach { case (m, c, t) => state(m) = (c, t) }
 
@@ -579,6 +580,7 @@ object StreamingEvents {
         val delta = batch.groupBy("month")
           .agg(sum("dc").as("dc"), sum("dv").as("dv"))
           .select(col("month"), col("dc"), col("dv"))
+          // model-sized: ≤n_months rows — the per-batch grouped delta
           .collect()
         delta.foreach { r =>
           val m = r.getString(0)
@@ -653,6 +655,43 @@ object StreamingEvents {
     spark.table(name).orderBy("user_id", "w_start")
   }
 
+  /** q301 — [[sessionFeedCounts]] executed under the ROCKSDB state
+    * store (q207's config twin): the provider a 100 TB stream actually
+    * runs, where keyed state outgrows executor heaps and lives in
+    * embedded RocksDB instances checkpointed per batch. Same 4-file
+    * time-quartile feed, same session merges across micro-batch
+    * boundaries, same from-scratch oracle — the hash certifies that
+    * state round-tripped through RocksDB (serialize → SST → merge →
+    * read-back) losslessly. Fails loud if the provider did not engage:
+    * a fallback to the default HDFSBackedStateStore would silently
+    * certify the wrong backend.
+    */
+  def runSessionFeedRocksDb(spark: SparkSession, dir: String): DataFrame = {
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val name = s"graft_sessrocks_${runSeq.incrementAndGet()}"
+      val q = sessionFeedCounts(spark, dir).writeStream
+        .format("memory").queryName(name)
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      require(Option(q.lastProgress).exists(_.json.contains("rocksdb")),
+        "RocksDB state store did not engage — the run would certify the " +
+          "default HDFS-backed provider instead")
+      StreamingDocs.noteProgress("q301_stream_sessions_rocksdb", q)
+      spark.table(name).orderBy("user_id", "w_start")
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   /** 4-file TIME-QUARTILE events feed with ascending file mtimes —
     * the multi-batch feed for event-time streaming entries, where
     * batch order must follow event time so the watermark never drops
@@ -666,6 +705,7 @@ object StreamingEvents {
     graft.sources.Staging.ensureStaged(feedDir) {
       val e = graft.Tables(spark, dir).events
         .withColumn("tu", unix_micros(col("ts")))
+      // model-sized: 1 row — global (min, max) timestamp aggregate
       val Array(mn, mx) = e.agg(min(col("tu")), max(col("tu")))
         .collect()(0).toSeq.map(_.asInstanceOf[Long]).toArray
       val span = mx - mn + 1

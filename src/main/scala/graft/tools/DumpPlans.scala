@@ -114,6 +114,8 @@ object DumpPlans {
         "q207_stream_sessions", "q212_stream_stream_join",
         "q215_stream_user_state", "q227_stream_restart",
         "q245_stream_late_data", "q257_stream_quality_filter")) {
+      // diagnostic tool, not a query path: forces the stream to run so
+      // lastProgress is populated (results are report-sized)
       graft.SparkEntry.queries(q)(spark, sf).collect()
       sb.append(s"$q: " +
         graft.streaming.StreamingDocs.lastProgress.getOrDefault(q, "?") + "\n")

@@ -57,6 +57,17 @@ class PageRankSpec extends SparkSpec {
     val c = mid.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(a == b, s"driver path diverges: $a vs $b")
     assert(a == c, s"literal-agg path diverges: $a vs $c")
+    // forceShuffle (q300's certification mode) must pin BOTH joins to
+    // the shuffle regime — no broadcast anywhere in the plan — and
+    // still agree to the last bit
+    val forced = operators.PageRank.distributedLoop(edges, nodes,
+      damping = 0.85, iters = 3, nodeCount = 3L, forceShuffle = true)
+    forced.collect()
+    val fPlan = forced.queryExecution.executedPlan.toString
+    assert(!fPlan.contains("BroadcastHashJoin"), fPlan.take(1500))
+    assert(fPlan.contains("ShuffledHashJoin"), fPlan.take(1500))
+    val d = forced.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(a == d, s"forced-shuffle path diverges: $a vs $d")
   }
   test("kHop: chain graph distances, unreachable nodes absent — both paths") {
     val chain = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (9L, 0L))
