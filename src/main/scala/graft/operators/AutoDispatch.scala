@@ -1,0 +1,35 @@
+package graft.operators
+
+/** Size-gated routing between a reference-semantics exact operator and
+  * its certified sub-linear escape path (r10 VERDICT item 3).
+  *
+  * Three inventory operators keep the reference's quadratic pair
+  * semantics deliberately — q22 (exact cosine near-dup), q155
+  * (brand-blocked Jaro–Winkler top-k), q172 (exact ER blocking
+  * recall) — and each has a measured, oracled escape in the same
+  * inventory (q170 ANN candidates exp 0.43, q164 prefix blocking
+  * exp 1.05, q177 bucket sampling exp 0.21). This object makes the
+  * escape the DEFAULT above a row threshold, so a 100× caller cannot
+  * run the n² form by accident, while the oracle-gated scale factors
+  * (≤20k parts / ≤2k vectors) stay on the exact form and keep their
+  * hashes.
+  *
+  * Opt-out: setting `SPARK_GRAFT_REFERENCE_SEMANTICS` forces the exact
+  * reference forms at ANY size — the escape paths trade recall scope
+  * for growth (documented per operator), and a caller replaying the
+  * reference bit-for-bit must be able to say so explicitly.
+  */
+object AutoDispatch {
+
+  /** Explicit reference-semantics mode (exact forms at any size). */
+  def referenceSemantics: Boolean =
+    sys.env.contains("SPARK_GRAFT_REFERENCE_SEMANTICS")
+
+  /** The routing decision, pure so the flip is spec-provable: exact
+    * iff reference mode is forced or the input is at or under the
+    * operator's exact-path row budget.
+    */
+  def useExact(n: Long, maxExactRows: Long,
+      refSemantics: Boolean = referenceSemantics): Boolean =
+    refSemantics || n <= maxExactRows
+}

@@ -82,7 +82,10 @@ object Fuzzy {
     // blocking shape: equi-key join + length band prefilter, then the
     // codegen scorer once per surviving candidate; never a global
     // cross join). Both sides ROUND(,6) before ranking; the ordering
-    // (jw DESC, key_a, key_b) is total.
+    // (jw DESC, key_a, key_b) is total. SIZE-GATED (r10 item 3): above
+    // ExactBlockingAutoMaxRows the entry auto-routes to q164's prefix
+    // blocking; SPARK_GRAFT_REFERENCE_SEMANTICS opts out. Every
+    // oracle-gated sf stays under the gate → exact here.
     QueryEntry.sql(
       "q155_jaro_winkler_block",
       """WITH p AS (SELECT p_partkey, p_brand, p_name FROM part),
@@ -95,7 +98,7 @@ object Fuzzy {
         |)
         |SELECT key_a, key_b, jw FROM pairs
         |ORDER BY jw DESC, key_a, key_b LIMIT 20""".stripMargin,
-    ) { (s, dir) => jaroWinklerBlocked(Tables(s, dir).part, k = 20) },
+    ) { (s, dir) => jaroWinklerTopKAuto(Tables(s, dir).part, k = 20) },
 
     // q156 — sorted-neighborhood ER over part names (window w=5,
     // jw ≥ 0.9): the complement of q155's equi-blocking. The oracle's
@@ -120,6 +123,10 @@ object Fuzzy {
     // (n_full, n_prefix, n_overlap, pair_recall). Prefix blocks are a
     // refinement of brand blocks, so n_overlap = n_prefix — the oracle
     // re-derives that subset property rather than assuming it.
+    // SIZE-GATED (r10 item 3): above ExactBlockingAutoMaxRows the
+    // entry auto-routes to q177's bucket-sampled estimator (same
+    // columns); SPARK_GRAFT_REFERENCE_SEMANTICS opts out. Every
+    // oracle-gated sf stays under the gate → exact here.
     QueryEntry.sql(
       "q172_er_blocking_recall",
       """WITH p AS (SELECT p_partkey, p_brand, p_name,
@@ -145,7 +152,7 @@ object Fuzzy {
         |            ELSE ROUND((SELECT COUNT(*) FROM pre_m JOIN full_m USING (key_a, key_b))
         |                       / CAST((SELECT COUNT(*) FROM full_m) AS DOUBLE), 6)
         |       END AS pair_recall""".stripMargin,
-    ) { (s, dir) => erBlockingRecall(Tables(s, dir).part, minJw = 0.9) },
+    ) { (s, dir) => erBlockingRecallAuto(Tables(s, dir).part, minJw = 0.9) },
 
     // q177 — q172's own scale path: the same recall, estimated on a
     // hash-bucket pair sample whose bucket count grows with the data
@@ -244,6 +251,40 @@ object Fuzzy {
     * the source is naturally multi-split and the linear shuffle is noise
     * next to the quadratic-in-block-size scoring it parallelizes.
     */
+  /** Exact brand-blocked ER up to this catalog size; above it the
+    * auto-dispatchers route to the certified escapes (q164 prefix
+    * blocking for the top-k, q177 bucket sampling for the recall
+    * measurement). The ×10 scale-stress blowup (200k parts) sits above
+    * this; every oracle-gated scale factor (≤20k parts) sits below.
+    */
+  val ExactBlockingAutoMaxRows = 50000L
+
+  /** q155's default entry point: brand-only blocking (the reference's
+    * fixed-cardinality-key quadratic, exp 1.87 measured) at or under
+    * `maxExactRows`, q164's prefix-extended blocking (exp 1.05, recall
+    * scope documented there) above — unless
+    * [[AutoDispatch.referenceSemantics]] forces the exact form.
+    */
+  def jaroWinklerTopKAuto(part: org.apache.spark.sql.DataFrame, k: Int,
+      maxExactRows: Long = ExactBlockingAutoMaxRows)
+      : org.apache.spark.sql.DataFrame =
+    if (AutoDispatch.useExact(part.count(), maxExactRows))
+      jaroWinklerBlocked(part, k)
+    else jaroWinklerPrefixBlocked(part, k)
+
+  /** q172's default entry point: the exact blocking-recall measurement
+    * at or under `maxExactRows`, q177's input-linear bucket-sampled
+    * estimator (exp 0.21; same columns, sampled counts) above — unless
+    * [[AutoDispatch.referenceSemantics]] forces the exact form.
+    */
+  def erBlockingRecallAuto(part: org.apache.spark.sql.DataFrame,
+      minJw: Double, maxExactRows: Long = ExactBlockingAutoMaxRows)
+      : org.apache.spark.sql.DataFrame =
+    if (AutoDispatch.useExact(part.count(), maxExactRows))
+      erBlockingRecall(part, minJw)
+    else erBlockingRecallBucketed(part, minJw)
+      .select("n_full", "n_prefix", "n_overlap", "pair_recall")
+
   def jaroWinklerBlocked(part: org.apache.spark.sql.DataFrame, k: Int)
       : org.apache.spark.sql.DataFrame = {
     val p = part.select(col("p_partkey"), col("p_brand"), col("p_name"))

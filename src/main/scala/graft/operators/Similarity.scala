@@ -85,6 +85,25 @@ object Similarity {
     * (block i < block j) appears only in tile (i,j); a same-block pair
     * appears twice in tile (i,i) and is halved by `va < vb`.
     */
+  /** Exact cosine pairs up to this corpus size; above it
+    * [[cosinePairsAuto]] routes to q170's ANN candidate generation
+    * (n^1.5, pair-recall 0.929 measured by q171). The ×10 scale-stress
+    * blowup (20k vectors) sits above this; every oracle-gated scale
+    * factor (≤2k vectors) sits below.
+    */
+  val ExactPairsAutoMaxRows = 10000L
+
+  /** q22's default entry point: [[exactCosinePairs]] (the reference's
+    * exact quadratic) at or under `maxExactRows`, [[Ivf.annNearDupPairs]]
+    * (same output contract, certified approximate) above — unless
+    * [[AutoDispatch.referenceSemantics]] forces the exact form.
+    */
+  def cosinePairsAuto(emb: DataFrame, threshold: Double,
+      maxExactRows: Long = ExactPairsAutoMaxRows): DataFrame =
+    if (AutoDispatch.useExact(emb.count(), maxExactRows))
+      exactCosinePairs(emb, threshold)
+    else Ivf.annNearDupPairs(emb, threshold)
+
   def exactCosinePairs(emb: DataFrame, threshold: Double,
       maxRows: Long = 2000000L): DataFrame = {
     val spark = emb.sparkSession
@@ -259,6 +278,10 @@ object Similarity {
     // operator's declared contract (exactness over dense vectors has no
     // lossless pruning), but memory and parallelism are both bounded:
     // no full-table broadcast anywhere in the plan (spec-asserted).
+    // SIZE-GATED (r10 item 3): above ExactPairsAutoMaxRows the entry
+    // auto-routes to q170's ANN candidates (same contract, recall
+    // 0.929 measured by q171); SPARK_GRAFT_REFERENCE_SEMANTICS opts
+    // out. Every oracle-gated sf stays under the gate → exact here.
     QueryEntry.sql(
       "q22_embed_neardup",
       """SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
@@ -268,7 +291,7 @@ object Similarity {
         |WHERE ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
         |                                   CAST(b.embedding AS DOUBLE[])), 6) >= 0.45
         |ORDER BY vec_a, vec_b""".stripMargin,
-    ) { (s, dir) => exactCosinePairs(Tables(s, dir).embeddings, threshold = 0.45) },
+    ) { (s, dir) => cosinePairsAuto(Tables(s, dir).embeddings, threshold = 0.45) },
 
     // ANN scale path: LSH bucket occupancy, under the full DuckDB gate
     // — the hyperplanes are pure-integer-math constants, so the oracle
