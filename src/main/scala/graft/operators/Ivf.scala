@@ -306,6 +306,20 @@ object Ivf {
       s"CAST($a[${i + 1}] AS DOUBLE) * CAST($b[${i + 1}] AS DOUBLE)")
       .mkString(" + ")
 
+  /** `e1..e<dim>` flattened DOUBLE columns for a pair-scoring CTE: the
+    * list_extract+CAST happens ONCE per vector at materialization; the
+    * per-PAIR dot is then plain column math. Same IEEE ops in the same
+    * order as [[dotChain2]] over raw lists, but the sf1 replay of a
+    * 20M-candidate pair join dropped 170 s → 23 s (per-pair
+    * list_extract dominated — r10 VERDICT item 6).
+    */
+  private def flatCols(dim: Int, vec: String = "embedding"): String =
+    (1 to dim).map(i => s"CAST($vec[$i] AS DOUBLE) AS e$i").mkString(", ")
+
+  /** The flattened-column twin of [[dotChain2]], left-associated. */
+  private def flatDot(a: String, b: String, dim: Int): String =
+    (1 to dim).map(i => s"$a.e$i * $b.e$i").mkString(" + ")
+
   /** The centroid's ‖c‖² accumulated exactly as cosine_f32 does. */
   private def centNormSq(c: Array[Float]): Double = {
     var nb = 0.0
@@ -334,20 +348,28 @@ object Ivf {
     val unions = cents.indices.map { c =>
       s"SELECT vec_id, embedding, na, $c AS c, s$c AS s FROM scores"
     }.mkString("\n    UNION ALL ")
-    s"""base AS (
+    // Every multiply-referenced CTE is MATERIALIZED (the q228 lesson):
+    // `scores` is referenced once per UNION ALL branch in `unp` — k
+    // branches — and DuckDB inlines CTEs per reference, so without
+    // materialization the k-column scoring re-runs k times
+    // (O(k²·dim·n): at sf1 scale, k≈126, that was 220–240 s per ANN
+    // oracle; materialized, the same exact replay runs in ~29 s —
+    // r10 VERDICT item 6). ranked_c/corpus are re-read by most
+    // consumers' probe/history CTEs.
+    s"""base AS MATERIALIZED (
        |  SELECT vec_id, embedding, (${normChain("embedding", dim)}) AS na
        |  FROM embeddings
-       |), scores AS (
+       |), scores AS MATERIALIZED (
        |  SELECT vec_id, embedding, na,
        |         $sCols
        |  FROM base
        |), unp AS (
        |    $unions
-       |), ranked_c AS (
+       |), ranked_c AS MATERIALIZED (
        |  SELECT vec_id, embedding, na, c, s,
        |         row_number() OVER (PARTITION BY vec_id ORDER BY s DESC, c DESC) AS rn
        |  FROM unp
-       |), corpus AS (
+       |), corpus AS MATERIALIZED (
        |  SELECT vec_id, embedding, na AS ne, c AS cluster FROM ranked_c WHERE rn = 1
        |), probes AS (
        |  SELECT vec_id AS q_id, embedding AS q_emb, na AS nq, c AS pcluster
@@ -718,11 +740,12 @@ object Ivf {
     val emb = Tables(spark, dir).embeddings
     val k = adaptiveClusters(emb.count())
     val dim = fittedCentroids(emb, k, iters).head.length
-    s"""WITH ${coarseCtes(spark, dir, nprobe = 1, k, iters)}, massign AS (
-       |  SELECT vec_id, embedding, na, c AS cluster FROM ranked_c WHERE rn <= $nAssign
+    s"""WITH ${coarseCtes(spark, dir, nprobe = 1, k, iters)}, massign AS MATERIALIZED (
+       |  SELECT vec_id, na, ${flatCols(dim)}, c AS cluster
+       |  FROM ranked_c WHERE rn <= $nAssign
        |), scored AS (
        |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-       |         ROUND((${dotChain2("a.embedding", "b.embedding", dim)})
+       |         ROUND((${flatDot("a", "b", dim)})
        |               / sqrt(a.na * b.na), 6) AS score
        |  FROM massign a JOIN massign b
        |    ON b.cluster = a.cluster AND a.vec_id < b.vec_id
@@ -880,18 +903,15 @@ object Ivf {
     val dim = fittedCentroids(hist, k, iters).head.length
     s"""WITH ${coarseCtes(spark, dir, nprobe = 1, k, iters,
           fitFilter = Some(col("vec_id") % 5 =!= 0))},
-       |hist AS (
-       |  SELECT vec_id, embedding, na FROM ranked_c
+       |histc AS MATERIALIZED (
+       |  SELECT vec_id, na, ${flatCols(dim)}, c AS cluster FROM ranked_c
        |  WHERE rn = 1 AND vec_id % 5 <> 0
-       |), histc AS (
-       |  SELECT vec_id, embedding, na, c AS cluster FROM ranked_c
-       |  WHERE rn = 1 AND vec_id % 5 <> 0
-       |), probec AS (
-       |  SELECT vec_id, embedding, na, c AS cluster FROM ranked_c
+       |), probec AS MATERIALIZED (
+       |  SELECT vec_id, na, ${flatCols(dim)}, c AS cluster FROM ranked_c
        |  WHERE rn <= $nAssign AND vec_id % 5 = 0
        |), scored AS (
        |  SELECT p.vec_id AS new_vec, h.vec_id AS hist_vec,
-       |         ROUND((${dotChain2("p.embedding", "h.embedding", dim)})
+       |         ROUND((${flatDot("p", "h", dim)})
        |               / sqrt(p.na * h.na), 6) AS score
        |  FROM probec p JOIN histc h ON h.cluster = p.cluster
        |)
@@ -942,15 +962,15 @@ object Ivf {
     val dim = fittedCentroids(hist, k, iters).head.length
     s"""WITH ${coarseCtes(spark, dir, nprobe = 1, k, iters,
           fitFilter = Some(col("vec_id") % 5 =!= 0))},
-       |histc AS (
-       |  SELECT vec_id, embedding, na, c AS cluster FROM ranked_c
+       |histc AS MATERIALIZED (
+       |  SELECT vec_id, na, ${flatCols(dim)}, c AS cluster FROM ranked_c
        |  WHERE rn = 1 AND vec_id % 5 <> 0 AND vec_id % 7 <> 0
-       |), probec AS (
-       |  SELECT vec_id, embedding, na, c AS cluster FROM ranked_c
+       |), probec AS MATERIALIZED (
+       |  SELECT vec_id, na, ${flatCols(dim)}, c AS cluster FROM ranked_c
        |  WHERE rn <= $nAssign AND vec_id % 5 = 0
        |), scored AS (
        |  SELECT p.vec_id AS new_vec, h.vec_id AS hist_vec,
-       |         ROUND((${dotChain2("p.embedding", "h.embedding", dim)})
+       |         ROUND((${flatDot("p", "h", dim)})
        |               / sqrt(p.na * h.na), 6) AS score
        |  FROM probec p JOIN histc h ON h.cluster = p.cluster
        |)
@@ -1011,17 +1031,17 @@ object Ivf {
     val bNo = (c: String) => s"CASE $c % 5 WHEN 1 THEN 1 WHEN 0 THEN 2 ELSE 0 END"
     s"""WITH ${coarseCtes(spark, dir, nprobe = 1, k, iters,
           fitFilter = Some(col("vec_id") % 5 =!= 0 && col("vec_id") % 5 =!= 1))},
-       |assigned AS (
-       |  SELECT vec_id, embedding, na, c AS cluster,
+       |assigned AS MATERIALIZED (
+       |  SELECT vec_id, na, ${flatCols(dim)}, c AS cluster,
        |         ${bNo("vec_id")} AS bn
        |  FROM ranked_c WHERE rn = 1
-       |), probes_m AS (
-       |  SELECT vec_id, embedding, na, c AS cluster,
+       |), probes_m AS MATERIALIZED (
+       |  SELECT vec_id, na, ${flatCols(dim)}, c AS cluster,
        |         ${bNo("vec_id")} AS bn
        |  FROM ranked_c WHERE rn <= $nAssign
        |), scored AS (
        |  SELECT p.bn AS batch, p.vec_id AS new_vec, h.vec_id AS hist_vec,
-       |         ROUND((${dotChain2("p.embedding", "h.embedding", dim)})
+       |         ROUND((${flatDot("p", "h", dim)})
        |               / sqrt(p.na * h.na), 6) AS score
        |  FROM probes_m p JOIN assigned h
        |    ON h.cluster = p.cluster AND h.bn < p.bn
