@@ -73,6 +73,7 @@ object SparkEntry {
       operators.Balance.entries ++
       operators.Folds.entries ++
       operators.Classify.entries ++
+      operators.Tpch2.entries ++
       sources.OrcRoundTrip.entries ++
       sources.SchemaEvolution.entries ++
       sources.CorruptJsonl.entries ++
