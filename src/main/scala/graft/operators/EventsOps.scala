@@ -482,6 +482,68 @@ object EventsOps {
       graft.streaming.StreamingEvents.runSessionFeedRocksDb(s, dir)
     },
 
+    // q311 — dropDuplicatesWithinWatermark EXECUTED BY A STREAM under
+    // the gate: the eighth streaming state family — dedup state with
+    // WATERMARK-DRIVEN EXPIRY (q181's dropDuplicates holds every key
+    // forever; this is the bounded-state form an unbounded stream
+    // needs). Feed: one row per (user, time-quartile) — the
+    // single-row-per-key-per-batch shape that makes the operator's
+    // output exactly replayable (see dedupFeedStaged). The oracle
+    // unrolls the 4-batch state machine the engine was MEASURED to
+    // run (probed at sf0.001, then hash-validated at 0.001/0.01/0.1):
+    //   - a stored key drops every later same-key row it sees;
+    //   - duplicates do NOT refresh the stored event time;
+    //   - eviction happens at the END of batch k, using the watermark
+    //     COMPUTED FROM BATCHES < k (q245's ms-floored arithmetic), so
+    //     an expired entry still drops the row in the batch where its
+    //     eviction runs, and the key re-emits in the NEXT batch.
+    // With a 60 h delay against ~7.5-day quartiles, drops and
+    // re-emits both occur at every scale factor.
+    QueryEntry.sql(
+      "q311_stream_dedup_expiry",
+      """WITH base AS MATERIALIZED (
+        |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS tu FROM events
+        |), bounds AS MATERIALIZED (
+        |  SELECT MIN(tu) AS mn, MAX(tu) - MIN(tu) + 1 AS span FROM base
+        |), r AS MATERIALIZED (
+        |  SELECT user_id, LEAST(3, (tu - mn) * 4 // span) AS q,
+        |         CAST(MIN(tu) AS BIGINT) AS tu, COUNT(*) AS n
+        |  FROM base, bounds GROUP BY 1, 2
+        |), wm AS MATERIALIZED (
+        |  -- wm_k = watermark before batch k: ms-floored max event time
+        |  -- of batches < k minus the 60 h delay (216000000 ms)
+        |  SELECT k, (MAX(tu) // 1000 - 216000000) * 1000 AS w
+        |  FROM (SELECT 1 AS k UNION ALL SELECT 2 UNION ALL SELECT 3) ks
+        |  JOIN r ON r.q < ks.k GROUP BY k
+        |), e0 AS MATERIALIZED (SELECT user_id, tu, n FROM r WHERE q = 0),
+        |s0 AS MATERIALIZED (SELECT user_id, tu FROM e0),
+        |e1 AS MATERIALIZED (
+        |  SELECT user_id, tu, n FROM r
+        |  WHERE q = 1 AND user_id NOT IN (SELECT user_id FROM s0)
+        |), s1 AS MATERIALIZED (
+        |  SELECT user_id, tu FROM (
+        |    SELECT user_id, tu FROM s0 UNION ALL SELECT user_id, tu FROM e1) u
+        |  WHERE tu + 216000000000 >= (SELECT w FROM wm WHERE k = 1)
+        |), e2 AS MATERIALIZED (
+        |  SELECT user_id, tu, n FROM r
+        |  WHERE q = 2 AND user_id NOT IN (SELECT user_id FROM s1)
+        |), s2 AS MATERIALIZED (
+        |  SELECT user_id, tu FROM (
+        |    SELECT user_id, tu FROM s1 UNION ALL SELECT user_id, tu FROM e2) u
+        |  WHERE tu + 216000000000 >= (SELECT w FROM wm WHERE k = 2)
+        |), e3 AS (
+        |  SELECT user_id, tu, n FROM r
+        |  WHERE q = 3 AND user_id NOT IN (SELECT user_id FROM s2)
+        |)
+        |SELECT user_id, tu, n FROM e0
+        |UNION ALL SELECT user_id, tu, n FROM e1
+        |UNION ALL SELECT user_id, tu, n FROM e2
+        |UNION ALL SELECT user_id, tu, n FROM e3
+        |ORDER BY user_id, tu""".stripMargin,
+    ) { (s, dir) =>
+      graft.streaming.StreamingEvents.runDedupWithinWatermark(s, dir)
+    },
+
     // q245 — late-data accounting EXECUTED BY A STREAM under the gate:
     // the 5-file feed replays quartile 0 as its LAST file, so every
     // replayed row arrives weeks below the 90-minute watermark and

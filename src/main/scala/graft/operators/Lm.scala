@@ -660,5 +660,115 @@ object Lm {
       }
       parts.reduce(_ union _).orderBy("fraction_pct")
     },
+
+    // q309 — Min-K% membership inference (Shi et al. 2024's
+    // pretraining-data detection screen, the audit a data owner runs
+    // to ask "was my document in the training set?"): an add-one
+    // TRIGRAM LM is fitted on the member split (doc_id % 3 != 0 — the
+    // fixture's 31-token vocabulary saturates bigrams, the q282
+    // lesson, so only trigram contexts carry the member/non-member
+    // signal), every document's trigrams are scored under it (unseen
+    // contexts take the same add-one floor the model would assign),
+    // and the per-doc statistic is the mean of the BOTTOM 20% token
+    // log-probs — k = ceil(n/5) as exact integer (n+4) div 5, never
+    // 0.2·n float arithmetic. Members score higher (their rare tail
+    // is in-model); the gap is the memorization signal, pinned in
+    // spec. Determinism: one 6dp-rounded ln per distinct (context,
+    // word) and per distinct unseen context-count, DECIMAL sums,
+    // per-doc score rounded once; bottom-k selection ranks by
+    // (lp, position) — a total order.
+    // Scale shape: token explode + two model-keyed joins (the model
+    // is vocabulary-bounded) + one per-doc window + a source rollup;
+    // no doc×doc or doc×corpus products anywhere.
+    QueryEntry.sql(
+      "q309_min_k_membership",
+      """WITH tok AS (
+        |  SELECT doc_id, source, doc_id % 3 <> 0 AS member,
+        |         regexp_split_to_array(trim(lower(text)), '\s+') AS t
+        |  FROM documents
+        |), tg AS (
+        |  SELECT doc_id, source, member, i,
+        |         t[i] || ' ' || t[i + 1] AS ctx, t[i + 2] AS w
+        |  FROM (SELECT doc_id, source, member, t,
+        |               unnest(generate_series(1, len(t) - 2)) AS i FROM tok)
+        |), c3 AS (
+        |  SELECT ctx, w, COUNT(*) AS c FROM tg WHERE member GROUP BY 1, 2
+        |), cx AS (
+        |  SELECT ctx, COUNT(*) AS cc FROM tg WHERE member GROUP BY 1
+        |), vv AS (
+        |  SELECT COUNT(DISTINCT tt) AS v
+        |  FROM (SELECT unnest(t) AS tt FROM tok WHERE member)
+        |), scored AS (
+        |  SELECT g.doc_id, g.source, g.member, g.i,
+        |         CAST(ROUND(ln((COALESCE(c3.c, 0) + 1.0)
+        |                       / (COALESCE(cx.cc, 0) + vv.v)), 6)
+        |              AS DECIMAL(18,6)) AS lp
+        |  FROM tg g
+        |  LEFT JOIN c3 ON c3.ctx = g.ctx AND c3.w = g.w
+        |  LEFT JOIN cx ON cx.ctx = g.ctx, vv
+        |), ranked AS (
+        |  SELECT doc_id, source, member, lp,
+        |         row_number() OVER (PARTITION BY doc_id
+        |                            ORDER BY lp, i) AS rn,
+        |         COUNT(*) OVER (PARTITION BY doc_id) AS n
+        |  FROM scored
+        |), per_doc AS (
+        |  SELECT doc_id, source, member,
+        |         CAST(ROUND(CAST(SUM(lp) AS DOUBLE) / ((n + 4) // 5), 6)
+        |              AS DECIMAL(18,6)) AS mink
+        |  FROM ranked WHERE rn <= (n + 4) // 5
+        |  GROUP BY doc_id, source, member, n
+        |)
+        |SELECT source, member, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |       CAST(SUM(mink) AS DOUBLE) / COUNT(*) AS mean_mink
+        |FROM per_doc GROUP BY source, member
+        |ORDER BY source, member""".stripMargin,
+    ) { (s, dir) =>
+      val tg = Tables(s, dir).documentsRebalanced
+        .select(col("doc_id"), col("source"),
+          (pmod(col("doc_id"), lit(3L)) =!= 0).as("member"),
+          TextAnalysis.tokens(col("text")).as("t"))
+        .filter(size(col("t")) >= 3)
+        .select(col("doc_id"), col("source"), col("member"), col("t"),
+          explode(sequence(lit(1), size(col("t")) - 2)).as("i"))
+        .select(col("doc_id"), col("source"), col("member"), col("i"),
+          concat(element_at(col("t"), col("i")), lit(" "),
+            element_at(col("t"), col("i") + 1)).as("ctx"),
+          element_at(col("t"), col("i") + 2).as("w"))
+      val mem = tg.filter(col("member"))
+      val c3 = mem.groupBy("ctx", "w").agg(count(lit(1)).as("c"))
+      val cx = mem.groupBy("ctx").agg(count(lit(1)).as("cc"))
+      val vv = Tables(s, dir).documentsRebalanced
+        .filter(pmod(col("doc_id"), lit(3L)) =!= 0)
+        .select(explode(TextAnalysis.tokens(col("text"))).as("tt"))
+        .agg(countDistinct("tt").as("v"))
+      val scored = tg
+        .join(c3, Seq("ctx", "w"), "left")
+        .join(cx, Seq("ctx"), "left")
+        .crossJoin(broadcast(vv))
+        .select(col("doc_id"), col("source"), col("member"), col("i"),
+          round(log((coalesce(col("c"), lit(0L)) + lit(1.0))
+            / (coalesce(col("cc"), lit(0L)) + col("v"))), 6).cast(D6).as("lp"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy(col("lp"), col("i"))
+      val wn = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+      val perDoc = scored
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(wn))
+        // Spark's `/` is ALWAYS double division — `div` is the exact
+        // integer k = ceil(n/5) both engines share
+        .filter(col("rn") <= expr("(n + 4) div 5"))
+        .groupBy("doc_id", "source", "member", "n")
+        .agg(round(sum("lp").cast(DoubleType) /
+          expr("(n + 4) div 5"), 6).cast(D6).as("mink"))
+      // NO final round: sum(mink) is an exact DECIMAL, so the cast and
+      // the division produce the bit-identical double in both engines —
+      // a round(,6) here DIVERGED on a shortest-repr halfway value at
+      // sf0.1 (Spark rounds the repr, DuckDB the binary value)
+      perDoc.groupBy("source", "member")
+        .agg(count(lit(1)).as("n_docs"),
+          (sum("mink").cast(DoubleType) / count(lit(1))).as("mean_mink"))
+        .orderBy("source", "member")
+    },
   )
 }

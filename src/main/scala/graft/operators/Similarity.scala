@@ -293,6 +293,74 @@ object Similarity {
         |ORDER BY vec_a, vec_b""".stripMargin,
     ) { (s, dir) => cosinePairsAuto(Tables(s, dir).embeddings, threshold = 0.45) },
 
+    // q310 — late-interaction MaxSim retrieval (the ColBERT scoring
+    // rule, which single-vector cosine top-k cannot express): each
+    // 64-dim embedding is treated as EIGHT 8-dim token vectors (the
+    // q252 MRL-slicing precedent for deriving a multi-vector view from
+    // the fixture), and score(q, d) = Σ over q's tokens of the MAX
+    // cosine to any of d's tokens — sum-of-max, not max-of-sum. Per
+    // probe (vec_id < 5): top-10 docs. Determinism: every cosine is
+    // rounded once to 6dp into DECIMAL, the per-token max and the
+    // 8-term sum are exact on that grid, and (score DESC, vec_id) is a
+    // total order — the k-boundary cannot float-drift.
+    // Scale shape: docs explode 8×, the 40-row probe token frame
+    // broadcasts, one grouped max + one grouped sum + one per-probe
+    // top-k window — corpus-linear with a constant 320 cosines/vector;
+    // at index scale the same scoring sits behind an IVF candidate
+    // stage (q33's machinery), exactly as production ColBERT does.
+    QueryEntry.sql(
+      "q310_late_interaction",
+      {
+        val subs = (0 until 8).map { m =>
+          s"SELECT vec_id, $m AS si, embedding[${m * 8 + 1}:${m * 8 + 8}] AS sv FROM embeddings"
+        }.mkString("\n    UNION ALL ")
+        s"""WITH sub AS MATERIALIZED (
+           |    $subs
+           |), q AS (SELECT vec_id AS q_id, si AS qi, sv AS qv FROM sub WHERE vec_id < 5),
+           |d AS (SELECT vec_id, si AS di, sv AS dv FROM sub),
+           |tokmax AS (
+           |  SELECT q.q_id, d.vec_id, q.qi,
+           |         MAX(CAST(ROUND(list_cosine_similarity(
+           |               CAST(q.qv AS DOUBLE[]), CAST(d.dv AS DOUBLE[])), 6)
+           |             AS DECIMAL(18,6))) AS m
+           |  FROM q JOIN d ON d.vec_id <> q.q_id
+           |  GROUP BY 1, 2, 3
+           |), scored AS (
+           |  SELECT q_id, vec_id, SUM(m) AS score
+           |  FROM tokmax GROUP BY 1, 2
+           |)
+           |SELECT q_id, vec_id,
+           |       CAST(row_number() OVER (PARTITION BY q_id
+           |              ORDER BY score DESC, vec_id) AS INTEGER) AS rank,
+           |       CAST(score AS DOUBLE) AS score
+           |FROM scored
+           |QUALIFY rank <= 10 ORDER BY q_id, rank""".stripMargin
+      },
+    ) { (s, dir) =>
+      val emb = Tables(s, dir).embeddings
+      def exploded(df: DataFrame) = df.select(col("vec_id"),
+        posexplode(array((0 until 8).map(m =>
+          slice(col("embedding"), m * 8 + 1, 8)): _*)).as(Seq("si", "sv")))
+      val d = exploded(emb).select(col("vec_id"), col("si").as("di"),
+        col("sv").as("dv"))
+      val q = exploded(emb.filter(col("vec_id") < 5))
+        .select(col("vec_id").as("q_id"), col("si").as("qi"),
+          col("sv").as("qv"))
+      val D6 = DecimalType(18, 6)
+      val tokmax = d.join(broadcast(q), col("vec_id") =!= col("q_id"))
+        .groupBy("q_id", "vec_id", "qi")
+        .agg(max(round(GraftFunctions.cosineF32(col("qv"), col("dv")), 6)
+          .cast(D6)).as("m"))
+      val scored = tokmax.groupBy("q_id", "vec_id").agg(sum("m").as("score"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("q_id").orderBy(col("score").desc, col("vec_id"))
+      scored.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 10)
+        .select(col("q_id"), col("vec_id"), col("rank"),
+          col("score").cast(DoubleType).as("score"))
+        .orderBy("q_id", "rank")
+    },
+
     // ANN scale path: LSH bucket occupancy, under the full DuckDB gate
     // — the hyperplanes are pure-integer-math constants, so the oracle
     // recomputes every projection, sign, and packed bucket id from the

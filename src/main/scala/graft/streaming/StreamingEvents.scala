@@ -692,6 +692,86 @@ object StreamingEvents {
     }
   }
 
+  /** q311's feed: ONE row per (user, time-quartile) — user_id, the
+    * user's MIN event time in the quartile, and the event count —
+    * staged as 4 mtime-ordered files. The single-row-per-key-per-batch
+    * shape is what makes `dropDuplicatesWithinWatermark` fully
+    * deterministic under the oracle: with multiple same-key rows in
+    * one micro-batch, WHICH row wins the state slot depends on
+    * partition processing order (racy row content + racy expiry), and
+    * no exact replay exists. Quartile boundaries use the same integer
+    * arithmetic as [[stagedTimeOrderedFeed]] (mn + span·k/4), which
+    * the oracle replays verbatim.
+    */
+  private[graft] def dedupFeedStaged(spark: SparkSession, dir: String): String = {
+    val feedDir = graft.sources.Staging.fingerprintPath(
+      "graft_events_feed", dir, "events.parquet", "dedupwm4")
+    graft.sources.Staging.ensureStaged(feedDir) {
+      val e = graft.Tables(spark, dir).events
+        .withColumn("tu", unix_micros(col("ts")))
+      // model-sized: 1 row — global (min, max) timestamp aggregate
+      val Array(mn, mx) = e.agg(min(col("tu")), max(col("tu")))
+        .collect()(0).toSeq.map(_.asInstanceOf[Long]).toArray
+      val span = mx - mn + 1
+      val rows = e.groupBy(col("user_id"),
+          least(lit(3L), (col("tu") - mn) * 4 / span).cast("int").as("q"))
+        .agg(min("tu").as("tu"), count(lit(1)).as("n"))
+      val scratch = s"$feedDir.build"
+      val mtimeBase = System.currentTimeMillis()
+      (0 until 4).foreach { k =>
+        val part = s"$scratch/q$k"
+        rows.filter(col("q") === k)
+          .select(col("user_id"), timestamp_micros(col("tu")).as("ts"),
+            col("n"))
+          .coalesce(1).write.mode("overwrite").parquet(part)
+        val partPath = new org.apache.hadoop.fs.Path(part)
+        val fs = partPath.getFileSystem(graft.sources.Staging.hadoopConf())
+        val file = fs.globStatus(new org.apache.hadoop.fs.Path(part, "part-*.parquet"))
+          .head.getPath
+        graft.sources.Staging.copyInto(file.toString, feedDir,
+          f"quartile_$k%02d.parquet")
+        graft.sources.Staging.setMtime(feedDir,
+          f"quartile_$k%02d.parquet", mtimeBase + k * 2000L)
+      }
+      graft.sources.Staging.touch(feedDir)
+      val scratchPath = new org.apache.hadoop.fs.Path(scratch)
+      scratchPath.getFileSystem(graft.sources.Staging.hadoopConf())
+        .delete(scratchPath, true)
+    }
+    feedDir
+  }
+
+  /** q311 — `dropDuplicatesWithinWatermark` under the differential
+    * gate: the eighth streaming state family (dedup state WITH
+    * watermark-driven expiry — q181's dropDuplicates holds keys
+    * forever; this is the bounded-state form a 100 TB stream actually
+    * runs). A key re-emits once its stored entry expires (event time
+    * + 60 h falls below the advancing watermark), so the output
+    * interleaves drops AND re-emits across the 4 quartile batches;
+    * the oracle replays the batch-by-batch state machine from
+    * scratch.
+    */
+  def runDedupWithinWatermark(spark: SparkSession, dir: String): DataFrame = {
+    val feed = dedupFeedStaged(spark, dir)
+    val schema = spark.read.parquet(feed).schema
+    val name = s"graft_dedupwm_${runSeq.incrementAndGet()}"
+    val q = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(feed)
+      .withWatermark("ts", "60 hours")
+      .dropDuplicatesWithinWatermark("user_id")
+      .writeStream
+      .format("memory").queryName(name)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    StreamingDocs.noteProgress("q311_stream_dedup_expiry", q)
+    spark.table(name)
+      .select(col("user_id"), unix_micros(col("ts")).as("tu"), col("n"))
+      .orderBy("user_id", "tu")
+  }
+
   /** 4-file TIME-QUARTILE events feed with ascending file mtimes —
     * the multi-batch feed for event-time streaming entries, where
     * batch order must follow event time so the watermark never drops

@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Structural laws for the round-11 additions — the hash gate proves
+  * engine=oracle; these pin that the operators MEASURE what they
+  * claim (the q296 lesson: a green hash does not certify usefulness).
+  */
+class Round11Spec extends SparkSpec {
+  import spark.implicits._
+
+  test("q309: members score higher than non-members (the memorization signal)") {
+    val rows = run("q309_min_k_membership")
+      .select(col("member"), col("n_docs"), col("mean_mink"))
+      .as[(Boolean, Long, Double)].collect()
+    val mem = rows.filter(_._1)
+    val non = rows.filterNot(_._1)
+    assert(mem.nonEmpty && non.nonEmpty)
+    def wmean(xs: Array[(Boolean, Long, Double)]) =
+      xs.map(r => r._2 * r._3).sum / xs.map(_._2).sum
+    val gap = wmean(mem) - wmean(non)
+    // the add-one LM must assign its own training split materially
+    // higher bottom-20% log-probs; measured ~0.66 nats at sf0.001
+    assert(gap > 0.2, s"membership gap collapsed: $gap")
+    // and the screen is not vacuous: both splits populated per source
+    assert(rows.map(_._2).forall(_ > 0))
+  }
+
+  test("q310: MaxSim top-10 is a full, ordered, bounded ranking per probe") {
+    val rows = run("q310_late_interaction")
+      .select(col("q_id"), col("rank"), col("score"))
+      .as[(Long, Int, Double)].collect()
+    val byProbe = rows.groupBy(_._1)
+    assert(byProbe.size == 5)
+    byProbe.foreach { case (q, rs) =>
+      assert(rs.map(_._2).sorted.toSeq == (1 to 10), s"probe $q ranks")
+      val scores = rs.sortBy(_._2).map(_._3)
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b },
+        s"probe $q not monotone")
+      // 8 cosines each in [-1, 1]
+      assert(scores.forall(s => s >= -8.0 && s <= 8.0))
+    }
+  }
+
+  test("q311: dedup-with-expiry drops AND re-emits (never degenerates to distinct or passthrough)") {
+    val emitted = run("q311_stream_dedup_expiry")
+      .select(col("user_id"), col("tu")).as[(Long, Long)].collect()
+    val users = emitted.map(_._1).distinct.length
+    // a passthrough would emit every feed row (4/user here); a plain
+    // distinct would emit exactly one per user; expiry-dedup sits
+    // strictly between, and every user appears (first row always emits)
+    val perUser = emitted.groupBy(_._1).view.mapValues(_.length)
+    assert(perUser.values.forall(n => n >= 1))
+    assert(emitted.length > users, "no re-emits: behaves like distinct")
+    assert(perUser.values.exists(_ < 4), "no drops: behaves like passthrough")
+    // re-emits are time-ordered within a user
+    emitted.groupBy(_._1).foreach { case (_, rs) =>
+      val ts = rs.map(_._2).sorted
+      assert(ts.distinct.length == ts.length)
+    }
+  }
+
+  test("q306/q308: exact-decimal max ties and the dormancy screen are non-vacuous") {
+    val q15 = run("q306_tpch_q15").collect()
+    assert(q15.nonEmpty, "no top supplier found")
+    val q22 = run("q308_tpch_q22")
+      .agg(sum("numcust")).as[Long].collect().head
+    assert(q22 > 0, "dormant-rich screen found nobody — dead operator")
+  }
+}
