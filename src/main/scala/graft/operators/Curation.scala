@@ -656,6 +656,69 @@ object Curation {
     ) { (s, dir) =>
       spanCorruption(Tables(s, dir).documentsRebalanced)
     },
+
+    // q312 — the composed curation pipeline END-TO-END under one gate:
+    // quality filter (≥ 25 tokens) → exact dedup (keep min doc_id per
+    // md5(text) group — the q165 leakage-safe key) → per-source quota
+    // (the 50 splitmix64-smallest survivors — deterministic, count-
+    // independent, the q69 hash-order discipline). Every stage is
+    // individually oracled elsewhere (q186/q11/q145); this entry
+    // certifies their COMPOSITION — a survivor set that drifts at any
+    // stage shifts the final counts, token totals, and the modular
+    // corpus checksum (Σ md5₆₀(text) mod 1e9+7, the q154 bucket-
+    // checksum idiom: order-free content identity, not just counts).
+    // Scale shape: one token-length map, one content-hash shuffle, one
+    // per-source top-K window over survivors (K bounded), one rollup.
+    QueryEntry.sql(
+      "q312_curation_pipeline",
+      s"""WITH ok AS (
+         |  SELECT doc_id, source, text
+         |  FROM documents
+         |  WHERE len(regexp_split_to_array(trim(lower(text)), '\\s+')) >= 25
+         |), dedup AS (
+         |  SELECT MIN(doc_id) AS doc_id FROM ok GROUP BY md5(text)
+         |), surv AS (
+         |  -- sort key on the splitmix >> 11 2^53 grid: DuckDB's mirror
+         |  -- is UBIGINT while Spark's is a signed long, so a raw-value
+         |  -- ORDER BY would disagree above 2^63 (the q69 >>-discipline)
+         |  SELECT o.doc_id, o.source, o.text,
+         |         row_number() OVER (PARTITION BY o.source
+         |           ORDER BY (${graft.operators.Hll.splitmixSqlFor("o.doc_id")}) >> 11,
+         |                    o.doc_id) AS rk
+         |  FROM ok o JOIN dedup USING (doc_id)
+         |)
+         |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |       CAST(SUM(len(regexp_split_to_array(trim(lower(text)), '\\s+')))
+         |            AS BIGINT) AS n_tokens,
+         |       CAST(SUM(CAST('0x' || substr(md5(text), 1, 15) AS BIGINT)
+         |                % 1000000007) % 1000000007 AS BIGINT) AS checksum
+         |FROM surv WHERE rk <= 50
+         |GROUP BY source ORDER BY source""".stripMargin,
+    ) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val toks = size(TextAnalysis.tokens(col("text")))
+      val ok = Tables(s, dir).documentsRebalanced
+        .filter(toks >= 25)
+        .select(col("doc_id"), col("source"), col("text"))
+      val dedup = ok.groupBy(md5(col("text")).as("h"))
+        .agg(min("doc_id").as("doc_id"))
+        .select("doc_id")
+      val w = Window.partitionBy("source")
+        .orderBy(shiftrightunsigned(GraftFunctions.splitmix64(col("doc_id")), 11),
+          col("doc_id"))
+      ok.join(dedup, "doc_id")
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 50)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(TextAnalysis.tokens(col("text"))).cast(LongType))
+            .as("n_tokens"),
+          pmod(sum(pmod(GraftFunctions.md5Long(
+            col("text").cast(org.apache.spark.sql.types.BinaryType)),
+            lit(1000000007L))), lit(1000000007L)).cast(LongType)
+            .as("checksum"))
+        .orderBy("source")
+    },
   )
 
   /** T5-style span corruption report (q244) — see the entry comment.

