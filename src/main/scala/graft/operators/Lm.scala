@@ -230,6 +230,110 @@ object Lm {
        |JOIN (SELECT doc_id, source FROM documents) USING (doc_id), cuts
        |GROUP BY 1, 2 ORDER BY bucket, source""".stripMargin
 
+  /** q293's generated oracle SQL (the three-point scaling curve) —
+    * factored out so q315's scaling-law FIT can embed the identical
+    * curve derivation as a subquery.
+    */
+  private[operators] def scalingCurveSql: String = {
+    val base =
+      s"""WITH tok AS (
+         |  SELECT doc_id,
+         |         regexp_split_to_array(trim(lower(text)), '\\s+') AS t,
+         |         (${Hll.splitmixSqlFor("doc_id")}) >> 54
+         |           < ${Winnow.SplitTrainLt} AS is_train,
+         |         (${Hll.splitmixSqlFor("(doc_id + 777)")}) >> 54 AS z2
+         |  FROM documents
+         |  WHERE len(regexp_split_to_array(trim(lower(text)), '\\s+')) >= 2
+         |), bg AS MATERIALIZED (
+         |  SELECT doc_id, is_train, z2, t[i] AS w1, t[i + 1] AS w2
+         |  FROM (SELECT doc_id, is_train, z2, t,
+         |               unnest(generate_series(1, len(t) - 1)) AS i
+         |        FROM tok)
+         |), ep AS MATERIALIZED (
+         |  SELECT w1, w2, COUNT(*) AS ce FROM bg WHERE NOT is_train
+         |  GROUP BY 1, 2
+         |)""".stripMargin
+    val frac = Seq(25 -> 256, 50 -> 512, 100 -> 1024).map { case (p, z) =>
+      s""", c$p AS MATERIALIZED (
+         |  SELECT w1, w2, COUNT(*) AS c12 FROM bg
+         |  WHERE is_train AND z2 < $z GROUP BY 1, 2
+         |), x$p AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1
+         |           FROM c$p GROUP BY 1),
+         |v$p AS (SELECT COUNT(*) AS v FROM (SELECT w1 FROM c$p
+         |                                   UNION SELECT w2 FROM c$p)),
+         |s$p AS (
+         |  SELECT $p AS fraction_pct,
+         |         (SELECT CAST(SUM(c12) AS BIGINT) FROM c$p)
+         |           AS n_train_bigrams,
+         |         (SELECT CAST(v AS BIGINT) FROM v$p) AS vocab,
+         |         CAST(SUM(ce) AS BIGINT) AS n_eval_bigrams,
+         |         CAST(SUM(CAST(ce AS DECIMAL(10,0))
+         |              * CAST(ROUND(ln((COALESCE(c12, 0) + 1.0)
+         |                              / (COALESCE(c1, 0) + v)), 6)
+         |                     AS DECIMAL(18,6))) AS DOUBLE)
+         |           / SUM(ce) AS avg_logprob
+         |  FROM ep
+         |  LEFT JOIN c$p USING (w1, w2)
+         |  LEFT JOIN x$p USING (w1), v$p
+         |)""".stripMargin
+    }.mkString
+    s"""$base$frac
+       |SELECT * FROM s25 UNION ALL SELECT * FROM s50
+       |UNION ALL SELECT * FROM s100 ORDER BY fraction_pct""".stripMargin
+  }
+
+  /** q293's engine side — the (fraction, tokens, vocab, avg_logprob)
+    * curve frame; q315 fits the log-log line over it.
+    */
+  private[operators] def scalingCurve(s: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame = {
+  val tok = Tables(s, dir).documentsRebalanced
+    .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("t"),
+      (shiftrightunsigned(GraftFunctions.splitmix64(col("doc_id")), 54)
+        < Winnow.SplitTrainLt).as("is_train"),
+      shiftrightunsigned(
+        GraftFunctions.splitmix64(col("doc_id") + lit(777L)), 54).as("z2"))
+    .filter(size(col("t")) >= 2)
+  val bg = tok
+    .select(col("doc_id"), col("is_train"), col("z2"), col("t"),
+      explode(sequence(lit(1), size(col("t")) - 1)).as("i"))
+    .select(col("doc_id"), col("is_train"), col("z2"),
+      element_at(col("t"), col("i")).as("w1"),
+      element_at(col("t"), col("i") + 1).as("w2"))
+    .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  graft.TransientCaches.register(bg)
+  val ep = bg.filter(!col("is_train"))
+    .groupBy("w1", "w2").agg(count(lit(1)).as("ce"))
+    .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+  graft.TransientCaches.register(ep)
+  val parts = Seq(25 -> 256L, 50 -> 512L, 100 -> 1024L).map { case (p, z) =>
+    val c = bg.filter(col("is_train") && col("z2") < z)
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.TransientCaches.register(c)
+    val x = c.groupBy("w1").agg(sum("c12").cast(LongType).as("c1"))
+    val v = c.select(col("w1")).union(c.select(col("w2")))
+      .distinct().agg(count(lit(1)).as("v"))
+    val tb = c.agg(sum("c12").cast(LongType).as("ntb"))
+    val lp = round(log((coalesce(col("c12"), lit(0L)) + lit(1.0))
+      / (coalesce(col("c1"), lit(0L)) + col("v"))), 6).cast(D6)
+    ep.join(c, Seq("w1", "w2"), "left")
+      .join(x, Seq("w1"), "left")
+      .crossJoin(broadcast(v)).crossJoin(broadcast(tb))
+      .select(col("ce"), col("ntb"), col("v"),
+        (col("ce").cast(DecimalType(10, 0)) * lp).as("wlp"))
+      .groupBy("ntb", "v")
+      .agg(sum("ce").cast(LongType).as("n_eval_bigrams"),
+        sum("wlp").as("slp"))
+      .select(lit(p).as("fraction_pct"),
+        col("ntb").as("n_train_bigrams"),
+        col("v").cast(LongType).as("vocab"), col("n_eval_bigrams"),
+        (col("slp").cast(DoubleType) / col("n_eval_bigrams"))
+          .as("avg_logprob"))
+  }
+  parts.reduce(_ union _).orderBy("fraction_pct")
+  }
+
   val entries: Seq[QueryEntry] = Seq(
     // q274 — interpolated Kneser–Ney held-out scoring; DuckDB refits
     // the full model independently (bigram/context/continuation
@@ -566,100 +670,8 @@ object Lm {
     // subsets + one scoring join each; the ×3 is a constant factor.
     QueryEntry.sql(
       "q293_scaling_curve",
-      {
-        val base =
-          s"""WITH tok AS (
-             |  SELECT doc_id,
-             |         regexp_split_to_array(trim(lower(text)), '\\s+') AS t,
-             |         (${Hll.splitmixSqlFor("doc_id")}) >> 54
-             |           < ${Winnow.SplitTrainLt} AS is_train,
-             |         (${Hll.splitmixSqlFor("(doc_id + 777)")}) >> 54 AS z2
-             |  FROM documents
-             |  WHERE len(regexp_split_to_array(trim(lower(text)), '\\s+')) >= 2
-             |), bg AS MATERIALIZED (
-             |  SELECT doc_id, is_train, z2, t[i] AS w1, t[i + 1] AS w2
-             |  FROM (SELECT doc_id, is_train, z2, t,
-             |               unnest(generate_series(1, len(t) - 1)) AS i
-             |        FROM tok)
-             |), ep AS MATERIALIZED (
-             |  SELECT w1, w2, COUNT(*) AS ce FROM bg WHERE NOT is_train
-             |  GROUP BY 1, 2
-             |)""".stripMargin
-        val frac = Seq(25 -> 256, 50 -> 512, 100 -> 1024).map { case (p, z) =>
-          s""", c$p AS MATERIALIZED (
-             |  SELECT w1, w2, COUNT(*) AS c12 FROM bg
-             |  WHERE is_train AND z2 < $z GROUP BY 1, 2
-             |), x$p AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1
-             |           FROM c$p GROUP BY 1),
-             |v$p AS (SELECT COUNT(*) AS v FROM (SELECT w1 FROM c$p
-             |                                   UNION SELECT w2 FROM c$p)),
-             |s$p AS (
-             |  SELECT $p AS fraction_pct,
-             |         (SELECT CAST(SUM(c12) AS BIGINT) FROM c$p)
-             |           AS n_train_bigrams,
-             |         (SELECT CAST(v AS BIGINT) FROM v$p) AS vocab,
-             |         CAST(SUM(ce) AS BIGINT) AS n_eval_bigrams,
-             |         CAST(SUM(CAST(ce AS DECIMAL(10,0))
-             |              * CAST(ROUND(ln((COALESCE(c12, 0) + 1.0)
-             |                              / (COALESCE(c1, 0) + v)), 6)
-             |                     AS DECIMAL(18,6))) AS DOUBLE)
-             |           / SUM(ce) AS avg_logprob
-             |  FROM ep
-             |  LEFT JOIN c$p USING (w1, w2)
-             |  LEFT JOIN x$p USING (w1), v$p
-             |)""".stripMargin
-        }.mkString
-        s"""$base$frac
-           |SELECT * FROM s25 UNION ALL SELECT * FROM s50
-           |UNION ALL SELECT * FROM s100 ORDER BY fraction_pct""".stripMargin
-      },
-    ) { (s, dir) =>
-      val tok = Tables(s, dir).documentsRebalanced
-        .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("t"),
-          (shiftrightunsigned(GraftFunctions.splitmix64(col("doc_id")), 54)
-            < Winnow.SplitTrainLt).as("is_train"),
-          shiftrightunsigned(
-            GraftFunctions.splitmix64(col("doc_id") + lit(777L)), 54).as("z2"))
-        .filter(size(col("t")) >= 2)
-      val bg = tok
-        .select(col("doc_id"), col("is_train"), col("z2"), col("t"),
-          explode(sequence(lit(1), size(col("t")) - 1)).as("i"))
-        .select(col("doc_id"), col("is_train"), col("z2"),
-          element_at(col("t"), col("i")).as("w1"),
-          element_at(col("t"), col("i") + 1).as("w2"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      graft.TransientCaches.register(bg)
-      val ep = bg.filter(!col("is_train"))
-        .groupBy("w1", "w2").agg(count(lit(1)).as("ce"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      graft.TransientCaches.register(ep)
-      val parts = Seq(25 -> 256L, 50 -> 512L, 100 -> 1024L).map { case (p, z) =>
-        val c = bg.filter(col("is_train") && col("z2") < z)
-          .groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        graft.TransientCaches.register(c)
-        val x = c.groupBy("w1").agg(sum("c12").cast(LongType).as("c1"))
-        val v = c.select(col("w1")).union(c.select(col("w2")))
-          .distinct().agg(count(lit(1)).as("v"))
-        val tb = c.agg(sum("c12").cast(LongType).as("ntb"))
-        val lp = round(log((coalesce(col("c12"), lit(0L)) + lit(1.0))
-          / (coalesce(col("c1"), lit(0L)) + col("v"))), 6).cast(D6)
-        ep.join(c, Seq("w1", "w2"), "left")
-          .join(x, Seq("w1"), "left")
-          .crossJoin(broadcast(v)).crossJoin(broadcast(tb))
-          .select(col("ce"), col("ntb"), col("v"),
-            (col("ce").cast(DecimalType(10, 0)) * lp).as("wlp"))
-          .groupBy("ntb", "v")
-          .agg(sum("ce").cast(LongType).as("n_eval_bigrams"),
-            sum("wlp").as("slp"))
-          .select(lit(p).as("fraction_pct"),
-            col("ntb").as("n_train_bigrams"),
-            col("v").cast(LongType).as("vocab"), col("n_eval_bigrams"),
-            (col("slp").cast(DoubleType) / col("n_eval_bigrams"))
-              .as("avg_logprob"))
-      }
-      parts.reduce(_ union _).orderBy("fraction_pct")
-    },
+      scalingCurveSql,
+    ) { (s, dir) => scalingCurve(s, dir) },
 
     // q309 — Min-K% membership inference (Shi et al. 2024's
     // pretraining-data detection screen, the audit a data owner runs
@@ -852,6 +864,83 @@ object Lm {
         .agg(count(lit(1)).as("n_tokens"),
           (sum("a").cast(DoubleType) / count(lit(1))).as("accept_rate"))
         .orderBy("source")
+    },
+
+    // q315 — scaling-law FIT (the Chinchilla/Kaplan readout on top of
+    // q293's measured curve): loss = a·N^{−b} fitted as the closed-
+    // form least-squares line over (ln N, ln loss) of the three
+    // nested-subsample points, extrapolated one decade — the "is more
+    // data worth buying, and how much" number, where q293 only plots
+    // the curve. Determinism: the three (N, avg_logprob) inputs are
+    // q293's oracled exact values; every downstream operation (lns,
+    // the pivoted 3-point OLS, the exp extrapolation) is the SAME
+    // fixed-order double expression in both engines — no aggregation
+    // order exists to drift (the frame is pivoted to one row first).
+    // Scale: q293's three grouped model fits + one 3-row pivot.
+    QueryEntry.sql(
+      "q315_scaling_fit",
+      s"""WITH curve AS MATERIALIZED (
+         |  SELECT fraction_pct, n_train_bigrams, avg_logprob
+         |  FROM ($scalingCurveSql)
+         |), p AS (
+         |  SELECT
+         |    MAX(CASE WHEN fraction_pct = 25
+         |        THEN ln(CAST(n_train_bigrams AS DOUBLE)) END) AS x1,
+         |    MAX(CASE WHEN fraction_pct = 25 THEN ln(-avg_logprob) END) AS y1,
+         |    MAX(CASE WHEN fraction_pct = 50
+         |        THEN ln(CAST(n_train_bigrams AS DOUBLE)) END) AS x2,
+         |    MAX(CASE WHEN fraction_pct = 50 THEN ln(-avg_logprob) END) AS y2,
+         |    MAX(CASE WHEN fraction_pct = 100
+         |        THEN ln(CAST(n_train_bigrams AS DOUBLE)) END) AS x3,
+         |    MAX(CASE WHEN fraction_pct = 100 THEN ln(-avg_logprob) END) AS y3
+         |  FROM curve
+         |), f AS (
+         |  SELECT x1, y1, x2, y2, x3, y3,
+         |         (x1 + x2 + x3) / 3.0 AS xb, (y1 + y2 + y3) / 3.0 AS yb
+         |  FROM p
+         |), fit AS (
+         |  SELECT x3, y3,
+         |         ((x1 - xb) * (y1 - yb) + (x2 - xb) * (y2 - yb)
+         |          + (x3 - xb) * (y3 - yb))
+         |         / ((x1 - xb) * (x1 - xb) + (x2 - xb) * (x2 - xb)
+         |            + (x3 - xb) * (x3 - xb)) AS slope, xb, yb
+         |  FROM f
+         |)
+         |SELECT slope, yb - slope * xb AS intercept,
+         |       exp(y3) AS loss_100,
+         |       exp((yb - slope * xb) + slope * (x3 + ln(10.0)))
+         |         AS pred_loss_10x,
+         |       (exp(y3) - exp((yb - slope * xb) + slope * (x3 + ln(10.0))))
+         |         / exp(y3) AS decade_gain_frac
+         |FROM fit""".stripMargin,
+    ) { (s, dir) =>
+      val curve = scalingCurve(s, dir)
+      def at(p: Int, c: org.apache.spark.sql.Column) =
+        max(when(col("fraction_pct") === p, c))
+      val piv = curve.agg(
+        at(25, log(col("n_train_bigrams").cast(DoubleType))).as("x1"),
+        at(25, log(-col("avg_logprob"))).as("y1"),
+        at(50, log(col("n_train_bigrams").cast(DoubleType))).as("x2"),
+        at(50, log(-col("avg_logprob"))).as("y2"),
+        at(100, log(col("n_train_bigrams").cast(DoubleType))).as("x3"),
+        at(100, log(-col("avg_logprob"))).as("y3"))
+      val f = piv.select(col("*"),
+        ((col("x1") + col("x2") + col("x3")) / 3.0).as("xb"),
+        ((col("y1") + col("y2") + col("y3")) / 3.0).as("yb"))
+      val slope = ((col("x1") - col("xb")) * (col("y1") - col("yb"))
+        + (col("x2") - col("xb")) * (col("y2") - col("yb"))
+        + (col("x3") - col("xb")) * (col("y3") - col("yb"))) /
+        ((col("x1") - col("xb")) * (col("x1") - col("xb"))
+          + (col("x2") - col("xb")) * (col("x2") - col("xb"))
+          + (col("x3") - col("xb")) * (col("x3") - col("xb")))
+      val fit = f.select(col("x3"), col("y3"), slope.as("slope"),
+        col("xb"), col("yb"))
+      val intercept = col("yb") - col("slope") * col("xb")
+      val pred = exp(intercept + col("slope") * (col("x3") + log(lit(10.0))))
+      fit.select(col("slope"), intercept.as("intercept"),
+        exp(col("y3")).as("loss_100"),
+        pred.as("pred_loss_10x"),
+        ((exp(col("y3")) - pred) / exp(col("y3"))).as("decade_gain_frac"))
     },
   )
 }

@@ -177,5 +177,88 @@ object Shard {
     ) { (s, dir) =>
       feistelShuffleReport(Tables(s, dir).documents)
     },
+
+    // q316 — consistent-hash RING rebalance (the third placement
+    // primitive next to q202's rendezvous and q203's Feistel: rings
+    // are what memcached/Cassandra/object stores actually deploy,
+    // because membership changes need no per-key rescoring — only the
+    // arc the new node claims moves): 8 shards × 32 virtual nodes at
+    // md5₆₀('shard<k>:v<j>') ring positions, every doc at
+    // md5₆₀(doc_id) assigned to the clockwise-nearest vnode (argmin
+    // of the mod-2⁶⁰ gap; Spark takes a struct-min, DuckDB the
+    // equivalent HUGEINT-packed min — the q202 packing rule). The
+    // report re-assigns under a 9th shard and certifies the
+    // CONSISTENCY contract in-band: per old shard, n_moved counts
+    // docs that moved TO shard 8, and n_moved_elsewhere — movement
+    // between OLD shards, which consistent hashing forbids — must be
+    // 0 in every row (also pinned in spec).
+    // Scale shape: one broadcast 288-row vnode table × a per-doc
+    // argmin — map-side only, no shuffle until the final rollup.
+    QueryEntry.sql(
+      "q316_consistent_ring",
+      {
+        val vnodes = for { k <- 0 until 9; j <- 0 until 32 }
+          yield s"($k, 'shard$k:v$j')"
+        s"""WITH vn AS MATERIALIZED (
+           |  SELECT shard, CAST('0x' || substr(md5(nm), 1, 15) AS BIGINT) AS vpos
+           |  FROM (VALUES ${vnodes.mkString(", ")}) AS t(shard, nm)
+           |), d AS MATERIALIZED (
+           |  SELECT doc_id, CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+           |                      AS BIGINT) AS dpos
+           |  FROM documents
+           |), assign8 AS (
+           |  SELECT doc_id,
+           |         CAST(MIN(CAST((vpos - dpos + 1152921504606846976)
+           |                       % 1152921504606846976 AS HUGEINT) * 16 + shard)
+           |              % 16 AS BIGINT) AS s8
+           |  FROM d JOIN vn ON vn.shard < 8 GROUP BY doc_id
+           |), assign9 AS (
+           |  SELECT doc_id,
+           |         CAST(MIN(CAST((vpos - dpos + 1152921504606846976)
+           |                       % 1152921504606846976 AS HUGEINT) * 16 + shard)
+           |              % 16 AS BIGINT) AS s9
+           |  FROM d JOIN vn ON TRUE GROUP BY doc_id
+           |)
+           |SELECT s8 AS shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           |       CAST(SUM(CASE WHEN s9 = 8 THEN 1 ELSE 0 END) AS BIGINT)
+           |         AS n_moved,
+           |       CAST(SUM(CASE WHEN s9 <> s8 AND s9 <> 8 THEN 1 ELSE 0 END)
+           |            AS BIGINT) AS n_moved_elsewhere,
+           |       ROUND(SUM(CASE WHEN s9 = 8 THEN 1 ELSE 0 END) * 1.0
+           |             / COUNT(*), 6) AS moved_frac
+           |FROM assign8 JOIN assign9 USING (doc_id)
+           |GROUP BY s8 ORDER BY shard""".stripMargin
+      },
+    ) { (s, dir) =>
+      import s.implicits._
+      val ring = lit(1152921504606846976L) // 2^60
+      val vn = (for { k <- 0 until 9; j <- 0 until 32 }
+        yield (k, s"shard$k:v$j")).toDF("shard", "nm")
+        .select(col("shard"),
+          GraftFunctions.md5Long(col("nm")
+            .cast(org.apache.spark.sql.types.BinaryType)).as("vpos"))
+      val d = Tables(s, dir).documentsRebalanced
+        .select(col("doc_id"),
+          GraftFunctions.md5Long(col("doc_id")
+            .cast(org.apache.spark.sql.types.StringType)
+            .cast(org.apache.spark.sql.types.BinaryType)).as("dpos"))
+      def assigned(maxShard: Int, out: String) = d
+        .crossJoin(broadcast(vn.filter(col("shard") < maxShard)))
+        .groupBy("doc_id")
+        .agg(min(struct(pmod(col("vpos") - col("dpos"), ring).as("gap"),
+          col("shard"))).getField("shard").as(out))
+      assigned(8, "s8").join(assigned(9, "s9"), "doc_id")
+        .groupBy(col("s8").as("shard"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("s9") === 8, 1L).otherwise(0L)).as("n_moved"),
+          sum(when(col("s9") =!= col("s8") && col("s9") =!= 8, 1L)
+            .otherwise(0L)).as("n_moved_elsewhere"),
+          round(sum(when(col("s9") === 8, 1L).otherwise(0L)) * lit(1.0)
+            / count(lit(1)), 6).as("moved_frac"))
+        .select(col("shard").cast(org.apache.spark.sql.types.LongType)
+          .as("shard"), col("n_docs"), col("n_moved"),
+          col("n_moved_elsewhere"), col("moved_frac"))
+        .orderBy("shard")
+    },
   )
 }

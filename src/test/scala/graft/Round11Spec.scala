@@ -86,6 +86,25 @@ class Round11Spec extends SparkSpec {
     assert(acc.exists(_ < 1.0), "acceptance saturated — dead ratio")
   }
 
+  test("q315: the fitted scaling law learns (negative slope, decade gain in (0,1))") {
+    val r = run("q315_scaling_fit").collect().head
+    assert(r.getAs[Double]("slope") < 0.0, "more data did not reduce loss")
+    val gain = r.getAs[Double]("decade_gain_frac")
+    assert(gain > 0.0 && gain < 1.0, s"decade gain out of range: $gain")
+    assert(r.getAs[Double]("pred_loss_10x") < r.getAs[Double]("loss_100"))
+  }
+
+  test("q316: consistent hashing moves keys ONLY to the new shard, ~1/(n+1) of them") {
+    val rows = run("q316_consistent_ring").collect()
+    assert(rows.length == 8)
+    assert(rows.forall(_.getAs[Long]("n_moved_elsewhere") == 0L),
+      "keys moved between OLD shards — not a consistent ring")
+    val moved = rows.map(_.getAs[Long]("n_moved")).sum.toDouble
+    val total = rows.map(_.getAs[Long]("n_docs")).sum.toDouble
+    val frac = moved / total
+    assert(frac > 0.0 && frac < 0.3, s"moved fraction $frac out of the ring contract")
+  }
+
   test("q306/q308: exact-decimal max ties and the dormancy screen are non-vacuous") {
     val q15 = run("q306_tpch_q15").collect()
     assert(q15.nonEmpty, "no top supplier found")
