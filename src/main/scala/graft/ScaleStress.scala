@@ -140,6 +140,15 @@ object ScaleStress {
     "q296_platt_scaling", // q250 fit + 10 Platt map-agg passes + binned rollup — linear
     "q297_temperature_sampling", // one grouped count + |sources|x|tau| constant work — linear
     "q298_quality_length_bias", // two GRID histograms + rank joins + moment rollup — linear
+    // round-11 additions
+    "q300_pagerank_distributed", // forced shuffle-hash rank-frame loop — iteration-bounded
+    "q304_tpch_q13", // customer LEFT JOIN orders + count-of-counts — linear
+    "q309_min_k_membership", // trigram explode + vocab-bounded model joins + per-doc window — linear
+    "q310_late_interaction", // 8x explode x 40 broadcast probe tokens — linear
+    "q312_curation_pipeline", // filter + content-hash shuffle + bounded quota window — linear
+    "q313_self_bleu", // successor window + (pair, gram)-keyed clipping joins — linear
+    "q314_spec_decode_accept", // trigram explode + 4 vocab-bounded joins — linear
+    "q316_consistent_ring", // 288-row broadcast x per-doc argmin — linear, map-side
   )
 
   /** Per-table key-shift rules: every synthetic surrogate key column
