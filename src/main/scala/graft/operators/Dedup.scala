@@ -805,19 +805,35 @@ object Dedup {
        |  FROM documents
        |), th AS (
        |  SELECT doc_id, CAST('0x' || substr(md5(t), 1, 15) AS BIGINT) AS h FROM tok
+       |), thc AS MATERIALIZED (
+       |  -- collapse repeated tokens BEFORE the 60-way bit expansion:
+       |  -- the majority vote is linear in counts, and tokens x 60 rows
+       |  -- (1.9e9 at the sf1 blowup) shrink to distinct(doc, hash) x 60
+       |  SELECT doc_id, h, COUNT(*) AS c FROM th GROUP BY 1, 2
        |), bits AS (
        |  SELECT doc_id, b.b AS b,
-       |         SUM(CASE WHEN ((h >> b.b) & 1) = 1 THEN 1 ELSE -1 END) AS cnt
-       |  FROM th, (SELECT unnest(range(0, 60)) AS b) b
+       |         SUM(CASE WHEN ((h >> b.b) & 1) = 1 THEN c ELSE -c END) AS cnt
+       |  FROM thc, (SELECT unnest(range(0, 60)) AS b) b
        |  GROUP BY doc_id, b.b
-       |), sig AS (
+       |), sig AS MATERIALIZED (
        |  SELECT doc_id,
        |         CAST(SUM(CASE WHEN cnt > 0 THEN CAST(1 AS BIGINT) << b ELSE 0 END) AS BIGINT) AS sh
        |  FROM bits GROUP BY doc_id
+       |), bkey AS MATERIALIZED (
+       |  -- banded pigeonhole candidates (EXACT for hamming <= 3: four
+       |  -- disjoint 15-bit bands, three differing bits touch at most
+       |  -- three of them, so some band is identical): the all-pairs
+       |  -- bit_count join was |docs|^2/2 — 1.25e9 pairs / 1638 s at the
+       |  -- sf1 blowup; band-bucketed candidates replay in seconds
+       |  SELECT doc_id, sh, bi, (sh >> (bi * 15)) & 32767 AS bv
+       |  FROM sig, (SELECT unnest(range(0, 4)) AS bi) bands
        |), spairs AS (
-       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-       |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id
-       |  WHERE bit_count(xor(a.sh, b.sh)) <= 3
+       |  SELECT doc_a, doc_b FROM (
+       |    SELECT DISTINCT a.doc_id AS doc_a, a.sh AS sha,
+       |           b.doc_id AS doc_b, b.sh AS shb
+       |    FROM bkey a JOIN bkey b
+       |      ON b.bi = a.bi AND b.bv = a.bv AND a.doc_id < b.doc_id) c
+       |  WHERE bit_count(xor(sha, shb)) <= 3
        |), edges2 AS (
        |  SELECT doc_a AS src, doc_b AS dst FROM spairs
        |  UNION ALL SELECT doc_b, doc_a FROM spairs
