@@ -1152,6 +1152,57 @@ object Dedup {
          |ORDER BY doc_a, doc_b""".stripMargin,
     ) { (s, dir) => nearDupPairs(Tables(s, dir).documents) },
 
+    // q317 — cross-source duplicate FLOW matrix: q213's modularity
+    // says HOW MUCH duplication crosses feed boundaries; this says
+    // WHICH feed pairs exchange it (the provenance question that
+    // decides whose upstream gets fixed). Every q20 near-dup pair maps
+    // to its unordered (source_lo, source_hi) cell with min/max
+    // normalization so the matrix is one triangle in both engines;
+    // per cell: pair count and the order-free mean Jaccard on the
+    // 6dp-DECIMAL grid. Scale: the q20 banded pair generator + one
+    // doc-keyed source join per side + a cell rollup (≤ sources²/2
+    // rows out).
+    QueryEntry.sql(
+      "q317_dup_flow_matrix",
+      s"""WITH $shCteSql, ${invertedPairsSql(4, 5)},
+         |src AS MATERIALIZED (SELECT doc_id, source FROM documents),
+         |cells AS (
+         |  SELECT LEAST(sa.source, sb.source) AS source_lo,
+         |         GREATEST(sa.source, sb.source) AS source_hi,
+         |         CAST(ROUND(CAST(p.inter AS DOUBLE) / p.uni, 6)
+         |              AS DECIMAL(18,6)) AS j
+         |  FROM pairs p
+         |  JOIN src sa ON sa.doc_id = p.doc_a
+         |  JOIN src sb ON sb.doc_id = p.doc_b
+         |)
+         |SELECT source_lo, source_hi, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         |       CAST(SUM(j) AS DOUBLE) / COUNT(*) AS mean_jaccard,
+         |       source_lo = source_hi AS intra
+         |FROM cells GROUP BY source_lo, source_hi
+         |ORDER BY source_lo, source_hi""".stripMargin,
+    ) { (s, dir) =>
+      val docs = Tables(s, dir).documents
+      val pairs = nearDupPairs(docs)
+      val src = docs.select(col("doc_id"), col("source"))
+      val D6 = org.apache.spark.sql.types.DecimalType(18, 6)
+      pairs
+        .join(src.select(col("doc_id").as("doc_a"), col("source").as("sa")),
+          Seq("doc_a"))
+        .join(src.select(col("doc_id").as("doc_b"), col("source").as("sb")),
+          Seq("doc_b"))
+        .select(least(col("sa"), col("sb")).as("source_lo"),
+          greatest(col("sa"), col("sb")).as("source_hi"),
+          round(col("inter").cast(DoubleType) / col("uni"), 6)
+            .cast(D6).as("j"))
+        .groupBy("source_lo", "source_hi")
+        .agg(count(lit(1)).as("n_pairs"),
+          (sum("j").cast(DoubleType) / count(lit(1))).as("mean_jaccard"))
+        .select(col("source_lo"), col("source_hi"), col("n_pairs"),
+          col("mean_jaccard"),
+          (col("source_lo") === col("source_hi")).as("intra"))
+        .orderBy("source_lo", "source_hi")
+    },
+
     // q213 — modularity of the SOURCE partition over the near-dup
     // graph: are duplicates mostly intra-feed (fix upstream, one feed
     // at a time) or cross-feed (global dedup is load-bearing)? Q's

@@ -942,5 +942,146 @@ object Lm {
         pred.as("pred_loss_10x"),
         ((exp(col("y3")) - pred) / exp(col("y3"))).as("decade_gain_frac"))
     },
+
+    // q318 — the dedup ABLATION (does deduplication measurably change
+    // the model? — Lee et al. 2022's headline claim, run as a
+    // differential experiment instead of taken on faith): every 7th
+    // TRAIN document is duplicated (a planted crawl re-fetch, the
+    // q63/q283 pattern — the fixture's organic exact-dup groups never
+    // straddle the train gate, so an unplanted ablation measures
+    // nothing at the oracle SFs; copy keys live at doc_id + 2^40, a
+    // key space disjoint from real ids at ANY scale factor and far
+    // from BIGINT overflow — the q299 standard). Two add-one bigram
+    // LMs: RAW fits on train + copies (over-counting the re-fetched
+    // docs), DEDUP on the keep-min-key md5(text) survivors; both
+    // score the SAME held-out split. One row: train volumes, both
+    // held-out per-bigram log-probs, the delta — the entry that
+    // certifies dedup has a measurable model-side effect.
+    // Determinism is q293's exactly: 6dp-rounded ln per distinct
+    // bigram, NARROW-decimal-weighted DECIMAL sums, one division;
+    // the delta subtracts two identical-input doubles.
+    // Scale: one content-hash shuffle + two grouped model fits + two
+    // model-keyed scoring joins — the q293 shape with a dedup gate.
+    QueryEntry.sql(
+      "q318_dedup_ablation",
+      s"""WITH tok0 AS (
+         |  SELECT doc_id, text,
+         |         regexp_split_to_array(trim(lower(text)), '\\s+') AS t,
+         |         (${Hll.splitmixSqlFor("doc_id")}) >> 54
+         |           < ${Winnow.SplitTrainLt} AS is_train
+         |  FROM documents
+         |  WHERE len(regexp_split_to_array(trim(lower(text)), '\\s+')) >= 2
+         |), tok AS MATERIALIZED (
+         |  SELECT doc_id AS k, text, t, is_train FROM tok0
+         |  UNION ALL
+         |  SELECT doc_id + 1099511627776 AS k, text, t, TRUE AS is_train
+         |  FROM tok0 WHERE is_train AND doc_id % 7 = 0
+         |), surv AS MATERIALIZED (
+         |  SELECT MIN(k) AS k FROM tok WHERE is_train GROUP BY md5(text)
+         |), bg AS MATERIALIZED (
+         |  SELECT k, is_train,
+         |         k IN (SELECT k FROM surv) AS keep,
+         |         t[i] AS w1, t[i + 1] AS w2
+         |  FROM (SELECT k, is_train, t,
+         |               unnest(generate_series(1, len(t) - 1)) AS i FROM tok)
+         |), ep AS MATERIALIZED (
+         |  SELECT w1, w2, COUNT(*) AS ce FROM bg WHERE NOT is_train
+         |  GROUP BY 1, 2
+         |), craw AS MATERIALIZED (
+         |  SELECT w1, w2, COUNT(*) AS c12 FROM bg WHERE is_train GROUP BY 1, 2
+         |), xraw AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM craw GROUP BY 1),
+         |vraw AS (SELECT COUNT(*) AS v FROM (SELECT w1 FROM craw
+         |                                    UNION SELECT w2 FROM craw)),
+         |cded AS MATERIALIZED (
+         |  SELECT w1, w2, COUNT(*) AS c12 FROM bg WHERE is_train AND keep
+         |  GROUP BY 1, 2
+         |), xded AS (SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1 FROM cded GROUP BY 1),
+         |vded AS (SELECT COUNT(*) AS v FROM (SELECT w1 FROM cded
+         |                                    UNION SELECT w2 FROM cded)),
+         |sraw AS (
+         |  SELECT CAST(SUM(CAST(ce AS DECIMAL(10,0))
+         |         * CAST(ROUND(ln((COALESCE(c12, 0) + 1.0)
+         |                         / (COALESCE(c1, 0) + v)), 6)
+         |                AS DECIMAL(18,6))) AS DOUBLE) / SUM(ce) AS lp,
+         |         (SELECT CAST(SUM(c12) AS BIGINT) FROM craw) AS nb,
+         |         (SELECT CAST(v AS BIGINT) FROM vraw) AS vo
+         |  FROM ep LEFT JOIN craw USING (w1, w2)
+         |  LEFT JOIN xraw USING (w1), vraw
+         |), sded AS (
+         |  SELECT CAST(SUM(CAST(ce AS DECIMAL(10,0))
+         |         * CAST(ROUND(ln((COALESCE(c12, 0) + 1.0)
+         |                         / (COALESCE(c1, 0) + v)), 6)
+         |                AS DECIMAL(18,6))) AS DOUBLE) / SUM(ce) AS lp,
+         |         (SELECT CAST(SUM(c12) AS BIGINT) FROM cded) AS nb,
+         |         (SELECT CAST(v AS BIGINT) FROM vded) AS vo
+         |  FROM ep LEFT JOIN cded USING (w1, w2)
+         |  LEFT JOIN xded USING (w1), vded
+         |)
+         |SELECT sraw.nb AS n_train_bigrams_raw, sded.nb AS n_train_bigrams_dedup,
+         |       sraw.vo AS vocab_raw, sded.vo AS vocab_dedup,
+         |       sraw.lp AS avg_logprob_raw, sded.lp AS avg_logprob_dedup,
+         |       sded.lp - sraw.lp AS dedup_delta
+         |FROM sraw, sded""".stripMargin,
+    ) { (s, dir) =>
+      val tok0 = Tables(s, dir).documentsRebalanced
+        .select(col("doc_id"), col("text"),
+          TextAnalysis.tokens(col("text")).as("t"),
+          (shiftrightunsigned(GraftFunctions.splitmix64(col("doc_id")), 54)
+            < Winnow.SplitTrainLt).as("is_train"))
+        .filter(size(col("t")) >= 2)
+      val tok = tok0.select(col("doc_id").as("k"), col("text"), col("t"),
+        col("is_train"))
+        .unionAll(tok0.filter(col("is_train") && pmod(col("doc_id"), lit(7L)) === 0)
+          .select((col("doc_id") + lit(1099511627776L)).as("k"), col("text"),
+            col("t"), lit(true).as("is_train")))
+      val surv = tok.filter(col("is_train"))
+        .groupBy(md5(col("text")).as("h"))
+        .agg(min("k").as("k")).select("k")
+        .withColumn("keep", lit(true))
+      val bg = tok
+        .join(surv, Seq("k"), "left")
+        .select(col("k"), col("is_train"),
+          coalesce(col("keep"), lit(false)).as("keep"), col("t"),
+          explode(sequence(lit(1), size(col("t")) - 1)).as("i"))
+        .select(col("k"), col("is_train"), col("keep"),
+          element_at(col("t"), col("i")).as("w1"),
+          element_at(col("t"), col("i") + 1).as("w2"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      graft.TransientCaches.register(bg)
+      val ep = bg.filter(!col("is_train"))
+        .groupBy("w1", "w2").agg(count(lit(1)).as("ce"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      graft.TransientCaches.register(ep)
+      def fitScore(train: DataFrame, tag: String): DataFrame = {
+        val c = train.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        graft.TransientCaches.register(c)
+        val x = c.groupBy("w1").agg(sum("c12").cast(LongType).as("c1"))
+        val v = c.select(col("w1")).union(c.select(col("w2")))
+          .distinct().agg(count(lit(1)).as("v"))
+        val tb = c.agg(sum("c12").cast(LongType).as("ntb"))
+        val lp = round(log((coalesce(col("c12"), lit(0L)) + lit(1.0))
+          / (coalesce(col("c1"), lit(0L)) + col("v"))), 6).cast(D6)
+        ep.join(c, Seq("w1", "w2"), "left")
+          .join(x, Seq("w1"), "left")
+          .crossJoin(broadcast(v)).crossJoin(broadcast(tb))
+          .select(col("ce"), col("ntb"), col("v"),
+            (col("ce").cast(DecimalType(10, 0)) * lp).as("wlp"))
+          .groupBy("ntb", "v")
+          .agg(sum("ce").as("nce"), sum("wlp").as("slp"))
+          .select(col("ntb").as(s"nb_$tag"),
+            col("v").cast(LongType).as(s"vo_$tag"),
+            (col("slp").cast(DoubleType) / col("nce")).as(s"lp_$tag"))
+      }
+      val raw = fitScore(bg.filter(col("is_train")), "raw")
+      val ded = fitScore(bg.filter(col("is_train") && col("keep")), "ded")
+      raw.crossJoin(broadcast(ded))
+        .select(col("nb_raw").as("n_train_bigrams_raw"),
+          col("nb_ded").as("n_train_bigrams_dedup"),
+          col("vo_raw").as("vocab_raw"), col("vo_ded").as("vocab_dedup"),
+          col("lp_raw").as("avg_logprob_raw"),
+          col("lp_ded").as("avg_logprob_dedup"),
+          (col("lp_ded") - col("lp_raw")).as("dedup_delta"))
+    },
   )
 }

@@ -105,6 +105,23 @@ class Round11Spec extends SparkSpec {
     assert(frac > 0.0 && frac < 0.3, s"moved fraction $frac out of the ring contract")
   }
 
+  test("q317: flow matrix conserves the q20 pair count") {
+    val cells = run("q317_dup_flow_matrix")
+      .select(col("n_pairs")).as[Long].collect()
+    val pairs = run("q20_minhash_neardup").count()
+    assert(cells.sum == pairs, s"${cells.sum} cells vs $pairs pairs")
+    assert(cells.forall(_ > 0))
+  }
+
+  test("q318: dedup removes planted train dups and improves held-out log-prob") {
+    val r = run("q318_dedup_ablation").collect().head
+    assert(r.getAs[Long]("n_train_bigrams_raw") >
+      r.getAs[Long]("n_train_bigrams_dedup"),
+      "planted duplicates did not inflate the raw train set")
+    assert(r.getAs[Double]("dedup_delta") > 0.0,
+      "dedup did not improve held-out log-prob on the planted corpus")
+  }
+
   test("q306/q308: exact-decimal max ties and the dormancy screen are non-vacuous") {
     val q15 = run("q306_tpch_q15").collect()
     assert(q15.nonEmpty, "no top supplier found")
