@@ -149,6 +149,8 @@ object ScaleStress {
     "q313_self_bleu", // successor window + (pair, gram)-keyed clipping joins — linear
     "q314_spec_decode_accept", // trigram explode + 4 vocab-bounded joins — linear
     "q316_consistent_ring", // 288-row broadcast x per-doc argmin — linear, map-side
+    "q317_dup_flow_matrix", // q20 banded pairs + source joins + cell rollup — q20's class
+    "q318_dedup_ablation", // content-hash shuffle + 2 model fits + 2 scoring joins — linear
   )
 
   /** Per-table key-shift rules: every synthetic surrogate key column
