@@ -122,8 +122,13 @@ object Bench {
           val minCover = math.max(1, currentNames.size / 2)
           (lines.size to 1 by -1).iterator.map { i =>
             val text = lines.get(i - 1)
+            // the sf field must be PRESENT and matching (exists, not
+            // forall): a schema-drifted line with no sf field would
+            // otherwise silently supply cross-sf vs_prev ratios — the
+            // same class of silent-disarm defect the history source
+            // exists to prevent
             val sfOk = sfRe.findFirstMatchIn(text).map(_.group(1))
-              .forall(s => new java.io.File(s).getName == wantSf)
+              .exists(s => new java.io.File(s).getName == wantSf)
             val qs = if (sfOk) queryTimesFromText(text) else Map.empty[String, Double]
             (i, qs)
           }.collectFirst {
@@ -200,7 +205,42 @@ object Bench {
     * lower of seq/iso > the higher.
     */
   val FreshDisagreeRatio = 1.5
-  val FreshCap = 8
+  val FreshCap = 18
+
+  /** Whether a witnessed query must be re-measured in a fresh child
+    * JVM. Two triggers, both mandatory (r11 VERDICT item 1):
+    *   1. seq and iso disagree (>FreshDisagreeRatio either way) — the
+    *      in-JVM record is self-contradictory.
+    *   2. vs_prev exceeds [[WitnessRegressionRatio]] — EVEN when
+    *      seq ≈ iso. A host-wide slowdown inflates the sequence and
+    *      the isolated re-run TOGETHER, so seq/iso agreement is
+    *      exactly the wrong evidence to close a vs-prev flag: the
+    *      committed BENCH_r11 certified q259 at 5.6× and q139 at
+    *      5.8× vs r10 as `stable` off iso agreement alone, while
+    *      same-session quiet-host runs showed both nominal. Only a
+    *      process with no shared host-period history (a fresh child
+    *      JVM, started minutes later) can adjudicate that case.
+    * Pure so the seq≈iso-but-regressed case is spec-pinned.
+    */
+  def needsFreshJvm(seq: Double, iso: Double, vsPrev: Option[Double]): Boolean =
+    seq > 0 && iso > 0 && (
+      math.max(seq / iso, iso / seq) > FreshDisagreeRatio ||
+        vsPrev.exists(_ > WitnessRegressionRatio))
+
+  /** Loaded-host record detector (r11 VERDICT item 7): a full-run
+    * record taken under host contention must flag itself rather than
+    * be committed silently as this round's canonical number. Either
+    * signal suffices — run-average CPU steal above 3% (the r5
+    * hypervisor-contention witness), or ≥4 queries at >3× their
+    * prior-round time (same code, quiet host: r11's committed record
+    * had exactly this shape — four 4.3–5.8× readings that vanished on
+    * a rested host). Pure for spec-pinning.
+    */
+  val LoadedStealAvg = 0.03
+  val LoadedBigRegressionRatio = 3.0
+  val LoadedBigRegressionCount = 4
+  def hostLoaded(stealAvg: Double, bigRegressions: Int): Boolean =
+    stealAvg >= LoadedStealAvg || bigRegressions >= LoadedBigRegressionCount
 
   /** Measure one query in a brand-new JVM: re-exec this class with the
     * parent's own JVM flags and classpath, `SPARK_GRAFT_FRESH=1` +
@@ -416,7 +456,10 @@ object Bench {
         case (k, v) if v > 0 &&
           r1.get(k).exists(b => b > 0 && v / b > WitnessVsR1Ratio) => k
       }
-      (slowest ++ regressed ++ overR1).distinct.take(WitnessCap)
+      // regressed FIRST: every >1.5×-vs-prev reading is protocol-bound
+      // to a fresh-JVM verdict (needsFreshJvm), so the witness cap must
+      // never squeeze one out in favor of a merely-slow stable query
+      (regressed ++ slowest ++ overR1).distinct.take(WitnessCap)
     }
     val witness = witnessNames.flatMap { n =>
       entries.find(_.name == n).map { e =>
@@ -427,13 +470,13 @@ object Bench {
         (n, iso, stealByQuery.getOrElse(n, 0.0), cc)
       }
     }
-    // fresh-JVM tiebreaker for self-contradictory witnesses (seq vs iso
-    // off by >FreshDisagreeRatio in either direction)
+    // fresh-JVM tiebreaker: self-contradictory witnesses (seq vs iso
+    // off >FreshDisagreeRatio either way) AND every >1.5×-vs-prev
+    // regression regardless of agreement — see needsFreshJvm
     val freshByName = witness
       .filter { case (n, iso, _, _) =>
-        val seq = byName(n)
-        seq > 0 && iso > 0 &&
-          math.max(seq / iso, iso / seq) > FreshDisagreeRatio
+        needsFreshJvm(byName(n), iso,
+          prev.get(n).filter(_ > 0).map(p => byName(n) / p))
       }
       .take(FreshCap)
       .map { case (n, _, _, _) =>
@@ -513,7 +556,7 @@ object Bench {
       // trust order fresh > min(seq, iso): a fresh-JVM reading, when
       // taken, overrides the in-JVM pair entirely
       val trusted = fresh.getOrElse((Seq(seq, iso).filter(_ > 0) :+ seq).min)
-      val v = r1.get(n).filter(_ > 0) match {
+      val v0 = r1.get(n).filter(_ > 0) match {
         case Some(b) =>
           if (seq / b <= WitnessVsR1Ratio) "ok"
           else if (trusted / b <= WitnessVsR1Ratio) "cleared"
@@ -525,16 +568,38 @@ object Bench {
           else if (fresh.isDefined) "cost_confirmed"
           else "stable"
       }
+      // a vs-prev-flagged query must carry an explicit adjudication of
+      // THAT flag (r11 finding 1: q259/q139 read `stable` while 5× over
+      // their prior round) — the fresh-first trusted reading vs the
+      // prior-round time decides noise vs real regression
+      val v = prev.get(n).filter(_ > 0) match {
+        case Some(p) if seq / p > WitnessRegressionRatio &&
+            (v0 == "ok" || v0 == "stable") =>
+          if (trusted / p <= WitnessRegressionRatio) "prev_noise"
+          else "prev_confirmed"
+        case _ => v0
+      }
       s""""$n":"$v""""
     }.mkString("{", ",", "}")
     val stealAvg = {
       val vs = seqSteal.values
       if (vs.isEmpty) 0.0 else r3(vs.sum / vs.size)
     }
+    // loaded-host self-flag (r11 VERDICT item 7): the committed record
+    // must say when it was taken under contention — the canonical
+    // round number should then come from a quiet re-run, not this one
+    val bigRegressions = results.count { case (k, v) =>
+      v > 0 && prev.get(k).exists(p => p > 0 && v / p > LoadedBigRegressionRatio)
+    }
+    val loaded = hostLoaded(stealAvg, bigRegressions)
+    if (loaded) System.err.println(
+      s"[bench] HOST LOADED record: steal_avg=$stealAvg " +
+        s"big_regressions=$bigRegressions — re-run on a quiet host for the canonical number")
     val summary =
       s"""{"metric":"bench_summary","total":${r3(ok.sum)},"n":${results.size},""" +
         s""""failed":$failed,"sf":"$sfDir"$vsR1Json,""" +
         s""""witness_verdicts":$verdicts,"steal_avg":$stealAvg,""" +
+        s""""host_loaded":$loaded,"big_regressions":$bigRegressions,""" +
         s""""full":"BENCH_LAST.json"}"""
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get("BENCH_SUMMARY.json"), summary + "\n")

@@ -14,6 +14,12 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // oracle-gated mode: the auto-dispatched operators (q22/q155/q172)
+    // must fail LOUD if a fixture ever grows past their exact-path row
+    // budget during this dump — their registered oracles are the exact
+    // forms, and a silent escape-path dispatch would surface as a
+    // baffling hash mismatch instead (r11 ADVICE item 3)
+    sys.props("graft.oracle.gated") = "true"
     new java.io.File(outDir).mkdirs()
     val selected = SparkEntry.queries.filter { case (n, _) => SparkEntry.envSelected(n) }
     val failures = scala.collection.mutable.LinkedHashMap.empty[String, String]

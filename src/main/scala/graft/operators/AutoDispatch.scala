@@ -32,4 +32,31 @@ object AutoDispatch {
   def useExact(n: Long, maxExactRows: Long,
       refSemantics: Boolean = referenceSemantics): Boolean =
     refSemantics || n <= maxExactRows
+
+  /** True while an oracle-gated run is in flight (Verify sets the JVM
+    * property for its whole dump). The registered oracles for
+    * q22/q155/q172 are the EXACT reference forms, so an escape-path
+    * dispatch during a gated run would fail the hash gate with a
+    * confusing value mismatch; [[decide]] fails loud at dispatch time
+    * instead (r11 ADVICE item 3 — the contract must not depend on
+    * fixture sizes documented only in comments).
+    */
+  def oracleGated: Boolean = sys.props.get("graft.oracle.gated").contains("true")
+
+  /** [[useExact]] plus the oracle-gate guard: choosing the escape path
+    * under a gated run throws, naming the operator and its threshold,
+    * rather than letting the exact-form oracle fail downstream.
+    */
+  def decide(n: Long, maxExactRows: Long, opName: String,
+      refSemantics: Boolean = referenceSemantics,
+      gated: Boolean = oracleGated): Boolean = {
+    val exact = useExact(n, maxExactRows, refSemantics)
+    if (!exact && gated)
+      throw new IllegalStateException(
+        s"$opName: oracle-gated run would dispatch to the APPROXIMATE escape " +
+          s"path ($n rows > exact budget $maxExactRows) while the registered " +
+          "oracle is the exact reference form. Shrink the fixture below the " +
+          "budget or set SPARK_GRAFT_REFERENCE_SEMANTICS to force the exact path.")
+    exact
+  }
 }

@@ -268,7 +268,7 @@ object Fuzzy {
   def jaroWinklerTopKAuto(part: org.apache.spark.sql.DataFrame, k: Int,
       maxExactRows: Long = ExactBlockingAutoMaxRows)
       : org.apache.spark.sql.DataFrame =
-    if (AutoDispatch.useExact(part.count(), maxExactRows))
+    if (AutoDispatch.decide(part.count(), maxExactRows, "q155_jaro_winkler_topk"))
       jaroWinklerBlocked(part, k)
     else jaroWinklerPrefixBlocked(part, k)
 
@@ -280,7 +280,7 @@ object Fuzzy {
   def erBlockingRecallAuto(part: org.apache.spark.sql.DataFrame,
       minJw: Double, maxExactRows: Long = ExactBlockingAutoMaxRows)
       : org.apache.spark.sql.DataFrame =
-    if (AutoDispatch.useExact(part.count(), maxExactRows))
+    if (AutoDispatch.decide(part.count(), maxExactRows, "q172_er_blocking_recall"))
       erBlockingRecall(part, minJw)
     else erBlockingRecallBucketed(part, minJw)
       .select("n_full", "n_prefix", "n_overlap", "pair_recall")

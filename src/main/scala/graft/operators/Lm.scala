@@ -884,15 +884,24 @@ object Lm {
          |  FROM ($scalingCurveSql)
          |), p AS (
          |  SELECT
-         |    MAX(CASE WHEN fraction_pct = 25
-         |        THEN ln(CAST(n_train_bigrams AS DOUBLE)) END) AS x1,
-         |    MAX(CASE WHEN fraction_pct = 25 THEN ln(-avg_logprob) END) AS y1,
-         |    MAX(CASE WHEN fraction_pct = 50
-         |        THEN ln(CAST(n_train_bigrams AS DOUBLE)) END) AS x2,
-         |    MAX(CASE WHEN fraction_pct = 50 THEN ln(-avg_logprob) END) AS y2,
-         |    MAX(CASE WHEN fraction_pct = 100
-         |        THEN ln(CAST(n_train_bigrams AS DOUBLE)) END) AS x3,
-         |    MAX(CASE WHEN fraction_pct = 100 THEN ln(-avg_logprob) END) AS y3
+         |    CAST(CAST(ROUND(MAX(CASE WHEN fraction_pct = 25
+         |        THEN ln(CAST(n_train_bigrams AS DOUBLE)) END), 6)
+         |      AS DECIMAL(18,6)) AS DOUBLE) AS x1,
+         |    CAST(CAST(ROUND(MAX(CASE WHEN fraction_pct = 25
+         |        THEN ln(-avg_logprob) END), 6)
+         |      AS DECIMAL(18,6)) AS DOUBLE) AS y1,
+         |    CAST(CAST(ROUND(MAX(CASE WHEN fraction_pct = 50
+         |        THEN ln(CAST(n_train_bigrams AS DOUBLE)) END), 6)
+         |      AS DECIMAL(18,6)) AS DOUBLE) AS x2,
+         |    CAST(CAST(ROUND(MAX(CASE WHEN fraction_pct = 50
+         |        THEN ln(-avg_logprob) END), 6)
+         |      AS DECIMAL(18,6)) AS DOUBLE) AS y2,
+         |    CAST(CAST(ROUND(MAX(CASE WHEN fraction_pct = 100
+         |        THEN ln(CAST(n_train_bigrams AS DOUBLE)) END), 6)
+         |      AS DECIMAL(18,6)) AS DOUBLE) AS x3,
+         |    CAST(CAST(ROUND(MAX(CASE WHEN fraction_pct = 100
+         |        THEN ln(-avg_logprob) END), 6)
+         |      AS DECIMAL(18,6)) AS DOUBLE) AS y3
          |  FROM curve
          |), f AS (
          |  SELECT x1, y1, x2, y2, x3, y3,
@@ -906,17 +915,24 @@ object Lm {
          |            + (x3 - xb) * (x3 - xb)) AS slope, xb, yb
          |  FROM f
          |)
-         |SELECT slope, yb - slope * xb AS intercept,
-         |       exp(y3) AS loss_100,
-         |       exp((yb - slope * xb) + slope * (x3 + ln(10.0)))
+         |SELECT ROUND(slope, 6) AS slope,
+         |       ROUND(yb - slope * xb, 6) AS intercept,
+         |       ROUND(exp(y3), 6) AS loss_100,
+         |       ROUND(exp((yb - slope * xb) + slope * (x3 + ln(10.0))), 6)
          |         AS pred_loss_10x,
-         |       (exp(y3) - exp((yb - slope * xb) + slope * (x3 + ln(10.0))))
-         |         / exp(y3) AS decade_gain_frac
+         |       ROUND((exp(y3) - exp((yb - slope * xb) + slope * (x3 + ln(10.0))))
+         |         / exp(y3), 6) AS decade_gain_frac
          |FROM fit""".stripMargin,
     ) { (s, dir) =>
       val curve = scalingCurve(s, dir)
+      // q175's OLS determinism pattern (r11 ADVICE): the raw ln()
+      // pivots are rounded ONCE at 6dp through DECIMAL(18,6) before
+      // any arithmetic — JVM Math.log and DuckDB's libm are each only
+      // 1-ulp-bounded, so unrounded ln outputs are not a cross-engine
+      // primitive; the five fitted outputs are rounded at 6dp too
       def at(p: Int, c: org.apache.spark.sql.Column) =
-        max(when(col("fraction_pct") === p, c))
+        round(max(when(col("fraction_pct") === p, c)), 6)
+          .cast(DecimalType(18, 6)).cast(DoubleType)
       val piv = curve.agg(
         at(25, log(col("n_train_bigrams").cast(DoubleType))).as("x1"),
         at(25, log(-col("avg_logprob"))).as("y1"),
@@ -937,10 +953,11 @@ object Lm {
         col("xb"), col("yb"))
       val intercept = col("yb") - col("slope") * col("xb")
       val pred = exp(intercept + col("slope") * (col("x3") + log(lit(10.0))))
-      fit.select(col("slope"), intercept.as("intercept"),
-        exp(col("y3")).as("loss_100"),
-        pred.as("pred_loss_10x"),
-        ((exp(col("y3")) - pred) / exp(col("y3"))).as("decade_gain_frac"))
+      fit.select(round(col("slope"), 6).as("slope"),
+        round(intercept, 6).as("intercept"),
+        round(exp(col("y3")), 6).as("loss_100"),
+        round(pred, 6).as("pred_loss_10x"),
+        round((exp(col("y3")) - pred) / exp(col("y3")), 6).as("decade_gain_frac"))
     },
 
     // q318 — the dedup ABLATION (does deduplication measurably change

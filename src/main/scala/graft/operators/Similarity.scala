@@ -100,7 +100,7 @@ object Similarity {
     */
   def cosinePairsAuto(emb: DataFrame, threshold: Double,
       maxExactRows: Long = ExactPairsAutoMaxRows): DataFrame =
-    if (AutoDispatch.useExact(emb.count(), maxExactRows))
+    if (AutoDispatch.decide(emb.count(), maxExactRows, "q22_exact_cosine_pairs"))
       exactCosinePairs(emb, threshold)
     else Ivf.annNearDupPairs(emb, threshold)
 

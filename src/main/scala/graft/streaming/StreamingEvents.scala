@@ -705,7 +705,7 @@ object StreamingEvents {
     */
   private[graft] def dedupFeedStaged(spark: SparkSession, dir: String): String = {
     val feedDir = graft.sources.Staging.fingerprintPath(
-      "graft_events_feed", dir, "events.parquet", "dedupwm4")
+      "graft_events_feed", dir, "events.parquet", "dedupwm5")
     graft.sources.Staging.ensureStaged(feedDir) {
       val e = graft.Tables(spark, dir).events
         .withColumn("tu", unix_micros(col("ts")))
@@ -713,8 +713,13 @@ object StreamingEvents {
       val Array(mn, mx) = e.agg(min(col("tu")), max(col("tu")))
         .collect()(0).toSeq.map(_.asInstanceOf[Long]).toArray
       val span = mx - mn + 1
+      // exact integer floor division (div, not /): Spark Column `/` is
+      // double division, and above ~2^51 µs spans the double quotient
+      // can round across an integer boundary and misassign a row's
+      // quartile relative to the oracle's `//` (tu ≥ mn, so floor =
+      // truncation and both engines agree bit-for-bit at any span)
       val rows = e.groupBy(col("user_id"),
-          least(lit(3L), (col("tu") - mn) * 4 / span).cast("int").as("q"))
+          expr(s"least(3L, ((tu - ${mn}L) * 4) div ${span}L)").cast("int").as("q"))
         .agg(min("tu").as("tu"), count(lit(1)).as("n"))
       val scratch = s"$feedDir.build"
       val mtimeBase = System.currentTimeMillis()

@@ -20,6 +20,24 @@ class AutoDispatchSpec extends SparkSpec {
     assert(!AutoDispatch.useExact(1L, 0L, refSemantics = false))
   }
 
+  test("oracle-gated escape dispatch fails loud, naming op and threshold") {
+    // ungated: the escape route is a plain false
+    assert(!AutoDispatch.decide(101L, 100L, "q22_x",
+      refSemantics = false, gated = false))
+    // gated + over budget: throws rather than silently failing the
+    // exact-form oracle downstream (r11 ADVICE item 3)
+    val e = intercept[IllegalStateException] {
+      AutoDispatch.decide(101L, 100L, "q22_x",
+        refSemantics = false, gated = true)
+    }
+    assert(e.getMessage.contains("q22_x") && e.getMessage.contains("100"))
+    // gated + under budget, or gated + reference mode: exact, no throw
+    assert(AutoDispatch.decide(100L, 100L, "q22_x",
+      refSemantics = false, gated = true))
+    assert(AutoDispatch.decide(101L, 100L, "q22_x",
+      refSemantics = true, gated = true))
+  }
+
   test("q155 dispatch: below threshold = brand-blocked, above = prefix-blocked") {
     // two parts, same brand, DIFFERENT first tokens: the pair is a
     // brand-block candidate but NOT a prefix-block candidate — the

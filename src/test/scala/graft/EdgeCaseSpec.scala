@@ -141,5 +141,45 @@ class EdgeCaseSpec extends SparkSpec {
       """{"n":1,"tail":"steal\":0.001},\"q01_a\":{\"seq\":0.714,\"iso\":0.73"}""")
     val (label2, prev2) = graft.Bench.previousQueryTimes("/root/testdata/sf0.1", current, dir2)
     assert(label2.contains("BENCH_r09.json") && prev2.isEmpty)
+    // a history line with NO sf field must be skipped, not accepted as
+    // a same-sf baseline (r11 ADVICE: forall on an empty Option is
+    // true — a schema-drifted line would silently supply cross-sf
+    // vs_prev ratios)
+    val dir3 = java.nio.file.Files.createTempDirectory("bench_prev3").toFile
+    dir3.deleteOnExit()
+    java.nio.file.Files.writeString(new java.io.File(dir3, "BENCH_HISTORY.jsonl").toPath,
+      """{"metric":"total_median_sec","queries":{"q01_a":1.0,"q02_b":2.0,"q03_c":3.0,"q04_d":4.0}}""" + "\n")
+    val (label3, prev3) = graft.Bench.previousQueryTimes("/root/testdata/sf0.1", current, dir3)
+    assert(!label3.exists(_.contains("HISTORY")), s"sf-less history line accepted: $label3")
+    assert(prev3.isEmpty)
+  }
+
+  test("fresh-JVM tiebreaker fires on seq≈iso-but-regressed (r11 finding 1)") {
+    import graft.Bench.needsFreshJvm
+    // the r11 defect shape: host-wide load inflates seq and iso
+    // TOGETHER (q259: seq 10.92, iso 9.30, nominal ~2.0 s) — agreement
+    // must NOT close a >1.5× vs-prev flag; only a fresh JVM can
+    assert(needsFreshJvm(seq = 10.92, iso = 9.30, vsPrev = Some(5.6)))
+    // the pre-existing trigger still fires: seq vs iso self-contradiction
+    assert(needsFreshJvm(seq = 4.99, iso = 15.10, vsPrev = None))
+    assert(needsFreshJvm(seq = 15.10, iso = 4.99, vsPrev = None))
+    // quiet agreement with no regression: no fresh run needed
+    assert(!needsFreshJvm(seq = 2.0, iso = 2.1, vsPrev = Some(1.1)))
+    assert(!needsFreshJvm(seq = 2.0, iso = 2.1, vsPrev = None))
+    // failed measurements never trigger a child JVM
+    assert(!needsFreshJvm(seq = -1.0, iso = 2.0, vsPrev = Some(9.0)))
+    assert(!needsFreshJvm(seq = 2.0, iso = -1.0, vsPrev = Some(9.0)))
+  }
+
+  test("loaded-host record flags itself (r11 verdict item 7)") {
+    import graft.Bench.hostLoaded
+    // r11's committed record shape: four 4.3–5.8× readings on a loaded
+    // host — must flag, whatever the steal average read
+    assert(hostLoaded(stealAvg = 0.001, bigRegressions = 4))
+    // hypervisor steal alone also flags (the r5 70s-vs-134s runs)
+    assert(hostLoaded(stealAvg = 0.05, bigRegressions = 0))
+    // a quiet run with isolated noise does not
+    assert(!hostLoaded(stealAvg = 0.001, bigRegressions = 3))
+    assert(!hostLoaded(stealAvg = 0.01, bigRegressions = 0))
   }
 }
