@@ -74,6 +74,7 @@ object SparkEntry {
       operators.Folds.entries ++
       operators.Classify.entries ++
       operators.Tpch2.entries ++
+      operators.Tpch3.entries ++
       sources.OrcRoundTrip.entries ++
       sources.SchemaEvolution.entries ++
       sources.CorruptJsonl.entries ++

@@ -350,7 +350,9 @@ object Kmv {
           concat(lit(s"$i|"), col("g")).cast(BinaryType))).as(s"m$i")
       }
       val sigs = ex.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
-      val pairs = SetJoin.jaccardSelfJoin(docs, num = 1, den = 2)
+      // staged τ ≥ 1/2 pair set (shared with q261; r11 VERDICT item 2)
+      // — the entry's own work is the 32-permutation b-bit comparison
+      val pairs = SetJoin.jaccardPairsStaged(s, dir, num = 1, den = 2)
       val matched = perms.map { i =>
         when(col(s"a.m$i").bitwiseAND(lit(15L)) ===
           col(s"b.m$i").bitwiseAND(lit(15L)), 1).otherwise(0)

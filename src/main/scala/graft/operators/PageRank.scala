@@ -591,8 +591,9 @@ object PageRank {
            |ORDER BY k""".stripMargin
       },
     ) { (s, dir) =>
-      kcoreReport(SetJoin.jaccardSelfJoin(
-        Tables(s, dir).documentsRebalanced, num = 1, den = 2)
+      // staged pair set (r11 VERDICT item 2): the entry's own work is
+      // the peel; the τ ≥ 1/2 edge list is built once per fixture
+      kcoreReport(SetJoin.jaccardPairsStaged(s, dir, num = 1, den = 2)
         .select("doc_a", "doc_b"), ks = Seq(2, 3), maxRounds = 10)
     },
 
