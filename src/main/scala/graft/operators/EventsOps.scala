@@ -50,6 +50,74 @@ object EventsOps {
       |FROM sess GROUP BY user_id, sid
       |ORDER BY user_id, w_start""".stripMargin
 
+  /** q212/q326 shared oracle: the from-scratch range join the
+    * stream-stream interval join must reproduce under either state
+    * backend. */
+  private val streamJoinOracleSql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS t
+      |  FROM events WHERE user_id < 50
+      |)
+      |SELECT a.user_id AS user_id, a.event_id AS pid, b.event_id AS fid
+      |FROM (SELECT * FROM e WHERE event_id % 10 = 0) a
+      |JOIN e b ON b.user_id = a.user_id
+      |        AND b.t > a.t AND b.t <= a.t + 86400000000
+      |ORDER BY a.user_id, pid, fid""".stripMargin
+
+  /** q215/q327 shared oracle: the from-scratch exact-integer per-user
+    * fold the mapGroupsWithState stream must reproduce under either
+    * state backend. */
+  private val userStateOracleSql: String =
+    """SELECT user_id, COUNT(*) AS cnt,
+      |       ROUND(SUM(CAST(ROUND(value * 1000000.0, 0) AS BIGINT))
+      |             / 1000000.0, 6) + 0.0 AS sum_v
+      |FROM events GROUP BY 1 ORDER BY user_id""".stripMargin
+
+  /** q311/q328 shared oracle: the 4-batch dropDuplicatesWithinWatermark
+    * state machine (drops, non-refreshing duplicates, end-of-batch
+    * eviction, re-emits) replayed from scratch — see the q311 entry
+    * comment for the measured semantics it encodes. */
+  private val dedupExpiryOracleSql: String =
+    """WITH base AS MATERIALIZED (
+      |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS tu FROM events
+      |), bounds AS MATERIALIZED (
+      |  SELECT MIN(tu) AS mn, MAX(tu) - MIN(tu) + 1 AS span FROM base
+      |), r AS MATERIALIZED (
+      |  SELECT user_id, LEAST(3, (tu - mn) * 4 // span) AS q,
+      |         CAST(MIN(tu) AS BIGINT) AS tu, COUNT(*) AS n
+      |  FROM base, bounds GROUP BY 1, 2
+      |), wm AS MATERIALIZED (
+      |  -- wm_k = watermark before batch k: ms-floored max event time
+      |  -- of batches < k minus the 60 h delay (216000000 ms)
+      |  SELECT k, (MAX(tu) // 1000 - 216000000) * 1000 AS w
+      |  FROM (SELECT 1 AS k UNION ALL SELECT 2 UNION ALL SELECT 3) ks
+      |  JOIN r ON r.q < ks.k GROUP BY k
+      |), e0 AS MATERIALIZED (SELECT user_id, tu, n FROM r WHERE q = 0),
+      |s0 AS MATERIALIZED (SELECT user_id, tu FROM e0),
+      |e1 AS MATERIALIZED (
+      |  SELECT user_id, tu, n FROM r
+      |  WHERE q = 1 AND user_id NOT IN (SELECT user_id FROM s0)
+      |), s1 AS MATERIALIZED (
+      |  SELECT user_id, tu FROM (
+      |    SELECT user_id, tu FROM s0 UNION ALL SELECT user_id, tu FROM e1) u
+      |  WHERE tu + 216000000000 >= (SELECT w FROM wm WHERE k = 1)
+      |), e2 AS MATERIALIZED (
+      |  SELECT user_id, tu, n FROM r
+      |  WHERE q = 2 AND user_id NOT IN (SELECT user_id FROM s1)
+      |), s2 AS MATERIALIZED (
+      |  SELECT user_id, tu FROM (
+      |    SELECT user_id, tu FROM s1 UNION ALL SELECT user_id, tu FROM e2) u
+      |  WHERE tu + 216000000000 >= (SELECT w FROM wm WHERE k = 2)
+      |), e3 AS (
+      |  SELECT user_id, tu, n FROM r
+      |  WHERE q = 3 AND user_id NOT IN (SELECT user_id FROM s2)
+      |)
+      |SELECT user_id, tu, n FROM e0
+      |UNION ALL SELECT user_id, tu, n FROM e1
+      |UNION ALL SELECT user_id, tu, n FROM e2
+      |UNION ALL SELECT user_id, tu, n FROM e3
+      |ORDER BY user_id, tu""".stripMargin
+
   /** Interval (range) join decomposed into an equi-join — the operator
     * Spark would otherwise plan as a broadcast nested-loop. Probe
     * events (event_id % 10 = 0) open a (t, t+1h] follower window over
@@ -501,47 +569,23 @@ object EventsOps {
     // re-emits both occur at every scale factor.
     QueryEntry.sql(
       "q311_stream_dedup_expiry",
-      """WITH base AS MATERIALIZED (
-        |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS tu FROM events
-        |), bounds AS MATERIALIZED (
-        |  SELECT MIN(tu) AS mn, MAX(tu) - MIN(tu) + 1 AS span FROM base
-        |), r AS MATERIALIZED (
-        |  SELECT user_id, LEAST(3, (tu - mn) * 4 // span) AS q,
-        |         CAST(MIN(tu) AS BIGINT) AS tu, COUNT(*) AS n
-        |  FROM base, bounds GROUP BY 1, 2
-        |), wm AS MATERIALIZED (
-        |  -- wm_k = watermark before batch k: ms-floored max event time
-        |  -- of batches < k minus the 60 h delay (216000000 ms)
-        |  SELECT k, (MAX(tu) // 1000 - 216000000) * 1000 AS w
-        |  FROM (SELECT 1 AS k UNION ALL SELECT 2 UNION ALL SELECT 3) ks
-        |  JOIN r ON r.q < ks.k GROUP BY k
-        |), e0 AS MATERIALIZED (SELECT user_id, tu, n FROM r WHERE q = 0),
-        |s0 AS MATERIALIZED (SELECT user_id, tu FROM e0),
-        |e1 AS MATERIALIZED (
-        |  SELECT user_id, tu, n FROM r
-        |  WHERE q = 1 AND user_id NOT IN (SELECT user_id FROM s0)
-        |), s1 AS MATERIALIZED (
-        |  SELECT user_id, tu FROM (
-        |    SELECT user_id, tu FROM s0 UNION ALL SELECT user_id, tu FROM e1) u
-        |  WHERE tu + 216000000000 >= (SELECT w FROM wm WHERE k = 1)
-        |), e2 AS MATERIALIZED (
-        |  SELECT user_id, tu, n FROM r
-        |  WHERE q = 2 AND user_id NOT IN (SELECT user_id FROM s1)
-        |), s2 AS MATERIALIZED (
-        |  SELECT user_id, tu FROM (
-        |    SELECT user_id, tu FROM s1 UNION ALL SELECT user_id, tu FROM e2) u
-        |  WHERE tu + 216000000000 >= (SELECT w FROM wm WHERE k = 2)
-        |), e3 AS (
-        |  SELECT user_id, tu, n FROM r
-        |  WHERE q = 3 AND user_id NOT IN (SELECT user_id FROM s2)
-        |)
-        |SELECT user_id, tu, n FROM e0
-        |UNION ALL SELECT user_id, tu, n FROM e1
-        |UNION ALL SELECT user_id, tu, n FROM e2
-        |UNION ALL SELECT user_id, tu, n FROM e3
-        |ORDER BY user_id, tu""".stripMargin,
+      dedupExpiryOracleSql,
     ) { (s, dir) =>
       graft.streaming.StreamingEvents.runDedupWithinWatermark(s, dir)
+    },
+
+    // q328 — the q311 watermark-expiry dedup stream under the ROCKSDB
+    // provider (r11 VERDICT item 3): the bounded-state dedup a 100 TB
+    // stream runs needs its eviction arithmetic to survive the
+    // RocksDB round-trip — state entries written as SSTs in batch k
+    // must still expire at exactly the batch-(k)-end watermark. Same
+    // feed, same 4-batch state-machine oracle, fail-loud engage check.
+    QueryEntry.sql(
+      "q328_stream_dedup_expiry_rocksdb",
+      dedupExpiryOracleSql,
+    ) { (s, dir) =>
+      graft.streaming.StreamingEvents.runDedupWithinWatermark(s, dir,
+        rocksDb = true)
     },
 
     // q245 — late-data accounting EXECUTED BY A STREAM under the gate:
@@ -579,17 +623,24 @@ object EventsOps {
     // join over all pairs (q50's semantics at row grain).
     QueryEntry.sql(
       "q212_stream_stream_join",
-      """WITH e AS (
-        |  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS t
-        |  FROM events WHERE user_id < 50
-        |)
-        |SELECT a.user_id AS user_id, a.event_id AS pid, b.event_id AS fid
-        |FROM (SELECT * FROM e WHERE event_id % 10 = 0) a
-        |JOIN e b ON b.user_id = a.user_id
-        |        AND b.t > a.t AND b.t <= a.t + 86400000000
-        |ORDER BY a.user_id, pid, fid""".stripMargin,
+      streamJoinOracleSql,
     ) { (s, dir) =>
       graft.streaming.StreamingEvents.runStreamFeedJoinToCompletion(s, dir)
+    },
+
+    // q326 — the q212 stream-stream interval join under the ROCKSDB
+    // provider (r11 VERDICT item 3): the join's FOUR buffer stores per
+    // partition (left/right keyed rows + watermark indexes) are the
+    // heaviest state shape in the engine — this certifies buffered
+    // rows written in batch k still match probes arriving in batch
+    // k+1 after the RocksDB round-trip. Same feed, same from-scratch
+    // range-join oracle, fail-loud engage check.
+    QueryEntry.sql(
+      "q326_stream_join_rocksdb",
+      streamJoinOracleSql,
+    ) { (s, dir) =>
+      graft.streaming.StreamingEvents.runStreamFeedJoinToCompletion(s, dir,
+        rocksDb = true)
     },
 
     // Explicit mapGroupsWithState under the gate (q215): per-user
@@ -598,12 +649,23 @@ object EventsOps {
     // oracle must hash-match whatever path the batches took.
     QueryEntry.sql(
       "q215_stream_user_state",
-      """SELECT user_id, COUNT(*) AS cnt,
-        |       ROUND(SUM(CAST(ROUND(value * 1000000.0, 0) AS BIGINT))
-        |             / 1000000.0, 6) + 0.0 AS sum_v
-        |FROM events GROUP BY 1 ORDER BY user_id""".stripMargin,
+      userStateOracleSql,
     ) { (s, dir) =>
       graft.streaming.StreamingEvents.runExactUserStateToCompletion(s, dir)
+    },
+
+    // q327 — the q215 explicit mapGroupsWithState fold under the
+    // ROCKSDB provider (r11 VERDICT item 3): user-code state (the
+    // encoded (count, micros-sum) tuple) serializes through RocksDB
+    // instead of the heap map — this certifies the ENCODER round-trip,
+    // which the built-in state families never exercise. Same feed,
+    // same from-scratch oracle, fail-loud engage check.
+    QueryEntry.sql(
+      "q327_stream_user_state_rocksdb",
+      userStateOracleSql,
+    ) { (s, dir) =>
+      graft.streaming.StreamingEvents.runExactUserStateToCompletion(s, dir,
+        rocksDb = true)
     },
 
     // q216 — two-proportion z-test (the experiment readout): users

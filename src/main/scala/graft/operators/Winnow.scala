@@ -321,6 +321,18 @@ object Winnow {
       .orderBy("doc_id")
   }
 
+  /** q184/q325 shared oracle: the batch per-lang token counts the
+    * complete-mode stream must reproduce under EITHER state backend.
+    */
+  private val tokenCountsOracleSql =
+    """SELECT lang,
+      |       CAST(SUM(len(regexp_split_to_array(trim(lower(text)), '\s+'))) AS BIGINT)
+      |         AS sum_tokens,
+      |       CAST(SUM(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS BIGINT)
+      |         AS sum_subtokens,
+      |       COUNT(*) AS cnt
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
   val entries: Seq[QueryEntry] = Seq(
     // q200 — n-gram novelty of the new batch vs the staged history
     // gram set: DuckDB re-derives every gram hash, the history set,
@@ -483,15 +495,23 @@ object Winnow {
     // batch oracle.
     QueryEntry.sql(
       "q184_stream_token_counts",
-      """SELECT lang,
-        |       CAST(SUM(len(regexp_split_to_array(trim(lower(text)), '\s+'))) AS BIGINT)
-        |         AS sum_tokens,
-        |       CAST(SUM(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS BIGINT)
-        |         AS sum_subtokens,
-        |       COUNT(*) AS cnt
-        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+      tokenCountsOracleSql,
     ) { (s, dir) =>
       graft.streaming.StreamingDocs.runTokenCountsToCompletion(s, dir)
+    },
+
+    // q325 — the q184 complete-mode aggregation stream under the
+    // ROCKSDB state-store provider (r11 VERDICT item 3: q301 proved
+    // the pattern for session state; this certifies the GROUPED-SUM
+    // state family round-trips through RocksDB losslessly). Same
+    // feed, same batch oracle; the runner fails loud if the provider
+    // silently fell back to HDFSBackedStateStore.
+    QueryEntry.sql(
+      "q325_stream_token_counts_rocksdb",
+      tokenCountsOracleSql,
+    ) { (s, dir) =>
+      graft.streaming.StreamingDocs.runTokenCountsToCompletion(s, dir,
+        rocksDb = true)
     },
 
     // q178 — contamination attribution: (train_doc, eval_doc,

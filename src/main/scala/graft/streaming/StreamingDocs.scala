@@ -114,15 +114,22 @@ object StreamingDocs {
   }
 
   /** Run [[tokenCountsStream]] to completion (complete mode). */
-  def runTokenCountsToCompletion(spark: SparkSession, dir: String): DataFrame = {
+  def runTokenCountsToCompletion(spark: SparkSession, dir: String,
+      rocksDb: Boolean = false): DataFrame = {
     val name = s"graft_tokc_${runSeq.incrementAndGet()}"
-    val q = tokenCountsStream(spark, dir).writeStream
-      .format("memory").queryName(name)
-      .outputMode("complete")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    noteProgress("q184_stream_token_counts", q)
+    val q = StreamingEvents.withRocksDbProvider(spark, rocksDb) {
+      val q0 = tokenCountsStream(spark, dir).writeStream
+        .format("memory").queryName(name)
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q0.awaitTermination()
+      q0
+    }
+    if (rocksDb) StreamingEvents.requireRocksDbEngaged(q)
+    noteProgress(
+      if (rocksDb) "q325_stream_token_counts_rocksdb"
+      else "q184_stream_token_counts", q)
     spark.table(name).orderBy("lang")
   }
 

@@ -203,7 +203,8 @@ object StreamingEvents {
     * stream-stream joins emit matches eagerly). Fresh sink name per
     * invocation: oracled entry, re-run by bench.
     */
-  def runStreamFeedJoinToCompletion(spark: SparkSession, dir: String): DataFrame = {
+  def runStreamFeedJoinToCompletion(spark: SparkSession, dir: String,
+      rocksDb: Boolean = false): DataFrame = {
     val name = s"graft_ssfeed_${runSeq.incrementAndGet()}"
     // a stream-stream join commits FOUR state stores per shuffle
     // partition per micro-batch; at the session default of 32
@@ -213,14 +214,16 @@ object StreamingEvents {
     // count-invariant and the oracle proves it every run.
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try {
+    try withRocksDbProvider(spark, rocksDb) {
       val q = streamStreamFeedJoin(spark, dir).writeStream
         .format("memory").queryName(name)
         .outputMode("append")
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-      StreamingDocs.noteProgress("q212_stream_stream_join", q)
+      if (rocksDb) requireRocksDbEngaged(q)
+      StreamingDocs.noteProgress(
+        if (rocksDb) "q326_stream_join_rocksdb" else "q212_stream_stream_join", q)
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
     spark.table(name).orderBy("user_id", "pid", "fid")
   }
@@ -275,16 +278,22 @@ object StreamingEvents {
   /** Run [[exactUserState]] to completion (update mode; latest state
     * per key wins via monotone-count struct max).
     */
-  def runExactUserStateToCompletion(spark: SparkSession, dir: String): DataFrame = {
+  def runExactUserStateToCompletion(spark: SparkSession, dir: String,
+      rocksDb: Boolean = false): DataFrame = {
     import org.apache.spark.sql.streaming.OutputMode
     val name = s"graft_ustate_${runSeq.incrementAndGet()}"
-    val q = exactUserState(spark, dir).writeStream
-      .format("memory").queryName(name)
-      .outputMode(OutputMode.Update())
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    StreamingDocs.noteProgress("q215_stream_user_state", q)
+    val q = withRocksDbProvider(spark, rocksDb) {
+      val q0 = exactUserState(spark, dir).writeStream
+        .format("memory").queryName(name)
+        .outputMode(OutputMode.Update())
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q0.awaitTermination()
+      q0
+    }
+    if (rocksDb) requireRocksDbEngaged(q)
+    StreamingDocs.noteProgress(
+      if (rocksDb) "q327_stream_user_state_rocksdb" else "q215_stream_user_state", q)
     spark.table(name)
       .groupBy("user_id")
       .agg(max(struct(col("cnt"), col("sum_micros"))).as("m"))
@@ -666,12 +675,8 @@ object StreamingEvents {
     * a fallback to the default HDFSBackedStateStore would silently
     * certify the wrong backend.
     */
-  def runSessionFeedRocksDb(spark: SparkSession, dir: String): DataFrame = {
-    val key = "spark.sql.streaming.stateStore.providerClass"
-    val prev = spark.conf.getOption(key)
-    spark.conf.set(key,
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try {
+  def runSessionFeedRocksDb(spark: SparkSession, dir: String): DataFrame =
+    withRocksDbProvider(spark, enable = true) {
       val name = s"graft_sessrocks_${runSeq.incrementAndGet()}"
       val q = sessionFeedCounts(spark, dir).writeStream
         .format("memory").queryName(name)
@@ -679,18 +684,40 @@ object StreamingEvents {
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
-      require(Option(q.lastProgress).exists(_.json.contains("rocksdb")),
-        "RocksDB state store did not engage — the run would certify the " +
-          "default HDFS-backed provider instead")
+      requireRocksDbEngaged(q)
       StreamingDocs.noteProgress("q301_stream_sessions_rocksdb", q)
       spark.table(name).orderBy("user_id", "w_start")
-    } finally {
-      prev match {
+    }
+
+  /** Run `body` under the RocksDB state-store provider (no-op when
+    * `enable` is false — the shared shape lets every stateful runner
+    * grow a config twin without duplicating the set/restore dance).
+    * The conf is restored even when `body` throws; callers must pair
+    * this with [[requireRocksDbEngaged]] on their completed query —
+    * setting the conf alone proves nothing if the provider silently
+    * fell back (r11 VERDICT item 3).
+    */
+  def withRocksDbProvider[T](spark: SparkSession, enable: Boolean)(body: => T): T =
+    if (!enable) body
+    else {
+      val key = "spark.sql.streaming.stateStore.providerClass"
+      val prev = spark.conf.getOption(key)
+      spark.conf.set(key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try body
+      finally prev match {
         case Some(v) => spark.conf.set(key, v)
         case None => spark.conf.unset(key)
       }
     }
-  }
+
+  /** Fail loud unless the completed query's progress proves RocksDB
+    * actually backed its state stores (the q301 engage check).
+    */
+  def requireRocksDbEngaged(q: org.apache.spark.sql.streaming.StreamingQuery): Unit =
+    require(Option(q.lastProgress).exists(_.json.contains("rocksdb")),
+      "RocksDB state store did not engage — the run would certify the " +
+        "default HDFS-backed provider instead")
 
   /** q311's feed: ONE row per (user, time-quartile) — user_id, the
     * user's MIN event time in the quartile, and the event count —
@@ -756,22 +783,29 @@ object StreamingEvents {
     * the oracle replays the batch-by-batch state machine from
     * scratch.
     */
-  def runDedupWithinWatermark(spark: SparkSession, dir: String): DataFrame = {
+  def runDedupWithinWatermark(spark: SparkSession, dir: String,
+      rocksDb: Boolean = false): DataFrame = {
     val feed = dedupFeedStaged(spark, dir)
     val schema = spark.read.parquet(feed).schema
     val name = s"graft_dedupwm_${runSeq.incrementAndGet()}"
-    val q = spark.readStream.schema(schema)
-      .option("maxFilesPerTrigger", "1")
-      .parquet(feed)
-      .withWatermark("ts", "60 hours")
-      .dropDuplicatesWithinWatermark("user_id")
-      .writeStream
-      .format("memory").queryName(name)
-      .outputMode("append")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    StreamingDocs.noteProgress("q311_stream_dedup_expiry", q)
+    val q = withRocksDbProvider(spark, rocksDb) {
+      val q0 = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(feed)
+        .withWatermark("ts", "60 hours")
+        .dropDuplicatesWithinWatermark("user_id")
+        .writeStream
+        .format("memory").queryName(name)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q0.awaitTermination()
+      q0
+    }
+    if (rocksDb) requireRocksDbEngaged(q)
+    StreamingDocs.noteProgress(
+      if (rocksDb) "q328_stream_dedup_expiry_rocksdb"
+      else "q311_stream_dedup_expiry", q)
     spark.table(name)
       .select(col("user_id"), unix_micros(col("ts")).as("tu"), col("n"))
       .orderBy("user_id", "tu")
