@@ -361,6 +361,58 @@ object Similarity {
         .orderBy("q_id", "rank")
     },
 
+    // q329 — MaxSim COMPOSED behind the IVF candidate stage (r11
+    // VERDICT item 6 — the at-scale shape q310's own comment declares,
+    // and the composition production ColBERT runs: a cheap coarse
+    // retrieval bounds the candidate set, late interaction re-scores
+    // only candidates). Candidates = q33's staged inverted lists at
+    // nprobe = 3 (corpus-SUBLINEAR per probe: each probe touches 3 of
+    // 16 clusters, never the corpus); re-scoring = q310's exact
+    // sum-of-max over 8×8-dim token slices, 6dp-rounded cosines into
+    // DECIMAL so the sum is order-free and the top-10 boundary can't
+    // float-drift. The oracle refits the quantizer from the same
+    // literals and replays candidate generation AND re-scoring from
+    // scratch.
+    QueryEntry.dynamicSql("q329_maxsim_ivf") { (s, dir) =>
+      maxSimIvfOracleSql(s, dir, nprobe = 3, k = 10)
+    } { (s, dir) =>
+      maxSimOverCandidates(Tables(s, dir).embeddings,
+        ivfMaxSimCandidates(s, dir, nprobe = 3), k = 10)
+    },
+
+    // q330 — recall@10 of the composed q329 retrieval against EXACT
+    // MaxSim over all pairs (the q169 pattern applied to late
+    // interaction): the composition is only usable if what the coarse
+    // stage loses is MEASURED. Both sides score with the identical
+    // 6dp-DECIMAL sum-of-max and (score DESC, vec_id) tiebreak, so
+    // the overlap count is exact; probes whose candidate lists miss
+    // everything still appear via the probe-list left join.
+    QueryEntry.dynamicSql("q330_maxsim_ivf_recall") { (s, dir) =>
+      maxSimIvfRecallOracleSql(s, dir, nprobe = 3, k = 10)
+    } { (s, dir) =>
+      val emb = Tables(s, dir).embeddings
+      val probeIds = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"))
+      // exact side: every (probe, corpus) pair — 10 probes broadcast
+      val allCand = emb.select("vec_id").crossJoin(broadcast(probeIds))
+        .filter(col("vec_id") =!= col("q_id"))
+        .select("q_id", "vec_id")
+      val exact = maxSimOverCandidates(emb, allCand, k = 10)
+        .select("q_id", "vec_id")
+      val approx = maxSimOverCandidates(emb,
+        ivfMaxSimCandidates(s, dir, nprobe = 3), k = 10)
+        .select("q_id", "vec_id")
+      val overlap = approx.join(exact, Seq("q_id", "vec_id"))
+        .groupBy("q_id").agg(count(lit(1)).as("n"))
+      probeIds.distinct()
+        .join(overlap, Seq("q_id"), "left")
+        .select(col("q_id"),
+          coalesce(col("n"), lit(0L)).as("n_overlap"),
+          round(coalesce(col("n"), lit(0L)).cast(DoubleType) / 10, 6)
+            .as("recall"))
+        .orderBy("q_id")
+    },
+
     // ANN scale path: LSH bucket occupancy, under the full DuckDB gate
     // — the hyperplanes are pure-integer-math constants, so the oracle
     // recomputes every projection, sign, and packed bucket id from the
@@ -427,4 +479,151 @@ object Similarity {
       },
     ) { (s, dir) => kcenterCoreset(Tables(s, dir).embeddings, k = 8) },
   )
+
+  // ---- MaxSim ∘ IVF composition (q329/q330) --------------------------------
+
+  /** The 8×8-dim token view of the embedding table (q310's MRL
+    * slicing): one row per (vec_id, slice index, 8-dim sub-vector).
+    */
+  private def tokenSlices(df: DataFrame): DataFrame =
+    df.select(col("vec_id"),
+      posexplode(array((0 until 8).map(m =>
+        slice(col("embedding"), m * 8 + 1, 8)): _*)).as(Seq("si", "sv")))
+
+  /** Exact MaxSim top-k restricted to a candidate pair frame
+    * (q_id, vec_id): q310's scoring — per query token the MAX
+    * 6dp-DECIMAL cosine over the doc's tokens, summed (order-free) —
+    * applied only to candidates. Probe tokens broadcast (≤80 rows);
+    * the doc-token join is one hash join on vec_id, so the cost is
+    * |candidates| × 64 cosines, independent of corpus size.
+    */
+  def maxSimOverCandidates(emb: DataFrame, cand: DataFrame, k: Int): DataFrame = {
+    val D6 = DecimalType(18, 6)
+    val d = tokenSlices(emb).select(col("vec_id"), col("si").as("di"),
+      col("sv").as("dv"))
+    val probeIds = cand.select("q_id").distinct()
+    val q = tokenSlices(emb).join(broadcast(probeIds),
+        col("vec_id") === col("q_id"), "left_semi")
+      .select(col("vec_id").as("tq_id"), col("si").as("qi"), col("sv").as("qv"))
+    val tokmax = cand
+      .join(d, Seq("vec_id"))
+      .join(broadcast(q), col("q_id") === col("tq_id"))
+      .groupBy("q_id", "vec_id", "qi")
+      .agg(max(round(GraftFunctions.cosineF32(col("qv"), col("dv")), 6)
+        .cast(D6)).as("m"))
+    val scored = tokmax.groupBy("q_id", "vec_id").agg(sum("m").as("score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("score").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("vec_id"), col("rank").cast(IntegerType).as("rank"),
+        col("score").cast(DoubleType).as("score"))
+      .orderBy("q_id", "rank")
+  }
+
+  /** q329's candidate stage: the 10 fixed probes' nprobe-ranked
+    * clusters hash-joined against q33's DURABLE staged inverted lists
+    * — each probe touches nprobe of 16 clusters, so candidate volume
+    * is corpus-sublinear per probe and the MaxSim explode never sees
+    * the whole corpus.
+    */
+  def ivfMaxSimCandidates(spark: org.apache.spark.sql.SparkSession,
+      dir: String, nprobe: Int): DataFrame = {
+    val cents = Ivf.stagedCentroids(spark, dir)
+    val probes = Tables(spark, dir).embeddings.filter(col("vec_id") < 10)
+    broadcast(Ivf.probeRanked(probes, cents, nprobe)
+      .withColumn("cluster", explode(col("pc")))
+      .select("q_id", "cluster"))
+      .join(Ivf.stagedLists(spark, dir).select("vec_id", "cluster"),
+        Seq("cluster"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select("q_id", "vec_id")
+  }
+
+  /** Shared oracle CTE block for q329/q330: the coarse quantizer
+    * (Ivf.coarseCtes — corpus assignment + probe cluster ranking from
+    * the fitted centroids inlined as exact literals), the IVF
+    * candidate pairs, and the FLATTENED token-slice views (t1..t8
+    * DOUBLE + norm, computed once at materialization — the r10 ANN
+    * oracle restructure; per-pair list ops dominated sf1 otherwise).
+    * Cosines are the same left-associated (double)float product chains
+    * cosineF32 executes, divided by sqrt(nq·nd) and rounded once.
+    */
+  private def maxSimCtes(spark: org.apache.spark.sql.SparkSession,
+      dir: String, nprobe: Int): String = {
+    val subUnions = (0 until 8).map { m =>
+      val flat = (1 to 8).map(j =>
+        s"CAST(embedding[${m * 8 + j}] AS DOUBLE) AS t$j").mkString(", ")
+      val nrm = (1 to 8).map(j =>
+        s"CAST(embedding[${m * 8 + j}] AS DOUBLE) * CAST(embedding[${m * 8 + j}] AS DOUBLE)")
+        .mkString(" + ")
+      s"SELECT vec_id, $m AS si, $flat, ($nrm) AS nrm FROM embeddings"
+    }.mkString("\n    UNION ALL ")
+    val dot = (1 to 8).map(j => s"q.t$j * d.t$j").mkString(" + ")
+    s"""${Ivf.coarseCtes(spark, dir, nprobe)}, cand AS MATERIALIZED (
+       |  SELECT p.q_id, co.vec_id
+       |  FROM probes p JOIN corpus co ON co.cluster = p.pcluster
+       |  WHERE co.vec_id <> p.q_id
+       |), sub AS MATERIALIZED (
+       |    $subUnions
+       |), qt AS MATERIALIZED (
+       |  SELECT * FROM sub WHERE vec_id < 10
+       |), ivf_tokmax AS (
+       |  SELECT c.q_id, c.vec_id, q.si AS qi,
+       |         MAX(CAST(ROUND(($dot) / sqrt(q.nrm * d.nrm), 6)
+       |             AS DECIMAL(18,6))) AS m
+       |  FROM cand c
+       |  JOIN qt q ON q.vec_id = c.q_id
+       |  JOIN sub d ON d.vec_id = c.vec_id
+       |  GROUP BY 1, 2, 3
+       |), ivf_scored AS MATERIALIZED (
+       |  SELECT q_id, vec_id, SUM(m) AS score FROM ivf_tokmax GROUP BY 1, 2
+       |), ivf_topk AS MATERIALIZED (
+       |  SELECT q_id, vec_id,
+       |         CAST(row_number() OVER (PARTITION BY q_id
+       |                ORDER BY score DESC, vec_id) AS INTEGER) AS rank,
+       |         CAST(score AS DOUBLE) AS score
+       |  FROM ivf_scored
+       |)""".stripMargin
+  }
+
+  /** Generated DuckDB mirror of q329 (composed retrieval). */
+  def maxSimIvfOracleSql(spark: org.apache.spark.sql.SparkSession,
+      dir: String, nprobe: Int, k: Int): String =
+    s"""WITH ${maxSimCtes(spark, dir, nprobe)}
+       |SELECT q_id, vec_id, rank, score FROM ivf_topk
+       |WHERE rank <= $k ORDER BY q_id, rank""".stripMargin
+
+  /** Generated DuckDB mirror of q330 (recall of q329 vs exact MaxSim,
+    * both replayed from scratch).
+    */
+  def maxSimIvfRecallOracleSql(spark: org.apache.spark.sql.SparkSession,
+      dir: String, nprobe: Int, k: Int): String = {
+    val dot = (1 to 8).map(j => s"q.t$j * d.t$j").mkString(" + ")
+    s"""WITH ${maxSimCtes(spark, dir, nprobe)}, ex_tokmax AS (
+       |  SELECT q.vec_id AS q_id, d.vec_id, q.si AS qi,
+       |         MAX(CAST(ROUND(($dot) / sqrt(q.nrm * d.nrm), 6)
+       |             AS DECIMAL(18,6))) AS m
+       |  FROM qt q JOIN sub d ON d.vec_id <> q.vec_id
+       |  GROUP BY 1, 2, 3
+       |), ex_scored AS (
+       |  SELECT q_id, vec_id, SUM(m) AS score FROM ex_tokmax GROUP BY 1, 2
+       |), ex_topk AS MATERIALIZED (
+       |  SELECT q_id, vec_id,
+       |         row_number() OVER (PARTITION BY q_id
+       |           ORDER BY score DESC, vec_id) AS rank
+       |  FROM ex_scored
+       |), hits AS MATERIALIZED (
+       |  SELECT a.q_id, COUNT(*) AS n
+       |  FROM (SELECT q_id, vec_id FROM ivf_topk WHERE rank <= $k) a
+       |  JOIN (SELECT q_id, vec_id FROM ex_topk WHERE rank <= $k) b
+       |    ON a.q_id = b.q_id AND a.vec_id = b.vec_id
+       |  GROUP BY 1
+       |)
+       |SELECT p.q_id, CAST(COALESCE(h.n, 0) AS BIGINT) AS n_overlap,
+       |       ROUND(CAST(COALESCE(h.n, 0) AS DOUBLE) / $k, 6) AS recall
+       |FROM (SELECT DISTINCT vec_id AS q_id FROM qt) p
+       |LEFT JOIN hits h ON h.q_id = p.q_id
+       |ORDER BY p.q_id""".stripMargin
+  }
 }

@@ -36,7 +36,7 @@ object Tpch3 {
     * the (partkey, suppkey) pair key; at 100 TB this is a plain
     * map-side-combined hash aggregate of the fact table.
     */
-  private[operators] def derivedPartsupp(t: Tables): DataFrame =
+  private[graft] def derivedPartsupp(t: Tables): DataFrame =
     t.lineitem.groupBy(
         col("l_partkey").as("ps_partkey"),
         col("l_suppkey").as("ps_suppkey"))

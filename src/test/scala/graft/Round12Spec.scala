@@ -1,0 +1,118 @@
+package graft
+
+import graft.operators.{Similarity, Tpch3}
+import org.apache.spark.sql.functions._
+
+/** Round-12 laws: the MaxSim∘IVF composition (q329/q330) and the
+  * derived-partsupp TPC-H shapes (q319–q324).
+  */
+class Round12Spec extends SparkSpec {
+  import spark.implicits._
+
+  private def exactMaxSim(k: Int) = {
+    val emb = Tables(spark, sf).embeddings
+    val probeIds = emb.filter(col("vec_id") < 10).select(col("vec_id").as("q_id"))
+    val allCand = emb.select("vec_id").crossJoin(broadcast(probeIds))
+      .filter(col("vec_id") =!= col("q_id")).select("q_id", "vec_id")
+    Similarity.maxSimOverCandidates(emb, allCand, k)
+  }
+
+  private def composed(nprobe: Int, k: Int) =
+    Similarity.maxSimOverCandidates(Tables(spark, sf).embeddings,
+      Similarity.ivfMaxSimCandidates(spark, sf, nprobe), k)
+
+  test("q329 composition law: nprobe = nClusters recovers EXACT MaxSim") {
+    // at nprobe = 16 every cluster is probed, so the candidate set is
+    // the full corpus minus self and the composed retrieval must equal
+    // exact MaxSim bit-for-bit — ranks, scores, everything. This is
+    // the law that certifies the composition loses ONLY what the
+    // coarse stage prunes, never anything in the re-scorer.
+    val ex = exactMaxSim(10).collect().map(_.toSeq).toSeq
+    val cp = composed(nprobe = 16, k = 10).collect().map(_.toSeq).toSeq
+    assert(cp == ex)
+  }
+
+  test("q330 recall law: candidate coverage is monotone in nprobe") {
+    // more probed clusters ⇒ strictly larger candidate sets; the
+    // measured top-10 overlap with exact MaxSim must not shrink in
+    // aggregate (per-probe it may: a new candidate can displace a
+    // lucky hit at the k-boundary — aggregate coverage is the
+    // deployment-facing number, the q247 sweep's y-axis).
+    val ex = exactMaxSim(10).select("q_id", "vec_id")
+      .as[(Long, Long)].collect().toSet
+    def hits(np: Int) = composed(np, 10).select("q_id", "vec_id")
+      .as[(Long, Long)].collect().toSet.intersect(ex).size
+    val h3 = hits(3)
+    val h8 = hits(8)
+    val h16 = hits(16)
+    assert(h3 <= h8 && h8 <= h16, s"recall not monotone: $h3, $h8, $h16")
+    assert(h16 == ex.size, s"full-probe recall must be total: $h16 vs ${ex.size}")
+    assert(h3 > 0, "nprobe=3 composition found nothing — dead candidate stage")
+  }
+
+  test("q319/q321 derived partsupp: exact aggregates, every pair present") {
+    val t = Tables(spark, sf)
+    val ps = Tpch3.derivedPartsupp(t)
+    val n = ps.count()
+    val nPairs = t.lineitem.select("l_partkey", "l_suppkey").distinct().count()
+    assert(n == nPairs, "one row per distinct (part, supp) pair")
+    // availqty is the exact integer quantity sum; supplycost the exact
+    // decimal MIN — re-derive one pair independently
+    val probe = t.lineitem.limit(1)
+      .select("l_partkey", "l_suppkey").as[(Long, Long)].collect().head
+    val mine = t.lineitem
+      .filter(col("l_partkey") === probe._1 && col("l_suppkey") === probe._2)
+      .agg(sum(col("l_quantity").cast("long")).as("q"),
+        min(col("l_extendedprice").cast("decimal(18,2)")).as("c"))
+      .collect().head
+    val theirs = ps.filter(col("ps_partkey") === probe._1 &&
+      col("ps_suppkey") === probe._2).collect().head
+    assert(theirs.getAs[Long]("ps_availqty") == mine.getAs[Long]("q"))
+    assert(theirs.getAs[java.math.BigDecimal]("ps_supplycost") ==
+      mine.getAs[java.math.BigDecimal]("c"))
+  }
+
+  test("q323 correlated-avg predicate: exact-integer form ≡ 0.2·avg") {
+    // 5·qty·count < sum  ⟺  qty < 0.2·(sum/count) for count > 0: the
+    // integer cross-multiplication is the SAME predicate with no
+    // double division anywhere — proved by brute comparison over the
+    // fixture's (qty, count, sum) triples
+    val t = Tables(spark, sf)
+    val pq = t.lineitem.groupBy(col("l_partkey").as("qk"))
+      .agg(count(lit(1)).as("c"), sum(col("l_quantity").cast("long")).as("s"))
+    val joined = t.lineitem.join(pq, col("l_partkey") === col("qk"))
+      .select(col("l_quantity").cast("long").as("q"), col("c"), col("s"))
+      .as[(Long, Long, Long)].collect()
+    joined.foreach { case (q, c, s) =>
+      val intForm = 5 * q * c < s
+      val avgForm = q.toDouble < 0.2 * (s.toDouble / c.toDouble)
+      // the forms may disagree only ON the boundary where the double
+      // rounds; the integer form is the exact one — assert they agree
+      // whenever the double comparison is unambiguous
+      if (math.abs(q.toDouble - 0.2 * (s.toDouble / c.toDouble)) > 1e-9)
+        assert(intForm == avgForm, s"($q, $c, $s)")
+    }
+  }
+
+  test("q324 NULL-subquery semantics: unshipped pairs never qualify") {
+    // TPC-H Q20's correlated scalar subquery returns NULL for a
+    // (part, supp) pair with no shipments in the window, and
+    // `availqty > NULL` is FALSE — the INNER join encodes that; a
+    // COALESCE-to-0 left join would let every unshipped pair qualify
+    // (availqty > 0 always) and the promotion query would select
+    // every supplier (measured: 20/20 at every multiplier). Law: all
+    // qualifying pairs have 1996 shipments.
+    val t = Tables(spark, sf)
+    val shipped96 = t.lineitem
+      .filter(col("l_shipdate") >= lit("1996-01-01 00:00:00").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01 00:00:00").cast("timestamp"))
+      .select(col("l_partkey"), col("l_suppkey")).distinct()
+    val n96 = shipped96.count()
+    val all = t.lineitem.select("l_partkey", "l_suppkey").distinct().count()
+    assert(n96 < all, "fixture must contain unshipped-in-1996 pairs for the law to bite")
+    // the entry returns a PROPER subset of the region's suppliers
+    val out = run("q324_tpch_q20").collect()
+    val regionSuppliers = 20 // ASIA at every sf: 5 of 25 nations, 100 suppliers
+    assert(out.length > 0 && out.length < regionSuppliers, out.length.toString)
+  }
+}
