@@ -151,6 +151,13 @@ object ScaleStress {
     "q316_consistent_ring", // 288-row broadcast x per-doc argmin — linear, map-side
     "q317_dup_flow_matrix", // q20 banded pairs + source joins + cell rollup — q20's class
     "q318_dedup_ablation", // content-hash shuffle + 2 model fits + 2 scoring joins — linear
+    // round-12 additions
+    "q319_tpch_q2", // derived-partsupp rollup + min-cost join-back — linear
+    "q320_tpch_q9", // profit rollup over lineitem ⋈ derived partsupp — linear
+    "q321_tpch_q11", // value rollup + broadcast scalar threshold — linear
+    "q329_maxsim_ivf", // IVF candidate lists + constant re-score per candidate — corpus-sublinear candidates
+    "q331_moe_routing", // 8 codegen dots per vector + 8-key rollup — linear, map-side
+    "q334_train_cartography", // q250's 3 GD passes + scoring + 2 tercile rank passes — linear
   )
 
   /** Per-table key-shift rules: every synthetic surrogate key column

@@ -75,6 +75,7 @@ object SparkEntry {
       operators.Classify.entries ++
       operators.Tpch2.entries ++
       operators.Tpch3.entries ++
+      operators.Router.entries ++
       sources.OrcRoundTrip.entries ++
       sources.SchemaEvolution.entries ++
       sources.CorruptJsonl.entries ++

@@ -116,19 +116,28 @@ object Classify {
     * order-free, overflow-safe to ~6e10 docs even at |r·x| ~ 15).
     * Returns the fitted weights after [[LrIters]] steps from w = 0.
     */
-  def logregFit(feats: DataFrame, rate: Double = LrRate): Array[Double] = {
+  def logregFit(feats: DataFrame, rate: Double = LrRate): Array[Double] =
+    logregFitSteps(feats, rate).last
+
+  /** Like [[logregFit]] but returns the weights after EACH of the
+    * [[LrIters]] steps (w_1..w_k) — the per-step trajectory the
+    * training-dynamics entry (q334) scores documents against. Step k
+    * here is bit-identical to [[logregFit]]'s step k (same 1e7-scaled
+    * gradient rounding, same 6dp HALF_UP weight rounding).
+    */
+  def logregFitSteps(feats: DataFrame, rate: Double = LrRate): Seq[Array[Double]] = {
     val n = feats.count().toDouble
     val w = Array(0.0, 0.0, 0.0, 0.0)
     val xs = Seq(lit(1.0), col("x1"), col("x2"), col("x3"))
-    for (_ <- 1 to LrIters) {
+    (1 to LrIters).map { _ =>
       val r = col("y") - sigmoid(zOf(w))
       val g = feats.select(xs.map(x =>
         sum(round(r * x * lit(1e7), 0).cast(LongType))): _*).head()
       for (j <- 0 to 3)
         w(j) = BigDecimal(w(j) + rate * (g.getLong(j).toDouble / 1e7 / n))
           .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      w.clone()
     }
-    w
   }
 
   /** Fit on clean + corrupted twins, then score both classes: per
@@ -285,14 +294,14 @@ object Classify {
   private val zw = "w0 + w1*x1 + w2*x2 + w3*x3"
   private def gdChainSql: String =
     s"""corpus AS (
-       |  SELECT 1.0 AS y, text FROM documents
+       |  SELECT doc_id, 1.0 AS y, text FROM documents
        |  UNION ALL
-       |  SELECT 0.0 AS y, replace(text, ' ', '') FROM documents
-       |  WHERE doc_id % 3 = 0
+       |  SELECT -doc_id - 1 AS doc_id, 0.0 AS y, replace(text, ' ', '')
+       |  FROM documents WHERE doc_id % 3 = 0
        |), feats AS MATERIALIZED (
-       |  SELECT y,
+       |  SELECT doc_id, y,
        |       ${featSql("       ")}
-       |  FROM (SELECT y, trim(lower(text)) AS tl,
+       |  FROM (SELECT doc_id, y, trim(lower(text)) AS tl,
        |               regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
        |        FROM corpus) t
        |), nn AS (SELECT COUNT(*) AS n FROM feats),
@@ -981,6 +990,110 @@ object Classify {
           round(col("gat").cast(DoubleType) / (lit(1000000.0) * col("nn")), 6)
             .as("ece_after"))
         .orderBy("bin")
+    },
+
+    // q334 — training-data CARTOGRAPHY (Swayamdipta et al. 2020, run
+    // exactly): score every corpus document under the weights of EACH
+    // of q250's three GD steps, then map the corpus by per-doc
+    // true-label confidence (mean over steps) and cross-step
+    // variability — easy-to-learn / ambiguous / hard-to-learn regions,
+    // the map a curation pipeline reads to find mislabeled or
+    // hard-but-valuable data. Regions are RELATIVE, as in the paper
+    // (top-tercile variability → ambiguous; of the rest, top-tercile
+    // confidence → easy, bottom → hard, middle → medium): exact
+    // integer NTILE(3) over (metric, doc_id) — rank ordering compares
+    // integers with a unique tie-break, so the bucket gate holds no
+    // float. Integer-exact dynamics: per-step scores are the house
+    // 1e6-scaled BIGINTs; conf6 = floor-mean of the true-label scores
+    // ((t1+t2+t3) div 3); dispersion is the mean-free integer form
+    // v9 = Σ_k (3·t_k − S)² (= 9·Σ(t_k−mean)², no division before the
+    // square). The oracle re-runs all three trainings via the shared
+    // gd chain and re-derives every score and both rankings. Scale:
+    // 3 scalar gradient rollups + one linear scoring pass + two
+    // ordered tercile passes + a ≤8-key rollup; the corpus-wide NTILE
+    // is the paper's own construction (a global ranking) — the 100 TB
+    // form replaces it with approximate-quantile boundaries, the same
+    // trade q58's packing note documents for its global running sum.
+    QueryEntry.sql(
+      "q334_train_cartography", {
+        def sStep(a: String, k: Int) =
+          s"""CAST(ROUND(1.0/(1.0 + exp(-($a.w0 + $a.w1*f.x1 + $a.w2*f.x2
+             |                            + $a.w3*f.x3)))
+             |           * 1000000.0, 0) AS BIGINT) AS s$k""".stripMargin
+        s"""WITH $gdChainSql, sc AS (
+           |  SELECT f.doc_id, f.y,
+           |         ${sStep("a", 1)},
+           |         ${sStep("b", 2)},
+           |         ${sStep("c", 3)}
+           |  FROM feats f, w1 a, w2s b, w3s c
+           |), tr AS (
+           |  SELECT doc_id, CAST(y AS INTEGER) AS label,
+           |         CASE WHEN y = 1.0 THEN s1 ELSE 1000000 - s1 END AS t1,
+           |         CASE WHEN y = 1.0 THEN s2 ELSE 1000000 - s2 END AS t2,
+           |         CASE WHEN y = 1.0 THEN s3 ELSE 1000000 - s3 END AS t3
+           |  FROM sc
+           |), m AS (
+           |  SELECT doc_id, label, (t1 + t2 + t3) // 3 AS conf6,
+           |         (3*t1 - (t1+t2+t3))*(3*t1 - (t1+t2+t3))
+           |         + (3*t2 - (t1+t2+t3))*(3*t2 - (t1+t2+t3))
+           |         + (3*t3 - (t1+t2+t3))*(3*t3 - (t1+t2+t3)) AS v9
+           |  FROM tr
+           |), tiles AS (
+           |  SELECT label, conf6, v9,
+           |         NTILE(3) OVER (ORDER BY v9, doc_id) AS vtile,
+           |         NTILE(3) OVER (ORDER BY conf6, doc_id) AS ctile
+           |  FROM m
+           |)
+           |SELECT CASE WHEN vtile = 3 THEN 'ambiguous'
+           |            WHEN ctile = 3 THEN 'easy'
+           |            WHEN ctile = 1 THEN 'hard'
+           |            ELSE 'medium' END AS region,
+           |       label, CAST(COUNT(*) AS BIGINT) AS n,
+           |       ROUND(SUM(conf6) * 1.0 / 1000000.0 / COUNT(*), 6)
+           |         AS mean_conf,
+           |       ROUND(CAST(SUM(v9) AS DOUBLE) / 27000000000000.0
+           |             / COUNT(*), 6) AS mean_disp2
+           |FROM tiles GROUP BY 1, 2 ORDER BY region, label""".stripMargin
+      },
+    ) { (s, dir) =>
+      val feats = corpusWithCorruptions(Tables(s, dir).documentsRebalanced)
+        .select(Seq(col("doc_id"), col("y")) ++ featureCols: _*)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      graft.TransientCaches.register(feats)
+      val steps = logregFitSteps(feats)
+      val sCols = steps.zipWithIndex.map { case (w, i) =>
+        round(sigmoid(zOf(w)) * lit(1e6), 0).cast(LongType).as(s"s${i + 1}")
+      }
+      val scored = feats.select(Seq(col("doc_id"), col("y")) ++ sCols: _*)
+      val tCols = (1 to LrIters).map { k =>
+        when(col("y") === 1.0, col(s"s$k"))
+          .otherwise(lit(1000000L) - col(s"s$k")).as(s"t$k")
+      }
+      val tr = scored.select(
+        Seq(col("doc_id"), col("y").cast(IntegerType).as("label")) ++ tCols: _*)
+      val sSum = col("t1") + col("t2") + col("t3")
+      def dv(k: Int) = lit(3L) * col(s"t$k") - sSum
+      val m = tr.select(col("doc_id"), col("label"),
+        expr("(t1 + t2 + t3) div 3").as("conf6"),
+        ((dv(1) * dv(1)) + (dv(2) * dv(2)) + (dv(3) * dv(3))).as("v9"))
+      import org.apache.spark.sql.expressions.Window
+      val tiles = m.select(col("label"), col("conf6"), col("v9"),
+        ntile(3).over(Window.orderBy(col("v9"), col("doc_id"))).as("vtile"),
+        ntile(3).over(Window.orderBy(col("conf6"), col("doc_id"))).as("ctile"))
+      val dec38 = DecimalType(38, 0)
+      tiles.select(
+        when(col("vtile") === 3, "ambiguous")
+          .when(col("ctile") === 3, "easy")
+          .when(col("ctile") === 1, "hard")
+          .otherwise("medium").as("region"),
+        col("label"), col("conf6"), col("v9"))
+        .groupBy(col("region"), col("label"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("conf6").cast(dec38)) * lit(1.0) / lit(1e6)
+            / count(lit(1)), 6).as("mean_conf"),
+          round(sum(col("v9").cast(dec38)).cast(DoubleType) / lit(27e12)
+            / count(lit(1)), 6).as("mean_disp2"))
+        .orderBy("region", "label")
     },
   )
 

@@ -154,7 +154,75 @@ object Mixture {
     ) { (s, dir) =>
       waterFill(Tables(s, dir).documents)
     },
+
+    // q333 — temperature-scaled mixture WEIGHTS (τ = 0.7): the per-
+    // source sampling-weight table a trainer consumes (w_s ∝ share_s^τ,
+    // the multilingual rebalancing rule), reported as token volume, raw
+    // share, reweighted share, and boost = temp_share/share (the
+    // effective-epochs multiplier — >1 upsamples the tail). Where q137
+    // SAMPLES membership at a sqrt rate, this emits the weights
+    // themselves. Determinism: share^τ runs as exp(τ·ln) with the ln
+    // rounded once at 6dp DECIMAL (the q251 transcendental rule), and —
+    // unlike the float Σn^α normalization q137's note rejects — the
+    // normalizer here is an EXACT decimal sum of the 6dp-rounded
+    // weights, so no cross-row double accumulation exists.
+    // Scale: one map-side-combined grouped token sum over documents;
+    // everything after runs on the model-sized source frame with two
+    // broadcast scalar carries.
+    QueryEntry.sql(
+      "q333_temperature_weights",
+      """WITH t AS (
+        |  SELECT source,
+        |         SUM(CAST(len(regexp_split_to_array(trim(lower(text)), '\s+'))
+        |                  AS BIGINT)) AS n_tokens
+        |  FROM documents GROUP BY source
+        |), tt AS (SELECT SUM(n_tokens) AS tt FROM t),
+        |sh AS (
+        |  SELECT source, n_tokens,
+        |         ROUND(n_tokens * 1.0 / tt, 6) AS share
+        |  FROM t, tt
+        |), a AS (
+        |  SELECT source, n_tokens, share,
+        |         CAST(ROUND(exp(CAST(CAST(ROUND(ln(share), 6) AS DECIMAL(18,6))
+        |                             AS DOUBLE) * 0.7), 6)
+        |              AS DECIMAL(18,6)) AS a
+        |  FROM sh
+        |), ws AS (SELECT SUM(a) AS wsum FROM a)
+        |SELECT source, CAST(n_tokens AS BIGINT) AS n_tokens, share,
+        |       ROUND(CAST(a AS DOUBLE) / CAST(wsum AS DOUBLE), 6) AS temp_share,
+        |       ROUND(ROUND(CAST(a AS DOUBLE) / CAST(wsum AS DOUBLE), 6)
+        |             / share, 6) AS boost
+        |FROM a, ws ORDER BY source""".stripMargin,
+    ) { (s, dir) =>
+      temperatureWeights(Tables(s, dir).documentsRebalanced, tau = 0.7)
+    },
   )
+
+  /** Per-source τ-temperature mixture weights over whitespace-token
+    * volume — see the q333 entry for the determinism contract.
+    */
+  def temperatureWeights(docs: DataFrame, tau: Double): DataFrame = {
+    val dec6 = DataTypes.createDecimalType(18, 6)
+    val per = docs
+      .select(col("source"),
+        size(split(trim(lower(col("text"))), "\\s+")).cast(LongType).as("nt"))
+      .groupBy("source").agg(sum(col("nt")).as("n_tokens"))
+    val tot = per.agg(sum(col("n_tokens")).as("tt"))
+    val sh = per.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_tokens"),
+        round(col("n_tokens") * lit(1.0) / col("tt"), 6).as("share"))
+    val a = sh.withColumn("a",
+      round(exp(round(log(col("share")), 6).cast(dec6).cast(DoubleType)
+        * lit(tau)), 6).cast(dec6))
+    val ws = a.agg(sum(col("a")).as("wsum"))
+    val tempShare = round(col("a").cast(DoubleType)
+      / col("wsum").cast(DoubleType), 6)
+    a.crossJoin(broadcast(ws))
+      .select(col("source"), col("n_tokens"), col("share"),
+        tempShare.as("temp_share"),
+        round(tempShare / col("share"), 6).as("boost"))
+      .orderBy("source")
+  }
 
   /** Water-filling quota allocation (q229): given per-source doc
     * counts and a total budget B, find the cap θ with

@@ -115,4 +115,71 @@ class Round12Spec extends SparkSpec {
     val regionSuppliers = 20 // ASIA at every sf: 5 of 25 nations, 100 suppliers
     assert(out.length > 0 && out.length < regionSuppliers, out.length.toString)
   }
+
+  test("q331 conservation laws: loads sum to N, fractions to ~1, aux ≥ 1") {
+    val rows = run("q331_moe_routing").collect()
+    assert(rows.length == 8, "one row per expert")
+    val n = Tables(spark, sf).embeddings.count()
+    assert(rows.map(_.getLong(1)).sum == n, "top-1 loads partition the corpus")
+    val loadSum = rows.map(_.getDouble(2)).sum
+    assert(math.abs(loadSum - 1.0) < 1e-4, s"load fractions sum to 1: $loadSum")
+    val impSum = rows.map(_.getDouble(3)).sum
+    assert(math.abs(impSum - 1.0) < 1e-3, s"importance sums to 1: $impSum")
+    // aux = E·Σ f·P ≥ (Σ√(f·P))²·... — for f,P distributions the loss
+    // is ≥ 1 with equality iff both are uniform (Cauchy–Schwarz floor:
+    // E·Σ f_e·P_e ≥ E·(Σf/E)·... the Switch paper's scale puts the
+    // balanced optimum at exactly 1)
+    val aux = rows.map(_.getDouble(4)).sum
+    assert(aux >= 0.99, s"aux loss below the balanced floor: $aux")
+  }
+
+  test("q332 capacity accounting: dropped = max(0, routed − capacity)") {
+    val rows = run("q332_expert_capacity").collect()
+    assert(rows.length == 8)
+    val n = rows.map(_.getLong(1)).sum
+    val cap = rows.head.getLong(2)
+    assert(cap == (125L * n + 799) / 800, "ceil(1.25·N/E) integer form")
+    rows.foreach { r =>
+      val expect = math.max(0L, r.getLong(1) - cap)
+      assert(r.getLong(3) == expect,
+        s"expert ${r.getInt(0)}: dropped ${r.getLong(3)} != $expect")
+      assert(r.getDouble(5) > 0.0 && r.getDouble(5) <= 1.0, "gate mean in (0,1]")
+    }
+  }
+
+  test("q333 temperature law: τ<1 boosts the tail, weights normalize") {
+    val rows = run("q333_temperature_weights").collect()
+    val tempSum = rows.map(_.getDouble(3)).sum
+    assert(math.abs(tempSum - 1.0) < 1e-4, s"temp shares sum to 1: $tempSum")
+    // τ = 0.7 compresses: every source with share below the mean share
+    // must gain (boost > 1), every source above it must shed
+    val meanShare = 1.0 / rows.length
+    rows.foreach { r =>
+      val (share, boost) = (r.getDouble(2), r.getDouble(4))
+      if (share < meanShare * 0.98) assert(boost > 1.0, s"${r.getString(0)} under-represented but not boosted")
+      if (share > meanShare * 1.02) assert(boost < 1.0, s"${r.getString(0)} over-represented but not shed")
+    }
+  }
+
+  test("q334 cartography: terciles cover the corpus, regions are ordered") {
+    val rows = run("q334_train_cartography").collect()
+    val total = rows.map(_.getLong(2)).sum
+    val corpus = Tables(spark, sf).documents.count()
+    val negatives = Tables(spark, sf).documents
+      .filter(col("doc_id") % 3 === 0).count()
+    assert(total == corpus + negatives, "every corpus doc mapped exactly once")
+    // region means must respect the construction: ambiguous rows carry
+    // the top-tercile dispersion, easy rows the top-tercile confidence
+    val byRegion = rows.groupBy(_.getString(0))
+    val ambDisp = byRegion("ambiguous").map(_.getDouble(4)).min
+    (byRegion - "ambiguous").values.flatten.foreach { r =>
+      assert(r.getDouble(4) <= ambDisp + 1e-9,
+        s"non-ambiguous region out-disperses ambiguous: $r")
+    }
+    if (byRegion.contains("easy") && byRegion.contains("hard")) {
+      val easyConf = byRegion("easy").map(_.getDouble(3)).min
+      val hardConf = byRegion("hard").map(_.getDouble(3)).max
+      assert(easyConf >= hardConf, "easy region must out-confide hard")
+    }
+  }
 }
