@@ -431,6 +431,8 @@ object PageRank {
     result
   }
 
+  val LpaIters = 3
+
   val entries: Seq[QueryEntry] = Seq(
     // PageRank over the nation trade graph, 10 iterations; the oracle
     // unrolls the iterations as chained CTEs and must match rank-for-
@@ -618,5 +620,100 @@ object PageRank {
         .select(col("node"), round(col("pr"), 12).as("pr"))
         .orderBy(col("pr").desc, col("node"))
     },
+
+    // q335 — synchronous LABEL PROPAGATION (community detection,
+    // Raghavan et al. 2007) over the thinned trade graph: every node
+    // starts as its own label; each round it adopts the MOST FREQUENT
+    // label among its undirected neighbors (ties → smallest label;
+    // isolated nodes keep their own). Majority algebra where q180's
+    // connected components is lattice-MIN and q93 is sum-of-mass — the
+    // third iterative-graph reduction, and the one a dedup pipeline
+    // uses to split a near-dup supergraph into dense communities that
+    // CC would merge. LpaIters synchronous rounds, each: one
+    // edge⋈label equi-join, one (node, label) grouped count, one
+    // per-node exact argmax (min over (−count, label) structs — the
+    // q202 packed-argmin rule), the label frame localCheckpoint-pinned
+    // per round (the q93 lineage lesson). Per-round cost is one
+    // edge-proportional shuffle — the billion-edge regime's shape.
+    // Oracle: LpaIters unrolled CTE rounds with ROW_NUMBER argmax.
+    QueryEntry.sql(
+      "q335_label_propagation", {
+        def iter(k: Int): String =
+          s"""lp$k AS (
+             |  SELECT n.node, COALESCE(b.label, n.label) AS label
+             |  FROM lp${k - 1} n LEFT JOIN (
+             |    SELECT a AS node, label FROM (
+             |      SELECT u.a, l.label, COUNT(*) AS c,
+             |             ROW_NUMBER() OVER (PARTITION BY u.a
+             |               ORDER BY COUNT(*) DESC, l.label) AS rk
+             |      FROM und u JOIN lp${k - 1} l ON l.node = u.b
+             |      GROUP BY u.a, l.label) t
+             |    WHERE rk = 1
+             |  ) b ON b.node = n.node
+             |)""".stripMargin
+        s"""WITH raw AS (
+           |  SELECT c_nationkey AS src, s_nationkey AS dst,
+           |         SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+           |             * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS w
+           |  FROM lineitem
+           |  JOIN orders ON l_orderkey = o_orderkey
+           |  JOIN customer ON o_custkey = c_custkey
+           |  JOIN supplier ON l_suppkey = s_suppkey
+           |  GROUP BY 1, 2
+           |), edges AS (
+           |  SELECT src, dst,
+           |         CAST(w AS DOUBLE) / CAST(SUM(w) OVER (PARTITION BY src)
+           |                                  AS DOUBLE) AS frac
+           |  FROM raw
+           |), e0 AS (
+           |  SELECT src, dst FROM edges
+           |  WHERE frac > $HopEdgeMinFrac AND src <> dst
+           |), und AS (
+           |  SELECT DISTINCT a, b FROM (
+           |    SELECT src AS a, dst AS b FROM e0
+           |    UNION ALL SELECT dst, src FROM e0)
+           |), lp0 AS (
+           |  SELECT n_nationkey AS node, n_nationkey AS label FROM nation
+           |),
+           |${(1 to LpaIters).map(iter).mkString(",\n")}
+           |SELECT CAST(node AS BIGINT) AS node, CAST(label AS BIGINT) AS label
+           |FROM lp$LpaIters ORDER BY node""".stripMargin
+      },
+    ) { (s, dir) =>
+      val nodes = Tables(s, dir).nation.select(col("n_nationkey").as("node"))
+      labelPropagation(
+        tradeEdges(s, dir).filter(col("frac") > HopEdgeMinFrac),
+        nodes, LpaIters)
+        .select(col("node").cast(LongType).as("node"),
+          col("label").cast(LongType).as("label"))
+        .orderBy("node")
+    },
   )
+
+  /** Synchronous label propagation over (src, dst) edges — see the
+    * q335 entry for the algebra and scale shape.
+    */
+  def labelPropagation(edges: DataFrame, nodes: DataFrame,
+      iters: Int): DataFrame = {
+    val dir0 = edges.filter(col("src") =!= col("dst"))
+    val und = dir0.select(col("src").as("a"), col("dst").as("b"))
+      .unionAll(dir0.select(col("dst").as("a"), col("src").as("b")))
+      .distinct()
+      .localCheckpoint(true) // pinned once; reused every round
+    var lab = nodes.select(col("node"), col("node").as("label"))
+    for (_ <- 1 to iters) {
+      val best = und
+        .join(lab.select(col("node").as("b"), col("label")), "b")
+        .groupBy(col("a").as("node"), col("label"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy("node")
+        .agg(min(struct((-col("c")).as("nc"), col("label").as("l"))).as("m"))
+        .select(col("node"), col("m.l").as("nl"))
+      lab = lab
+        .join(best, Seq("node"), "left")
+        .select(col("node"), coalesce(col("nl"), col("label")).as("label"))
+        .localCheckpoint(true)
+    }
+    lab
+  }
 }

@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.functions.GraftFunctions
 import graft.{QueryEntry, Tables}
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -52,8 +52,14 @@ object Similarity {
   /** 16-bit random-hyperplane LSH bucket per vector, needs no fitted
     * model.
     */
-  def lshBuckets(emb: DataFrame, planes: Int = 16, dim: Int = 64): DataFrame = {
-    val bucket = (0 until planes).map { p =>
+  def lshBuckets(emb: DataFrame, planes: Int = 16, dim: Int = 64): DataFrame =
+    emb.select(col("vec_id"), lshBucketCol(planes, dim).as("bucket"))
+
+  /** The 16-bit hyperplane bucket as a column over `embedding` — shared
+    * by [[lshBuckets]] (q23) and the multi-probe entry (q336).
+    */
+  private[operators] def lshBucketCol(planes: Int = 16, dim: Int = 64): Column =
+    (0 until planes).map { p =>
       // Each hyperplane is a literal float vector; the projection runs
       // through the codegen dot_f32 loop instead of `dim` element_at
       // calls per plane.
@@ -61,8 +67,6 @@ object Similarity {
       when(GraftFunctions.dotF32(col("embedding"), plane) >= 0, lit(1L << p))
         .otherwise(lit(0L))
     }.reduce(_ + _)
-    emb.select(col("vec_id"), bucket.as("bucket"))
-  }
 
   /** Exact all-pairs cosine pairs at `threshold`, decomposed as a
     * block-grid theta-join (the 1-bucket-theta shape): vectors hash
@@ -228,6 +232,14 @@ object Similarity {
     }
     picks.toSeq.toDF("rank", "vec_id", "max_cos")
   }
+
+  /** q336's bucket width: 8 planes (256 buckets) so buckets carry
+    * real occupancy at the oracle scale factors — q23's 16-plane table
+    * is near-injective there and single-bucket lookup would measure
+    * nothing. (Declared BEFORE `entries`: the SQL strings below read
+    * it at object init — the q335 lesson.)
+    */
+  val MultiprobePlanes = 8
 
   val entries: Seq[QueryEntry] = Seq(
     // q195 — semantic decontamination: DuckDB replays the full
@@ -478,7 +490,153 @@ object Similarity {
            |ORDER BY rank""".stripMargin
       },
     ) { (s, dir) => kcenterCoreset(Tables(s, dir).embeddings, k = 8) },
+
+    // q336 — MULTI-PROBE LSH (Lv et al. VLDB'07): recall@5 and
+    // candidate volume of single-bucket lookup (m=0) vs probing every
+    // 1-bit-flipped neighbor bucket too (m=1, 17 probes over q23's
+    // 16-plane buckets) — the standard way to buy LSH recall without
+    // rebuilding the index (more probes, same table), measured against
+    // the exact cosine top-5 like q169/q247 measure IVF. Buckets,
+    // cosines, ranks, and both probe sets are replayed by the oracle
+    // from the same pinned hyperplane literals (static SQL — no fitted
+    // model anywhere). Scale: the bucket table is one codegen scan
+    // (the q23 plan); each probe block is a broadcast(17·|probes|-row
+    // frame) ⋈ bucket-keyed corpus — candidates stay bucket-bounded,
+    // never corpus × corpus; the exact baseline is the usual
+    // broadcast-probes × one-scan argmax.
+    QueryEntry.sql(
+      "q336_lsh_multiprobe", {
+        val flat = (1 to 64).map(i =>
+          s"CAST(embedding[$i] AS DOUBLE) AS e$i").mkString(", ")
+        val nrm = (1 to 64).map(i =>
+          s"CAST(embedding[$i] AS DOUBLE) * CAST(embedding[$i] AS DOUBLE)")
+          .mkString(" + ")
+        val bucketExpr = (0 until MultiprobePlanes).map { p =>
+          val chain = (0 until 64).map { d =>
+            val c = planeComponent(p, d).toDouble
+            s"CAST(embedding[${d + 1}] AS DOUBLE) * CAST('${c.toString}' AS DOUBLE)"
+          }.mkString(" + ")
+          s"(CASE WHEN ($chain) >= 0 THEN ${1L << p} ELSE 0 END)"
+        }.mkString("\n     + ")
+        val dot = (1 to 64).map(i => s"p.e$i * d.e$i").mkString(" + ")
+        val flips = (0 until MultiprobePlanes).map(p =>
+          s"SELECT q_id, xor(bucket, ${1L << p}) AS pb FROM pr")
+          .mkString("\n  UNION ALL ")
+        def block(m: Int, pbCte: String) =
+          s"""cand$m AS MATERIALIZED (
+             |  SELECT b.q_id, d.vec_id,
+             |         ROUND(($dot) / sqrt(p.nrm * d.nrm), 6) AS score
+             |  FROM $pbCte b
+             |  JOIN pr p ON p.q_id = b.q_id
+             |  JOIN fl d ON d.bucket = b.pb AND d.vec_id <> b.q_id
+             |), top$m AS (
+             |  SELECT q_id, vec_id FROM (
+             |    SELECT q_id, vec_id,
+             |           row_number() OVER (PARTITION BY q_id
+             |             ORDER BY score DESC, vec_id) AS rank
+             |    FROM cand$m) t WHERE rank <= 5
+             |), ov$m AS (
+             |  SELECT COUNT(*) AS ov FROM top$m t
+             |  JOIN ex ON ex.q_id = t.q_id AND ex.vec_id = t.vec_id
+             |), nc$m AS (SELECT COUNT(*) AS nc FROM cand$m)""".stripMargin
+        def outRow(m: Int) =
+          s"""SELECT $m AS multiprobe,
+             |       CAST(nq AS BIGINT) AS n_queries,
+             |       CAST(nc AS BIGINT) AS n_candidates,
+             |       CAST(ov AS BIGINT) AS sum_overlap,
+             |       ROUND(ov * 1.0 / (5 * nq), 6) AS mean_recall,
+             |       ROUND(nc * 1.0 / (nq * (tot - 1)), 6) AS cand_frac
+             |FROM ov$m, nc$m, nn, tt""".stripMargin
+        s"""WITH fl AS MATERIALIZED (
+           |  SELECT vec_id, $flat, ($nrm) AS nrm,
+           |         CAST($bucketExpr AS BIGINT) AS bucket
+           |  FROM embeddings
+           |), pr AS MATERIALIZED (
+           |  SELECT vec_id AS q_id, * EXCLUDE (vec_id) FROM fl
+           |  WHERE vec_id < 10
+           |), nn AS (SELECT COUNT(*) AS nq FROM pr),
+           |tt AS (SELECT COUNT(*) AS tot FROM fl),
+           |ex AS MATERIALIZED (
+           |  SELECT q_id, vec_id FROM (
+           |    SELECT p.q_id, d.vec_id,
+           |           row_number() OVER (PARTITION BY p.q_id
+           |             ORDER BY ROUND(($dot) / sqrt(p.nrm * d.nrm), 6) DESC,
+           |                      d.vec_id) AS rank
+           |    FROM pr p JOIN fl d ON d.vec_id <> p.q_id) t
+           |  WHERE rank <= 5
+           |), pb0 AS (SELECT q_id, bucket AS pb FROM pr),
+           |pb1 AS (
+           |  SELECT q_id, bucket AS pb FROM pr
+           |  UNION ALL $flips
+           |),
+           |${block(0, "pb0")},
+           |${block(1, "pb1")}
+           |${outRow(0)}
+           |UNION ALL
+           |${outRow(1)}
+           |ORDER BY multiprobe""".stripMargin
+      },
+    ) { (s, dir) => lshMultiprobeRecall(s, dir, k = 5) },
   )
+
+  /** Engine side of q336 — see the entry for the contract. */
+  def lshMultiprobeRecall(spark: org.apache.spark.sql.SparkSession,
+      dir: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val emb = Tables(spark, dir).embeddings
+    val corpus = emb
+      .select(col("vec_id"), col("embedding"),
+        lshBucketCol(MultiprobePlanes).as("bucket"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.TransientCaches.register(corpus)
+    val total = emb.count() // model-sized scalar: corpus row count
+    val probes = corpus.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qe"),
+        col("bucket").as("qb"))
+    val nq = probes.count() // model-sized: the 10-probe panel
+    // exact top-k: broadcast probes × one corpus scan, per-probe rank
+    val w = Window.partitionBy("q_id")
+      .orderBy(col("score").desc, col("vec_id"))
+    val exact = corpus.crossJoin(broadcast(probes))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        round(GraftFunctions.cosineF32(col("qe"), col("embedding")), 6)
+          .as("score"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k).select("q_id", "vec_id")
+      .localCheckpoint(true) // k·|probes| rows, reused by both blocks
+    def block(m: Int): DataFrame = {
+      val pbs =
+        if (m == 0) probes.select(col("q_id"), col("qe"), col("qb").as("pb"))
+        else probes.select(col("q_id"), col("qe"),
+          explode(array(col("qb") +:
+            (0 until MultiprobePlanes).map(p => col("qb").bitwiseXOR(lit(1L << p))): _*))
+            .as("pb"))
+      val cand = broadcast(pbs)
+        .join(corpus, col("pb") === col("bucket"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"),
+          round(GraftFunctions.cosineF32(col("qe"), col("embedding")), 6)
+            .as("score"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      graft.TransientCaches.register(cand)
+      val nc = cand.agg(count(lit(1)).as("nc"))
+      val ov = cand.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k).select("q_id", "vec_id")
+        .join(exact, Seq("q_id", "vec_id"))
+        .agg(count(lit(1)).as("ov"))
+      ov.crossJoin(nc).select(
+        lit(m).as("multiprobe"),
+        lit(nq).as("n_queries"),
+        col("nc").cast(LongType).as("n_candidates"),
+        col("ov").cast(LongType).as("sum_overlap"),
+        round(col("ov") * lit(1.0) / (lit(k.toLong) * lit(nq)), 6)
+          .as("mean_recall"),
+        round(col("nc") * lit(1.0) / (lit(nq) * lit(total - 1)), 6)
+          .as("cand_frac"))
+    }
+    block(0).unionAll(block(1)).orderBy("multiprobe")
+  }
 
   // ---- MaxSim ∘ IVF composition (q329/q330) --------------------------------
 

@@ -182,4 +182,31 @@ class Round12Spec extends SparkSpec {
       assert(easyConf >= hardConf, "easy region must out-confide hard")
     }
   }
+
+  test("q335 LPA laws: total assignment, label closure, majority step") {
+    val rows = run("q335_label_propagation").collect()
+    val t = Tables(spark, sf)
+    val nNations = t.nation.count()
+    assert(rows.length == nNations, "every node carries a label")
+    // labels are node ids (propagation can only move EXISTING labels)
+    val nodes = rows.map(_.getLong(0)).toSet
+    rows.foreach(r => assert(nodes.contains(r.getLong(1)),
+      s"label ${r.getLong(1)} is not a node id"))
+    // propagation must coarsen: strictly fewer distinct labels than
+    // nodes (the thinned trade graph is connected enough at every sf)
+    val distinct = rows.map(_.getLong(1)).toSet.size
+    assert(distinct < nNations, s"no coarsening: $distinct labels")
+    assert(distinct > 1, "collapsed to one community — thinning broken")
+  }
+
+  test("q336 multiprobe laws: candidates and recall are monotone in probes") {
+    val rows = run("q336_lsh_multiprobe").collect().sortBy(_.getInt(0))
+    assert(rows.length == 2)
+    val (m0, m1) = (rows(0), rows(1))
+    assert(m1.getLong(2) >= m0.getLong(2), "1-bit flips cannot shrink candidates")
+    assert(m1.getLong(3) >= m0.getLong(3), "more candidates cannot lose exact hits")
+    assert(m1.getDouble(5) <= (operators.Similarity.MultiprobePlanes + 1).toDouble / 256 + 0.05,
+      "candidate fraction must stay bucket-bounded")
+    assert(m1.getLong(3) > 0, "multiprobe found no exact hits — dead probe stage")
+  }
 }
