@@ -201,6 +201,10 @@ object Tpch3 {
         .groupBy("ps_partkey")
         .agg(sum(col("ps_supplycost") *
           col("ps_availqty").cast(DecimalType(10, 0))).as("val"))
+        // |part|-bounded rollup consumed TWICE (scalar total + the
+        // threshold filter): pinned so the lineitem pair rollup runs
+        // once, not once per consumer — measured 2x at the x10 blowup
+        .localCheckpoint(true)
       val tot = v.agg(sum("val").as("t"), count(lit(1)).as("c"))
       v.crossJoin(broadcast(tot))
         .filter(col("val").cast(DoubleType) * col("c") >
