@@ -182,17 +182,26 @@ object EventsOps {
     val w = Window.partitionBy("user_id").orderBy("event_id")
     val wCum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     // previous total = the running prefix EXCLUDING this row — the
-    // same left fold the streaming twin keeps in state. Recomputing it
-    // as (cum - value) would not be bit-identical (float subtraction
-    // does not invert the fold) and could flip a floor() at a
-    // threshold boundary, desyncing batch from stream.
+    // same left fold the streaming twin keeps in state.
     val wPrev = w.rowsBetween(Window.unboundedPreceding, -1)
+    // INTEGER cents, not a double running sum: a windowed double SUM
+    // is ordered identically in both engines but not ACCUMULATED
+    // identically (DuckDB's window aggregation uses segment-tree
+    // partial sums, Spark a running fold), so low-bit drift can flip a
+    // floor() exactly at a threshold multiple — measured at the ×10
+    // blowup as a 3-row sf1 divergence. Cents via the q14 money rule
+    // (CAST value AS DECIMAL(18,2), the cross-engine-proven rounding
+    // on this column) make the fold exact, order-free, and the level
+    // an integer division; values are non-negative so div ≡ floor.
+    val stepCents = math.round(step * 100)
     events
-      .select(col("user_id"), col("event_id"), col("value"))
-      .withColumn("cum", sum("value").over(wCum))
-      .withColumn("prev", coalesce(sum("value").over(wPrev), lit(0.0)))
-      .withColumn("level", floor(col("cum") / step))
-      .withColumn("prev_level", floor(col("prev") / step))
+      .select(col("user_id"), col("event_id"),
+        (col("value").cast(DecimalType(18, 2)) * lit(100))
+          .cast(LongType).as("c"))
+      .withColumn("cum", sum("c").over(wCum))
+      .withColumn("prev", coalesce(sum("c").over(wPrev), lit(0L)))
+      .withColumn("level", expr(s"cum div $stepCents"))
+      .withColumn("prev_level", expr(s"prev div $stepCents"))
       .filter(col("level") > col("prev_level"))
       .select(col("user_id"), col("event_id"), col("level"))
   }
@@ -276,17 +285,20 @@ object EventsOps {
       "q78_threshold_crossings",
       """WITH c AS (
         |  SELECT user_id, event_id,
-        |         SUM(value) OVER (PARTITION BY user_id ORDER BY event_id
-        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
-        |         COALESCE(SUM(value) OVER (PARTITION BY user_id ORDER BY event_id
-        |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0) AS prev
+        |         CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |              OVER (PARTITION BY user_id ORDER BY event_id
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |              AS BIGINT) AS cum,
+        |         CAST(COALESCE(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100
+        |                               AS BIGINT))
+        |              OVER (PARTITION BY user_id ORDER BY event_id
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |              AS BIGINT) AS prev
         |  FROM events
         |)
-        |SELECT user_id, event_id,
-        |       CAST(FLOOR(cum / CAST(100.0 AS DOUBLE)) AS BIGINT) AS level
+        |SELECT user_id, event_id, cum // 10000 AS level
         |FROM c
-        |WHERE FLOOR(cum / CAST(100.0 AS DOUBLE))
-        |      > FLOOR(prev / CAST(100.0 AS DOUBLE))
+        |WHERE cum // 10000 > prev // 10000
         |ORDER BY user_id, event_id""".stripMargin,
     ) { (s, dir) =>
       thresholdCrossings(Tables(s, dir).events, step = 100.0)

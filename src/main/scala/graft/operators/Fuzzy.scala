@@ -65,15 +65,30 @@ object Fuzzy {
   }
 
   val entries: Seq[QueryEntry] = Seq(
-    // q99 — all customer-name pairs within one edit. The DuckDB oracle
-    // is the naive all-pairs theta-join (correct by definition); the
-    // engine side must produce the identical pair set from the
-    // deletion-neighborhood candidates.
+    // q99 — all customer-name pairs within one edit. The oracle is the
+    // EXACT deletion-neighborhood form (the dedup-family inverted-
+    // oracle rule that retired q166's sf1 timeout): two strings are
+    // within one edit iff they share a deletion variant (substitution →
+    // both drop the differing position; insert/delete → the shorter IS
+    // a variant of the longer; identity via the appended key itself),
+    // and every candidate is re-verified with levenshtein ≤ 1 — so the
+    // variant join is a provably lossless prune of the naive all-pairs
+    // theta-join, bounded by variant-bucket sizes instead of |customer|²
+    // (the sf1 replay of the naive form exceeded 1800 s; this one runs
+    // in minutes).
     QueryEntry.sql(
       "q99_fuzzy_join",
-      """SELECT a.c_name AS name_a, b.c_name AS name_b
-        |FROM customer a JOIN customer b
-        |  ON a.c_name < b.c_name AND levenshtein(a.c_name, b.c_name) <= 1
+      """WITH v AS MATERIALIZED (
+        |  SELECT k, unnest(vs) AS v FROM (
+        |    SELECT c_name AS k,
+        |           list_distinct(list_append(
+        |             list_transform(range(1, length(c_name) + 1),
+        |               i -> substring(c_name, 1, i - 1) || substring(c_name, i + 1)),
+        |             c_name)) AS vs
+        |    FROM customer))
+        |SELECT DISTINCT a.k AS name_a, b.k AS name_b
+        |FROM v a JOIN v b ON a.v = b.v AND a.k < b.k
+        |WHERE levenshtein(a.k, b.k) <= 1
         |ORDER BY name_a, name_b""".stripMargin,
     ) { (s, dir) => fuzzyPairs(Tables(s, dir).customer, "c_name") },
 

@@ -372,21 +372,28 @@ object StreamingEvents {
     import spark.implicits._
     val src = stagedStreamSource(spark, dir)
     val schema = spark.read.parquet(src).schema
+    // integer-cents fold, mirroring the batch q78 exactly (the q14
+    // DECIMAL(18,2) money cast, then a Long state) — a double state
+    // would desync from the batch's exact windowed sum at a floor
+    // boundary (the sf1 divergence that forced the integer form)
+    val stepCents = math.round(step * 100)
     val events = spark.readStream.schema(schema).parquet(src)
-      .select(col("user_id"), col("event_id"), col("value"))
-      .as[(Long, Long, Double)]
+      .select(col("user_id"), col("event_id"),
+        (col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2))
+          * lit(100)).cast(org.apache.spark.sql.types.LongType).as("c"))
+      .as[(Long, Long, Long)]
     val alerts = events
       .groupByKey(_._1)
       .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout) {
-        (user: Long, rows: Iterator[(Long, Long, Double)],
-            state: GroupState[Double]) =>
-          var cum = state.getOption.getOrElse(0.0)
+        (user: Long, rows: Iterator[(Long, Long, Long)],
+            state: GroupState[Long]) =>
+          var cum = state.getOption.getOrElse(0L)
           val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
-          rows.toSeq.sortBy(_._2).foreach { case (_, eventId, value) =>
-            val before = math.floor(cum / step)
-            cum += value
-            val after = math.floor(cum / step)
-            if (after > before) out += ((user, eventId, after.toLong))
+          rows.toSeq.sortBy(_._2).foreach { case (_, eventId, cents) =>
+            val before = cum / stepCents
+            cum += cents
+            val after = cum / stepCents
+            if (after > before) out += ((user, eventId, after))
           }
           state.update(cum)
           out.iterator
