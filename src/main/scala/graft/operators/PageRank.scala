@@ -701,7 +701,14 @@ object PageRank {
       .distinct()
       .localCheckpoint(true) // pinned once; reused every round
     var lab = nodes.select(col("node"), col("node").as("label"))
-    for (_ <- 1 to iters) {
+    // few shallow rounds ⇒ ONE lazy plan, no per-round pin: the q93
+    // lineage lesson is about deep loops (10+ iterations re-planning
+    // exponentially); at LpaIters = 3 the chained plan is 3 joins deep
+    // and runs as a single job, saving 2 eager-materialization jobs
+    // per round. A deeper-loop variant would re-introduce the
+    // per-round localCheckpoint exactly as distributedLoop does.
+    val pinEvery = 8
+    for (k <- 1 to iters) {
       val best = und
         .join(lab.select(col("node").as("b"), col("label")), "b")
         .groupBy(col("a").as("node"), col("label"))
@@ -712,7 +719,7 @@ object PageRank {
       lab = lab
         .join(best, Seq("node"), "left")
         .select(col("node"), coalesce(col("nl"), col("label")).as("label"))
-        .localCheckpoint(true)
+      if (k % pinEvery == 0) lab = lab.localCheckpoint(true)
     }
     lab
   }

@@ -492,9 +492,9 @@ object Similarity {
     ) { (s, dir) => kcenterCoreset(Tables(s, dir).embeddings, k = 8) },
 
     // q336 — MULTI-PROBE LSH (Lv et al. VLDB'07): recall@5 and
-    // candidate volume of single-bucket lookup (m=0) vs probing every
-    // 1-bit-flipped neighbor bucket too (m=1, 17 probes over q23's
-    // 16-plane buckets) — the standard way to buy LSH recall without
+    // candidate volume at probe depth m = 0 (single bucket), m = 1
+    // (+ every 1-bit-flipped neighbor bucket) and m = 2 (+ every
+    // 2-bit flip) — the standard way to buy LSH recall without
     // rebuilding the index (more probes, same table), measured against
     // the exact cosine top-5 like q169/q247 measure IVF. Buckets,
     // cosines, ranks, and both probe sets are replayed by the oracle
@@ -521,6 +521,11 @@ object Similarity {
         val dot = (1 to 64).map(i => s"p.e$i * d.e$i").mkString(" + ")
         val flips = (0 until MultiprobePlanes).map(p =>
           s"SELECT q_id, xor(bucket, ${1L << p}) AS pb FROM pr")
+          .mkString("\n  UNION ALL ")
+        val flips2 = (for {
+          i <- 0 until MultiprobePlanes; j <- i + 1 until MultiprobePlanes
+        } yield
+          s"SELECT q_id, xor(bucket, ${(1L << i) | (1L << j)}) AS pb FROM pr")
           .mkString("\n  UNION ALL ")
         def block(m: Int, pbCte: String) =
           s"""cand$m AS MATERIALIZED (
@@ -569,11 +574,18 @@ object Similarity {
            |  SELECT q_id, bucket AS pb FROM pr
            |  UNION ALL $flips
            |),
+           |pb2 AS (
+           |  SELECT q_id, pb FROM pb1
+           |  UNION ALL $flips2
+           |),
            |${block(0, "pb0")},
-           |${block(1, "pb1")}
+           |${block(1, "pb1")},
+           |${block(2, "pb2")}
            |${outRow(0)}
            |UNION ALL
            |${outRow(1)}
+           |UNION ALL
+           |${outRow(2)}
            |ORDER BY multiprobe""".stripMargin
       },
     ) { (s, dir) => lshMultiprobeRecall(s, dir, k = 5) },
@@ -605,13 +617,23 @@ object Similarity {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k).select("q_id", "vec_id")
       .localCheckpoint(true) // k·|probes| rows, reused by both blocks
+    // probe-bucket masks at depth m: identity, every 1-bit flip, every
+    // 2-bit flip — all distinct values, so no candidate dedup is needed
+    // (each corpus vector has exactly one bucket)
+    def masks(m: Int): Seq[Long] = {
+      val one = (0 until MultiprobePlanes).map(p => 1L << p)
+      val two = for {
+        i <- 0 until MultiprobePlanes; j <- i + 1 until MultiprobePlanes
+      } yield (1L << i) | (1L << j)
+      Seq(0L) ++ (if (m >= 1) one else Seq.empty) ++
+        (if (m >= 2) two else Seq.empty)
+    }
     def block(m: Int): DataFrame = {
       val pbs =
         if (m == 0) probes.select(col("q_id"), col("qe"), col("qb").as("pb"))
         else probes.select(col("q_id"), col("qe"),
-          explode(array(col("qb") +:
-            (0 until MultiprobePlanes).map(p => col("qb").bitwiseXOR(lit(1L << p))): _*))
-            .as("pb"))
+          explode(array(masks(m).map(mask =>
+            col("qb").bitwiseXOR(lit(mask))): _*)).as("pb"))
       val cand = broadcast(pbs)
         .join(corpus, col("pb") === col("bucket"))
         .filter(col("vec_id") =!= col("q_id"))
@@ -635,7 +657,7 @@ object Similarity {
         round(col("nc") * lit(1.0) / (lit(nq) * lit(total - 1)), 6)
           .as("cand_frac"))
     }
-    block(0).unionAll(block(1)).orderBy("multiprobe")
+    block(0).unionAll(block(1)).unionAll(block(2)).orderBy("multiprobe")
   }
 
   // ---- MaxSim ∘ IVF composition (q329/q330) --------------------------------

@@ -201,12 +201,18 @@ class Round12Spec extends SparkSpec {
 
   test("q336 multiprobe laws: candidates and recall are monotone in probes") {
     val rows = run("q336_lsh_multiprobe").collect().sortBy(_.getInt(0))
-    assert(rows.length == 2)
-    val (m0, m1) = (rows(0), rows(1))
-    assert(m1.getLong(2) >= m0.getLong(2), "1-bit flips cannot shrink candidates")
-    assert(m1.getLong(3) >= m0.getLong(3), "more candidates cannot lose exact hits")
-    assert(m1.getDouble(5) <= (operators.Similarity.MultiprobePlanes + 1).toDouble / 256 + 0.05,
-      "candidate fraction must stay bucket-bounded")
-    assert(m1.getLong(3) > 0, "multiprobe found no exact hits — dead probe stage")
+    assert(rows.length == 3)
+    val planes = operators.Similarity.MultiprobePlanes
+    // probe-set sizes per depth: 1, 1+P, 1+P+C(P,2) of 2^P buckets
+    val probeCount = Seq(1, 1 + planes, 1 + planes + planes * (planes - 1) / 2)
+    rows.sliding(2).foreach { case Array(lo, hi) =>
+      assert(hi.getLong(2) >= lo.getLong(2), "deeper probing cannot shrink candidates")
+      assert(hi.getLong(3) >= lo.getLong(3), "more candidates cannot lose exact hits")
+    }
+    rows.zipWithIndex.foreach { case (r, m) =>
+      assert(r.getDouble(5) <= probeCount(m).toDouble / (1 << planes) + 0.05,
+        s"m=$m candidate fraction exceeds its probe-bucket bound")
+    }
+    assert(rows(2).getLong(3) > 0, "2-bit probing found no exact hits — dead probe stage")
   }
 }
