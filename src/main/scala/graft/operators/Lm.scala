@@ -1100,5 +1100,140 @@ object Lm {
           col("lp_ded").as("avg_logprob_dedup"),
           (col("lp_ded") - col("lp_raw")).as("dedup_delta"))
     },
+
+    // q337 — DoReMi reweighting STEP (Xie et al. 2023): one
+    // exponentiated-gradient update of the per-source mixture weights
+    // from measured per-domain EXCESS loss — where q286 sweeps a fixed
+    // interpolation grid and q333 reweights by volume alone, this is
+    // the loss-driven update the paper actually runs. Per source:
+    // held-out cross-entropy under the source's OWN add-one bigram LM
+    // (the proxy: trained on only that domain's slice, the undertrained
+    // side) minus CE under the POOLED LM (the reference trained on the
+    // full mixture), clipped at 0 — domains with the most unexploited
+    // learnable headroom carry positive excess, the paper's rule — and
+    // w_s ∝ exp(η·excess_s), η = 1 (the uniform prior cancels in the
+    // normalizer). Determinism: q293's LM rules (one 6dp-DECIMAL ln
+    // per distinct (model, bigram), NARROW-decimal-weighted exact
+    // sums, one division per CE), excess rounded 6dp before the exp,
+    // exp rounded 6dp into DECIMAL, EXACT decimal normalizer (the
+    // q333 rule). Scale: two grouped model-count passes (pooled +
+    // (source, bigram)-keyed), one bigram-keyed scoring join, a
+    // |sources|-row EG step — nothing quadratic, nothing collected.
+    QueryEntry.sql(
+      "q337_doremi_step",
+      s"""WITH tok AS (
+         |  SELECT doc_id, source,
+         |         regexp_split_to_array(trim(lower(text)), '\\s+') AS t,
+         |         (${Hll.splitmixSqlFor("doc_id")}) >> 54 < ${Winnow.SplitTrainLt}
+         |           AS is_train
+         |  FROM documents
+         |  WHERE len(regexp_split_to_array(trim(lower(text)), '\\s+')) >= 2
+         |), bg AS MATERIALIZED (
+         |  SELECT doc_id, source, is_train, t[i] AS w1, t[i + 1] AS w2
+         |  FROM (SELECT doc_id, source, is_train, t,
+         |               unnest(generate_series(1, len(t) - 1)) AS i
+         |        FROM tok)
+         |), cr AS MATERIALIZED (
+         |  SELECT w1, w2, COUNT(*) AS c12r FROM bg WHERE is_train GROUP BY 1, 2
+         |), xr AS (SELECT w1, CAST(SUM(c12r) AS BIGINT) AS c1r FROM cr GROUP BY 1),
+         |vr AS (SELECT COUNT(*) AS v FROM (SELECT w1 FROM cr
+         |                                  UNION SELECT w2 FROM cr)),
+         |cd AS MATERIALIZED (
+         |  SELECT source, w1, w2, COUNT(*) AS c12d FROM bg
+         |  WHERE is_train GROUP BY 1, 2, 3
+         |), xd AS (SELECT source, w1, CAST(SUM(c12d) AS BIGINT) AS c1d
+         |          FROM cd GROUP BY 1, 2),
+         |vd AS (SELECT source, COUNT(*) AS v FROM (
+         |         SELECT source, w1 FROM cd UNION SELECT source, w2 FROM cd)
+         |       GROUP BY 1),
+         |ep AS MATERIALIZED (
+         |  SELECT source, w1, w2, COUNT(*) AS ce FROM bg
+         |  WHERE NOT is_train GROUP BY 1, 2, 3
+         |), sc AS (
+         |  SELECT ep.source, ep.ce,
+         |         CAST(ROUND(ln((COALESCE(cr.c12r, 0) + 1.0)
+         |                       / (COALESCE(xr.c1r, 0) + vr.v)), 6)
+         |              AS DECIMAL(18,6)) AS lpr,
+         |         CAST(ROUND(ln((COALESCE(cd.c12d, 0) + 1.0)
+         |                       / (COALESCE(xd.c1d, 0) + vd.v)), 6)
+         |              AS DECIMAL(18,6)) AS lpd
+         |  FROM ep
+         |  LEFT JOIN cr ON cr.w1 = ep.w1 AND cr.w2 = ep.w2
+         |  LEFT JOIN xr ON xr.w1 = ep.w1
+         |  LEFT JOIN cd ON cd.source = ep.source AND cd.w1 = ep.w1
+         |                  AND cd.w2 = ep.w2
+         |  LEFT JOIN xd ON xd.source = ep.source AND xd.w1 = ep.w1
+         |  JOIN vd ON vd.source = ep.source, vr
+         |), per AS (
+         |  SELECT source, CAST(SUM(ce) AS BIGINT) AS n_held_bigrams,
+         |         -(CAST(SUM(CAST(ce AS DECIMAL(10,0)) * lpr) AS DOUBLE)
+         |           / SUM(ce)) AS ce_pooled,
+         |         -(CAST(SUM(CAST(ce AS DECIMAL(10,0)) * lpd) AS DOUBLE)
+         |           / SUM(ce)) AS ce_own
+         |  FROM sc GROUP BY source
+         |), ex AS (
+         |  SELECT source, n_held_bigrams,
+         |         ROUND(ce_pooled, 6) AS ce_pooled, ROUND(ce_own, 6) AS ce_own,
+         |         ROUND(GREATEST(ce_own - ce_pooled, 0.0), 6) AS excess,
+         |         CAST(ROUND(exp(ROUND(GREATEST(ce_own - ce_pooled, 0.0), 6)), 6)
+         |              AS DECIMAL(18,6)) AS a
+         |  FROM per
+         |), ws AS (SELECT SUM(a) AS wsum FROM ex)
+         |SELECT source, n_held_bigrams, ce_pooled, ce_own, excess,
+         |       ROUND(CAST(a AS DOUBLE) / CAST(wsum AS DOUBLE), 6) AS weight
+         |FROM ex, ws ORDER BY source""".stripMargin,
+    ) { (s, dir) =>
+      val bg = bigramsWithSplit(Tables(s, dir).documentsRebalanced)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      graft.TransientCaches.register(bg)
+      val tr = bg.filter(col("is_train"))
+      val cr = tr.groupBy("w1", "w2").agg(count(lit(1)).as("c12r"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      graft.TransientCaches.register(cr)
+      val xr = cr.groupBy("w1").agg(sum("c12r").cast(LongType).as("c1r"))
+      val vr = cr.select(col("w1")).union(cr.select(col("w2")))
+        .distinct().agg(count(lit(1)).as("vr"))
+      val cd = tr.groupBy("source", "w1", "w2").agg(count(lit(1)).as("c12d"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      graft.TransientCaches.register(cd)
+      val xd = cd.groupBy("source", "w1")
+        .agg(sum("c12d").cast(LongType).as("c1d"))
+      val vd = cd.select(col("source"), col("w1"))
+        .union(cd.select(col("source"), col("w2")))
+        .distinct().groupBy("source").agg(count(lit(1)).as("vdv"))
+      val ep = bg.filter(!col("is_train"))
+        .groupBy("source", "w1", "w2").agg(count(lit(1)).as("ce"))
+      val lpr = round(log((coalesce(col("c12r"), lit(0L)) + lit(1.0))
+        / (coalesce(col("c1r"), lit(0L)) + col("vr"))), 6).cast(D6)
+      val lpd = round(log((coalesce(col("c12d"), lit(0L)) + lit(1.0))
+        / (coalesce(col("c1d"), lit(0L)) + col("vdv"))), 6).cast(D6)
+      val sc = ep
+        .join(cr, Seq("w1", "w2"), "left")
+        .join(xr, Seq("w1"), "left")
+        .join(cd, Seq("source", "w1", "w2"), "left")
+        .join(xd, Seq("source", "w1"), "left")
+        .join(vd, Seq("source"))
+        .crossJoin(broadcast(vr))
+        .select(col("source"), col("ce"), lpr.as("lpr"), lpd.as("lpd"))
+      val dec10 = DecimalType(10, 0)
+      val per = sc.groupBy("source")
+        .agg(sum("ce").cast(LongType).as("n_held_bigrams"),
+          (-(sum(col("ce").cast(dec10) * col("lpr")).cast(DoubleType)
+            / sum("ce"))).as("cp"),
+          (-(sum(col("ce").cast(dec10) * col("lpd")).cast(DoubleType)
+            / sum("ce"))).as("co"))
+      val excess = round(greatest(col("co") - col("cp"), lit(0.0)), 6)
+      val ex = per.select(col("source"), col("n_held_bigrams"),
+        round(col("cp"), 6).as("ce_pooled"), round(col("co"), 6).as("ce_own"),
+        excess.as("excess"),
+        round(exp(excess), 6).cast(D6).as("a"))
+      val ws = ex.agg(sum("a").as("wsum"))
+      ex.crossJoin(broadcast(ws))
+        .select(col("source"), col("n_held_bigrams"), col("ce_pooled"),
+          col("ce_own"), col("excess"),
+          round(col("a").cast(DoubleType) / col("wsum").cast(DoubleType), 6)
+            .as("weight"))
+        .orderBy("source")
+    },
   )
 }

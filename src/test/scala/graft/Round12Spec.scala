@@ -215,4 +215,22 @@ class Round12Spec extends SparkSpec {
     }
     assert(rows(2).getLong(3) > 0, "2-bit probing found no exact hits — dead probe stage")
   }
+
+  test("q337 EG laws: weights normalize and are monotone in excess") {
+    val rows = run("q337_doremi_step").collect()
+    val wSum = rows.map(_.getDouble(5)).sum
+    assert(math.abs(wSum - 1.0) < 1e-4, s"weights must normalize: $wSum")
+    rows.foreach { r =>
+      assert(r.getDouble(4) >= 0.0, "excess is clipped at zero")
+      assert(r.getLong(1) > 0, "every source must carry held-out bigrams")
+    }
+    // exponentiated-gradient monotonicity: sort by excess ⇒ sorted by
+    // weight (strictly increasing exp over 6dp-exact inputs)
+    val byExcess = rows.sortBy(_.getDouble(4)).map(_.getDouble(5))
+    assert(byExcess.sameElements(byExcess.sorted),
+      "weight must be monotone in excess")
+    // the step must actually differentiate (not collapse to uniform)
+    assert(rows.map(_.getDouble(5)).distinct.length > 1,
+      "EG step left the mixture uniform — dead excess signal")
+  }
 }
