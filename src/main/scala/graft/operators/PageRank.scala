@@ -694,7 +694,7 @@ object PageRank {
     * q335 entry for the algebra and scale shape.
     */
   def labelPropagation(edges: DataFrame, nodes: DataFrame,
-      iters: Int): DataFrame = {
+      iters: Int, pinEvery: Int = 4): DataFrame = {
     val dir0 = edges.filter(col("src") =!= col("dst"))
     val und = dir0.select(col("src").as("a"), col("dst").as("b"))
       .unionAll(dir0.select(col("dst").as("a"), col("src").as("b")))
@@ -702,12 +702,13 @@ object PageRank {
       .localCheckpoint(true) // pinned once; reused every round
     var lab = nodes.select(col("node"), col("node").as("label"))
     // few shallow rounds ⇒ ONE lazy plan, no per-round pin: the q93
-    // lineage lesson is about deep loops (10+ iterations re-planning
-    // exponentially); at LpaIters = 3 the chained plan is 3 joins deep
-    // and runs as a single job, saving 2 eager-materialization jobs
-    // per round. A deeper-loop variant would re-introduce the
-    // per-round localCheckpoint exactly as distributedLoop does.
-    val pinEvery = 8
+    // lineage lesson is about deep loops re-planning exponentially;
+    // at LpaIters = 3 the chained plan is 3 joins deep and runs as a
+    // single job, saving 2 eager-materialization jobs per round.
+    // pinEvery = 4 (parameterized, r12 ADVICE): the first pin lands at
+    // round 4 — exactly where the shallow-loop regime ends — so every
+    // deeper caller gets lineage pinning at most 4 joins deep rather
+    // than the old pinEvery = 8's unpinned 4–7-iteration gap.
     for (k <- 1 to iters) {
       val best = und
         .join(lab.select(col("node").as("b"), col("label")), "b")

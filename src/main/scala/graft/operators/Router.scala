@@ -56,7 +56,7 @@ object Router {
     * expert (argmax over exact decimals, ties → smallest e), softmax
     * probs p6_0..p6_7 (6dp DECIMAL), and the routed expert's own gate.
     */
-  private[operators] def routed(emb: DataFrame): DataFrame = {
+  private[graft] def routed(emb: DataFrame): DataFrame = {
     val lCols = (0 until Experts).map { e =>
       val w = typedlit(Array.tabulate(Dim)(d => routerComponent(e, d)))
       round(GraftFunctions.dotF32(col("embedding"), w), 6).cast(dec6).as(s"l$e")
@@ -194,11 +194,19 @@ object Router {
     // vec_id — an exact-decimal order); the rest drop. Per expert: the
     // routed count, capacity, dropped count/fraction, and the mean gate
     // of the KEPT tokens — the token-dropping audit run before fixing a
-    // capacity factor. The per-expert rank is semantically a bounded
-    // top-capacity selection (the q312 per-key top-K shape); the window
-    // runs on an expert-keyed repartition — parallelism bounded by E
-    // here, while a 1000-executor run would two-phase it (per-partition
-    // pre-rank, then a threshold merge) exactly like any global top-K.
+    // capacity factor. The per-expert rank is TWO-PHASE (r12 VERDICT
+    // item 4 — no single global window per expert, whose parallelism
+    // would be bounded by E=8): range-partition on the full rank key
+    // (expert, gate DESC, vec_id) so partition boundaries respect the
+    // order, rank WITHIN each physical partition (a (pid, expert)
+    // window — parallelism P×E), and add each partition's per-expert
+    // rank OFFSET from a parallelism-sized (P×E-row) count frame
+    // merged by a tiny triangular self-join. Exact: vec_id makes the
+    // rank key a total order, so offset + local rank IS the global
+    // rank whatever boundaries the range sampler picked. The pid frame
+    // is localCheckpoint-pinned because range-boundary sampling is not
+    // deterministic across executions — offsets and local ranks must
+    // read the SAME pid assignment.
     QueryEntry.sql(
       "q332_expert_capacity",
       s"""WITH $routedSql, n AS (SELECT COUNT(*) AS n FROM p),
@@ -224,19 +232,37 @@ object Router {
          |         AS kept_gate_mean
          |FROM rk, cap GROUP BY expert ORDER BY expert""".stripMargin,
     ) { (s, dir) =>
-      val spark = s
       val r = routed(Tables(s, dir).embeddings)
         .select(col("vec_id"), col("expert"), col("gate"))
       val n = r.agg(count(lit(1)).as("n"))
       val withCap = r.crossJoin(broadcast(n.select(
         expr(s"($CapacityPct * n + ${100 * Experts - 1}) div ${100 * Experts}")
           .as("cap"))))
+      // phase 1: order-respecting range partitions + pid pin (see the
+      // entry comment for why the pin is load-bearing)
+      val parts = s.sparkContext.defaultParallelism
+      val ranged = withCap
+        .repartitionByRange(parts, col("expert"), col("gate").desc, col("vec_id"))
+        .withColumn("pid", spark_partition_id())
+        .localCheckpoint(true)
+      // per-(pid, expert) counts: P×E rows — parallelism-sized, never
+      // data-sized; the offset merge is a triangular self-join on it
+      val counts = ranged.groupBy("pid", "expert")
+        .agg(count(lit(1)).as("c"))
+      val offsets = counts.as("a")
+        .join(counts.as("b"),
+          col("a.expert") === col("b.expert") && col("b.pid") < col("a.pid"),
+          "left")
+        .groupBy(col("a.pid").as("pid"), col("a.expert").as("expert"))
+        .agg(coalesce(sum(col("b.c")), lit(0L)).as("off"))
+      // phase 2: local rank within (pid, expert) + broadcast offsets
       val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("expert"))
+        .partitionBy(col("pid"), col("expert"))
         .orderBy(col("gate").desc, col("vec_id"))
-      withCap
-        .repartition(Experts, col("expert"))
-        .withColumn("rk", row_number().over(w))
+      ranged
+        .withColumn("lrk", row_number().over(w))
+        .join(broadcast(offsets), Seq("pid", "expert"))
+        .withColumn("rk", col("off") + col("lrk"))
         .groupBy(col("expert"))
         .agg(
           count(lit(1)).as("n_routed"),

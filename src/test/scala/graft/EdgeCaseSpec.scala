@@ -171,15 +171,83 @@ class EdgeCaseSpec extends SparkSpec {
     assert(!needsFreshJvm(seq = 2.0, iso = -1.0, vsPrev = Some(9.0)))
   }
 
-  test("loaded-host record flags itself (r11 verdict item 7)") {
+  test("loaded-host record flags itself (r11 item 7, widened r12 item 2)") {
     import graft.Bench.hostLoaded
     // r11's committed record shape: four 4.3–5.8× readings on a loaded
     // host — must flag, whatever the steal average read
     assert(hostLoaded(stealAvg = 0.001, bigRegressions = 4))
     // hypervisor steal alone also flags (the r5 70s-vs-134s runs)
     assert(hostLoaded(stealAvg = 0.05, bigRegressions = 0))
+    // r12's committed record: big_regressions = 3 slipped under the
+    // old threshold of 4 — 3 now flags
+    assert(hostLoaded(stealAvg = 0.008, bigRegressions = 3))
+    // the steal-invisible class: +32% total vs the same-code history
+    // median with steal 0.008 and only 2 big regressions — signal 3
+    assert(hostLoaded(stealAvg = 0.008, bigRegressions = 2,
+      totalVsHistory = Some(1.32)))
+    // the pinned CPU control alone also flags — signal 4
+    assert(hostLoaded(stealAvg = 0.001, bigRegressions = 0,
+      totalVsHistory = None, cpuVsHistory = Some(1.3)))
     // a quiet run with isolated noise does not
-    assert(!hostLoaded(stealAvg = 0.001, bigRegressions = 3))
+    assert(!hostLoaded(stealAvg = 0.001, bigRegressions = 2,
+      totalVsHistory = Some(1.05), cpuVsHistory = Some(0.98)))
     assert(!hostLoaded(stealAvg = 0.01, bigRegressions = 0))
+  }
+
+  test("witness selection: big regressions and slowest-8 are uncappable (r12 item 1)") {
+    import graft.Bench.{selectWitnesses, WitnessCap, WitnessSlowest}
+    // the r12 committed-record shape: 19 vs-prev regressions in
+    // inventory order, with the three LARGEST (4.3×, 3.8×, 3.2×) late
+    // in the inventory, plus 8 slow-but-stable queries — the old
+    // inventory-ordered take(18) dropped exactly the worst readings
+    val smallRegs = (1 to 16).map(i => f"q$i%03d_small" -> 2.0) // 2× vs prev=1
+    val bigRegs = Seq("q232_big" -> 4.3, "q139_big" -> 16.0, "q215_big" -> 15.0)
+    val slow = (1 to 8).map(i => f"q9$i%02d_slow" -> (20.0 + i)) // no prev
+    val results = smallRegs ++ bigRegs ++ slow
+    val prev = (smallRegs.map { case (k, _) => k -> 1.0 } ++
+      Seq("q232_big" -> 1.0, "q139_big" -> 4.2, "q215_big" -> 4.7)).toMap
+    val picked = selectWitnesses(results, prev, r1 = Map.empty)
+    // every ≥3×-vs-prev regression is witnessed, cap or no cap
+    assert(Seq("q232_big", "q139_big", "q215_big").forall(picked.contains),
+      s"big regressions dropped: $picked")
+    // the slowest-8 are all witnessed
+    assert(slow.map(_._1).forall(picked.contains), s"slowest-8 dropped: $picked")
+    // big regressions lead (fresh-JVM slots reach them first), ordered
+    // by vs-prev descending: 4.3 > 3.8 > 3.2
+    assert(picked.take(3) == Seq("q232_big", "q139_big", "q215_big"), picked.toString)
+    // the cap binds only the tail of small regressions
+    assert(picked.size <= WitnessCap + WitnessSlowest)
+    assert(picked.size >= 3 + 8)
+    // and with few flags, selection degrades to the old behavior
+    val quiet = selectWitnesses(slow, Map.empty, Map.empty)
+    assert(quiet.toSet == slow.map(_._1).toSet)
+  }
+
+  test("total-vs-history loaded signal: shared-query ratio, partials skipped") {
+    import graft.Bench.totalVsHistoryRatio
+    val dir = java.nio.file.Files.createTempDirectory("bench_tvh").toFile
+    dir.deleteOnExit()
+    val hist = Seq(
+      // qualifying full run: shared total = 10
+      """{"metric":"total_median_sec","queries":{"q01_a":1.0,"q02_b":2.0,"q03_c":3.0,"q04_d":4.0},"sf":"/root/testdata/sf0.1","cpu_control":0.2}""",
+      // partial (covers <half the 4-query inventory): skipped
+      """{"metric":"total_median_sec","queries":{"q01_a":0.5},"sf":"/root/testdata/sf0.1"}""",
+      // cross-sf: skipped
+      """{"metric":"total_median_sec","queries":{"q01_a":1.0,"q02_b":1.0,"q03_c":1.0,"q04_d":1.0},"sf":"/root/testdata/sf0.01"}""",
+    ).mkString("\n") + "\n"
+    java.nio.file.Files.writeString(
+      new java.io.File(dir, "BENCH_HISTORY.jsonl").toPath, hist)
+    val loadedRun = Seq("q01_a" -> 2.0, "q02_b" -> 3.0,
+      "q03_c" -> 4.0, "q04_d" -> 4.0) // total 13 vs 10
+    val r = totalVsHistoryRatio(loadedRun, "/root/testdata/sf0.1", dir)
+    assert(r.exists(x => math.abs(x - 1.3) < 1e-9), r.toString)
+    // cpu-control history median parses from the same lines
+    val m = graft.Bench.cpuControlHistoryMedian(
+      "/root/testdata/sf0.1", Set("q01_a", "q02_b", "q03_c", "q04_d"), dir)
+    assert(m.contains(0.2), m.toString)
+    // no qualifying history → no signal, never a garbage ratio
+    val dir2 = java.nio.file.Files.createTempDirectory("bench_tvh2").toFile
+    dir2.deleteOnExit()
+    assert(totalVsHistoryRatio(loadedRun, "/root/testdata/sf0.1", dir2).isEmpty)
   }
 }

@@ -125,12 +125,16 @@ class Round12Spec extends SparkSpec {
     assert(math.abs(loadSum - 1.0) < 1e-4, s"load fractions sum to 1: $loadSum")
     val impSum = rows.map(_.getDouble(3)).sum
     assert(math.abs(impSum - 1.0) < 1e-3, s"importance sums to 1: $impSum")
-    // aux = E·Σ f·P ≥ (Σ√(f·P))²·... — for f,P distributions the loss
-    // is ≥ 1 with equality iff both are uniform (Cauchy–Schwarz floor:
-    // E·Σ f_e·P_e ≥ E·(Σf/E)·... the Switch paper's scale puts the
-    // balanced optimum at exactly 1)
+    // aux = E·Σ f·P: the only GUARANTEED bound is aux > 0 (f, P are
+    // probability vectors; E·Σ f_e·P_e ≥ 1 holds when load and
+    // importance are similarly ordered — Chebyshev's sum inequality —
+    // but anti-correlated routing can legitimately drive it below 1,
+    // so ≥ 1 is a data property, not a law; r12 ADVICE). The top-1
+    // router DOES order them similarly on this fixture, recorded here
+    // as a documented fixture observation, not asserted.
     val aux = rows.map(_.getDouble(4)).sum
-    assert(aux >= 0.99, s"aux loss below the balanced floor: $aux")
+    assert(aux > 0.0, s"aux loss must be positive: $aux")
+    info(f"fixture aux loss (expected ≥1 for correlated f,P): $aux%.4f")
   }
 
   test("q332 capacity accounting: dropped = max(0, routed − capacity)") {
@@ -151,14 +155,24 @@ class Round12Spec extends SparkSpec {
     val rows = run("q333_temperature_weights").collect()
     val tempSum = rows.map(_.getDouble(3)).sum
     assert(math.abs(tempSum - 1.0) < 1e-4, s"temp shares sum to 1: $tempSum")
-    // τ = 0.7 compresses: every source with share below the mean share
-    // must gain (boost > 1), every source above it must shed
-    val meanShare = 1.0 / rows.length
-    rows.foreach { r =>
-      val (share, boost) = (r.getDouble(2), r.getDouble(4))
-      if (share < meanShare * 0.98) assert(boost > 1.0, s"${r.getString(0)} under-represented but not boosted")
-      if (share > meanShare * 1.02) assert(boost < 1.0, s"${r.getString(0)} over-represented but not shed")
+    // τ = 0.7 compresses. The TRUE invariants (r12 ADVICE — the old
+    // mean-share crossover was a false law: for w ∝ share^τ the
+    // boost = 1 crossover sits at share^(τ−1) = Σ_j share_j^τ, which
+    // under a skewed mixture need not be the mean): boost is strictly
+    // MONOTONE DECREASING in share, the minimum-share source boosts
+    // (its boost is the maximum, and Σw = Σshare = 1 forces some
+    // boost > 1), and the maximum-share source sheds.
+    val byShare = rows.sortBy(_.getDouble(2))
+    byShare.sliding(2).filter(_.length == 2).foreach { case Array(lo, hi) =>
+      if (lo.getDouble(2) < hi.getDouble(2))
+        assert(lo.getDouble(4) > hi.getDouble(4),
+          s"boost not monotone decreasing in share: " +
+            s"${lo.getString(0)} ${lo.getDouble(4)} vs ${hi.getString(0)} ${hi.getDouble(4)}")
     }
+    assert(byShare.head.getDouble(4) > 1.0,
+      s"minimum-share source must boost: ${byShare.head.getDouble(4)}")
+    assert(byShare.last.getDouble(4) < 1.0,
+      s"maximum-share source must shed: ${byShare.last.getDouble(4)}")
   }
 
   test("q334 cartography: terciles cover the corpus, regions are ordered") {
