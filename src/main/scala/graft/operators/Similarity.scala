@@ -589,7 +589,141 @@ object Similarity {
            |ORDER BY multiprobe""".stripMargin
       },
     ) { (s, dir) => lshMultiprobeRecall(s, dir, k = 5) },
+
+    // q339 — the MaxSim∘IVF QUALITY CURVE (r12 VERDICT item 6): q330's
+    // single-point recall measurement swept over nprobe ∈ {3, 8, 16}
+    // in one oracled frame — candidate volume, top-10 overlap with
+    // exact MaxSim, mean recall, and candidate fraction per probe
+    // depth (the q247/q336 sweep pattern applied to the composed
+    // late-interaction retrieval). The cost/recall frontier a
+    // deployment reads before pinning nprobe: recall is monotone in
+    // nprobe and hits 1.0 exactly at nprobe = nClusters = 16 (the
+    // q329 composition law, now VISIBLE in the output rather than
+    // only spec-asserted). Scale: the exact baseline is computed once
+    // (10 broadcast probes × one corpus scan of token slices) and
+    // pinned; each sweep point re-scores only its probe-bounded IVF
+    // candidates — corpus-sublinear per probe below full depth.
+    QueryEntry.dynamicSql("q339_maxsim_ivf_curve") { (s, dir) =>
+      maxSimIvfCurveOracleSql(s, dir, nprobes = Seq(3, 8, 16), k = 10)
+    } { (s, dir) =>
+      maxSimIvfCurve(s, dir, nprobes = Seq(3, 8, 16), k = 10)
+    },
   )
+
+  /** Engine side of q339 — see the entry for the contract. */
+  def maxSimIvfCurve(spark: org.apache.spark.sql.SparkSession,
+      dir: String, nprobes: Seq[Int], k: Int): DataFrame = {
+    val emb = Tables(spark, dir).embeddings
+    val total = emb.count() // model-sized scalar: corpus row count
+    val probeIds = emb.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"))
+    val nq = probeIds.count() // model-sized: the 10-probe panel
+    val allCand = emb.select("vec_id").crossJoin(broadcast(probeIds))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select("q_id", "vec_id")
+    // exact MaxSim top-k once, pinned (k·|probes| rows), reused by
+    // every sweep point's overlap join
+    val exact = maxSimOverCandidates(emb, allCand, k)
+      .select("q_id", "vec_id")
+      .localCheckpoint(true)
+    nprobes.map { np =>
+      val cand = graft.TransientCaches.register(
+        ivfMaxSimCandidates(spark, dir, np)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      val nc = cand.agg(count(lit(1)).as("nc"))
+      val ov = maxSimOverCandidates(emb, cand, k)
+        .select("q_id", "vec_id")
+        .join(exact, Seq("q_id", "vec_id"))
+        .agg(count(lit(1)).as("ov"))
+      ov.crossJoin(nc).select(
+        lit(np).as("nprobe"),
+        lit(nq).as("n_queries"),
+        col("nc").cast(LongType).as("n_candidates"),
+        col("ov").cast(LongType).as("sum_overlap"),
+        round(col("ov") * lit(1.0) / (lit(k.toLong) * lit(nq)), 6)
+          .as("mean_recall"),
+        round(col("nc") * lit(1.0) / (lit(nq) * lit(total - 1)), 6)
+          .as("cand_frac"))
+    }.reduce(_ unionAll _).orderBy("nprobe")
+  }
+
+  /** Generated DuckDB mirror of q339: ONE coarse-quantizer replay
+    * (centroids inlined as exact literals at nprobe = max so ranked_c
+    * carries every probe depth), the exact MaxSim top-k once, then a
+    * per-nprobe candidate/re-score/overlap block — the q336 oracle
+    * structure applied to the composed retrieval.
+    */
+  def maxSimIvfCurveOracleSql(spark: org.apache.spark.sql.SparkSession,
+      dir: String, nprobes: Seq[Int], k: Int): String = {
+    val subUnions = (0 until 8).map { m =>
+      val flat = (1 to 8).map(j =>
+        s"CAST(embedding[${m * 8 + j}] AS DOUBLE) AS t$j").mkString(", ")
+      val nrm = (1 to 8).map(j =>
+        s"CAST(embedding[${m * 8 + j}] AS DOUBLE) * CAST(embedding[${m * 8 + j}] AS DOUBLE)")
+        .mkString(" + ")
+      s"SELECT vec_id, $m AS si, $flat, ($nrm) AS nrm FROM embeddings"
+    }.mkString("\n    UNION ALL ")
+    val dot = (1 to 8).map(j => s"q.t$j * d.t$j").mkString(" + ")
+    def block(np: Int) =
+      s"""probes_$np AS (
+         |  SELECT vec_id AS q_id, c AS pcluster FROM ranked_c
+         |  WHERE rn <= $np AND vec_id < 10
+         |), cand_$np AS MATERIALIZED (
+         |  SELECT p.q_id, co.vec_id
+         |  FROM probes_$np p JOIN corpus co ON co.cluster = p.pcluster
+         |  WHERE co.vec_id <> p.q_id
+         |), tokmax_$np AS (
+         |  SELECT c.q_id, c.vec_id, q.si AS qi,
+         |         MAX(CAST(ROUND(($dot) / sqrt(q.nrm * d.nrm), 6)
+         |             AS DECIMAL(18,6))) AS m
+         |  FROM cand_$np c
+         |  JOIN qt q ON q.vec_id = c.q_id
+         |  JOIN sub d ON d.vec_id = c.vec_id
+         |  GROUP BY 1, 2, 3
+         |), scored_$np AS (
+         |  SELECT q_id, vec_id, SUM(m) AS score FROM tokmax_$np GROUP BY 1, 2
+         |), topk_$np AS (
+         |  SELECT q_id, vec_id FROM (
+         |    SELECT q_id, vec_id,
+         |           row_number() OVER (PARTITION BY q_id
+         |             ORDER BY score DESC, vec_id) AS rank
+         |    FROM scored_$np) t WHERE rank <= $k
+         |), ov_$np AS (
+         |  SELECT COUNT(*) AS ov FROM topk_$np t
+         |  JOIN ex_topk e ON e.q_id = t.q_id AND e.vec_id = t.vec_id
+         |), nc_$np AS (SELECT COUNT(*) AS nc FROM cand_$np)""".stripMargin
+    def outRow(np: Int) =
+      s"""SELECT $np AS nprobe,
+         |       CAST(nq AS BIGINT) AS n_queries,
+         |       CAST(nc AS BIGINT) AS n_candidates,
+         |       CAST(ov AS BIGINT) AS sum_overlap,
+         |       ROUND(ov * 1.0 / ($k * nq), 6) AS mean_recall,
+         |       ROUND(nc * 1.0 / (nq * (tot - 1)), 6) AS cand_frac
+         |FROM ov_$np, nc_$np, nn, tt""".stripMargin
+    s"""WITH ${Ivf.coarseCtes(spark, dir, nprobes.max)}, sub AS MATERIALIZED (
+       |    $subUnions
+       |), qt AS MATERIALIZED (
+       |  SELECT * FROM sub WHERE vec_id < 10
+       |), ex_tokmax AS (
+       |  SELECT q.vec_id AS q_id, d.vec_id, q.si AS qi,
+       |         MAX(CAST(ROUND(($dot) / sqrt(q.nrm * d.nrm), 6)
+       |             AS DECIMAL(18,6))) AS m
+       |  FROM qt q JOIN sub d ON d.vec_id <> q.vec_id
+       |  GROUP BY 1, 2, 3
+       |), ex_scored AS (
+       |  SELECT q_id, vec_id, SUM(m) AS score FROM ex_tokmax GROUP BY 1, 2
+       |), ex_topk AS MATERIALIZED (
+       |  SELECT q_id, vec_id FROM (
+       |    SELECT q_id, vec_id,
+       |           row_number() OVER (PARTITION BY q_id
+       |             ORDER BY score DESC, vec_id) AS rank
+       |    FROM ex_scored) t WHERE rank <= $k
+       |), nn AS (SELECT COUNT(DISTINCT vec_id) AS nq FROM qt),
+       |tt AS (SELECT COUNT(*) AS tot FROM embeddings),
+       |${nprobes.map(block).mkString(",\n")}
+       |${nprobes.map(outRow).mkString("\nUNION ALL\n")}
+       |ORDER BY nprobe""".stripMargin
+  }
 
   /** Engine side of q336 — see the entry for the contract. */
   def lshMultiprobeRecall(spark: org.apache.spark.sql.SparkSession,

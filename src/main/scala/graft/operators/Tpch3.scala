@@ -344,5 +344,58 @@ object Tpch3 {
         .select("s_suppkey", "s_name", "n_name")
         .orderBy("s_suppkey")
     },
+
+    // q338 — TPC-H Q4 (order-priority checking) as a correlated
+    // EXISTS, the one optimizer surface the inventory had not yet
+    // forced (r12 VERDICT item 5): EXISTS → left-semi decorrelation
+    // (Catalyst RewritePredicateSubquery). The fixture lacks
+    // l_commitdate/l_receiptdate, so Q4's "line received after its
+    // commit date" predicate is a DERIVED late flag — the top 2 bits
+    // of splitmix64(8·l_orderkey + l_linenumber) = 0 (~25% of lines)
+    // — the q69 pinned-hash determinism pattern, unsigned-consistent
+    // across engines (Spark shiftrightunsigned vs DuckDB UBIGINT >>).
+    // The Spark side is WRITTEN as EXISTS in Spark SQL, not a
+    // hand-built semi-join, so the decorrelation itself is what runs;
+    // Round13Spec plan-asserts the LeftSemi and that no correlated
+    // subquery survives. Scale shape: the classic Q4 plan — a
+    // quarter-filtered orders scan semi-joined to the late lines on
+    // orderkey (shuffle or broadcast as AQE sizes it), then a 5-key
+    // rollup; EXISTS means each order counts ONCE however many lines
+    // are late, which the semi-join encodes with no distinct.
+    QueryEntry.sql(
+      "q338_tpch_q4_exists",
+      s"""WITH ll AS (
+         |  SELECT l_orderkey,
+         |         ((${Hll.splitmixSqlFor("l_orderkey * 8 + l_linenumber")}) >> 62) = 0
+         |           AS late
+         |  FROM lineitem
+         |)
+         |SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+         |FROM orders
+         |WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+         |  AND o_orderdate < TIMESTAMP '1996-10-01 00:00:00'
+         |  AND EXISTS (SELECT 1 FROM ll
+         |              WHERE ll.l_orderkey = orders.o_orderkey AND ll.late)
+         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    ) { (s, dir) =>
+      val t = Tables(s, dir)
+      t.orders.createOrReplaceTempView("graft_q338_orders")
+      t.lineitem
+        .select(col("l_orderkey"),
+          (shiftrightunsigned(
+            graft.functions.GraftFunctions.splitmix64(
+              col("l_orderkey") * 8 + col("l_linenumber")), 62) === 0)
+            .as("late"))
+        .createOrReplaceTempView("graft_q338_lineitem")
+      s.sql(
+        """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+          |FROM graft_q338_orders
+          |WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+          |  AND o_orderdate < TIMESTAMP '1996-10-01 00:00:00'
+          |  AND EXISTS (SELECT 1 FROM graft_q338_lineitem ll
+          |              WHERE ll.l_orderkey = graft_q338_orders.o_orderkey
+          |                AND ll.late)
+          |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
+    },
   )
 }
