@@ -158,6 +158,20 @@ object ScaleStress {
     "q329_maxsim_ivf", // IVF candidate lists + constant re-score per candidate — corpus-sublinear candidates
     "q331_moe_routing", // 8 codegen dots per vector + 8-key rollup — linear, map-side
     "q334_train_cartography", // q250's 3 GD passes + scoring + 2 tercile rank passes — linear
+    // round-13 additions (r12 VERDICT item 8): the RocksDB streaming
+    // twins (expect a constant SST floor — exponent near 0), the r12
+    // graph/mixture entries, and this round's two new queries
+    "q301_stream_sessions_rocksdb", // constant micro-batch machinery + RocksDB floor
+    "q325_stream_token_counts_rocksdb", // complete-mode agg under RocksDB — state is lang-bounded
+    "q326_stream_join_rocksdb", // stream-stream interval join buffers — heaviest state shape
+    "q327_stream_user_state_rocksdb", // mapGroupsWithState encoder round-trip
+    "q328_stream_dedup_expiry_rocksdb", // watermark-expiry dedup state
+    "q332_expert_capacity", // two-phase rank: range partitions + P×E-bounded offset merge — linear
+    "q335_label_propagation", // 3 rounds x one edge-proportional shuffle — linear per round
+    "q336_lsh_multiprobe", // bucket-bounded candidate blocks + one exact baseline scan
+    "q337_doremi_step", // two grouped LM fits + bigram-keyed scoring join — linear
+    "q338_tpch_q4_exists", // quarter-filtered orders semi-join + 5-key rollup — linear
+    "q339_maxsim_ivf_curve", // one pinned exact baseline + 3 probe-bounded sweep points
   )
 
   /** Per-table key-shift rules: every synthetic surrogate key column

@@ -63,7 +63,8 @@ def run_oracle(sf_dir: str, sql: str, q):
     q.put((len(c), list(c.columns), frame_hash(c), round(time.time() - t0, 1)))
 
 
-def main(sf_dir: str, out_dir: str, out_json: str, timeout: int) -> int:
+def main(sf_dir: str, out_dir: str, out_json: str, timeout: int,
+         merge: bool = False) -> int:
     oracle = json.loads((Path(out_dir) / "oracle_sql.json").read_text())
     results = {}
     n_fail = 0
@@ -108,18 +109,36 @@ def main(sf_dir: str, out_dir: str, out_json: str, timeout: int) -> int:
                     row["status"] = "pass"
         results[name] = row
         print(("ok" if row["status"] == "pass" else "x ") + f" {name}: {row}")
-    record = {
-        "metric": "sf1_oracle",
-        "sf_dir": sf_dir,
-        "scale_note": "ScaleStress x10 blowup of sf0.1 (~sf1 row counts); rows+schema+hash, 6dp float canon",
-        "timeout_s": timeout,
-        "queries": results,
-    }
-    Path(out_json).write_text(json.dumps(record, indent=1) + "\n")
+    if merge and Path(out_json).exists():
+        # --merge (r12 VERDICT item 7): fold this run's rows into the
+        # existing record instead of overwriting — used to add the
+        # three reference-semantics quadratics at their feasible x3
+        # blowup alongside the full-inventory x10 sweep. Each merged
+        # row is tagged with its own sf_dir so the record says which
+        # scale witnessed it.
+        old = json.loads(Path(out_json).read_text())
+        for k, v in results.items():
+            v["sf_dir"] = sf_dir
+            old["queries"][k] = v
+        scales = old.setdefault("merged_scales", [])
+        if sf_dir not in scales:
+            scales.append(sf_dir)
+        Path(out_json).write_text(json.dumps(old, indent=1) + "\n")
+    else:
+        record = {
+            "metric": "sf1_oracle",
+            "sf_dir": sf_dir,
+            "scale_note": "ScaleStress x10 blowup of sf0.1 (~sf1 row counts); rows+schema+hash, 6dp float canon",
+            "timeout_s": timeout,
+            "queries": results,
+        }
+        Path(out_json).write_text(json.dumps(record, indent=1) + "\n")
     print(f"\n{sum(1 for r in results.values() if r['status'] == 'pass')} pass, {n_fail} fail -> {out_json}")
     return 1 if n_fail else 0
 
 
 if __name__ == "__main__":
-    sys.exit(main(sys.argv[1], sys.argv[2], sys.argv[3],
-                  int(sys.argv[4]) if len(sys.argv) > 4 else 1200))
+    argv = [a for a in sys.argv if a != "--merge"]
+    sys.exit(main(argv[1], argv[2], argv[3],
+                  int(argv[4]) if len(argv) > 4 else 1200,
+                  merge="--merge" in sys.argv))
