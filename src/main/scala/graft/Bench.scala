@@ -3,10 +3,16 @@ package graft
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main (BASELINE.md §2 protocol): every declared query on
-  * `SPARK_GRAFT_SF_DIR`, 1 warmup + 5 timed runs, median wall-clock,
-  * forced through the `noop` sink so the full plan materializes
-  * without sink I/O skewing the number (count() would let Catalyst
-  * prune the very projections being measured).
+  * `SPARK_GRAFT_SF_DIR`, 1 warmup + 5 timed runs (1 timed run for
+  * streaming entries — their time is a stable micro-batch scheduling
+  * floor; see [[timedRunsFor]]), median wall-clock, forced through the
+  * `noop` sink so the full plan materializes without sink I/O skewing
+  * the number (count() would let Catalyst prune the very projections
+  * being measured). The r1-shared grading prefix runs FIRST and emits
+  * an early `bench_summary` line the moment it completes (r13 VERDICT
+  * item 1: the r13 full sequence outran the driver's wall clock on a
+  * loaded host and the round's canonical record was rc 124 with no
+  * number at all — now a timeout truncates coverage, never the grade).
   *
   * Emits exactly one JSON line:
   *   {"metric":"total_median_sec","value":N,"unit":"sec",
@@ -126,9 +132,12 @@ object Bench {
             // forall): a schema-drifted line with no sf field would
             // otherwise silently supply cross-sf vs_prev ratios — the
             // same class of silent-disarm defect the history source
-            // exists to prevent
-            val sfOk = sfRe.findFirstMatchIn(text).map(_.group(1))
-              .exists(s => new java.io.File(s).getName == wantSf)
+            // exists to prevent. Loaded-run lines are skipped too (r13
+            // ADVICE low): a steal-inflated baseline makes this run's
+            // ratios read fast and under-arms the regression witness.
+            val sfOk = !lineLoaded(text) &&
+              sfRe.findFirstMatchIn(text).map(_.group(1))
+                .exists(s => new java.io.File(s).getName == wantSf)
             val qs = if (sfOk) queryTimesFromText(text) else Map.empty[String, Double]
             (i, qs)
           }.collectFirst {
@@ -193,6 +202,82 @@ object Bench {
   val WitnessVsR1Ratio = 2.0
   val WitnessCap = 18
 
+  /** Streaming entries (micro-batch-scheduling-bound: their time is a
+    * Trigger.AvailableNow machinery floor, not a plan cost, and the
+    * floor is stable run-to-run). Recognized by name — the `_stream`
+    * infix is the inventory-wide convention (17 entries).
+    */
+  def isStreaming(name: String): Boolean = name.contains("_stream")
+
+  /** Timed-run count per query (r13 VERDICT item 1): streaming entries
+    * get ONE timed run — median-of-5 over a scheduling floor buys no
+    * precision and cost ~70 s of the full-inventory wall clock, which
+    * is what pushed the r13 bench past the driver's timeout (the
+    * committed BENCH_r13.json was rc 124 / parsed null).
+    */
+  def timedRunsFor(name: String, default: Int): Int =
+    if (isStreaming(name)) 1 else default
+
+  /** Bench inventory order (r13 VERDICT item 1): every query with an r1
+    * driver baseline runs FIRST (inventory order within each group), so
+    * the vs_r1 grading signal is measured, printed, and written to
+    * BENCH_SUMMARY.json before the ~290-query tail starts — a driver
+    * wall-clock timeout can then truncate COVERAGE but never zero out
+    * the round's graded record. Spec-pinned in EdgeCaseSpec: with the
+    * real registry and BENCH_r01.json, the full r1-shared set precedes
+    * inventory position 47.
+    */
+  def benchOrder(entries: Seq[QueryEntry], r1Names: Set[String]): Seq[QueryEntry] = {
+    val (shared, rest) = entries.partition(e => r1Names.contains(e.name))
+    shared ++ rest
+  }
+
+  /** The early (post-r1-prefix) summary line — the timeout-survivable
+    * grading record. Compact and complete JSON: totals over the prefix,
+    * the vs-r1 grade, worst per-query ratios, and the host signals
+    * known at that point. Tagged `"phase":"r1_prefix"` so a truncated
+    * round record is visibly partial, never mistaken for the full run.
+    */
+  def r1PrefixSummaryJson(
+      prefix: Seq[(String, Double)],
+      r1: Map[String, Double],
+      sfDir: String,
+      cpuControl: Double,
+      stealAvg: Double): String = {
+    def r3(x: Double): Double = math.round(x * 1000.0) / 1000.0
+    val ok = prefix.collect { case (_, v) if v >= 0 => v }
+    val shared = prefix.collect {
+      case (k, v) if v > 0 && r1.get(k).exists(_ > 0) => (k, v, r1(k))
+    }
+    val vsR1 =
+      if (shared.isEmpty) ""
+      else {
+        val ratio = r3(shared.map(_._2).sum / shared.map(_._3).sum)
+        val worst = shared.map { case (k, v, b) => (k, v / b) }
+          .sortBy(-_._2).take(3)
+          .map { case (k, r) => s""""$k":${r3(r)}""" }.mkString("{", ",", "}")
+        s""","vs_r1":$ratio,"r1_shared":${shared.size},"worst_vs_r1":$worst"""
+      }
+    s"""{"metric":"bench_summary","phase":"r1_prefix","total_prefix":${r3(ok.sum)},""" +
+      s""""n":${prefix.size},"failed":${prefix.size - ok.size},"sf":"$sfDir"$vsR1,""" +
+      s""""steal_avg":${r3(stealAvg)},"cpu_control":${r3(cpuControl)}}"""
+  }
+
+  /** Post-record quiet-host adjudication probe selection (r13 VERDICT
+    * item 5): when a round's full runs self-flag as loaded and a quiet
+    * probe supplies the canonical grade, the probe must cover the
+    * r1-shared grading set PLUS every ≥3×-vs-prev flagged query —
+    * INCLUDING streaming entries. The r13 probe excluded streaming by
+    * construction, and the round's only unadjudicated residual
+    * (q196_stream_ann_ingest) was exactly a streaming flag.
+    */
+  def quietProbeNames(
+      r1Shared: Set[String],
+      flaggedVsPrev: Map[String, Double]): Seq[String] =
+    (r1Shared ++ flaggedVsPrev.collect {
+      case (k, v) if v >= LoadedBigRegressionRatio => k
+    }).toSeq.sorted
+
   /** Witness selection (r12 VERDICT item 1). The r12 committed record
     * showed the failure mode of a naive `(regressed ++ slowest ++
     * overR1).take(cap)`: `regressed` enumerated in INVENTORY order, so
@@ -215,7 +300,20 @@ object Bench {
   def selectWitnesses(
       results: Seq[(String, Double)],
       prev: Map[String, Double],
-      r1: Map[String, Double]): Seq[String] = {
+      r1: Map[String, Double]): Seq[String] =
+    selectWitnessesWithDropped(results, prev, r1)._1
+
+  /** [[selectWitnesses]] plus the names the cap SQUEEZED OUT (r13
+    * ADVICE low): when big-regressions + slowest-8 fill the cap, the
+    * >1.5×-vs-prev / >2×-vs-r1 fill tail is truncated — those names
+    * must surface in the round record (`witness_dropped` in the
+    * summary), or the r7 promise that every over-threshold reading
+    * carries its own verdict fails silently.
+    */
+  def selectWitnessesWithDropped(
+      results: Seq[(String, Double)],
+      prev: Map[String, Double],
+      r1: Map[String, Double]): (Seq[String], Seq[String]) = {
     val slowest = results.filter(_._2 > 0).sortBy(-_._2)
       .take(WitnessSlowest).map(_._1)
     val regressedSorted = results.collect {
@@ -232,7 +330,8 @@ object Bench {
     val reserved = (bigRegressed ++ slowest).distinct
     val fill = (regressedSorted.map(_._1) ++ overR1).distinct
       .filterNot(reserved.contains)
-    reserved ++ fill.take(math.max(0, WitnessCap - reserved.size))
+    val room = math.max(0, WitnessCap - reserved.size)
+    (reserved ++ fill.take(room), fill.drop(room))
   }
 
   /** Fresh-JVM tiebreaker (round-7 protocol): when a witnessed query's
@@ -268,6 +367,79 @@ object Bench {
     seq > 0 && iso > 0 && (
       math.max(seq / iso, iso / seq) > FreshDisagreeRatio ||
         vsPrev.exists(_ > WitnessRegressionRatio))
+
+  /** The protocol's trusted reading: fresh > min(seq, iso) — a
+    * fresh-JVM measurement, when taken, overrides the in-JVM pair
+    * entirely (r8: q179 was labeled seq_noise off min(seq,iso) while
+    * its own fresh reading confirmed the cost). UNNORMALIZED.
+    */
+  def trustedReading(seq: Double, iso: Double, fresh: Option[Double]): Double =
+    fresh.filter(_ > 0).getOrElse((Seq(seq, iso).filter(_ > 0) :+ seq).min)
+
+  /** Witness verdict (pure, spec-pinned — r12 VERDICT item 2 + r13
+    * ADVICE medium). Two distinct comparison classes, normalized
+    * differently:
+    *   - CROSS-RUN baselines (r1, prev round): the trusted reading is
+    *     divided by `hostRatio` (the CPU-control-vs-history ratio,
+    *     floored at 1) — a fresh JVM started on a degraded host is
+    *     still degraded, and r12's q17/q18 read `confirmed` off fresh
+    *     readings taken during a +32% host-skew window.
+    *   - INTRA-RUN disagreement (the no-r1-baseline seq-vs-trusted
+    *     test): RAW readings on both sides. Both were taken on the
+    *     same skewed host, so dividing one side by hostRatio lowered
+    *     the effective seq-noise bar from 1.5 to 1.5/hostRatio and
+    *     mislabeled consistent costs as `seq_noise` (the committed r13
+    *     BENCH_SUMMARY showed q339/q221 seq_noise on a host_loaded run
+    *     — the r13 ADVICE medium finding).
+    */
+  def witnessVerdict(
+      seq: Double, iso: Double, fresh: Option[Double],
+      r1Base: Option[Double], prevSec: Option[Double],
+      hostRatio: Double): String = {
+    val raw = trustedReading(seq, iso, fresh)
+    val norm = raw / math.max(1.0, hostRatio)
+    val v0 = r1Base.filter(_ > 0) match {
+      case Some(b) =>
+        if (seq / b <= WitnessVsR1Ratio) "ok"
+        else if (norm / b <= WitnessVsR1Ratio) "cleared"
+        else "confirmed"
+      case None =>
+        if (raw > 0 && seq / raw > FreshDisagreeRatio) "seq_noise"
+        else if (fresh.exists(_ > 0)) "cost_confirmed"
+        else "stable"
+    }
+    prevSec.filter(_ > 0) match {
+      case Some(p) if seq / p > WitnessRegressionRatio &&
+          (v0 == "ok" || v0 == "stable") =>
+        if (norm / p <= WitnessRegressionRatio) "prev_noise"
+        else "prev_confirmed"
+      case _ => v0
+    }
+  }
+
+  /** One witness entry of the full record (pure, spec-pinned — r13
+    * VERDICT item 6): alongside the seq/iso/fresh readings, a
+    * vs-prev-flagged witness carries BOTH adjudication-basis ratios —
+    * `vs_prev_trusted` (trusted reading / prior-round seconds, raw)
+    * and `vs_prev_cpu` (the same divided by the CPU-control host
+    * ratio, the number the verdict's cross-run comparisons actually
+    * use) — so a normalized verdict like `prev_noise` is auditable
+    * from the record without re-deriving the normalizer.
+    */
+  def witnessEntryJson(
+      name: String, seq: Double, iso: Double, isoSteal: Double, cc: Double,
+      fresh: Option[Double], prevSec: Option[Double], hostRatio: Double): String = {
+    def r3(x: Double): Double = math.round(x * 1000.0) / 1000.0
+    val freshTag = fresh.map(f => s""","fresh":$f""").getOrElse("")
+    val prevTag = prevSec.filter(_ > 0).map { p =>
+      val raw = trustedReading(seq, iso, fresh)
+      s""","vs_prev_trusted":${r3(raw / p)}""" +
+        s""","vs_prev_cpu":${r3(raw / math.max(1.0, hostRatio) / p)}"""
+    }.getOrElse("")
+    s""""$name":{"seq":$seq,"iso":$iso,""" +
+      s""""iso_steal":${r3(isoSteal)},""" +
+      s""""code_cache":${math.round(cc * 100.0) / 100.0}$freshTag$prevTag}"""
+  }
 
   /** Loaded-host record detector (r11 VERDICT item 7, widened per r12
     * VERDICT item 2): a full-run record taken under host contention
@@ -326,9 +498,26 @@ object Bench {
     if (ratios.isEmpty) None else Some(median(ratios))
   }
 
+  /** Whether a BENCH_HISTORY line was recorded under host contention
+    * (r13 ADVICE low): loaded runs used to be appended unconditionally
+    * and still counted in the history medians, so the total-vs-history
+    * and cpu-control baselines ratcheted UPWARD after each loaded run —
+    * successive contaminated rounds masking exactly the contention
+    * class signals 3–4 exist to catch. Two markers: the explicit
+    * `"host_loaded":true` tag (written from r14 on), and — for lines
+    * appended before the tag existed (r13's two loaded full runs) —
+    * a recorded run-average steal at or over [[LoadedStealAvg]].
+    */
+  def lineLoaded(text: String): Boolean =
+    text.contains("\"host_loaded\":true") ||
+      "\"run_avg\":(-?\\d+(?:\\.\\d+)?(?:[eE][+-]?\\d+)?)".r
+        .findFirstMatchIn(text)
+        .exists(_.group(1).toDouble >= LoadedStealAvg)
+
   /** Raw text of qualifying BENCH_HISTORY lines (same sf, ≥half
-    * inventory coverage), NEWEST first, capped at 5 — shared by the
-    * total-vs-history and cpu-control-vs-history loaded signals.
+    * inventory coverage, NOT flagged loaded — see [[lineLoaded]]),
+    * NEWEST first, capped at 5 — shared by the total-vs-history and
+    * cpu-control-vs-history loaded signals.
     */
   def historyLines(sfDir: String, currentNames: Set[String],
       dir: java.io.File): Seq[String] = {
@@ -341,8 +530,9 @@ object Bench {
       val wantSf = new java.io.File(sfDir).getName
       val minCover = math.max(1, currentNames.size / 2)
       lines.reverse.iterator.filter { text =>
-        sfRe.findFirstMatchIn(text).map(_.group(1))
-          .exists(s => new java.io.File(s).getName == wantSf) &&
+        !lineLoaded(text) &&
+          sfRe.findFirstMatchIn(text).map(_.group(1))
+            .exists(s => new java.io.File(s).getName == wantSf) &&
           queryTimesFromText(text).keySet.intersect(currentNames).size >= minCover
       }.take(5).toSeq
     } catch { case scala.util.control.NonFatal(_) => Seq.empty }
@@ -484,7 +674,12 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
-    val entries = SparkEntry.allEntries.filter(e => SparkEntry.envSelected(e.name))
+    // r1-shared queries FIRST (r13 VERDICT item 1) — see benchOrder
+    val r1 = r1QueryTimes(sfDir)
+    val entries = benchOrder(
+      SparkEntry.allEntries.filter(e => SparkEntry.envSelected(e.name)),
+      r1.keySet)
+    val r1PrefixLen = entries.count(e => r1.contains(e.name))
 
     /** One hygienic measurement of `e`: GC + fresh warmup + timed
       * medians, then release everything the query pinned. Shared by the
@@ -556,7 +751,8 @@ object Bench {
     // no witness pass, no vs_prev, and no BENCH_LAST.json (which would
     // clobber the parent's record).
     if (sys.env.contains("SPARK_GRAFT_FRESH")) {
-      val rs = entries.map(e => e.name -> measure(e, timedRuns = 3, profile = false))
+      val rs = entries.map(e =>
+        e.name -> measure(e, timedRuns = timedRunsFor(e.name, 3), profile = false))
       println(rs.map { case (k, v) => "\"" + k + "\":" + v }
         .mkString("""{"fresh":{""", ",", "}}"))
       spark.stop()
@@ -569,7 +765,25 @@ object Bench {
     val cpuControl = cpuControlSeconds()
     System.err.println(f"[bench] cpu_control=$cpuControl%.3f s")
 
-    val results = entries.map(e => e.name -> measure(e, timedRuns = 5, profile = true))
+    // the sequence, r1-shared prefix first; the early summary (the
+    // timeout-survivable grading record, r13 VERDICT item 1) is
+    // printed AND written to BENCH_SUMMARY.json the moment the prefix
+    // completes — BEFORE inventory position r1PrefixLen + 1 runs
+    val resultsBuf = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+    entries.zipWithIndex.foreach { case (e, i) =>
+      resultsBuf += e.name -> measure(e, timedRunsFor(e.name, 5), profile = true)
+      if (i + 1 == r1PrefixLen) {
+        val sa = {
+          val vs = stealByQuery.values
+          if (vs.isEmpty) 0.0 else vs.sum / vs.size
+        }
+        val early = r1PrefixSummaryJson(resultsBuf.toSeq, r1, sfDir, cpuControl, sa)
+        println(early)
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get("BENCH_SUMMARY.json"), early + "\n")
+      }
+    }
+    val results = resultsBuf.toSeq
     // sequence-time steal, snapshotted before the witness pass reuses
     // measure() (which would overwrite entries with isolated-run steal)
     val seqSteal = stealByQuery.toMap
@@ -601,13 +815,16 @@ object Bench {
     // near 1, and a vs_prev regression that vanishes isolated is
     // sequence noise, certified by the record itself.
     val byName = results.toMap
-    val r1 = r1QueryTimes(sfDir)
     // selection extracted + spec-pinned (r12 VERDICT item 1): big
-    // regressions and the slowest-8 are uncappable; see selectWitnesses
-    val witnessNames = selectWitnesses(results, prev, r1)
+    // regressions and the slowest-8 are uncappable; the squeezed-out
+    // fill tail is recorded, not silently dropped (r13 ADVICE low)
+    val (witnessNames, witnessDropped) =
+      selectWitnessesWithDropped(results, prev, r1)
+    if (witnessDropped.nonEmpty) System.err.println(
+      s"[bench] witness cap squeezed out: ${witnessDropped.mkString(",")}")
     val witness = witnessNames.flatMap { n =>
       entries.find(_.name == n).map { e =>
-        val iso = measure(e, timedRuns = 3, profile = false)
+        val iso = measure(e, timedRunsFor(n, 3), profile = false)
         val cc = codeCacheFrac()
         System.err.println(
           f"[bench] witness $n: seq=${byName(n)}%.3f iso=$iso%.3f code_cache=$cc%.2f")
@@ -634,11 +851,17 @@ object Bench {
         System.err.println(f"[bench] fresh-JVM witness $n: fresh=$f%.3f")
         n -> f
       }.toMap
+    // verdict normalizer (r12 VERDICT item 2): a fresh JVM started on
+    // a degraded host is still degraded — the single-thread CPU control
+    // moves with host skew and with nothing plan-shaped, so cross-run
+    // baseline comparisons divide the trusted reading by this ratio
+    // (floored at 1 — a FASTER host must never manufacture
+    // confirmations). Intra-run comparisons stay raw (r13 ADVICE
+    // medium) — see witnessVerdict.
+    val hostRatio = math.max(1.0, cpuVsHist.getOrElse(1.0))
     val witnessJson = witness.map { case (n, iso, isoSteal, cc) =>
-      val freshTag = freshByName.get(n).map(f => s""","fresh":$f""").getOrElse("")
-      s""""$n":{"seq":${byName(n)},"iso":$iso,""" +
-        s""""iso_steal":${math.round(isoSteal * 1000.0) / 1000.0},""" +
-        s""""code_cache":${math.round(cc * 100.0) / 100.0}$freshTag}"""
+      witnessEntryJson(n, byName(n), iso, isoSteal, cc,
+        freshByName.get(n), prev.get(n), hostRatio)
     }.mkString("{", ",", "}")
 
     // per-query steal fractions above 1% (plus the run-wide fraction):
@@ -654,11 +877,25 @@ object Bench {
       s"""{"run_avg":$avg${if (hot.isEmpty) "" else hot.mkString(",", ",", "")}}"""
     }
 
+    // loaded-host self-flag (r11 VERDICT item 7), computed BEFORE the
+    // full-record line so the line itself carries it — historyLines()
+    // skips flagged lines, keeping the history medians (signals 3–4)
+    // from ratcheting upward after each loaded run (r13 ADVICE low)
+    val stealAvgRaw = {
+      val vs = seqSteal.values
+      if (vs.isEmpty) 0.0 else vs.sum / vs.size
+    }
+    val bigRegressions = results.count { case (k, v) =>
+      v > 0 && prev.get(k).exists(p => p > 0 && v / p > LoadedBigRegressionRatio)
+    }
+    val loaded = hostLoaded(stealAvgRaw, bigRegressions, totalVsHist, cpuVsHist)
+
     val line =
       s"""{"metric":"total_median_sec","value":${ok.sum},"unit":"sec","queries":$qs,""" +
         s""""sf":"$sfDir","n_queries":${results.size},"failed":$failed""" +
         s""","vs_prev":$vsPrev$prevTag,"witness":$witnessJson,"steal":$stealJson""" +
-        s""","cpu_control":${math.round(cpuControl * 1000.0) / 1000.0}}"""
+        s""","cpu_control":${math.round(cpuControl * 1000.0) / 1000.0}""" +
+        s""","host_loaded":$loaded}"""
     println(line)
     // file artifact in case the wrapper's stdout scrape misses the line
     java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH_LAST.json"), line + "\n")
@@ -701,57 +938,15 @@ object Bench {
           .map { case (k, r) => s""""$k":${r3(r)}""" }.mkString("{", ",", "}")
         s""","vs_r1":$ratio,"r1_shared":${sharedR1.size},"worst_vs_r1":$worst"""
       }
-    // verdict normalizer (r12 VERDICT item 2): a fresh JVM started on
-    // a degraded host is still degraded — r12's q17/q18 read
-    // `confirmed` off fresh readings taken during the same +32% host
-    // skew window. The single-thread CPU control moves with that skew
-    // and with nothing plan-shaped, so dividing the trusted reading by
-    // its history ratio (floored at 1 — a FASTER host must never
-    // manufacture confirmations) makes `confirmed` mean plan cost.
-    val hostRatio = math.max(1.0, cpuVsHist.getOrElse(1.0))
+    // verdicts via the pure, spec-pinned witnessVerdict (r12 VERDICT
+    // item 2 + r13 ADVICE medium): cross-run baselines normalized by
+    // hostRatio, intra-run disagreement on raw readings
     val verdicts = witness.map { case (n, iso, _, _) =>
-      val seq = byName(n)
-      val fresh = freshByName.get(n).filter(_ > 0)
-      // trust order fresh > min(seq, iso): a fresh-JVM reading, when
-      // taken, overrides the in-JVM pair entirely
-      val trusted =
-        fresh.getOrElse((Seq(seq, iso).filter(_ > 0) :+ seq).min) / hostRatio
-      val v0 = r1.get(n).filter(_ > 0) match {
-        case Some(b) =>
-          if (seq / b <= WitnessVsR1Ratio) "ok"
-          else if (trusted / b <= WitnessVsR1Ratio) "cleared"
-          else "confirmed"
-        case None =>
-          // no r1 baseline (new query): the witness adjudicates only
-          // whether the sequence number reflects the query's real cost
-          if (trusted > 0 && seq / trusted > FreshDisagreeRatio) "seq_noise"
-          else if (fresh.isDefined) "cost_confirmed"
-          else "stable"
-      }
-      // a vs-prev-flagged query must carry an explicit adjudication of
-      // THAT flag (r11 finding 1: q259/q139 read `stable` while 5× over
-      // their prior round) — the fresh-first trusted reading vs the
-      // prior-round time decides noise vs real regression
-      val v = prev.get(n).filter(_ > 0) match {
-        case Some(p) if seq / p > WitnessRegressionRatio &&
-            (v0 == "ok" || v0 == "stable") =>
-          if (trusted / p <= WitnessRegressionRatio) "prev_noise"
-          else "prev_confirmed"
-        case _ => v0
-      }
+      val v = witnessVerdict(byName(n), iso,
+        freshByName.get(n).filter(_ > 0), r1.get(n), prev.get(n), hostRatio)
       s""""$n":"$v""""
     }.mkString("{", ",", "}")
-    val stealAvg = {
-      val vs = seqSteal.values
-      if (vs.isEmpty) 0.0 else r3(vs.sum / vs.size)
-    }
-    // loaded-host self-flag (r11 VERDICT item 7): the committed record
-    // must say when it was taken under contention — the canonical
-    // round number should then come from a quiet re-run, not this one
-    val bigRegressions = results.count { case (k, v) =>
-      v > 0 && prev.get(k).exists(p => p > 0 && v / p > LoadedBigRegressionRatio)
-    }
-    val loaded = hostLoaded(stealAvg, bigRegressions, totalVsHist, cpuVsHist)
+    val stealAvg = r3(stealAvgRaw)
     if (loaded) System.err.println(
       s"[bench] HOST LOADED record: steal_avg=$stealAvg " +
         s"big_regressions=$bigRegressions " +
@@ -760,10 +955,16 @@ object Bench {
         "— re-run on a quiet host for the canonical number")
     val tvhTag = totalVsHist.fold("")(r => s""","total_vs_hist":${r3(r)}""")
     val cvhTag = cpuVsHist.fold("")(r => s""","cpu_vs_hist":${r3(r)}""")
+    // names the witness cap squeezed out (r13 ADVICE low): visible in
+    // the round record, so a dropped over-threshold flag is auditable
+    val droppedTag =
+      if (witnessDropped.isEmpty) ""
+      else witnessDropped.map("\"" + _ + "\"")
+        .mkString(""","witness_dropped":[""", ",", "]")
     val summary =
       s"""{"metric":"bench_summary","total":${r3(ok.sum)},"n":${results.size},""" +
         s""""failed":$failed,"sf":"$sfDir"$vsR1Json,""" +
-        s""""witness_verdicts":$verdicts,"steal_avg":$stealAvg,""" +
+        s""""witness_verdicts":$verdicts$droppedTag,"steal_avg":$stealAvg,""" +
         s""""host_loaded":$loaded,"big_regressions":$bigRegressions""" +
         s"""$tvhTag$cvhTag,"full":"BENCH_LAST.json"}"""
     java.nio.file.Files.writeString(

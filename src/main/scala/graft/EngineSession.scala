@@ -64,9 +64,30 @@ object EngineSession {
     runtimeConf.foreach { case (k, v) => b.config(k, v) }
     val spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    quietStreamingLogs()
     tune(spark)
     spark
   }
+
+  /** Silence the per-query streaming boilerplate WARNs (temp-checkpoint
+    * creation, AQE-disabled notices, micro-batch scheduling). A full
+    * bench runs 17 streaming entries several times each and the driver
+    * records only the final ~2,000 chars of combined output — in r13
+    * that tail was 100% these WARNs, which pushed the bench's summary
+    * JSON line out of the captured record. They carry no signal here:
+    * every streaming entry intentionally uses a fresh temp checkpoint
+    * (re-runs must re-pay the ingest) and stateful-stream AQE is
+    * always off by design.
+    */
+  def quietStreamingLogs(): Unit =
+    try {
+      org.apache.logging.log4j.core.config.Configurator.setLevel(
+        "org.apache.spark.sql.execution.streaming",
+        org.apache.logging.log4j.Level.ERROR)
+      org.apache.logging.log4j.core.config.Configurator.setLevel(
+        "org.apache.spark.sql.streaming",
+        org.apache.logging.log4j.Level.ERROR)
+    } catch { case scala.util.control.NonFatal(_) => () }
 
   def defaultCpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
 

@@ -7,10 +7,11 @@ import org.apache.spark.sql.types._
 /** Round-11 TPC-H widening (Q7/Q8/Q13/Q14/Q15/Q19/Q22 shapes) — the
   * remaining canonical decision-support plans expressible over the
   * fixture's column subset (no partsupp table, no l_commitdate/
-  * l_receiptdate/l_shipmode/p_container columns, so Q2/Q4/Q11/Q12/Q16/
-  * Q17/Q20 are either covered elsewhere — q140 carries Q17's
-  * correlated-avg shape — or out of schema scope; q219/q220/q221/q254/
-  * q288 already carry Q3/Q5/Q10/Q18/Q21).
+  * l_receiptdate/l_shipmode/p_container columns; q219/q220/q221/q254/
+  * q288 already carry Q3/Q5/Q10/Q18/Q21; [[Tpch3]] later closed
+  * Q2/Q9/Q11/Q16/Q17/Q20 over a derived partsupp, Q4 as q338's
+  * correlated EXISTS, and Q12 as q340's derived-pinned-column form —
+  * TPC-H 22/22).
   *
   * House determinism rules throughout: money aggregates accumulate in
   * DECIMAL(18,2) (order-free exact) and cast DOUBLE once at the end;

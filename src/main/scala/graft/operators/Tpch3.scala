@@ -397,5 +397,95 @@ object Tpch3 {
           |                AND ll.late)
           |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)
     },
+
+    // q340 — TPC-H Q12 (shipping modes and order priority), closing
+    // TPC-H at 22/22 (r13 VERDICT item 3). The fixture lacks
+    // l_shipmode/l_commitdate/l_receiptdate, so all three are DERIVED
+    // from the q338 pinned hash (splitmix64 of 8·l_orderkey +
+    // l_linenumber, the q69 determinism pattern — DuckDB replays the
+    // derivation bit-for-bit from disjoint bit ranges of the same
+    // hash):
+    //   - l_shipmode: bits [32..) mod 7 → the 7-value TPC-H mode
+    //     dictionary (REG AIR, AIR, RAIL, SHIP, TRUCK, MAIL, FOB);
+    //   - l_commitdate = l_shipdate + (bits [8..) mod 91 − 30) days
+    //     (−30..+60: Q12's "shipped before commit" predicate keeps
+    //     ~2/3);
+    //   - l_receiptdate = l_commitdate + (bits [16..) mod 31 − 5)
+    //     days (−5..+25: "received after commit" keeps ~4/5).
+    // All date arithmetic is exact integer epoch-microseconds (shifted
+    // values are < 2^56, so signed Spark Long and DuckDB UBIGINT agree
+    // on every shift/mod/compare — no float, no calendar functions).
+    // Plan shape at 100 TB: the canonical Q12 — ONE pass over lineitem
+    // derives + filters (~2% survive: mode ∈ {MAIL, SHIP} × both
+    // slack predicates × the 1997 receipt year), one orders⋈lineitem
+    // equi-join on orderkey (broadcast or shuffle as AQE sizes the
+    // filtered side), then a 2-group CASE-sum rollup — a single
+    // two-branch conditional aggregation, no second scan, no other
+    // join (plan-pinned in Round14Spec).
+    QueryEntry.sql(
+      "q340_tpch_q12",
+      s"""WITH ll AS (
+         |  SELECT l_orderkey,
+         |         (${Hll.splitmixSqlFor("l_orderkey * 8 + l_linenumber")}) AS h,
+         |         epoch_us(CAST(l_shipdate AS TIMESTAMP)) AS ship_us
+         |  FROM lineitem
+         |), d AS (
+         |  SELECT l_orderkey, ship_us,
+         |         CASE (h >> 32) % 7 WHEN 0 THEN 'REG AIR' WHEN 1 THEN 'AIR'
+         |              WHEN 2 THEN 'RAIL' WHEN 3 THEN 'SHIP' WHEN 4 THEN 'TRUCK'
+         |              WHEN 5 THEN 'MAIL' ELSE 'FOB' END AS l_shipmode,
+         |         ship_us + (CAST((h >> 8) % 91 AS BIGINT) - 30)
+         |           * 86400000000 AS commit_us,
+         |         ship_us + (CAST((h >> 8) % 91 AS BIGINT) - 30
+         |                    + CAST((h >> 16) % 31 AS BIGINT) - 5)
+         |           * 86400000000 AS receipt_us
+         |  FROM ll
+         |)
+         |SELECT l_shipmode,
+         |       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+         |                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+         |       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+         |                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+         |FROM orders JOIN d ON o_orderkey = l_orderkey
+         |WHERE l_shipmode IN ('MAIL', 'SHIP')
+         |  AND ship_us < commit_us AND commit_us < receipt_us
+         |  AND receipt_us >= epoch_us(TIMESTAMP '1997-01-01 00:00:00')
+         |  AND receipt_us < epoch_us(TIMESTAMP '1998-01-01 00:00:00')
+         |GROUP BY l_shipmode ORDER BY l_shipmode""".stripMargin,
+    ) { (s, dir) =>
+      val t = Tables(s, dir)
+      val h = graft.functions.GraftFunctions.splitmix64(
+        col("l_orderkey") * 8 + col("l_linenumber"))
+      // the fixture stores l_shipdate as TIMESTAMP_NTZ; the cast to
+      // TIMESTAMP is wall-clock-preserving under the pinned UTC
+      // session zone, matching DuckDB's epoch_us on the naive value
+      val shipUs = unix_micros(col("l_shipdate").cast(TimestampType))
+      val dayUs = lit(86400000000L)
+      val commitDays = shiftrightunsigned(h, 8) % 91 - 30
+      val receiptDays = shiftrightunsigned(h, 16) % 31 - 5
+      val modeIdx = shiftrightunsigned(h, 32) % 7
+      val mode = when(modeIdx === 0, "REG AIR").when(modeIdx === 1, "AIR")
+        .when(modeIdx === 2, "RAIL").when(modeIdx === 3, "SHIP")
+        .when(modeIdx === 4, "TRUCK").when(modeIdx === 5, "MAIL")
+        .otherwise("FOB")
+      val d = t.lineitem.select(
+          col("l_orderkey"),
+          mode.as("l_shipmode"),
+          shipUs.as("ship_us"),
+          (shipUs + commitDays * dayUs).as("commit_us"),
+          (shipUs + (commitDays + receiptDays) * dayUs).as("receipt_us"))
+        .filter(col("l_shipmode").isin("MAIL", "SHIP") &&
+          col("ship_us") < col("commit_us") &&
+          col("commit_us") < col("receipt_us") &&
+          col("receipt_us") >= unix_micros(ts("1997-01-01")) &&
+          col("receipt_us") < unix_micros(ts("1998-01-01")))
+      val high = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+      t.orders.join(d, col("o_orderkey") === col("l_orderkey"))
+        .groupBy("l_shipmode")
+        .agg(
+          sum(when(high, 1L).otherwise(0L)).cast(LongType).as("high_line_count"),
+          sum(when(high, 0L).otherwise(1L)).cast(LongType).as("low_line_count"))
+        .orderBy("l_shipmode")
+    },
   )
 }

@@ -223,6 +223,157 @@ class EdgeCaseSpec extends SparkSpec {
     assert(quiet.toSet == slow.map(_._1).toSet)
   }
 
+  test("bench order: the r1-shared grading prefix precedes inventory position 47 (r13 item 1)") {
+    // the r13 failure: BENCH_r13.json committed as rc 124 / parsed null
+    // because the 340-query sequence outran the driver's wall clock —
+    // the grading signal must be measured and emitted before the long
+    // tail. Pinned against the REAL registry and the REAL r1 baseline
+    // file: every r1-shared query sorts before every non-shared one,
+    // so the early summary (emitted right after the prefix) precedes
+    // position |r1 ∩ inventory| + 1 ≤ 47.
+    val r1 = graft.Bench.r1QueryTimes("/root/testdata/sf0.1")
+    assert(r1.nonEmpty, "BENCH_r01.json baseline missing or unparseable")
+    val ordered = graft.Bench.benchOrder(SparkEntry.allEntries, r1.keySet)
+    val prefixLen = ordered.count(e => r1.contains(e.name))
+    assert(prefixLen <= 46, s"r1-shared set grew past the r1 record: $prefixLen")
+    assert(ordered.take(prefixLen).forall(e => r1.contains(e.name)),
+      "a non-r1 query runs inside the grading prefix")
+    assert(ordered.drop(prefixLen).forall(e => !r1.contains(e.name)),
+      "an r1-shared query runs after the grading prefix")
+    // and the early summary line is complete, small, and tagged partial
+    val early = graft.Bench.r1PrefixSummaryJson(
+      ordered.take(prefixLen).map(e => e.name -> r1(e.name)),
+      r1, "/root/testdata/sf0.1", cpuControl = 0.07, stealAvg = 0.001)
+    assert(early.length < 1500, s"early summary too big for the driver tail: ${early.length}")
+    assert(early.contains(""""phase":"r1_prefix""""))
+    assert(early.contains(""""vs_r1":1.0"""), early) // prefix measured AT the baseline
+  }
+
+  test("streaming entries get a single timed run (r13 item 1: the ~70s floor)") {
+    import graft.Bench.{isStreaming, timedRunsFor}
+    assert(isStreaming("q301_stream_sessions_rocksdb"))
+    assert(isStreaming("q196_stream_ann_ingest"))
+    assert(!isStreaming("q01_sum_first_col"))
+    assert(timedRunsFor("q301_stream_sessions_rocksdb", 5) == 1)
+    assert(timedRunsFor("q06_join_revenue_by_nation", 5) == 5)
+    // the registry's streaming census: exactly the `_stream` names
+    assert(SparkEntry.allEntries.count(e => isStreaming(e.name)) == 17)
+  }
+
+  test("witness verdicts: intra-run disagreement is unnormalized (r13 ADVICE medium)") {
+    import graft.Bench.witnessVerdict
+    // the r13 defect: on a host with cpu_vs_hist = 1.33, a new query
+    // (no r1 baseline) whose fresh reading CONFIRMS the sequence cost
+    // (6.0 vs 4.5 — ratio 1.33 < 1.5) was labeled seq_noise because
+    // trusted was divided by hostRatio before the disagreement test
+    // (6.0 / (4.5/1.33) = 1.77 > 1.5). Both readings share the skewed
+    // host — the division is only sound against cross-run baselines.
+    assert(witnessVerdict(seq = 6.0, iso = 6.1, fresh = Some(4.5),
+      r1Base = None, prevSec = None, hostRatio = 1.33) == "cost_confirmed")
+    // genuine intra-run noise still labels seq_noise, loaded or not
+    assert(witnessVerdict(seq = 9.0, iso = 2.0, fresh = Some(2.1),
+      r1Base = None, prevSec = None, hostRatio = 1.33) == "seq_noise")
+    // cross-run comparisons DO normalize: a 2.5x-vs-r1 reading whose
+    // fresh lands at 2.2 on a 1.2x-skewed host is cleared (2.2/1.2 =
+    // 1.83 <= 2), and confirmed when the host is quiet
+    assert(witnessVerdict(seq = 2.5, iso = 2.4, fresh = Some(2.2),
+      r1Base = Some(1.0), prevSec = None, hostRatio = 1.2) == "cleared")
+    assert(witnessVerdict(seq = 2.5, iso = 2.4, fresh = Some(2.2),
+      r1Base = Some(1.0), prevSec = None, hostRatio = 1.0) == "confirmed")
+    // vs-prev flags adjudicate with the normalized trusted reading
+    // (r1-ok query, 1.6x vs prev: fresh 3.1 on a 1.6x-skewed host
+    // normalizes under the bar; on a quiet host it confirms)
+    assert(witnessVerdict(seq = 3.2, iso = 3.1, fresh = Some(3.1),
+      r1Base = Some(2.0), prevSec = Some(2.0), hostRatio = 1.6) == "prev_noise")
+    assert(witnessVerdict(seq = 3.2, iso = 3.1, fresh = Some(3.1),
+      r1Base = Some(2.0), prevSec = Some(2.0), hostRatio = 1.0) == "prev_confirmed")
+    // a FASTER host never manufactures confirmations (ratio floored at 1)
+    assert(witnessVerdict(seq = 2.5, iso = 2.4, fresh = Some(2.2),
+      r1Base = Some(1.0), prevSec = None, hostRatio = 0.7) == "confirmed")
+  }
+
+  test("witness entries carry raw AND cpu-normalized vs_prev (r13 item 6)") {
+    val j = graft.Bench.witnessEntryJson("q251_x", seq = 4.0, iso = 3.9,
+      isoSteal = 0.001, cc = 0.35, fresh = Some(3.6), prevSec = Some(2.0),
+      hostRatio = 1.2)
+    // trusted = fresh = 3.6; raw 3.6/2.0 = 1.8; normalized 3.6/1.2/2 = 1.5
+    assert(j.contains(""""vs_prev_trusted":1.8"""), j)
+    assert(j.contains(""""vs_prev_cpu":1.5"""), j)
+    // no prev baseline → no ratio fields, and the entry stays well-formed
+    val j2 = graft.Bench.witnessEntryJson("q_new", 4.0, 3.9, 0.0, 0.35,
+      None, None, 1.2)
+    assert(!j2.contains("vs_prev") && j2.contains(""""seq":4.0"""), j2)
+  }
+
+  test("loaded history lines are excluded from baselines and medians (r13 ADVICE low)") {
+    import graft.Bench.lineLoaded
+    // the explicit tag (written from r14 on) and the legacy marker
+    // (r13's two loaded full runs carried steal run_avg 0.037/0.038)
+    assert(lineLoaded("""{"queries":{"q1":1.0},"host_loaded":true}"""))
+    assert(lineLoaded("""{"queries":{"q1":1.0},"steal":{"run_avg":0.037,"q2":0.1}}"""))
+    assert(!lineLoaded("""{"queries":{"q1":1.0},"host_loaded":false,"steal":{"run_avg":0.002}}"""))
+    // a loaded line contaminates neither the vs_prev baseline nor the
+    // total-vs-history median: the quiet line (total 10) wins over the
+    // newer loaded line (total 20), so a 13-second run reads 1.3, not 0.65
+    val dir = java.nio.file.Files.createTempDirectory("bench_loaded").toFile
+    dir.deleteOnExit()
+    java.nio.file.Files.writeString(
+      new java.io.File(dir, "BENCH_HISTORY.jsonl").toPath, Seq(
+        """{"metric":"total_median_sec","queries":{"q01_a":1.0,"q02_b":2.0,"q03_c":3.0,"q04_d":4.0},"sf":"/root/testdata/sf0.1","cpu_control":0.07,"host_loaded":false}""",
+        """{"metric":"total_median_sec","queries":{"q01_a":2.0,"q02_b":4.0,"q03_c":6.0,"q04_d":8.0},"sf":"/root/testdata/sf0.1","cpu_control":0.14,"host_loaded":true}""",
+      ).mkString("\n") + "\n")
+    val cur = Seq("q01_a" -> 2.0, "q02_b" -> 3.0, "q03_c" -> 4.0, "q04_d" -> 4.0)
+    val names = cur.map(_._1).toSet
+    val (label, prev) = graft.Bench.previousQueryTimes("/root/testdata/sf0.1", names, dir)
+    assert(label.contains("BENCH_HISTORY.jsonl#1"), label.toString)
+    assert(prev("q01_a") == 1.0)
+    val tvh = graft.Bench.totalVsHistoryRatio(cur, "/root/testdata/sf0.1", dir)
+    assert(tvh.exists(x => math.abs(x - 1.3) < 1e-9), tvh.toString)
+    val cpu = graft.Bench.cpuControlHistoryMedian("/root/testdata/sf0.1", names, dir)
+    assert(cpu.contains(0.07), cpu.toString)
+  }
+
+  test("witness cap: squeezed-out names are recorded, not dropped silently (r13 ADVICE low)") {
+    import graft.Bench.{selectWitnesses, selectWitnessesWithDropped, WitnessCap}
+    // cap-filling shape: 8 slow reserved + 16 small regressions + 3 big
+    // regressions — the fill tail exceeds the cap and the overflow must
+    // surface by name
+    val smallRegs = (1 to 16).map(i => f"q$i%03d_small" -> 2.0)
+    val bigRegs = Seq("q232_big" -> 4.3, "q139_big" -> 16.0, "q215_big" -> 15.0)
+    val slow = (1 to 8).map(i => f"q9$i%02d_slow" -> (20.0 + i))
+    val results = smallRegs ++ bigRegs ++ slow
+    val prev = (smallRegs.map { case (k, _) => k -> 1.0 } ++
+      Seq("q232_big" -> 1.0, "q139_big" -> 4.2, "q215_big" -> 4.7)).toMap
+    val (picked, dropped) = selectWitnessesWithDropped(results, prev, Map.empty)
+    assert(picked == selectWitnesses(results, prev, Map.empty))
+    // reserved 11 (3 big + slowest-8) + fill room 18 − 11 = 7 → 18
+    // picked, 16 − 7 = 9 small regressions squeezed out
+    assert(picked.size == WitnessCap, picked.toString)
+    assert(dropped.size == 9, dropped.toString)
+    assert(dropped.nonEmpty, "overflow tail vanished")
+    assert((picked ++ dropped).toSet ==
+      (smallRegs.map(_._1) ++ bigRegs.map(_._1) ++ slow.map(_._1)).toSet,
+      "a flagged name is in neither the witness list nor the dropped record")
+    assert(picked.intersect(dropped).isEmpty)
+  }
+
+  test("quiet-probe selection: streaming flags are eligible (r13 item 5)") {
+    // the r13 gap: the 29-query adjudication probe contained no
+    // streaming queries while q196/q325/q301 were ≥3x flags — the
+    // probe set is r1-shared ∪ every ≥3x-vs-prev flag, streaming
+    // included
+    val names = graft.Bench.quietProbeNames(
+      r1Shared = Set("q01_sum_first_col", "q06_join_revenue_by_nation"),
+      flaggedVsPrev = Map(
+        "q196_stream_ann_ingest" -> 3.5, // streaming, must be eligible
+        "q207_stream_sessions" -> 2.0, // under the 3x bar: not probed
+        "q139_phrase" -> 4.1))
+    assert(names.contains("q196_stream_ann_ingest"), names.toString)
+    assert(names.contains("q139_phrase"))
+    assert(names.contains("q01_sum_first_col"))
+    assert(!names.contains("q207_stream_sessions"))
+  }
+
   test("total-vs-history loaded signal: shared-query ratio, partials skipped") {
     import graft.Bench.totalVsHistoryRatio
     val dir = java.nio.file.Files.createTempDirectory("bench_tvh").toFile

@@ -113,12 +113,28 @@ def main(sf_dir: str, out_dir: str, out_json: str, timeout: int,
         # --merge (r12 VERDICT item 7): fold this run's rows into the
         # existing record instead of overwriting — used to add the
         # three reference-semantics quadratics at their feasible x3
-        # blowup alongside the full-inventory x10 sweep. Each merged
-        # row is tagged with its own sf_dir so the record says which
-        # scale witnessed it.
+        # blowup alongside the full-inventory x10 sweep.
+        #
+        # Provenance rules (r13 ADVICE low): EVERY row carries an
+        # explicit per-row sf_dir — rows that predate per-row tagging
+        # are stamped with the record's top-level sf_dir before the
+        # merge, so no row's scale is ever inferred from the absence of
+        # a tag. A merge that REPLACES an existing row with a different
+        # status or a different scale warns loudly: silently swapping a
+        # passing x10 witness for an x3 one (or a pass for a fail)
+        # would corrupt the record's meaning with no trace.
         old = json.loads(Path(out_json).read_text())
+        top_sf = old.get("sf_dir", "unknown")
+        for k, v in old["queries"].items():
+            v.setdefault("sf_dir", top_sf)
         for k, v in results.items():
             v["sf_dir"] = sf_dir
+            prev = old["queries"].get(k)
+            if prev is not None and (prev.get("status") != v["status"]
+                                     or prev.get("sf_dir") != sf_dir):
+                print(f"WARN merge replaces {k}: "
+                      f"{prev.get('status')}@{prev.get('sf_dir')} -> "
+                      f"{v['status']}@{sf_dir}")
             old["queries"][k] = v
         scales = old.setdefault("merged_scales", [])
         if sf_dir not in scales:
