@@ -717,8 +717,15 @@ object Bench {
           val warm = e.run(spark, sfDir)
           if (profile) System.err.println(
             s"[bench] ${e.name} breakdown: ${metrics.RuntimeBreakdown.profile(warm).render}")
-          median(Seq.fill(timedRuns)(time(
-            e.run(spark, sfDir).write.format("noop").mode("overwrite").save())))
+          median(Seq.fill(timedRuns) {
+            // streaming: drop the warmup/previous rep's dead provider
+            // registry before the timed window (see the sweep comment
+            // below + StateStoreHygiene)
+            if (isStreaming(e.name))
+              org.apache.spark.sql.graft.StateStoreHygiene.unloadAll()
+            time(
+              e.run(spark, sfDir).write.format("noop").mode("overwrite").save())
+          })
         } catch {
           case ex: Throwable =>
             System.err.println(s"[bench] ${e.name} failed: ${ex.getMessage}")
@@ -743,6 +750,15 @@ object Bench {
       spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
         if (!pinnedBefore.contains(id)) rdd.unpersist(blocking = true)
       }
+      // streaming runs use a fresh checkpoint each time (re-runs must
+      // re-pay the ingest), so each leaves a dead provider set (32
+      // RocksDB instances for the rocksdb twins) that Spark unloads
+      // only on the ~60 s maintenance cycle; across a sequence the
+      // registry grows and runs colliding with a maintenance pass over
+      // it degrade wildly (q301 measured 7.0/7.1/14.1/31.0 s
+      // back-to-back). Unload here, outside every timed region.
+      if (isStreaming(e.name))
+        org.apache.spark.sql.graft.StateStoreHygiene.unloadAll()
       t
     }
 

@@ -351,6 +351,12 @@ object ScaleStress {
           // artifact with the thermal gradient reversed)
           if (Bench.isStreaming(e.name)) e.run(spark, dir)
           val times = Seq.fill(runs) {
+            // dead-provider unload OUTSIDE the timed window: each
+            // streaming re-run loads fresh providers either way; the
+            // unload only removes prior runs' dead registry entries
+            // (see StateStoreHygiene)
+            if (Bench.isStreaming(e.name))
+              org.apache.spark.sql.graft.StateStoreHygiene.unloadAll()
             val t0 = System.nanoTime()
             e.run(spark, dir).write.format("noop").mode("overwrite").save()
             (System.nanoTime() - t0) / 1e9
@@ -367,6 +373,11 @@ object ScaleStress {
       spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
         if (!pinnedBefore.contains(id)) rdd.unpersist(blocking = true)
       }
+      // dead state-store providers from fresh-checkpoint streaming
+      // re-runs accumulate until the lazy maintenance cycle; unload
+      // between measurements (see Bench.measure / StateStoreHygiene)
+      if (Bench.isStreaming(e.name))
+        org.apache.spark.sql.graft.StateStoreHygiene.unloadAll()
       t
     }
 
