@@ -515,10 +515,26 @@ object Bench {
         .exists(_.group(1).toDouble >= LoadedStealAvg)
 
   /** Raw text of qualifying BENCH_HISTORY lines (same sf, ≥half
-    * inventory coverage, NOT flagged loaded — see [[lineLoaded]]),
-    * NEWEST first, capped at 5 — shared by the total-vs-history and
+    * inventory coverage, NOT flagged loaded — see [[lineLoaded]] —
+    * and of a SIMILAR RUN SHAPE: the line's own query count is at
+    * most [[HistoryShapeRatio]]× the current run's), NEWEST first,
+    * capped at 5 — shared by the total-vs-history and
     * cpu-control-vs-history loaded signals.
+    *
+    * The shape filter (round 14): per-query times are systematically
+    * context-dependent — a query inside a 341-entry full sequence
+    * runs on a JVM warmed by hundreds of prior queries, while the
+    * same query in a 52-entry adjudication probe pays its share of a
+    * cold JVM. Measured: a quiet probe (steal 0.014, cpu_vs_hist
+    * 0.82, zero big regressions, vs_r1 0.83) read total_vs_hist
+    * 1.24–1.68 against FULL-run baselines and 0.975 against the
+    * like-shaped r13 probe line — the unlike-shape comparison
+    * false-flags every quiet probe as loaded. Full-vs-full and
+    * probe-vs-probe comparisons both survive the filter; the
+    * coverage floor already prevents the reverse mismatch (a full
+    * run never baselines against a probe line).
     */
+  val HistoryShapeRatio = 2
   def historyLines(sfDir: String, currentNames: Set[String],
       dir: java.io.File): Seq[String] = {
     val hist = new java.io.File(dir, "BENCH_HISTORY.jsonl")
@@ -530,10 +546,14 @@ object Bench {
       val wantSf = new java.io.File(sfDir).getName
       val minCover = math.max(1, currentNames.size / 2)
       lines.reverse.iterator.filter { text =>
-        !lineLoaded(text) &&
+        !lineLoaded(text) && {
           sfRe.findFirstMatchIn(text).map(_.group(1))
-            .exists(s => new java.io.File(s).getName == wantSf) &&
-          queryTimesFromText(text).keySet.intersect(currentNames).size >= minCover
+            .exists(s => new java.io.File(s).getName == wantSf) && {
+            val qs = queryTimesFromText(text)
+            qs.keySet.intersect(currentNames).size >= minCover &&
+              qs.size <= HistoryShapeRatio * math.max(1, currentNames.size)
+          }
+        }
       }.take(5).toSeq
     } catch { case scala.util.control.NonFatal(_) => Seq.empty }
   }

@@ -401,4 +401,36 @@ class EdgeCaseSpec extends SparkSpec {
     dir2.deleteOnExit()
     assert(totalVsHistoryRatio(loadedRun, "/root/testdata/sf0.1", dir2).isEmpty)
   }
+
+  test("history baselines require a similar run shape (round 14: probes vs full runs)") {
+    // the round-14 false flag: a quiet 52-query adjudication probe
+    // read total_vs_hist 1.24-1.68 against 341-query FULL-run lines
+    // (mid-sequence queries run on a warmed JVM; probe queries pay the
+    // cold share) and 0.975 against the like-shaped prior probe — an
+    // oversized line must be skipped, the like-shaped one used
+    import graft.Bench.totalVsHistoryRatio
+    val dir = java.nio.file.Files.createTempDirectory("bench_shape").toFile
+    dir.deleteOnExit()
+    // current run: a 4-query probe. History: a like-shaped probe
+    // (total 10 over shared) NEWER than nothing, plus a 12-query
+    // "full run" line whose shared times are warm-JVM fast (total 5)
+    val fullLine =
+      """{"metric":"total_median_sec","queries":{""" +
+        (1 to 8).map(i => s""""q9${i}_other":1.0""").mkString(",") +
+        ""","q01_a":1.0,"q02_b":1.0,"q03_c":1.5,"q04_d":1.5},"sf":"/root/testdata/sf0.1","cpu_control":0.05}"""
+    val probeLine =
+      """{"metric":"total_median_sec","queries":{"q01_a":2.0,"q02_b":2.0,"q03_c":3.0,"q04_d":3.0},"sf":"/root/testdata/sf0.1","cpu_control":0.07}"""
+    java.nio.file.Files.writeString(
+      new java.io.File(dir, "BENCH_HISTORY.jsonl").toPath,
+      probeLine + "\n" + fullLine + "\n") // full line is NEWEST
+    val cur = Seq("q01_a" -> 2.0, "q02_b" -> 2.0, "q03_c" -> 3.0, "q04_d" -> 3.0)
+    // vs the like-shaped probe: 10/10 = 1.0; vs the full line it would
+    // read 10/5 = 2.0 — the shape filter must pick the probe line
+    val r = totalVsHistoryRatio(cur, "/root/testdata/sf0.1", dir)
+    assert(r.exists(x => math.abs(x - 1.0) < 1e-9), r.toString)
+    // the cpu-control median likewise comes from like-shaped lines only
+    val cpu = graft.Bench.cpuControlHistoryMedian(
+      "/root/testdata/sf0.1", cur.map(_._1).toSet, dir)
+    assert(cpu.contains(0.07), cpu.toString)
+  }
 }
