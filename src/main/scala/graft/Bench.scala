@@ -141,7 +141,13 @@ object Bench {
             val qs = if (sfOk) queryTimesFromText(text) else Map.empty[String, Double]
             (i, qs)
           }.collectFirst {
-            case (i, qs) if qs.keySet.intersect(currentNames).size >= minCover =>
+            // shape filter as in historyLines (round-14 review
+            // finding): a probe's vs_prev baselined on a full-run
+            // line reads 1.24-1.68x on a quiet host (cold-JVM share
+            // vs mid-sequence warmth) and spuriously witness-flags
+            // half the probe
+            case (i, qs) if qs.keySet.intersect(currentNames).size >= minCover &&
+                qs.size <= HistoryShapeRatio * math.max(1, currentNames.size) =>
               (s"BENCH_HISTORY.jsonl#$i", qs)
           }
         } catch { case scala.util.control.NonFatal(_) => None }
@@ -149,13 +155,27 @@ object Bench {
     fromHistory match {
       case Some((label, qs)) => (Some(label), qs)
       case None =>
-        val dirFiles = Option(dir.listFiles()).getOrElse(Array.empty)
+        // superseded rounds live in records/ since round 14 — scan
+        // both locations, and skip wrappers whose parse is EMPTY (the
+        // rc-124 BENCH_r13.json wrapper carries no queries map; picking
+        // it by round number would re-create the r10 silent-disarm
+        // with a non-empty label)
+        val dirFiles = Option(dir.listFiles()).getOrElse(Array.empty) ++
+          Option(new java.io.File(dir, "records").listFiles()).getOrElse(Array.empty)
         // sort by round NUMBER — lexicographic name order misorders r9/r10
         val benches = dirFiles.filter(_.getName.matches("BENCH_r\\d+\\.json"))
           .sortBy(f => f.getName.replaceAll("\\D", "").toInt)
-        benches.lastOption match {
-          case None => (None, Map.empty)
-          case Some(f) => (Some(f.getName), queryTimesFrom(f))
+        benches.reverseIterator
+          .map(f => (f.getName, queryTimesFrom(f)))
+          .find(_._2.nonEmpty) match {
+          case Some((name, qs)) => (Some(name), qs)
+          case None =>
+            // keep the old degraded-to-empty contract (label of the
+            // newest wrapper, no baseline) when nothing parses
+            benches.lastOption match {
+              case None => (None, Map.empty)
+              case Some(f) => (Some(f.getName), Map.empty)
+            }
         }
     }
   }
@@ -238,6 +258,26 @@ object Bench {
     * known at that point. Tagged `"phase":"r1_prefix"` so a truncated
     * round record is visibly partial, never mistaken for the full run.
     */
+  /** The vs-r1 grading fragment shared by the early (r1-prefix) and
+    * final summaries — ONE implementation so the timeout-survivable
+    * record and the final record can never desynchronize on the
+    * grading arithmetic (round-14 review finding).
+    */
+  def vsR1Fragment(results: Seq[(String, Double)], r1: Map[String, Double]): String = {
+    def r3(x: Double): Double = math.round(x * 1000.0) / 1000.0
+    val shared = results.collect {
+      case (k, v) if v > 0 && r1.get(k).exists(_ > 0) => (k, v, r1(k))
+    }
+    if (shared.isEmpty) ""
+    else {
+      val ratio = r3(shared.map(_._2).sum / shared.map(_._3).sum)
+      val worst = shared.map { case (k, v, b) => (k, v / b) }
+        .sortBy(-_._2).take(3)
+        .map { case (k, r) => s""""$k":${r3(r)}""" }.mkString("{", ",", "}")
+      s""","vs_r1":$ratio,"r1_shared":${shared.size},"worst_vs_r1":$worst"""
+    }
+  }
+
   def r1PrefixSummaryJson(
       prefix: Seq[(String, Double)],
       r1: Map[String, Double],
@@ -246,20 +286,9 @@ object Bench {
       stealAvg: Double): String = {
     def r3(x: Double): Double = math.round(x * 1000.0) / 1000.0
     val ok = prefix.collect { case (_, v) if v >= 0 => v }
-    val shared = prefix.collect {
-      case (k, v) if v > 0 && r1.get(k).exists(_ > 0) => (k, v, r1(k))
-    }
-    val vsR1 =
-      if (shared.isEmpty) ""
-      else {
-        val ratio = r3(shared.map(_._2).sum / shared.map(_._3).sum)
-        val worst = shared.map { case (k, v, b) => (k, v / b) }
-          .sortBy(-_._2).take(3)
-          .map { case (k, r) => s""""$k":${r3(r)}""" }.mkString("{", ",", "}")
-        s""","vs_r1":$ratio,"r1_shared":${shared.size},"worst_vs_r1":$worst"""
-      }
     s"""{"metric":"bench_summary","phase":"r1_prefix","total_prefix":${r3(ok.sum)},""" +
-      s""""n":${prefix.size},"failed":${prefix.size - ok.size},"sf":"$sfDir"$vsR1,""" +
+      s""""n":${prefix.size},"failed":${prefix.size - ok.size},"sf":"$sfDir"""" +
+      s"""${vsR1Fragment(prefix, r1)},""" +
       s""""steal_avg":${r3(stealAvg)},"cpu_control":${r3(cpuControl)}}"""
   }
 
@@ -509,7 +538,12 @@ object Bench {
     * a recorded run-average steal at or over [[LoadedStealAvg]].
     */
   def lineLoaded(text: String): Boolean =
-    text.contains("\"host_loaded\":true") ||
+    if (text.contains("\"host_loaded\":")) text.contains("\"host_loaded\":true")
+    else
+      // legacy marker ONLY for pre-tag lines: the recorded run_avg is
+      // 3dp-rounded, so a 0.0295-steal run that hostLoaded correctly
+      // called quiet (raw < 0.03) records run_avg 0.03 — the explicit
+      // tag must win or that line is retro-misclassified forever
       "\"run_avg\":(-?\\d+(?:\\.\\d+)?(?:[eE][+-]?\\d+)?)".r
         .findFirstMatchIn(text)
         .exists(_.group(1).toDouble >= LoadedStealAvg)
@@ -591,14 +625,35 @@ object Bench {
     math.min(pass(), pass())
   }
 
-  /** Median `"cpu_control":N` across qualifying history lines. */
+  /** Median `"cpu_control":N` across recent same-sf, non-loaded
+    * history lines. Deliberately NOT routed through [[historyLines]]
+    * (round-14 review finding): the CPU control is a pinned
+    * single-thread microbench, independent of run shape and query
+    * coverage — gating it on the total-vs-history filters would
+    * discard valid baselines whenever the run shape changes (e.g. the
+    * first probe at a new size) and silently disarm both the
+    * cpu-vs-history loaded signal and the verdict normalizer, the
+    * exact r12 false-confirmation class. `currentNames` is kept for
+    * signature stability but unused.
+    */
   def cpuControlHistoryMedian(sfDir: String, currentNames: Set[String],
       dir: java.io.File = new java.io.File(".")): Option[Double] = {
-    val re = "\"cpu_control\":(-?\\d+(?:\\.\\d+)?(?:[eE][+-]?\\d+)?)".r
-    val vs = historyLines(sfDir, currentNames, dir)
-      .flatMap(t => re.findFirstMatchIn(t).map(_.group(1).toDouble))
-      .filter(_ > 0)
-    if (vs.isEmpty) None else Some(median(vs))
+    val hist = new java.io.File(dir, "BENCH_HISTORY.jsonl")
+    if (!hist.exists()) return None
+    try {
+      import scala.jdk.CollectionConverters._
+      val lines = java.nio.file.Files.readAllLines(hist.toPath).asScala.toSeq
+      val sfRe = "\"sf\":\\s*\"([^\"]+)\"".r
+      val re = "\"cpu_control\":(-?\\d+(?:\\.\\d+)?(?:[eE][+-]?\\d+)?)".r
+      val wantSf = new java.io.File(sfDir).getName
+      val vs = lines.reverse.iterator.filter { text =>
+        !lineLoaded(text) &&
+          sfRe.findFirstMatchIn(text).map(_.group(1))
+            .exists(s => new java.io.File(s).getName == wantSf)
+      }.flatMap(t => re.findFirstMatchIn(t).map(_.group(1).toDouble))
+        .filter(_ > 0).take(5).toSeq
+      if (vs.isEmpty) None else Some(median(vs))
+    } catch { case scala.util.control.NonFatal(_) => None }
   }
 
   /** Measure one query in a brand-new JVM: re-exec this class with the
@@ -962,18 +1017,7 @@ object Bench {
     // reading get "cost_confirmed", a distinct label from the
     // cleared-as-noise case.
     def r3(x: Double): Double = math.round(x * 1000.0) / 1000.0
-    val sharedR1 = results.collect {
-      case (k, v) if v > 0 && r1.get(k).exists(_ > 0) => (k, v, r1(k))
-    }
-    val vsR1Json =
-      if (sharedR1.isEmpty) ""
-      else {
-        val ratio = r3(sharedR1.map(_._2).sum / sharedR1.map(_._3).sum)
-        val worst = sharedR1.map { case (k, v, b) => (k, v / b) }
-          .sortBy(-_._2).take(3)
-          .map { case (k, r) => s""""$k":${r3(r)}""" }.mkString("{", ",", "}")
-        s""","vs_r1":$ratio,"r1_shared":${sharedR1.size},"worst_vs_r1":$worst"""
-      }
+    val vsR1Json = vsR1Fragment(results, r1)
     // verdicts via the pure, spec-pinned witnessVerdict (r12 VERDICT
     // item 2 + r13 ADVICE medium): cross-run baselines normalized by
     // hostRatio, intra-run disagreement on raw readings

@@ -87,7 +87,13 @@ object EngineSession {
       org.apache.logging.log4j.core.config.Configurator.setLevel(
         "org.apache.spark.sql.streaming",
         org.apache.logging.log4j.Level.ERROR)
-    } catch { case scala.util.control.NonFatal(_) => () }
+    } catch {
+      // NoClassDefFoundError (a LinkageError, outside NonFatal) is the
+      // expected miss here: an embedding app without log4j-core must
+      // skip the quieting, not crash every session entrypoint
+      case _: LinkageError => ()
+      case scala.util.control.NonFatal(_) => ()
+    }
 
   def defaultCpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
 

@@ -13,7 +13,10 @@ import org.apache.spark.sql.streaming.Trigger
   */
 object ProfileSessions {
   def main(args: Array[String]): Unit = {
-    val mode = if (args.length > 0 && !args(0).startsWith("/")) args(0) else "complete"
+    // positional-order-free: any non-path arg is the mode, every path
+    // arg is a run (a mode passed after the dirs must not silently
+    // default to complete)
+    val mode = args.find(!_.startsWith("/")).getOrElse("complete")
     val dirs = args.filter(_.startsWith("/")).toSeq match {
       case Seq() => Seq("/root/testdata/sf0.1")
       case ds => ds

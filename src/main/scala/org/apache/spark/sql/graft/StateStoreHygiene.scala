@@ -26,7 +26,4 @@ object StateStoreHygiene {
     * reloads its own providers from its checkpoint as usual.
     */
   def unloadAll(): Unit = StateStore.unloadAll()
-
-  /** Whether any providers are currently loaded (diagnostics). */
-  def anyLoaded(): Boolean = StateStore.isMaintenanceRunning
 }

@@ -312,6 +312,10 @@ class EdgeCaseSpec extends SparkSpec {
     assert(lineLoaded("""{"queries":{"q1":1.0},"host_loaded":true}"""))
     assert(lineLoaded("""{"queries":{"q1":1.0},"steal":{"run_avg":0.037,"q2":0.1}}"""))
     assert(!lineLoaded("""{"queries":{"q1":1.0},"host_loaded":false,"steal":{"run_avg":0.002}}"""))
+    // the explicit tag WINS over the legacy marker: run_avg is
+    // 3dp-rounded, so a 0.0295-steal run hostLoaded correctly called
+    // quiet records run_avg 0.03 — it must not be retro-misclassified
+    assert(!lineLoaded("""{"queries":{"q1":1.0},"steal":{"run_avg":0.03},"host_loaded":false}"""))
     // a loaded line contaminates neither the vs_prev baseline nor the
     // total-vs-history median: the quiet line (total 10) wins over the
     // newer loaded line (total 20), so a 13-second run reads 1.3, not 0.65
@@ -428,9 +432,45 @@ class EdgeCaseSpec extends SparkSpec {
     // read 10/5 = 2.0 — the shape filter must pick the probe line
     val r = totalVsHistoryRatio(cur, "/root/testdata/sf0.1", dir)
     assert(r.exists(x => math.abs(x - 1.0) < 1e-9), r.toString)
-    // the cpu-control median likewise comes from like-shaped lines only
+    // the per-query vs_prev baseline applies the same shape filter:
+    // the OLDER like-shaped probe line wins over the newer full line
+    val (label, prev) = graft.Bench.previousQueryTimes(
+      "/root/testdata/sf0.1", cur.map(_._1).toSet, dir)
+    assert(label.contains("BENCH_HISTORY.jsonl#1"), label.toString)
+    assert(prev("q01_a") == 2.0, prev.toString)
+    // the cpu-control microbench is SHAPE-INDEPENDENT (round-14 review
+    // finding): gating it on run shape would disarm the normalizer
+    // exactly when the run shape changes — the median spans both lines
     val cpu = graft.Bench.cpuControlHistoryMedian(
       "/root/testdata/sf0.1", cur.map(_._1).toSet, dir)
-    assert(cpu.contains(0.07), cpu.toString)
+    assert(cpu.contains(0.07), cpu.toString) // median of [0.05, 0.07]
+    // and a dir whose ONLY cpu_control carrier is a full-run line
+    // still yields a baseline for a probe-shaped run
+    val dir2 = java.nio.file.Files.createTempDirectory("bench_shape2").toFile
+    dir2.deleteOnExit()
+    java.nio.file.Files.writeString(
+      new java.io.File(dir2, "BENCH_HISTORY.jsonl").toPath, fullLine + "\n")
+    val cpu2 = graft.Bench.cpuControlHistoryMedian(
+      "/root/testdata/sf0.1", cur.map(_._1).toSet, dir2)
+    assert(cpu2.contains(0.05), cpu2.toString)
+  }
+
+  test("wrapper fallback: records/ scanned, empty wrappers skipped (round 14)") {
+    // with no usable history, the fallback must not pick the newest
+    // wrapper by round number when its parse is EMPTY (the rc-124
+    // BENCH_r13.json shape) — it falls through to the newest wrapper
+    // that actually parses, wherever it lives (root or records/)
+    val dir = java.nio.file.Files.createTempDirectory("bench_fb").toFile
+    dir.deleteOnExit()
+    java.nio.file.Files.writeString(new java.io.File(dir, "BENCH_r13.json").toPath,
+      """{"n":13,"rc":124,"tail":"WARN MicroBatchExecution...","parsed":null}""")
+    val rec = new java.io.File(dir, "records")
+    rec.mkdir()
+    java.nio.file.Files.writeString(new java.io.File(rec, "BENCH_r12.json").toPath,
+      """{"metric":"x","queries":{"q01_a":1.5,"q02_b":2.5},"sf":"/root/testdata/sf0.1"}""")
+    val (label, prev) = graft.Bench.previousQueryTimes(
+      "/root/testdata/sf0.1", Set("q01_a", "q02_b"), dir)
+    assert(label.contains("BENCH_r12.json"), label.toString)
+    assert(prev == Map("q01_a" -> 1.5, "q02_b" -> 2.5), prev.toString)
   }
 }
