@@ -172,8 +172,13 @@ object ScaleStress {
     "q337_doremi_step", // two grouped LM fits + bigram-keyed scoring join — linear
     "q338_tpch_q4_exists", // quarter-filtered orders semi-join + 5-key rollup — linear
     "q339_maxsim_ivf_curve", // one pinned exact baseline + 3 probe-bounded sweep points
-    // round-14 addition
+    // round-14 additions
     "q340_tpch_q12", // one derive+filter lineitem pass + orderkey equi-join + 2-group CASE rollup — linear
+    "q341_stream_tws_profile", // transformWithState 2-variable state — expect the RocksDB constant floor
+    "q342_stream_tws_timers", // event-time timers — per-key timer state, same constant-floor expectation
+    "q343_stream_state_read", // statestore batch source — one task per state partition, state-proportional
+    "q344_stream_tws_map_read", // column-family offline read — state-proportional after the stream floor
+    "q345_stream_timer_read", // timer-table read — survivor-proportional (tiny) after the stream floor
   )
 
   /** Per-table key-shift rules: every synthetic surrogate key column

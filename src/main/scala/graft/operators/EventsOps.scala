@@ -680,6 +680,143 @@ object EventsOps {
         rocksDb = true)
     },
 
+    // q341 — Spark 4 `transformWithState` under the gate: the ninth
+    // streaming state family and the first with MULTIPLE named state
+    // variables per key (ValueState "agg" + MapState "types", each its
+    // own RocksDB column family — the provider transformWithState
+    // requires). The ValueState carries q215's exact (count,
+    // micros-scaled sum) integer fold; the MapState carries per-type
+    // counts re-read THROUGH the store each batch to derive the
+    // distinct-type count and the lexicographic-tie-break arg-max
+    // type. The oracle recomputes all five outputs from scratch — a
+    // value lost, re-applied, or read from the wrong column family at
+    // any batch boundary breaks the hash.
+    QueryEntry.sql(
+      "q341_stream_tws_profile",
+      """WITH per AS (
+        |  SELECT user_id, event_type, COUNT(*) AS c
+        |  FROM events GROUP BY 1, 2
+        |), top AS (
+        |  SELECT user_id, event_type, c,
+        |         ROW_NUMBER() OVER (PARTITION BY user_id
+        |                            ORDER BY c DESC, event_type) AS rn
+        |  FROM per
+        |), agg AS (
+        |  SELECT user_id, COUNT(*) AS cnt,
+        |         ROUND(SUM(CAST(ROUND(value * 1000000.0, 0) AS BIGINT))
+        |               / 1000000.0, 6) + 0.0 AS sum_v,
+        |         COUNT(DISTINCT event_type) AS n_types
+        |  FROM events GROUP BY 1
+        |)
+        |SELECT a.user_id, a.cnt, a.sum_v, a.n_types,
+        |       t.event_type AS top_type, t.c AS top_cnt
+        |FROM agg a JOIN top t ON a.user_id = t.user_id AND t.rn = 1
+        |ORDER BY a.user_id""".stripMargin,
+    ) { (s, dir) =>
+      graft.streaming.StreamingEvents.runTwsProfileToCompletion(s, dir)
+    },
+
+    // q342 — `transformWithState` EVENT-TIME TIMERS: exact 30-minute
+    // gap sessionization where an idle user's open session is closed
+    // by the WATERMARK (registerTimer/handleExpiredTimer), not by a
+    // following event. Every non-final session is emitted exactly once
+    // (event-close or timer-close — identical content either way); the
+    // final session of a user appears iff its close timer
+    // (end_ms + 30 min) is strictly below the final watermark
+    // (max event ms − 90 min). The oracle replays exactly that rule
+    // from scratch — a timer lost, fired against the wrong session, or
+    // mis-compared to the watermark changes the emitted set.
+    QueryEntry.sql(
+      "q342_stream_tws_timers",
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS tus
+        |  FROM events
+        |), flagged AS (
+        |  SELECT user_id, tus,
+        |         CASE WHEN LAG(tus) OVER w IS NULL
+        |                OR tus - LAG(tus) OVER w > 1800000000 THEN 1
+        |              ELSE 0 END AS new_s
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus)
+        |), sess AS (
+        |  SELECT user_id, tus,
+        |         CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY tus
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |              AS BIGINT) AS sid
+        |  FROM flagged
+        |), agg AS (
+        |  SELECT user_id, sid, MIN(tus) AS start_us, MAX(tus) AS end_us,
+        |         COUNT(*) AS n_events
+        |  FROM sess GROUP BY 1, 2
+        |), agg2 AS (
+        |  SELECT *, MAX(sid) OVER (PARTITION BY user_id) AS max_sid
+        |  FROM agg
+        |), wm AS (
+        |  SELECT MAX(tus) // 1000 - 5400000 AS final_wm_ms FROM e
+        |)
+        |SELECT user_id, start_us, end_us, n_events
+        |FROM agg2, wm
+        |WHERE sid < max_sid
+        |   OR end_us // 1000 + 1800000 < final_wm_ms
+        |ORDER BY user_id, start_us""".stripMargin,
+    ) { (s, dir) =>
+      graft.streaming.StreamingEvents.runTwsSessionsToCompletion(s, dir)
+    },
+
+    // q343 — offline state-store inspection: a complete-mode streaming
+    // aggregation runs to completion against a retained checkpoint,
+    // then Spark 4's `statestore` BATCH source reads the operator
+    // state back (one task per state partition — distributed
+    // inspection, nothing through the driver) and the STATE ITSELF is
+    // hash-certified against the from-scratch oracle. A lost state
+    // row, a stale batch version, or an agg-buffer layout drift all
+    // break the hash.
+    QueryEntry.sql(
+      "q343_stream_state_read",
+      """SELECT user_id, COUNT(*) AS cnt,
+        |       ROUND(SUM(CAST(ROUND(value * 1000000.0, 0) AS BIGINT))
+        |             / 1000000.0, 6) + 0.0 AS sum_v,
+        |       MIN(epoch_us(CAST(ts AS TIMESTAMP))) AS min_tu,
+        |       MAX(epoch_us(CAST(ts AS TIMESTAMP))) AS max_tu
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    ) { (s, dir) =>
+      graft.streaming.StreamingEvents.runStateReadToCompletion(s, dir)
+    },
+
+    // q344 — `transformWithState` MapState read back OFFLINE through
+    // the statestore source (stateVarName → RocksDB column family,
+    // one row per map entry): the store's contents must equal the
+    // from-scratch per-(user, type) counts.
+    QueryEntry.sql(
+      "q344_stream_tws_map_read",
+      """SELECT user_id, event_type, COUNT(*) AS c
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    ) { (s, dir) =>
+      graft.streaming.StreamingEvents.runTwsMapStateRead(s, dir)
+    },
+
+    // q345 — registered event-time TIMERS read back offline: exactly
+    // the q342 suppressed-final set survives (fired timers are
+    // consumed), each at (user's final event ms + 30 min). The oracle
+    // needs no sessionization: the final session's end IS the user's
+    // max event time.
+    QueryEntry.sql(
+      "q345_stream_timer_read",
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(CAST(ts AS TIMESTAMP)) AS tus
+        |  FROM events
+        |), last AS (
+        |  SELECT user_id, MAX(tus) AS max_tu FROM e GROUP BY 1
+        |), wm AS (
+        |  SELECT MAX(tus) // 1000 - 5400000 AS w FROM e
+        |)
+        |SELECT user_id, max_tu // 1000 + 1800000 AS expiry_ms
+        |FROM last, wm
+        |WHERE max_tu // 1000 + 1800000 >= w
+        |ORDER BY user_id""".stripMargin,
+    ) { (s, dir) =>
+      graft.streaming.StreamingEvents.runTwsTimerStateRead(s, dir)
+    },
+
     // q216 — two-proportion z-test (the experiment readout): users
     // split A/B by id parity, outcome = error-event rate per arm.
     // All four counts are exact integers; p̂_A, p̂_B, the pooled p̂,

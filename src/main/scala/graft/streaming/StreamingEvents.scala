@@ -303,6 +303,343 @@ object StreamingEvents {
       .orderBy("user_id")
   }
 
+  final case class TwsProfile(user_id: Long, cnt: Long, sum_micros: Long,
+      n_types: Long, top_type: String, top_cnt: Long)
+
+  /** `transformWithState` processor (q341) — Spark 4's arbitrary-state
+    * API executed under the differential gate: the NINTH streaming
+    * state family, and the first with MULTIPLE named state variables
+    * per key. Per user it maintains
+    *   - a `ValueState[(Long, Long)]` "agg": exact (count,
+    *     micros-scaled sum) — q215's integer fold, so the two APIs'
+    *     results are directly comparable, and
+    *   - a `MapState[String, Long]` "types": per-event-type counts,
+    *     read back each batch to derive the distinct-type count and
+    *     the arg-max type (ties broken lexicographically — a total
+    *     order, so batch arrival order can't change the answer).
+    * Each state variable is a separate RocksDB column family — the
+    * engine surface none of q181–q328 touch. State reads/writes cross
+    * the encoder + column-family round-trip every micro-batch; the
+    * from-scratch oracle recomputes all five outputs per user, so a
+    * value lost, re-applied, or read from the wrong family breaks the
+    * hash.
+    */
+  private[streaming] class UserProfileProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, Double, String), TwsProfile] {
+    import org.apache.spark.sql.streaming.{MapState, TTLConfig, TimeMode,
+      TimerValues, ValueState}
+    import org.apache.spark.sql.{Encoders, streaming => st}
+    @transient private var agg: ValueState[(Long, Long)] = _
+    @transient private var types: MapState[String, Long] = _
+    override def init(outputMode: st.OutputMode, timeMode: TimeMode): Unit = {
+      agg = getHandle.getValueState[(Long, Long)](
+        "agg", Encoders.product[(Long, Long)], TTLConfig.NONE)
+      types = getHandle.getMapState[String, Long](
+        "types", Encoders.STRING, Encoders.scalaLong, TTLConfig.NONE)
+    }
+    override def handleInputRows(user: Long,
+        rows: Iterator[(Long, Double, String)],
+        timers: TimerValues): Iterator[TwsProfile] = {
+      var (c, s) = if (agg.exists()) agg.get() else (0L, 0L)
+      rows.foreach { r =>
+        c += 1
+        s += StreamingEvents.halfAwayMicros(r._2)
+        val prev = if (types.containsKey(r._3)) types.getValue(r._3) else 0L
+        types.updateValue(r._3, prev + 1L)
+      }
+      agg.update((c, s))
+      // re-read the map THROUGH the state store (not a shadow copy):
+      // the point is certifying the column-family round-trip
+      var n = 0L
+      var topT: String = null
+      var topC = 0L
+      types.iterator().foreach { case (t, tc) =>
+        n += 1
+        if (tc > topC || (tc == topC && (topT == null || t < topT))) {
+          topT = t; topC = tc
+        }
+      }
+      Iterator.single(TwsProfile(user, c, s, n, topT, topC))
+    }
+  }
+
+  /** Run the q341 `transformWithState` profile to completion over the
+    * 4-file time-ordered feed. `transformWithState` REQUIRES the
+    * RocksDB provider (named state variables map to RocksDB column
+    * families; the HDFS-backed provider has no multi-family support),
+    * so this query certifies RocksDB by construction — fail-loud
+    * engage check kept anyway. Update-mode emissions are one row per
+    * touched key per batch with a strictly increasing `cnt`; the final
+    * state per key is recovered with a struct max on `cnt` (the q215
+    * reduction), and only then scaled back to the 6-dp decimal the
+    * oracle prints.
+    */
+  def runTwsProfileToCompletion(spark: SparkSession, dir: String,
+      ckpt: Option[String] = None): DataFrame = {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    import spark.implicits._
+    val feed = stagedTimeOrderedFeed(spark, dir)
+    val schema = spark.read.parquet(feed).schema
+    val name = s"graft_tws_${runSeq.incrementAndGet()}"
+    val q = withRocksDbProvider(spark, enable = true) {
+      val events = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(feed)
+        .select(col("user_id"), col("value"), col("event_type"))
+        .as[(Long, Double, String)]
+      val out = events.groupByKey(_._1)
+        .transformWithState(new UserProfileProcessor,
+          TimeMode.None(), OutputMode.Update())
+      val w = out.toDF().writeStream
+        .format("memory").queryName(name)
+        .outputMode(OutputMode.Update())
+        .trigger(Trigger.AvailableNow())
+      val q0 = ckpt.fold(w)(c => w.option("checkpointLocation", c)).start()
+      q0.awaitTermination()
+      q0
+    }
+    requireRocksDbEngaged(q)
+    StreamingDocs.noteProgress("q341_stream_tws_profile", q)
+    spark.table(name)
+      .groupBy("user_id")
+      .agg(max(struct(col("cnt"), col("sum_micros"), col("n_types"),
+        col("top_type"), col("top_cnt"))).as("m"))
+      .select(col("user_id"), col("m.cnt").as("cnt"),
+        (round(col("m.sum_micros").cast("double") / lit(1000000.0), 6)
+          + lit(0.0)).as("sum_v"),
+        col("m.n_types").as("n_types"), col("m.top_type").as("top_type"),
+        col("m.top_cnt").as("top_cnt"))
+      .orderBy("user_id")
+  }
+
+  final case class TwsSession(user_id: Long, start_us: Long, end_us: Long,
+      n_events: Long)
+
+  /** `transformWithState` EVENT-TIME TIMERS (q342) — the remaining
+    * arbitrary-state API surface q341 doesn't touch: `registerTimer` /
+    * `deleteTimer` / `handleExpiredTimer` under `TimeMode.EventTime`.
+    * Per user it runs exact gap-sessionization (q49's 30-minute gap):
+    * batch rows are sorted and folded against the open session carried
+    * in a `ValueState`; a session closed by a later-than-gap event is
+    * emitted from `handleInputRows`, and the open session's close
+    * timer is re-armed at (end + gap) — so a session whose user goes
+    * quiet is closed by the WATERMARK, emitted from
+    * `handleExpiredTimer` when the event-time timer fires.
+    *
+    * Determinism argument (why this is oracle-able): the 4-file feed
+    * is globally time-ordered ACROSS batches (quartile files), so (a)
+    * no row is ever below the watermark, and (b) a timer eligible to
+    * fire in batch k and a same-user row arriving in batch k cannot
+    * both be within the gap — `ts > wm > end + gap` — so
+    * rows-then-timers vs timers-then-rows processing orders emit the
+    * SAME session set. Every non-final session is emitted exactly once
+    * (event-close or timer-close, identical content either way); the
+    * final session of a user is emitted iff its timer fired, i.e.
+    * (end_ms + gap_ms) < final watermark. The oracle replays exactly
+    * that: full gap-sessionization, all sessions but the last per
+    * user, plus the last when the strict-< timer condition holds
+    * against the ms-floored final watermark.
+    */
+  private[streaming] class SessionTimerProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, java.sql.Timestamp, Long), TwsSession] {
+    import org.apache.spark.sql.streaming.{ExpiredTimerInfo, TTLConfig,
+      TimeMode, TimerValues, ValueState}
+    import org.apache.spark.sql.{Encoders, streaming => st}
+    import StreamingEvents.{SessionGapUs, SessionGapMs}
+    @transient private var open: ValueState[(Long, Long, Long)] = _
+    override def init(outputMode: st.OutputMode, timeMode: TimeMode): Unit =
+      open = getHandle.getValueState[(Long, Long, Long)](
+        "open", Encoders.product[(Long, Long, Long)], TTLConfig.NONE)
+    override def handleInputRows(user: Long,
+        rows: Iterator[(Long, java.sql.Timestamp, Long)],
+        timers: TimerValues): Iterator[TwsSession] = {
+      val ts = rows.map(_._3).toArray
+      java.util.Arrays.sort(ts)
+      val closed = scala.collection.mutable.ArrayBuffer.empty[TwsSession]
+      var cur = if (open.exists()) Some(open.get()) else None
+      val hadTimer = cur.map(c => c._2 / 1000L + SessionGapMs)
+      ts.foreach { t =>
+        cur match {
+          case Some((s0, e0, n0)) if t - e0 <= SessionGapUs =>
+            cur = Some((s0, math.max(e0, t), n0 + 1))
+          case Some((s0, e0, n0)) =>
+            closed += TwsSession(user, s0, e0, n0)
+            cur = Some((t, t, 1L))
+          case None =>
+            cur = Some((t, t, 1L))
+        }
+      }
+      cur.foreach { case (s0, e0, n0) =>
+        open.update((s0, e0, n0))
+        val newTimer = e0 / 1000L + SessionGapMs
+        hadTimer.filter(_ != newTimer).foreach(getHandle.deleteTimer)
+        if (hadTimer.forall(_ != newTimer)) getHandle.registerTimer(newTimer)
+      }
+      closed.iterator
+    }
+    override def handleExpiredTimer(user: Long, timers: TimerValues,
+        info: ExpiredTimerInfo): Iterator[TwsSession] = {
+      // The re-arm path deletes stale timers, but the engine may have
+      // collected this batch's expired set BEFORE handleInputRows ran
+      // (rows-then-timers with a pre-scan) — so a timer this batch's
+      // rows superseded can still fire here. Only a timer that matches
+      // the OPEN session's close time closes it; anything else is
+      // stale and ignored.
+      if (!open.exists()) Iterator.empty
+      else {
+        val (s0, e0, n0) = open.get()
+        if (info.getExpiryTimeInMs() != e0 / 1000L + SessionGapMs)
+          Iterator.empty
+        else {
+          open.clear()
+          Iterator.single(TwsSession(user, s0, e0, n0))
+        }
+      }
+    }
+  }
+
+  /** 30-minute session gap (q49's constant), µs and ms forms. */
+  val SessionGapUs: Long = 1800000000L
+  val SessionGapMs: Long = 1800000L
+
+  /** Run the q342 timer-closed sessionization to completion. Event-time
+    * timers require `TimeMode.EventTime`, which requires a watermark —
+    * the `ts` column rides along in the tuple solely to carry the
+    * watermark attribute to the operator; the fold itself uses exact
+    * integer µs. Emissions are sessions (not state snapshots), each
+    * exactly once, so the sink needs no reduction.
+    */
+  def runTwsSessionsToCompletion(spark: SparkSession, dir: String,
+      ckpt: Option[String] = None): DataFrame = {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    import spark.implicits._
+    val feed = stagedTimeOrderedFeed(spark, dir)
+    val schema = spark.read.parquet(feed).schema
+    val name = s"graft_twstimer_${runSeq.incrementAndGet()}"
+    val q = withRocksDbProvider(spark, enable = true) {
+      val events = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(feed)
+        .withColumn("ts", graft.Tables.eventsTs(schema("ts").dataType))
+        .withWatermark("ts", "90 minutes")
+        .select(col("user_id"), col("ts"), unix_micros(col("ts")).as("tu"))
+        .as[(Long, java.sql.Timestamp, Long)]
+      val out = events.groupByKey(_._1)
+        .transformWithState(new SessionTimerProcessor,
+          TimeMode.EventTime(), OutputMode.Append())
+      val w = out.toDF().writeStream
+        .format("memory").queryName(name)
+        .outputMode(OutputMode.Append())
+        .trigger(Trigger.AvailableNow())
+      val q0 = ckpt.fold(w)(c => w.option("checkpointLocation", c)).start()
+      q0.awaitTermination()
+      q0
+    }
+    requireRocksDbEngaged(q)
+    StreamingDocs.noteProgress("q342_stream_tws_timers", q)
+    spark.table(name).orderBy("user_id", "start_us")
+  }
+
+  /** Offline inspection of a `transformWithState` MAP state variable
+    * (q344): re-run the q341 profile against a RETAINED checkpoint,
+    * then read the "types" MapState back through the `statestore`
+    * batch source (`stateVarName` selects the RocksDB column family;
+    * `flattenCollectionTypes` default flattens one row per map entry).
+    * The per-(user, event_type) counts read FROM THE STORE must equal
+    * the from-scratch oracle — this certifies that what the processor
+    * left behind in each column family is exactly the data, reachable
+    * without replaying the stream (the 100 TB debugging path).
+    */
+  def runTwsMapStateRead(spark: SparkSession, dir: String): DataFrame = {
+    val root = s"${graft.sources.Staging.stagingRoot()}/graft_twsread/" +
+      s"run_${java.util.UUID.randomUUID().toString.take(8)}"
+    graft.sources.Staging.deleteOnExit(root)
+    runTwsProfileToCompletion(spark, dir, Some(s"$root/ckpt"))
+    spark.read.format("statestore")
+      .option("path", s"$root/ckpt")
+      .option("stateVarName", "types").load()
+      .select(col("key.value").as("user_id"),
+        col("user_map_key.value").as("event_type"),
+        col("user_map_value.value").as("c"))
+      .orderBy("user_id", "event_type")
+  }
+
+  /** Offline inspection of REGISTERED TIMERS (q345): re-run the q342
+    * timer sessionization against a retained checkpoint, then read the
+    * surviving event-time timers back (`readRegisteredTimers`). A
+    * timer survives the run iff its user's final session was NOT
+    * watermark-closed — so the timer table must be EXACTLY the q342
+    * suppressed set, with each expiry at (final event ms + 30 min).
+    * Fired timers are consumed by the engine; a stale or lost timer
+    * row breaks the hash in either direction.
+    */
+  def runTwsTimerStateRead(spark: SparkSession, dir: String): DataFrame = {
+    val root = s"${graft.sources.Staging.stagingRoot()}/graft_twstimerread/" +
+      s"run_${java.util.UUID.randomUUID().toString.take(8)}"
+    graft.sources.Staging.deleteOnExit(root)
+    runTwsSessionsToCompletion(spark, dir, Some(s"$root/ckpt"))
+    spark.read.format("statestore")
+      .option("path", s"$root/ckpt")
+      .option("readRegisteredTimers", "true").load()
+      .select(col("key.value").as("user_id"),
+        col("expiration_timestamp_ms").as("expiry_ms"))
+      .orderBy("user_id")
+  }
+
+  /** Offline STATE-STORE INSPECTION (q343) — Spark 4's `statestore`
+    * batch data source: run a complete-mode streaming aggregation over
+    * the 4-file feed with a RETAINED checkpoint, then read the
+    * operator's state back as a batch DataFrame — `format("statestore")
+    * .option("path", ckpt)` — and certify the STATE, not the sink,
+    * against the from-scratch oracle. This is the operational surface
+    * a production team debugging a 100 TB stateful job needs (what is
+    * actually IN the store after batch k?), and it is distributed by
+    * construction: the source plans one task per state partition, so
+    * inspection scales with the store, never through the driver.
+    * Column names inside the state value struct are engine-internal —
+    * the projection goes by POSITION (the agg buffer layout mirrors
+    * the aggregate list), then re-names; a drift in that layout breaks
+    * the hash loudly rather than silently.
+    */
+  def runStateReadToCompletion(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.OutputMode
+    val feed = stagedTimeOrderedFeed(spark, dir)
+    val schema = spark.read.parquet(feed).schema
+    val root = s"${graft.sources.Staging.stagingRoot()}/graft_stateread/" +
+      s"run_${java.util.UUID.randomUUID().toString.take(8)}"
+    // the checkpoint must OUTLIVE the returned (lazy) DataFrame — the
+    // state files are its scan input — so reclaim at JVM exit, not here
+    graft.sources.Staging.deleteOnExit(root)
+    val name = s"graft_stateread_${runSeq.incrementAndGet()}"
+    val counts = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(feed)
+      .withColumn("tu", graft.Tables.eventsTsMicros(schema("ts").dataType))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(round(col("value") * lit(1000000.0), 0).cast("long"))
+          .as("sum_micros"),
+        min(col("tu")).as("min_tu"), max(col("tu")).as("max_tu"))
+    val q = counts.writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Complete())
+      .option("checkpointLocation", s"$root/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    StreamingDocs.noteProgress("q343_stream_state_read", q)
+    val state = spark.read.format("statestore")
+      .option("path", s"$root/ckpt").load()
+    state.select(col("key.*"), col("value.*"))
+      .toDF("user_id", "cnt", "sum_micros", "min_tu", "max_tu")
+      .select(col("user_id"), col("cnt"),
+        (round(col("sum_micros").cast("double") / 1000000.0, 6) + lit(0.0))
+          .as("sum_v"),
+        col("min_tu"), col("max_tu"))
+      .orderBy("user_id")
+  }
+
   /** Checkpoint RESTART under the differential gate (q227) — the
     * operational property every production stream depends on and none
     * of q181–q215 exercise: a stream is run to completion over the

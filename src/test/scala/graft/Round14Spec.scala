@@ -71,4 +71,94 @@ class Round14Spec extends SparkSpec {
     assert(out.map(_.getLong(1)).sum > 0, "high branch empty")
     assert(out.map(_.getLong(2)).sum > 0, "low branch empty")
   }
+
+  test("q341 equivalence law: transformWithState profile == batch recomputation") {
+    import org.apache.spark.sql.expressions.Window
+    val out = entry("q341_stream_tws_profile").run(spark, sf).collect()
+    val ev = Tables(spark, sf).events
+    val agg = ev.groupBy("user_id").agg(
+      count(lit(1)).as("cnt"),
+      (round(sum(round(col("value") * 1000000.0, 0).cast("long"))
+        .cast("double") / 1000000.0, 6) + lit(0.0)).as("sum_v"),
+      countDistinct("event_type").as("n_types"))
+    val per = ev.groupBy("user_id", "event_type").agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("c").desc, col("event_type"))
+    val top = per.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("user_id").as("u"), col("event_type").as("top_type"),
+        col("c").as("top_cnt"))
+    val expect = agg.join(top, col("user_id") === col("u"))
+      .select("user_id", "cnt", "sum_v", "n_types", "top_type", "top_cnt")
+      .orderBy("user_id").collect()
+    assert(out.length == expect.length)
+    out.zip(expect).foreach { case (a, b) => assert(a == b, s"$a vs $b") }
+  }
+
+  test("q342 timer laws: exactly-once, batch equivalence, both final-session fates") {
+    import org.apache.spark.sql.expressions.Window
+    import graft.streaming.StreamingEvents.{SessionGapMs, SessionGapUs}
+    val out = entry("q342_stream_tws_timers").run(spark, sf).collect()
+    // exactly-once: no session emitted from both the event-close and
+    // the timer-close path
+    val keys = out.map(r => (r.getLong(0), r.getLong(1)))
+    assert(keys.distinct.length == keys.length, "duplicate session emission")
+    // batch replay of the full semantics: gap sessionization + the
+    // final-watermark timer rule
+    val ev = Tables(spark, sf).events
+      .select(col("user_id"), unix_micros(col("ts")).as("tu"))
+    val w = Window.partitionBy("user_id").orderBy("tu")
+    val flagged = ev.withColumn("brk",
+      when(lag("tu", 1).over(w).isNull ||
+        col("tu") - lag("tu", 1).over(w) > SessionGapUs, 1L).otherwise(0L))
+    val sess = flagged.withColumn("sid", sum("brk").over(
+      w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val agg = sess.groupBy("user_id", "sid").agg(
+      min("tu").as("start_us"), max("tu").as("end_us"),
+      count(lit(1)).as("n_events"))
+    val finalWmMs = ev.agg(max("tu")).head.getLong(0) / 1000L - 5400000L
+    val agg2 = agg.join(
+      agg.groupBy("user_id").agg(max("sid").as("msid")), "user_id")
+    val timerFires = expr("end_us div 1000") + lit(SessionGapMs) < lit(finalWmMs)
+    val expect = agg2
+      .filter(col("sid") < col("msid") || timerFires)
+      .select("user_id", "start_us", "end_us", "n_events")
+      .orderBy("user_id", "start_us").collect()
+    assert(out.toSeq == expect.toSeq)
+    // the timer path must be load-bearing in BOTH directions at this
+    // fixture: some final sessions closed by the watermark (emitted
+    // only via handleExpiredTimer), some left open (suppressed)
+    val fired = agg2.filter(col("sid") === col("msid") && timerFires).count()
+    val open = agg2.filter(col("sid") === col("msid") && !timerFires).count()
+    assert(fired > 0, "no final session ever timer-closed — timer path untested")
+    assert(open > 0, "every final session timer-closed — suppression path untested")
+  }
+
+  test("q343/q345 state-read provenance: the scan is the statestore source, not the sink") {
+    // the load-bearing claim of the offline-inspection family is that
+    // rows come FROM THE STORE — pin the analyzed plan to the
+    // statestore DataSourceV2 relation so a regression to reading the
+    // memory sink (which would trivially agree) fails loudly
+    def statestoreScans(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.analyzed.collect {
+        case r: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+            if r.table.getClass.getName.contains("state") => r
+      }.size
+    val st = entry("q343_stream_state_read").run(spark, sf)
+    assert(statestoreScans(st) == 1, st.queryExecution.analyzed.toString)
+    val tm = entry("q345_stream_timer_read").run(spark, sf)
+    assert(statestoreScans(tm) == 1, tm.queryExecution.analyzed.toString)
+    // and the q345 law proper: surviving timers ≡ the suppressed-final
+    // set (fired timers consumed) at (final event ms + 30 min)
+    import graft.streaming.StreamingEvents.SessionGapMs
+    val ev = Tables(spark, sf).events
+      .select(col("user_id"), unix_micros(col("ts")).as("tu"))
+    val finalWmMs = ev.agg(max("tu")).head.getLong(0) / 1000L - 5400000L
+    val expect = ev.groupBy("user_id").agg(max("tu").as("max_tu"))
+      .select(col("user_id"),
+        (expr("max_tu div 1000") + lit(SessionGapMs)).as("expiry_ms"))
+      .filter(col("expiry_ms") >= finalWmMs)
+      .orderBy("user_id").collect()
+    assert(tm.collect().toSeq == expect.toSeq)
+  }
 }
