@@ -179,6 +179,7 @@ object ScaleStress {
     "q343_stream_state_read", // statestore batch source — one task per state partition, state-proportional
     "q344_stream_tws_map_read", // column-family offline read — state-proportional after the stream floor
     "q345_stream_timer_read", // timer-table read — survivor-proportional (tiny) after the stream floor
+    "q346_stream_state_travel", // batchId-pinned state version read — same state-proportional shape
   )
 
   /** Per-table key-shift rules: every synthetic surrogate key column

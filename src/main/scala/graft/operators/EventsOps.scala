@@ -794,6 +794,32 @@ object EventsOps {
       graft.streaming.StreamingEvents.runTwsMapStateRead(s, dir)
     },
 
+    // q346 — state TIME TRAVEL: the q343 checkpoint read at
+    // batchId = 1, i.e. the store's exact content after the second of
+    // the four quartile micro-batches. The quartile frontier is
+    // integer arithmetic on the global (min, max) event micros, so the
+    // oracle recomputes the batch-1 aggregation from scratch; a
+    // version off by one, a non-retained snapshot, or frontier drift
+    // all break the hash.
+    QueryEntry.sql(
+      "q346_stream_state_travel",
+      """WITH e AS (
+        |  SELECT user_id, value, epoch_us(CAST(ts AS TIMESTAMP)) AS tus
+        |  FROM events
+        |), b AS (
+        |  SELECT MIN(tus) AS mn, MAX(tus) - MIN(tus) + 1 AS span FROM e
+        |), h AS (
+        |  SELECT e.* FROM e, b WHERE tus < mn + (span * 2) // 4
+        |)
+        |SELECT user_id, COUNT(*) AS cnt,
+        |       ROUND(SUM(CAST(ROUND(value * 1000000.0, 0) AS BIGINT))
+        |             / 1000000.0, 6) + 0.0 AS sum_v,
+        |       MIN(tus) AS min_tu, MAX(tus) AS max_tu
+        |FROM h GROUP BY 1 ORDER BY 1""".stripMargin,
+    ) { (s, dir) =>
+      graft.streaming.StreamingEvents.runStateTimeTravelRead(s, dir)
+    },
+
     // q345 — registered event-time TIMERS read back offline: exactly
     // the q342 suppressed-final set survives (fired timers are
     // consumed), each at (user's final event ms + 30 min). The oracle

@@ -603,14 +603,19 @@ object StreamingEvents {
     * the aggregate list), then re-names; a drift in that layout breaks
     * the hash loudly rather than silently.
     */
-  def runStateReadToCompletion(spark: SparkSession, dir: String): DataFrame = {
+  /** Run the q343/q346 per-user profile aggregation to completion
+    * against a fresh retained checkpoint; returns the checkpoint path.
+    * The checkpoint must OUTLIVE the (lazy) state-read DataFrames — the
+    * state files are their scan input — so scratch is reclaimed at JVM
+    * exit, not here.
+    */
+  private def runAggToRetainedCheckpoint(spark: SparkSession, dir: String,
+      tag: String): String = {
     import org.apache.spark.sql.streaming.OutputMode
     val feed = stagedTimeOrderedFeed(spark, dir)
     val schema = spark.read.parquet(feed).schema
     val root = s"${graft.sources.Staging.stagingRoot()}/graft_stateread/" +
       s"run_${java.util.UUID.randomUUID().toString.take(8)}"
-    // the checkpoint must OUTLIVE the returned (lazy) DataFrame — the
-    // state files are its scan input — so reclaim at JVM exit, not here
     graft.sources.Staging.deleteOnExit(root)
     val name = s"graft_stateread_${runSeq.incrementAndGet()}"
     val counts = spark.readStream.schema(schema)
@@ -628,9 +633,15 @@ object StreamingEvents {
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    StreamingDocs.noteProgress("q343_stream_state_read", q)
-    val state = spark.read.format("statestore")
-      .option("path", s"$root/ckpt").load()
+    StreamingDocs.noteProgress(tag, q)
+    s"$root/ckpt"
+  }
+
+  /** Flatten a statestore read of the profile aggregation: positional
+    * agg-buffer projection (see [[runStateReadToCompletion]]), then the
+    * 6-dp decimal readout the oracle prints.
+    */
+  private def profileStateFrame(state: DataFrame): DataFrame =
     state.select(col("key.*"), col("value.*"))
       .toDF("user_id", "cnt", "sum_micros", "min_tu", "max_tu")
       .select(col("user_id"), col("cnt"),
@@ -638,6 +649,30 @@ object StreamingEvents {
           .as("sum_v"),
         col("min_tu"), col("max_tu"))
       .orderBy("user_id")
+
+  def runStateReadToCompletion(spark: SparkSession, dir: String): DataFrame = {
+    val ckpt = runAggToRetainedCheckpoint(spark, dir, "q343_stream_state_read")
+    profileStateFrame(
+      spark.read.format("statestore").option("path", ckpt).load())
+  }
+
+  /** State TIME TRAVEL (q346): the same retained checkpoint read at
+    * `batchId = 1` — the store's content AFTER THE SECOND of the four
+    * quartile micro-batches, i.e. the aggregation over exactly the
+    * first two time-quartiles of the feed. The quartile boundaries are
+    * integer arithmetic on the global (min, max) event micros
+    * (`stagedTimeOrderedFeed`), so the oracle replays the batch-1
+    * frontier from scratch: `tu < mn + (span*2)/4`. This is the
+    * production post-mortem question — "what did the state look like
+    * at batch k?" — answered without replaying the stream, from
+    * retained snapshots alone (HDFS-backed provider,
+    * `minBatchesToRetain` default keeps all four versions).
+    */
+  def runStateTimeTravelRead(spark: SparkSession, dir: String): DataFrame = {
+    val ckpt = runAggToRetainedCheckpoint(spark, dir, "q346_stream_state_travel")
+    profileStateFrame(
+      spark.read.format("statestore").option("path", ckpt)
+        .option("batchId", "1").load())
   }
 
   /** Checkpoint RESTART under the differential gate (q227) — the

@@ -148,6 +148,16 @@ class Round14Spec extends SparkSpec {
     assert(statestoreScans(st) == 1, st.queryExecution.analyzed.toString)
     val tm = entry("q345_stream_timer_read").run(spark, sf)
     assert(statestoreScans(tm) == 1, tm.queryExecution.analyzed.toString)
+    // time travel reads an EARLIER state version: batch-1 state must be
+    // a strict prefix of the final state — fewer or equal users, and
+    // strictly fewer total events folded in
+    val tt = entry("q346_stream_state_travel").run(spark, sf)
+    assert(statestoreScans(tt) == 1, tt.queryExecution.analyzed.toString)
+    val ttRows = tt.collect()
+    val stRows = st.collect()
+    assert(ttRows.length <= stRows.length)
+    assert(ttRows.map(_.getLong(1)).sum < stRows.map(_.getLong(1)).sum,
+      "batch-1 state should hold strictly fewer folded events than final")
     // and the q345 law proper: surviving timers ≡ the suppressed-final
     // set (fired timers consumed) at (final event ms + 30 min)
     import graft.streaming.StreamingEvents.SessionGapMs
