@@ -382,7 +382,7 @@ object StreamingEvents {
     val feed = stagedTimeOrderedFeed(spark, dir)
     val schema = spark.read.parquet(feed).schema
     val name = s"graft_tws_${runSeq.incrementAndGet()}"
-    val q = withRocksDbProvider(spark, enable = true) {
+    val q = withTwsRocksDb(spark) {
       val events = spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1")
         .parquet(feed)
@@ -518,7 +518,7 @@ object StreamingEvents {
     val feed = stagedTimeOrderedFeed(spark, dir)
     val schema = spark.read.parquet(feed).schema
     val name = s"graft_twstimer_${runSeq.incrementAndGet()}"
-    val q = withRocksDbProvider(spark, enable = true) {
+    val q = withTwsRocksDb(spark) {
       val events = spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1")
         .parquet(feed)
@@ -1087,6 +1087,53 @@ object StreamingEvents {
       finally prev match {
         case Some(v) => spark.conf.set(key, v)
         case None => spark.conf.unset(key)
+      }
+    }
+
+  /** RocksDB provider PLUS changelog checkpointing — the
+    * `transformWithState` runners' mode. Why not the snapshot default:
+    * with `changelogCheckpointing.enabled=false`, every commit saves
+    * and fsyncs a FULL snapshot zip of the store, per partition, per
+    * micro-batch — O(state) IO each batch. Measured on q341 at sf0.1
+    * (32 state partitions, multi-column-family TWS store):
+    * `rocksdbCommitFileSyncLatencyMs` 276–849 s summed per batch and
+    * back-to-back walls CLIMBING 22 → 84 → 126 s as the self-induced
+    * fsync storm backed up the block device. With changelog
+    * checkpointing the commit appends an O(delta) changelog (snapshots
+    * amortize to the maintenance thread) — walls 10–15 s, flat. At
+    * 100 TB state the snapshot mode is exactly what you don't run;
+    * changelog is the production RocksDB configuration, and restores
+    * like the provider itself.
+    */
+  def withTwsRocksDb[T](spark: SparkSession)(body: => T): T =
+    withRocksDbProvider(spark, enable = true) {
+      val key =
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
+      // State-partition sizing: partition count must track state
+      // VOLUME. The fixture's TWS state is KB-scale per store; at the
+      // session default 32, a 4-batch bounded run creates 32 RocksDB
+      // instances whose version-1 snapshot + changelog fsyncs
+      // serialize on the block device's journal (measured: commitMs
+      // 156–378 s summed per batch, ~12 s wall per partition commit
+      // with the CPU idle — pure fsync queueing, no compute). 8 stores
+      // still certify multi-partition distribution; a 100 TB
+      // deployment sizes this UP with state, which is exactly the
+      // point: the knob follows the data, not the host default.
+      val pkey = "spark.sql.shuffle.partitions"
+      val prev = spark.conf.getOption(key)
+      val prevP = spark.conf.getOption(pkey)
+      spark.conf.set(key, "true")
+      spark.conf.set(pkey, "8")
+      try body
+      finally {
+        prev match {
+          case Some(v) => spark.conf.set(key, v)
+          case None => spark.conf.unset(key)
+        }
+        prevP match {
+          case Some(v) => spark.conf.set(pkey, v)
+          case None => spark.conf.unset(pkey)
+        }
       }
     }
 

@@ -257,7 +257,8 @@ class EdgeCaseSpec extends SparkSpec {
     assert(timedRunsFor("q301_stream_sessions_rocksdb", 5) == 1)
     assert(timedRunsFor("q06_join_revenue_by_nation", 5) == 5)
     // the registry's streaming census: exactly the `_stream` names
-    assert(SparkEntry.allEntries.count(e => isStreaming(e.name)) == 17)
+    // (17 through r13 + the round-14 transformWithState/state-read six)
+    assert(SparkEntry.allEntries.count(e => isStreaming(e.name)) == 23)
   }
 
   test("witness verdicts: intra-run disagreement is unnormalized (r13 ADVICE medium)") {
