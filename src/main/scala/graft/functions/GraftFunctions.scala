@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.expressions.{Expression, XxHash64}
-import org.apache.spark.sql.graft.{CosineSimF32, DotProductF32, FreqSketch, JaroWinklerSim, KmvSketch, Md5Long, MinHashSignature, NfcNormalize, Shims, SimHash64, SplitMix64, TopKScoreId, TopKScoreStr, WithinEdit1}
+import org.apache.spark.sql.graft.{CosineSimF32, DotProductF32, FreqSketch, JaroWinklerSim, KmvSketch, MaxSimScoreF32, Md5Long, MinHashSignature, NfcNormalize, Shims, SimHash64, SplitMix64, TopKScoreId, TopKScoreStr, WithinEdit1}
 import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
 
 /** Column-level API + SQL registration for the graft expressions.
@@ -22,6 +22,12 @@ object GraftFunctions {
 
   /** cosine_f32(array<float>, array<float>) → double (codegen). */
   def cosineF32(a: Column, b: Column): Column = col(CosineSimF32(expr(a), expr(b)))
+
+  /** maxsim_f32(array<float>, array<float>) → decimal(18,6): fused
+    * late-interaction MaxSim over 8×8-dim token slices (codegen).
+    */
+  def maxSimF32(q: Column, d: Column): Column =
+    col(MaxSimScoreF32(expr(q), expr(d)))
 
   /** simhash64(array<long>) → long over the low 60 bits. */
   def simhash64(a: Column): Column = col(SimHash64(expr(a)))
@@ -84,6 +90,12 @@ object GraftFunctions {
     */
   def kmvSketch(hash: Column, k: Int): Column =
     col(KmvSketch(expr(hash), k).toAggregateExpression())
+
+  /** cov_moments(array<float>) → struct(n, sx, sxy): exact covariance
+    * sufficient statistics in one pass (q206 family).
+    */
+  def covMoments(arr: Column): Column =
+    col(org.apache.spark.sql.graft.CovMoments(expr(arr)).toAggregateExpression())
 
   /** freq_sketch(item string, k) → map<string,bigint>: Misra–Gries
     * top-k frequency estimates per group with a k-bounded buffer;

@@ -31,36 +31,39 @@ object Covariance {
 
   private val S = 1e7 // product scale: 7 fractional digits carried
 
-  /** Upper-triangle covariance of the embedding dimensions. */
+  /** Upper-triangle covariance of the embedding dimensions.
+    *
+    * r14 optimization: the sufficient statistics (per-dim counts and
+    * scaled-long sums, flat-triangle scaled-long product sums) come
+    * from ONE `cov_moments` pass — the compositional form generated
+    * d(d+1)/2 product longs per row, posexploded them into n·d²/2 rows
+    * and hash-aggregated 2k keys twice (products + dims). The
+    * aggregate accumulates the identical ROUND-grid longs in place
+    * (CovarianceSpec pins equality of the statistics), the shuffle
+    * carries one ~2k-long buffer per task, and the final arithmetic
+    * below is unchanged — same posmap join, same pinned double
+    * divisions, same oracle.
+    */
   def embeddingCovariance(emb: DataFrame): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
     val arr = col("embedding")
-    // flat per-row upper-triangle products, scaled+rounded to longs
-    val prods = flatten(transform(arr, (xi, i) =>
-      transform(slice(arr, i + 1, size(arr) - i), xj =>
-        round(xi.cast("double") * xj.cast("double") * lit(S), 0)
-          .cast("long"))))
-    val sums = emb.select(posexplode(prods).as(Seq("pos", "pl")))
-      .groupBy("pos")
-      .agg(sum(col("pl")).as("sxy"))
-    val dims = emb.select(posexplode(arr).as(Seq("i", "x")))
-      .groupBy("i")
-      .agg(count(lit(1)).as("n"),
-        sum(round(col("x").cast("double") * lit(S), 0).cast("long")).as("sx"))
     val d = emb.select(max(size(arr))).as[Int].head()
     val posmap = broadcast(
       (for (i <- 0 until d; j <- i until d) yield (i, j))
         .zipWithIndex.map { case ((i, j), pos) => (pos, i, j) }
         .toDF("pos", "i", "j"))
-    sums.join(posmap, "pos")
-      .join(dims.select(col("i"), col("n"), col("sx")), Seq("i"))
-      .join(dims.select(col("i").as("j"), col("sx").as("sy")), Seq("j"))
+    val mom = emb.agg(graft.functions.GraftFunctions
+      .covMoments(arr).as("m"))
+    mom.select(col("m.n").as("ns"), col("m.sx").as("sxs"),
+        posexplode(col("m.sxy")).as(Seq("pos", "sxy")))
+      .join(posmap, "pos")
       .select(col("i"), col("j"),
         round((col("sxy").cast("double") / lit(S) -
-          (col("sx").cast("double") / lit(S)) *
-            (col("sy").cast("double") / lit(S)) /
-            col("n").cast("double")) / col("n").cast("double"), 6)
+          (element_at(col("sxs"), col("i") + 1).cast("double") / lit(S)) *
+            (element_at(col("sxs"), col("j") + 1).cast("double") / lit(S)) /
+            element_at(col("ns"), col("i") + 1).cast("double")) /
+          element_at(col("ns"), col("i") + 1).cast("double"), 6)
           .plus(lit(0.0)) // -0.0 → 0.0: sign-normalize before formatting
           .as("cov"))
       .orderBy("i", "j")

@@ -349,26 +349,22 @@ object Similarity {
            |QUALIFY rank <= 10 ORDER BY q_id, rank""".stripMargin
       },
     ) { (s, dir) =>
+      // fused maxsim_f32 form — see maxSimOverCandidates for the
+      // equivalence argument (the oracle SQL above is unchanged and
+      // replays the compositional scoring from scratch)
       val emb = Tables(s, dir).embeddings
-      def exploded(df: DataFrame) = df.select(col("vec_id"),
-        posexplode(array((0 until 8).map(m =>
-          slice(col("embedding"), m * 8 + 1, 8)): _*)).as(Seq("si", "sv")))
-      val d = exploded(emb).select(col("vec_id"), col("si").as("di"),
-        col("sv").as("dv"))
-      val q = exploded(emb.filter(col("vec_id") < 5))
-        .select(col("vec_id").as("q_id"), col("si").as("qi"),
-          col("sv").as("qv"))
-      val D6 = DecimalType(18, 6)
-      val tokmax = d.join(broadcast(q), col("vec_id") =!= col("q_id"))
-        .groupBy("q_id", "vec_id", "qi")
-        .agg(max(round(GraftFunctions.cosineF32(col("qv"), col("dv")), 6)
-          .cast(D6)).as("m"))
-      val scored = tokmax.groupBy("q_id", "vec_id").agg(sum("m").as("score"))
+      val d = emb.select(col("vec_id"), col("embedding").as("dv"))
+      val q = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+      val scored = d.join(broadcast(q), col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"),
+          GraftFunctions.maxSimF32(col("qv"), col("dv")).as("score"))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("q_id").orderBy(col("score").desc, col("vec_id"))
       scored.withColumn("rank", row_number().over(w))
         .filter(col("rank") <= 10)
-        .select(col("q_id"), col("vec_id"), col("rank"),
+        .select(col("q_id"), col("vec_id"),
+          col("rank").cast(IntegerType).as("rank"),
           col("score").cast(DoubleType).as("score"))
         .orderBy("q_id", "rank")
     },
@@ -796,14 +792,6 @@ object Similarity {
 
   // ---- MaxSim ∘ IVF composition (q329/q330) --------------------------------
 
-  /** The 8×8-dim token view of the embedding table (q310's MRL
-    * slicing): one row per (vec_id, slice index, 8-dim sub-vector).
-    */
-  private def tokenSlices(df: DataFrame): DataFrame =
-    df.select(col("vec_id"),
-      posexplode(array((0 until 8).map(m =>
-        slice(col("embedding"), m * 8 + 1, 8)): _*)).as(Seq("si", "sv")))
-
   /** Exact MaxSim top-k restricted to a candidate pair frame
     * (q_id, vec_id): q310's scoring — per query token the MAX
     * 6dp-DECIMAL cosine over the doc's tokens, summed (order-free) —
@@ -812,20 +800,23 @@ object Similarity {
     * |candidates| × 64 cosines, independent of corpus size.
     */
   def maxSimOverCandidates(emb: DataFrame, cand: DataFrame, k: Int): DataFrame = {
-    val D6 = DecimalType(18, 6)
-    val d = tokenSlices(emb).select(col("vec_id"), col("si").as("di"),
-      col("sv").as("dv"))
+    // fused form (optimization round 14): the compositional pipeline
+    // exploded each side into 8 token rows, joined 64 rows per pair,
+    // and ran a (q,d,qi) MAX plus a (q,d) SUM — two hash aggregates
+    // over 64× the pair count. maxsim_f32 computes the identical
+    // 6dp-DECIMAL sum-of-max per pair in one codegen call
+    // (SimilaritySpec pins bit-equality against the compositional
+    // form on the real fixture; the oracles replay it from scratch).
+    val d = emb.select(col("vec_id"), col("embedding").as("dv"))
     val probeIds = cand.select("q_id").distinct()
-    val q = tokenSlices(emb).join(broadcast(probeIds),
+    val q = emb.join(broadcast(probeIds),
         col("vec_id") === col("q_id"), "left_semi")
-      .select(col("vec_id").as("tq_id"), col("si").as("qi"), col("sv").as("qv"))
-    val tokmax = cand
+      .select(col("vec_id").as("tq_id"), col("embedding").as("qv"))
+    val scored = cand
       .join(d, Seq("vec_id"))
       .join(broadcast(q), col("q_id") === col("tq_id"))
-      .groupBy("q_id", "vec_id", "qi")
-      .agg(max(round(GraftFunctions.cosineF32(col("qv"), col("dv")), 6)
-        .cast(D6)).as("m"))
-    val scored = tokmax.groupBy("q_id", "vec_id").agg(sum("m").as("score"))
+      .select(col("q_id"), col("vec_id"),
+        GraftFunctions.maxSimF32(col("qv"), col("dv")).as("score"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("q_id").orderBy(col("score").desc, col("vec_id"))
     scored.withColumn("rank", row_number().over(w))

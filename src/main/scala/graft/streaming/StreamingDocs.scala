@@ -106,13 +106,15 @@ object StreamingDocs {
     // (q181), so bench/verify re-runs in one session must never reuse
     // a memory-sink table
     val name = s"graft_decon_${runSeq.incrementAndGet()}"
-    val q = decontaminateStream(spark, dir).writeStream
-      .format("memory").queryName(name)
-      .outputMode("append")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    noteProgress("q181_stream_decontaminate", q)
+    StreamingEvents.withStreamShuffle(spark) {
+      val q = decontaminateStream(spark, dir).writeStream
+        .format("memory").queryName(name)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      noteProgress("q181_stream_decontaminate", q)
+    }
     spark.table(name).orderBy("doc_id")
   }
 
@@ -141,14 +143,16 @@ object StreamingDocs {
   def runTokenCountsToCompletion(spark: SparkSession, dir: String,
       rocksDb: Boolean = false): DataFrame = {
     val name = s"graft_tokc_${runSeq.incrementAndGet()}"
-    val q = StreamingEvents.withRocksDbProvider(spark, rocksDb) {
-      val q0 = tokenCountsStream(spark, dir).writeStream
-        .format("memory").queryName(name)
-        .outputMode("complete")
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q0.awaitTermination()
-      q0
+    val q = StreamingEvents.withStreamShuffle(spark) {
+      StreamingEvents.withRocksDbProvider(spark, rocksDb) {
+        val q0 = tokenCountsStream(spark, dir).writeStream
+          .format("memory").queryName(name)
+          .outputMode("complete")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q0.awaitTermination()
+        q0
+      }
     }
     if (rocksDb) StreamingEvents.requireRocksDbEngaged(q)
     noteProgress(
@@ -192,17 +196,19 @@ object StreamingDocs {
       .option("maxFilesPerTrigger", "1")
       .parquet(feed)
       .filter(col("doc_id") % 5 === 0)
-    val q = stream.writeStream
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-        graft.operators.Dedup.probeDocsAgainstIndex(batch.toDF(), idx)
-          .write.mode("append").parquet(outDir)
-        ()
-      }
-      .option("checkpointLocation", s"$outDir.ckpt")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    noteProgress("q188_stream_ingest_dedup", q)
+    StreamingEvents.withStreamShuffle(spark) {
+      val q = stream.writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          graft.operators.Dedup.probeDocsAgainstIndex(batch.toDF(), idx)
+            .write.mode("append").parquet(outDir)
+          ()
+        }
+        .option("checkpointLocation", s"$outDir.ckpt")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      noteProgress("q188_stream_ingest_dedup", q)
+    }
     spark.read.parquet(outDir).orderBy("new_doc", "hist_doc")
   }
 
@@ -234,18 +240,20 @@ object StreamingDocs {
       .option("maxFilesPerTrigger", "1")
       .parquet(feed)
       .filter(col("vec_id") % 5 === 0)
-    val q = stream.writeStream
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-        graft.operators.Ivf
-          .probeAnnLists(batch.toDF(), cents, lists, threshold = 0.45, nAssign = 4)
-          .write.mode("append").parquet(outDir)
-        ()
-      }
-      .option("checkpointLocation", s"$outDir.ckpt")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    noteProgress("q196_stream_ann_ingest", q)
+    StreamingEvents.withStreamShuffle(spark) {
+      val q = stream.writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          graft.operators.Ivf
+            .probeAnnLists(batch.toDF(), cents, lists, threshold = 0.45, nAssign = 4)
+            .write.mode("append").parquet(outDir)
+          ()
+        }
+        .option("checkpointLocation", s"$outDir.ckpt")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      noteProgress("q196_stream_ann_ingest", q)
+    }
     spark.read.parquet(outDir).orderBy("new_vec", "hist_vec")
   }
 
@@ -274,20 +282,22 @@ object StreamingDocs {
     val stream = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1")
       .parquet(feed)
-    val q = stream.writeStream
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-        graft.operators.Classify
-          .scoreDocs(graft.operators.Classify
-            .corpusWithCorruptions(batch.toDF()).drop("y"), w)
-          .filter(col("s6") >= 500000L)
-          .write.mode("append").parquet(outDir)
-        ()
-      }
-      .option("checkpointLocation", s"$outDir.ckpt")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    noteProgress("q257_stream_quality_filter", q)
+    StreamingEvents.withStreamShuffle(spark) {
+      val q = stream.writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          graft.operators.Classify
+            .scoreDocs(graft.operators.Classify
+              .corpusWithCorruptions(batch.toDF()).drop("y"), w)
+            .filter(col("s6") >= 500000L)
+            .write.mode("append").parquet(outDir)
+          ()
+        }
+        .option("checkpointLocation", s"$outDir.ckpt")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      noteProgress("q257_stream_quality_filter", q)
+    }
     spark.read.parquet(outDir).orderBy("doc_id")
   }
 

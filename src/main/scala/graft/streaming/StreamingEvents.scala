@@ -66,10 +66,12 @@ object StreamingEvents {
           UserAgg(user, c, s)
       }
     val name = s"graft_state_${System.identityHashCode(spark)}"
-    val q = counts.toDF().writeStream
-      .format("memory").queryName(name).outputMode(OutputMode.Update())
-      .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
+    withStreamShuffle(spark) {
+      val q = counts.toDF().writeStream
+        .format("memory").queryName(name).outputMode(OutputMode.Update())
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
     // Update-mode emits one row per key per batch; latest wins.
     spark.table(name)
       .groupBy("user_id")
@@ -105,12 +107,14 @@ object StreamingEvents {
   /** Run [[sessionCounts]] to completion over the bounded fixture. */
   def runSessionsToCompletion(spark: SparkSession, dir: String): DataFrame = {
     val name = s"graft_sessions_${System.identityHashCode(spark)}"
-    val q = sessionCounts(spark, dir).writeStream
-      .format("memory").queryName(name)
-      .outputMode("complete")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withStreamShuffle(spark) {
+      val q = sessionCounts(spark, dir).writeStream
+        .format("memory").queryName(name)
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     spark.table(name).orderBy("user_id", "w")
   }
 
@@ -149,12 +153,14 @@ object StreamingEvents {
     */
   def runStreamJoinToCompletion(spark: SparkSession, dir: String): DataFrame = {
     val name = s"graft_ssjoin_${System.identityHashCode(spark)}"
-    val q = streamStreamIntervalJoin(spark, dir).writeStream
-      .format("memory").queryName(name)
-      .outputMode("append")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withStreamShuffle(spark) {
+      val q = streamStreamIntervalJoin(spark, dir).writeStream
+        .format("memory").queryName(name)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     spark.table(name).orderBy("user_id", "pid", "fid")
   }
 
@@ -212,19 +218,19 @@ object StreamingEvents {
     // fixed overhead (measured 20 s). 8 partitions carry the same
     // bounded state in 160 commits (≈6 s); results are partition-
     // count-invariant and the oracle proves it every run.
-    val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    try withRocksDbProvider(spark, rocksDb) {
-      val q = streamStreamFeedJoin(spark, dir).writeStream
-        .format("memory").queryName(name)
-        .outputMode("append")
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      if (rocksDb) requireRocksDbEngaged(q)
-      StreamingDocs.noteProgress(
-        if (rocksDb) "q326_stream_join_rocksdb" else "q212_stream_stream_join", q)
-    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    withStreamShuffle(spark) {
+      withRocksDbProvider(spark, rocksDb) {
+        val q = streamStreamFeedJoin(spark, dir).writeStream
+          .format("memory").queryName(name)
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+        if (rocksDb) requireRocksDbEngaged(q)
+        StreamingDocs.noteProgress(
+          if (rocksDb) "q326_stream_join_rocksdb" else "q212_stream_stream_join", q)
+      }
+    }
     spark.table(name).orderBy("user_id", "pid", "fid")
   }
 
@@ -282,14 +288,16 @@ object StreamingEvents {
       rocksDb: Boolean = false): DataFrame = {
     import org.apache.spark.sql.streaming.OutputMode
     val name = s"graft_ustate_${runSeq.incrementAndGet()}"
-    val q = withRocksDbProvider(spark, rocksDb) {
-      val q0 = exactUserState(spark, dir).writeStream
-        .format("memory").queryName(name)
-        .outputMode(OutputMode.Update())
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q0.awaitTermination()
-      q0
+    val q = withStreamShuffle(spark) {
+      withRocksDbProvider(spark, rocksDb) {
+        val q0 = exactUserState(spark, dir).writeStream
+          .format("memory").queryName(name)
+          .outputMode(OutputMode.Update())
+          .trigger(Trigger.AvailableNow())
+          .start()
+        q0.awaitTermination()
+        q0
+      }
     }
     if (rocksDb) requireRocksDbEngaged(q)
     StreamingDocs.noteProgress(
@@ -627,13 +635,15 @@ object StreamingEvents {
         sum(round(col("value") * lit(1000000.0), 0).cast("long"))
           .as("sum_micros"),
         min(col("tu")).as("min_tu"), max(col("tu")).as("max_tu"))
-    val q = counts.writeStream.format("memory").queryName(name)
-      .outputMode(OutputMode.Complete())
-      .option("checkpointLocation", s"$root/ckpt")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    StreamingDocs.noteProgress(tag, q)
+    withStreamShuffle(spark) {
+      val q = counts.writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Complete())
+        .option("checkpointLocation", s"$root/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      StreamingDocs.noteProgress(tag, q)
+    }
     s"$root/ckpt"
   }
 
@@ -718,10 +728,12 @@ object StreamingEvents {
       q.awaitTermination()
       StreamingDocs.noteProgress("q227_stream_restart", q)
     }
-    copyIn(0); copyIn(1)
-    phase() // first life of the pipeline: two quartiles
-    copyIn(2); copyIn(3)
-    phase() // restart: the checkpoint must admit exactly the new files
+    withStreamShuffle(spark) {
+      copyIn(0); copyIn(1)
+      phase() // first life of the pipeline: two quartiles
+      copyIn(2); copyIn(3)
+      phase() // restart: the checkpoint must admit exactly the new files
+    }
     spark.read.parquet(sink)
       .groupBy("event_type")
       .agg(count(lit(1)).as("n"),
@@ -771,10 +783,12 @@ object StreamingEvents {
           out.iterator
       }
     val name = s"graft_alerts_${System.identityHashCode(spark)}"
-    val q = alerts.toDF("user_id", "event_id", "level").writeStream
-      .format("memory").queryName(name).outputMode(OutputMode.Append())
-      .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
+    withStreamShuffle(spark) {
+      val q = alerts.toDF("user_id", "event_id", "level").writeStream
+        .format("memory").queryName(name).outputMode(OutputMode.Append())
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
     spark.table(name).orderBy("user_id", "event_id")
   }
 
@@ -826,10 +840,12 @@ object StreamingEvents {
   def runScd2ToCompletion(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.streaming.OutputMode
     val name = s"graft_scd2_${System.identityHashCode(spark)}"
-    val q = scd2ClosedIntervals(spark, dir).writeStream
-      .format("memory").queryName(name).outputMode(OutputMode.Append())
-      .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
+    withStreamShuffle(spark) {
+      val q = scd2ClosedIntervals(spark, dir).writeStream
+        .format("memory").queryName(name).outputMode(OutputMode.Append())
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
     spark.table(name).orderBy("user_id", "valid_from")
   }
 
@@ -873,10 +889,12 @@ object StreamingEvents {
     */
   def runEwmaToCompletion(spark: SparkSession, dir: String): DataFrame = {
     val name = s"graft_ewma_${System.identityHashCode(spark)}"
-    val q = ewmaStates(spark, dir).writeStream
-      .format("memory").queryName(name).outputMode("update")
-      .trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
+    withStreamShuffle(spark) {
+      val q = ewmaStates(spark, dir).writeStream
+        .format("memory").queryName(name).outputMode("update")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("user_id").orderBy(col("n_events").desc)
     spark.table(name)
@@ -906,12 +924,14 @@ object StreamingEvents {
   /** Run [[dedupedStream]] to completion over the bounded fixture. */
   def runDedupToCompletion(spark: SparkSession, dir: String): DataFrame = {
     val name = s"graft_dedup_${System.identityHashCode(spark)}"
-    val q = dedupedStream(spark, dir).writeStream
-      .format("memory").queryName(name)
-      .outputMode("append")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withStreamShuffle(spark) {
+      val q = dedupedStream(spark, dir).writeStream
+        .format("memory").queryName(name)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     spark.table(name)
   }
 
@@ -1033,13 +1053,15 @@ object StreamingEvents {
     */
   def runSessionFeedToCompletion(spark: SparkSession, dir: String): DataFrame = {
     val name = s"graft_sessfeed_${runSeq.incrementAndGet()}"
-    val q = sessionFeedCounts(spark, dir).writeStream
-      .format("memory").queryName(name)
-      .outputMode("complete")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    StreamingDocs.noteProgress("q207_stream_sessions", q)
+    withStreamShuffle(spark) {
+      val q = sessionFeedCounts(spark, dir).writeStream
+        .format("memory").queryName(name)
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      StreamingDocs.noteProgress("q207_stream_sessions", q)
+    }
     spark.table(name).orderBy("user_id", "w_start")
   }
 
@@ -1055,7 +1077,7 @@ object StreamingEvents {
     * certify the wrong backend.
     */
   def runSessionFeedRocksDb(spark: SparkSession, dir: String): DataFrame =
-    withRocksDbProvider(spark, enable = true) {
+    withStreamShuffle(spark) { withRocksDbProvider(spark, enable = true) {
       val name = s"graft_sessrocks_${runSeq.incrementAndGet()}"
       val q = sessionFeedCounts(spark, dir).writeStream
         .format("memory").queryName(name)
@@ -1066,7 +1088,7 @@ object StreamingEvents {
       requireRocksDbEngaged(q)
       StreamingDocs.noteProgress("q301_stream_sessions_rocksdb", q)
       spark.table(name).orderBy("user_id", "w_start")
-    }
+    } }
 
   /** Run `body` under the RocksDB state-store provider (no-op when
     * `enable` is false — the shared shape lets every stateful runner
@@ -1080,15 +1102,72 @@ object StreamingEvents {
     if (!enable) body
     else {
       val key = "spark.sql.streaming.stateStore.providerClass"
+      // Changelog checkpointing rides along with the provider (r14
+      // optimization round, extending the TWS finding to the WHOLE
+      // RocksDB family q301/q325–q328): with the snapshot default,
+      // every commit saves and fsyncs a full snapshot zip per
+      // partition per micro-batch — O(state) IO each batch and a
+      // measured fsync storm on this host (PERF_NOTES §Round 14).
+      // Changelog mode appends O(delta) changelogs; snapshots amortize
+      // to the maintenance thread. Content is provider-internal —
+      // every RocksDB twin's oracle hash is unchanged (the q341
+      // partition-invariance argument) — and at 100 TB state the
+      // changelog mode is the production configuration.
+      val ckey =
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
       val prev = spark.conf.getOption(key)
+      val prevC = spark.conf.getOption(ckey)
       spark.conf.set(key,
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      spark.conf.set(ckey, "true")
       try body
-      finally prev match {
-        case Some(v) => spark.conf.set(key, v)
-        case None => spark.conf.unset(key)
+      finally {
+        prev match {
+          case Some(v) => spark.conf.set(key, v)
+          case None => spark.conf.unset(key)
+        }
+        prevC match {
+          case Some(v) => spark.conf.set(ckey, v)
+          case None => spark.conf.unset(ckey)
+        }
       }
     }
+
+  /** State-partition count for every bounded-stream runner (r14
+    * optimization round, generalizing the TWS/stream-stream-join
+    * sizing to the whole streaming family). Partition count must
+    * track state VOLUME, not the host's CPU default: the fixture's
+    * per-store state is KB-scale, and at the session default of 32
+    * shuffle partitions every stateful micro-batch commits 32 state
+    * stores whose per-partition fsyncs serialize on the block-device
+    * journal (measured: a stream-stream join pays FOUR stores per
+    * partition per batch — 640 commits for a 5-batch run at 32, ≈20 s
+    * of pure fixed overhead vs ≈6 s at 8). 8 still certifies
+    * multi-partition distribution; a 100 TB deployment sizes this UP
+    * with its state (the knob follows the data) — parameterized via
+    * SPARK_GRAFT_STATE_PARTITIONS so the driver's low-core scaling
+    * runs and a production profile can set their own value.
+    */
+  def streamStatePartitions: String =
+    sys.env.getOrElse("SPARK_GRAFT_STATE_PARTITIONS", "8")
+
+  /** Run `body` with `spark.sql.shuffle.partitions` sized for stream
+    * state ([[streamStatePartitions]]), restored even on throw. Applies
+    * to the stream AND its foreachBatch batch jobs (conf-scoped around
+    * the full run). Results are partition-count-invariant — state
+    * evolution is key-partitioned and every runner's output carries a
+    * total ORDER BY; the oracle proves it on every run.
+    */
+  def withStreamShuffle[T](spark: SparkSession)(body: => T): T = {
+    val pkey = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.getOption(pkey)
+    spark.conf.set(pkey, streamStatePartitions)
+    try body
+    finally prev match {
+      case Some(v) => spark.conf.set(pkey, v)
+      case None => spark.conf.unset(pkey)
+    }
+  }
 
   /** RocksDB provider PLUS changelog checkpointing — the
     * `transformWithState` runners' mode. Why not the snapshot default:
@@ -1106,36 +1185,7 @@ object StreamingEvents {
     * like the provider itself.
     */
   def withTwsRocksDb[T](spark: SparkSession)(body: => T): T =
-    withRocksDbProvider(spark, enable = true) {
-      val key =
-        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
-      // State-partition sizing: partition count must track state
-      // VOLUME. The fixture's TWS state is KB-scale per store; at the
-      // session default 32, a 4-batch bounded run creates 32 RocksDB
-      // instances whose version-1 snapshot + changelog fsyncs
-      // serialize on the block device's journal (measured: commitMs
-      // 156–378 s summed per batch, ~12 s wall per partition commit
-      // with the CPU idle — pure fsync queueing, no compute). 8 stores
-      // still certify multi-partition distribution; a 100 TB
-      // deployment sizes this UP with state, which is exactly the
-      // point: the knob follows the data, not the host default.
-      val pkey = "spark.sql.shuffle.partitions"
-      val prev = spark.conf.getOption(key)
-      val prevP = spark.conf.getOption(pkey)
-      spark.conf.set(key, "true")
-      spark.conf.set(pkey, "8")
-      try body
-      finally {
-        prev match {
-          case Some(v) => spark.conf.set(key, v)
-          case None => spark.conf.unset(key)
-        }
-        prevP match {
-          case Some(v) => spark.conf.set(pkey, v)
-          case None => spark.conf.unset(pkey)
-        }
-      }
-    }
+    withRocksDbProvider(spark, enable = true)(withStreamShuffle(spark)(body))
 
   /** Fail loud unless the completed query's progress proves RocksDB
     * actually backed its state stores (the q301 engage check).
@@ -1214,7 +1264,7 @@ object StreamingEvents {
     val feed = dedupFeedStaged(spark, dir)
     val schema = spark.read.parquet(feed).schema
     val name = s"graft_dedupwm_${runSeq.incrementAndGet()}"
-    val q = withRocksDbProvider(spark, rocksDb) {
+    val q = withStreamShuffle(spark) { withRocksDbProvider(spark, rocksDb) {
       val q0 = spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1")
         .parquet(feed)
@@ -1227,7 +1277,7 @@ object StreamingEvents {
         .start()
       q0.awaitTermination()
       q0
-    }
+    } }
     if (rocksDb) requireRocksDbEngaged(q)
     StreamingDocs.noteProgress(
       if (rocksDb) "q328_stream_dedup_expiry_rocksdb"
@@ -1344,13 +1394,15 @@ object StreamingEvents {
     */
   def runLateDataToCompletion(spark: SparkSession, dir: String): DataFrame = {
     val name = s"graft_latefeed_${runSeq.incrementAndGet()}"
-    val q = lateDataCounts(spark, dir).writeStream
-      .format("memory").queryName(name)
-      .outputMode("append")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    StreamingDocs.noteProgress("q245_stream_late_data", q)
+    withStreamShuffle(spark) {
+      val q = lateDataCounts(spark, dir).writeStream
+        .format("memory").queryName(name)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      StreamingDocs.noteProgress("q245_stream_late_data", q)
+    }
     spark.table(name).orderBy("w", "event_type")
   }
 
@@ -1373,13 +1425,15 @@ object StreamingEvents {
     */
   def runToCompletion(spark: SparkSession, dir: String): DataFrame = {
     val name = s"graft_stream_${System.identityHashCode(spark)}"
-    val q = hourlyCounts(spark, dir).writeStream
-      .format("memory")
-      .queryName(name)
-      .outputMode("complete")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    withStreamShuffle(spark) {
+      val q = hourlyCounts(spark, dir).writeStream
+        .format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     spark.table(name).orderBy("w", "event_type")
   }
 

@@ -317,3 +317,119 @@ final class HadoopConfBroadcast(
     extends Serializable {
   def conf: org.apache.hadoop.conf.Configuration = bc.value.value
 }
+
+/** Fused late-interaction MaxSim score over two 64-dim float vectors
+  * viewed as eight 8-dim token slices (q310's scoring rule):
+  * score(q, d) = Σ over q's slices of the MAX over d's slices of
+  * ROUND(cosine, 6), each rounded cosine carried as an exact
+  * DECIMAL(18,6) so the per-token max and the 8-term sum are
+  * order-free on the 1e-6 grid.
+  *
+  * Fusion rationale (optimization round 14, guide §1.2/§2.3): the
+  * compositional form — posexplode both sides into 8 token rows each,
+  * a 64-row-per-pair join, a (q, d, qi) grouped MAX, a (q, d) grouped
+  * SUM — materializes and shuffles 64 rows and two hash-aggregate
+  * passes per candidate pair. The score is a pure function of the two
+  * vectors, so one codegen-friendly expression computes it in a tight
+  * loop per pair; SimilaritySpec pins bit-equality against the
+  * compositional form on the real fixture, and the q310/q329/q330/q339
+  * oracles replay the full scoring from scratch.
+  *
+  * Semantics replicated EXACTLY from the compositional pipeline:
+  *  - slices are `slice(embedding, m*8+1, 8)` for m = 0..7 on EACH
+  *    side's own array (short arrays yield short/empty slices);
+  *  - cosine = [[CosineSimF32]]: length mismatch, null element, or a
+  *    zero-norm side → NULL (skipped by MAX);
+  *  - ROUND(x, 6) = Spark's RoundBase on DoubleType:
+  *    BigDecimal.valueOf(x).setScale(6, HALF_UP), NaN/Infinity pass
+  *    through and the DECIMAL cast turns them into NULL (skipped);
+  *  - a q-slice whose 8 cosines are all NULL contributes nothing
+  *    (MAX of all-null is NULL, SUM skips NULL); all-NULL → NULL.
+  */
+case class MaxSimScoreF32(left: Expression, right: Expression)
+    extends BinaryExpression
+    with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] =
+    Seq(ArrayType(FloatType), ArrayType(FloatType))
+  override def dataType: DataType = DecimalType(18, 6)
+  override def nullable: Boolean = true
+  override def prettyName: String = "maxsim_f32"
+
+  override def nullSafeEval(l: Any, r: Any): Any =
+    MaxSimScoreF32.score(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val s = ctx.freshName("msim")
+      // one static call per pair keeps the operator inside whole-stage
+      // codegen; the loop body is scalar JVM code either way
+      s"""
+         |org.apache.spark.sql.types.Decimal $s =
+         |  org.apache.spark.sql.graft.MaxSimScoreF32.score($a, $b);
+         |if ($s == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $s; }
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object MaxSimScoreF32 {
+  private val Slices = 8
+  private val SliceLen = 8
+
+  /** The fused scoring loop — static so generated code can call it. */
+  def score(qa: ArrayData, da: ArrayData): Decimal = {
+    val ql = qa.numElements()
+    val dl = da.numElements()
+    var sumMicros = 0L
+    var anySlice = false
+    var qi = 0
+    while (qi < Slices) {
+      val qs = qi * SliceLen
+      val qLen = math.max(0, math.min(SliceLen, ql - qs))
+      var best = 0L
+      var bestSet = false
+      var di = 0
+      while (di < Slices) {
+        val ds = di * SliceLen
+        val dLen = math.max(0, math.min(SliceLen, dl - ds))
+        // cosine(slice q, slice d) with CosineSimF32 semantics
+        if (qLen == dLen && qLen > 0) {
+          var dot = 0.0
+          var na = 0.0
+          var nb = 0.0
+          var i = 0
+          var isNull = false
+          while (i < qLen && !isNull) {
+            if (qa.isNullAt(qs + i) || da.isNullAt(ds + i)) isNull = true
+            else {
+              val x = qa.getFloat(qs + i).toDouble
+              val y = da.getFloat(ds + i).toDouble
+              dot += x * y; na += x * x; nb += y * y
+              i += 1
+            }
+          }
+          if (!isNull && na != 0.0 && nb != 0.0) {
+            val c = dot / math.sqrt(na * nb)
+            // ROUND(c, 6): NaN/Infinity would null out in the DECIMAL
+            // cast of the compositional form — skip them here
+            if (!java.lang.Double.isNaN(c) && !java.lang.Double.isInfinite(c)) {
+              val m = java.math.BigDecimal.valueOf(c)
+                .setScale(6, java.math.RoundingMode.HALF_UP)
+                .unscaledValue().longValueExact()
+              if (!bestSet || m > best) { best = m; bestSet = true }
+            }
+          }
+        }
+        di += 1
+      }
+      if (bestSet) { sumMicros += best; anySlice = true }
+      qi += 1
+    }
+    if (anySlice) Decimal(sumMicros, 18, 6) else null
+  }
+}

@@ -81,6 +81,36 @@ class CorrelateSpec extends SparkSpec {
     assert(lambda > 0.0 && lambda <= diag.sum + 1e-9)
   }
 
+  test("cov_moments equals the compositional posexplode statistics bit-for-bit") {
+    // the r14 fused aggregate's equivalence law: counts, scaled-long
+    // dim sums, and flat-triangle scaled-long product sums all equal
+    // the transform+posexplode+hash-aggregate frame it replaced
+    val emb = Tables(spark, sf).embeddings
+    val arr = col("embedding")
+    val S = 1e7
+    val m = emb.agg(graft.functions.GraftFunctions.covMoments(arr).as("m"))
+      .select(col("m.n"), col("m.sx"), col("m.sxy")).collect()(0)
+    val gotN = m.getSeq[Long](0)
+    val gotSx = m.getSeq[Long](1)
+    val gotSxy = m.getSeq[Long](2)
+    val dims = emb.select(posexplode(arr).as(Seq("i", "x")))
+      .groupBy("i")
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("x").cast("double") * lit(S), 0).cast("long")).as("sx"))
+      .orderBy("i")
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(gotN == dims.map(_._1).toSeq)
+    assert(gotSx == dims.map(_._2).toSeq)
+    val prods = flatten(transform(arr, (xi, i) =>
+      transform(slice(arr, i + 1, size(arr) - i), xj =>
+        round(xi.cast("double") * xj.cast("double") * lit(S), 0)
+          .cast("long"))))
+    val sums = emb.select(posexplode(prods).as(Seq("pos", "pl")))
+      .groupBy("pos").agg(sum(col("pl")).as("sxy"))
+      .orderBy("pos").collect().map(_.getLong(1))
+    assert(gotSxy == sums.toSeq)
+  }
+
   test("q206 covariance: full upper triangle, non-negative diagonal, matches covar_pop") {
     val emb = Tables(spark, sf).embeddings
     val d = emb.select(size(col("embedding"))).as[Int].head()
