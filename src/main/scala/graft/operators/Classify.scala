@@ -89,9 +89,17 @@ object Classify {
     * pipeline loads at startup — q257 calls this BEFORE its stream).
     */
   def fittedWeights(spark: org.apache.spark.sql.SparkSession,
-      dir: String): Array[Double] =
-    logregFit(logregFeatures(corpusWithCorruptions(
-      Tables(spark, dir).documentsRebalanced)))
+      dir: String): Array[Double] = {
+    // r14: the GD loop takes count + 3 gradient passes over the
+    // feature frame; unpersisted, each pass re-ran the corruption
+    // union + regex feature extraction (every OTHER logregFit call
+    // site already persists — this one feeds q292/q294/q257)
+    val feats = logregFeatures(corpusWithCorruptions(
+      Tables(spark, dir).documentsRebalanced))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try logregFit(feats)
+    finally feats.unpersist(blocking = false)
+  }
 
   /** Score a doc frame under fitted weights: (doc_id, s6) with the
     * 1e6-scaled score — shared by the batch calibration entry and the

@@ -163,11 +163,18 @@ object Lm {
     val per = Winnow.bigramLogProb(
       graft.sources.TokenizedCorpus.tokens(spark, dir))
     val src = Tables(spark, dir).documents.select("doc_id", "source")
-    val scored = per
+    // r14 optimization (guide §5): `scored` feeds THREE consumers (the
+    // grid histogram, the exact total, the final bucket rollup) and
+    // was recomputed per consumer — each recompute re-ran the whole
+    // model-fit + scoring join chain (measured: nine ~10 s stages all
+    // re-reading the same 2.8 MB exchange at sf0.1). One doc-sized
+    // persist (|docs| rows) collapses them to a single pass.
+    val scored = graft.TransientCaches.register(per
       .select(col("doc_id"),
         round(col("avg_logprob") * Grid, 0).cast(LongType).as("si"),
         round(col("avg_logprob"), 7).cast(D7).as("a7"))
       .join(src, "doc_id")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val hist = scored.groupBy("si").agg(count(lit(1)).as("cnt"))
     // cumulative over the GRID histogram (bounded frame — class doc)
     val cum = hist.withColumn("cum", sum("cnt").over(Window.orderBy("si")))
@@ -1223,10 +1230,17 @@ object Lm {
           (-(sum(col("ce").cast(dec10) * col("lpd")).cast(DoubleType)
             / sum("ce"))).as("co"))
       val excess = round(greatest(col("co") - col("cp"), lit(0.0)), 6)
-      val ex = per.select(col("source"), col("n_held_bigrams"),
-        round(col("cp"), 6).as("ce_pooled"), round(col("co"), 6).as("ce_own"),
-        excess.as("excess"),
-        round(exp(excess), 6).cast(D6).as("a"))
+      // r14 optimization (guide §5): `ex` (|sources| rows) feeds both
+      // the normalizer sum and the final select — unpersisted, the
+      // whole 5-way scoring join ran twice (measured: every heavy
+      // stage duplicated at sf0.1). One sources-sized persist halves
+      // the query.
+      val ex = graft.TransientCaches.register(
+        per.select(col("source"), col("n_held_bigrams"),
+          round(col("cp"), 6).as("ce_pooled"), round(col("co"), 6).as("ce_own"),
+          excess.as("excess"),
+          round(exp(excess), 6).cast(D6).as("a"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       val ws = ex.agg(sum("a").as("wsum"))
       ex.crossJoin(broadcast(ws))
         .select(col("source"), col("n_held_bigrams"), col("ce_pooled"),
