@@ -217,6 +217,29 @@ class StreamingSpec extends SparkSpec {
     assert(crossing > 0, "no pair spans a micro-batch boundary")
   }
 
+  test("stream-join partitions: commit count leveled with the family, floor 2") {
+    // a stream-stream join commits 4 state stores per partition per
+    // batch; the derived count must (a) stay multi-partition and
+    // (b) never exceed the family's per-batch commit budget
+    val fam = StreamingEvents.streamStatePartitions.toInt
+    val join = StreamingEvents.streamJoinStatePartitions.toInt
+    assert(join >= 2, "join state must stay multi-partition")
+    assert(join <= math.max(2, fam),
+      "join partitions must not exceed the family count")
+    if (fam >= 8) assert(join * 4 <= fam * 4 && join <= fam / 4 + 1,
+      s"commit leveling: join=$join fam=$fam")
+    // the conf scoping restores the session value even on throw
+    val pkey = "spark.sql.shuffle.partitions"
+    val before = spark.conf.get(pkey)
+    intercept[RuntimeException] {
+      StreamingEvents.withStreamShuffle(spark, "3") {
+        assert(spark.conf.get(pkey) === "3")
+        throw new RuntimeException("boom")
+      }
+    }
+    assert(spark.conf.get(pkey) === before)
+  }
+
   test("q215 explicit state: multi-batch fold equals batch scaled sums") {
     import org.apache.spark.sql.functions._
     val rows = StreamingEvents.runExactUserStateToCompletion(spark, sf).collect()
