@@ -118,16 +118,23 @@ object Similarity {
         "or raise maxRows explicitly")
     val par = spark.sessionState.conf.numShufflePartitions
     val nBlocks = math.max(2, math.ceil(math.sqrt(2.0 * par)).toInt)
-    import spark.implicits._
-    val tiles = (for { i <- 0 until nBlocks; j <- i until nBlocks } yield (i, j))
-      .toDF("ba", "bb")
+    // Tile ids are pure arithmetic over the row's own block — generate
+    // them with explode(sequence(...)) instead of the former two
+    // broadcast joins against a tile relation (r15 optimization round):
+    // same tile assignment, same replication factor, but the plan drops
+    // two BroadcastExchange builds (each a separate job barrier) and
+    // two joins. A row in block i participates as the LEFT side of
+    // tiles (i, j) for j in i..B-1 (pid = i·B + j, a contiguous
+    // sequence) and as the RIGHT side of tiles (i', bb = i) for
+    // i' in 0..i (pid = i'·B + i, a stride-B sequence).
     val a = emb.select(col("vec_id").as("va"), col("embedding").as("ea"),
       pmod(col("vec_id"), lit(nBlocks)).cast(IntegerType).as("ba"))
     val b = emb.select(col("vec_id").as("vb"), col("embedding").as("eb"),
       pmod(col("vec_id"), lit(nBlocks)).cast(IntegerType).as("bb"))
-    val left = a.join(broadcast(tiles), Seq("ba"))
-      .select((col("ba") * nBlocks + col("bb")).as("pid"),
-        col("va"), col("ea"), col("ba"), col("bb"))
+    val left = a
+      .select(col("va"), col("ea"), col("ba"),
+        explode(sequence(col("ba") * nBlocks + col("ba"),
+          col("ba") * nBlocks + lit(nBlocks - 1))).as("pid"))
       // Distribute the tile workload explicitly: without this, a
       // small/single-split input lets Catalyst broadcast the joined
       // side and run every (n/B)² tile on the few input partitions —
@@ -136,8 +143,10 @@ object Similarity {
       // parallelism; at scale the shuffle is n·(B+1)/2 rows, far
       // smaller than the join output it parallelizes.
       .repartition(par, col("pid"))
-    val right = b.join(broadcast(tiles), Seq("bb"))
-      .select((col("ba") * nBlocks + col("bb")).as("pid"), col("vb"), col("eb"))
+    val right = b
+      .select(col("vb"), col("eb"), col("bb"),
+        explode(sequence(col("bb"), col("bb") * nBlocks + col("bb"),
+          lit(nBlocks))).as("pid"))
     left.join(right.hint("shuffle_hash"), Seq("pid"))
       .filter(col("ba") < col("bb") || col("va") < col("vb"))
       .select(
