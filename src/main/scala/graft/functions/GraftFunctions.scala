@@ -97,6 +97,19 @@ object GraftFunctions {
   def covMoments(arr: Column): Column =
     col(org.apache.spark.sql.graft.CovMoments(expr(arr)).toAggregateExpression())
 
+  /** char_bigram_counts(s) → map<string,long>: per-document adjacent-
+    * character bigram occurrence counts in one pass (q251 family).
+    */
+  def charBigramCounts(s: Column): Column =
+    col(org.apache.spark.sql.graft.CharBigramCounts(expr(s)))
+
+  /** nb_score_accum(c, lps) → struct(nb, sm, mc): per-document NB
+    * sufficient statistics over `langs` (q251; see [[NbScoreAccum]]).
+    */
+  def nbScoreAccum(c: Column, lps: Column, langs: Seq[String]): Column =
+    col(org.apache.spark.sql.graft.NbScoreAccum(expr(c), expr(lps), langs)
+      .toAggregateExpression())
+
   /** freq_sketch(item string, k) → map<string,bigint>: Misra–Gries
     * top-k frequency estimates per group with a k-bounded buffer;
     * exact whenever a group's distinct-item count stays ≤ k (see

@@ -189,82 +189,122 @@ object Classify {
 
   private def tailValuesSql: String = TextAnalysis.tailValuesSql
 
-  /** Char bigrams of the whitespace-normalized lowered text (the q79
-    * normalization), one row per OCCURRENCE.
+  /** Per-doc distinct-bigram counts of the whitespace-normalized
+    * lowered text (the q79 normalization): one row per bigram-producing
+    * document carrying map<bigram, occurrences> — the r15 fused form of
+    * the former one-row-per-OCCURRENCE explode (n·(len-1) rows), same
+    * substr-by-code-point bigram unit (ClassifySpec pins equality).
     */
-  private def charBigrams(docs: DataFrame): DataFrame =
+  private def docBigramCounts(docs: DataFrame): DataFrame =
     docs
       .select(col("doc_id"), col("lang"),
         regexp_replace(lower(col("text")), "\\s+", " ").as("t"))
       .filter(length(col("t")) >= 2)
-      .select(col("doc_id"), col("lang"), col("t"),
-        explode(expr("sequence(1, length(t) - 1)")).as("p"))
-      .select(col("doc_id"), col("lang"), expr("substr(t, p, 2)").as("bg"))
+      .select(col("doc_id"), col("lang"),
+        graft.functions.GraftFunctions.charBigramCounts(col("t")).as("m"))
 
   /** Fit an add-one-smoothed NB bigram model on the labeled corpus and
     * re-classify every document (resubstitution): score(doc, lang) =
     * ln-prior + sum over the doc's bigram occurrences of the per-lang
     * smoothed log-prob, unseen bigrams falling back to the per-lang
     * floor ln(1/(tot_l + V)). All log-probs are 6dp DECIMALs rounded
-    * once per distinct (lang, bigram); doc scores are exact decimal
-    * sums (counts cast to NARROW DECIMAL(10,0) first — the q235
-    * precision-cap lesson). Output: the confusion matrix.
+    * once per distinct (lang, bigram); doc scores are exact integer
+    * sums of their 1e6-scaled micros (a monotone bijection of the
+    * former exact decimal sums — the argmax and its tiebreak cannot
+    * move, and only the argmax leaves this function). Output: the
+    * confusion matrix.
+    *
+    * r15 shape (guide §2.3 sufficient statistics): per-doc bigram maps
+    * in one pass (no occurrence explode), model fit by summing the
+    * per-doc counts, and scoring via a 1:1 bg-keyed broadcast join into
+    * a per-doc long-array accumulator — the former shape multiplied
+    * every (doc,bg) row by the langs carrying that bigram (≈|langs|×
+    * rows) before a (doc, m_lang)-keyed hash aggregate.
     */
   def nbLangIdConfusion(docs: DataFrame): DataFrame = {
-    val bg = charBigrams(docs)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    graft.TransientCaches.register(bg)
-
+    val spark = docs.sparkSession
     val dec6 = DataTypes.createDecimalType(18, 6)
-    // priors over docs that PRODUCED bigrams (length >= 2 after
-    // normalization) — the same population the model is fitted on and
-    // the oracle counts; deriving from `docs` instead would silently
-    // disagree on any corpus with near-empty documents.
-    val nDocs = bg.select(countDistinct(col("doc_id"))).head().getLong(0)
-    val priors = bg.groupBy(col("lang").as("m_lang"))
-      .agg(countDistinct(col("doc_id")).as("nl"))
+    val docBg = docBigramCounts(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.TransientCaches.register(docBg)
+    // one row per (doc, distinct bigram) — the model-fit and scoring
+    // unit. Deliberately NOT persisted: it has exactly two consumers
+    // (the model-count fit and the scoring pass) and re-exploding the
+    // 25k cached doc maps is cheaper than caching ~5M rows.
+    def dbl = docBg
+      .select(col("doc_id"), col("lang"), explode(col("m")).as(Seq("bg", "c")))
+
+    // nDocs + the candidate-lang domain in ONE driver action over the
+    // small cached frame (docBg rows are unique per doc by
+    // construction, so count ≡ the former countDistinct over
+    // occurrences; every doc in docBg produced ≥1 bigram). Priors over
+    // docs that PRODUCED bigrams — the population the model is fitted
+    // on and the oracle counts.
+    val statRow = docBg
+      .agg(count(lit(1)), sort_array(collect_set(col("lang")))).head()
+    val nDocs = statRow.getLong(0)
+    val langList = statRow.getSeq[String](1)
+    val priors = docBg.groupBy(col("lang").as("m_lang"))
+      .agg(count(lit(1)).as("nl"))
       .select(col("m_lang"),
         round(log(col("nl").cast(DoubleType) / lit(nDocs.toDouble)), 6)
           .cast(dec6).as("prior"))
-    val v = bg.select(countDistinct(col("bg"))).head().getLong(0)
-    val tots = bg.groupBy(col("lang").as("m_lang"))
-      .agg(count(lit(1)).as("tot"))
+    // per-(lang, bigram) occurrence counts: ONE pass over the exploded
+    // frame; tots and V then derive from this charset²-bounded frame
+    // instead of re-scanning the 5M-row explode (sum of per-doc counts
+    // ≡ the former count over occurrence rows, and the distinct-bg
+    // domain is identical).
+    val modelCounts = dbl.groupBy(col("lang").as("m_lang"), col("bg"))
+      .agg(sum(col("c")).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.TransientCaches.register(modelCounts)
+    val v = modelCounts.select(countDistinct(col("bg"))).head().getLong(0)
+    val tots = modelCounts.groupBy(col("m_lang")).agg(sum(col("c")).as("tot"))
     // per-lang unseen-bigram floor: ln(1 / (tot_l + V))
     val floors = tots
       .select(col("m_lang"),
         round(log(lit(1.0) / (col("tot") + lit(v)).cast(DoubleType)), 6)
           .cast(dec6).as("lp0"))
-    val model = bg.groupBy(col("lang").as("m_lang"), col("bg"))
-      .agg(count(lit(1)).as("c"))
+    val model = modelCounts
       .join(tots, "m_lang")
       .select(col("m_lang"), col("bg"),
         round(log((col("c") + lit(1)).cast(DoubleType) /
           (col("tot") + lit(v)).cast(DoubleType)), 6).cast(dec6).as("lp"))
-
-    val db = bg.groupBy(col("doc_id"), col("lang"), col("bg"))
-      .agg(count(lit(1)).as("c"))
-    val docTot = bg.groupBy(col("doc_id")).agg(count(lit(1)).as("nb"))
-    // matched-term partial per (doc, lang): the model is charset²-
-    // bounded — broadcast it; the join stays doc-keyed.
-    val matched = db
-      .join(broadcast(model), Seq("bg"))
-      .groupBy(col("doc_id"), col("m_lang"))
-      .agg(sum(col("c").cast(DataTypes.createDecimalType(10, 0)) * col("lp"))
-        .as("sm"),
-        sum(col("c")).as("mc"))
-    val langs = broadcast(priors.join(floors, "m_lang"))
-    val scored = docTot
-      .join(bg.select(col("doc_id"), col("lang")).distinct(), "doc_id")
-      .crossJoin(langs)
-      .join(matched, Seq("doc_id", "m_lang"), "left")
+    // model pivoted to one row per bigram: lang → 1e6-scaled log-prob
+    // (exact: lp is DECIMAL(18,6)). The join below is then 1:1 on bg.
+    val modelByBg = model
+      .groupBy(col("bg"))
+      .agg(map_from_entries(collect_list(struct(col("m_lang"),
+        (col("lp") * lit(1000000)).cast(LongType).as("lpm")))).as("lps"))
+    // every bigram of every doc is in the model for the doc's own lang
+    // (the model is fitted on this same corpus), so the inner join
+    // keeps every (doc, bigram) row and every bigram-producing doc
+    // reaches the accumulator — the population the former
+    // docTot ⋈ distinct(doc,lang) scaffold carried.
+    val acc = dbl
+      .join(broadcast(modelByBg), Seq("bg"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(graft.functions.GraftFunctions
+        .nbScoreAccum(col("c"), col("lps"), langList).as("a"))
+    // langs indexed to match the accumulator's buffer ordering
+    import spark.implicits._
+    val langsIdx = broadcast(
+      langList.zipWithIndex.map { case (l, i) => (i, l) }.toDF("lidx", "m_lang")
+        .join(priors, "m_lang").join(floors, "m_lang")
+        .select(col("lidx"), col("m_lang"),
+          (col("prior") * lit(1000000)).cast(LongType).as("prior_m"),
+          (col("lp0") * lit(1000000)).cast(LongType).as("lp0_m")))
+    val scored = acc
+      .select(col("doc_id"), col("lang"), col("a.nb").as("nb"),
+        col("a.mc").as("mcs"), posexplode(col("a.sm")).as(Seq("lidx", "sm")))
+      .join(langsIdx, "lidx")
       .select(col("doc_id"), col("lang"), col("m_lang"),
-        (col("prior") + coalesce(col("sm"), lit(0).cast(dec6)) +
-          (col("nb") - coalesce(col("mc"), lit(0L)))
-            .cast(DataTypes.createDecimalType(10, 0)) * col("lp0"))
-          .as("score"))
+        (col("prior_m") + col("sm") +
+          (col("nb") - element_at(col("mcs"), col("lidx") + 1))
+            * col("lp0_m")).as("score"))
     // argmax with (score DESC, lang ASC) tiebreak: min over
-    // (-score, lang) — exact decimal comparison, mirrored by the
-    // oracle's ROW_NUMBER.
+    // (-score, lang) — exact integer comparison of the 1e6-scaled
+    // scores, mirrored by the oracle's ROW_NUMBER over the decimals.
     scored
       .groupBy(col("doc_id"), col("lang"))
       .agg(min(struct((-col("score")).as("ns"), col("m_lang").as("l")))

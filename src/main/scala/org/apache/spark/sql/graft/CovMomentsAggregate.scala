@@ -92,9 +92,18 @@ case class CovMoments(
 
   /** ROUND(v, 0) on double, Spark RoundBase semantics, then the long
     * cast the compositional form applied (integral value — exact).
+    * NaN/Infinity short-circuit BEFORE BigDecimal.valueOf (which throws
+    * on them): the replaced round(x,0).cast(long) pipeline passed them
+    * through — round leaves NaN/Inf as-is and the double→long cast
+    * yields 0 / Long.MaxValue / Long.MinValue (Java conversion rules) —
+    * so a non-finite float in an embedding must reproduce the old
+    * statistics, not crash the query (r14 ADVICE item 1).
     */
   private def roundToLong(v: Double): Long =
-    java.math.BigDecimal.valueOf(v)
+    if (java.lang.Double.isNaN(v)) 0L
+    else if (java.lang.Double.isInfinite(v))
+      (if (v > 0) Long.MaxValue else Long.MinValue)
+    else java.math.BigDecimal.valueOf(v)
       .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue().toLong
 
   override def update(buf: CovMomentsBuffer, row: InternalRow): CovMomentsBuffer = {
