@@ -313,6 +313,16 @@ object Dedup {
   private def batchNoSql(c: String): String =
     s"CASE $c % 5 WHEN 1 THEN 1 WHEN 0 THEN 2 ELSE 0 END"
 
+  /** Partition count for an index-run write, derived from the run's
+    * ROW volume (capped at the session parallelism): a 5k-row delta
+    * written 32-ways produces 32 tiny files that cost more to write
+    * and re-open than they parallelize (guide §2.2/§6 — the r15 fix
+    * for the fold family's four per-increment run writes); a 100 TB
+    * deployment's batches drive the same derivation UP with the data.
+    */
+  private def runWritePartitions(rows: Long, par: Int, perPart: Long): Int =
+    math.min(par.toLong, math.max(1L, (rows + perPart - 1) / perPart)).toInt
+
   /** Write one sorted RUN of the band/shingle index under `runDir`:
     * bands range-partitioned and sorted by band_sig (a probe's band
     * join skips row groups via min/max stats), shingle sets keyed by
@@ -320,13 +330,18 @@ object Dedup {
     * base + one delta per folded increment — so a fold-in writes only
     * the new batch's rows and per-increment cost stays flat as history
     * grows; merging runs is [[compactedIncrementalProbe]]'s job.
+    * `sigs` is persisted by every caller, so the row count is a cheap
+    * cache pass.
     */
   private def writeIndexRun(sigs: DataFrame, runDir: String, par: Int): Unit = {
+    val nDocs = sigs.count()
     bandSignatures(sigs)
-      .repartitionByRange(par, col("band_sig"))
+      .repartitionByRange(
+        runWritePartitions(nDocs * NumBands, par, 100000L), col("band_sig"))
       .sortWithinPartitions("band_sig")
       .write.mode("overwrite").parquet(s"$runDir/bands.parquet")
     sigs.select("doc_id", "shingles")
+      .coalesce(runWritePartitions(nDocs, par, 25000L))
       .write.mode("overwrite").parquet(s"$runDir/shingles.parquet")
   }
 
@@ -511,11 +526,15 @@ object Dedup {
     // corpus — bands+shingles are far smaller than the documents)
     val compacted = s"$idx/compact_b1"
     val runs = Seq(s"$idx/base", s"$idx/delta1")
-    spark.read.parquet(runs.map(r => s"$r/bands.parquet"): _*)
-      .repartitionByRange(par, col("band_sig"))
+    val bandsIn = spark.read.parquet(runs.map(r => s"$r/bands.parquet"): _*)
+    // row counts are parquet-metadata reads (row-group stats) — cheap
+    bandsIn
+      .repartitionByRange(
+        runWritePartitions(bandsIn.count(), par, 100000L), col("band_sig"))
       .sortWithinPartitions("band_sig")
       .write.mode("overwrite").parquet(s"$compacted/bands.parquet")
-    spark.read.parquet(runs.map(r => s"$r/shingles.parquet"): _*)
+    val shIn = spark.read.parquet(runs.map(r => s"$r/shingles.parquet"): _*)
+    shIn.coalesce(runWritePartitions(shIn.count(), par, 25000L))
       .write.mode("overwrite").parquet(s"$compacted/shingles.parquet")
     val b2 = batchSignatures(docs, batchNo(col("doc_id")) === 2, par)
     val pre = probeIndexRuns(spark, b2, Seq(compacted), num, den)
@@ -559,11 +578,13 @@ object Dedup {
     val bandsBefore = spark.read.parquet(s"$idx/bands.parquet")
     val nBefore = bandsBefore.count()
     bandsBefore.join(tomb, Seq("doc_id"), "left_anti")
-      .repartitionByRange(par, col("band_sig"))
+      .repartitionByRange(
+        runWritePartitions(nBefore, par, 100000L), col("band_sig"))
       .sortWithinPartitions("band_sig")
       .write.mode("overwrite").parquet(s"$tdir/purged/bands.parquet")
-    spark.read.parquet(s"$idx/shingles.parquet")
-      .join(tomb, Seq("doc_id"), "left_anti")
+    val shBefore = spark.read.parquet(s"$idx/shingles.parquet")
+    shBefore.join(tomb, Seq("doc_id"), "left_anti")
+      .coalesce(runWritePartitions(shBefore.count(), par, 25000L))
       .write.mode("overwrite").parquet(s"$tdir/purged/shingles.parquet")
     // the purge must have physically removed EXACTLY the tombstoned
     // docs' band rows — probe-time filtering cannot impersonate this
