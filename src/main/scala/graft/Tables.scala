@@ -25,15 +25,29 @@ final case class Tables(spark: SparkSession, dir: String) {
   def events: DataFrame = Tables.withEventsTs(t("events"))
   def documents: DataFrame = t("documents")
 
-  /** documents rebalanced across the session's parallelism — the local
-    * fixture is one parquet split, which would serialize per-row-heavy
-    * expressions (regex tokenization, md5, shingling) onto one core. At
-    * 100 TB the source is naturally multi-split and this one linear
-    * shuffle is noise next to the per-row work it parallelizes.
+  /** documents rebalanced for per-row-heavy expressions (regex
+    * tokenization, md5, shingling) — the local fixture is one parquet
+    * split, which would serialize that work onto one core.
+    *
+    * The fan-out is SIZE-derived (guide §2.2), not the raw session
+    * parallelism: ~32 KiB of source parquet per task
+    * (`SPARK_GRAFT_REBALANCE_TARGET_BYTES`), capped at the session's
+    * shuffle partitions. A KB-scale fixture spread 32 ways measured
+    * SLOWER than 8 ways at the same 32 cores (r14 scaling block, r15
+    * q19 profile: the same md5+regex stage reported ~12 s of task CPU
+    * at 32 concurrent string tasks vs ~2 s at 8 — allocation/bandwidth
+    * contention, not compute; the 11-query text band swept 9.64 s at
+    * 32-way / 8.56 s at ~9-way / 6.84 s at ~18-way), while at 100 TB
+    * the derivation saturates the cap and this one linear shuffle is
+    * noise next to the per-row work it parallelizes.
     */
   def documentsRebalanced: DataFrame = {
     val p = spark.sessionState.conf.numShufflePartitions
-    documents.repartition(p, org.apache.spark.sql.functions.col("doc_id"))
+    val target = sys.env.getOrElse(
+      "SPARK_GRAFT_REBALANCE_TARGET_BYTES", "32768").toLong
+    val bytes = documents.queryExecution.optimizedPlan.stats.sizeInBytes
+    val n = (bytes / target).min(BigInt(p)).max(BigInt(1)).toInt
+    documents.repartition(n, org.apache.spark.sql.functions.col("doc_id"))
   }
   def embeddings: DataFrame = t("embeddings")
 }
