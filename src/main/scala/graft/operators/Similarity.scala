@@ -615,7 +615,19 @@ object Similarity {
     },
   )
 
-  /** Engine side of q339 — see the entry for the contract. */
+  /** Engine side of q339 — see the entry for the contract.
+    *
+    * r15 fused sweep (guide §2.4/§3 — "fuse the repeated subplans
+    * across sweep points"): IVF candidate sets are NESTED in nprobe
+    * (each corpus vector lives in exactly one cluster, so a pair
+    * belongs to sweep point np iff the rank of its cluster in the
+    * probe's ranked list is ≤ np). One rank-tagged candidate frame at
+    * max depth is scored ONCE, and every sweep point is a crank
+    * filter + window over the persisted scored frame, assembled into a
+    * single union plan — the former per-np candidate builds, persists,
+    * and scoring joins (47 jobs at 3 points) collapse to one scoring
+    * pass plus one final action.
+    */
   def maxSimIvfCurve(spark: org.apache.spark.sql.SparkSession,
       dir: String, nprobes: Seq[Int], k: Int): DataFrame = {
     val emb = Tables(spark, dir).embeddings
@@ -631,12 +643,26 @@ object Similarity {
     val exact = maxSimOverCandidates(emb, allCand, k)
       .select("q_id", "vec_id")
       .localCheckpoint(true)
+    // rank-tagged candidates at max probe depth, scored once
+    val cents = Ivf.stagedCentroids(spark, dir)
+    val candR = broadcast(
+      Ivf.probeRanked(emb.filter(col("vec_id") < 10), cents, nprobes.max)
+        .select(col("q_id"), posexplode(col("pc")).as(Seq("cpos", "cluster"))))
+      .join(Ivf.stagedLists(spark, dir).select("vec_id", "cluster"),
+        Seq("cluster"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        (col("cpos") + 1).cast(IntegerType).as("crank"))
+    val scoredAll = graft.TransientCaches.register(
+      maxSimScoredPairs(emb, candR)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("score").desc, col("vec_id"))
     nprobes.map { np =>
-      val cand = graft.TransientCaches.register(
-        ivfMaxSimCandidates(spark, dir, np)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-      val nc = cand.agg(count(lit(1)).as("nc"))
-      val ov = maxSimOverCandidates(emb, cand, k)
+      val c = scoredAll.filter(col("crank") <= np)
+      val nc = c.agg(count(lit(1)).as("nc"))
+      val ov = c.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= k)
         .select("q_id", "vec_id")
         .join(exact, Seq("q_id", "vec_id"))
         .agg(count(lit(1)).as("ov"))
@@ -809,30 +835,44 @@ object Similarity {
     * |candidates| × 64 cosines, independent of corpus size.
     */
   def maxSimOverCandidates(emb: DataFrame, cand: DataFrame, k: Int): DataFrame = {
-    // fused form (optimization round 14): the compositional pipeline
-    // exploded each side into 8 token rows, joined 64 rows per pair,
-    // and ran a (q,d,qi) MAX plus a (q,d) SUM — two hash aggregates
-    // over 64× the pair count. maxsim_f32 computes the identical
-    // 6dp-DECIMAL sum-of-max per pair in one codegen call
-    // (SimilaritySpec pins bit-equality against the compositional
-    // form on the real fixture; the oracles replay it from scratch).
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("q_id").orderBy(col("score").desc, col("vec_id"))
+    maxSimScoredPairs(emb, cand)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("vec_id"), col("rank").cast(IntegerType).as("rank"),
+        col("score").cast(DoubleType).as("score"))
+      .orderBy("q_id", "rank")
+  }
+
+  /** The fused per-pair MaxSim scoring shared by [[maxSimOverCandidates]]
+    * and the q339 sweep: every `cand` column is carried through, plus
+    * `score` (the 6dp-DECIMAL sum-of-max). PRECONDITION: `cand` is
+    * distinct on (q_id, vec_id) — the r14 fusion dropped the grouped
+    * collapse of the compositional form, so a duplicated candidate pair
+    * would emit duplicated scored rows (every current caller — single-
+    * cluster list assignment, distinct probe clusters, distinct cross
+    * join — is duplicate-free by construction).
+    *
+    * Fused form (optimization round 14): the compositional pipeline
+    * exploded each side into 8 token rows, joined 64 rows per pair,
+    * and ran a (q,d,qi) MAX plus a (q,d) SUM — two hash aggregates
+    * over 64× the pair count. maxsim_f32 computes the identical
+    * 6dp-DECIMAL sum-of-max per pair in one codegen call
+    * (SimilaritySpec pins bit-equality against the compositional
+    * form on the real fixture; the oracles replay it from scratch).
+    */
+  def maxSimScoredPairs(emb: DataFrame, cand: DataFrame): DataFrame = {
     val d = emb.select(col("vec_id"), col("embedding").as("dv"))
     val probeIds = cand.select("q_id").distinct()
     val q = emb.join(broadcast(probeIds),
         col("vec_id") === col("q_id"), "left_semi")
       .select(col("vec_id").as("tq_id"), col("embedding").as("qv"))
-    val scored = cand
+    cand
       .join(d, Seq("vec_id"))
       .join(broadcast(q), col("q_id") === col("tq_id"))
-      .select(col("q_id"), col("vec_id"),
-        GraftFunctions.maxSimF32(col("qv"), col("dv")).as("score"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("q_id").orderBy(col("score").desc, col("vec_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("q_id"), col("vec_id"), col("rank").cast(IntegerType).as("rank"),
-        col("score").cast(DoubleType).as("score"))
-      .orderBy("q_id", "rank")
+      .select(cand.columns.map(col) :+
+        GraftFunctions.maxSimF32(col("qv"), col("dv")).as("score"): _*)
   }
 
   /** q329's candidate stage: the 10 fixed probes' nprobe-ranked
