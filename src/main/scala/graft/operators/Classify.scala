@@ -133,19 +133,43 @@ object Classify {
     * here is bit-identical to [[logregFit]]'s step k (same 1e7-scaled
     * gradient rounding, same 6dp HALF_UP weight rounding).
     */
-  def logregFitSteps(feats: DataFrame, rate: Double = LrRate): Seq[Array[Double]] = {
-    val n = feats.count().toDouble
-    val w = Array(0.0, 0.0, 0.0, 0.0)
+  def logregFitSteps(feats: DataFrame, rate: Double = LrRate): Seq[Array[Double]] =
+    logregFitStepsMulti(feats, Seq(rate)).head._2
+
+  /** [[logregFitSteps]] for SEVERAL learning rates in the same jobs:
+    * step k evaluates every rate's gradient sums in one pass over the
+    * feature frame (the rates' trajectories are independent, so the
+    * sums just sit side by side in one projection), and n rides along
+    * with step 1's gradients (w = 0 there, so the first step needs no
+    * prior count). One job per GD step instead of rates × (count + k
+    * gradients) — same 1e7-scaled sums, same 6dp HALF_UP weight
+    * rounding, bit-identical per-rate trajectories (r15; q264 ran
+    * 3 rates × 4 jobs before).
+    */
+  def logregFitStepsMulti(feats: DataFrame,
+      rates: Seq[Double]): Seq[(Double, Seq[Array[Double]])] = {
+    val ws = rates.map(_ => Array(0.0, 0.0, 0.0, 0.0))
+    val steps = rates.map(_ => Seq.newBuilder[Array[Double]])
     val xs = Seq(lit(1.0), col("x1"), col("x2"), col("x3"))
-    (1 to LrIters).map { _ =>
-      val r = col("y") - sigmoid(zOf(w))
-      val g = feats.select(xs.map(x =>
-        sum(round(r * x * lit(1e7), 0).cast(LongType))): _*).head()
-      for (j <- 0 to 3)
-        w(j) = BigDecimal(w(j) + rate * (g.getLong(j).toDouble / 1e7 / n))
-          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-      w.clone()
+    var n = 0.0
+    (1 to LrIters).foreach { it =>
+      val gCols = ws.flatMap { w =>
+        val r = col("y") - sigmoid(zOf(w))
+        xs.map(x => sum(round(r * x * lit(1e7), 0).cast(LongType)))
+      }
+      val g = feats.select(
+        (if (it == 1) gCols :+ count(lit(1)) else gCols): _*).head()
+      if (it == 1) n = g.getLong(4 * rates.size).toDouble
+      rates.indices.foreach { i =>
+        val w = ws(i)
+        for (j <- 0 to 3)
+          w(j) = BigDecimal(
+            w(j) + rates(i) * (g.getLong(4 * i + j).toDouble / 1e7 / n))
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        steps(i) += w.clone()
+      }
     }
+    rates.zip(steps.map(_.result()))
   }
 
   /** Fit on clean + corrupted twins, then score both classes: per
@@ -1222,17 +1246,21 @@ object Classify {
       .persist(MemOnly)
     val evF = logregFeatures(keyed.filter(pmod(col("src"), lit(5)) === 0))
       .persist(MemOnly)
-    val rows = rates.sorted.map { rate =>
-      val w = logregFit(trF, rate)
-      val correct = (col("s6") >= 500000L) === (col("y") === 1.0)
-      val ev = evF
-        .select(col("y"),
-          round(sigmoid(zOf(w)) * lit(1e6), 0).cast(LongType).as("s6"))
-        .agg(count(lit(1)).as("n"),
-          sum(when(correct, 1L).otherwise(0L)).as("ok"))
-        .head()
-      (rate, w(0), w(1), w(2), w(3), ev.getLong(0), ev.getLong(1),
-        ev.getLong(1) * 1000000L / ev.getLong(0))
+    // all rates fitted in the same GD-step jobs, and all rates' held-out
+    // accuracies in ONE eval pass (r15 — each was a separate job chain)
+    val fitted = logregFitStepsMulti(trF, rates.sorted).map {
+      case (rate, steps) => rate -> steps.last
+    }
+    val okCols = fitted.flatMap { case (_, w) =>
+      val s6 = round(sigmoid(zOf(w)) * lit(1e6), 0).cast(LongType)
+      val correct = (s6 >= 500000L) === (col("y") === 1.0)
+      Seq(sum(when(correct, 1L).otherwise(0L)))
+    }
+    val ev = evF.agg(count(lit(1)), okCols: _*).head()
+    val nEval = ev.getLong(0)
+    val rows = fitted.zipWithIndex.map { case ((rate, w), i) =>
+      val ok = ev.getLong(i + 1)
+      (rate, w(0), w(1), w(2), w(3), nEval, ok, ok * 1000000L / nEval)
     }
     trF.unpersist()
     evF.unpersist()
