@@ -349,7 +349,15 @@ object Kmv {
         min(GraftFunctions.md5Long(
           concat(lit(s"$i|"), col("g")).cast(BinaryType))).as(s"m$i")
       }
-      val sigs = ex.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
+      // persisted: the 32-permutation md5 signature build is the
+      // query's dominant stage and BOTH pair sides consume it — the
+      // a/b joins are keyed differently, so exchange reuse cannot
+      // span them and the shingle explode + 32 MINs re-ran per side
+      // (r15; the q275 multi-consumer persist lesson). Doc × 32 longs:
+      // bounded per doc at any corpus scale.
+      val sigs = graft.TransientCaches.register(
+        ex.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
       // staged τ ≥ 1/2 pair set (shared with q261; r11 VERDICT item 2)
       // — the entry's own work is the 32-permutation b-bit comparison
       val pairs = SetJoin.jaccardPairsStaged(s, dir, num = 1, den = 2)
