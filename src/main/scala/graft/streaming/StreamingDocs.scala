@@ -196,7 +196,8 @@ object StreamingDocs {
       .option("maxFilesPerTrigger", "1")
       .parquet(feed)
       .filter(col("doc_id") % 5 === 0)
-    StreamingEvents.withStreamShuffle(spark) {
+    StreamingEvents.withStreamShuffle(spark,
+        StreamingEvents.streamIngestPartitions) {
       val q = stream.writeStream
         .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
           graft.operators.Dedup.probeDocsAgainstIndex(batch.toDF(), idx)
@@ -240,7 +241,8 @@ object StreamingDocs {
       .option("maxFilesPerTrigger", "1")
       .parquet(feed)
       .filter(col("vec_id") % 5 === 0)
-    StreamingEvents.withStreamShuffle(spark) {
+    StreamingEvents.withStreamShuffle(spark,
+        StreamingEvents.streamIngestPartitions) {
       val q = stream.writeStream
         .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
           graft.operators.Ivf
@@ -282,7 +284,8 @@ object StreamingDocs {
     val stream = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1")
       .parquet(feed)
-    StreamingEvents.withStreamShuffle(spark) {
+    StreamingEvents.withStreamShuffle(spark,
+        StreamingEvents.streamIngestPartitions) {
       val q = stream.writeStream
         .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
           graft.operators.Classify

@@ -1155,14 +1155,32 @@ object StreamingEvents {
     * stores whose per-partition fsyncs serialize on the block-device
     * journal (measured: a stream-stream join pays FOUR stores per
     * partition per batch — 640 commits for a 5-batch run at 32, ≈20 s
-    * of pure fixed overhead vs ≈6 s at 8). 8 still certifies
+    * of pure fixed overhead vs ≈6 s at 8). 4 still certifies
     * multi-partition distribution; a 100 TB deployment sizes this UP
     * with its state (the knob follows the data) — parameterized via
     * SPARK_GRAFT_STATE_PARTITIONS so the driver's low-core scaling
-    * runs and a production profile can set their own value.
+    * runs and a production profile can set their own value. r15: the
+    * default dropped 8 → 4 on a family-wide A/B (73.3 → 66.7 s over
+    * the 22 streaming entries; the stateful runners read 0.75–0.94×
+    * — per-partition changelog/delta fsync ~100 ms/batch is the
+    * dominant per-batch term at KB-scale state — while the stateless
+    * ingest runners keep [[streamIngestPartitions]]).
     */
   def streamStatePartitions: String =
-    sys.env.getOrElse("SPARK_GRAFT_STATE_PARTITIONS", "8")
+    sys.env.getOrElse("SPARK_GRAFT_STATE_PARTITIONS", "4")
+
+  /** Partition count for the STATELESS foreachBatch ingest runners
+    * (q188/q196/q257): they commit no state stores — their micro-batch
+    * body runs real batch jobs (index probes, model scoring) whose
+    * parallelism this conf sizes — so the state-commit argument above
+    * does not apply and they keep the wider fan-out (measured at
+    * sf0.1/local[32]: the family-wide A/B that took the stateful
+    * runners 8→4 at 0.75–0.9× moved these three 0.98–1.17×, i.e.
+    * their batch compute wants the parallelism the state runners'
+    * fsyncs don't).
+    */
+  def streamIngestPartitions: String =
+    sys.env.getOrElse("SPARK_GRAFT_INGEST_PARTITIONS", "8")
 
   /** Partition count for STREAM-STREAM joins (q212/q326): a join
     * commits FOUR state stores per partition per micro-batch where
